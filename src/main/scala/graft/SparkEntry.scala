@@ -1,13 +1,31 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Sources
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query definitions live in graft.queries.* modules, one per SURVEY §2 area;
+  * this object just merges them.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TimeseriesQuery(
+      timeColumn = "l_shipdate",
+      granularity = PeriodGranularity("P1M"),
+      filter = col("l_returnflag") === "A",
+      aggregations = Seq(
+        Agg("revenue", sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))),
+        Agg("cnt", count(lit(1))))
+    ).run(Sources.table(spark, "/root/testdata/sf0.001", "lineitem"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.CoreQueries.oracle
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Druid scalar-function surface (math-expr builtins + SQL operator
+  * conversions) re-expressed over Spark built-ins.
+  *
+  * Reference: core/src/main/java/org/apache/druid/math/expr/Function.java and
+  * sql/src/main/java/org/apache/druid/sql/calcite/expression/builtin/.
+  * Only genuinely-missing functions get custom code; everything else is a
+  * thin alias over `org.apache.spark.sql.functions` so it stays inside
+  * whole-stage codegen.
+  */
+object DruidFunctions {
+
+  // --- conditional / null (Function.java:2089-2304) ---
+  def nvl(a: Column, b: Column): Column = coalesce(a, b)
+  def safeDivide(a: Column, b: Column): Column =
+    when(b === 0 || b.isNull, lit(null)).otherwise(a / b)
+  /** Druid `div(x,y)`: integer division. */
+  def intDiv(a: Column, b: Column): Column = (a.cast("long") / b.cast("long")).cast("long")
+
+  // --- string (Function.java:2348-2840) ---
+  /** Druid strpos is 0-based, -1 when absent. */
+  def strpos(haystack: Column, needle: Column): Column =
+    call_function("locate", needle, haystack) - 1
+  def textcat(a: Column, b: Column): Column = concat(a, b)
+  def containsString(h: Column, n: String): Column = h.contains(n)
+  def iContainsString(h: Column, n: String): Column = lower(h).contains(n.toLowerCase)
+
+  // --- multi-value string dimension helpers (§1.4 of SURVEY) ---
+  // Reference semantics: processing/.../segment/DimensionSelector.java (MV cells),
+  // filter = any-element-matches (query/filter/Filter.java:93),
+  // groupBy = one group per element (epinephelinae/GroupByQueryEngineV2.java:603).
+  def mvContains(c: Column, v: Any): Column = array_contains(c, v)
+  def mvOverlap(a: Column, b: Column): Column = arrays_overlap(a, b)
+  def mvFilterOnly(c: Column, allowed: Seq[String]): Column =
+    filter(c, x => x.isin(allowed: _*))
+  def mvFilterNone(c: Column, denied: Seq[String]): Column =
+    filter(c, x => !x.isin(denied: _*))
+  def mvLength(c: Column): Column = size(c)
+  def mvToString(c: Column, sep: String): Column = array_join(c, sep)
+  def stringToMv(c: Column, sep: String): Column = split(c, sep)
+  /** Any-element-matches filter semantics for arbitrary predicates. */
+  def mvAnyMatch(c: Column, pred: Column => Column): Column = exists(c, pred)
+
+  // --- format (Function.java:3691-3721) ---
+  private val decUnits = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB")
+  private val binUnits = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+  private def humanReadable(c: Column, base: Double, units: Seq[String], precision: Int): Column = {
+    val b = c.cast("double")
+    val mag = when(b === 0, 0).otherwise(floor(log(base, abs(b))).cast("int"))
+    val magC = least(greatest(mag, lit(0)), lit(units.size - 1))
+    val scaled = b / pow(lit(base), magC.cast("double"))
+    val unit = element_at(array(units.map(lit): _*), magC + 1)
+    concat(format_number(scaled, precision), lit(" "), unit)
+  }
+  def humanReadableDecimalByteFormat(c: Column, precision: Int = 2): Column =
+    humanReadable(c, 1000.0, decUnits, precision)
+  def humanReadableBinaryByteFormat(c: Column, precision: Int = 2): Column =
+    humanReadable(c, 1024.0, binUnits, precision)
+
+  // --- IPv4 (query/expression/IPv4Address*ExprMacro.java) ---
+  /** Dotted-quad string → long (null if malformed). */
+  def ipv4Parse(c: Column): Column = {
+    val parts = split(c, "\\.")
+    val ok = c.rlike("^((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$")
+    when(ok,
+      element_at(parts, 1).cast("long") * 16777216L +
+      element_at(parts, 2).cast("long") * 65536L +
+      element_at(parts, 3).cast("long") * 256L +
+      element_at(parts, 4).cast("long"))
+  }
+  /** long → dotted-quad string. */
+  def ipv4Stringify(c: Column): Column = {
+    val v = c.cast("long")
+    concat_ws(".",
+      ((v / 16777216L).cast("long") % 256).cast("string"),
+      ((v / 65536L).cast("long") % 256).cast("string"),
+      ((v / 256L).cast("long") % 256).cast("string"),
+      (v % 256).cast("string"))
+  }
+  /** ipv4_match(addr, 'cidr/len'): addr (string or long) inside subnet. */
+  def ipv4Match(addr: Column, cidr: String): Column = {
+    val Array(base, len) = cidr.split("/")
+    val baseLong = base.split("\\.").map(_.toLong).reduce(_ * 256 + _)
+    val bits = len.toInt
+    val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    val addrLong = when(addr.cast("string").rlike("^\\d+\\.\\d+"), ipv4Parse(addr.cast("string")))
+      .otherwise(addr.cast("long"))
+    addrLong.bitwiseAND(mask) === (baseLong & mask)
+  }
+
+  // --- parse_long with radix (sql PARSE_LONG) ---
+  def parseLong(c: Column, radix: Int = 10): Column =
+    if (radix == 10) c.cast("long")
+    else if (radix == 16) conv(regexp_replace(c, "^0[xX]", ""), 16, 10).cast("long")
+    else conv(c, radix, 10).cast("long")
+
+  // --- math gaps (most math fns are 1:1 Spark builtins) ---
+  /** Java Math.scalb: x * 2^n. */
+  def scalb(x: Column, n: Column): Column = x * pow(lit(2.0), n.cast("double"))
+
+  /** Druid `round(x, n)` — Spark round is identical (HALF_UP). */
+  def roundTo(x: Column, n: Int): Column = round(x, n)
+
+  /** bucket extraction fn: floor((x - offset)/size)*size + offset. */
+  def bucket(x: Column, size: Double, offset: Double = 0.0): Column =
+    floor((x - offset) / size) * size + offset
+
+  // --- lookup (LookupExprMacro.java): small-map enrichment ---
+  /** lookup via literal map — compiles to element_at on a map literal
+    * (broadcast to every task as part of the plan; fine for small maps).
+    * For large lookups use Lookups.register + join (sources/Lookups.scala).
+    */
+  def lookupMap(c: Column, m: Map[String, String]): Column = {
+    val entries = m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    element_at(map(entries: _*), c)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Druid time-function surface re-expressed as Spark Column helpers.
+  *
+  * Reference semantics: Druid's timestamp_floor / timestamp_ceil /
+  * timestamp_shift / timestamp_extract expression macros
+  * (reference: processing/src/main/java/org/apache/druid/query/expression/
+  * TimestampFloorExprMacro.java et al.) and its Granularity model
+  * (ISO-8601 periods with optional origin and timezone,
+  * core/src/main/java/org/apache/druid/java/util/common/granularity/
+  * PeriodGranularity.java).
+  *
+  * Spark-first design: every helper compiles to built-in, codegen-friendly
+  * Catalyst expressions (`date_trunc`, `timestamp_millis`, `unix_millis`,
+  * arithmetic) — no UDFs — so filters/projections stay inside
+  * whole-stage codegen and pushdown-friendly plans at 100 TB scale.
+  */
+object TimeFunctions {
+
+  /** Parsed ISO-8601 period. Fixed-width periods (<= weeks) are handled in
+    * millisecond arithmetic; month/quarter/year periods in month arithmetic.
+    */
+  final case class IsoPeriod(months: Int, millis: Long) {
+    require(months == 0 || millis == 0,
+      "mixed month+sub-month periods are not supported (matches Druid PeriodGranularity single-field use)")
+  }
+
+  private val PeriodRe =
+    """^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$""".r
+
+  def parsePeriod(p: String): IsoPeriod = p.trim.toUpperCase match {
+    case PeriodRe(y, mo, w, d, h, mi, s) =>
+      def l(x: String): Long = if (x == null) 0L else x.toLong
+      val months = (l(y) * 12 + l(mo)).toInt
+      val ms = l(w) * 7 * 86400000L + l(d) * 86400000L +
+        l(h) * 3600000L + l(mi) * 60000L + l(s) * 1000L
+      if (months > 0 && ms > 0)
+        throw new IllegalArgumentException(s"mixed-unit period unsupported: $p")
+      if (months == 0 && ms == 0)
+        throw new IllegalArgumentException(s"empty period: $p")
+      IsoPeriod(months, ms)
+    case _ => throw new IllegalArgumentException(s"bad ISO period: $p")
+  }
+
+  /** Druid `timestamp_floor(ts, period[, origin])`.
+    *
+    * Fixed-width path: floor((millis - origin) / width) * width + origin —
+    * pure long arithmetic, codegen'd, and monotone in ts so parquet min/max
+    * pruning on the underlying column still applies to range predicates.
+    * Month path: origin + floor(months_between(ts, origin)/n)*n months.
+    */
+  def timeFloor(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
+    val p = parsePeriod(period)
+    if (p.months == 0) {
+      val o = unix_millis(origin)
+      timestamp_millis(floorDiv(unix_millis(ts) - o, p.millis) * p.millis + o)
+    } else {
+      val n = p.months
+      val monthsSince = floor(months_between(ts, origin) / n) * n
+      add_months(origin, monthsSince.cast("int")).cast("timestamp")
+    }
+  }
+
+  /** floor-division on longs as a Column (Java-style floorDiv, handles ts < origin). */
+  private def floorDiv(a: Column, b: Long): Column = {
+    val q = (a / b).cast("long")
+    when(a % b < 0, q - 1).otherwise(q)
+  }
+
+  def defaultOrigin: Column = timestamp_millis(lit(0L))
+
+  /** Druid `timestamp_ceil`. */
+  def timeCeil(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
+    val p = parsePeriod(period)
+    if (p.months == 0) {
+      val o = unix_millis(origin)
+      val rel = unix_millis(ts) - o
+      val flo = floorDiv(rel, p.millis) * p.millis
+      timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + o)
+    } else {
+      val n = p.months
+      val mb = months_between(ts, origin)
+      val flo = floor(mb / n) * n
+      val floTs = add_months(origin, flo.cast("int")).cast("timestamp")
+      when(floTs === ts, ts).otherwise(add_months(origin, (flo + n).cast("int")).cast("timestamp"))
+    }
+  }
+
+  /** Druid `timestamp_shift(ts, period, step)`. */
+  def timeShift(ts: Column, period: String, step: Int): Column = {
+    val p = parsePeriod(period)
+    if (p.months == 0) timestamp_millis(unix_millis(ts) + p.millis * step)
+    else add_months(ts, p.months * step).cast("timestamp")
+  }
+
+  /** Druid `timestamp_extract(ts, unit)` — unit per Druid's TimestampExtractExprMacro. */
+  def timeExtract(ts: Column, unit: String): Column = unit.toUpperCase match {
+    case "EPOCH"   => unix_timestamp(ts)
+    case "MILLIS"  => unix_millis(ts)
+    case "SECOND"  => second(ts)
+    case "MINUTE"  => minute(ts)
+    case "HOUR"    => hour(ts)
+    case "DAY"     => dayofmonth(ts)
+    case "DOW"     => dayofweek(ts) // 1=Sunday..7 (Druid DOW is 1=Mon; expose ISODOW below)
+    case "ISODOW"  => when(dayofweek(ts) === 1, 7).otherwise(dayofweek(ts) - 1)
+    case "DOY"     => dayofyear(ts)
+    case "WEEK"    => weekofyear(ts)
+    case "MONTH"   => month(ts)
+    case "QUARTER" => quarter(ts)
+    case "YEAR"    => year(ts)
+    case u => throw new IllegalArgumentException(s"unknown extract unit: $u")
+  }
+
+  /** Druid `timestamp_parse` / `timestamp_format`. */
+  def timeParse(s: Column, fmt: String): Column = to_timestamp(s, fmt)
+  def timeFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+
+  /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin). */
+  def millisToTimestamp(c: Column): Column = timestamp_millis(c)
+  def timestampToMillis(c: Column): Column = unix_millis(c)
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions
+
+/** Typed Scala DSL mirroring the reference's native query types
+  * (reference: processing/src/main/java/org/apache/druid/query/Query.java:55-75
+  * — timeseries / topN / groupBy / scan / search / timeBoundary /
+  * segmentMetadata / dataSourceMetadata).
+  *
+  * Spark-first: each builder *declares* a logical plan with the DataFrame API
+  * and lets Catalyst + AQE pick the physical strategy. There is deliberately
+  * no custom execution here — the reference's per-segment engines
+  * (vectorized cursors, off-heap groupers, spilling, merge buffers) are all
+  * subsumed by HashAggregateExec / Tungsten / whole-stage codegen.
+  * At cluster scale, the scatter-gather+broker-merge of the reference becomes
+  * shuffle-based partial→final aggregation, which removes the reference's
+  * single-node broker merge bottleneck (whitepaper §"broker level").
+  */
+
+/** Dimension spec (reference: processing/.../query/dimension/DimensionSpec.java:41-45).
+  * MultiValueDim reproduces the exploded-grouping semantic of MV string dims
+  * (GroupByQueryEngineV2.java:603: one group per array element).
+  */
+sealed trait DimSpec {
+  def output: String
+  def col: Column
+  def isMultiValue: Boolean = false
+}
+final case class Dim(name: String, outputName: String = null) extends DimSpec {
+  def output: String = if (outputName == null) name else outputName
+  def col: Column = org.apache.spark.sql.functions.col(name)
+}
+/** extraction dimensionSpec / virtual column: any expression as a dimension. */
+final case class ExprDim(expr: Column, output: String) extends DimSpec {
+  def col: Column = expr
+}
+/** Multi-value string dimension: grouped rows are exploded, one group per
+  * element (null-preserving via explode_outer, matching Druid's null row for
+  * empty MV cells in sql-compatible mode).
+  */
+final case class MvDim(expr: Column, output: String) extends DimSpec {
+  def col: Column = expr
+  override def isMultiValue: Boolean = true
+}
+/** listFiltered dimensionSpec: only `allowed` values survive, rest of the row's
+  * array is filtered before explode (DimensionSpec.java `listFiltered`).
+  */
+final case class ListFilteredDim(expr: Column, allowed: Seq[String], output: String) extends DimSpec {
+  def col: Column = filter(expr, x => x.isin(allowed: _*))
+  override def isMultiValue: Boolean = true
+}
+
+/** Named aggregation — the DSL's AggregatorFactory equivalent; any Spark
+  * aggregate Column (sum/min/max/count/min_by/approx_count_distinct/custom
+  * Aggregator) works. `filtered` aggs use Column.filter via `aggFilter`.
+  */
+final case class Agg(name: String, column: Column) {
+  def aliased: Column = column.as(name)
+}
+object Agg {
+  /** FilteredAggregatorFactory (reference: query/aggregation/
+    * FilteredAggregatorFactory.java) → conditional input: sum/min/max over
+    * `when(pred, col)`, count via sum of when(pred,1). Codegen'd, no UDF.
+    */
+  def filteredSum(name: String, c: Column, pred: Column): Agg =
+    Agg(name, sum(when(pred, c)))
+  def filteredCount(name: String, pred: Column): Agg =
+    Agg(name, sum(when(pred, 1L).otherwise(0L)))
+}
+
+/** Post-aggregator: expression over aggregate results, applied after .agg()
+  * (reference: processing/.../query/aggregation/post). */
+final case class PostAgg(name: String, column: Column)
+
+/** Granularity for timeseries bucketing: ISO period + optional origin
+  * (reference: PeriodGranularity). `All` = single bucket. */
+sealed trait Granularity
+case object AllGranularity extends Granularity
+final case class PeriodGranularity(period: String, origin: String = null) extends Granularity {
+  def bucket(ts: Column): Column = {
+    val o = if (origin == null) TimeFunctions.defaultOrigin
+            else lit(origin).cast("timestamp")
+    // timestamp_ntz keeps parquet output type aligned with the tz-naive
+    // source columns (session TZ is UTC, so the conversion is identity).
+    TimeFunctions.timeFloor(ts, period, o).cast("timestamp_ntz")
+  }
+}
+
+object QueryCommon {
+  /** Explode MV dims (if any), then return (prepared df, groupable columns). */
+  def prepareDims(df: DataFrame, dims: Seq[DimSpec]): (DataFrame, Seq[Column]) = {
+    val withCols = dims.foldLeft(df) { (d, spec) =>
+      if (spec.isMultiValue) d.withColumn(spec.output, explode_outer(spec.col))
+      else d.withColumn(spec.output, spec.col)
+    }
+    (withCols, dims.map(s => col(s.output)))
+  }
+  def applyPostAggs(df: DataFrame, postAggs: Seq[PostAgg]): DataFrame =
+    postAggs.foldLeft(df)((d, p) => d.withColumn(p.name, p.column))
+}
+
+/** timeseries query (reference: query/timeseries/TimeseriesQuery.java:52).
+  * grandTotal context flag → an extra all-time row via rollup-style union.
+  */
+final case class TimeseriesQuery(
+    timeColumn: String = "__time",
+    granularity: Granularity = PeriodGranularity("P1D"),
+    filter: Column = null,
+    aggregations: Seq[Agg] = Nil,
+    postAggregations: Seq[PostAgg] = Nil,
+    descending: Boolean = false,
+    grandTotal: Boolean = false,
+    limit: Option[Int] = None) {
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    val aggCols = aggregations.map(_.aliased)
+    granularity match {
+      case AllGranularity =>
+        val out = QueryCommon.applyPostAggs(
+          filtered.agg(aggCols.head, aggCols.tail: _*), postAggregations)
+        limit.fold(out)(out.limit)
+      case g: PeriodGranularity =>
+        val bucketed = filtered.withColumn("__bucket", g.bucket(col(timeColumn)))
+        val grouped = bucketed.groupBy(col("__bucket").as(timeColumn))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val withTotal = if (grandTotal) {
+          // Druid emits one extra grand-total row (TimeseriesQuery.java:54 ctx key).
+          val total = filtered.agg(aggCols.head, aggCols.tail: _*)
+            .withColumn(timeColumn, lit(null).cast(grouped.schema(timeColumn).dataType))
+            .select(grouped.columns.map(col): _*)
+          grouped.unionByName(total)
+        } else grouped
+        // order applied after the optional union; grand-total row sorts last
+        val ordered = if (descending) withTotal.orderBy(col(timeColumn).desc_nulls_last)
+                      else withTotal.orderBy(col(timeColumn).asc_nulls_last)
+        val out = QueryCommon.applyPostAggs(ordered, postAggregations)
+        limit.fold(out)(out.limit)
+    }
+  }
+}
+
+/** topN (reference: query/topn/TopNQuery.java:50). Exact semantics: Druid's
+  * per-segment-K + merge is approximate; we compute the exact top-K, which is
+  * Druid's documented exact mode. Catalyst plans this as partial agg →
+  * shuffle → final agg → TakeOrderedAndProject: per-partition top-K then a
+  * driver-side K-merge, i.e. the same two-level pattern, but lossless.
+  */
+final case class TopNQuery(
+    dimension: DimSpec,
+    metric: String,
+    threshold: Int,
+    filter: Column = null,
+    aggregations: Seq[Agg] = Nil,
+    postAggregations: Seq[PostAgg] = Nil,
+    ascending: Boolean = false) {
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    val (prepared, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
+    val aggCols = aggregations.map(_.aliased)
+    val agged = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val post = QueryCommon.applyPostAggs(agged, postAggregations)
+    val ord = if (ascending) col(metric).asc else col(metric).desc
+    post.orderBy(ord, col(dimension.output).asc_nulls_last).limit(threshold)
+  }
+}
+
+/** limitSpec (reference: query/groupby/orderby/DefaultLimitSpec.java:71). */
+final case class LimitSpec(orderBy: Seq[Column] = Nil, limit: Option[Int] = None, offset: Int = 0)
+
+/** groupBy (reference: query/groupby/GroupByQuery.java:91). having = filter on
+  * aggregated rows; subtotalsSpec → GROUPING SETS (strategy/GroupByStrategyV2
+  * .java:464 processSubtotalsSpec) — here a single shuffle-free-reuse pass via
+  * Spark's native grouping sets rather than Druid's re-aggregation of the
+  * base result.
+  */
+final case class GroupByQuery(
+    dimensions: Seq[DimSpec],
+    filter: Column = null,
+    aggregations: Seq[Agg] = Nil,
+    postAggregations: Seq[PostAgg] = Nil,
+    having: Column = null,
+    limitSpec: LimitSpec = LimitSpec(),
+    subtotalsSpec: Seq[Seq[String]] = null) {
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    val (prepared, dimCols) = QueryCommon.prepareDims(filtered, dimensions)
+    val aggCols = aggregations.map(_.aliased)
+    val agged =
+      if (subtotalsSpec == null) {
+        if (dimCols.isEmpty) prepared.agg(aggCols.head, aggCols.tail: _*)
+        else prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      } else {
+        // subtotalsSpec → native GROUPING SETS (single pass; Druid instead
+        // re-aggregates the base result per subtotal set,
+        // GroupByStrategyV2.processSubtotalsSpec).
+        val sets = subtotalsSpec.map(_.map(n => col(n)))
+        prepared.groupingSets(sets, dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    val havinged = if (having == null) agged else agged.filter(having)
+    val post = QueryCommon.applyPostAggs(havinged, postAggregations)
+    val ordered = if (limitSpec.orderBy.nonEmpty) post.orderBy(limitSpec.orderBy: _*) else post
+    val offsetted = if (limitSpec.offset > 0) ordered.offset(limitSpec.offset) else ordered
+    limitSpec.limit.fold(offsetted)(offsetted.limit)
+  }
+
+}
+
+/** scan (reference: query/scan/ScanQuery.java:52): raw rows, projection,
+  * filter, order by time ASC/DESC only, limit+offset. */
+final case class ScanQuery(
+    columns: Seq[String] = Nil,
+    filter: Column = null,
+    timeColumn: String = "__time",
+    order: Option[Boolean] = None, // Some(true)=ASC, Some(false)=DESC, None=no order
+    limit: Option[Int] = None,
+    offset: Int = 0) {
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+    val ordered = order match {
+      case Some(true)  => projected.orderBy(col(timeColumn).asc)
+      case Some(false) => projected.orderBy(col(timeColumn).desc)
+      case None        => projected
+    }
+    val off = if (offset > 0) ordered.offset(offset) else ordered
+    limit.fold(off)(off.limit)
+  }
+}
+
+/** search (reference: query/search/SearchQuery.java:42): find dimension VALUES
+  * matching a predicate across a set of dimensions. Implemented as an unpivot
+  * (stack) → filter → distinct-count, fully parallel (the reference walks
+  * per-segment indexes; a shuffle agg is the scale-out equivalent).
+  */
+final case class SearchQuery(
+    searchDimensions: Seq[String],
+    matcher: Column => Column, // e.g. _.contains("foo") | insensitive variants
+    filter: Column = null,
+    limit: Option[Int] = None) {
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    val pairs = searchDimensions.flatMap(d => Seq(lit(d), col(d).cast("string")))
+    val unpivoted = filtered.select(explode(map(pairs: _*)).as(Seq("dimension", "value")))
+    val matched = unpivoted.filter(matcher(col("value")))
+    val counted = matched.groupBy("dimension", "value").agg(count(lit(1)).as("count"))
+      .orderBy(col("dimension"), col("value"))
+    limit.fold(counted)(counted.limit)
+  }
+}
+
+/** timeBoundary (reference: query/timeboundary/TimeBoundaryQuery.java:46). */
+final case class TimeBoundaryQuery(
+    timeColumn: String = "__time",
+    filter: Column = null,
+    bound: Option[String] = None) { // Some("minTime")/Some("maxTime")
+
+  def run(ds: DataFrame): DataFrame = {
+    val filtered = if (filter == null) ds else ds.filter(filter)
+    bound match {
+      case Some("minTime") => filtered.agg(min(col(timeColumn)).as("minTime"))
+      case Some("maxTime") => filtered.agg(max(col(timeColumn)).as("maxTime"))
+      case _ => filtered.agg(min(col(timeColumn)).as("minTime"), max(col(timeColumn)).as("maxTime"))
+    }
+  }
+}
+
+/** dataSourceMetadata (reference: query/datasourcemetadata/DataSourceMetadataQuery.java:43). */
+final case class DataSourceMetadataQuery(timeColumn: String = "__time") {
+  def run(ds: DataFrame): DataFrame =
+    ds.agg(max(col(timeColumn)).as("maxIngestedEventTime"))
+}
+
+/** segmentMetadata (reference: query/metadata/metadata/SegmentMetadataQuery.java:46):
+  * per-column type/cardinality/null-count analysis. Cardinality uses
+  * approx_count_distinct at scale (exact available via `exact=true`).
+  */
+final case class SegmentMetadataQuery(exact: Boolean = false) {
+  def run(ds: DataFrame): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val perCol = ds.schema.fields.map { f =>
+      val c = col(f.name)
+      val card = if (exact) count_distinct(c) else approx_count_distinct(c)
+      struct(
+        lit(f.name).as("column"),
+        lit(f.dataType.simpleString).as("type"),
+        card.as("cardinality"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("nullCount"))
+    }
+    val row = ds.agg(count(lit(1)).as("numRows"), array(perCol.map(s => s): _*).as("columns"))
+    row.select(col("numRows"), explode(col("columns")).as("c"))
+      .select($"c.column".as("column"), $"c.type".as("type"),
+        $"c.cardinality".as("cardinality"), $"c.nullCount".as("nullCount"), $"numRows".as("numRows"))
+      .orderBy("column")
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators._
+import graft.sources.Sources
+
+/** Core query-type coverage (SURVEY §2.1): one driver-verifiable query per
+  * native query type, each expressed through the graft DSL and paired with a
+  * DuckDB oracle in `oracle`.
+  *
+  * Numeric determinism notes (for exact hash-compare vs DuckDB):
+  *  - l_quantity is integer-valued double → sums are exact.
+  *  - money columns are summed as DECIMAL(18,2) → exact, associative.
+  *  - ratios are computed as a single double division of exact inputs.
+  */
+object CoreQueries {
+  private val D = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- timeseries: month granularity, filter, sum+count (TimeseriesQuery.java:52) ---
+    "timeseries_month" -> ((s, dir) => {
+      TimeseriesQuery(
+        timeColumn = "l_shipdate",
+        granularity = PeriodGranularity("P1M"),
+        filter = col("l_returnflag") === "A",
+        aggregations = Seq(
+          Agg("sum_qty", sum(col("l_quantity"))),
+          Agg("cnt", count(lit(1)))),
+        postAggregations = Seq(
+          PostAgg("avg_qty", col("sum_qty") / col("cnt")))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // --- timeseries grand total row ---
+    "timeseries_grand_total" -> ((s, dir) => {
+      TimeseriesQuery(
+        timeColumn = "l_shipdate",
+        granularity = PeriodGranularity("P1Y"),
+        aggregations = Seq(
+          Agg("revenue", sum(col("l_extendedprice").cast(D))),
+          Agg("cnt", count(lit(1)))),
+        grandTotal = true
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // --- topN: top 10 suppliers by revenue (TopNQuery.java:50) ---
+    "topn_supplier_revenue" -> ((s, dir) => {
+      TopNQuery(
+        dimension = Dim("l_suppkey"),
+        metric = "revenue",
+        threshold = 10,
+        aggregations = Seq(
+          Agg("revenue", sum(col("l_extendedprice").cast(D))),
+          Agg("cnt", count(lit(1))))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // --- groupBy: multi-dim + having + order/limit (GroupByQuery.java:91) ---
+    "groupby_flag_status" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag"), Dim("l_linestatus")),
+        aggregations = Seq(
+          Agg("sum_qty", sum(col("l_quantity"))),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D))),
+          Agg("cnt", count(lit(1)))),
+        postAggregations = Seq(
+          PostAgg("avg_qty", col("sum_qty") / col("cnt"))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc, col("l_linestatus").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    "groupby_having" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("o_orderpriority")),
+        filter = col("o_orderstatus") =!= "P",
+        aggregations = Seq(
+          Agg("n_orders", count(lit(1))),
+          Agg("total", sum(col("o_totalprice").cast(D)))),
+        having = col("n_orders") > 100,
+        limitSpec = LimitSpec(orderBy = Seq(col("o_orderpriority").asc))
+      ).run(Sources.table(s, dir, "orders"))
+    }),
+
+    // --- groupBy subtotalsSpec → grouping sets (GroupByStrategyV2.java:464) ---
+    "groupby_subtotals" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag"), Dim("l_linestatus")),
+        aggregations = Seq(
+          Agg("sum_qty", sum(col("l_quantity"))),
+          Agg("cnt", count(lit(1)))),
+        subtotalsSpec = Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq()),
+        limitSpec = LimitSpec(orderBy = Seq(
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // --- scan: projection + filter + time order + limit/offset (ScanQuery.java:52) ---
+    "scan_orders" -> ((s, dir) => {
+      ScanQuery(
+        columns = Seq("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"),
+        filter = col("o_orderstatus") === "F" && col("o_totalprice") > 1000.0,
+        timeColumn = "o_orderdate",
+        order = Some(true),
+        limit = Some(50),
+        offset = 10
+      ).run(Sources.table(s, dir, "orders"))
+        // deterministic tiebreak for the oracle compare (Druid scan breaks
+        // ties by segment order, which has no cross-engine analog):
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    }),
+
+    // --- timeBoundary (TimeBoundaryQuery.java:46) ---
+    "time_boundary" -> ((s, dir) => {
+      TimeBoundaryQuery(timeColumn = "l_shipdate").run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // --- dataSourceMetadata (DataSourceMetadataQuery.java:43) ---
+    "datasource_metadata" -> ((s, dir) => {
+      DataSourceMetadataQuery(timeColumn = "o_orderdate").run(Sources.table(s, dir, "orders"))
+    }),
+
+    // --- search across dims (SearchQuery.java:42) ---
+    "search_dims" -> ((s, dir) => {
+      SearchQuery(
+        searchDimensions = Seq("o_orderpriority", "o_orderstatus"),
+        matcher = v => v.contains("E")
+      ).run(Sources.table(s, dir, "orders"))
+    }),
+
+    // --- segmentMetadata (SegmentMetadataQuery.java:46) ---
+    "segment_metadata" -> ((s, dir) => {
+      SegmentMetadataQuery(exact = true).run(Sources.table(s, dir, "orders"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "timeseries_month" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS l_shipdate,
+        |       sum(l_quantity) AS sum_qty, count(*) AS cnt,
+        |       sum(l_quantity)/count(*) AS avg_qty
+        |FROM lineitem WHERE l_returnflag = 'A'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "timeseries_grand_total" ->
+      """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS l_shipdate,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS cnt
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT NULL, sum(CAST(l_extendedprice AS DECIMAL(18,2))), count(*) FROM lineitem
+        |ORDER BY 1 NULLS LAST""".stripMargin,
+
+    "topn_supplier_revenue" ->
+      """SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1
+        |ORDER BY revenue DESC, l_suppkey ASC LIMIT 10""".stripMargin,
+
+    "groupby_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       count(*) AS cnt, sum(l_quantity)/count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "groupby_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY 1 HAVING count(*) > 100 ORDER BY 1""".stripMargin,
+
+    "groupby_subtotals" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "scan_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+        |ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50 OFFSET 10""".stripMargin,
+
+    "time_boundary" ->
+      "SELECT min(l_shipdate) AS minTime, max(l_shipdate) AS maxTime FROM lineitem",
+
+    "datasource_metadata" ->
+      "SELECT max(o_orderdate) AS maxIngestedEventTime FROM orders",
+
+    "search_dims" ->
+      """SELECT dimension, "value", "count" FROM (
+        |  SELECT 'o_orderpriority' AS dimension, o_orderpriority AS "value", count(*) AS "count"
+        |  FROM orders WHERE o_orderpriority LIKE '%E%' GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus, count(*)
+        |  FROM orders WHERE o_orderstatus LIKE '%E%' GROUP BY 2
+        |) ORDER BY dimension, "value"""".stripMargin,
+
+    "segment_metadata" ->
+      """SELECT "column", "type", cardinality, nullCount, numRows FROM (
+        |  SELECT 'o_orderkey' AS "column", 'bigint' AS "type", count(DISTINCT o_orderkey) AS cardinality,
+        |         count(*) - count(o_orderkey) AS nullCount, count(*) AS numRows FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'bigint', count(DISTINCT o_custkey),
+        |         count(*) - count(o_custkey), count(*) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'string', count(DISTINCT o_orderstatus),
+        |         count(*) - count(o_orderstatus), count(*) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'double', count(DISTINCT o_totalprice),
+        |         count(*) - count(o_totalprice), count(*) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', count(DISTINCT o_orderdate),
+        |         count(*) - count(o_orderdate), count(*) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'string', count(DISTINCT o_orderpriority),
+        |         count(*) - count(o_orderpriority), count(*) FROM orders
+        |) ORDER BY "column"""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Datasource surface (reference: processing/src/main/java/org/apache/druid/
+  * query/DataSource.java:33-39 — table/query/union/join/lookup/inline/
+  * globalTable).
+  *
+  * In this engine a "datasource" is just a DataFrame; these helpers give the
+  * named constructors and the scale-relevant behaviors (broadcast for
+  * globalTable/lookup, unionByName with schema-light tolerance for union).
+  */
+object Sources {
+
+  /** table datasource: parquet table inside an sf dir (TESTDATA layout),
+    * or any path. Columnar scan + pushdown come free from the parquet source.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** union datasource (reference: query/UnionDataSource.java:34): same-schema
+    * union; Druid's is schema-light tolerant, so allowMissingColumns=true.
+    */
+  def union(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** inline datasource (reference: query/InlineDataSource.java:48). */
+  def inline(spark: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  /** globalTable datasource (reference: query/GlobalTableDataSource.java):
+    * a table replicated to every node → Spark broadcast hint. Catalyst then
+    * plans BroadcastHashJoin with no shuffle of the big side — the exact
+    * cluster-scale analog of Druid's broadcast segments.
+    */
+  def globalTable(df: DataFrame): DataFrame = broadcast(df)
+}
+
+/** Lookup surface (reference: server/src/main/java/org/apache/druid/query/
+  * lookup/LookupReferencesManager.java + extensions-core/lookups-cached-global).
+  *
+  * A lookup is a small, refreshable KV table used for dimension enrichment.
+  * Registered lookups are kept as DataFrames and applied either as a
+  * broadcast join (`apply`) or as a map literal (`graft.functions.
+  * DruidFunctions.lookupMap`) for tiny maps. At 100 TB the join side stays
+  * broadcast — never a shuffle of the fact table.
+  */
+final class LookupRegistry {
+  private val lookups = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def register(name: String, kv: DataFrame): Unit = {
+    require(kv.columns.length >= 2, "lookup needs (key, value) columns")
+    lookups.put(name, kv)
+  }
+  def registerMap(spark: SparkSession, name: String, m: Map[String, String]): Unit = {
+    import spark.implicits._
+    register(name, m.toSeq.toDF("k", "v"))
+  }
+  def get(name: String): DataFrame = lookups(name)
+  def names: Seq[String] = lookups.keys.toSeq.sorted
+
+  /** LOOKUP(col, name) as a join: enrich `df` with a `outputCol` column.
+    * Broadcast, left-outer (missing key → null, sql-compatible mode).
+    */
+  def apply(df: DataFrame, keyCol: String, name: String, outputCol: String): DataFrame = {
+    val kv = lookups(name)
+    val k = kv.columns(0); val v = kv.columns(1)
+    df.join(broadcast(kv.withColumnRenamed(v, outputCol)),
+        df(keyCol) === kv(k), "left")
+      .drop(k)
+  }
+}
