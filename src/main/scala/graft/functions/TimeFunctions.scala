@@ -52,11 +52,15 @@ object TimeFunctions {
     * pruning on the underlying column still applies to range predicates.
     * Month path: origin + floor(months_between(ts, origin)/n)*n months.
     */
+  /** unix_millis requires TimestampType; tz-naive columns are cast first
+    * (identity under the UTC session timezone this engine standardizes on). */
+  private def millisOf(ts: Column): Column = unix_millis(ts.cast("timestamp"))
+
   def timeFloor(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
     val p = parsePeriod(period)
     if (p.months == 0) {
-      val o = unix_millis(origin)
-      timestamp_millis(floorDiv(unix_millis(ts) - o, p.millis) * p.millis + o)
+      val o = millisOf(origin)
+      timestamp_millis(floorDiv(millisOf(ts) - o, p.millis) * p.millis + o)
     } else {
       val n = p.months
       val monthsSince = floor(months_between(ts, origin) / n) * n
@@ -76,8 +80,8 @@ object TimeFunctions {
   def timeCeil(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
     val p = parsePeriod(period)
     if (p.months == 0) {
-      val o = unix_millis(origin)
-      val rel = unix_millis(ts) - o
+      val o = millisOf(origin)
+      val rel = millisOf(ts) - o
       val flo = floorDiv(rel, p.millis) * p.millis
       timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + o)
     } else {
@@ -89,11 +93,12 @@ object TimeFunctions {
     }
   }
 
-  /** Druid `timestamp_shift(ts, period, step)`. */
+  /** Druid `timestamp_shift(ts, period, step)` — preserves time-of-day for
+    * month shifts (add_months would truncate to DATE). */
   def timeShift(ts: Column, period: String, step: Int): Column = {
     val p = parsePeriod(period)
-    if (p.months == 0) timestamp_millis(unix_millis(ts) + p.millis * step)
-    else add_months(ts, p.months * step).cast("timestamp")
+    if (p.months == 0) timestamp_millis(millisOf(ts) + p.millis * step)
+    else ts + make_interval(lit(0), lit(p.months * step), lit(0), lit(0), lit(0), lit(0), lit(0))
   }
 
   /** Druid `timestamp_extract(ts, unit)` — unit per Druid's TimestampExtractExprMacro. */

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators._
+import graft.sources.Sources
+
+/** Aggregator coverage (SURVEY §2.6 — AggregatorsModule.java:94-125 and the
+  * SQL aggregators in sql/.../aggregation/builtin/).
+  *
+  * Execution note: every aggregate below rides Spark's partial→final hash
+  * aggregation (map-side combine before the shuffle), which is the
+  * distributed generalization of Druid's per-segment aggregate + broker
+  * merge lifecycle (AggregatorFactory partial/final split).
+  */
+object AggQueries {
+  private val D = DecimalType(18, 2)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // longSum/doubleSum/min/max/count/doubleMean over typed columns
+    "agg_minmax_sum_mean" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("sum_qty", sum(col("l_quantity"))),
+          Agg("min_qty", min(col("l_quantity"))),
+          Agg("max_qty", max(col("l_quantity"))),
+          Agg("sum_key", sum(col("l_suppkey"))),
+          Agg("min_date", min(col("l_shipdate"))),
+          Agg("max_date", max(col("l_shipdate"))),
+          Agg("avg_qty", avg(col("l_quantity"))),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // longFirst/Last ≈ EARLIEST/LATEST: time-ordered first/last with unique
+    // tiebreak (reference: query/aggregation/first & last — state is a
+    // (timestamp, value) pair; min_by/max_by over a struct reproduces it)
+    "agg_first_last" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("o_orderpriority")),
+        aggregations = Seq(
+          Agg("earliest_price", min_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))),
+          Agg("latest_price", max_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("o_orderpriority").asc))
+      ).run(Sources.table(s, dir, "orders"))
+    }),
+
+    // stringAny/longAny — deterministic here because the value is
+    // functionally dependent on the group key
+    "agg_any_value" -> ((s, dir) => {
+      val n = Sources.globalTable(Sources.table(s, dir, "nation"))
+      val c = Sources.table(s, dir, "customer")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(any_value(col("n_name")).as("nation_name"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // filtered aggregator (FilteredAggregatorFactory.java)
+    "agg_filtered" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_linestatus")),
+        aggregations = Seq(
+          Agg.filteredSum("qty_flag_a", col("l_quantity"), col("l_returnflag") === "A"),
+          Agg.filteredCount("cnt_high_qty", col("l_quantity") > 40.0),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_linestatus").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // exact COUNT DISTINCT (useApproximateCountDistinct=false path)
+    "agg_count_distinct" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("nd_part", count_distinct(col("l_partkey"))),
+          Agg("nd_supp", count_distinct(col("l_suppkey"))),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // hyperUnique/cardinality → approx_count_distinct (HLL++). No oracle:
+    // approximate answers differ across engines by design; driver records
+    // the rows-only check. Accuracy asserted in HllSpec tests.
+    "agg_approx_distinct" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("approx_nd_part", approx_count_distinct(col("l_partkey"))),
+          Agg("approx_nd_order", approx_count_distinct(col("l_orderkey")))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // variance/stddev (extensions-core/stats) — rounded to dodge
+    // cross-engine floating-point ulp differences
+    "agg_variance" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("var_pop_q", round(var_pop(col("l_quantity")), 4)),
+          Agg("var_samp_q", round(var_samp(col("l_quantity")), 4)),
+          Agg("stddev_pop_q", round(stddev_pop(col("l_quantity")), 4)),
+          Agg("stddev_samp_q", round(stddev_samp(col("l_quantity")), 4))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // ARRAY_AGG / STRING_AGG (ArraySqlAggregator, StringSqlAggregator) —
+    // sorted for determinism
+    "agg_array_string" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("n_regionkey")),
+        aggregations = Seq(
+          Agg("nations", array_sort(collect_set(col("n_name")))),
+          Agg("nations_csv", array_join(array_sort(collect_set(col("n_name"))), ",")),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("n_regionkey").asc))
+      ).run(Sources.table(s, dir, "nation"))
+    }),
+
+    // equal-width histogram (HistogramAggregatorFactory) via bucket expr
+    "agg_histogram" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(ExprDim(
+          graft.functions.DruidFunctions.bucket(col("l_quantity"), 10.0).cast("long"),
+          "bucket")),
+        aggregations = Seq(Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("bucket").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // BIT_AND / BIT_OR / BIT_XOR (BitwiseSqlAggregator)
+    "agg_bitwise" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("band", expr("bit_and(l_linenumber)")),
+          Agg("bor", expr("bit_or(l_linenumber)")),
+          Agg("bxor", expr("bit_xor(l_linenumber)"))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // GROUPING aggregator with grouping sets (GroupingAggregatorFactory)
+    "agg_grouping_id" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag"), Dim("l_linestatus")),
+        aggregations = Seq(
+          Agg("cnt", count(lit(1))),
+          Agg("gid", grouping_id())),
+        subtotalsSpec = Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_linestatus"), Seq()),
+        limitSpec = LimitSpec(orderBy = Seq(
+          col("gid").asc, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // expression lambda aggregator (ExpressionLambdaAggregatorFactory):
+    // init/fold/combine as a higher-order fold over the collected values
+    "agg_expression_fold" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("folded_linenumbers",
+            aggregate(sort_array(collect_list(col("l_linenumber").cast("long"))),
+              lit(0L), (acc, x) => acc + x)),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // post-aggregators: arithmetic / fieldAccess / constant / greatest-least
+    "post_aggregators" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("sum_qty", sum(col("l_quantity"))),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D))),
+          Agg("cnt", count(lit(1)))),
+        postAggregations = Seq(
+          PostAgg("avg_price", (col("sum_price").cast("double") / col("cnt"))),
+          PostAgg("qty_ratio", col("sum_qty") / col("cnt")),
+          PostAgg("max_of", greatest(col("sum_qty"), col("cnt").cast("double"))),
+          PostAgg("constant_pi", lit(3.141592653589793))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_minmax_sum_mean" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty, sum(l_suppkey) AS sum_key,
+        |       min(l_shipdate) AS min_date, max(l_shipdate) AS max_date,
+        |       avg(l_quantity) AS avg_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_first_last" ->
+      """WITH e AS (
+        |  SELECT o_orderpriority, o_totalprice AS earliest_price FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_orderdate ASC, o_orderkey ASC) = 1),
+        |l AS (
+        |  SELECT o_orderpriority, o_totalprice AS latest_price FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+        |c AS (SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1)
+        |SELECT c.o_orderpriority, e.earliest_price, l.latest_price, c.cnt
+        |FROM c JOIN e USING (o_orderpriority) JOIN l USING (o_orderpriority)
+        |ORDER BY 1""".stripMargin,
+
+    "agg_any_value" ->
+      """SELECT c_nationkey, any_value(n_name) AS nation_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT l_linestatus,
+        |       sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_flag_a,
+        |       sum(CASE WHEN l_quantity > 40.0 THEN 1 ELSE 0 END) AS cnt_high_qty,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_variance" ->
+      """SELECT l_returnflag, round(var_pop(l_quantity), 4) AS var_pop_q,
+        |       round(var_samp(l_quantity), 4) AS var_samp_q,
+        |       round(stddev_pop(l_quantity), 4) AS stddev_pop_q,
+        |       round(stddev_samp(l_quantity), 4) AS stddev_samp_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_array_string" ->
+      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations,
+        |       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
+        |       count(*) AS cnt
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_quantity / 10.0) * 10 AS BIGINT) AS bucket, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT l_returnflag, bit_and(l_linenumber) AS band,
+        |       bit_or(l_linenumber) AS bor, bit_xor(l_linenumber) AS bxor
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "agg_expression_fold" ->
+      """SELECT l_returnflag, sum(CAST(l_linenumber AS BIGINT)) AS folded_linenumbers,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "post_aggregators" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |       sum(l_quantity) / count(*) AS qty_ratio,
+        |       greatest(sum(l_quantity), CAST(count(*) AS DOUBLE)) AS max_of,
+        |       3.141592653589793 AS constant_pi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

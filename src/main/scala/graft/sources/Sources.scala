@@ -19,6 +19,21 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events table with its TIMESTAMP(NANOS) `ts` column normalized to
+    * microsecond timestamp_ntz (Spark's reader has no nanos type; the session
+    * sets spark.sql.legacy.parquet.nanosAsLong=true and we truncate ns→µs,
+    * matching DuckDB's CAST(ts_ns AS TIMESTAMP) truncation).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+      case _ => raw
+    }
+  }
+
   /** union datasource (reference: query/UnionDataSource.java:34): same-schema
     * union; Druid's is schema-light tolerant, so allowMissingColumns=true.
     */
