@@ -26,7 +26,9 @@ object SparkEntry {
     graft.queries.FilterQueries.queries ++
     graft.queries.JoinQueries.queries ++
     graft.queries.AggQueries.queries ++
-    graft.queries.MvTimeQueries.queries
+    graft.queries.MvTimeQueries.queries ++
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.EmbeddingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,7 @@ object SparkEntry {
     graft.queries.FilterQueries.oracle ++
     graft.queries.JoinQueries.oracle ++
     graft.queries.AggQueries.oracle ++
-    graft.queries.MvTimeQueries.oracle
+    graft.queries.MvTimeQueries.oracle ++
+    graft.queries.PipelineQueries.oracle ++
+    graft.queries.EmbeddingQueries.oracle
 }

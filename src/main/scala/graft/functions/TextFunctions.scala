@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for large-scale training-data pipelines:
+  * tokenization, language ID (n-gram/stopword heuristic), quality scoring,
+  * and content fingerprinting.
+  *
+  * Design: every function is a pure Catalyst column expression (split /
+  * regexp_count / md5 / conv / higher-order array fns) — no UDFs — so the
+  * whole pipeline stays in whole-stage codegen and scales linearly with
+  * executors; nothing here shuffles.
+  */
+object TextFunctions {
+
+  /** Collapse runs of whitespace and trim — normalization used by the
+    * tokenizer and the whitespace-robust fingerprint. */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeWs(c), " ")
+
+  /** Token count (whitespace tokenization; empty string → 0). */
+  def tokenCount(c: Column): Column =
+    when(length(normalizeWs(c)) === 0, 0).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and
+    * single punctuation marks — a cheap deterministic stand-in for a real
+    * tokenizer's piece count. */
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** First 15 hex chars of md5 as a 60-bit long — the cross-engine-stable
+    * content hash used throughout dedup/fingerprinting. */
+  def hexLong60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** First 8 hex chars of md5 as a 32-bit long (for modular minhash
+    * permutations that must not overflow 64-bit multiplication). */
+  def hexLong32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact-dup fingerprint robust to case + whitespace differences. */
+  def contentFingerprint(c: Column): Column =
+    hexLong60(lower(normalizeWs(c)))
+
+  /** Rolling-hash-style content fingerprint: minimum 60-bit hash over
+    * character k-grams (a 1-perm minhash — robust to small edits;
+    * winnowing's "record the minimum" step). Null when text shorter than k.
+    */
+  def rollingMinHash(c: Column, k: Int = 8): Column = {
+    val n = normalizeWs(c)
+    val grams = charShingles(c, k)
+    when(length(n) >= k, array_min(transform(grams, g => hexLong60(g))))
+  }
+
+  /** Character k-gram shingles of the normalized text (empty array when
+    * shorter than k). */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normalizeWs(c)
+    when(length(n) >= k,
+      transform(sequence(lit(1), length(n) - (k - 1)), i => n.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word k-gram shingles (space-joined); empty array when fewer than k
+    * tokens. The unit of MinHash/Jaccard dedup. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", slice(t, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // --- language ID (stopword/character heuristic) ---
+  private def markerCount(c: Column, words: Seq[String]): Column =
+    words.map(w => regexp_count(c, lit(s"\\b$w\\b"))).reduce(_ + _)
+
+  val EnMarkers = Seq("the", "of", "and", "to")
+  val DeMarkers = Seq("der", "die", "das", "und")
+  val FrMarkers = Seq("le", "les", "et", "dans")
+  val EsMarkers = Seq("el", "los", "las", "y")
+
+  /** Heuristic language ID: CJK characters dominate, else arg-max of
+    * per-language stopword hit counts with a fixed tie-break order
+    * (en > de > fr > es). Deterministic; mirrored 1:1 by the SQL oracle.
+    */
+  def langId(c: Column): Column = {
+    val l = lower(c)
+    val zh = regexp_count(l, lit("[\\u4e00-\\u9fff]"))
+    val en = markerCount(l, EnMarkers)
+    val de = markerCount(l, DeMarkers)
+    val fr = markerCount(l, FrMarkers)
+    val es = markerCount(l, EsMarkers)
+    when(zh > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Cross-engine-stable 4-dp rounding: floor(x*1e4+0.5)/1e4 — identical
+    * float ops everywhere, unlike engine-native round() whose half-way
+    * behavior differs (Spark BigDecimal HALF_UP vs DuckDB C rounding). */
+  def round4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /** Quality score in integer basis points (0..10000) — longs sum exactly,
+    * so corpus-level averages stay deterministic under parallel aggregation. */
+  def qualityBp(c: Column): Column =
+    floor(rawQuality(c) * 10000.0 + 0.5).cast("long")
+
+  /** Quality score in [0,1]: length saturation, stopword density,
+    * punctuation penalty, mean-word-length saturation; quantized to 4 dp
+    * (basis points / 1e4) so the value is hash-stable across engines. */
+  def qualityScore(c: Column): Column = qualityBp(c) / 10000.0
+
+  private def rawQuality(c: Column): Column = {
+    val n = normalizeWs(c)
+    val nchars = length(n).cast("double")
+    val ntok = tokenCount(c).cast("double")
+    val lenScore = least(nchars / 500.0, lit(1.0))
+    val stopRatio = least(markerCount(lower(c), EnMarkers ++ Seq("a", "in", "is")).cast("double") /
+      greatest(ntok, lit(1.0)) * 5.0, lit(1.0))
+    val punctRatio = regexp_count(c, lit("[.,!?;:]")).cast("double") / greatest(nchars, lit(1.0))
+    val meanWordLen = (nchars - (ntok - 1)) / greatest(ntok, lit(1.0))
+    val wordLenScore = least(meanWordLen / 8.0, lit(1.0))
+    lenScore * 0.3 + stopRatio * 0.3 + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2 +
+      wordLenScore * 0.2
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{SimilarityFunctions => SF, TextFunctions => TF}
+
+/** Dedup + similarity-search operators for training-data pipelines.
+  *
+  * Scale design notes (100 TB):
+  *  - Exact dedup: one shuffle on the 60-bit content hash (not the full
+  *    text) — hash first, shuffle the hash.
+  *  - MinHash LSH: signatures are computed scan-side (no shuffle), the only
+  *    shuffles are the band-key explode→groupBy and the candidate self-join,
+  *    both on compact longs. Candidate volume is O(sum of bucket²), tuned by
+  *    (bands, rowsPerBand); verification re-checks estimated Jaccard from
+  *    signatures, never re-reading the corpus.
+  *  - Brute-force KNN broadcasts the (small) query set; the corpus side
+  *    streams partition-local, no shuffle of the big side. A window per
+  *    query-id does the final top-k on queries×k rows only.
+  */
+object Similarity {
+
+  /** Exact dedup: keep the first (min id) row per normalized-content hash.
+    * Returns (survivor id, n_copies, fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", TF.contentFingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard.
+    *
+    * @param sigLen      total minhash functions (bands * rowsPerBand)
+    * @param bands       LSH bands; two docs collide if any band matches
+    * @param minJaccard  keep pairs with estimated Jaccard >= this
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, sigLen: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = sigLen / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        SF.minhashSignature(TF.wordShingles(col(textCol), shingleSize), sigLen).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull) // docs too short to shingle
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(SF.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    val a = banded.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+    val est = candidates.withColumn("est_jaccard",
+      aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / sigLen)
+    est.filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity join: explode distinct word shingles,
+    * self-join on shingle equality, count intersections, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Shuffles only (id, shingle-hash) pairs.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TF.wordShingles(col(textCol), shingleSize)).as("shingle"))
+      .withColumn("sh", TF.hexLong60(col("shingle"))).drop("shingle")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** SimHash near-dup: 16-bit simhash per doc; pairs within `maxHamming`
+    * found by joining on the simhash minus each single bit (covers distance
+    * ≤1 exactly; distance ≤k generalizes by multi-probe). Here: exact match
+    * + 1-bit probes. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      SF.simhash16(TF.tokens(col(textCol))).as("simhash"))
+    val probes = sh.select(col("id"), col("simhash"),
+      explode(array(lit(-1) +: (0 until 16).map(lit(_)): _*)).as("bit"))
+      .withColumn("probe",
+        when(col("bit") === -1, col("simhash"))
+          .otherwise(col("simhash").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), bit)"))))
+    val a = probes.select(col("probe"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("simhash").as("probe2"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("probe") === col("probe2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), SF.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-k: exact baseline for ANN. Queries broadcast;
+    * ranking key is (rounded cosine desc, candidate id) for determinism. */
+  def cosineKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(q)
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(SF.cosineSimilarity(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed ANN (scale path): random-hyperplane bucket per vector,
+    * then exact cosine only within the query's bucket. At 100 TB the corpus
+    * is pre-bucketed and bucket-partitioned, so a query touches one
+    * partition (IVF-style probe=1). */
+  def lshAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      SF.hyperplaneBucket(col(vecCol), planes, dim).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      SF.hyperplaneBucket(col(vecCol), planes, dim).as("qbucket")))
+    val scored = bucketed.join(qb, col("bucket") === col("qbucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(SF.cosineSimilarity(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "cand_id", "cosine", "rank")
+  }
+}

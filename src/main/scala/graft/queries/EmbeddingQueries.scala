@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{SimilarityFunctions => SF}
+import graft.sources.Sources
+
+/** Embedding similarity-search coverage over the embeddings table
+  * (64-dim float vectors): brute-force cosine top-k (exact baseline),
+  * LSH-bucketed ANN (scale path), and embedding-cosine near-dup pairs.
+  */
+object EmbeddingQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force top-5 neighbors for 3 fixed query vectors
+    "embed_knn_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cosineKnn(e, e.filter(col("vec_id").isin(0L, 1L, 2L)),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // vector norms + per-label stats (exercises dot/norm primitives)
+    "embed_norm_stats" -> ((s, dir) => {
+      emb(s, dir)
+        .withColumn("norm", round(SF.l2Norm(col("embedding")), 4))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(SF.l2Norm(col("embedding"))) / count(lit(1)), 4).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // embedding-cosine near-duplicate pairs above 0.99 within label 0..4
+    // (quadratic within the filtered slice; the LSH query is the scale path)
+    "embed_cosine_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("label") < 5)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label").as("label_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label").as("label_b"))
+      a.join(b, col("id_a") < col("id_b") && col("label_a") === col("label_b"))
+        .withColumn("cosine", round(SF.cosineSimilarity(col("va"), col("vb")), 6))
+        .filter(col("cosine") >= 0.99)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed ANN: 8 hyperplanes, exact cosine within bucket.
+    // No SQL oracle (bucket formula is 512 md5-derived weights); recall
+    // vs brute force asserted in SimilaritySpec. rows-only check here.
+    "embed_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshAnn(e, e.filter(col("vec_id").isin(0L, 1L, 2L)),
+          "vec_id", "embedding", k = 5, planes = 8, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH bucket histogram — shows bucketing is balanced enough for IVF-style
+    // probing; deterministic md5-derived planes. rows-only check.
+    "embed_lsh_buckets" -> ((s, dir) => {
+      emb(s, dir)
+        .select(SF.hyperplaneBucket(col("embedding"), 8, 64).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val dot = "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    val norm = (t: String) => s"sqrt(list_dot_product($t.embedding::DOUBLE[], $t.embedding::DOUBLE[]))"
+    Map(
+      "embed_knn_bruteforce" ->
+        s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |         round($dot / (${norm("q")} * ${norm("c")}), 6) AS cosine
+           |  FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT query_id, cand_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, cand_id, cosine, rank FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "embed_norm_stats" ->
+        s"""SELECT label, count(*) AS n,
+           |  round(sum(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) / count(*), 4) AS avg_norm
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "embed_cosine_neardup" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.vec_id < b.vec_id AND a.label = b.label
+           |WHERE a.label < 5 AND b.label < 5
+           |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

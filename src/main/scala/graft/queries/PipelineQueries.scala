@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.{TextFunctions => TF, SimilarityFunctions => SF}
+import graft.sources.Sources
+
+/** Training-data pipeline coverage: text analysis, exact/fuzzy dedup
+  * (MinHash+LSH, SimHash, n-gram Jaccard) over the documents table.
+  *
+  * The oracles mirror every hash bit-exactly (md5-hex→int), including the
+  * LSH banding — so the driver's DuckDB gate checks the *pipeline*, not just
+  * row counts.
+  */
+object PipelineQueries {
+
+  // ---- SQL fragments mirroring TextFunctions (DuckDB dialect) ----
+  private val NormSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val ToksSql = s"string_split($NormSql, ' ')"
+  private val NTokSql = s"CASE WHEN len($NormSql) = 0 THEN 0 ELSE len($ToksSql) END"
+  private def rc(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
+  private def markers(words: Seq[String]) =
+    words.map(w => rc("lower(text)", s"\\b$w\\b")).mkString(" + ")
+  private def hex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private def hex32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** quality in basis points (mirrors TF.qualityBp bit-exactly). */
+  private val QualityBpSql = {
+    val nchars = s"CAST(len($NormSql) AS DOUBLE)"
+    val ntok = s"CAST($NTokSql AS DOUBLE)"
+    val stop = markers(TF.EnMarkers ++ Seq("a", "in", "is"))
+    s"""CAST(floor((least($nchars / 500.0, 1.0) * 0.3
+       | + least(CAST($stop AS DOUBLE) / greatest($ntok, 1.0) * 5.0, 1.0) * 0.3
+       | + (1.0 - least(CAST(${rc("text", "[.,!?;:]")} AS DOUBLE) / greatest($nchars, 1.0) * 10.0, 1.0)) * 0.2
+       | + least(($nchars - ($ntok - 1.0)) / greatest($ntok, 1.0) / 8.0, 1.0) * 0.2) * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+  }
+  private val QualitySql = s"($QualityBpSql / 10000.0)"
+
+  private val LangSql = {
+    val zh = rc("lower(text)", """[\x{4e00}-\x{9fff}]""")
+    val en = markers(TF.EnMarkers); val de = markers(TF.DeMarkers)
+    val fr = markers(TF.FrMarkers); val es = markers(TF.EsMarkers)
+    s"""CASE WHEN $zh > 0 THEN 'zh'
+       | WHEN ($en) >= ($de) AND ($en) >= ($fr) AND ($en) >= ($es) THEN 'en'
+       | WHEN ($de) >= ($fr) AND ($de) >= ($es) THEN 'de'
+       | WHEN ($fr) >= ($es) THEN 'fr' ELSE 'es' END""".stripMargin
+  }
+
+  /** word 5-gram distinct shingles (list) — mirrors TF.wordShingles(c, 5). */
+  private val ShinglesSql =
+    s"list_distinct(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' ')))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-document text analysis: tokens, bpe-ish tokens, lang id, quality
+    "text_analysis" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TF.langId(col("text")).as("lang_guess"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // corpus-level text stats per source
+    "text_stats_by_source" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          // exact long sum of basis points → deterministic average
+          (floor(sum(TF.qualityBp(col("text"))).cast("double") / count(lit(1)) + 0.5) / 10000.0).as("avg_quality"),
+          sum(when(TF.langId(col("text")) === col("lang"), 1L).otherwise(0L)).as("lang_id_hits"))
+        .orderBy(col("source"))
+    }),
+
+    // content fingerprints: whitespace/case-robust hash + rolling minhash
+    "text_fingerprint" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.contentFingerprint(col("text")).as("fp"),
+          TF.rollingMinHash(col("text"), 8).as("rolling_fp"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // exact dedup via content hash, per source
+    "dedup_exact" -> ((s, dir) => {
+      val d = Sources.table(s, dir, "documents")
+      d.withColumn("fp", TF.contentFingerprint(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_unique"),
+          (count(lit(1)) - count_distinct(col("fp"))).as("n_dup_rows"))
+        .orderBy(col("source"))
+    }),
+
+    // minhash signatures (first 8 of the 16 hash family)
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sig = SF.minhashSignature(TF.wordShingles(col("text"), 5), 8)
+      Sources.table(s, dir, "documents")
+        .filter(TF.tokenCount(col("text")) >= 5)
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(sig, i + 1).as(s"s$i")): _*)
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // full MinHash-LSH near-dup pipeline: sig → bands → candidates →
+    // signature-estimated jaccard (oracle reproduces the banding exactly)
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Similarity.minhashPairs(Sources.table(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 5, sigLen = 16, bands = 4, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // 16-bit simhash per document
+    "dedup_simhash" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), SF.simhash16(TF.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
+    // exact n-gram jaccard similarity join
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Similarity.ngramJaccardPairs(Sources.table(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 5, minJaccard = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // simhash hamming-distance pairs (multi-probe LSH) — no SQL oracle;
+    // asserted against planted duplicates in SimilaritySpec
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Similarity.simhashPairs(Sources.table(s, dir, "documents"), "doc_id", "text")
+        .filter(col("hamming") <= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val sigTerms8 = (0 until 8).map { i =>
+      val (a, b) = SF.minhashCoef(i)
+      s"list_min(list_transform(hs, h -> (${a} * h + ${b}) % ${SF.MinHashP})) AS s$i"
+    }.mkString(",\n  ")
+
+    val sigList16 = "[" + (0 until 16).map { i =>
+      val (a, b) = SF.minhashCoef(i)
+      s"list_min(list_transform(hs, h -> (${a} * h + ${b}) % ${SF.MinHashP}))"
+    }.mkString(", ") + "]"
+
+    val bandKeys = "[" + (0 until 4).map { bnd =>
+      val parts = (s"'$bnd'" +: (0 until 4).map(r => s"CAST(sig[${bnd * 4 + r + 1}] AS VARCHAR)")).mkString(", ")
+      hex60(s"concat_ws(',', $parts)")
+    }.mkString(", ") + "]"
+
+    val simhashTerms = (0 until 16).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+    Map(
+      "text_analysis" ->
+        s"""SELECT doc_id, $NTokSql AS n_tokens,
+           |  ${rc("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")} AS n_bpeish,
+           |  $LangSql AS lang_guess,
+           |  $QualitySql AS quality
+           |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "text_stats_by_source" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  sum(CAST($NTokSql AS BIGINT)) AS total_tokens,
+           |  floor(CAST(sum($QualityBpSql) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS avg_quality,
+           |  sum(CASE WHEN ($LangSql) = lang THEN 1 ELSE 0 END) AS lang_id_hits
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "text_fingerprint" ->
+        s"""SELECT doc_id, ${hex60(s"lower($NormSql)")} AS fp,
+           |  CASE WHEN len($NormSql) >= 8 THEN
+           |    list_min(list_transform(range(1, len($NormSql) - 6),
+           |      i -> ${hex60(s"substr($NormSql, i, 8)")}))
+           |  END AS rolling_fp
+           |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "dedup_exact" ->
+        s"""SELECT source, count(*) AS n_docs,
+           |  count(DISTINCT ${hex60(s"lower($NormSql)")}) AS n_unique,
+           |  count(*) - count(DISTINCT ${hex60(s"lower($NormSql)")}) AS n_dup_rows
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "dedup_minhash_sig" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |sh AS (SELECT doc_id, $ShinglesSql AS sgl FROM base WHERE len(t) >= 5),
+           |hsx AS (SELECT doc_id, list_transform(sgl, s -> ${hex32("s")}) AS hs FROM sh)
+           |SELECT doc_id, $sigTerms8
+           |FROM hsx ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "dedup_minhash_pairs" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |sh AS (SELECT doc_id, $ShinglesSql AS sgl FROM base WHERE len(t) >= 5),
+           |hsx AS (SELECT doc_id, list_transform(sgl, s -> ${hex32("s")}) AS hs FROM sh),
+           |sigs AS (SELECT doc_id, $sigList16 AS sig FROM hsx),
+           |bands AS (SELECT doc_id, sig, unnest($bandKeys) AS band_key FROM sigs),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |                a.sig AS sig_a, b.sig AS sig_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  round(CAST(list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4) AS est_jaccard
+           |FROM cand
+           |WHERE CAST(list_sum(list_transform(range(1, 17),
+           |    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hs FROM base)
+           |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
+           |FROM hsx ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM base WHERE len(t) >= 5),
+           |shh AS (SELECT doc_id, ${hex60("s")} AS sh FROM sh),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+           |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+           |          FROM shh x JOIN shh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+           |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+           |           JOIN sizes sb ON inter.id_b = sb.doc_id
+           |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for specs: one local session per suite, UTC, nanos-as-long
+  * (matches the Verify/Bench runtime configuration). */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.session
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
