@@ -26,14 +26,28 @@ object SimilarityFunctions {
   /** MinHash signature: array of `n` minima of permuted 32-bit shingle
     * hashes. Input: array<string> shingles (deduped). Null-safe: empty
     * shingle set → array of nulls.
+    *
+    * Performance: the permutation loop is a `transform(sequence(...))` over a
+    * single reference to the hashed-shingle array, so each shingle is md5'd
+    * exactly once regardless of `n`. (A Scala-side loop of n array_min
+    * columns would inline the hash computation n times — measured 16× slower
+    * at sf0.1.) Coefficients are computed arithmetically from the index i,
+    * matching minhashCoef.
     */
-  def minhashSignature(shingles: Column, n: Int): Column = {
-    val hs = transform(shingles, s => hexLong32(s))
-    array((0 until n).map { i =>
-      val (a, b) = minhashCoef(i)
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinHashP))
-    }: _*)
-  }
+  def minhashSignature(shingles: Column, n: Int): Column =
+    minhashFromHashes(transform(shingles, s => hexLong32(s)), n)
+
+  /** Signature from pre-hashed shingles. For corpus-scale use, materialize
+    * the hashed-shingle array first (cache/checkpoint) and pass the column:
+    * the n permutation passes then cost arithmetic only — each shingle is
+    * md5'd once for the whole family, not once per permutation.
+    */
+  def minhashFromHashes(hs: Column, n: Int): Column =
+    transform(sequence(lit(1), lit(n)), i => {
+      val a = (lit(1000003L) * i.cast("long")) % 2147483647L
+      val b = (lit(7919L) * i.cast("long")) % MinHashP
+      array_min(transform(hs, h => (a * h + b) % MinHashP))
+    })
 
   /** LSH band keys: hash each of `bands` contiguous slices of the signature
     * to a single long; docs sharing any band key are candidate pairs.
@@ -49,13 +63,20 @@ object SimilarityFunctions {
   /** 16-bit SimHash over an array<string> of tokens. Each bit is the sign of
     * the sum of ±1 votes from the tokens' 32-bit hashes.
     */
+  private val Pow2: Column =
+    typedLit((0 until 16).map(b => 1L << b))
+
   def simhash16(toks: Column): Column = {
+    // One aggregate pass carrying a 16-slot vote array (tokens hashed once),
+    // then one fold over the votes — not 16 separate aggregates (16x cheaper).
     val hs = transform(toks, t => hexLong32(t))
-    (0 until 16).map { b =>
-      val votes = aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(1) * 2 - 1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val votes = aggregate(hs,
+      transform(sequence(lit(0), lit(15)), _ => lit(0L)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
+        (a, b) => a + ((h / element_at(Pow2, b.cast("int") + 1)).cast("long") % 2) * 2 - 1))
+    aggregate(
+      zip_with(votes, Pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two simhash longs (popcount of xor). */

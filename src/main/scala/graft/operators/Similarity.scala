@@ -38,12 +38,28 @@ object Similarity {
       shingleSize: Int = 5, sigLen: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = sigLen / bands
-    val sigs = df
+    // Two design points for scale:
+    //  1. The hashed-shingle array is projected as its own column so the md5
+    //     hashing runs once per shingle, not once per permutation (Catalyst
+    //     would inline it into the 16 permutation lambdas otherwise —
+    //     measured 16x slower).
+    //  2. The banded signatures feed BOTH sides of the candidate self-join;
+    //     cached + eagerly materialized so the corpus is scanned and hashed
+    //     exactly once (cluster analog: checkpoint signatures, then
+    //     bucket-join them).
+    // cache = optimizer barrier as well: with plain projections Catalyst's
+    // CollapseProject sees `hs` referenced once, inlines the md5 hashing into
+    // the outer permutation lambda, and re-evaluates it per permutation.
+    val hashed = df
       .select(col(idCol).as("id"),
-        SF.minhashSignature(TF.wordShingles(col(textCol), shingleSize), sigLen).as("sig"))
-      .filter(element_at(col("sig"), 1).isNotNull) // docs too short to shingle
+        transform(TF.wordShingles(col(textCol), shingleSize), s => TF.hexLong32(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .cache()
+    val sigs = hashed.select(col("id"), SF.minhashFromHashes(col("hs"), sigLen).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
         explode(SF.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .cache()
+    banded.count() // eager: avoid both join branches racing to populate
     val a = banded.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     val candidates = a.join(b, Seq("band_key"))
@@ -64,9 +80,11 @@ object Similarity {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, minJaccard: Double = 0.5): DataFrame = {
+    // cached: read by the self-join twice plus the sizes branch (3 consumers)
     val sh = df.select(col(idCol).as("id"),
         explode(TF.wordShingles(col(textCol), shingleSize)).as("shingle"))
       .withColumn("sh", TF.hexLong60(col("shingle"))).drop("shingle")
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -87,6 +105,7 @@ object Similarity {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       SF.simhash16(TF.tokens(col(textCol))).as("simhash"))
+      .cache() // consumed by the probe side and the build side
     val probes = sh.select(col("id"), col("simhash"),
       explode(array(lit(-1) +: (0 until 16).map(lit(_)): _*)).as("bit"))
       .withColumn("probe",
@@ -103,11 +122,16 @@ object Similarity {
     * ranking key is (rounded cosine desc, candidate id) for determinism. */
   def cosineKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    // norms precomputed per vector, not per pair (queries×corpus pairs would
+    // otherwise recompute each side's norm |corpus| resp. |queries| times)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      SF.l2Norm(col(vecCol)).as("qnorm")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      SF.l2Norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(q)
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine", round(SF.cosineSimilarity(col("qvec"), col("cvec")), 6))
+      .withColumn("cosine",
+        round(SF.dotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -122,12 +146,15 @@ object Similarity {
   def lshAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      SF.l2Norm(col(vecCol)).as("cnorm"),
       SF.hyperplaneBucket(col(vecCol), planes, dim).as("bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      SF.l2Norm(col(vecCol)).as("qnorm"),
       SF.hyperplaneBucket(col(vecCol), planes, dim).as("qbucket")))
     val scored = bucketed.join(qb, col("bucket") === col("qbucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine", round(SF.cosineSimilarity(col("qvec"), col("cvec")), 6))
+      .withColumn("cosine",
+        round(SF.dotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))

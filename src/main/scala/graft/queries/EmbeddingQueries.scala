@@ -37,11 +37,15 @@ object EmbeddingQueries {
     // embedding-cosine near-duplicate pairs above 0.99 within label 0..4
     // (quadratic within the filtered slice; the LSH query is the scale path)
     "embed_cosine_neardup" -> ((s, dir) => {
+      // norms once per vector (not per pair)
       val e = emb(s, dir).filter(col("label") < 5)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("label").as("label_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("label").as("label_b"))
+        .select(col("vec_id"), col("embedding"), col("label"), SF.l2Norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("label").as("label_a"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("label").as("label_b"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b") && col("label_a") === col("label_b"))
-        .withColumn("cosine", round(SF.cosineSimilarity(col("va"), col("vb")), 6))
+        .withColumn("cosine", round(SF.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.99)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))

@@ -97,11 +97,16 @@ object PipelineQueries {
 
     // minhash signatures (first 8 of the 16 hash family)
     "dedup_minhash_sig" -> ((s, dir) => {
-      val sig = SF.minhashSignature(TF.wordShingles(col("text"), 5), 8)
+      // hash shingles once behind a cache barrier, then run the permutation
+      // family over the materialized attribute (else md5 recomputes 8x)
       Sources.table(s, dir, "documents")
         .filter(TF.tokenCount(col("text")) >= 5)
+        .select(col("doc_id"),
+          transform(TF.wordShingles(col("text"), 5), x => TF.hexLong32(x)).as("hs"))
+        .cache()
+        .withColumn("sig", SF.minhashFromHashes(col("hs"), 8))
         .select(col("doc_id") +: (0 until 8).map(i =>
-          element_at(sig, i + 1).as(s"s$i")): _*)
+          element_at(col("sig"), i + 1).as(s"s$i")): _*)
         .orderBy(col("doc_id")).limit(200)
     }),
 
