@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.AggQueries.queries ++
     graft.queries.MvTimeQueries.queries ++
     graft.queries.PipelineQueries.queries ++
-    graft.queries.EmbeddingQueries.queries
+    graft.queries.EmbeddingQueries.queries ++
+    graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.AggQueries.oracle ++
     graft.queries.MvTimeQueries.oracle ++
     graft.queries.PipelineQueries.oracle ++
-    graft.queries.EmbeddingQueries.oracle
+    graft.queries.EmbeddingQueries.oracle ++
+    graft.queries.MultimodalQueries.oracle
 }

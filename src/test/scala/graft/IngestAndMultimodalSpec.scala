@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Agg, PeriodGranularity}
+import graft.sources.BatchIngest
+import graft.sources.BatchIngest._
+import graft.multimodal.Multimodal
+
+class IngestAndMultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("batch ingest: transform + rollup + hashed partitions + time chunking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val spec = IngestSpec(
+      inputPath = sf() + "/orders.parquet",
+      timeColumn = "o_orderdate",
+      transforms = Seq("is_urgent" -> (col("o_orderpriority") === "1-URGENT").cast("int")),
+      filter = col("o_orderstatus") =!= "P",
+      segmentGranularity = "P1M",
+      partitionsSpec = HashedPartitions(4, Seq("o_orderpriority")),
+      rollup = Some(RollupSpec(PeriodGranularity("P1D"), Seq("o_orderpriority"),
+        Seq(Agg("cnt", count(lit(1))), Agg("urgent", sum(col("is_urgent")))))))
+    val back = BatchIngest.run(spark, spec, s"$dir/out")
+    // rollup key is unique per (day, priority)
+    val dup = back.groupBy("o_orderdate", "o_orderpriority").count().filter($"count" > 1).count()
+    assert(dup == 0)
+    // counts survive the rollup
+    val expected = spark.read.parquet(sf() + "/orders.parquet")
+      .filter($"o_orderstatus" =!= "P").count()
+    assert(back.agg(sum($"cnt")).head().getLong(0) == expected)
+    // time-chunked directory layout (month partitions)
+    assert(new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("__chunk=")))
+  }
+
+  test("batch ingest reads csv with schema inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq((1L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-02 11:00:00", "b"))
+      .toDF("id", "ts", "tag").write.option("header", "true").csv(s"$dir/in")
+    val spec = IngestSpec(inputPath = s"$dir/in", inputFormat = "csv",
+      formatOptions = Map("inferSchema" -> "true"),
+      timeColumn = "__time", timeParseExpr = to_timestamp(col("ts")))
+    val out = BatchIngest.run(spark, spec, s"$dir/out")
+    assert(out.count() == 2)
+    assert(out.schema("__time").dataType.typeName.startsWith("timestamp"))
+  }
+
+  test("multimodal: stub decode features are deterministic and match formula") {
+    val media = Multimodal.mediaFromDocuments(spark, sf())
+    val feats = Multimodal.extractFeatures(media)
+    val one = feats.filter($"media_id" === 0L).head()
+    val doc = spark.read.parquet(sf() + "/documents.parquet")
+      .filter($"doc_id" === 0L).head()
+    val text = doc.getAs[String]("text")
+    assert(one.byte_len == text.getBytes("UTF-8").length.toLong)
+    assert(one.brightness > 0 && one.brightness <= 1.0)
+    // rerun → identical (no RNG state)
+    assert(Multimodal.extractFeatures(media).filter($"media_id" === 0L).head() == one)
+  }
+
+  test("multimodal: resize clamps dims, preserves payload; frame sampling") {
+    val media = Multimodal.mediaFromDocuments(spark, sf())
+    val resized = Multimodal.resize(media, 64)
+    assert(resized.collect().forall(r => r.meta.width <= 64 && r.meta.height <= 64))
+    assert(resized.count() == media.count())
+    val frames = Multimodal.sampleFrames(media, every = 4)
+    val byId = media.collect().map(r => r.media_id -> r.meta.nFrames).toMap
+    val got = frames.groupByKey(_.media_id).count().collect().toMap
+    byId.foreach { case (id, n) =>
+      assert(got(id) == ((n + 3) / 4).toLong, s"media $id frames")
+    }
+  }
+}
