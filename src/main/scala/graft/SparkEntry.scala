@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.MvTimeQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.EmbeddingQueries.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.MvTimeQueries.oracle ++
     graft.queries.PipelineQueries.oracle ++
     graft.queries.EmbeddingQueries.oracle ++
-    graft.queries.MultimodalQueries.oracle
+    graft.queries.MultimodalQueries.oracle ++
+    graft.queries.SketchQueries.oracle
 }

@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch-typed aggregates (SURVEY §2.6 extensions — the reference's
+  * datasketches module: theta sketches with set-op post-aggregators and
+  * quantile sketches with quantile/rank/CDF post-ops).
+  *
+  * Built as Catalyst `TypedImperativeAggregate`s over the DataSketches-java
+  * library that ships with Spark — same partial→final lifecycle as the
+  * reference's AggregatorFactory (per-segment build → broker merge):
+  * executors build per-partition sketches, the shuffle carries the compact
+  * serialized form (bytes, not raw values), and the final merge unions them.
+  * That is exactly the property that makes distinct-count/quantiles feasible
+  * at 100 TB: sketch size is bounded (≈2^lgK entries) regardless of input.
+  *
+  * The serialized binary is the column value, so sketches can be stored in
+  * rollup tables and re-merged later (Druid's COMPLEX metric columns).
+  */
+
+/** thetaSketch build+merge aggregate → serialized CompactSketch bytes.
+  * (reference: extensions-core/datasketches/.../theta/SketchModule.java) */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        buf.update(v.asInstanceOf[Number].longValue())
+      case DoubleType | FloatType => buf.update(v.asInstanceOf[Number].doubleValue())
+      case StringType => buf.update(v.asInstanceOf[UTF8String].toString)
+      case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
+      case dt => throw new IllegalArgumentException(s"theta_sketch: unsupported type $dt")
+    }
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaSketchAgg = copy(child = c)
+  override def prettyName: String = "theta_sketch"
+}
+
+/** THETA_SKETCH_ESTIMATE(sketch_bytes) → double. */
+case class ThetaEstimate(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate = copy(child = c)
+  override def prettyName: String = "theta_sketch_estimate"
+}
+
+/** Theta set operations over two serialized sketches → serialized sketch.
+  * op: "union" | "intersect" | "not" (A and not B).
+  * (reference: theta sketch set-op post-aggregators) */
+case class ThetaSetOp(left: Expression, right: Expression, op: String)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = Sketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = Sketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    val out: CompactSketch = op match {
+      case "union" =>
+        val u = SetOperation.builder().buildUnion(); u.union(sa); u.union(sb); u.getResult
+      case "intersect" =>
+        val i = SetOperation.builder().buildIntersection(); i.intersect(sa); i.intersect(sb); i.getResult
+      case "not" =>
+        SetOperation.builder().buildANotB().aNotB(sa, sb)
+      case o => throw new IllegalArgumentException(s"theta set op: $o")
+    }
+    out.toByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ThetaSetOp =
+    copy(left = l, right = r)
+  override def prettyName: String = s"theta_sketch_$op"
+}
+
+/** KLL doubles quantile sketch build+merge → serialized sketch bytes.
+  * (reference: datasketches/quantiles — DoublesSketch; KLL is the modern
+  * equivalent with better accuracy per byte). Exact while n ≤ k. */
+case class KllDoublesAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
+    buf
+  }
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(b))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): KllDoublesAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllDoublesAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllDoublesAgg = copy(child = c)
+  override def prettyName: String = "kll_doubles_sketch"
+}
+
+/** KLL post-ops: DS_GET_QUANTILE / DS_RANK / DS_CDF equivalents. */
+case class KllQuantile(child: Expression, q: Double)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getQuantile(q)
+  }
+  override protected def withNewChildInternal(c: Expression): KllQuantile = copy(child = c)
+  override def prettyName: String = "kll_quantile"
+}
+
+case class KllRank(child: Expression, value: Double)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getRank(value)
+  }
+  override protected def withNewChildInternal(c: Expression): KllRank = copy(child = c)
+  override def prettyName: String = "kll_rank"
+}
+
+case class KllCdf(child: Expression, splits: Seq[Double])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sk.getCDF(splits.toArray))
+  }
+  override protected def withNewChildInternal(c: Expression): KllCdf = copy(child = c)
+  override def prettyName: String = "kll_cdf"
+}
+
+/** Column-level API for the sketch family (plus HLL aliases over Spark's
+  * built-in DataSketches HLL functions). */
+object SketchFunctions {
+  private def c(e: Expression): Column = CatalystBridge.column(e)
+  private def e(col: Column): Expression = CatalystBridge.expression(col)
+
+  /** DS_THETA(col): build a theta sketch; finalize with thetaEstimate. */
+  def thetaSketch(col: Column, lgK: Int = 12): Column =
+    c(ThetaSketchAgg(e(col), lgK).toAggregateExpression())
+  def thetaEstimate(col: Column): Column = c(ThetaEstimate(e(col)))
+  def thetaUnion(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "union"))
+  def thetaIntersect(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "intersect"))
+  def thetaNot(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "not"))
+
+  /** DS_QUANTILES_SKETCH(col, k): KLL doubles sketch. Exact while n ≤ k. */
+  def kllSketch(col: Column, k: Int = 200): Column =
+    c(KllDoublesAgg(e(col), k).toAggregateExpression())
+  def kllQuantile(col: Column, q: Double): Column = c(KllQuantile(e(col), q))
+  def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
+  def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))
+
+  /** DS_HLL family — Spark ships DataSketches-backed HLL functions. */
+  def hllSketch(col: Column, lgK: Int = 12): Column =
+    org.apache.spark.sql.functions.hll_sketch_agg(col, lgK)
+  def hllEstimate(col: Column): Column =
+    org.apache.spark.sql.functions.hll_sketch_estimate(col)
+  def hllUnionAgg(col: Column): Column =
+    org.apache.spark.sql.functions.hll_union_agg(col)
+}

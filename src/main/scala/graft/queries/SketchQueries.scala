@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.plans.SketchFunctions._
+import graft.sources.Sources
+
+/** Sketch aggregate coverage (SURVEY §2.6 datasketches extensions).
+  *
+  * Oracle strategy: theta sketches are EXACT below their nominal capacity
+  * (2^lgK) and KLL is exact while n ≤ k, so over the low-cardinality slices
+  * used here the sketch answers equal the exact answers DuckDB computes —
+  * the driver gate verifies build → shuffle-merge → set-op/quantile post-ops
+  * end to end. (The HLL query is approximate by design → rows-only check.)
+  */
+object SketchQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // theta sketch set ops: suppliers seen in returnflag A vs R
+    "sketch_theta_setops" -> ((s, dir) => {
+      val li = Sources.table(s, dir, "lineitem")
+      val sk = li.agg(
+        thetaSketch(when(col("l_returnflag") === "A", col("l_suppkey"))).as("sk_a"),
+        thetaSketch(when(col("l_returnflag") === "R", col("l_suppkey"))).as("sk_r"))
+      sk.select(
+        round(thetaEstimate(col("sk_a"))).cast("long").as("nd_a"),
+        round(thetaEstimate(col("sk_r"))).cast("long").as("nd_r"),
+        round(thetaEstimate(thetaUnion(col("sk_a"), col("sk_r")))).cast("long").as("nd_union"),
+        round(thetaEstimate(thetaIntersect(col("sk_a"), col("sk_r")))).cast("long").as("nd_intersect"),
+        round(thetaEstimate(thetaNot(col("sk_a"), col("sk_r")))).cast("long").as("nd_a_not_r"))
+    }),
+
+    // theta per-group build + re-merge across groups (sketch-typed column)
+    "sketch_theta_merge" -> ((s, dir) => {
+      val li = Sources.table(s, dir, "lineitem")
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(thetaSketch(col("l_partkey")).as("sk"), count(lit(1)).as("cnt"))
+      perFlag.select(col("l_returnflag"),
+          round(thetaEstimate(col("sk"))).cast("long").as("nd_part"), col("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // KLL quantile sketch: quantiles / rank / CDF over supplier balances
+    "sketch_quantiles_kll" -> ((s, dir) => {
+      val sup = Sources.table(s, dir, "supplier")
+      sup.agg(kllSketch(col("s_acctbal"), k = 4096).as("sk"), count(lit(1)).as("n"))
+        .select(
+          col("n"),
+          kllQuantile(col("sk"), 0.25).as("q25"),
+          kllQuantile(col("sk"), 0.5).as("q50"),
+          kllQuantile(col("sk"), 0.75).as("q75"),
+          graft.functions.TextFunctions.round4(kllRank(col("sk"), 5000.0)).as("rank_5000"),
+          graft.functions.TextFunctions.round4(element_at(kllCdf(col("sk"), Seq(2500.0, 7500.0)), 1)).as("cdf_2500"),
+          graft.functions.TextFunctions.round4(element_at(kllCdf(col("sk"), Seq(2500.0, 7500.0)), 2)).as("cdf_7500"))
+    }),
+
+    // HLL sketch family (Spark's DataSketches HLL) — approximate → rows-only
+    "sketch_hll" -> ((s, dir) => {
+      val li = Sources.table(s, dir, "lineitem")
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(hllSketch(col("l_partkey")).as("hll"))
+      perFlag.agg(
+        hll_sketch_estimate(hll_union_agg(col("hll"))).cast("long").as("nd_global"),
+        count(lit(1)).as("n_groups"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sketch_theta_setops" ->
+      """WITH a AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+        |r AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT (SELECT count(*) FROM a) AS nd_a,
+        |       (SELECT count(*) FROM r) AS nd_r,
+        |       (SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS nd_union,
+        |       (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM r)) AS nd_intersect,
+        |       (SELECT count(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM r)) AS nd_a_not_r""".stripMargin,
+
+    "sketch_theta_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_quantiles_kll" ->
+      """SELECT count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75,
+        |  floor(CAST(sum(CASE WHEN s_acctbal <= 5000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) / 10000.0 AS rank_5000,
+        |  floor(CAST(sum(CASE WHEN s_acctbal <= 2500.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) / 10000.0 AS cdf_2500,
+        |  floor(CAST(sum(CASE WHEN s_acctbal <= 7500.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) / 10000.0 AS cdf_7500
+        |FROM supplier""".stripMargin
+  )
+}

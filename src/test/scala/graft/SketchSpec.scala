@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.SketchFunctions._
+
+class SketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("theta sketch exact below capacity; survives partial/final merge") {
+    val df = (1 to 1000).map(i => (i % 7, i % 500)).toDF("g", "v")
+      .repartition(4) // force partial sketches + shuffle merge
+    val global = df.agg(thetaEstimate(thetaSketch(col("v"))).as("e")).head().getDouble(0)
+    assert(math.round(global) == 500)
+    val perGroup = df.groupBy("g").agg(thetaEstimate(thetaSketch(col("v"))).as("e"))
+      .collect().map(_.getDouble(1))
+    assert(perGroup.length == 7 && perGroup.forall(_ > 0))
+  }
+
+  test("theta set ops match exact set algebra") {
+    val df = Seq.tabulate(300)(i => (if (i < 200) "a" else "z", i % 150)).toDF("side", "v")
+    val sk = df.agg(
+      thetaSketch(when($"side" === "a", $"v")).as("sa"),
+      thetaSketch(when($"side" === "z", $"v")).as("sz"))
+    val row = sk.select(
+      round(thetaEstimate(thetaUnion($"sa", $"sz"))).as("u"),
+      round(thetaEstimate(thetaIntersect($"sa", $"sz"))).as("i"),
+      round(thetaEstimate(thetaNot($"sa", $"sz"))).as("d")).head()
+    // side a: values 0..149 (i<200 → i%150 covers 0..149); side z: 200..299 → 50..149
+    assert(row.getDouble(0) == 150.0) // union
+    assert(row.getDouble(1) == 100.0) // intersect (50..149)
+    assert(row.getDouble(2) == 50.0)  // a not z (0..49)
+  }
+
+  test("kll quantiles exact for small n; rank and cdf consistent") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = vals.toDF("v").repartition(3)
+    val row = df.agg(kllSketch($"v", 256).as("sk"))
+      .select(kllQuantile($"sk", 0.5).as("med"), kllRank($"sk", 25.0).as("r"),
+        kllCdf($"sk", Seq(50.0)).as("cdf")).head()
+    assert(row.getDouble(0) == 50.0) // inclusive median of 1..100
+    assert(row.getDouble(1) == 0.25)
+    assert(row.getSeq[Double](2).head == 0.5)
+  }
+
+  test("hll sketch union estimates within tolerance") {
+    val df = (1 to 10000).map(i => (i % 3, i)).toDF("g", "v")
+    val est = df.groupBy("g").agg(hllSketch($"v").as("h"))
+      .agg(hll_sketch_estimate(hll_union_agg($"h"))).head().getLong(0)
+    assert(math.abs(est - 10000) < 300) // ~2% HLL error bound at lgK=12
+  }
+}
