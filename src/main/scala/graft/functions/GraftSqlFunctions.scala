@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Druid SQL function-name surface (SURVEY §2.8 — sql/.../expression/builtin
+  * operator conversions, registered in planner/DruidOperatorTable.java).
+  *
+  * Registers Druid-named functions into the session FunctionRegistry so the
+  * SQL layer is a drop-in: `spark.sql("SELECT TIME_FLOOR(__time, 'PT1H')")`
+  * works exactly as Druid SQL, compiled to the same codegen-friendly
+  * Catalyst expressions as the Column API (no UDF indirection).
+  */
+object GraftSqlFunctions {
+
+  private def col(e: Expression): Column = CatalystBridge.column(e)
+  private def ex(c: Column): Expression = CatalystBridge.expression(c)
+
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(s: String, _) => s
+    case _ => throw new IllegalArgumentException(s"$fn: argument must be a string literal")
+  }
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Number, _) => v.intValue()
+    case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
+  }
+  private def litDouble(e: Expression, fn: String): Double = e match {
+    case Literal(v: Number, _) => v.doubleValue()
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble // SQL 0.5 parses as decimal
+    case _ => throw new IllegalArgumentException(s"$fn: argument must be a numeric literal")
+  }
+
+  /** name → builder over raw catalyst expressions. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // --- time family (TimestampFloorExprMacro et al.) ---
+    "time_floor" -> { args =>
+      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "time_floor"), origin))
+    },
+    "time_ceil" -> { args =>
+      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "time_ceil"), origin))
+    },
+    "time_shift" -> { args =>
+      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "time_shift"), litInt(args(2), "time_shift")))
+    },
+    "time_extract" -> { args =>
+      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "time_extract")))
+    },
+    "time_parse" -> { args => ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "time_parse"))) },
+    "time_format" -> { args => ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"))) },
+    "millis_to_timestamp" -> { args => ex(TimeFunctions.millisToTimestamp(col(args(0)))) },
+    "timestamp_to_millis" -> { args => ex(TimeFunctions.timestampToMillis(col(args(0)))) },
+
+    // --- scalar misc ---
+    "safe_divide" -> { args => ex(DruidFunctions.safeDivide(col(args(0)), col(args(1)))) },
+    "textcat" -> { args => ex(DruidFunctions.textcat(col(args(0)), col(args(1)))) },
+    "strpos" -> { args => ex(DruidFunctions.strpos(col(args(0)), col(args(1)))) },
+    "contains_string" -> { args =>
+      ex(DruidFunctions.containsString(col(args(0)), litStr(args(1), "contains_string")))
+    },
+    "icontains_string" -> { args =>
+      ex(DruidFunctions.iContainsString(col(args(0)), litStr(args(1), "icontains_string")))
+    },
+    "parse_long" -> { args =>
+      val radix = if (args.size > 1) litInt(args(1), "parse_long") else 10
+      ex(DruidFunctions.parseLong(col(args(0)), radix))
+    },
+    "human_readable_decimal_byte_format" -> { args =>
+      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
+      ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), p))
+    },
+    "human_readable_binary_byte_format" -> { args =>
+      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
+      ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), p))
+    },
+    "bucket" -> { args =>
+      val off = if (args.size > 2) litDouble(args(2), "bucket") else 0.0
+      ex(DruidFunctions.bucket(col(args(0)), litDouble(args(1), "bucket"), off))
+    },
+    "scalb" -> { args => ex(DruidFunctions.scalb(col(args(0)), col(args(1)))) },
+
+    // --- IPv4 ---
+    "ipv4_parse" -> { args => ex(DruidFunctions.ipv4Parse(col(args(0)))) },
+    "ipv4_stringify" -> { args => ex(DruidFunctions.ipv4Stringify(col(args(0)))) },
+    "ipv4_match" -> { args =>
+      ex(DruidFunctions.ipv4Match(col(args(0)), litStr(args(1), "ipv4_match")))
+    },
+
+    // --- multi-value strings (MV_*) ---
+    "mv_length" -> { args => ex(DruidFunctions.mvLength(col(args(0)))) },
+    "mv_to_string" -> { args =>
+      ex(DruidFunctions.mvToString(col(args(0)), litStr(args(1), "mv_to_string")))
+    },
+    "string_to_mv" -> { args =>
+      ex(DruidFunctions.stringToMv(col(args(0)), litStr(args(1), "string_to_mv")))
+    },
+    "mv_contains" -> { args => ex(arrays_overlap(col(args(0)), array(col(args(1))))) },
+    "mv_overlap" -> { args => ex(DruidFunctions.mvOverlap(col(args(0)), col(args(1)))) },
+    "mv_offset" -> { args => ex(element_at(col(args(0)), litInt(args(1), "mv_offset") + 1)) },
+    "mv_ordinal" -> { args => ex(element_at(col(args(0)), litInt(args(1), "mv_ordinal"))) },
+
+    // --- text/pipeline ---
+    "token_count" -> { args => ex(TextFunctions.tokenCount(col(args(0)))) },
+    "lang_id" -> { args => ex(TextFunctions.langId(col(args(0)))) },
+    "quality_score" -> { args => ex(TextFunctions.qualityScore(col(args(0)))) },
+    "content_fingerprint" -> { args => ex(TextFunctions.contentFingerprint(col(args(0)))) },
+
+    // --- sketches (DS_* family) ---
+    "theta_sketch" -> { args =>
+      val lgK = if (args.size > 1) litInt(args(1), "theta_sketch") else 12
+      graft.plans.ThetaSketchAgg(args(0), lgK).toAggregateExpression()
+    },
+    "theta_sketch_estimate" -> { args => graft.plans.ThetaEstimate(args(0)) },
+    "theta_sketch_union" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "union") },
+    "theta_sketch_intersect" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "intersect") },
+    "theta_sketch_not" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "not") },
+    "ds_quantiles_sketch" -> { args =>
+      val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch") else 200
+      graft.plans.KllDoublesAgg(args(0), k).toAggregateExpression()
+    },
+    "ds_get_quantile" -> { args =>
+      graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"))
+    },
+    "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) }
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = CatalystBridge.functionRegistry(spark)
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, exprs => b(exprs), "internal")
+    }
+  }
+
+  def functionNames: Seq[String] = builders.map(_._1)
+}

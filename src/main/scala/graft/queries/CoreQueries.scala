@@ -132,6 +132,21 @@ object CoreQueries {
     // --- segmentMetadata (SegmentMetadataQuery.java:46) ---
     "segment_metadata" -> ((s, dir) => {
       SegmentMetadataQuery(exact = true).run(Sources.table(s, dir, "orders"))
+    }),
+
+    // --- Druid SQL surface end-to-end: registered function names compiled
+    // through spark.sql (sql/.../planner/DruidOperatorTable.java analog) ---
+    "sql_surface" -> ((s, dir) => {
+      graft.functions.GraftSqlFunctions.register(s)
+      Sources.table(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT CAST(TIME_FLOOR(l_shipdate, 'P3M') AS TIMESTAMP_NTZ) AS qtr,
+               COUNT(*) AS cnt,
+               SAFE_DIVIDE(SUM(l_quantity), CAST(COUNT(*) AS DOUBLE)) AS avg_qty,
+               CAST(ROUND(THETA_SKETCH_ESTIMATE(THETA_SKETCH(l_suppkey))) AS BIGINT) AS nd_supp
+        FROM graft_lineitem
+        WHERE ICONTAINS_STRING(l_returnflag, 'a')
+        GROUP BY 1 ORDER BY 1""")
     })
   )
 
@@ -209,6 +224,14 @@ object CoreQueries {
         |         count(*) - count(o_orderdate), count(*) FROM orders
         |  UNION ALL SELECT 'o_orderpriority', 'string', count(DISTINCT o_orderpriority),
         |         count(*) - count(o_orderpriority), count(*) FROM orders
-        |) ORDER BY "column"""".stripMargin
+        |) ORDER BY "column"""".stripMargin,
+
+    "sql_surface" ->
+      """SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS qtr,
+        |       count(*) AS cnt,
+        |       sum(l_quantity) / count(*) AS avg_qty,
+        |       count(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem WHERE contains(lower(l_returnflag), 'a')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

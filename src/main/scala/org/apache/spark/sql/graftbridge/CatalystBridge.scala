@@ -10,5 +10,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * internals are modified. */
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a Catalyst expression.
+    * ExpressionUtils.expression returns a lazy ColumnNode wrapper that only
+    * the analyzer converts — useless inside FunctionRegistry builders, where
+    * the produced expression is spliced into an already-running analysis —
+    * so run the converter directly. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Session FunctionRegistry (private[sql] on the classic session). */
+  def functionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.GraftSqlFunctions
+
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private def one[T](sql: String): T = {
+    GraftSqlFunctions.register(spark)
+    spark.sql(s"SELECT $sql AS v").head().getAs[T]("v")
+  }
+
+  test("time family via SQL") {
+    assert(one[java.sql.Timestamp]("TIME_FLOOR(TIMESTAMP '2024-03-15 13:47:31', 'PT15M')")
+      == java.sql.Timestamp.valueOf("2024-03-15 13:45:00"))
+    assert(one[java.sql.Timestamp]("TIME_SHIFT(TIMESTAMP '2024-01-31 10:00:00', 'P1M', 1)")
+      == java.sql.Timestamp.valueOf("2024-02-29 10:00:00"))
+    assert(one[Int]("TIME_EXTRACT(TIMESTAMP '2024-03-15 00:00:00', 'QUARTER')") == 1)
+    assert(one[Long]("TIMESTAMP_TO_MILLIS(MILLIS_TO_TIMESTAMP(1700000000000))") == 1700000000000L)
+  }
+
+  test("scalar misc via SQL") {
+    assert(one[java.lang.Double]("SAFE_DIVIDE(CAST(10.0 AS DOUBLE), CAST(0.0 AS DOUBLE))") == null)
+    assert(one[Double]("SAFE_DIVIDE(CAST(10.0 AS DOUBLE), CAST(4.0 AS DOUBLE))") == 2.5)
+    assert(one[Int]("STRPOS('hello', 'll')") == 2) // 0-based
+    assert(one[Int]("STRPOS('hello', 'zz')") == -1)
+    assert(one[Long]("PARSE_LONG('ff', 16)") == 255L)
+    assert(one[String]("HUMAN_READABLE_BINARY_BYTE_FORMAT(1536)") == "1.50 KiB")
+    assert(one[Boolean]("ICONTAINS_STRING('HeLLo', 'hell')"))
+  }
+
+  test("ipv4 via SQL") {
+    assert(one[Long]("IPV4_PARSE('192.168.1.1')") == 3232235777L)
+    assert(one[String]("IPV4_STRINGIFY(3232235777)") == "192.168.1.1")
+    assert(one[Boolean]("IPV4_MATCH('192.168.1.77', '192.168.1.0/24')"))
+    assert(!one[Boolean]("IPV4_MATCH('192.168.2.77', '192.168.1.0/24')"))
+    assert(one[Any]("IPV4_PARSE('999.1.1.1')") == null)
+  }
+
+  test("mv functions via SQL") {
+    assert(one[Int]("MV_LENGTH(STRING_TO_MV('a,b,c', ','))") == 3)
+    assert(one[String]("MV_TO_STRING(ARRAY('x','y'), '|')") == "x|y")
+    assert(one[Boolean]("MV_CONTAINS(ARRAY('a','b'), 'b')"))
+    assert(one[String]("MV_OFFSET(ARRAY('a','b','c'), 1)") == "b")   // 0-based
+    assert(one[String]("MV_ORDINAL(ARRAY('a','b','c'), 1)") == "a")  // 1-based
+  }
+
+  test("sketches via SQL aggregate") {
+    GraftSqlFunctions.register(spark)
+    import spark.implicits._
+    (1 to 100).map(i => i % 40).toDF("v").createOrReplaceTempView("sk_in")
+    val est = spark.sql(
+      "SELECT CAST(ROUND(THETA_SKETCH_ESTIMATE(THETA_SKETCH(v))) AS BIGINT) AS e FROM sk_in")
+      .head().getLong(0)
+    assert(est == 40L)
+    val med = spark.sql(
+      "SELECT DS_GET_QUANTILE(DS_QUANTILES_SKETCH(CAST(v AS DOUBLE), 256), 0.5) AS m FROM sk_in")
+      .head().getDouble(0)
+    // values 1..20 appear 3x, 0 and 21..39 appear 2x → inclusive median = 16
+    assert(med == 16.0)
+  }
+
+  test("text pipeline functions via SQL") {
+    assert(one[Int]("TOKEN_COUNT('  the quick   brown fox ')") == 4)
+    assert(one[String]("LANG_ID('the cat of the house and the dog')") == "en")
+    val q = one[Double]("QUALITY_SCORE('the quick brown fox jumps over the lazy dog')")
+    assert(q > 0 && q <= 1.0)
+  }
+}
