@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Rollup-aware aggregate rewrite — the one genuinely custom optimizer piece
+  * (SURVEY §4.1): Druid ingests with rollup=true so queries aggregate
+  * pre-aggregated rows "for free"; here the same effect is an optimizer
+  * `Rule[LogicalPlan]` that redirects eligible aggregates from the raw table
+  * to a registered rollup table.
+  *
+  * Eligibility: the aggregate reads the registered base table directly (no
+  * intervening filter/project that the rollup can't answer), groups only by
+  * rollup dimensions, and every aggregate is derivable from rollup metrics:
+  *   count(*)         → sum(countMetric)
+  *   sum(x)           → sum(sum_x)
+  *   min(x) / max(x)  → min(min_x) / max(max_x)
+  *
+  * The rewrite preserves the original output attribute ids (a Project of
+  * aliases pinned to the old exprIds), so parent operators are untouched.
+  *
+  * At 100 TB this is the difference between scanning the raw corpus and
+  * scanning a table that is orders of magnitude smaller; it composes with
+  * time-partition pruning on the rollup's truncated time column.
+  */
+object RollupRewrite {
+
+  /** metric name on the base table → (op, rollup column). op ∈ sum|min|max.
+    * countColumn: rollup column holding the per-group row count. */
+  final case class RollupDef(
+      basePath: String,
+      rollup: DataFrame,
+      dimensions: Set[String],
+      metricMap: Map[String, (String, String)],
+      countColumn: String)
+
+  /** Session-level registry (Druid: the coordinator knows which datasources
+    * are rollup-materialized). */
+  final class Catalog {
+    private val defs = scala.collection.mutable.ArrayBuffer.empty[RollupDef]
+    def register(d: RollupDef): Unit = defs synchronized { defs += d }
+    def all: Seq[RollupDef] = defs synchronized { defs.toList }
+  }
+
+  final class RewriteRule(catalog: Catalog) extends Rule[LogicalPlan] {
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _) =>
+        catalog.all.collectFirst {
+          case rd if matchesBase(child, rd.basePath) && rewritable(groups, aggExprs, rd) =>
+            rewrite(agg, rd)
+        }.getOrElse(agg)
+    }
+
+    private def matchesBase(plan: LogicalPlan, basePath: String): Boolean = plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.exists(_.toString.stripSuffix("/").endsWith(basePath.stripSuffix("/")))
+      // look through column pruning (attribute-only projections)
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        matchesBase(child, basePath)
+      case _ => false
+    }
+
+    private def rewritable(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+        rd: RollupDef): Boolean = {
+      val groupsOk = groups.forall {
+        case a: AttributeReference => rd.dimensions.contains(a.name)
+        case _ => false
+      }
+      val aggsOk = aggExprs.forall {
+        case a: AttributeReference => rd.dimensions.contains(a.name)
+        case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+          case Count(Seq(Literal(1, _))) => true
+          case Sum(a: AttributeReference, _) => rd.metricMap.get(a.name).exists(_._1 == "sum")
+          case Min(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "min")
+          case Max(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "max")
+          case _ => false
+        }
+        case _ => false
+      }
+      groupsOk && aggsOk
+    }
+
+    private def rewrite(agg: Aggregate, rd: RollupDef): LogicalPlan = {
+      val rollupPlan = rd.rollup.queryExecution.analyzed
+      def rollupAttr(name: String): AttributeReference =
+        rollupPlan.output.collectFirst {
+          case a: AttributeReference if a.name == name => a
+        }.getOrElse(throw new IllegalStateException(s"rollup table lacks column $name"))
+
+      def aggExpr(f: AggregateFunction): AggregateExpression =
+        AggregateExpression(f, Complete, isDistinct = false)
+
+      val newGroups = agg.groupingExpressions.map {
+        case a: AttributeReference => rollupAttr(a.name)
+        case e => e
+      }
+      val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
+        case al @ Alias(AggregateExpression(f, _, _, _, _), name) =>
+          val repl: AggregateFunction = f match {
+            case Count(Seq(Literal(1, _))) => Sum(rollupAttr(rd.countColumn))
+            case Sum(a: AttributeReference, _) => Sum(rollupAttr(rd.metricMap(a.name)._2))
+            case Min(a: AttributeReference) => Min(rollupAttr(rd.metricMap(a.name)._2))
+            case Max(a: AttributeReference) => Max(rollupAttr(rd.metricMap(a.name)._2))
+            case other => throw new IllegalStateException(s"unexpected agg $other")
+          }
+          Alias(aggExpr(repl), name)(exprId = al.exprId)
+        case e => e
+      }
+      val rewritten = Aggregate(newGroups, newAggs.map(stripOuterAliasKeepId), rollupPlan)
+      // pin output schema: count(*) over rollup becomes sum(cnt) of LongType —
+      // cast back where the rewritten type widened (sum(long) → long is fine;
+      // sum over the count col stays long) via a no-op Project with old names
+      Project(rewritten.output.zip(agg.output).map { case (n, o) =>
+        if (n.exprId == o.exprId && n.dataType == o.dataType) n
+        else Alias(Cast(n, o.dataType), o.name)(exprId = o.exprId)
+      }, rewritten)
+    }
+
+    private def stripOuterAliasKeepId(e: NamedExpression): NamedExpression = e
+  }
+
+  /** Use with SparkSession.builder().withExtensions(...) for new sessions. */
+  class Extensions extends (SparkSessionExtensions => Unit) {
+    def apply(e: SparkSessionExtensions): Unit =
+      e.injectOptimizerRule(_ => new RewriteRule(globalCatalog))
+  }
+
+  /** Shared catalog for extension-injected rules (extension instances are
+    * constructed by Spark, so the catalog must be reachable statically). */
+  lazy val globalCatalog = new Catalog
+
+  /** Attach to an already-running session via experimental optimizations. */
+  def enable(spark: SparkSession, catalog: Catalog = globalCatalog): Unit = {
+    val experimental = spark.experimental
+    if (!experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
+      experimental.extraOptimizations =
+        experimental.extraOptimizations :+ new RewriteRule(catalog)
+  }
+}

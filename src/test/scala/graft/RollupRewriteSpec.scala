@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.RollupRewrite
+import graft.plans.RollupRewrite.{Catalog, RollupDef}
+
+class RollupRewriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("aggregate over base table rewrites to rollup scan with equal results") {
+    val basePath = sf() + "/lineitem.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    // materialize the rollup (BatchIngest rollup-on-write shape)
+    spark.read.parquet(basePath)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("sum_qty"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"))
+      .write.mode("overwrite").parquet(rollupDir)
+
+    val catalog = new Catalog
+    catalog.register(RollupDef(
+      basePath = basePath,
+      rollup = spark.read.parquet(rollupDir),
+      dimensions = Set("l_returnflag", "l_linestatus"),
+      metricMap = Map("l_quantity" -> ("sum", "sum_qty")),
+      countColumn = "cnt"))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      val q = spark.read.parquet(basePath)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("s"))
+      // plan scans the rollup, not the base
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("sum_qty") && scanned.contains("cnt"),
+        s"plan still scans base: $scanned")
+      // results identical to the unrewritten aggregate
+      val expected = spark.read.parquet(basePath).groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("long").as("n"), sum($"l_quantity").as("s"))
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted.sameElements(expected))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("non-derivable aggregates are left untouched") {
+    val basePath = sf() + "/lineitem.parquet"
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath,
+      spark.read.parquet(basePath).limit(1), // bogus rollup; must never be hit
+      Set("l_returnflag"), Map.empty, "cnt"))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // avg is not derivable → no rewrite
+      val q1 = spark.read.parquet(basePath).groupBy($"l_returnflag")
+        .agg(avg($"l_quantity").as("a"))
+      assert(!q1.queryExecution.optimizedPlan.toString.contains("limit"))
+      // grouping by a non-dimension → no rewrite
+      val q2 = spark.read.parquet(basePath).groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").as("s"))
+      assert(q2.count() > 0)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+}
