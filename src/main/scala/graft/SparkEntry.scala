@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.PipelineQueries.queries ++
     graft.queries.EmbeddingQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.SketchQueries.queries
+    graft.queries.SketchQueries.queries ++
+    graft.queries.NativeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
     graft.queries.PipelineQueries.oracle ++
     graft.queries.EmbeddingQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
-    graft.queries.SketchQueries.oracle
+    graft.queries.SketchQueries.oracle ++
+    graft.queries.NativeQueries.oracle
 }

@@ -1,0 +1,432 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.functions.{DruidFunctions, TimeFunctions}
+
+/** JSON native-query API (reference: processing/.../query/Query.java:55-75 —
+  * the JSON-native query objects POSTed to /druid/v2, §3.2 of SURVEY).
+  *
+  * `NativeQuery.run(spark, json, resolver)` parses a Druid-style native query
+  * object and compiles it through the typed DSL to a DataFrame — so a user
+  * of the reference can submit the same JSON queries. Covered: timeseries,
+  * topN, groupBy, scan, search, timeBoundary, dataSourceMetadata; datasource
+  * types table/union/query/join/inline; the §2.4 filter surface; the core
+  * §2.6 aggregators; arithmetic/fieldAccess/constant post-aggregators;
+  * default/extraction dimension specs (substring/upper/lower/strlen/
+  * timeFormat/bucket extraction fns); period granularities with origin.
+  *
+  * Extensions beyond the reference's JSON (documented): `timeColumn` names
+  * the event-time column when it is not `__time`; `virtualColumns`
+  * expressions use Spark SQL syntax (the Druid math-expr dialect is largely
+  * the same surface — see GraftSqlFunctions for the registered names).
+  */
+object NativeQuery {
+
+  type Resolver = String => DataFrame
+
+  def run(spark: SparkSession, json: String, resolve: Resolver): DataFrame = {
+    graft.functions.GraftSqlFunctions.register(spark)
+    val q = JsonMethods.parse(json)
+    val ds = dataSource(spark, q \ "dataSource", resolve)
+    val timeCol = strOpt(q \ "timeColumn").getOrElse("__time")
+    val prepared = applyVirtualColumns(applyIntervals(ds, q \ "intervals", timeCol), q \ "virtualColumns")
+    str(q \ "queryType") match {
+      case "timeseries" =>
+        TimeseriesQuery(
+          timeColumn = timeCol,
+          granularity = granularity(q \ "granularity"),
+          filter = filterOpt(q \ "filter").orNull,
+          aggregations = aggregations(q \ "aggregations"),
+          postAggregations = postAggs(q \ "postAggregations"),
+          descending = boolOpt(q \ "descending").getOrElse(false),
+          grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
+          limit = intOpt(q \ "limit")
+        ).run(prepared)
+      case "topN" =>
+        TopNQuery(
+          dimension = dimSpec(q \ "dimension"),
+          metric = q \ "metric" match {
+            case JString(m) => m
+            case m => str(m \ "metric")
+          },
+          threshold = int(q \ "threshold"),
+          filter = filterOpt(q \ "filter").orNull,
+          aggregations = aggregations(q \ "aggregations"),
+          postAggregations = postAggs(q \ "postAggregations"),
+          ascending = (q \ "metric" \ "type") == JString("inverted")
+        ).run(prepared)
+      case "groupBy" =>
+        val ls = q \ "limitSpec"
+        GroupByQuery(
+          dimensions = arr(q \ "dimensions").map(dimSpec),
+          filter = filterOpt(q \ "filter").orNull,
+          aggregations = aggregations(q \ "aggregations"),
+          postAggregations = postAggs(q \ "postAggregations"),
+          having = havingOpt(q \ "having").orNull,
+          limitSpec = LimitSpec(
+            orderBy = arr(ls \ "columns").map {
+              case JString(c) => col(c).asc
+              case o =>
+                val c = col(str(o \ "dimension"))
+                if (strOpt(o \ "direction").contains("descending")) c.desc else c.asc
+            },
+            limit = intOpt(ls \ "limit"),
+            offset = intOpt(ls \ "offset").getOrElse(0)),
+          subtotalsSpec = q \ "subtotalsSpec" match {
+            case JArray(sets) => sets.map(s => arr(s).map { case JString(d) => d; case x => str(x) })
+            case _ => null
+          }
+        ).run(prepared)
+      case "scan" =>
+        ScanQuery(
+          columns = arr(q \ "columns").map { case JString(c) => c; case x => str(x) },
+          filter = filterOpt(q \ "filter").orNull,
+          timeColumn = timeCol,
+          order = strOpt(q \ "order") match {
+            case Some("ascending") => Some(true)
+            case Some("descending") => Some(false)
+            case _ => None
+          },
+          limit = intOpt(q \ "limit"),
+          offset = intOpt(q \ "offset").getOrElse(0)
+        ).run(prepared)
+      case "search" =>
+        val spec = q \ "query"
+        val value = str(spec \ "value")
+        val matcher: Column => Column = str(spec \ "type") match {
+          case "contains" => _.contains(value)
+          case "insensitive_contains" => c => lower(c).contains(value.toLowerCase)
+          case "fragment" =>
+            val frags = arr(spec \ "values").map { case JString(s) => s; case x => str(x) }
+            c => frags.map(f => c.contains(f)).reduce(_ && _)
+          case t => throw new IllegalArgumentException(s"search spec: $t")
+        }
+        SearchQuery(
+          searchDimensions = arr(q \ "searchDimensions").map { case JString(c) => c; case x => str(x) },
+          matcher = matcher,
+          filter = filterOpt(q \ "filter").orNull,
+          limit = intOpt(q \ "limit")
+        ).run(prepared)
+      case "timeBoundary" =>
+        TimeBoundaryQuery(timeCol, filterOpt(q \ "filter").orNull,
+          strOpt(q \ "bound")).run(prepared)
+      case "dataSourceMetadata" =>
+        DataSourceMetadataQuery(timeCol).run(prepared)
+      case "segmentMetadata" =>
+        SegmentMetadataQuery(exact = true).run(prepared)
+      case t => throw new IllegalArgumentException(s"unsupported queryType: $t")
+    }
+  }
+
+  // ---- datasource (§2.2) ----
+  private def dataSource(spark: SparkSession, j: JValue, resolve: Resolver): DataFrame = j match {
+    case JString(name) => resolve(name)
+    case o =>
+      str(o \ "type") match {
+        case "table" => resolve(str(o \ "name"))
+        case "union" =>
+          graft.sources.Sources.union(arr(o \ "dataSources").map {
+            case JString(n) => resolve(n)
+            case d => dataSource(spark, d, resolve)
+          })
+        case "query" => run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve)
+        case "globalTable" => broadcast(resolve(str(o \ "name")))
+        case "join" =>
+          val left = dataSource(spark, o \ "left", resolve)
+          val right = dataSource(spark, o \ "right", resolve)
+          val prefix = strOpt(o \ "rightPrefix").getOrElse("r.")
+          val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
+          // condition: "leftCol == rightCol" (Druid equi-condition subset)
+          val cond = str(o \ "condition").split("==").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          val joinType = strOpt(o \ "joinType").getOrElse("INNER").toLowerCase
+          val rightKey = prefix + cond(1).stripPrefix(prefix)
+          left.join(broadcast(renamed),
+            left(cond(0)) === renamed(s"`$rightKey`"), joinType)
+        case "inline" =>
+          val names = arr(o \ "columnNames").map { case JString(s) => s; case x => str(x) }
+          val rows = arr(o \ "rows").map(r => org.apache.spark.sql.Row.fromSeq(arr(r).map(jvalueToAny)))
+          val fields = names.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType))
+          val stringRows = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.map(v => if (v == null) null else v.toString)))
+          spark.createDataFrame(spark.sparkContext.parallelize(stringRows),
+            org.apache.spark.sql.types.StructType(fields))
+        case t => throw new IllegalArgumentException(s"unsupported dataSource type: $t")
+      }
+  }
+
+  private def jvalueToAny(j: JValue): Any = j match {
+    case JString(s) => s
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d
+    case JBool(b) => b
+    case JNull => null
+    case x => x.toString
+  }
+
+  // ---- intervals / virtual columns ----
+  private def applyIntervals(df: DataFrame, j: JValue, timeCol: String): DataFrame = j match {
+    case JArray(is) if is.nonEmpty =>
+      val conds = is.map { i =>
+        val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
+        col(timeCol) >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
+          col(timeCol) < lit(b.replace("T", " ")).cast("timestamp_ntz")
+      }
+      df.filter(conds.reduce(_ || _))
+    case _ => df
+  }
+
+  private def applyVirtualColumns(df: DataFrame, j: JValue): DataFrame = j match {
+    case JArray(vcs) =>
+      vcs.foldLeft(df)((d, vc) => d.withColumn(str(vc \ "name"), expr(str(vc \ "expression"))))
+    case _ => df
+  }
+
+  // ---- granularity ----
+  private val NamedGranularities = Map(
+    "second" -> "PT1S", "minute" -> "PT1M", "fifteen_minute" -> "PT15M",
+    "thirty_minute" -> "PT30M", "hour" -> "PT1H", "day" -> "P1D",
+    "week" -> "P1W", "month" -> "P1M", "quarter" -> "P3M", "year" -> "P1Y")
+
+  private def granularity(j: JValue): Granularity = j match {
+    case JString("all") => AllGranularity
+    case JString(name) => PeriodGranularity(NamedGranularities.getOrElse(name, name))
+    case o if strOpt(o \ "type").contains("period") =>
+      PeriodGranularity(str(o \ "period"),
+        strOpt(o \ "origin").map(_.replace("T", " ")).orNull)
+    case JNothing | JNull => AllGranularity
+    case x => throw new IllegalArgumentException(s"granularity: $x")
+  }
+
+  // ---- dimension specs (§2.7) ----
+  private def dimSpec(j: JValue): DimSpec = j match {
+    case JString(d) => Dim(d)
+    case o =>
+      val dim = str(o \ "dimension")
+      val out = strOpt(o \ "outputName").getOrElse(dim)
+      str(o \ "type") match {
+        case "default" => Dim(dim, out)
+        case "extraction" =>
+          ExprDim(extractionFn(o \ "extractionFn", col(dim)), out)
+        case "listFiltered" =>
+          ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
+        case t => throw new IllegalArgumentException(s"dimension spec: $t")
+      }
+  }
+
+  private def extractionFn(j: JValue, c: Column): Column = str(j \ "type") match {
+    case "substring" =>
+      val idx = intOpt(j \ "index").getOrElse(0)
+      val len = intOpt(j \ "length")
+      len.fold(c.substr(lit(idx + 1), length(c)))(l => c.substr(lit(idx + 1), lit(l)))
+    case "upper" => upper(c)
+    case "lower" => lower(c)
+    case "strlen" => length(c).cast("string")
+    case "regex" => regexp_extract(c, str(j \ "expr"), 1)
+    case "timeFormat" => date_format(c, strOpt(j \ "format").getOrElse("yyyy-MM-dd"))
+    case "bucket" =>
+      DruidFunctions.bucket(c, dblOpt(j \ "size").getOrElse(1.0), dblOpt(j \ "offset").getOrElse(0.0))
+    case "cascade" =>
+      arr(j \ "extractionFns").foldLeft(c)((cc, f) => extractionFn(f, cc))
+    case t => throw new IllegalArgumentException(s"extractionFn: $t")
+  }
+
+  // ---- filters (§2.4) ----
+  private def filterOpt(j: JValue): Option[Column] = j match {
+    case JNothing | JNull => None
+    case o => Some(filter(o))
+  }
+
+  private def filter(j: JValue): Column = str(j \ "type") match {
+    case "and" => arr(j \ "fields").map(filter).reduce(_ && _)
+    case "or" => arr(j \ "fields").map(filter).reduce(_ || _)
+    case "not" => !filter(j \ "field")
+    case "selector" =>
+      val c = dimWithExtraction(j)
+      (j \ "value") match {
+        case JNull | JNothing => c.isNull
+        case v => c <=> lit(jvalueToAny(v))
+      }
+    case "in" => dimWithExtraction(j).isin(arr(j \ "values").map(jvalueToAny): _*)
+    case "bound" =>
+      val c0 = dimWithExtraction(j)
+      val numeric = strOpt(j \ "ordering").contains("numeric")
+      val c = if (numeric) c0.cast("double") else c0
+      def boundLit(v: JValue) = if (numeric) lit(jvalueToAny(v).toString.toDouble) else lit(jvalueToAny(v))
+      val lower = (j \ "lower") match {
+        case JNothing | JNull => None
+        case v => Some(if (boolOpt(j \ "lowerStrict").getOrElse(false)) c > boundLit(v) else c >= boundLit(v))
+      }
+      val upper = (j \ "upper") match {
+        case JNothing | JNull => None
+        case v => Some(if (boolOpt(j \ "upperStrict").getOrElse(false)) c < boundLit(v) else c <= boundLit(v))
+      }
+      (lower ++ upper).reduce(_ && _)
+    case "like" => dimWithExtraction(j).like(str(j \ "pattern"))
+    case "regex" => dimWithExtraction(j).rlike(str(j \ "pattern"))
+    case "search" =>
+      val spec = j \ "query"
+      val v = str(spec \ "value")
+      str(spec \ "type") match {
+        case "contains" => dimWithExtraction(j).contains(v)
+        case "insensitive_contains" => lower(dimWithExtraction(j)).contains(v.toLowerCase)
+        case t => throw new IllegalArgumentException(s"search filter: $t")
+      }
+    case "interval" =>
+      val c = col(str(j \ "dimension"))
+      arr(j \ "intervals").map { i =>
+        val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
+        c >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
+          c < lit(b.replace("T", " ")).cast("timestamp_ntz")
+      }.reduce(_ || _)
+    case "columnComparison" =>
+      val ds = arr(j \ "dimensions").map { case JString(d) => col(d); case o => col(str(o \ "dimension")) }
+      ds.head === ds(1)
+    case "expression" => expr(str(j \ "expression"))
+    case "true" => lit(true)
+    case "false" => lit(false)
+    case t => throw new IllegalArgumentException(s"filter type: $t")
+  }
+
+  private def dimWithExtraction(j: JValue): Column = {
+    val c = col(str(j \ "dimension"))
+    (j \ "extractionFn") match {
+      case JNothing | JNull => c
+      case f => extractionFn(f, c)
+    }
+  }
+
+  // ---- aggregations (§2.6) ----
+  private def aggregations(j: JValue): Seq[Agg] = j match {
+    case JNothing | JNull => Seq(Agg("count", count(lit(1))))
+    case a => arr(a).map(aggregation)
+  }
+
+  private def aggregation(j: JValue): Agg = {
+    def name = str(j \ "name") // lazy: "filtered" may carry the name on the inner aggregator
+    def f = col(str(j \ "fieldName"))
+    str(j \ "type") match {
+      case "count" => Agg(name, count(lit(1)))
+      case "longSum" => Agg(name, sum(f.cast("long")))
+      case "doubleSum" | "floatSum" => Agg(name, sum(f.cast("double")))
+      case "longMin" => Agg(name, min(f.cast("long")))
+      case "longMax" => Agg(name, max(f.cast("long")))
+      case "doubleMin" | "floatMin" => Agg(name, min(f.cast("double")))
+      case "doubleMax" | "floatMax" => Agg(name, max(f.cast("double")))
+      case "doubleMean" => Agg(name, avg(f))
+      case "longFirst" | "doubleFirst" | "floatFirst" | "stringFirst" =>
+        Agg(name, min_by(f, col(str(j \ "timeColumn"))))
+      case "longLast" | "doubleLast" | "floatLast" | "stringLast" =>
+        Agg(name, max_by(f, col(str(j \ "timeColumn"))))
+      case "longAny" | "doubleAny" | "floatAny" | "stringAny" => Agg(name, any_value(f))
+      case "cardinality" | "hyperUnique" =>
+        val fields = (j \ "fields") match {
+          case JArray(fs) => fs.map { case JString(s) => col(s); case o => col(str(o)) }
+          case _ => Seq(f)
+        }
+        Agg(name, approx_count_distinct(if (fields.size == 1) fields.head else concat_ws("", fields: _*)))
+      case "thetaSketch" =>
+        Agg(name, graft.plans.SketchFunctions.thetaSketch(f))
+      case "filtered" =>
+        // FILTER(WHERE) via conditional input (FilteredAggregatorFactory)
+        val pred = filter(j \ "filter")
+        val aggName = strOpt(j \ "name").orElse(strOpt(j \ "aggregator" \ "name")).get
+        if (str(j \ "aggregator" \ "type") == "count")
+          Agg(aggName, sum(when(pred, 1L).otherwise(0L)))
+        else Agg(aggName, rebuildFiltered(j, pred))
+      case "expression" => Agg(name, expr(str(j \ "expression")))
+      case t => throw new IllegalArgumentException(s"aggregator type: $t")
+    }
+  }
+
+  private def rebuildFiltered(j: JValue, pred: Column): Column = {
+    val inner = j \ "aggregator"
+    val f = when(pred, col(str(inner \ "fieldName")))
+    str(inner \ "type") match {
+      case "longSum" => sum(f.cast("long"))
+      case "doubleSum" | "floatSum" => sum(f.cast("double"))
+      case "longMin" => min(f.cast("long"))
+      case "longMax" => max(f.cast("long"))
+      case "doubleMin" | "floatMin" => min(f.cast("double"))
+      case "doubleMax" | "floatMax" => max(f.cast("double"))
+      case t => throw new IllegalArgumentException(s"filtered aggregator: $t")
+    }
+  }
+
+  // ---- post-aggregations (§2.9) ----
+  private def postAggs(j: JValue): Seq[PostAgg] = j match {
+    case JArray(ps) => ps.map(p => PostAgg(str(p \ "name"), postAggExpr(p)))
+    case _ => Nil
+  }
+
+  private def postAggExpr(j: JValue): Column = str(j \ "type") match {
+    case "arithmetic" =>
+      val fields = arr(j \ "fields").map(postAggExpr)
+      str(j \ "fn") match {
+        case "+" => fields.reduce(_ + _)
+        case "-" => fields.reduce(_ - _)
+        case "*" => fields.reduce(_ * _)
+        case "/" => fields.reduce(DruidFunctions.safeDivide) // Druid / is safe-divide (0 default)
+        case "quotient" => fields.reduce(_ / _)
+        case f => throw new IllegalArgumentException(s"arithmetic fn: $f")
+      }
+    case "fieldAccess" | "finalizingFieldAccess" => col(str(j \ "fieldName"))
+    case "constant" => lit(jvalueToAny(j \ "value"))
+    case "expression" => expr(str(j \ "expression"))
+    case "doubleGreatest" | "longGreatest" => greatest(arr(j \ "fields").map(postAggExpr): _*)
+    case "doubleLeast" | "longLeast" => least(arr(j \ "fields").map(postAggExpr): _*)
+    case "hyperUniqueCardinality" => col(str(j \ "fieldName"))
+    case "thetaSketchEstimate" => graft.plans.SketchFunctions.thetaEstimate(postAggExpr(j \ "field"))
+    case t => throw new IllegalArgumentException(s"postAggregator: $t")
+  }
+
+  // ---- having (§2.6 having spec) ----
+  private def havingOpt(j: JValue): Option[Column] = j match {
+    case JNothing | JNull => None
+    case h => Some(having(h))
+  }
+  private def having(j: JValue): Column = str(j \ "type") match {
+    case "greaterThan" => col(str(j \ "aggregation")) > dbl(j \ "value")
+    case "lessThan" => col(str(j \ "aggregation")) < dbl(j \ "value")
+    case "equalTo" => col(str(j \ "aggregation")) === dbl(j \ "value")
+    case "and" => arr(j \ "havingSpecs").map(having).reduce(_ && _)
+    case "or" => arr(j \ "havingSpecs").map(having).reduce(_ || _)
+    case "not" => !having(j \ "havingSpec")
+    case "filter" => filter(j \ "filter")
+    case t => throw new IllegalArgumentException(s"having type: $t")
+  }
+
+  // ---- json helpers ----
+  private def str(j: JValue): String = j match {
+    case JString(s) => s
+    case x => throw new IllegalArgumentException(s"expected string, got $x")
+  }
+  private def strOpt(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case _ => None
+  }
+  private def int(j: JValue): Int = j match {
+    case JInt(i) => i.toInt; case JLong(l) => l.toInt
+    case JDouble(d) => d.toInt
+    case x => throw new IllegalArgumentException(s"expected int, got $x")
+  }
+  private def intOpt(j: JValue): Option[Int] = j match {
+    case JNothing | JNull => None; case x => Some(int(x))
+  }
+  private def dbl(j: JValue): Double = j match {
+    case JInt(i) => i.toDouble; case JLong(l) => l.toDouble; case JDouble(d) => d
+    case x => throw new IllegalArgumentException(s"expected number, got $x")
+  }
+  private def dblOpt(j: JValue): Option[Double] = j match {
+    case JNothing | JNull => None; case x => Some(dbl(x))
+  }
+  private def boolOpt(j: JValue): Option[Boolean] = j match {
+    case JBool(b) => Some(b); case _ => None
+  }
+  private def arr(j: JValue): List[JValue] = j match {
+    case JArray(a) => a; case JNothing | JNull => Nil
+    case x => List(x)
+  }
+}

@@ -30,7 +30,9 @@ sealed trait DimSpec {
 }
 final case class Dim(name: String, outputName: String = null) extends DimSpec {
   def output: String = if (outputName == null) name else outputName
-  def col: Column = org.apache.spark.sql.functions.col(name)
+  // backtick names containing dots (e.g. join rightPrefix columns "r.p_brand")
+  def col: Column = org.apache.spark.sql.functions.col(
+    if (name.contains(".")) s"`$name`" else name)
 }
 /** extraction dimensionSpec / virtual column: any expression as a dimension. */
 final case class ExprDim(expr: Column, output: String) extends DimSpec {
