@@ -38,24 +38,26 @@ object Similarity {
       shingleSize: Int = 5, sigLen: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = sigLen / bands
-    // Two design points for scale:
-    //  1. The hashed-shingle array is projected as its own column so the md5
-    //     hashing runs once per shingle, not once per permutation (Catalyst
-    //     would inline it into the 16 permutation lambdas otherwise —
-    //     measured 16x slower).
-    //  2. The banded signatures feed BOTH sides of the candidate self-join;
-    //     cached + eagerly materialized so the corpus is scanned and hashed
-    //     exactly once (cluster analog: checkpoint signatures, then
-    //     bucket-join them).
-    // cache = optimizer barrier as well: with plain projections Catalyst's
-    // CollapseProject sees `hs` referenced once, inlines the md5 hashing into
-    // the outer permutation lambda, and re-evaluates it per permutation.
-    val hashed = df
+    // Signature computation is row-based, not array-lambda-based: explode
+    // shingles to rows, hash each once inside the codegen'd scan pipeline,
+    // and compute the n permutation minima as n plain `min` aggregates in a
+    // single HashAggregate (map-side combined). Higher-order array functions
+    // are interpreted per element and (via CollapseProject inlining)
+    // re-evaluate the hashing once per permutation — measured >10x slower.
+    val exploded = df
       .select(col(idCol).as("id"),
-        transform(TF.wordShingles(col(textCol), shingleSize), s => TF.hexLong32(s)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .cache()
-    val sigs = hashed.select(col("id"), SF.minhashFromHashes(col("hs"), sigLen).as("sig"))
+        explode(TF.wordShingles(col(textCol), shingleSize)).as("shingle"))
+      .withColumn("h", TF.hexLong32(col("shingle")))
+    val minCols = (0 until sigLen).map { i =>
+      val (a, b) = SF.minhashCoef(i)
+      min((lit(a) * col("h") + lit(b)) % SF.MinHashP).as(s"s$i")
+    }
+    val sigs = exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until sigLen).map(i => col(s"s$i")): _*).as("sig"))
+    // The banded signatures feed BOTH sides of the candidate self-join;
+    // cached + eagerly materialized so the corpus is scanned and hashed once
+    // (cluster analog: checkpoint signatures, then bucket-join them).
     val banded = sigs.select(col("id"), col("sig"),
         explode(SF.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
       .cache()

@@ -97,16 +97,18 @@ object PipelineQueries {
 
     // minhash signatures (first 8 of the 16 hash family)
     "dedup_minhash_sig" -> ((s, dir) => {
-      // hash shingles once behind a cache barrier, then run the permutation
-      // family over the materialized attribute (else md5 recomputes 8x)
-      Sources.table(s, dir, "documents")
+      // row-based signature: explode shingles, hash once in the codegen'd
+      // pipeline, 8 min-aggregates in one HashAggregate (see Similarity
+      // .minhashPairs for why array-lambda signatures are slow)
+      val exploded = Sources.table(s, dir, "documents")
         .filter(TF.tokenCount(col("text")) >= 5)
-        .select(col("doc_id"),
-          transform(TF.wordShingles(col("text"), 5), x => TF.hexLong32(x)).as("hs"))
-        .cache()
-        .withColumn("sig", SF.minhashFromHashes(col("hs"), 8))
-        .select(col("doc_id") +: (0 until 8).map(i =>
-          element_at(col("sig"), i + 1).as(s"s$i")): _*)
+        .select(col("doc_id"), explode(TF.wordShingles(col("text"), 5)).as("shingle"))
+        .withColumn("h", TF.hexLong32(col("shingle")))
+      val minCols = (0 until 8).map { i =>
+        val (a, b) = SF.minhashCoef(i)
+        min((lit(a) * col("h") + lit(b)) % SF.MinHashP).as(s"s$i")
+      }
+      exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
         .orderBy(col("doc_id")).limit(200)
     }),
 
