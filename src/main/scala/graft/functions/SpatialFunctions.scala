@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spatial filter surface (reference: processing/.../query/filter/
+  * SpatialDimFilter.java with rectangular / radius / polygon bounds over
+  * spatial-indexed dimensions, processing/.../segment/column/SpatialIndex
+  * .java R-tree).
+  *
+  * Spark-first: coordinates are plain numeric columns; the bounds compile to
+  * range predicates (parquet min/max prunable — the stats-based analog of
+  * the reference's R-tree) plus an exact distance/containment check.
+  */
+object SpatialFunctions {
+
+  /** rectangular bound: point within [minX,maxX] × [minY,maxY]. */
+  def withinRectangle(x: Column, y: Column,
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Column =
+    x >= minX && x <= maxX && y >= minY && y <= maxY
+
+  /** radius bound (euclidean, matching the reference's RadiusBound). The
+    * bounding-box conjunct makes the predicate min/max-prunable; the circle
+    * check is exact. */
+  def withinRadius(x: Column, y: Column, cx: Double, cy: Double, r: Double): Column =
+    withinRectangle(x, y, cx - r, cy - r, cx + r, cy + r) &&
+      (x - cx) * (x - cx) + (y - cy) * (y - cy) <= r * r
+
+  /** polygon bound: ray-casting point-in-polygon over literal vertices
+    * (reference: PolygonBound). Pure column arithmetic, codegen-friendly. */
+  def withinPolygon(x: Column, y: Column, abscissa: Seq[Double], ordinate: Seq[Double]): Column = {
+    require(abscissa.size == ordinate.size && abscissa.size >= 3, "polygon needs >= 3 vertices")
+    val n = abscissa.size
+    // count edge crossings of a ray to +inf in x; odd → inside
+    val crossings = (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val (xi, yi) = (abscissa(i), ordinate(i))
+      val (xj, yj) = (abscissa(j), ordinate(j))
+      when(((lit(yi) > y) =!= (lit(yj) > y)) &&
+        (x < (lit(xj - xi) * (y - yi) / (yj - yi) + xi)), 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  /** great-circle distance in km (haversine) for geo radius filters. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * 6371.0088) * asin(sqrt(a))
+  }
+}
+
+/** Druid StringComparators (reference: core/.../java/util/common/guava/
+  * StringComparators.java — lexicographic / alphanumeric / numeric /
+  * version orderings used by bound filters and limit specs).
+  * Implemented as sort-KEY expressions: orderBy(key) reproduces the
+  * ordering with plain, codegen-friendly comparisons.
+  */
+object StringOrderings {
+
+  /** numeric ordering: numeric strings by value, non-numeric null-first
+    * (regex guard keeps the cast ANSI-safe). */
+  def numericKey(c: Column): Column =
+    when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("double"))
+
+  /** version ordering ("1.2.10" > "1.2.9"): zero-pad every digit run to 10
+    * chars so lexicographic compare = numeric-aware compare. */
+  def versionKey(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(\\d+)", "0000000000$1"), "0*(\\d{10})", "$1")
+
+  /** alphanumeric ordering ("file9" < "file10"): same digit-run padding. */
+  def alphanumericKey(c: Column): Column = versionKey(c)
+}

@@ -103,6 +103,34 @@ object MvTimeQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
+    // descending timeseries with limit (TimeseriesQuery descending flag +
+    // limit, SqlBenchmark time-floor shapes)
+    "timeseries_desc_limit" -> ((s, dir) => {
+      TimeseriesQuery(
+        timeColumn = "l_shipdate",
+        granularity = PeriodGranularity("P1M"),
+        aggregations = Seq(
+          Agg("cnt", count(lit(1))),
+          Agg("sum_qty", sum(col("l_quantity")))),
+        descending = true,
+        limit = Some(12)
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // big UNION ALL chain over filtered aggregates (SqlBenchmark union shape)
+    "union_all_chain" -> ((s, dir) => {
+      val li = Sources.table(s, dir, "lineitem")
+      val branches = Seq("A", "N", "R").map { f =>
+        li.filter(col("l_returnflag") === f)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+          .withColumn("branch", lit(f))
+      }
+      Sources.union(branches)
+        .select("branch", "l_linestatus", "cnt", "sum_qty")
+        .orderBy(col("branch"), col("l_linestatus"))
+    }),
+
     // shift + ceil + format
     "time_shift_format" -> ((s, dir) => {
       Sources.table(s, dir, "orders")
@@ -164,6 +192,23 @@ object MvTimeQueries {
         |       CAST(extract(isodow FROM l_shipdate) AS INT) AS dow,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "timeseries_desc_limit" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS l_shipdate,
+        |       count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 12""".stripMargin,
+
+    "union_all_chain" ->
+      """SELECT branch, l_linestatus, cnt, sum_qty FROM (
+        |  SELECT 'A' AS branch, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'N', l_linestatus, count(*), sum(l_quantity)
+        |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'R', l_linestatus, count(*), sum(l_quantity)
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 2
+        |) ORDER BY branch, l_linestatus""".stripMargin,
 
     "time_shift_format" ->
       """SELECT o_orderkey,
