@@ -16,6 +16,8 @@ import graft.sources.Sources
   */
 object AggQueries {
   private val D = DecimalType(18, 2)
+  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
+  private val DOut = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // longSum/doubleSum/min/max/count/doubleMean over typed columns
@@ -181,7 +183,7 @@ object AggQueries {
         dimensions = Seq(Dim("l_returnflag")),
         aggregations = Seq(
           Agg("sum_qty", sum(col("l_quantity"))),
-          Agg("sum_price", sum(col("l_extendedprice").cast(D))),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast(DOut)),
           Agg("cnt", count(lit(1)))),
         postAggregations = Seq(
           PostAgg("avg_price", (col("sum_price").cast("double") / col("cnt"))),

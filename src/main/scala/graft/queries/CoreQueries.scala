@@ -17,6 +17,8 @@ import graft.sources.Sources
   */
 object CoreQueries {
   private val D = DecimalType(18, 2)
+  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
+  private val DOut = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- timeseries: month granularity, filter, sum+count (TimeseriesQuery.java:52) ---
@@ -39,7 +41,7 @@ object CoreQueries {
         timeColumn = "l_shipdate",
         granularity = PeriodGranularity("P1Y"),
         aggregations = Seq(
-          Agg("revenue", sum(col("l_extendedprice").cast(D))),
+          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast(DOut)),
           Agg("cnt", count(lit(1)))),
         grandTotal = true
       ).run(Sources.table(s, dir, "lineitem"))
@@ -52,7 +54,7 @@ object CoreQueries {
         metric = "revenue",
         threshold = 10,
         aggregations = Seq(
-          Agg("revenue", sum(col("l_extendedprice").cast(D))),
+          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast(DOut)),
           Agg("cnt", count(lit(1))))
       ).run(Sources.table(s, dir, "lineitem"))
     }),
@@ -63,7 +65,7 @@ object CoreQueries {
         dimensions = Seq(Dim("l_returnflag"), Dim("l_linestatus")),
         aggregations = Seq(
           Agg("sum_qty", sum(col("l_quantity"))),
-          Agg("sum_price", sum(col("l_extendedprice").cast(D))),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast(DOut)),
           Agg("cnt", count(lit(1)))),
         postAggregations = Seq(
           PostAgg("avg_qty", col("sum_qty") / col("cnt"))),
@@ -77,7 +79,7 @@ object CoreQueries {
         filter = col("o_orderstatus") =!= "P",
         aggregations = Seq(
           Agg("n_orders", count(lit(1))),
-          Agg("total", sum(col("o_totalprice").cast(D)))),
+          Agg("total", sum(col("o_totalprice").cast(D)).cast(DOut))),
         having = col("n_orders") > 100,
         limitSpec = LimitSpec(orderBy = Seq(col("o_orderpriority").asc))
       ).run(Sources.table(s, dir, "orders"))

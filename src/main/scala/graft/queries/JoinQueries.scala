@@ -16,6 +16,8 @@ import graft.sources.{Sources, LookupRegistry}
   */
 object JoinQueries {
   private val D = DecimalType(18, 2)
+  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
+  private val DOut = DecimalType(38, 2)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // broadcast dim join (lookup/globalTable datasource pattern)
@@ -41,7 +43,7 @@ object JoinQueries {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(col("l_extendedprice").cast(D)).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast(D)).cast(DOut).as("revenue"),
              count(lit(1)).as("cnt"))
         .orderBy(col("r_name"))
     }),
