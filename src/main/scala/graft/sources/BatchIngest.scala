@@ -90,4 +90,49 @@ object BatchIngest {
     write(prepare(read(spark, spec), spec), spec, outPath)
     spark.read.parquet(outPath)
   }
+
+  /** Compaction (reference: indexing-service CompactionTask; Delta OPTIMIZE
+    * analog): rewrite a time-chunked table into ~targetBytes files per
+    * chunk, preserving the partition layout. Small-file counts are the main
+    * read-amplification cost of streaming ingest at scale. */
+  private def localFile(p: String): java.io.File = {
+    val path = try Option(new java.net.URI(p).getPath).filter(_.nonEmpty) catch {
+      case _: Exception => None
+    }
+    new java.io.File(path.getOrElse(p))
+  }
+
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 256L << 20): Unit = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df.inputFiles.map(f => localFile(f).length).sum
+    val nFiles = math.max(1, (totalBytes / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    val partitioned = df.columns.contains("__chunk")
+    val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    (if (partitioned) writer.partitionBy("__chunk") else writer).parquet(tmp)
+    // atomic-ish swap (a metastore/Delta commit at cluster scale)
+    val dir = localFile(path)
+    val old = new java.io.File(dir.getParent, dir.getName + "__old")
+    dir.renameTo(old)
+    localFile(tmp).renameTo(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(old)
+  }
+
+  /** sys.segments-style view (reference: sql/.../schema/SystemSchema —
+    * segment inventory over the metadata store): one row per file with
+    * size, rows, and the time interval it covers. */
+  def segments(spark: SparkSession, path: String, timeColumn: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("segment"))
+      .agg(count(lit(1)).as("num_rows"),
+        min(col(timeColumn)).as("interval_start"),
+        max(col(timeColumn)).as("interval_end"))
+      .withColumn("size_bytes",
+        udf((f: String) => localFile(f).length).apply(col("segment")))
+      .orderBy(col("segment"))
+  }
 }
