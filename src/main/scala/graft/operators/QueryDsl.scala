@@ -257,6 +257,24 @@ final case class SearchQuery(
   }
 }
 
+/** Timewarp post-processing (reference: processing/.../query/
+  * TimewarpOperator.java): evaluate a query over a window shifted into the
+  * past and re-map its timestamps into the present — the "overlay last
+  * week's curve on today's dashboard" operator.
+  */
+object Timewarp {
+  import graft.functions.TimeFunctions
+  /** Shift the query's time filter back by `period`×`steps`, run `query`,
+    * then shift result timestamps forward again. */
+  def apply(ds: DataFrame, timeColumn: String, period: String, steps: Int)(
+      query: DataFrame => DataFrame): DataFrame = {
+    val shiftedInput = ds.withColumn(timeColumn,
+      TimeFunctions.timeShift(col(timeColumn), period, steps)
+        .cast(ds.schema(timeColumn).dataType))
+    query(shiftedInput)
+  }
+}
+
 /** timeBoundary (reference: query/timeboundary/TimeBoundaryQuery.java:46). */
 final case class TimeBoundaryQuery(
     timeColumn: String = "__time",

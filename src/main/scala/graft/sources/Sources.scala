@@ -77,6 +77,19 @@ final class LookupRegistry {
   def get(name: String): DataFrame = lookups(name)
   def names: Seq[String] = lookups.keys.toSeq.sorted
 
+  /** uri/file-backed lookup namespace (extensions-core/lookups-cached-global
+    * UriExtractionNamespace): (re)load a 2-column csv/parquet as the lookup;
+    * call again to refresh — readers pick up the new version on next use. */
+  def registerFromFile(spark: SparkSession, name: String, path: String,
+      format: String = "csv"): Unit = {
+    val df = format match {
+      case "csv" => spark.read.option("header", "true").csv(path)
+      case "parquet" => spark.read.parquet(path)
+      case f => throw new IllegalArgumentException(s"lookup format: $f")
+    }
+    register(name, df)
+  }
+
   /** LOOKUP(col, name) as a join: enrich `df` with a `outputCol` column.
     * Broadcast, left-outer (missing key → null, sql-compatible mode).
     */

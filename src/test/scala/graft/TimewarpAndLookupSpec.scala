@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Agg, PeriodGranularity, Timewarp, TimeseriesQuery}
+import graft.sources.{LookupRegistry, Sources}
+
+class TimewarpAndLookupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("timewarp shifts a timeseries forward by one year") {
+    val li = Sources.table(spark, sf(), "lineitem")
+    def yearly(df: org.apache.spark.sql.DataFrame) =
+      TimeseriesQuery(timeColumn = "l_shipdate",
+        granularity = PeriodGranularity("P1Y"),
+        aggregations = Seq(Agg("cnt", count(lit(1))))).run(df)
+    val warped = Timewarp(li, "l_shipdate", "P1Y", 1)(yearly)
+      .as[(java.time.LocalDateTime, Long)].collect().toMap
+    val normal = yearly(li).as[(java.time.LocalDateTime, Long)].collect().toMap
+    normal.foreach { case (t, n) =>
+      assert(warped(t.plusYears(1)) == n) // same counts, shifted labels
+    }
+  }
+
+  test("file-backed lookup refresh replaces the mapping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lookup").toString
+    Seq(("F", "closed"), ("O", "open")).toDF("k", "v")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/l")
+    val reg = new LookupRegistry
+    reg.registerFromFile(spark, "status", s"$dir/l")
+    val orders = Sources.table(spark, sf(), "orders")
+    val v1 = reg(orders, "o_orderstatus", "status", "s")
+      .filter($"s" === "closed").count()
+    assert(v1 > 0)
+    // refresh with a new mapping
+    Seq(("F", "finished"), ("O", "open")).toDF("k", "v")
+      .write.option("header", "true").mode("overwrite").csv(s"$dir/l")
+    reg.registerFromFile(spark, "status", s"$dir/l")
+    val v2 = reg(orders, "o_orderstatus", "status", "s")
+      .filter($"s" === "finished").count()
+    assert(v2 == v1)
+  }
+}
