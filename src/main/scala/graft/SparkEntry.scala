@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.EmbeddingQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
     graft.queries.SketchQueries.queries ++
-    graft.queries.NativeQueries.queries
+    graft.queries.NativeQueries.queries ++
+    graft.queries.SupersetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
     graft.queries.EmbeddingQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.SketchQueries.oracle ++
-    graft.queries.NativeQueries.oracle
+    graft.queries.NativeQueries.oracle ++
+    graft.queries.SupersetQueries.oracle
 }
