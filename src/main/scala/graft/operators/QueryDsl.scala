@@ -220,14 +220,18 @@ final case class ScanQuery(
     timeColumn: String = "__time",
     order: Option[Boolean] = None, // Some(true)=ASC, Some(false)=DESC, None=no order
     limit: Option[Int] = None,
-    offset: Int = 0) {
+    offset: Int = 0,
+    // deterministic pagination: Druid breaks time ties by segment/row order,
+    // which has no distributed analog — callers needing stable offset/limit
+    // boundaries pass unique tiebreak columns appended to the time ordering
+    tiebreakers: Seq[Column] = Nil) {
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
     val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
     val ordered = order match {
-      case Some(true)  => projected.orderBy(col(timeColumn).asc)
-      case Some(false) => projected.orderBy(col(timeColumn).desc)
+      case Some(true)  => projected.orderBy(col(timeColumn).asc +: tiebreakers.map(_.asc): _*)
+      case Some(false) => projected.orderBy(col(timeColumn).desc +: tiebreakers.map(_.desc): _*)
       case None        => projected
     }
     val off = if (offset > 0) ordered.offset(offset) else ordered

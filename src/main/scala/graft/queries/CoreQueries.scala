@@ -106,11 +106,11 @@ object CoreQueries {
         timeColumn = "o_orderdate",
         order = Some(true),
         limit = Some(50),
-        offset = 10
+        offset = 10,
+        // day-resolution timestamps tie heavily; unique key makes the
+        // offset/limit boundary deterministic for the oracle compare
+        tiebreakers = Seq(col("o_orderkey"))
       ).run(Sources.table(s, dir, "orders"))
-        // deterministic tiebreak for the oracle compare (Druid scan breaks
-        // ties by segment order, which has no cross-engine analog):
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     }),
 
     // --- timeBoundary (TimeBoundaryQuery.java:46) ---

@@ -84,6 +84,8 @@ object NativeQueries {
     }),
 
     "native_scan_search" -> ((s, dir) => {
+      // "order": "ascending" on the (unique) key column makes the limit
+      // boundary deterministic for the oracle compare
       NativeQuery.run(s,
         """{
           "queryType": "scan",
@@ -92,9 +94,9 @@ object NativeQueries {
           "columns": ["p_partkey", "p_name", "p_brand"],
           "filter": {"type": "search", "dimension": "p_name",
                      "query": {"type": "insensitive_contains", "value": "WIDGET"}},
+          "order": "ascending",
           "limit": 40
         }""", res(s, dir))
-        .orderBy(org.apache.spark.sql.functions.col("p_partkey"))
     })
   )
 
