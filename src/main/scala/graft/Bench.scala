@@ -46,16 +46,16 @@ object Bench {
     val nRows = li.count() // materialize the cache
     def rate(f: => Unit): Double = {
       f // warm codegen
-      // best-of-5: throughput measurements on a shared box are noise-floored,
+      // best-of-7: throughput measurements on a shared box are noise-floored,
       // the fastest run reflects the engine
-      val best = (1 to 5).map { _ =>
+      val best = (1 to 7).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
       nRows / best / nCores
     }
-    // count(*) over cached batches aggregates batch row counts — the analog
-    // of Druid counting segment rows without touching value columns
-    val countRate = rate { li.selectExpr("count(*)").collect() }
+    // filtered count forces a real column scan (a bare cached count would be
+    // batch-stat metadata, unstably fast); both rates are compute-bound
+    val countRate = rate { li.where("l_quantity >= 0").selectExpr("count(*)").collect() }
     val sumRate = rate { li.selectExpr("sum(l_extendedprice)").collect() }
     li.unpersist()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
