@@ -59,7 +59,11 @@ object GraftSqlFunctions {
     // --- scalar misc ---
     "safe_divide" -> { args => ex(DruidFunctions.safeDivide(col(args(0)), col(args(1)))) },
     "textcat" -> { args => ex(DruidFunctions.textcat(col(args(0)), col(args(1)))) },
-    "strpos" -> { args => ex(DruidFunctions.strpos(col(args(0)), col(args(1)))) },
+    // Druid SQL STRPOS is 1-based, 0 when absent (StrposOperatorConversion
+    // wraps the native 0-based call in "(strpos(...)+1)"); the 0-based
+    // math-expr variant stays available as DruidFunctions.strpos for the
+    // virtual-column / Column-API surface.
+    "strpos" -> { args => ex(DruidFunctions.strpos(col(args(0)), col(args(1))) + lit(1)) },
     "contains_string" -> { args =>
       ex(DruidFunctions.containsString(col(args(0)), litStr(args(1), "contains_string")))
     },

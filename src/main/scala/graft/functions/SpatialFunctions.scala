@@ -65,10 +65,11 @@ object StringOrderings {
   def numericKey(c: Column): Column =
     when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("double"))
 
-  /** version ordering ("1.2.10" > "1.2.9"): zero-pad every digit run to 10
-    * chars so lexicographic compare = numeric-aware compare. */
+  /** version ordering ("1.2.10" > "1.2.9"): zero-pad every digit run to 19
+    * chars (full long range — numeric runs longer than the pad width would
+    * compare wrong) so lexicographic compare = numeric-aware compare. */
   def versionKey(c: Column): Column =
-    regexp_replace(regexp_replace(c, "(\\d+)", "0000000000$1"), "0*(\\d{10})", "$1")
+    regexp_replace(regexp_replace(c, "(\\d+)", "0000000000000000000$1"), "0*(\\d{19})", "$1")
 
   /** alphanumeric ordering ("file9" < "file10"): same digit-run padding. */
   def alphanumericKey(c: Column): Column = versionKey(c)

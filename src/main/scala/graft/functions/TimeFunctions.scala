@@ -109,8 +109,9 @@ object TimeFunctions {
     case "MINUTE"  => minute(ts)
     case "HOUR"    => hour(ts)
     case "DAY"     => dayofmonth(ts)
-    case "DOW"     => dayofweek(ts) // 1=Sunday..7 (Druid DOW is 1=Mon; expose ISODOW below)
-    case "ISODOW"  => when(dayofweek(ts) === 1, 7).otherwise(dayofweek(ts) - 1)
+    // the reference's TimestampExtractExprMacro returns ISO day-of-week
+    // (1=Monday..7=Sunday) for BOTH DOW and ISODOW
+    case "DOW" | "ISODOW" => when(dayofweek(ts) === 1, 7).otherwise(dayofweek(ts) - 1)
     case "DOY"     => dayofyear(ts)
     case "WEEK"    => weekofyear(ts)
     case "MONTH"   => month(ts)

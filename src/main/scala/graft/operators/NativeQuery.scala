@@ -39,7 +39,7 @@ object NativeQuery {
           timeColumn = timeCol,
           granularity = granularity(q \ "granularity"),
           filter = filterOpt(q \ "filter").orNull,
-          aggregations = aggregations(q \ "aggregations"),
+          aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           descending = boolOpt(q \ "descending").getOrElse(false),
           grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
@@ -54,7 +54,7 @@ object NativeQuery {
           },
           threshold = int(q \ "threshold"),
           filter = filterOpt(q \ "filter").orNull,
-          aggregations = aggregations(q \ "aggregations"),
+          aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = (q \ "metric" \ "type") == JString("inverted")
         ).run(prepared)
@@ -63,7 +63,7 @@ object NativeQuery {
         GroupByQuery(
           dimensions = arr(q \ "dimensions").map(dimSpec),
           filter = filterOpt(q \ "filter").orNull,
-          aggregations = aggregations(q \ "aggregations"),
+          aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
@@ -300,12 +300,12 @@ object NativeQuery {
   }
 
   // ---- aggregations (§2.6) ----
-  private def aggregations(j: JValue): Seq[Agg] = j match {
+  private def aggregations(j: JValue, timeCol: String): Seq[Agg] = j match {
     case JNothing | JNull => Seq(Agg("count", count(lit(1))))
-    case a => arr(a).map(aggregation)
+    case a => arr(a).map(aggregation(_, timeCol))
   }
 
-  private def aggregation(j: JValue): Agg = {
+  private def aggregation(j: JValue, timeCol: String): Agg = {
     def name = str(j \ "name") // lazy: "filtered" may carry the name on the inner aggregator
     def f = col(str(j \ "fieldName"))
     str(j \ "type") match {
@@ -317,10 +317,13 @@ object NativeQuery {
       case "doubleMin" | "floatMin" => Agg(name, min(f.cast("double")))
       case "doubleMax" | "floatMax" => Agg(name, max(f.cast("double")))
       case "doubleMean" => Agg(name, avg(f))
+      // timeColumn is optional in the reference and defaults to __time
+      // (LongFirstAggregatorFactory.java:94); fall back to the query-level
+      // time column so standard Druid JSON first/last aggregators work.
       case "longFirst" | "doubleFirst" | "floatFirst" | "stringFirst" =>
-        Agg(name, min_by(f, col(str(j \ "timeColumn"))))
+        Agg(name, min_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longLast" | "doubleLast" | "floatLast" | "stringLast" =>
-        Agg(name, max_by(f, col(str(j \ "timeColumn"))))
+        Agg(name, max_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longAny" | "doubleAny" | "floatAny" | "stringAny" => Agg(name, any_value(f))
       case "cardinality" | "hyperUnique" =>
         val fields = (j \ "fields") match {

@@ -56,9 +56,15 @@ object RollupRewrite {
         }.getOrElse(agg)
     }
 
+    // compare normalized full paths (scheme-stripped), not a suffix match —
+    // an unrelated table whose path shares the registered suffix must not
+    // be redirected
+    private def normPath(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
+
     private def matchesBase(plan: LogicalPlan, basePath: String): Boolean = plan match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.exists(_.toString.stripSuffix("/").endsWith(basePath.stripSuffix("/")))
+        fs.location.rootPaths.exists(p => normPath(p.toString) == normPath(basePath))
       // look through column pruning (attribute-only projections)
       case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
         matchesBase(child, basePath)
@@ -103,14 +109,17 @@ object RollupRewrite {
         case a: AttributeReference =>
           Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
         case al @ Alias(AggregateExpression(f, _, _, _, _), name) =>
-          val repl: AggregateFunction = f match {
-            case Count(Seq(Literal(1, _))) => Sum(rollupAttr(rd.countColumn))
-            case Sum(a: AttributeReference, _) => Sum(rollupAttr(rd.metricMap(a.name)._2))
-            case Min(a: AttributeReference) => Min(rollupAttr(rd.metricMap(a.name)._2))
-            case Max(a: AttributeReference) => Max(rollupAttr(rd.metricMap(a.name)._2))
+          val repl: Expression = f match {
+            // count(*) is never NULL: a global (no GROUP BY) aggregate over
+            // an empty rollup table must yield 0, but sum(cnt) yields NULL
+            case Count(Seq(Literal(1, _))) =>
+              Coalesce(Seq(aggExpr(Sum(rollupAttr(rd.countColumn))), Literal(0L)))
+            case Sum(a: AttributeReference, _) => aggExpr(Sum(rollupAttr(rd.metricMap(a.name)._2)))
+            case Min(a: AttributeReference) => aggExpr(Min(rollupAttr(rd.metricMap(a.name)._2)))
+            case Max(a: AttributeReference) => aggExpr(Max(rollupAttr(rd.metricMap(a.name)._2)))
             case other => throw new IllegalStateException(s"unexpected agg $other")
           }
-          Alias(aggExpr(repl), name)(exprId = al.exprId)
+          Alias(repl, name)(exprId = al.exprId)
         case e => e
       }
       val rewritten = Aggregate(newGroups, newAggs.map(stripOuterAliasKeepId), rollupPlan)

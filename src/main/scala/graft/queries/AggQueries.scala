@@ -16,8 +16,9 @@ import graft.sources.Sources
   */
 object AggQueries {
   private val D = DecimalType(18, 2)
-  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
-  private val DOut = DecimalType(38, 2)
+  // money sums: exact decimal accumulation, but OUTPUT as double — the
+  // driver's value compare renders cells to strings, and a decimal's
+  // trailing zeros ("123.40") vs DuckDB's float ("123.4") hash-mismatch
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // longSum/doubleSum/min/max/count/doubleMean over typed columns
@@ -114,14 +115,17 @@ object AggQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
-    // ARRAY_AGG / STRING_AGG (ArraySqlAggregator, StringSqlAggregator) —
-    // sorted for determinism
+    // ARRAY_AGG / ARRAY_CONCAT_AGG / STRING_AGG (ArraySqlAggregator,
+    // ArrayConcatSqlAggregator, StringSqlAggregator) — sorted for
+    // determinism; output string-joined (the driver's compare cannot sort
+    // raw array cells)
     "agg_array_string" -> ((s, dir) => {
       GroupByQuery(
         dimensions = Seq(Dim("n_regionkey")),
         aggregations = Seq(
-          Agg("nations", array_sort(collect_set(col("n_name")))),
           Agg("nations_csv", array_join(array_sort(collect_set(col("n_name"))), ",")),
+          Agg("concat_csv",
+            array_join(array_sort(flatten(collect_list(array(col("n_name"))))), ",")),
           Agg("cnt", count(lit(1)))),
         limitSpec = LimitSpec(orderBy = Seq(col("n_regionkey").asc))
       ).run(Sources.table(s, dir, "nation"))
@@ -183,7 +187,7 @@ object AggQueries {
         dimensions = Seq(Dim("l_returnflag")),
         aggregations = Seq(
           Agg("sum_qty", sum(col("l_quantity"))),
-          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast(DOut)),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast("double")),
           Agg("cnt", count(lit(1)))),
         postAggregations = Seq(
           PostAgg("avg_price", (col("sum_price").cast("double") / col("cnt"))),
@@ -198,7 +202,7 @@ object AggQueries {
   def oracle: Map[String, String] = Map(
     "agg_minmax_sum_mean" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
-        |       max(l_quantity) AS max_qty, sum(l_suppkey) AS sum_key,
+        |       max(l_quantity) AS max_qty, CAST(sum(l_suppkey) AS BIGINT) AS sum_key,
         |       min(l_shipdate) AS min_date, max(l_shipdate) AS max_date,
         |       avg(l_quantity) AS avg_qty, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -225,7 +229,7 @@ object AggQueries {
     "agg_filtered" ->
       """SELECT l_linestatus,
         |       sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_flag_a,
-        |       sum(CASE WHEN l_quantity > 40.0 THEN 1 ELSE 0 END) AS cnt_high_qty,
+        |       CAST(sum(CASE WHEN l_quantity > 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_high_qty,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -242,8 +246,9 @@ object AggQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_array_string" ->
-      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations,
+      """SELECT n_regionkey,
         |       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv,
+        |       array_to_string(list_sort(flatten(list([n_name]))), ',') AS concat_csv,
         |       count(*) AS cnt
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -264,18 +269,18 @@ object AggQueries {
         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "agg_expression_fold" ->
-      """SELECT l_returnflag, sum(CAST(l_linenumber AS BIGINT)) AS folded_linenumbers,
+      """SELECT l_returnflag, CAST(sum(l_linenumber) AS BIGINT) AS folded_linenumbers,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "post_aggregators" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS cnt,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
         |       sum(l_quantity) / count(*) AS qty_ratio,
         |       greatest(sum(l_quantity), CAST(count(*) AS DOUBLE)) AS max_of,
-        |       3.141592653589793 AS constant_pi
+        |       CAST(3.141592653589793 AS DOUBLE) AS constant_pi
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

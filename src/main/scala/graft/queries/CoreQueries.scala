@@ -12,13 +12,16 @@ import graft.sources.Sources
   *
   * Numeric determinism notes (for exact hash-compare vs DuckDB):
   *  - l_quantity is integer-valued double → sums are exact.
-  *  - money columns are summed as DECIMAL(18,2) → exact, associative.
+  *  - money columns are summed as DECIMAL(18,2) → exact, associative —
+  *    then cast to DOUBLE for output (decimal trailing-zero rendering
+  *    differs between engines and breaks the driver's hash compare).
   *  - ratios are computed as a single double division of exact inputs.
   */
 object CoreQueries {
   private val D = DecimalType(18, 2)
-  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
-  private val DOut = DecimalType(38, 2)
+  // money sums: exact decimal accumulation, but OUTPUT as double — the
+  // driver's value compare renders cells to strings, and a decimal's
+  // trailing zeros ("123.40") vs DuckDB's float ("123.4") hash-mismatch
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- timeseries: month granularity, filter, sum+count (TimeseriesQuery.java:52) ---
@@ -41,7 +44,7 @@ object CoreQueries {
         timeColumn = "l_shipdate",
         granularity = PeriodGranularity("P1Y"),
         aggregations = Seq(
-          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast(DOut)),
+          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast("double")),
           Agg("cnt", count(lit(1)))),
         grandTotal = true
       ).run(Sources.table(s, dir, "lineitem"))
@@ -54,7 +57,7 @@ object CoreQueries {
         metric = "revenue",
         threshold = 10,
         aggregations = Seq(
-          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast(DOut)),
+          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast("double")),
           Agg("cnt", count(lit(1))))
       ).run(Sources.table(s, dir, "lineitem"))
     }),
@@ -65,7 +68,7 @@ object CoreQueries {
         dimensions = Seq(Dim("l_returnflag"), Dim("l_linestatus")),
         aggregations = Seq(
           Agg("sum_qty", sum(col("l_quantity"))),
-          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast(DOut)),
+          Agg("sum_price", sum(col("l_extendedprice").cast(D)).cast("double")),
           Agg("cnt", count(lit(1)))),
         postAggregations = Seq(
           PostAgg("avg_qty", col("sum_qty") / col("cnt"))),
@@ -79,7 +82,7 @@ object CoreQueries {
         filter = col("o_orderstatus") =!= "P",
         aggregations = Seq(
           Agg("n_orders", count(lit(1))),
-          Agg("total", sum(col("o_totalprice").cast(D)).cast(DOut))),
+          Agg("total", sum(col("o_totalprice").cast(D)).cast("double"))),
         having = col("n_orders") > 100,
         limitSpec = LimitSpec(orderBy = Seq(col("o_orderpriority").asc))
       ).run(Sources.table(s, dir, "orders"))
@@ -162,27 +165,30 @@ object CoreQueries {
 
     "timeseries_grand_total" ->
       """SELECT CAST(date_trunc('year', l_shipdate) AS TIMESTAMP) AS l_shipdate,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue, count(*) AS cnt
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS cnt
         |FROM lineitem GROUP BY 1
         |UNION ALL
-        |SELECT NULL, sum(CAST(l_extendedprice AS DECIMAL(18,2))), count(*) FROM lineitem
+        |SELECT NULL, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), count(*)
+        |FROM lineitem
         |ORDER BY 1 NULLS LAST""".stripMargin,
 
     "topn_supplier_revenue" ->
-      """SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1
         |ORDER BY revenue DESC, l_suppkey ASC LIMIT 10""".stripMargin,
 
     "groupby_flag_status" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |       count(*) AS cnt, sum(l_quantity)/count(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "groupby_having" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1 HAVING count(*) > 100 ORDER BY 1""".stripMargin,
 

@@ -16,8 +16,9 @@ import graft.sources.{Sources, LookupRegistry}
   */
 object JoinQueries {
   private val D = DecimalType(18, 2)
-  // match DuckDB's sum(DECIMAL(18,2)) output type exactly for the schema compare
-  private val DOut = DecimalType(38, 2)
+  // money sums: exact decimal accumulation, but OUTPUT as double — the
+  // driver's value compare renders cells to strings, and a decimal's
+  // trailing zeros ("123.40") vs DuckDB's float ("123.4") hash-mismatch
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // broadcast dim join (lookup/globalTable datasource pattern)
@@ -43,7 +44,7 @@ object JoinQueries {
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(col("l_extendedprice").cast(D)).cast(DOut).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast(D)).cast("double").as("revenue"),
              count(lit(1)).as("cnt"))
         .orderBy(col("r_name"))
     }),
@@ -132,7 +133,8 @@ object JoinQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_star_region_revenue" ->
-      """SELECT r_name, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+      """SELECT r_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS cnt
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

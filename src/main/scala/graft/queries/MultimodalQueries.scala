@@ -58,8 +58,8 @@ object MultimodalQueries {
 
     "multimodal_meta_stats" ->
       """SELECT 'image/fake' AS mime, count(*) AS n,
-        |  sum(CAST(n_chars % 640 + 1 AS BIGINT)) AS sum_w,
-        |  sum(CAST(n_chars % 16 + 1 AS BIGINT)) AS sum_frames
+        |  CAST(sum(CAST(n_chars % 640 + 1 AS BIGINT)) AS BIGINT) AS sum_w,
+        |  CAST(sum(CAST(n_chars % 16 + 1 AS BIGINT)) AS BIGINT) AS sum_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

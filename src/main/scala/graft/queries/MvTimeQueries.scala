@@ -60,7 +60,7 @@ object MvTimeQueries {
       mvParts(s, dir)
         .select(
           col("p_partkey"),
-          DF.mvLength(col("name_tokens")).as("n_tokens"),
+          DF.mvLength(col("name_tokens")).cast("long").as("n_tokens"),
           DF.mvToString(col("name_tokens"), "|").as("joined"),
           element_at(col("name_tokens"), 1).as("first_token"),
           DF.mvContains(col("name_tokens"), "widget").cast("int").as("has_widget"),
@@ -175,7 +175,7 @@ object MvTimeQueries {
     "time_floor_15m" ->
       """SELECT make_timestamp((epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 * 1000) AS ts,
         |       count(*) AS cnt,
-        |       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_value
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
 
     "time_floor_origin" ->

@@ -113,7 +113,7 @@ object NativeQueries {
 
     "native_topn" ->
       """SELECT substr(o_orderpriority, 1, 1) AS prio_prefix,
-        |       sum(o_orderkey) AS total, count(*) AS cnt
+        |       CAST(sum(o_orderkey) AS BIGINT) AS total, count(*) AS cnt
         |FROM orders GROUP BY 1
         |ORDER BY total DESC, prio_prefix ASC LIMIT 3""".stripMargin,
 

@@ -56,8 +56,8 @@ object PipelineQueries {
     "text_analysis" -> ((s, dir) => {
       Sources.table(s, dir, "documents")
         .select(col("doc_id"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          TF.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
           TF.langId(col("text")).as("lang_guess"),
           TF.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")).limit(200)
@@ -173,9 +173,9 @@ object PipelineQueries {
 
       "text_stats_by_source" ->
         s"""SELECT source, count(*) AS n_docs,
-           |  sum(CAST($NTokSql AS BIGINT)) AS total_tokens,
+           |  CAST(sum(CAST($NTokSql AS BIGINT)) AS BIGINT) AS total_tokens,
            |  floor(CAST(sum($QualityBpSql) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS avg_quality,
-           |  sum(CASE WHEN ($LangSql) = lang THEN 1 ELSE 0 END) AS lang_id_hits
+           |  CAST(sum(CASE WHEN ($LangSql) = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_id_hits
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "text_fingerprint" ->

@@ -89,6 +89,25 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(bottom(0).getLong(1) <= bottom(1).getLong(1))
   }
 
+  test("first/last aggregators default timeColumn to the query-level time column") {
+    // standard Druid JSON: no per-aggregator timeColumn
+    // (LongFirstAggregatorFactory.java:94 defaults to __time)
+    val df = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "orders",
+        "timeColumn": "o_orderdate",
+        "dimensions": ["o_orderpriority"],
+        "aggregations": [
+          {"type": "doubleFirst", "name": "first_price", "fieldName": "o_totalprice"},
+          {"type": "doubleLast", "name": "last_price", "fieldName": "o_totalprice"}
+        ],
+        "limitSpec": {"type": "default", "columns": ["o_orderpriority"]}
+      }""")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("unsupported query type raises a clear error") {
     assertThrows[IllegalArgumentException](run("""{"queryType": "nope", "dataSource": "orders"}"""))
   }

@@ -43,6 +43,45 @@ class RollupRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("global count(*) over an empty rollup yields 0, not NULL") {
+    val basePath = sf() + "/lineitem.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_empty").toString
+    spark.read.parquet(basePath).filter(lit(false))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set("l_returnflag"), Map.empty, "cnt"))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      val row = spark.read.parquet(basePath).agg(count(lit(1)).as("n")).head()
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L)
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("an unrelated table sharing the path suffix is not redirected") {
+    val base = java.nio.file.Files.createTempDirectory("graft_base").toString
+    val decoyDir = java.nio.file.Files.createTempDirectory("graft_decoy").toString
+    Seq(("A", 1L), ("B", 2L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(base + "/t.parquet")
+    // decoy: different table whose path ENDS WITH the registered suffix
+    Seq(("A", 10L), ("A", 20L), ("C", 30L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(decoyDir + "/base/t.parquet")
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_ru").toString
+    spark.read.parquet(base + "/t.parquet").groupBy($"k")
+      .agg(count(lit(1)).as("cnt")).write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef("t.parquet", spark.read.parquet(rollupDir),
+      Set("k"), Map.empty, "cnt"))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // suffix-registered path must not hijack either table (exact match only)
+      val n = spark.read.parquet(decoyDir + "/base/t.parquet")
+        .agg(count(lit(1))).head().getLong(0)
+      assert(n == 3L)
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
   test("non-derivable aggregates are left untouched") {
     val basePath = sf() + "/lineitem.parquet"
     val catalog = new Catalog

@@ -45,6 +45,10 @@ class SpatialAndOrderingSpec extends SparkSpecBase {
     val v = Seq("1.2.10", "1.2.9", "1.10.0").toDF("s")
       .orderBy(SO.versionKey($"s")).as[String].collect()
     assert(v.sameElements(Array("1.2.9", "1.2.10", "1.10.0")))
+    // digit runs beyond 10 chars (full long range) still compare numerically
+    val big = Seq("10000000000", "9999999999", "2").toDF("s")
+      .orderBy(SO.alphanumericKey($"s")).as[String].collect()
+    assert(big.sameElements(Array("2", "9999999999", "10000000000")))
   }
 
   test("numeric ordering on numeric strings (BoundDimFilter ordering=numeric)") {

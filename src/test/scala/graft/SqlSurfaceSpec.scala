@@ -21,8 +21,10 @@ class SqlSurfaceSpec extends SparkSpecBase {
   test("scalar misc via SQL") {
     assert(one[java.lang.Double]("SAFE_DIVIDE(CAST(10.0 AS DOUBLE), CAST(0.0 AS DOUBLE))") == null)
     assert(one[Double]("SAFE_DIVIDE(CAST(10.0 AS DOUBLE), CAST(4.0 AS DOUBLE))") == 2.5)
-    assert(one[Int]("STRPOS('hello', 'll')") == 2) // 0-based
-    assert(one[Int]("STRPOS('hello', 'zz')") == -1)
+    // Druid SQL STRPOS is 1-based, 0 when absent (StrposOperatorConversion
+    // wraps the native 0-based strpos in "+1")
+    assert(one[Int]("STRPOS('hello', 'll')") == 3)
+    assert(one[Int]("STRPOS('hello', 'zz')") == 0)
     assert(one[Long]("PARSE_LONG('ff', 16)") == 255L)
     assert(one[String]("HUMAN_READABLE_BINARY_BYTE_FORMAT(1536)") == "1.50 KiB")
     assert(one[Boolean]("ICONTAINS_STRING('HeLLo', 'hell')"))

@@ -56,6 +56,11 @@ class TimeFunctionsSpec extends SparkSpecBase {
     assert(ex("DAY") == 15)
     assert(ex("HOUR") == 13)
     assert(ex("ISODOW") == 5)
+    // reference TimestampExtractExprMacro: DOW is ISO (1=Mon..7=Sun), same as ISODOW
+    assert(ex("DOW") == 5)
+    val sunday = lit("2024-03-17 08:00:00").cast("timestamp")
+    assert(Seq(1).toDF("x").select(TimeFunctions.timeExtract(sunday, "DOW").cast("long"))
+      .head().getLong(0) == 7)
   }
 
   test("parsePeriod rejects garbage and mixed units") {
