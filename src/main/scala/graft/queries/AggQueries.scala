@@ -88,15 +88,19 @@ object AggQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
-    // hyperUnique/cardinality → approx_count_distinct (HLL++). No oracle:
-    // approximate answers differ across engines by design; driver records
-    // the rows-only check. Accuracy asserted in HllSpec tests.
+    // hyperUnique/cardinality aggregator → DataSketches HLL estimate
+    // (HyperUniquesAggregatorFactory analog). lgK=16 keeps the sketch in
+    // exact coupon mode through ~6k distinct, so the estimate equals the
+    // exact count at gate scale and the whole build→merge→estimate path is
+    // oracle-checked. (Spark's approx_count_distinct HLL++ remains available
+    // but is not exactness-tunable, so the demo query uses the sketch.)
     "agg_approx_distinct" -> ((s, dir) => {
+      import graft.plans.SketchFunctions.{hllSketch, hllEstimate}
       GroupByQuery(
         dimensions = Seq(Dim("l_returnflag")),
         aggregations = Seq(
-          Agg("approx_nd_part", approx_count_distinct(col("l_partkey"))),
-          Agg("approx_nd_order", approx_count_distinct(col("l_orderkey")))),
+          Agg("approx_nd_part", round(hllEstimate(hllSketch(col("l_partkey"), 16))).cast("long")),
+          Agg("approx_nd_order", round(hllEstimate(hllSketch(col("l_orderkey"), 16))).cast("long"))),
         limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
       ).run(Sources.table(s, dir, "lineitem"))
     }),
@@ -236,6 +240,11 @@ object AggQueries {
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
         |       count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS approx_nd_part,
+        |       count(DISTINCT l_orderkey) AS approx_nd_order
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_variance" ->

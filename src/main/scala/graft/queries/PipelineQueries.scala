@@ -134,11 +134,12 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // simhash hamming-distance pairs (multi-probe LSH) — no SQL oracle;
-    // asserted against planted duplicates in SimilaritySpec
+    // simhash hamming-distance pairs (multi-probe LSH): identity + 1-bit
+    // probes find exactly the hamming<=1 pairs; the oracle mirrors the
+    // simhash bit-exactly and self-joins on bit_count(xor)<=1
     "dedup_simhash_pairs" -> ((s, dir) => {
       Similarity.simhashPairs(Sources.table(s, dir, "documents"), "doc_id", "text")
-        .filter(col("hamming") <= 2)
+        .filter(col("hamming") <= 1)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -222,6 +223,16 @@ object PipelineQueries {
            |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hs FROM base)
            |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
            |FROM hsx ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "dedup_simhash_pairs" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hs FROM base),
+           |sh AS (SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM hsx)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),

@@ -11,7 +11,8 @@ import graft.sources.Sources
   * (2^lgK) and KLL is exact while n ≤ k, so over the low-cardinality slices
   * used here the sketch answers equal the exact answers DuckDB computes —
   * the driver gate verifies build → shuffle-merge → set-op/quantile post-ops
-  * end to end. (The HLL query is approximate by design → rows-only check.)
+  * end to end. The HLL query likewise runs at lgK=16, exact below ~6k
+  * distinct, so its merge path is oracle-checked too.
   */
 object SketchQueries {
 
@@ -54,13 +55,17 @@ object SketchQueries {
           graft.functions.TextFunctions.round4(element_at(kllCdf(col("sk"), Seq(2500.0, 7500.0)), 2)).as("cdf_7500"))
     }),
 
-    // HLL sketch family (Spark's DataSketches HLL) — approximate → rows-only
+    // HLL sketch family (Spark's DataSketches HLL): per-group build →
+    // union-merge → estimate. lgK=16 keeps the sketch in exact coupon mode
+    // through ~6k distinct (DataSketches HLL is exact until
+    // ~0.75·2^(lgK-3)), so the gate-scale estimate equals the exact count
+    // and the merge path is oracle-verified end to end.
     "sketch_hll" -> ((s, dir) => {
       val li = Sources.table(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag"))
-        .agg(hllSketch(col("l_partkey")).as("hll"))
+        .agg(hllSketch(col("l_partkey"), 16).as("hll"))
       perFlag.agg(
-        hll_sketch_estimate(hll_union_agg(col("hll"))).cast("long").as("nd_global"),
+        round(hll_sketch_estimate(hll_union_agg(col("hll"), true))).cast("long").as("nd_global"),
         count(lit(1)).as("n_groups"))
     })
   )
@@ -78,6 +83,11 @@ object SketchQueries {
     "sketch_theta_merge" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_hll" ->
+      """SELECT count(DISTINCT l_partkey) AS nd_global,
+        |       count(DISTINCT l_returnflag) AS n_groups
+        |FROM lineitem""".stripMargin,
 
     "sketch_quantiles_kll" ->
       """SELECT count(*) AS n,
