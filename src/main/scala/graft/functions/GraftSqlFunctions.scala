@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualNullSafe, Expression, IsNotNull, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.unsafe.types.UTF8String
@@ -55,6 +55,56 @@ object GraftSqlFunctions {
     "time_format" -> { args => ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"))) },
     "millis_to_timestamp" -> { args => ex(TimeFunctions.millisToTimestamp(col(args(0)))) },
     "timestamp_to_millis" -> { args => ex(TimeFunctions.timestampToMillis(col(args(0)))) },
+
+    // --- math-expr dialect names (core/.../math/expr/Function.java and the
+    // timestamp_* macros in query/expression/) so JSON virtualColumns /
+    // expression filters written in Druid syntax compile verbatim ---
+    "timestamp_floor" -> { args =>
+      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "timestamp_floor"), origin))
+    },
+    "timestamp_ceil" -> { args =>
+      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "timestamp_ceil"), origin))
+    },
+    "timestamp_shift" -> { args =>
+      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "timestamp_shift"),
+        litInt(args(2), "timestamp_shift")))
+    },
+    "timestamp_extract" -> { args =>
+      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "timestamp_extract")))
+    },
+    "timestamp_parse" -> { args =>
+      ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "timestamp_parse")))
+    },
+    "timestamp_format" -> { args =>
+      ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "timestamp_format")))
+    },
+    // case_searched(c1, r1, c2, r2, ..., [else]) (Function.java:2089)
+    "case_searched" -> { args =>
+      val (pairs, elseV) = if (args.size % 2 == 1) (args.init, Some(args.last)) else (args, None)
+      CaseWhen(pairs.grouped(2).map(p => (p(0), p(1))).toSeq, elseV)
+    },
+    // case_simple(x, v1, r1, v2, r2, ..., [else])
+    "case_simple" -> { args =>
+      val rest = args.tail
+      val (pairs, elseV) = if (rest.size % 2 == 1) (rest.init, Some(rest.last)) else (rest, None)
+      CaseWhen(pairs.grouped(2).map(p => (EqualNullSafe(args.head, p(0)), p(1))).toSeq, elseV)
+    },
+    "notnull" -> { args => IsNotNull(args(0)) },
+
+    // LOOKUP(expr, 'name'[, replaceMissingValueWith]) (reference: sql/.../
+    // builtin/QueryLookupOperatorConversion.java over the registered-lookup
+    // map). Resolved per call site from LookupRegistry.global and inlined as
+    // a map literal — the plan-shipped analog of Druid's on-heap broadcast
+    // lookup map; missing keys → null (or the 3rd-arg replacement).
+    "lookup" -> { args =>
+      val name = litStr(args(1), "lookup")
+      val m = graft.sources.LookupRegistry.global.asMap(name)
+      val hit = element_at(typedLit(m), col(args(0)).cast("string"))
+      val out = if (args.size > 2) coalesce(hit, col(args(2))) else hit
+      ex(out)
+    },
 
     // --- scalar misc ---
     "safe_divide" -> { args => ex(DruidFunctions.safeDivide(col(args(0)), col(args(1)))) },

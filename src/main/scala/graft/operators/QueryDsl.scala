@@ -53,6 +53,12 @@ final case class ListFilteredDim(expr: Column, allowed: Seq[String], output: Str
   def col: Column = filter(expr, x => x.isin(allowed: _*))
   override def isMultiValue: Boolean = true
 }
+/** prefixFiltered dimensionSpec: only values with the prefix survive
+  * (DimensionSpec.java:41-45 `prefixFiltered`). */
+final case class PrefixFilteredDim(expr: Column, prefix: String, output: String) extends DimSpec {
+  def col: Column = filter(expr, x => x.startsWith(prefix))
+  override def isMultiValue: Boolean = true
+}
 
 /** Named aggregation — the DSL's AggregatorFactory equivalent; any Spark
   * aggregate Column (sum/min/max/count/min_by/approx_count_distinct/custom
@@ -91,6 +97,19 @@ final case class PeriodGranularity(period: String, origin: String = null) extend
 }
 
 object QueryCommon {
+  /** True when the aggregation is a plain count — Druid's zero-filled empty
+    * buckets carry the aggregator's initial value: 0 for count, null for
+    * sums/min/max/first in sql-compatible null mode. */
+  def isCountAgg(c: Column): Boolean =
+    try org.apache.spark.sql.graftbridge.CatalystBridge.expression(c) match {
+      // typed-API Columns convert to an UnresolvedFunction pre-analysis
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        uf.nameParts.last.equalsIgnoreCase("count")
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        ae.aggregateFunction.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Count]
+      case _ => false
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Explode MV dims (if any), then return (prepared df, groupable columns). */
   def prepareDims(df: DataFrame, dims: Seq[DimSpec]): (DataFrame, Seq[Column]) = {
     val withCols = dims.foldLeft(df) { (d, spec) =>
@@ -105,6 +124,13 @@ object QueryCommon {
 
 /** timeseries query (reference: query/timeseries/TimeseriesQuery.java:52).
   * grandTotal context flag → an extra all-time row via rollup-style union.
+  *
+  * Empty buckets are zero-filled by default, matching the reference
+  * (TimeseriesQueryEngine.java:131,210 — buckets are skipped only when the
+  * `skipEmptyBuckets` context flag is set): every granularity bucket between
+  * the first and last observed bucket (or spanning `fillIntervals` when the
+  * query carries explicit intervals) emits a row, with count aggregators
+  * filled as 0 and everything else null (sql-compatible null mode).
   */
 final case class TimeseriesQuery(
     timeColumn: String = "__time",
@@ -114,7 +140,42 @@ final case class TimeseriesQuery(
     postAggregations: Seq[PostAgg] = Nil,
     descending: Boolean = false,
     grandTotal: Boolean = false,
-    limit: Option[Int] = None) {
+    limit: Option[Int] = None,
+    skipEmptyBuckets: Boolean = false,
+    fillIntervals: Seq[(String, String)] = Nil) {
+
+  /** The bucket spine for zero-fill: one row per granularity bucket. From
+    * explicit intervals it is generated driver-free via sequence(); otherwise
+    * bounds come from an aggregate over the (already small) grouped result —
+    * Catalyst reuses the aggregation exchange, so the input is scanned once.
+    */
+  private def zeroFill(grouped: DataFrame, g: PeriodGranularity): DataFrame = {
+    val p = TimeFunctions.parsePeriod(g.period)
+    val step =
+      if (p.months == 0) make_dt_interval(lit(0), lit(0), lit(0), lit(p.millis / 1000.0))
+      else make_ym_interval(lit(0), lit(p.months))
+    val spine =
+      if (fillIntervals.nonEmpty) {
+        val seqs = fillIntervals.map { case (a, b) =>
+          val lo = g.bucket(lit(a).cast("timestamp"))
+          // buckets covering [a, b): floor(b - 1ms) is the last bucket
+          val hi = g.bucket(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
+            .cast("timestamp"))
+          sequence(lo, hi, step)
+        }
+        grouped.sparkSession.range(1)
+          .select(explode(flatten(array(seqs: _*))).as(timeColumn)).distinct()
+      } else
+        grouped.agg(min(col(timeColumn)).as("lo"), max(col(timeColumn)).as("hi"))
+          .where(col("lo").isNotNull) // empty input → nothing to fill
+          .select(explode(sequence(col("lo"), col("hi"), step)).as(timeColumn))
+    val fills = aggregations.map { a =>
+      if (QueryCommon.isCountAgg(a.column)) coalesce(col(a.name), lit(0L)).as(a.name)
+      else col(a.name)
+    }
+    spine.join(grouped, Seq(timeColumn), "left")
+      .select(col(timeColumn) +: fills: _*)
+  }
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
@@ -126,8 +187,9 @@ final case class TimeseriesQuery(
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
         val bucketed = filtered.withColumn("__bucket", g.bucket(col(timeColumn)))
-        val grouped = bucketed.groupBy(col("__bucket").as(timeColumn))
+        val grouped0 = bucketed.groupBy(col("__bucket").as(timeColumn))
           .agg(aggCols.head, aggCols.tail: _*)
+        val grouped = if (skipEmptyBuckets) grouped0 else zeroFill(grouped0, g)
         val withTotal = if (grandTotal) {
           // Druid emits one extra grand-total row (TimeseriesQuery.java:54 ctx key).
           val total = filtered.agg(aggCols.head, aggCols.tail: _*)
@@ -157,7 +219,12 @@ final case class TopNQuery(
     filter: Column = null,
     aggregations: Seq[Agg] = Nil,
     postAggregations: Seq[PostAgg] = Nil,
-    ascending: Boolean = false) {
+    ascending: Boolean = false,
+    // dimension metric spec (reference: query/topn/DimensionTopNMetricSpec
+    // .java): rank by a sort KEY over the dimension value (lexicographic /
+    // alphanumeric / version / numeric via StringOrderings) instead of a
+    // metric. When set, `metric` is ignored for ordering.
+    sortKey: Option[Column] = None) {
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
@@ -165,7 +232,8 @@ final case class TopNQuery(
     val aggCols = aggregations.map(_.aliased)
     val agged = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
     val post = QueryCommon.applyPostAggs(agged, postAggregations)
-    val ord = if (ascending) col(metric).asc else col(metric).desc
+    val key = sortKey.getOrElse(col(metric))
+    val ord = if (ascending) key.asc else key.desc
     post.orderBy(ord, col(dimension.output).asc_nulls_last).limit(threshold)
   }
 }

@@ -88,19 +88,22 @@ object AggQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
-    // hyperUnique/cardinality aggregator → DataSketches HLL estimate
-    // (HyperUniquesAggregatorFactory analog). lgK=16 keeps the sketch in
-    // exact coupon mode through ~6k distinct, so the estimate equals the
-    // exact count at gate scale and the whole build→merge→estimate path is
-    // oracle-checked. (Spark's approx_count_distinct HLL++ remains available
-    // but is not exactness-tunable, so the demo query uses the sketch.)
+    // hyperUnique/cardinality aggregator → approximate distinct via a
+    // DataSketches sketch, oracle-checked against the exact count. Theta
+    // (not HLL) is the exactness-tunable choice: a theta sketch retains
+    // full 64-bit hashes and stays EXACT until retained entries exceed the
+    // nominal 2^lgK (collision odds ~n²/2^65), while HLL's coupon phase
+    // hashes into a 26-bit coupon space whose birthday collisions undercount
+    // by ~n²/2^27 already at 11k distinct (observed: off by 1 at sf0.01).
+    // lgK=18 → exact through 262144 distinct, past every gate scale's
+    // per-group cardinality (sf0.1 worst case ~110k l_orderkey per flag).
     "agg_approx_distinct" -> ((s, dir) => {
-      import graft.plans.SketchFunctions.{hllSketch, hllEstimate}
+      import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate}
       GroupByQuery(
         dimensions = Seq(Dim("l_returnflag")),
         aggregations = Seq(
-          Agg("approx_nd_part", round(hllEstimate(hllSketch(col("l_partkey"), 16))).cast("long")),
-          Agg("approx_nd_order", round(hllEstimate(hllSketch(col("l_orderkey"), 16))).cast("long"))),
+          Agg("approx_nd_part", round(thetaEstimate(thetaSketch(col("l_partkey"), 18))).cast("long")),
+          Agg("approx_nd_order", round(thetaEstimate(thetaSketch(col("l_orderkey"), 18))).cast("long"))),
         limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
       ).run(Sources.table(s, dir, "lineitem"))
     }),

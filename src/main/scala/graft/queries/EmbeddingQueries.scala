@@ -34,8 +34,12 @@ object EmbeddingQueries {
         .orderBy(col("label"))
     }),
 
-    // embedding-cosine near-duplicate pairs above 0.99 within label 0..4
-    // (quadratic within the filtered slice; the LSH query is the scale path)
+    // embedding-cosine near-duplicate pairs within label 0..4 (quadratic
+    // within the filtered slice; the LSH query is the scale path). The
+    // fixture's embeddings are near-random (max within-label cosine ~0.45 at
+    // sf0.01), so the demo threshold is 0.40 — high enough to keep the
+    // result small, low enough that the gate verifies real pairs (a real
+    // corpus would use ~0.95+).
     "embed_cosine_neardup" -> ((s, dir) => {
       // norms once per vector (not per pair)
       val e = emb(s, dir).filter(col("label") < 5)
@@ -46,14 +50,16 @@ object EmbeddingQueries {
         col("label").as("label_b"), col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b") && col("label_a") === col("label_b"))
         .withColumn("cosine", round(SF.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cosine") >= 0.99)
+        .filter(col("cosine") >= 0.40)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // LSH-bucketed ANN: 8 hyperplanes, exact cosine within bucket.
-    // No SQL oracle (bucket formula is 512 md5-derived weights); recall
-    // vs brute force asserted in SimilaritySpec. rows-only check here.
+    // Oracle-checked end-to-end: the md5-derived weight matrix is computed
+    // driver-side and inlined into the DuckDB SQL as literal arrays, so the
+    // banding is reproduced bit-exactly (same pattern as the minhash
+    // banding oracle). Recall vs brute force asserted in SimilaritySpec.
     "embed_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshAnn(e, e.filter(col("vec_id").isin(0L, 1L, 2L)),
@@ -62,7 +68,7 @@ object EmbeddingQueries {
     }),
 
     // LSH bucket histogram — shows bucketing is balanced enough for IVF-style
-    // probing; deterministic md5-derived planes. rows-only check.
+    // probing; deterministic md5-derived planes, oracle-checked.
     "embed_lsh_buckets" -> ((s, dir) => {
       emb(s, dir)
         .select(SF.hyperplaneBucket(col("embedding"), 8, 64).as("bucket"))
@@ -70,6 +76,20 @@ object EmbeddingQueries {
         .orderBy(col("bucket"))
     })
   )
+
+  /** The LSH bucket expression rendered as DuckDB SQL: the same md5-derived
+    * weight matrix the Spark plan carries as array literals, inlined as
+    * literal DOUBLE[] arrays — identical doubles, identical sequential
+    * summation (list_dot_product ≡ the aggregate fold), so bucket ids match
+    * bit-for-bit.
+    */
+  private def bucketSql(vecExpr: String, planes: Int, dim: Int): String = {
+    val w = SF.hyperplaneWeights(planes, dim)
+    (0 until planes).map { j =>
+      val arr = w(j).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr::DOUBLE[], $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
 
   def oracle: Map[String, String] = {
     val dot = "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
@@ -104,8 +124,34 @@ object EmbeddingQueries {
            |WHERE a.label < 5 AND b.label < 5
            |  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-           |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.99
-           |ORDER BY id_a, id_b""".stripMargin
+           |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.40
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "embed_ann_lsh" ->
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |         CAST(${bucketSql("embedding", 8, 64)} AS BIGINT) AS bucket,
+           |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket, nrm AS qnrm
+           |      FROM b WHERE vec_id IN (0, 1, 2)),
+           |scored AS (
+           |  SELECT q.query_id, b.bucket, b.vec_id AS cand_id,
+           |         round(list_dot_product(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+           |               / (q.qnrm * b.nrm), 6) AS cosine
+           |  FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.query_id),
+           |ranked AS (
+           |  SELECT query_id, bucket, cand_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, bucket, cand_id, cosine, rank FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "embed_lsh_buckets" ->
+        s"""SELECT CAST(${bucketSql("embedding", 8, 64)} AS BIGINT) AS bucket,
+           |       count(*) AS n
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -69,7 +69,10 @@ object MvTimeQueries {
         .limit(100)
     }),
 
-    // PT15M fixed-period granularity with epoch origin on real timestamps
+    // PT15M fixed-period granularity with epoch origin on real timestamps.
+    // skipEmptyBuckets: the events stream is sparse at 15-minute resolution,
+    // and this query checks the floor arithmetic, not the fill (which
+    // timeseries_zerofill covers).
     "time_floor_15m" -> ((s, dir) => {
       TimeseriesQuery(
         timeColumn = "ts",
@@ -77,7 +80,8 @@ object MvTimeQueries {
         aggregations = Seq(
           Agg("cnt", count(lit(1))),
           Agg("sum_value", sum(DF.roundTo(col("value") * 100, 0).cast("long")))),
-        limit = Some(200)
+        limit = Some(200),
+        skipEmptyBuckets = true
       ).run(Sources.events(s, dir))
     }),
 
@@ -87,8 +91,23 @@ object MvTimeQueries {
         timeColumn = "ts",
         granularity = PeriodGranularity("PT6H", origin = "2024-01-01 03:00:00"),
         aggregations = Seq(Agg("cnt", count(lit(1)))),
-        limit = Some(200)
+        limit = Some(200),
+        skipEmptyBuckets = true
       ).run(Sources.events(s, dir))
+    }),
+
+    // default (reference) behavior: empty buckets zero-filled — daily series
+    // over a rare filter, most days empty: count filled 0, sum null
+    // (TimeseriesQueryEngine.java:131,210 zero-fill default)
+    "timeseries_zerofill" -> ((s, dir) => {
+      TimeseriesQuery(
+        timeColumn = "o_orderdate",
+        granularity = PeriodGranularity("P1D"),
+        filter = col("o_totalprice") > 400000.0,
+        aggregations = Seq(
+          Agg("cnt", count(lit(1))),
+          Agg("total", sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")))
+      ).run(Sources.table(s, dir, "orders"))
     }),
 
     // extract family: YEAR/QUARTER/MONTH/ISODOW
@@ -185,6 +204,18 @@ object MvTimeQueries {
         |         + epoch_ms(TIMESTAMP '2024-01-01 03:00:00')) * 1000) AS ts,
         |       count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
+
+    "timeseries_zerofill" ->
+      """WITH agg AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d, count(*) AS cnt,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(d) FROM agg),
+        |                                (SELECT max(d) FROM agg),
+        |                                INTERVAL 1 DAY)) AS d)
+        |SELECT spine.d AS o_orderdate, coalesce(agg.cnt, 0) AS cnt, agg.total AS total
+        |FROM spine LEFT JOIN agg ON spine.d = agg.d ORDER BY 1""".stripMargin,
 
     "time_extract" ->
       """SELECT CAST(extract(year FROM l_shipdate) AS INT) AS y,

@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators.NativeQuery
-import graft.sources.Sources
+import graft.sources.{LookupRegistry, Sources}
 
 /** JSON native-query API coverage: the same queries a reference user POSTs
   * to /druid/v2, submitted verbatim as JSON and compiled to DataFrames.
@@ -13,6 +14,14 @@ object NativeQueries {
 
   private def res(s: SparkSession, dir: String): NativeQuery.Resolver =
     name => Sources.table(s, dir, name)
+
+  /** Register the nation-name lookup used by the lookup-datasource and
+    * LOOKUP() gate queries (idempotent; keys are strings per the reference's
+    * String→String lookup model). */
+  private def registerNationLookup(s: SparkSession, dir: String): Unit =
+    LookupRegistry.global.register("nation_name",
+      Sources.table(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("k"), col("n_name").as("v")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "native_timeseries" -> ((s, dir) => {
@@ -83,6 +92,146 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // StringComparators in the JSON surface: a version-ordered bound filter
+    // ("1.2.9" excluded, "1.10.0" included — lexicographic would invert
+    // both) + version dimensionOrder in the limitSpec, over a TYPED inline
+    // datasource (InlineDataSource.java:48 RowSignature; longSum over the
+    // LONG column proves the typing)
+    "native_bound_version" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": {"type": "inline",
+            "columnNames": ["ver", "n"],
+            "columnTypes": ["STRING", "LONG"],
+            "rows": [["1.2.9", 1], ["1.2.10", 2], ["1.10.0", 3],
+                     ["2.0.0", 4], ["0.9.1", 5], ["1.2.10", 6]]},
+          "dimensions": [{"type": "default", "dimension": "ver"}],
+          "filter": {"type": "bound", "dimension": "ver",
+                     "lower": "1.2.10", "ordering": "version"},
+          "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "longSum", "name": "sum_n", "fieldName": "n"}],
+          "limitSpec": {"type": "default", "columns": [
+            {"dimension": "ver", "direction": "ascending",
+             "dimensionOrder": {"type": "version"}}]}
+        }""", res(s, dir))
+    }),
+
+    // dimension topN metric spec (DimensionTopNMetricSpec.java): top 12
+    // buckets in ALPHANUMERIC order of the dimension — f9 before f10, which
+    // lexicographic ordering would place pages apart. The dimension is a
+    // Druid math-expr virtual column, verbatim dialect.
+    "native_topn_dimension" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "topN",
+          "dataSource": "part",
+          "virtualColumns": [{"type": "expression", "name": "fsize",
+                              "expression": "concat('f', \"p_size\")"}],
+          "dimension": {"type": "default", "dimension": "fsize"},
+          "metric": {"type": "dimension", "ordering": "alphanumeric"},
+          "threshold": 12,
+          "aggregations": [{"type": "count", "name": "cnt"}]
+        }""", res(s, dir))
+    }),
+
+    // lookup datasource (LookupDataSource.java:41): joinable broadcast
+    // (k, v) table resolved from the registry
+    "native_lookup_join" -> ((s, dir) => {
+      registerNationLookup(s, dir)
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": {"type": "join", "left": "customer",
+                         "right": {"type": "lookup", "lookup": "nation_name"},
+                         "rightPrefix": "r.", "condition": "c_nationkey == k",
+                         "joinType": "LEFT"},
+          "dimensions": [{"type": "default", "dimension": "r.v", "outputName": "nation"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [
+            {"dimension": "nation", "direction": "ascending"}]}
+        }""", res(s, dir))
+    }),
+
+    // LOOKUP() SQL function (QueryLookupOperatorConversion.java) over the
+    // same registry, through spark.sql
+    "sql_lookup" -> ((s, dir) => {
+      registerNationLookup(s, dir)
+      graft.functions.GraftSqlFunctions.register(s)
+      Sources.table(s, dir, "supplier").createOrReplaceTempView("graft_supplier")
+      s.sql("""
+        SELECT LOOKUP(CAST(s_nationkey AS STRING), 'nation_name') AS nation,
+               count(*) AS cnt
+        FROM graft_supplier GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // Druid math-expr dialect verbatim (core/.../math/expr/Parser.java):
+    // double-quoted identifiers, &&/||, ==, case_searched, nested
+    // timestamp_floor/timestamp_format macros — submitted exactly as a
+    // reference user would write them
+    "native_math_expr" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "virtualColumns": [
+            {"type": "expression", "name": "month",
+             "expression": "timestamp_format(timestamp_floor(\"o_orderdate\", 'P3M'), 'yyyy-MM')"},
+            {"type": "expression", "name": "prio_class",
+             "expression": "case_searched(\"o_orderpriority\" == '1-URGENT' || \"o_orderpriority\" == '2-HIGH', 'high', 'normal')"}
+          ],
+          "filter": {"type": "expression",
+                     "expression": "\"o_totalprice\" > 100000.0 && \"o_orderstatus\" != 'P'"},
+          "dimensions": ["month", "prio_class"],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [
+            {"dimension": "month"}, {"dimension": "prio_class"}]}
+        }""", res(s, dir))
+    }),
+
+    // extraction fns beyond the r2 set: stringFormat + timeFormat dims
+    // (StringFormatExtractionFn; partial/searchQuery/time/lookup/identity
+    // covered in NativeQuerySpec)
+    "native_extraction_fns" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "dimensions": [
+            {"type": "extraction", "dimension": "o_orderpriority", "outputName": "prio_fmt",
+             "extractionFn": {"type": "stringFormat", "format": "[%s]"}},
+            {"type": "extraction", "dimension": "o_orderdate", "outputName": "y",
+             "extractionFn": {"type": "timeFormat", "format": "yyyy"}}
+          ],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [
+            {"dimension": "prio_fmt"}, {"dimension": "y"}]}
+        }""", res(s, dir))
+    }),
+
+    // zero-fill over the queried interval: reference default emits one row
+    // per day in [1995-01-01, 1995-07-01) even when the filter matches
+    // nothing that day (count=0, other aggs null). doubleMax (not sum) keeps
+    // the nonempty cells FP-order-independent for the hash compare.
+    "native_timeseries_zerofill" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "timeseries",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": "day",
+          "intervals": ["1995-01-01T00:00:00/1995-07-01T00:00:00"],
+          "filter": {"type": "bound", "dimension": "o_totalprice",
+                     "lower": 400000.0, "ordering": "numeric"},
+          "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleMax", "name": "max_price", "fieldName": "o_totalprice"}
+          ]
+        }""", res(s, dir))
+    }),
+
     "native_scan_search" -> ((s, dir) => {
       // "order": "ascending" on the (unique) key column makes the limit
       // boundary deterministic for the oracle compare
@@ -123,6 +272,58 @@ object NativeQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 HAVING count(*) > 100
         |ORDER BY cnt DESC, brand ASC LIMIT 10""".stripMargin,
+
+    // hand-computed golden rows (reference-style expected-result test): the
+    // version comparator admits exactly {1.2.10×2, 1.10.0, 2.0.0} and orders
+    // them 1.2.10 < 1.10.0 < 2.0.0
+    "native_bound_version" ->
+      """SELECT * FROM (VALUES ('1.2.10', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+        |                      ('1.10.0', CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+        |                      ('2.0.0',  CAST(1 AS BIGINT), CAST(4 AS BIGINT)))
+        |       AS t(ver, cnt, sum_n)""".stripMargin,
+
+    "native_topn_dimension" ->
+      """SELECT 'f' || p_size AS fsize, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY min(p_size) LIMIT 12""".stripMargin,
+
+    "native_lookup_join" ->
+      """SELECT n_name AS nation, count(*) AS cnt
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sql_lookup" ->
+      """SELECT n_name AS nation, count(*) AS cnt
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "native_math_expr" ->
+      """SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m') AS month,
+        |       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |            THEN 'high' ELSE 'normal' END AS prio_class,
+        |       count(*) AS cnt
+        |FROM orders
+        |WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'P'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "native_extraction_fns" ->
+      """SELECT '[' || o_orderpriority || ']' AS prio_fmt,
+        |       strftime(o_orderdate, '%Y') AS y, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "native_timeseries_zerofill" ->
+      """WITH agg AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+        |         count(*) AS cnt, max(o_totalprice) AS max_price
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+        |    AND o_totalprice >= 400000.0
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+        |                                TIMESTAMP '1995-06-30',
+        |                                INTERVAL 1 DAY)) AS d)
+        |SELECT spine.d AS o_orderdate, coalesce(agg.cnt, 0) AS cnt, agg.max_price AS max_price
+        |FROM spine LEFT JOIN agg ON spine.d = agg.d ORDER BY 1""".stripMargin,
 
     "native_scan_search" ->
       """SELECT p_partkey, p_name, p_brand FROM part

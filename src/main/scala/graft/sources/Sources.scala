@@ -63,6 +63,13 @@ object Sources {
   * DruidFunctions.lookupMap`) for tiny maps. At 100 TB the join side stays
   * broadcast — never a shuffle of the fact table.
   */
+object LookupRegistry {
+  /** Default registry used by the JSON `lookup` datasource, the
+    * `registeredLookup` extraction fn, and the LOOKUP() SQL function —
+    * the analog of the reference's process-wide LookupReferencesManager. */
+  val global = new LookupRegistry
+}
+
 final class LookupRegistry {
   private val lookups = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
@@ -76,6 +83,23 @@ final class LookupRegistry {
   }
   def get(name: String): DataFrame = lookups(name)
   def names: Seq[String] = lookups.keys.toSeq.sorted
+
+  /** The lookup as a driver-side String→String map — the analog of the
+    * reference's on-heap lookup map, used to inline LOOKUP() / lookup
+    * extraction fns as a map literal (broadcast with the plan). Guarded:
+    * scalar-lookup use is for genuinely small maps; bigger ones should go
+    * through the join API (`apply`) / `lookup` datasource.
+    */
+  def asMap(name: String, maxEntries: Int = 100000): Map[String, String] = {
+    val kv = lookups(name)
+    val rows = kv.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"lookup '$name' exceeds $maxEntries entries; use the broadcast-join lookup API instead")
+    rows.iterator
+      .filter(_.get(0) != null)
+      .map(r => r.get(0).toString -> (if (r.get(1) == null) null else r.get(1).toString))
+      .toMap
+  }
 
   /** uri/file-backed lookup namespace (extensions-core/lookups-cached-global
     * UriExtractionNamespace): (re)load a 2-column csv/parquet as the lookup;

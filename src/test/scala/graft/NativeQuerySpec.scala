@@ -111,4 +111,148 @@ class NativeQuerySpec extends SparkSpecBase {
   test("unsupported query type raises a clear error") {
     assertThrows[IllegalArgumentException](run("""{"queryType": "nope", "dataSource": "orders"}"""))
   }
+
+  test("typed inline datasource: declared types and inferred types") {
+    // declared LONG column joins numerically against a LONG table column
+    val declared = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "join", "left": "region",
+          "right": {"type": "inline",
+            "columnNames": ["rk", "tag"], "columnTypes": ["LONG", "STRING"],
+            "rows": [[0, "zero"], [1, "one"], [2, "two"]]},
+          "rightPrefix": "r.", "condition": "r_regionkey == rk", "joinType": "INNER"},
+        "dimensions": [{"type": "default", "dimension": "r.tag", "outputName": "tag"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": ["tag"]}
+      }""").collect()
+    assert(declared.map(_.getString(0)).toSeq == Seq("one", "two", "zero"))
+    // no columnTypes: long/double/string inferred from the JSON values
+    val inferred = run(
+      """{
+        "queryType": "scan",
+        "dataSource": {"type": "inline",
+          "columnNames": ["a", "b", "c"],
+          "rows": [[1, 1.5, "x"], [2, 2.5, "y"]]},
+        "columns": ["a", "b", "c"], "timeColumn": "a", "order": "ascending"
+      }""")
+    assert(inferred.schema("a").dataType.typeName == "long")
+    assert(inferred.schema("b").dataType.typeName == "double")
+    assert(inferred.schema("c").dataType.typeName == "string")
+    assert(inferred.count() == 2)
+  }
+
+  test("join condition accepts a conjunction of equi-conditions") {
+    val df = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "join", "left": "lineitem", "right": "lineitem",
+          "rightPrefix": "r.",
+          "condition": "l_orderkey == l_orderkey && l_linenumber == l_linenumber",
+          "joinType": "INNER"},
+        "timeColumn": "l_shipdate",
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""")
+    // self-join on BOTH keys: expected size = Σ per-key-group count² —
+    // strictly smaller than the single-key join, proving the second
+    // conjunct participates
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val expected = li.groupBy($"l_orderkey", $"l_linenumber").count()
+      .agg(org.apache.spark.sql.functions.sum($"count" * $"count")).head().getLong(0)
+    val singleKey = li.groupBy($"l_orderkey").count()
+      .agg(org.apache.spark.sql.functions.sum($"count" * $"count")).head().getLong(0)
+    assert(df.head().getLong(0) == expected)
+    assert(expected < singleKey)
+  }
+
+  test("partial, searchQuery, time, lookup and identity extraction fns") {
+    val df = run(
+      """{
+        "queryType": "scan",
+        "dataSource": "orders",
+        "columns": ["o_orderkey", "o_orderpriority"],
+        "timeColumn": "o_orderkey",
+        "filter": {"type": "selector", "dimension": "o_orderpriority", "value": "1-URGENT",
+                   "extractionFn": {"type": "identity"}},
+        "order": "ascending", "limit": 5
+      }""")
+    assert(df.count() == 5)
+    val ex = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "orders",
+        "dimensions": [
+          {"type": "extraction", "dimension": "o_orderpriority", "outputName": "partial_urgent",
+           "extractionFn": {"type": "partial", "expr": "^1-"}},
+          {"type": "extraction", "dimension": "o_orderpriority", "outputName": "search_high",
+           "extractionFn": {"type": "searchQuery",
+                            "query": {"type": "fragment", "values": ["HIGH"]}}},
+          {"type": "extraction", "dimension": "o_orderpriority", "outputName": "looked_up",
+           "extractionFn": {"type": "lookup",
+             "lookup": {"type": "map", "map": {"1-URGENT": "now", "5-LOW": "later"}},
+             "replaceMissingValueWith": "whenever"}}
+        ],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": ["partial_urgent", "search_high", "looked_up"]}
+      }""").collect()
+    // partial: only 1-URGENT matches ^1-, everything else null
+    assert(ex.flatMap(r => Option(r.getString(0))).toSeq == Seq("1-URGENT"))
+    // searchQuery fragment is case-insensitive by default → 2-HIGH survives
+    assert(ex.flatMap(r => Option(r.getString(1))).toSeq == Seq("2-HIGH"))
+    // lookup map + replaceMissingValueWith
+    assert(ex.map(r => r.getString(2)).toSet == Set("now", "later", "whenever"))
+    // time extraction fn: reparse a string date, re-render in a new format
+    val t = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline", "columnNames": ["d"],
+                       "rows": [["2024/01/15"], ["2023/12/01"], ["2024/01/20"]]},
+        "dimensions": [{"type": "extraction", "dimension": "d", "outputName": "ym",
+          "extractionFn": {"type": "time", "timeFormat": "yyyy/MM/dd", "resultFormat": "yyyy-MM"}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": ["ym"]}
+      }""").collect()
+    assert(t.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("2023-12", 1L), ("2024-01", 2L)))
+  }
+
+  test("fragment search filter requires all fragments (case-insensitive default)") {
+    val df = run(
+      """{
+        "queryType": "scan",
+        "dataSource": "part",
+        "columns": ["p_name"],
+        "timeColumn": "p_partkey",
+        "filter": {"type": "search", "dimension": "p_name",
+                   "query": {"type": "fragment", "values": ["WIDGET", "small"]}}
+      }""")
+    val names = df.collect().map(_.getString(0))
+    assert(names.nonEmpty) // "WIDGET" only matches case-insensitively
+    assert(names.forall(n => n.toLowerCase.contains("widget") && n.toLowerCase.contains("small")))
+  }
+
+  test("prefixFiltered and regexFiltered dimension specs filter MV values") {
+    val df = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline",
+          "columnNames": ["id"], "columnTypes": ["LONG"], "rows": [[1]]},
+        "virtualColumns": [{"type": "expression", "name": "mv",
+                            "expression": "array('apple', 'apricot', 'banana')"}],
+        "dimensions": [{"type": "prefixFiltered", "dimension": "mv",
+                        "outputName": "d", "prefix": "ap"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": ["d"]}
+      }""").collect()
+    assert(df.map(_.getString(0)).toSeq == Seq("apple", "apricot"))
+  }
+
+  test("math-expr translation: quoting, logical ops, power rejection") {
+    import graft.functions.MathExpr
+    assert(MathExpr.toSparkSql("\"a\" == 'x' && \"b\" != 1 || !\"c\"") ==
+      "`a` == 'x'  AND  `b` != 1  OR   NOT `c`")
+    assert(MathExpr.toSparkSql("concat('a \"quoted\" str', \"col\")") ==
+      "concat('a \"quoted\" str', `col`)")
+    assertThrows[IllegalArgumentException](MathExpr.toSparkSql("\"a\" ^ 2"))
+  }
 }
