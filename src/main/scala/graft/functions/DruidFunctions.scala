@@ -45,6 +45,36 @@ object DruidFunctions {
   /** Any-element-matches filter semantics for arbitrary predicates. */
   def mvAnyMatch(c: Column, pred: Column => Column): Column = exists(c, pred)
 
+  // --- histograms (extensions-core/histogram) ---
+  /** approxHistogram (ApproximateHistogramAggregatorFactory.java): the
+    * reference implements Ben-Haim/Tom-Tov streaming centroids — the SAME
+    * algorithm behind Spark's built-in `histogram_numeric`, so the alias is
+    * semantically faithful (and exact whenever distinct values ≤ k).
+    * Returns array<struct<x,y>> of centroids.
+    */
+  def approxHistogram(c: Column, k: Int = 50): Column =
+    call_function("histogram_numeric", c, lit(k))
+
+  /** fixedBucketsHistogram (FixedBucketsHistogramAggregatorFactory.java):
+    * `numBuckets` equal buckets over [lower, upper); returns the per-bucket
+    * counts as an array. Outlier modes per the reference: "clip" counts
+    * out-of-range values in the edge buckets, "ignore" drops them.
+    * Compiles to numBuckets codegen'd sum(when) aggregates — partial-agg
+    * combinable, so it scales like any sum.
+    */
+  def fixedBucketsHistogram(c: Column, lower: Double, upper: Double,
+      numBuckets: Int, outlierMode: String = "clip"): Column = {
+    val width = (upper - lower) / numBuckets
+    val rawIdx = floor((c - lower) / width).cast("int")
+    val idx = outlierMode match {
+      case "clip" => least(greatest(rawIdx, lit(0)), lit(numBuckets - 1))
+      case "ignore" => when(rawIdx >= 0 && rawIdx < numBuckets, rawIdx)
+      case m => throw new IllegalArgumentException(s"outlier mode: $m")
+    }
+    array((0 until numBuckets).map(i =>
+      sum(when(idx === i, 1L).otherwise(0L))): _*)
+  }
+
   // --- format (Function.java:3691-3721) ---
   private val decUnits = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB")
   private val binUnits = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")

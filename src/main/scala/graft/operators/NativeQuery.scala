@@ -481,10 +481,21 @@ object NativeQuery {
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
       // time column so standard Druid JSON first/last aggregators work.
-      case "longFirst" | "doubleFirst" | "floatFirst" | "stringFirst" =>
+      case "longFirst" | "doubleFirst" | "floatFirst" =>
         Agg(name, min_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
-      case "longLast" | "doubleLast" | "floatLast" | "stringLast" =>
+      case "longLast" | "doubleLast" | "floatLast" =>
         Agg(name, max_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+      // stringFirst/Last truncate the stored value to maxStringBytes
+      // (StringFirstAggregatorFactory.java, default 1024; chars ≈ bytes for
+      // the ASCII dimensions this targets)
+      case "stringFirst" =>
+        val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
+        Agg(name, min_by(substring(f.cast("string"), 1, n),
+          col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+      case "stringLast" =>
+        val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
+        Agg(name, max_by(substring(f.cast("string"), 1, n),
+          col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longAny" | "doubleAny" | "floatAny" | "stringAny" => Agg(name, any_value(f))
       case "cardinality" | "hyperUnique" =>
         val fields = (j \ "fields") match {

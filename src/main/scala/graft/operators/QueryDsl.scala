@@ -82,6 +82,29 @@ object Agg {
   * (reference: processing/.../query/aggregation/post). */
 final case class PostAgg(name: String, column: Column)
 
+/** first/last over rolled-up data (reference: query/aggregation/first/
+  * LongFirstAggregatorFactory.java + SerializablePairLongString.java — a
+  * rollup segment stores the metric as a (timestamp, value) PAIR, which
+  * later queries re-fold instead of re-reading raw rows).
+  *
+  * Store `firstPair`/`lastPair` as the rollup metric (BatchIngest
+  * RollupSpec aggregation); re-fold across any number of rollup levels
+  * with `refoldFirst`/`refoldLast`; read the final value with
+  * `firstValue`/`lastValue`. Ordering key is (time, value), so ties on
+  * time resolve deterministically — required for exact oracle compares.
+  */
+object FirstLast {
+  def firstPair(value: Column, time: Column): Column =
+    min_by(struct(time.as("t"), value.as("v")), struct(time, value))
+  def lastPair(value: Column, time: Column): Column =
+    max_by(struct(time.as("t"), value.as("v")), struct(time, value))
+  /** Re-fold pair states from a rollup table (struct ordering = time-then-value). */
+  def refoldFirst(pair: Column): Column = min_by(pair, pair)
+  def refoldLast(pair: Column): Column = max_by(pair, pair)
+  def firstValue(pair: Column): Column = refoldFirst(pair).getField("v")
+  def lastValue(pair: Column): Column = refoldLast(pair).getField("v")
+}
+
 /** Granularity for timeseries bucketing: ISO period + optional origin
   * (reference: PeriodGranularity). `All` = single bucket. */
 sealed trait Granularity
@@ -370,26 +393,41 @@ final case class DataSourceMetadataQuery(timeColumn: String = "__time") {
 }
 
 /** segmentMetadata (reference: query/metadata/metadata/SegmentMetadataQuery.java:46):
-  * per-column type/cardinality/null-count analysis. Cardinality uses
-  * approx_count_distinct at scale (exact available via `exact=true`).
+  * per-column analysis. Cardinality uses approx_count_distinct at scale
+  * (exact available via `exact=true`).
+  *
+  * analysisTypes (reference AnalysisType enum, SegmentMetadataQuery.java:50):
+  *  - "cardinality", "nulls" — always-on base analysis (r2 behavior)
+  *  - "minmax"   — per-column min/max (as strings; the time column's pair
+  *                 is the reference's INTERVAL analysis)
+  *  - "size"     — estimated byte size: Σ length(string rendering), the
+  *                 same estimation idea as the reference's serialized-size
+  *                 analysis
+  * AGGREGATORS/ROLLUP/TIMESTAMPSPEC analyses describe the ingestion spec,
+  * not the data — they live in the ingest/rollup registries, not here.
   */
-final case class SegmentMetadataQuery(exact: Boolean = false) {
+final case class SegmentMetadataQuery(exact: Boolean = false,
+    analysisTypes: Set[String] = Set("cardinality", "nulls")) {
   def run(ds: DataFrame): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val perCol = ds.schema.fields.map { f =>
       val c = col(f.name)
       val card = if (exact) count_distinct(c) else approx_count_distinct(c)
-      struct(
+      val base = Seq(
         lit(f.name).as("column"),
         lit(f.dataType.simpleString).as("type"),
         card.as("cardinality"),
         sum(when(c.isNull, 1L).otherwise(0L)).as("nullCount"))
+      val mm = if (analysisTypes("minmax"))
+        Seq(min(c).cast("string").as("minValue"), max(c).cast("string").as("maxValue")) else Nil
+      val sz = if (analysisTypes("size"))
+        Seq(sum(length(c.cast("string")).cast("long")).as("size_bytes")) else Nil
+      struct(base ++ mm ++ sz: _*)
     }
     val row = ds.agg(count(lit(1)).as("numRows"), array(perCol.map(s => s): _*).as("columns"))
     row.select(col("numRows"), explode(col("columns")).as("c"))
-      .select($"c.column".as("column"), $"c.type".as("type"),
-        $"c.cardinality".as("cardinality"), $"c.nullCount".as("nullCount"), $"numRows".as("numRows"))
+      .select($"c.*", $"numRows")
       .orderBy("column")
   }
 }

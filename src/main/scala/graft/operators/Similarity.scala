@@ -56,12 +56,13 @@ object Similarity {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until sigLen).map(i => col(s"s$i")): _*).as("sig"))
     // The banded signatures feed BOTH sides of the candidate self-join;
-    // cached + eagerly materialized so the corpus is scanned and hashed once
-    // (cluster analog: checkpoint signatures, then bucket-join them).
+    // eagerly materialized (lineage truncated) so the corpus is scanned and
+    // hashed exactly once — localCheckpoint stores the partitions in the
+    // block manager, the single-JVM analog of checkpointing signatures to
+    // storage and bucket-joining them on a cluster.
     val banded = sigs.select(col("id"), col("sig"),
         explode(SF.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
-      .cache()
-    banded.count() // eager: avoid both join branches racing to populate
+      .localCheckpoint(true)
     val a = banded.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     val candidates = a.join(b, Seq("band_key"))

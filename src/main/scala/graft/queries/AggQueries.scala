@@ -149,6 +149,58 @@ object AggQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
+    // approxHistogram (extensions-core/histogram ApproximateHistogram —
+    // Ben-Haim/Tom-Tov centroids ≡ Spark's histogram_numeric; exact here
+    // because distinct values ≤ k, so the oracle can reproduce it)
+    "agg_approx_histogram" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("hist", array_join(transform(
+            graft.functions.DruidFunctions.approxHistogram(col("l_linenumber"), 32),
+            b => concat(round(b.getField("x")).cast("long").cast("string"), lit(":"),
+                        round(b.getField("y")).cast("long").cast("string"))), ",")),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // fixedBucketsHistogram (FixedBucketsHistogramAggregatorFactory):
+    // 5 buckets over [0, 50), clip mode — numBuckets codegen'd sum(when)
+    // aggregates, partial-agg combinable
+    "agg_fixed_histogram" -> ((s, dir) => {
+      GroupByQuery(
+        dimensions = Seq(Dim("l_returnflag")),
+        aggregations = Seq(
+          Agg("fixed_hist", array_join(transform(
+            graft.functions.DruidFunctions.fixedBucketsHistogram(
+              col("l_quantity"), 0.0, 50.0, 5, "clip"),
+            x => x.cast("string")), ",")),
+          Agg("cnt", count(lit(1)))),
+        limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
+    // first/last over ROLLED-UP data (LongFirstAggregatorFactory pair
+    // state + re-fold): stage 1 builds a daily rollup storing (t, v) pair
+    // metrics, stage 2 answers EARLIEST/LATEST from the rollup alone —
+    // the raw table is scanned once, at ingest
+    "agg_first_last_rollup" -> ((s, dir) => {
+      import graft.operators.FirstLast._
+      val li = Sources.table(s, dir, "lineitem")
+      val rollup = li.groupBy(
+          graft.functions.TimeFunctions.timeFloor(col("l_shipdate"), "P1D").as("day"),
+          col("l_returnflag"))
+        .agg(firstPair(col("l_extendedprice"), col("l_shipdate")).as("first_pair"),
+             lastPair(col("l_extendedprice"), col("l_shipdate")).as("last_pair"),
+             count(lit(1)).as("rollup_cnt"))
+      rollup.groupBy(col("l_returnflag"))
+        .agg(firstValue(col("first_pair")).as("earliest_price"),
+             lastValue(col("last_pair")).as("latest_price"),
+             sum(col("rollup_cnt")).as("cnt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // BIT_AND / BIT_OR / BIT_XOR (BitwiseSqlAggregator)
     "agg_bitwise" -> ((s, dir) => {
       GroupByQuery(
@@ -267,6 +319,39 @@ object AggQueries {
     "agg_histogram" ->
       """SELECT CAST(floor(l_quantity / 10.0) * 10 AS BIGINT) AS bucket, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_approx_histogram" ->
+      """SELECT l_returnflag,
+        |       string_agg(CAST(ln AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ','
+        |                  ORDER BY ln) AS hist,
+        |       CAST(sum(cnt) AS BIGINT) AS cnt
+        |FROM (SELECT l_returnflag, l_linenumber AS ln, count(*) AS cnt
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_fixed_histogram" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS VARCHAR)
+        |       || ',' || CAST(sum(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 ELSE 0 END) AS VARCHAR)
+        |       || ',' || CAST(sum(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 ELSE 0 END) AS VARCHAR)
+        |       || ',' || CAST(sum(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN 1 ELSE 0 END) AS VARCHAR)
+        |       || ',' || CAST(sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS VARCHAR) AS fixed_hist,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_first_last_rollup" ->
+      """WITH e AS (
+        |  SELECT l_returnflag, l_extendedprice AS earliest_price FROM lineitem
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_shipdate ASC, l_extendedprice ASC) = 1),
+        |l AS (
+        |  SELECT l_returnflag, l_extendedprice AS latest_price FROM lineitem
+        |  QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_shipdate DESC, l_extendedprice DESC) = 1),
+        |c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT c.l_returnflag, e.earliest_price, l.latest_price, c.cnt
+        |FROM c JOIN e USING (l_returnflag) JOIN l USING (l_returnflag)
+        |ORDER BY 1""".stripMargin,
 
     "agg_bitwise" ->
       """SELECT l_returnflag, bit_and(l_linenumber) AS band,

@@ -139,6 +139,17 @@ object CoreQueries {
       SegmentMetadataQuery(exact = true).run(Sources.table(s, dir, "orders"))
     }),
 
+    // --- segmentMetadata analysis types beyond cardinality/nulls
+    // (SegmentMetadataQuery.java:50 AnalysisType): minmax + size over
+    // render-stable columns (strings + longs; doubles/timestamps render
+    // differently across engines and would break the byte-size estimate) ---
+    "segment_metadata_full" -> ((s, dir) => {
+      SegmentMetadataQuery(exact = true,
+          analysisTypes = Set("cardinality", "nulls", "minmax", "size"))
+        .run(Sources.table(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
     // --- Druid SQL surface end-to-end: registered function names compiled
     // through spark.sql (sql/.../planner/DruidOperatorTable.java analog) ---
     "sql_surface" -> ((s, dir) => {
@@ -233,6 +244,18 @@ object CoreQueries {
         |  UNION ALL SELECT 'o_orderpriority', 'string', count(DISTINCT o_orderpriority),
         |         count(*) - count(o_orderpriority), count(*) FROM orders
         |) ORDER BY "column"""".stripMargin,
+
+    "segment_metadata_full" -> {
+      def one(c: String, t: String) =
+        s"""SELECT '$c' AS "column", '$t' AS "type", count(DISTINCT $c) AS cardinality,
+           |       count(*) - count($c) AS nullCount,
+           |       CAST(min($c) AS VARCHAR) AS minValue, CAST(max($c) AS VARCHAR) AS maxValue,
+           |       CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS size_bytes,
+           |       count(*) AS numRows FROM orders""".stripMargin
+      Seq(one("o_orderkey", "bigint"), one("o_custkey", "bigint"),
+          one("o_orderstatus", "string"), one("o_orderpriority", "string"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    },
 
     "sql_surface" ->
       """SELECT CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS qtr,

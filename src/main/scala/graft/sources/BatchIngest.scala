@@ -123,16 +123,29 @@ object BatchIngest {
 
   /** sys.segments-style view (reference: sql/.../schema/SystemSchema —
     * segment inventory over the metadata store): one row per file with
-    * size, rows, and the time interval it covers. */
+    * size, rows, and the time interval it covers.
+    *
+    * Sizes come from input_file_block_length() — computed executor-side
+    * from the split metadata, so the view works on any Hadoop filesystem
+    * (no driver-local file access). A multi-block file contributes one
+    * sub-group per block; summing block lengths reassembles the file size.
+    */
   def segments(spark: SparkSession, path: String, timeColumn: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.parquet(path)
-      .groupBy(input_file_name().as("segment"))
-      .agg(count(lit(1)).as("num_rows"),
-        min(col(timeColumn)).as("interval_start"),
-        max(col(timeColumn)).as("interval_end"))
-      .withColumn("size_bytes",
-        udf((f: String) => localFile(f).length).apply(col("segment")))
+      .select(col(timeColumn),
+        input_file_name().as("segment"),
+        input_file_block_start().as("__blk"),
+        input_file_block_length().as("__blen"))
+      .groupBy(col("segment"), col("__blk"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(timeColumn)).as("s"), max(col(timeColumn)).as("e"),
+        max(col("__blen")).as("blen"))
+      .groupBy(col("segment"))
+      .agg(sum(col("rows")).as("num_rows"),
+        min(col("s")).as("interval_start"),
+        max(col("e")).as("interval_end"),
+        sum(col("blen")).as("size_bytes"))
       .orderBy(col("segment"))
   }
 }

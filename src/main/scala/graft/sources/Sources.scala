@@ -114,6 +114,22 @@ final class LookupRegistry {
     register(name, df)
   }
 
+  /** jdbc lookup namespace (extensions-core/lookups-cached-global
+    * JdbcExtractionNamespace): (key, value) columns of a JDBC table become
+    * the lookup, loaded through Spark's JDBC source; call again to refresh
+    * (the reference polls on pollPeriod — scheduling is the caller's choice).
+    */
+  def registerFromJdbc(spark: SparkSession, name: String, url: String,
+      table: String, keyColumn: String, valueColumn: String,
+      connProps: Map[String, String] = Map.empty): Unit = {
+    val props = new java.util.Properties()
+    connProps.foreach { case (k, v) => props.put(k, v) }
+    val kv = spark.read.jdbc(url, table, props)
+      .select(col(keyColumn).cast("string").as("k"),
+        col(valueColumn).cast("string").as("v"))
+    register(name, kv)
+  }
+
   /** LOOKUP(col, name) as a join: enrich `df` with a `outputCol` column.
     * Broadcast, left-outer (missing key → null, sql-compatible mode).
     */

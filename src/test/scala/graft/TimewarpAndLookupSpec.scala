@@ -39,4 +39,29 @@ class TimewarpAndLookupSpec extends SparkSpecBase {
       .filter($"s" === "finished").count()
     assert(v2 == v1)
   }
+
+  test("jdbc lookup namespace loads and refreshes from a JDBC table") {
+    // Derby embedded (ships with Spark) stands in for the reference's
+    // JdbcExtractionNamespace source database
+    val url = "jdbc:derby:memory:graftlookup;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE kv (k VARCHAR(32) PRIMARY KEY, v VARCHAR(32))")
+      st.execute("INSERT INTO kv VALUES ('0', 'zero'), ('1', 'one')")
+      val reg = new LookupRegistry
+      reg.registerFromJdbc(spark, "jkv", url, "kv", "K", "V")
+      assert(reg.asMap("jkv") == Map("0" -> "zero", "1" -> "one"))
+      // refresh picks up source-table changes (reference: pollPeriod)
+      st.execute("UPDATE kv SET v = 'ONE' WHERE k = '1'")
+      reg.registerFromJdbc(spark, "jkv", url, "kv", "K", "V")
+      assert(reg.asMap("jkv")("1") == "ONE")
+    } finally conn.close()
+  }
+
+  test("LOOKUP() scalar guard rejects oversized lookups") {
+    val reg = new LookupRegistry
+    reg.register("big", (1 to 50).map(i => (i.toString, "v")).toDF("k", "v"))
+    assertThrows[IllegalArgumentException](reg.asMap("big", maxEntries = 10))
+  }
 }
