@@ -180,7 +180,13 @@ object GraftSqlFunctions {
     "ds_get_quantile" -> { args =>
       graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"))
     },
-    "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) }
+    "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) },
+    // DS_TUPLE_DOUBLES_SKETCH(key, v1[, v2, ...]) and its post-ops
+    "ds_tuple_doubles_sketch" -> { args =>
+      graft.plans.TupleSketchAgg(args.head, args.tail).toAggregateExpression()
+    },
+    "ds_tuple_doubles_sketch_estimate" -> { args => graft.plans.TupleEstimate(args(0)) },
+    "ds_tuple_doubles_metrics_sum_estimate" -> { args => graft.plans.TupleMetricsSum(args(0)) }
   )
 
   /** Idempotent per-session registration. */

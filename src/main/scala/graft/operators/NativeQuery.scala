@@ -43,7 +43,7 @@ object NativeQuery {
         TimeseriesQuery(
           timeColumn = timeCol,
           granularity = granularity(q \ "granularity"),
-          filter = filterOpt(q \ "filter").orNull,
+          filter = filterOpt(q \ "filter", prepared.schema).orNull,
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           descending = boolOpt(q \ "descending").getOrElse(false),
@@ -77,7 +77,7 @@ object NativeQuery {
           dimension = dim,
           metric = metricName,
           threshold = int(q \ "threshold"),
-          filter = filterOpt(q \ "filter").orNull,
+          filter = filterOpt(q \ "filter", prepared.schema).orNull,
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
@@ -87,7 +87,7 @@ object NativeQuery {
         val ls = q \ "limitSpec"
         GroupByQuery(
           dimensions = arr(q \ "dimensions").map(dimSpec),
-          filter = filterOpt(q \ "filter").orNull,
+          filter = filterOpt(q \ "filter", prepared.schema).orNull,
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
@@ -115,7 +115,7 @@ object NativeQuery {
       case "scan" =>
         ScanQuery(
           columns = arr(q \ "columns").map { case JString(c) => c; case x => str(x) },
-          filter = filterOpt(q \ "filter").orNull,
+          filter = filterOpt(q \ "filter", prepared.schema).orNull,
           timeColumn = timeCol,
           order = strOpt(q \ "order") match {
             case Some("ascending") => Some(true)
@@ -129,11 +129,11 @@ object NativeQuery {
         SearchQuery(
           searchDimensions = arr(q \ "searchDimensions").map { case JString(c) => c; case x => str(x) },
           matcher = searchMatcher(q \ "query"),
-          filter = filterOpt(q \ "filter").orNull,
+          filter = filterOpt(q \ "filter", prepared.schema).orNull,
           limit = intOpt(q \ "limit")
         ).run(prepared)
       case "timeBoundary" =>
-        TimeBoundaryQuery(timeCol, filterOpt(q \ "filter").orNull,
+        TimeBoundaryQuery(timeCol, filterOpt(q \ "filter", prepared.schema).orNull,
           strOpt(q \ "bound")).run(prepared)
       case "dataSourceMetadata" =>
         DataSourceMetadataQuery(timeCol).run(prepared)
@@ -398,44 +398,59 @@ object NativeQuery {
   }
 
   // ---- filters (§2.4) ----
-  private def filterOpt(j: JValue): Option[Column] = j match {
+  private def filterOpt(j: JValue, schema: org.apache.spark.sql.types.StructType = null): Option[Column] = j match {
     case JNothing | JNull => None
-    case o => Some(filter(o))
+    case o => Some(filter(o, schema))
   }
 
-  private def filter(j: JValue): Column = str(j \ "type") match {
-    case "and" => arr(j \ "fields").map(filter).reduce(_ && _)
-    case "or" => arr(j \ "fields").map(filter).reduce(_ || _)
-    case "not" => !filter(j \ "field")
+  /** Multi-value dimension semantics (SURVEY §1.4, Filter.java:93): a value
+    * filter on an ArrayType column matches when ANY element matches, so the
+    * per-value predicate is wrapped in exists() when the input schema says
+    * the dimension is an array (and no extractionFn intervenes). */
+  private def mvAware(j: JValue, schema: org.apache.spark.sql.types.StructType)(
+      pred: Column => Column): Column = {
+    val name = str(j \ "dimension")
+    val isArray = schema != null && (j \ "extractionFn") == JNothing &&
+      schema.fields.exists(f => f.name == name &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    if (isArray) exists(col(name), pred) else pred(dimWithExtraction(j))
+  }
+
+  private def filter(j: JValue, schema: org.apache.spark.sql.types.StructType = null): Column = str(j \ "type") match {
+    case "and" => arr(j \ "fields").map(filter(_, schema)).reduce(_ && _)
+    case "or" => arr(j \ "fields").map(filter(_, schema)).reduce(_ || _)
+    case "not" => !filter(j \ "field", schema)
     case "selector" =>
-      val c = dimWithExtraction(j)
       (j \ "value") match {
-        case JNull | JNothing => c.isNull
-        case v => c <=> lit(jvalueToAny(v))
+        case JNull | JNothing => mvAware(j, schema)(_.isNull)
+        case v => mvAware(j, schema)(_ <=> lit(jvalueToAny(v)))
       }
-    case "in" => dimWithExtraction(j).isin(arr(j \ "values").map(jvalueToAny): _*)
+    case "in" =>
+      val vs = arr(j \ "values").map(jvalueToAny)
+      mvAware(j, schema)(_.isin(vs: _*))
     case "bound" =>
       // ordering: lexicographic (reference default) / numeric / alphanumeric
       // / version / strlen — both sides compared through the comparator KEY
       // (BoundDimFilter.java:50 + StringComparators), so e.g. version
       // ordering puts "1.2.10" above "1.2.9" instead of silently comparing
       // lexicographically
-      val c0 = dimWithExtraction(j)
       val ordering = strOpt(j \ "ordering").getOrElse("lexicographic")
-      val c = comparatorKey(ordering, c0)
       def boundLit(v: JValue) = comparatorKey(ordering, lit(jvalueToAny(v).toString))
-      val lower = (j \ "lower") match {
-        case JNothing | JNull => None
-        case v => Some(if (boolOpt(j \ "lowerStrict").getOrElse(false)) c > boundLit(v) else c >= boundLit(v))
+      mvAware(j, schema) { c0 =>
+        val c = comparatorKey(ordering, c0)
+        val lower = (j \ "lower") match {
+          case JNothing | JNull => None
+          case v => Some(if (boolOpt(j \ "lowerStrict").getOrElse(false)) c > boundLit(v) else c >= boundLit(v))
+        }
+        val upper = (j \ "upper") match {
+          case JNothing | JNull => None
+          case v => Some(if (boolOpt(j \ "upperStrict").getOrElse(false)) c < boundLit(v) else c <= boundLit(v))
+        }
+        (lower ++ upper).reduce(_ && _)
       }
-      val upper = (j \ "upper") match {
-        case JNothing | JNull => None
-        case v => Some(if (boolOpt(j \ "upperStrict").getOrElse(false)) c < boundLit(v) else c <= boundLit(v))
-      }
-      (lower ++ upper).reduce(_ && _)
-    case "like" => dimWithExtraction(j).like(str(j \ "pattern"))
-    case "regex" => dimWithExtraction(j).rlike(str(j \ "pattern"))
-    case "search" => searchMatcher(j \ "query")(dimWithExtraction(j))
+    case "like" => mvAware(j, schema)(_.like(str(j \ "pattern")))
+    case "regex" => mvAware(j, schema)(_.rlike(str(j \ "pattern")))
+    case "search" => mvAware(j, schema)(searchMatcher(j \ "query"))
     case "interval" =>
       val c = col(str(j \ "dimension"))
       arr(j \ "intervals").map { i =>
@@ -446,6 +461,36 @@ object NativeQuery {
     case "columnComparison" =>
       val ds = arr(j \ "dimensions").map { case JString(d) => col(d); case o => col(str(o \ "dimension")) }
       ds.head === ds(1)
+    // spatial filter (SpatialDimFilter.java): the dimension is an
+    // "x,y"-encoded coordinate (Druid spatial dims join coords with ',');
+    // bounds rectangular / radius / polygon over SpatialFunctions — the
+    // rectangle conjuncts stay min/max-prunable
+    case "spatial" =>
+      val c = col(str(j \ "dimension"))
+      val x = split(c, ",").getItem(0).cast("double")
+      val y = split(c, ",").getItem(1).cast("double")
+      val b = j \ "bound"
+      str(b \ "type") match {
+        case "rectangular" =>
+          val mins = arr(b \ "minCoords").map(dbl)
+          val maxs = arr(b \ "maxCoords").map(dbl)
+          graft.functions.SpatialFunctions.withinRectangle(x, y, mins(0), mins(1), maxs(0), maxs(1))
+        case "radius" =>
+          val cc = arr(b \ "coords").map(dbl)
+          graft.functions.SpatialFunctions.withinRadius(x, y, cc(0), cc(1), dbl(b \ "radius"))
+        case "polygon" =>
+          graft.functions.SpatialFunctions.withinPolygon(x, y,
+            arr(b \ "abscissa").map(dbl), arr(b \ "ordinate").map(dbl))
+        case t => throw new IllegalArgumentException(s"spatial bound: $t")
+      }
+    // bloom filter (extensions-core/druid-bloom-filter BloomDimFilter):
+    // bloomKFilter carries the base64 serialized filter. Documented
+    // deviation: the binary format is Spark's bloom_filter_agg sketch
+    // (BloomFunctions.bloomFilterAgg), not Hive's BloomKFilter — filters
+    // are built and tested within this engine.
+    case "bloom" =>
+      val bytes = java.util.Base64.getDecoder.decode(str(j \ "bloomKFilter"))
+      graft.plans.BloomFunctions.mightContain(lit(bytes), dimWithExtraction(j))
     case "expression" => MathExpr.expr(str(j \ "expression"))
     case "true" => lit(true)
     case "false" => lit(false)
@@ -505,6 +550,13 @@ object NativeQuery {
         Agg(name, approx_count_distinct(if (fields.size == 1) fields.head else concat_ws("", fields: _*)))
       case "thetaSketch" =>
         Agg(name, graft.plans.SketchFunctions.thetaSketch(f))
+      // ArrayOfDoublesSketchAggregatorFactory: fieldName is the key,
+      // metricColumns the carried double metrics, nominalEntries the size
+      case "arrayOfDoublesSketch" =>
+        val metrics = arr(j \ "metricColumns").map { case JString(s) => col(s); case x => col(str(x)) }
+        val lgK = intOpt(j \ "nominalEntries")
+          .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
+        Agg(name, graft.plans.SketchFunctions.tupleSketch(f, metrics, lgK))
       case "filtered" =>
         // FILTER(WHERE) via conditional input (FilteredAggregatorFactory)
         val pred = filter(j \ "filter")

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Union}
+import org.apache.datasketches.tuple.arrayofdoubles.{ArrayOfDoublesCompactSketch, ArrayOfDoublesSetOperationBuilder, ArrayOfDoublesSketches, ArrayOfDoublesUnion, ArrayOfDoublesUpdatableSketch, ArrayOfDoublesUpdatableSketchBuilder}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
@@ -109,6 +110,138 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
   override def prettyName: String = s"theta_sketch_$op"
 }
 
+/** Mutable buffer for the tuple sketch aggregate: rows accumulate into an
+  * updatable sketch; merges fold compacted sketches into a union. flush()
+  * is idempotent, so result()/serialize() can be called safely at any
+  * point of the partial→final lifecycle. */
+final class TupleSketchBuf(numValues: Int, nominal: Int) {
+  private var sketch: ArrayOfDoublesUpdatableSketch = null
+  private var union: ArrayOfDoublesUnion = null
+
+  private def ensureUnion(): Unit =
+    if (union == null)
+      union = new ArrayOfDoublesSetOperationBuilder()
+        .setNumberOfValues(numValues).setNominalEntries(nominal).buildUnion()
+
+  def update(key: Any, values: Array[Double]): Unit = {
+    if (sketch == null)
+      sketch = new ArrayOfDoublesUpdatableSketchBuilder()
+        .setNumberOfValues(numValues).setNominalEntries(nominal).build()
+    key match {
+      case l: Long => sketch.update(l, values)
+      case s: String => sketch.update(s, values)
+      case n: Number => sketch.update(n.longValue(), values)
+      case b: Array[Byte] => sketch.update(b, values)
+      case k => throw new IllegalArgumentException(s"tuple sketch key: ${k.getClass}")
+    }
+  }
+
+  private def flush(): Unit = if (sketch != null) {
+    ensureUnion(); union.union(sketch.compact()); sketch = null
+  }
+
+  def mergeIn(other: TupleSketchBuf): Unit = {
+    flush(); other.flush()
+    if (other.union != null) { ensureUnion(); union.union(other.union.getResult) }
+  }
+
+  def mergeIn(serialized: ArrayOfDoublesCompactSketch): Unit = {
+    flush(); ensureUnion(); union.union(serialized)
+  }
+
+  def result(): ArrayOfDoublesCompactSketch = {
+    flush()
+    if (union != null) union.getResult
+    else new ArrayOfDoublesUpdatableSketchBuilder()
+      .setNumberOfValues(numValues).setNominalEntries(nominal).build().compact()
+  }
+}
+
+/** ArrayOfDoubles tuple sketch (reference: extensions-core/datasketches/
+  * tuple/ArrayOfDoublesSketchModule — distinct-key sketch carrying N double
+  * metrics per retained key, summed on duplicate keys). Exact while
+  * retained keys ≤ nominal 2^lgK; the serialized bytes are the column
+  * value, re-mergeable from rollup tables like every other sketch here. */
+case class TupleSketchAgg(
+    key: Expression,
+    values: Seq[Expression],
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TupleSketchBuf] {
+
+  override def children: Seq[Expression] = key +: values
+
+  override def createAggregationBuffer(): TupleSketchBuf =
+    new TupleSketchBuf(values.size, 1 << lgK)
+
+  override def update(buf: TupleSketchBuf, input: InternalRow): TupleSketchBuf = {
+    val k = key.eval(input)
+    if (k != null) {
+      val vs = values.map { v =>
+        val x = v.eval(input)
+        if (x == null) 0.0 else x.asInstanceOf[Number].doubleValue()
+      }.toArray
+      val keyVal = key.dataType match {
+        case StringType => k.asInstanceOf[UTF8String].toString
+        case _ => k
+      }
+      buf.update(keyVal, vs)
+    }
+    buf
+  }
+
+  override def merge(buf: TupleSketchBuf, other: TupleSketchBuf): TupleSketchBuf = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: TupleSketchBuf): Any = buf.result().toByteArray
+
+  override def serialize(buf: TupleSketchBuf): Array[Byte] = buf.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): TupleSketchBuf = {
+    val b = createAggregationBuffer()
+    b.mergeIn(ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bytes)).compact())
+    b
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): TupleSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TupleSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): TupleSketchAgg =
+    copy(key = cs.head, values = cs.tail)
+  override def prettyName: String = "ds_tuple_sketch"
+}
+
+/** DS_TUPLE_DOUBLES_SKETCH estimate: distinct keys. */
+case class TupleEstimate(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): TupleEstimate = copy(child = c)
+  override def prettyName: String = "ds_tuple_estimate"
+}
+
+/** DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE: per-metric sums over retained
+  * keys, scaled by 1/theta (exact when the sketch never sampled). */
+case class TupleMetricsSum(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    val sums = new Array[Double](sk.getNumValues)
+    val it = sk.iterator()
+    while (it.next()) {
+      val vals = it.getValues
+      var i = 0
+      while (i < vals.length) { sums(i) += vals(i); i += 1 }
+    }
+    val theta = sk.getTheta
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sums.map(_ / theta))
+  }
+  override protected def withNewChildInternal(c: Expression): TupleMetricsSum = copy(child = c)
+  override def prettyName: String = "ds_tuple_metrics_sum"
+}
+
 /** KLL doubles quantile sketch build+merge → serialized sketch bytes.
   * (reference: datasketches/quantiles — DoublesSketch; KLL is the modern
   * equivalent with better accuracy per byte). Exact while n ≤ k. */
@@ -198,6 +331,12 @@ object SketchFunctions {
   def kllQuantile(col: Column, q: Double): Column = c(KllQuantile(e(col), q))
   def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
   def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))
+
+  /** DS_TUPLE_DOUBLES family (ArrayOfDoublesSketchModule). */
+  def tupleSketch(key: Column, values: Seq[Column], lgK: Int = 12): Column =
+    c(TupleSketchAgg(e(key), values.map(e), lgK).toAggregateExpression())
+  def tupleEstimate(col: Column): Column = c(TupleEstimate(e(col)))
+  def tupleMetricsSum(col: Column): Column = c(TupleMetricsSum(e(col)))
 
   /** DS_HLL family — Spark ships DataSketches-backed HLL functions. */
   def hllSketch(col: Column, lgK: Int = 12): Column =

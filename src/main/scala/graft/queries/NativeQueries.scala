@@ -211,6 +211,23 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // multi-value dimension filter semantics through JSON (SURVEY §1.4,
+    // Filter.java:93): a selector on an ArrayType column matches when ANY
+    // element matches — the defining MV-string behavior
+    "native_mv_filter" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "part",
+          "virtualColumns": [{"type": "expression", "name": "toks",
+                              "expression": "string_to_mv(\"p_name\", ' ')"}],
+          "filter": {"type": "selector", "dimension": "toks", "value": "widget"},
+          "dimensions": [{"type": "default", "dimension": "p_brand"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "p_brand"}]}
+        }""", res(s, dir))
+    }),
+
     // zero-fill over the queried interval: reference default emits one row
     // per day in [1995-01-01, 1995-07-01) even when the filter matches
     // nothing that day (count=0, other aggs null). doubleMax (not sum) keeps
@@ -309,6 +326,11 @@ object NativeQueries {
       """SELECT '[' || o_orderpriority || ']' AS prio_fmt,
         |       strftime(o_orderdate, '%Y') AS y, count(*) AS cnt
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "native_mv_filter" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE list_contains(string_split(p_name, ' '), 'widget')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "native_timeseries_zerofill" ->
       """WITH agg AS (

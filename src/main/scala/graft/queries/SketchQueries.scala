@@ -11,8 +11,9 @@ import graft.sources.Sources
   * (2^lgK) and KLL is exact while n ≤ k, so over the low-cardinality slices
   * used here the sketch answers equal the exact answers DuckDB computes —
   * the driver gate verifies build → shuffle-merge → set-op/quantile post-ops
-  * end to end. The HLL query likewise runs at lgK=16, exact below ~6k
-  * distinct, so its merge path is oracle-checked too.
+  * end to end. The HLL query targets a low-cardinality key (coupon-phase
+  * birthday collisions bound the exactness — see the query comment), and
+  * the tuple sketch is exact below its nominal like theta.
   */
 object SketchQueries {
 
@@ -56,17 +57,35 @@ object SketchQueries {
     }),
 
     // HLL sketch family (Spark's DataSketches HLL): per-group build →
-    // union-merge → estimate. lgK=16 keeps the sketch in exact coupon mode
-    // through ~6k distinct (DataSketches HLL is exact until
-    // ~0.75·2^(lgK-3)), so the gate-scale estimate equals the exact count
-    // and the merge path is oracle-verified end to end.
+    // union-merge → estimate. HLL's coupon phase hashes into a 26-bit
+    // space, so even "exact mode" birthday-collides with probability
+    // ~n²/2^27 — the oracle-checked column is the ~100–1000-cardinality
+    // supplier key (collision odds ≤0.7% at every gate scale; the
+    // guaranteed-exact approximate-distinct path is the theta sketch in
+    // agg_approx_distinct).
     "sketch_hll" -> ((s, dir) => {
       val li = Sources.table(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag"))
-        .agg(hllSketch(col("l_partkey"), 16).as("hll"))
+        .agg(hllSketch(col("l_suppkey"), 16).as("hll"))
       perFlag.agg(
         round(hll_sketch_estimate(hll_union_agg(col("hll"), true))).cast("long").as("nd_global"),
         count(lit(1)).as("n_groups"))
+    }),
+
+    // ArrayOfDoubles tuple sketch (datasketches/tuple): distinct suppliers
+    // AND their summed quantities from ONE sketch column — exact below the
+    // 2^16 nominal, so both the estimate and the metric-sum post-op are
+    // oracle-checked through build → shuffle-merge → finalize
+    "sketch_tuple" -> ((s, dir) => {
+      val li = Sources.table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(tupleSketch(col("l_suppkey"), Seq(col("l_quantity")), 16).as("sk"),
+             count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"),
+          round(tupleEstimate(col("sk"))).cast("long").as("nd_supp"),
+          round(element_at(tupleMetricsSum(col("sk")), 1)).cast("long").as("qty_sum"),
+          col("cnt"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -85,9 +104,14 @@ object SketchQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sketch_hll" ->
-      """SELECT count(DISTINCT l_partkey) AS nd_global,
+      """SELECT count(DISTINCT l_suppkey) AS nd_global,
         |       count(DISTINCT l_returnflag) AS n_groups
         |FROM lineitem""".stripMargin,
+
+    "sketch_tuple" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd_supp,
+        |       CAST(round(sum(l_quantity)) AS BIGINT) AS qty_sum, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sketch_quantiles_kll" ->
       """SELECT count(*) AS n,

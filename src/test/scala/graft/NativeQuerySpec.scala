@@ -247,6 +247,49 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(df.map(_.getString(0)).toSeq == Seq("apple", "apricot"))
   }
 
+  test("spatial filter: rectangular, radius and polygon bounds") {
+    val base =
+      """{
+        "queryType": "scan",
+        "dataSource": {"type": "inline", "columnNames": ["id", "loc"],
+          "columnTypes": ["LONG", "STRING"],
+          "rows": [[1, "0.5,0.5"], [2, "2.0,2.0"], [3, "0.9,0.1"], [4, "-1.0,0.5"]]},
+        "columns": ["id"], "timeColumn": "id", "order": "ascending",
+        "filter": %FILTER%
+      }"""
+    def ids(filter: String): Seq[Long] =
+      run(base.replace("%FILTER%", filter)).collect().map(_.getLong(0)).toSeq
+    assert(ids("""{"type": "spatial", "dimension": "loc",
+        "bound": {"type": "rectangular", "minCoords": [0.0, 0.0], "maxCoords": [1.0, 1.0]}}""")
+      == Seq(1L, 3L))
+    assert(ids("""{"type": "spatial", "dimension": "loc",
+        "bound": {"type": "radius", "coords": [0.5, 0.5], "radius": 0.2}}""")
+      == Seq(1L))
+    // triangle (0,0)-(2,0)-(0,2): points 1 and 3 strictly inside (a point
+    // ON an edge is boundary-fuzzy under ray casting, as in the reference)
+    assert(ids("""{"type": "spatial", "dimension": "loc",
+        "bound": {"type": "polygon", "abscissa": [0.0, 2.0, 0.0], "ordinate": [0.0, 0.0, 2.0]}}""")
+      == Seq(1L, 3L))
+  }
+
+  test("bloom filter accepts a base64 serialized filter") {
+    import graft.plans.BloomFunctions
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+    val blm = sup.filter($"s_suppkey" <= 3)
+      .agg(BloomFunctions.bloomFilterAgg($"s_suppkey")).head().getAs[Array[Byte]](0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(blm)
+    val df = run(
+      s"""{
+        "queryType": "scan",
+        "dataSource": "supplier",
+        "columns": ["s_suppkey"], "timeColumn": "s_suppkey", "order": "ascending",
+        "filter": {"type": "bloom", "dimension": "s_suppkey", "bloomKFilter": "$b64"}
+      }""")
+    val keys = df.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(keys))  // no false negatives
+    assert(keys.size < sup.count())         // filters most non-members
+  }
+
   test("math-expr translation: quoting, logical ops, power rejection") {
     import graft.functions.MathExpr
     assert(MathExpr.toSparkSql("\"a\" == 'x' && \"b\" != 1 || !\"c\"") ==

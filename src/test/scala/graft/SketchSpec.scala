@@ -42,6 +42,26 @@ class SketchSpec extends SparkSpecBase {
     assert(row.getSeq[Double](2).head == 0.5)
   }
 
+  test("tuple sketch: distinct keys + per-key metric sums survive merge") {
+    // 4 partitions force partial sketches + shuffle-merge of serialized form
+    val df = (1 to 1000).map(i => (i % 50, 2.0, 3.0)).toDF("k", "v1", "v2")
+      .repartition(4)
+    val row = df.agg(tupleSketch($"k", Seq($"v1", $"v2"), lgK = 12).as("sk"))
+      .select(
+        round(tupleEstimate($"sk")).as("nd"),
+        round(element_at(tupleMetricsSum($"sk"), 1)).as("s1"),
+        round(element_at(tupleMetricsSum($"sk"), 2)).as("s2")).head()
+    assert(row.getDouble(0) == 50.0)   // 50 distinct keys, exact below nominal
+    assert(row.getDouble(1) == 2000.0) // 1000 rows × 2.0 summed across keys
+    assert(row.getDouble(2) == 3000.0)
+    // string keys work too
+    val s = Seq(("a", 1.0), ("a", 1.0), ("b", 5.0)).toDF("k", "v")
+      .agg(tupleSketch($"k", Seq($"v")).as("sk"))
+      .select(round(tupleEstimate($"sk")).as("nd"),
+        round(element_at(tupleMetricsSum($"sk"), 1)).as("s")).head()
+    assert(s.getDouble(0) == 2.0 && s.getDouble(1) == 7.0)
+  }
+
   test("hll sketch union estimates within tolerance") {
     val df = (1 to 10000).map(i => (i % 3, i)).toDF("g", "v")
     val est = df.groupBy("g").agg(hllSketch($"v").as("h"))
