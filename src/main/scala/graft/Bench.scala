@@ -54,7 +54,10 @@ object Bench {
     // column as FLOAT like a Druid float metric column (druid.tex:881)
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("l_quantity", "cast(l_extendedprice as float) as l_extendedprice")
-    val replication = math.max(1, (60000000L / math.max(li0.count(), 1L)).toInt)
+    // size the scan table so a full pass takes ≳1 s at 32 cores — otherwise
+    // the per-job scheduling floor (~0.1 s) dominates and the "rate" measures
+    // latency, not throughput (measured: 60M rows → 4× lower apparent rate)
+    val replication = math.max(1, (240000000L / math.max(li0.count(), 1L)).toInt)
     val scanDir = "/tmp/graft_scan_bench"
     Seq.fill(replication)(li0).reduce(_ union _)
       .repartition(nCores)

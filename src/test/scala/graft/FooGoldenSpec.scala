@@ -127,4 +127,62 @@ class FooGoldenSpec extends SparkSpecBase {
       .run(foo).as[(String, Double)].collect().toSeq
     assert(out == Seq(("abc", 6.0), ("def", 5.0), ("1", 4.0)))
   }
+
+  private def runFoo(json: String) =
+    graft.operators.NativeQuery.run(spark, json, _ => foo)
+
+  test("timeseries zero-fills the gap between sparse days (reference default)") {
+    val out = TimeseriesQuery(granularity = PeriodGranularity("P1D"),
+      aggregations = Seq(Agg("cnt", count(lit(1))), Agg("s", sum($"m1"))))
+      .run(foo).as[(Timestamp, Long, Option[Double])].collect().toSeq
+    // 2000-01-01 .. 2001-01-03 inclusive: 366 (leap 2000) + 3 days
+    assert(out.length == 369)
+    assert(out.count(_._2 > 0) == 6)
+    // a filled bucket: count 0, sum null (sql-compatible aggregator empties)
+    val gap = out.find(_._1 == ts("2000-06-15")).get
+    assert(gap._2 == 0L && gap._3.isEmpty)
+    // skipEmptyBuckets restores the sparse behavior
+    val sparse = TimeseriesQuery(granularity = PeriodGranularity("P1D"),
+      aggregations = Seq(Agg("cnt", count(lit(1)))), skipEmptyBuckets = true)
+      .run(foo).collect()
+    assert(sparse.length == 6)
+  }
+
+  test("dimension topN metric spec: lexicographic vs alphanumeric (DimensionTopNMetricSpec)") {
+    def top3(ordering: String) = runFoo(
+      s"""{
+        "queryType": "topN", "dataSource": "foo",
+        "dimension": "dim1",
+        "metric": {"type": "dimension", "ordering": "$ordering"},
+        "threshold": 3,
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").collect().map(_.getString(0)).toSeq
+    assert(top3("lexicographic") == Seq("", "1", "10.1"))
+    // alphanumeric compares digit runs numerically: 2 < 10.1
+    assert(top3("alphanumeric") == Seq("", "1", "2"))
+  }
+
+  test("JSON selector on an MV dimension matches any element (foo dim3)") {
+    val out = runFoo(
+      """{
+        "queryType": "timeseries", "dataSource": "foo",
+        "granularity": "all",
+        "filter": {"type": "selector", "dimension": "dim3", "value": "b"},
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").head().getLong(0)
+    assert(out == 2L)
+  }
+
+  test("math-expr virtual column with case_searched and nvl over foo") {
+    val out = runFoo(
+      """{
+        "queryType": "groupBy", "dataSource": "foo",
+        "virtualColumns": [{"type": "expression", "name": "bucket",
+          "expression": "case_searched(\"m2\" < 3.0, 'low', nvl(\"dim1\", 'x') == 'def', 'd', 'high')"}],
+        "dimensions": ["bucket"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": ["bucket"]}
+      }""").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("d", 1L), ("high", 3L), ("low", 2L)))
+  }
 }
