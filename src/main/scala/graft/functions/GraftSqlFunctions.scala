@@ -145,7 +145,22 @@ object GraftSqlFunctions {
       ex(DruidFunctions.ipv4Match(col(args(0)), litStr(args(1), "ipv4_match")))
     },
 
+    // TIME_IN_INTERVAL(ts, 'start/end') (TimeInIntervalConversion)
+    "time_in_interval" -> { args =>
+      val Array(a, b) = litStr(args(1), "time_in_interval").split("/")
+      ex(col(args(0)) >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
+        col(args(0)) < lit(b.replace("T", " ")).cast("timestamp_ntz"))
+    },
+
     // --- multi-value strings (MV_*) ---
+    "mv_filter_only" -> { args =>
+      val allowed = args.tail.map(a => litStr(a, "mv_filter_only"))
+      ex(DruidFunctions.mvFilterOnly(col(args(0)), allowed))
+    },
+    "mv_filter_none" -> { args =>
+      val denied = args.tail.map(a => litStr(a, "mv_filter_none"))
+      ex(DruidFunctions.mvFilterNone(col(args(0)), denied))
+    },
     "mv_length" -> { args => ex(DruidFunctions.mvLength(col(args(0)))) },
     "mv_to_string" -> { args =>
       ex(DruidFunctions.mvToString(col(args(0)), litStr(args(1), "mv_to_string")))
@@ -181,6 +196,19 @@ object GraftSqlFunctions {
       graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"))
     },
     "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) },
+    // DS_CDF(sketch, split1, split2, ...) → array of cumulative mass ≤ split
+    "ds_cdf" -> { args =>
+      graft.plans.KllCdf(args(0), args.tail.map(a => litDouble(a, "ds_cdf")))
+    },
+    // DS_HISTOGRAM(sketch, split1, ...) → per-bin mass between splits:
+    // first differences of the CDF (getCDF returns k+1 points, the last
+    // being the total mass 1.0)
+    "ds_histogram" -> { args =>
+      val splits = args.tail.map(a => litDouble(a, "ds_histogram"))
+      val c = CatalystBridge.column(graft.plans.KllCdf(args(0), splits))
+      ex(zip_with(c, concat(array(lit(0.0)), slice(c, 1, splits.size)),
+        (hi, lo) => hi - lo))
+    },
     // DS_TUPLE_DOUBLES_SKETCH(key, v1[, v2, ...]) and its post-ops
     "ds_tuple_doubles_sketch" -> { args =>
       graft.plans.TupleSketchAgg(args.head, args.tail).toAggregateExpression()

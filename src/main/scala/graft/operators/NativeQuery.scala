@@ -12,17 +12,23 @@ import graft.sources.LookupRegistry
   *
   * `NativeQuery.run(spark, json, resolver)` parses a Druid-style native query
   * object and compiles it through the typed DSL to a DataFrame — so a user
-  * of the reference can submit the same JSON queries. Covered: timeseries,
-  * topN, groupBy, scan, search, timeBoundary, dataSourceMetadata; datasource
-  * types table/union/query/join/inline; the §2.4 filter surface; the core
-  * §2.6 aggregators; arithmetic/fieldAccess/constant post-aggregators;
-  * default/extraction dimension specs (substring/upper/lower/strlen/
-  * timeFormat/bucket extraction fns); period granularities with origin.
+  * of the reference can submit the same JSON queries. Covered: timeseries
+  * (zero-filled by default, skipEmptyBuckets context flag), topN (numeric/
+  * dimension/inverted metric specs with StringComparator orderings),
+  * groupBy (limitSpec dimensionOrder comparators, subtotals), scan, search,
+  * timeBoundary, segmentMetadata, dataSourceMetadata; datasource types
+  * table/union/query/join (AND-of-equi-conditions)/lookup/inline (typed)/
+  * globalTable; the §2.4 filter surface incl. bound orderings, fragment
+  * search specs, spatial and bloom filters, and any-element matching on
+  * multi-value (ArrayType) dimensions; the §2.6 aggregators incl. sketches
+  * and stringFirst/Last maxStringBytes; arithmetic/fieldAccess/constant/
+  * expression post-aggregators; the §2.7 extraction-fn surface; period
+  * granularities with origin.
   *
-  * Extensions beyond the reference's JSON (documented): `timeColumn` names
-  * the event-time column when it is not `__time`; `virtualColumns`
-  * expressions use Spark SQL syntax (the Druid math-expr dialect is largely
-  * the same surface — see GraftSqlFunctions for the registered names).
+  * JSON `expression` strings (virtualColumns, expression filters/aggs/
+  * post-aggs) accept the Druid math-expr dialect verbatim via
+  * [[graft.functions.MathExpr]]; `timeColumn` (an extension) names the
+  * event-time column when it is not `__time`.
   */
 object NativeQuery {
 

@@ -61,6 +61,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(med == 16.0)
   }
 
+  test("math-expr dialect names, intervals and MV filters via SQL") {
+    assert(one[java.sql.Timestamp]("TIMESTAMP_FLOOR(TIMESTAMP '2024-03-15 13:47:31', 'P1D')")
+      == java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))
+    assert(one[String]("CASE_SEARCHED(1 > 2, 'a', 1 < 2, 'b', 'c')") == "b")
+    assert(one[String]("CASE_SIMPLE('x', 'y', 'was-y', 'x', 'was-x', 'other')") == "was-x")
+    assert(one[Boolean]("TIME_IN_INTERVAL(TIMESTAMP '2024-06-15 12:00:00', '2024-06-01T00:00:00/2024-07-01T00:00:00')"))
+    assert(!one[Boolean]("TIME_IN_INTERVAL(TIMESTAMP '2024-07-01 00:00:00', '2024-06-01T00:00:00/2024-07-01T00:00:00')"))
+    assert(one[scala.collection.Seq[String]]("MV_FILTER_ONLY(ARRAY('a','b','c'), 'a', 'c')").toSeq == Seq("a", "c"))
+    assert(one[scala.collection.Seq[String]]("MV_FILTER_NONE(ARRAY('a','b','c'), 'b')").toSeq == Seq("a", "c"))
+  }
+
+  test("DS_CDF and DS_HISTOGRAM post-ops via SQL") {
+    GraftSqlFunctions.register(spark)
+    // 1..100 → mass ≤25 is 0.25, ≤75 is 0.75; bins [≤25, 25–75, >75]
+    spark.range(1, 101).createOrReplaceTempView("graft_r")
+    val row = spark.sql("""
+      SELECT DS_CDF(sk, 25.5, 75.5) AS cdf, DS_HISTOGRAM(sk, 25.5, 75.5) AS hist
+      FROM (SELECT DS_QUANTILES_SKETCH(CAST(id AS DOUBLE), 200) AS sk FROM graft_r)""").head()
+    val cdf = row.getSeq[Double](0)
+    val hist = row.getSeq[Double](1)
+    assert(cdf.map(x => math.round(x * 100).toInt) == Seq(25, 75, 100))
+    assert(hist.map(x => math.round(x * 100).toInt) == Seq(25, 50, 25))
+  }
+
   test("text pipeline functions via SQL") {
     assert(one[Int]("TOKEN_COUNT('  the quick   brown fox ')") == 4)
     assert(one[String]("LANG_ID('the cat of the house and the dog')") == "en")
