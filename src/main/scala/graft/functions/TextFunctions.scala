@@ -45,34 +45,51 @@ object TextFunctions {
   def contentFingerprint(c: Column): Column =
     hexLong60(lower(normalizeWs(c)))
 
+  /** PERFORMANCE TRAP shared by every shingle/sliding-window helper below:
+    * a higher-order lambda re-evaluates any non-attribute subtree it
+    * references once PER ELEMENT, so inlining `tokens(text)` /
+    * `normalizeWs(text)` into the window lambda costs O(n²) tokenization
+    * (measured 5–6× slower on the corpus at sf0.1). At scale, always
+    * materialize the token/normalized column in a prior projection and call
+    * the `...OfTokens` / `...OfNormalized` variant on that attribute — the
+    * `(text)`-taking wrappers exist for small/ad-hoc use only.
+    */
+
+  /** Rolling-hash fingerprint over a PRE-MATERIALIZED normalized column. */
+  def rollingMinHashOfNormalized(n: Column, k: Int = 8): Column =
+    when(length(n) >= k,
+      array_min(transform(charShinglesOfNormalized(n, k), g => hexLong60(g))))
+
   /** Rolling-hash-style content fingerprint: minimum 60-bit hash over
     * character k-grams (a 1-perm minhash — robust to small edits;
     * winnowing's "record the minimum" step). Null when text shorter than k.
+    * See the trap note above: prefer [[rollingMinHashOfNormalized]].
     */
-  def rollingMinHash(c: Column, k: Int = 8): Column = {
-    val n = normalizeWs(c)
-    val grams = charShingles(c, k)
-    when(length(n) >= k, array_min(transform(grams, g => hexLong60(g))))
-  }
+  def rollingMinHash(c: Column, k: Int = 8): Column =
+    rollingMinHashOfNormalized(normalizeWs(c), k)
 
-  /** Character k-gram shingles of the normalized text (empty array when
-    * shorter than k). */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalizeWs(c)
+  /** Character k-gram shingles over a PRE-MATERIALIZED normalized column. */
+  def charShinglesOfNormalized(n: Column, k: Int): Column =
     when(length(n) >= k,
       transform(sequence(lit(1), length(n) - (k - 1)), i => n.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Word k-gram shingles (space-joined); empty array when fewer than k
-    * tokens. The unit of MinHash/Jaccard dedup. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val t = tokens(c)
+  /** Character k-gram shingles of the normalized text (empty array when
+    * shorter than k). See the trap note above. */
+  def charShingles(c: Column, k: Int): Column =
+    charShinglesOfNormalized(normalizeWs(c), k)
+
+  /** Word k-gram shingles over a PRE-MATERIALIZED token-array column. */
+  def wordShinglesOfTokens(t: Column, k: Int): Column =
     when(size(t) >= k,
       array_distinct(transform(sequence(lit(1), size(t) - (k - 1)),
         i => concat_ws(" ", slice(t, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word k-gram shingles (space-joined); empty array when fewer than k
+    * tokens. The unit of MinHash/Jaccard dedup. See the trap note above. */
+  def wordShingles(c: Column, k: Int): Column =
+    wordShinglesOfTokens(tokens(c), k)
 
   // --- language ID (stopword/character heuristic) ---
   private def markerCount(c: Column, words: Seq[String]): Column =

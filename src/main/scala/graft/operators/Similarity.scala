@@ -44,9 +44,13 @@ object Similarity {
     // single HashAggregate (map-side combined). Higher-order array functions
     // are interpreted per element and (via CollapseProject inlining)
     // re-evaluate the hashing once per permutation — measured >10x slower.
+    // tokens materialized BEFORE the shingle lambda — a lambda re-evaluates
+    // non-attribute subtrees per element (O(tokens²) tokenization otherwise;
+    // 6.5× measured at sf0.1)
     val exploded = df
-      .select(col(idCol).as("id"),
-        explode(TF.wordShingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
       .withColumn("h", TF.hexLong32(col("shingle")))
     val minCols = (0 until sigLen).map { i =>
       val (a, b) = SF.minhashCoef(i)
@@ -83,9 +87,12 @@ object Similarity {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    // cached: read by the self-join twice plus the sizes branch (3 consumers)
-    val sh = df.select(col(idCol).as("id"),
-        explode(TF.wordShingles(col(textCol), shingleSize)).as("shingle"))
+    // cached: read by the self-join twice plus the sizes branch (3 consumers);
+    // tokens hoisted ahead of the shingle lambda (see minhashPairs)
+    val sh = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
       .withColumn("sh", TF.hexLong60(col("shingle"))).drop("shingle")
       .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
@@ -106,8 +113,9 @@ object Similarity {
     * ≤1 exactly; distance ≤k generalizes by multi-probe). Here: exact match
     * + 1-bit probes. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      SF.simhash16(TF.tokens(col(textCol))).as("simhash"))
+    val sh = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), SF.simhash16(col("__toks")).as("simhash"))
       .cache() // consumed by the probe side and the build side
     val probes = sh.select(col("id"), col("simhash"),
       explode(array(lit(-1) +: (0 until 16).map(lit(_)): _*)).as("bit"))

@@ -76,11 +76,13 @@ object PipelineQueries {
     }),
 
     // content fingerprints: whitespace/case-robust hash + rolling minhash
+    // (normalized text hoisted ahead of the char-gram lambda — 5× at sf0.1)
     "text_fingerprint" -> ((s, dir) => {
       Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TF.normalizeWs(col("text")).as("__norm"))
         .select(col("doc_id"),
           TF.contentFingerprint(col("text")).as("fp"),
-          TF.rollingMinHash(col("text"), 8).as("rolling_fp"))
+          TF.rollingMinHashOfNormalized(col("__norm"), 8).as("rolling_fp"))
         .orderBy(col("doc_id")).limit(200)
     }),
 
@@ -102,7 +104,8 @@ object PipelineQueries {
       // .minhashPairs for why array-lambda signatures are slow)
       val exploded = Sources.table(s, dir, "documents")
         .filter(TF.tokenCount(col("text")) >= 5)
-        .select(col("doc_id"), explode(TF.wordShingles(col("text"), 5)).as("shingle"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(TF.wordShinglesOfTokens(col("__toks"), 5)).as("shingle"))
         .withColumn("h", TF.hexLong32(col("shingle")))
       val minCols = (0 until 8).map { i =>
         val (a, b) = SF.minhashCoef(i)
@@ -120,10 +123,11 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // 16-bit simhash per document
+    // 16-bit simhash per document (tokens hoisted ahead of the vote lambda)
     "dedup_simhash" -> ((s, dir) => {
       Sources.table(s, dir, "documents")
-        .select(col("doc_id"), SF.simhash16(TF.tokens(col("text"))).as("simhash"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), SF.simhash16(col("__toks")).as("simhash"))
         .orderBy(col("doc_id")).limit(200)
     }),
 
