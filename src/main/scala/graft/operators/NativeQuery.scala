@@ -144,7 +144,15 @@ object NativeQuery {
       case "dataSourceMetadata" =>
         DataSourceMetadataQuery(timeCol).run(prepared)
       case "segmentMetadata" =>
-        SegmentMetadataQuery(exact = true).run(prepared)
+        val analyses = (q \ "analysisTypes") match {
+          case JArray(as) =>
+            // base analyses always run; minmax/size opt-in (AnalysisType enum)
+            Set("cardinality", "nulls") ++ as.map {
+              case JString(s) => s; case x => str(x)
+            }
+          case _ => Set("cardinality", "nulls")
+        }
+        SegmentMetadataQuery(exact = true, analysisTypes = analyses).run(prepared)
       case t => throw new IllegalArgumentException(s"unsupported queryType: $t")
     }
   }
@@ -625,6 +633,9 @@ object NativeQuery {
     case "greaterThan" => col(str(j \ "aggregation")) > dbl(j \ "value")
     case "lessThan" => col(str(j \ "aggregation")) < dbl(j \ "value")
     case "equalTo" => col(str(j \ "aggregation")) === dbl(j \ "value")
+    // dimSelector having (DimensionSelectorHavingSpec): filter output rows
+    // on a dimension value
+    case "dimSelector" => col(str(j \ "dimension")) <=> lit(jvalueToAny(j \ "value"))
     case "and" => arr(j \ "havingSpecs").map(having).reduce(_ && _)
     case "or" => arr(j \ "havingSpecs").map(having).reduce(_ || _)
     case "not" => !having(j \ "havingSpec")

@@ -290,6 +290,24 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(keys.size < sup.count())         // filters most non-members
   }
 
+  test("segmentMetadata analysisTypes and dimSelector having via JSON") {
+    val meta = run(
+      """{
+        "queryType": "segmentMetadata", "dataSource": "region",
+        "analysisTypes": ["minmax", "size"]
+      }""")
+    assert(meta.columns.contains("minValue") && meta.columns.contains("size_bytes"))
+    assert(meta.count() == 2) // region: r_regionkey, r_name
+    val hv = run(
+      """{
+        "queryType": "groupBy", "dataSource": "orders",
+        "dimensions": ["o_orderpriority"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "having": {"type": "dimSelector", "dimension": "o_orderpriority", "value": "1-URGENT"}
+      }""").collect()
+    assert(hv.length == 1 && hv.head.getString(0) == "1-URGENT")
+  }
+
   test("math-expr translation: quoting, logical ops, power rejection") {
     import graft.functions.MathExpr
     assert(MathExpr.toSparkSql("\"a\" == 'x' && \"b\" != 1 || !\"c\"") ==
