@@ -179,6 +179,29 @@ object GraftSqlFunctions {
     "quality_score" -> { args => ex(TextFunctions.qualityScore(col(args(0)))) },
     "content_fingerprint" -> { args => ex(TextFunctions.contentFingerprint(col(args(0)))) },
 
+    // --- SQL aggregates over native aggs (sql/.../aggregation/builtin) ---
+    // EARLIEST(value, timeCol) / LATEST(value, timeCol): Druid SQL binds the
+    // time column implicitly to __time; here it is explicit (no ambient
+    // table context inside a FunctionRegistry builder)
+    "earliest" -> { args => ex(min_by(col(args(0)), col(args(1)))) },
+    "latest" -> { args => ex(max_by(col(args(0)), col(args(1)))) },
+    "earliest_by" -> { args => ex(min_by(col(args(0)), col(args(1)))) },
+    "latest_by" -> { args => ex(max_by(col(args(0)), col(args(1)))) },
+    // APPROX_QUANTILE(col, p[, k]) (extensions-core/histogram SQL fn) →
+    // percentile_approx with accuracy from k
+    "approx_quantile" -> { args =>
+      val acc = if (args.size > 2) litInt(args(2), "approx_quantile") else 10000
+      ex(percentile_approx(col(args(0)), lit(litDouble(args(1), "approx_quantile")), lit(acc)))
+    },
+    // BLOOM_FILTER(col[, expectedItems]) / BLOOM_FILTER_TEST(col, filterCol)
+    "bloom_filter" -> { args =>
+      val n = if (args.size > 1) litInt(args(1), "bloom_filter").toLong else 100000L
+      ex(graft.plans.BloomFunctions.bloomFilterAgg(col(args(0)), n))
+    },
+    "bloom_filter_test" -> { args =>
+      ex(graft.plans.BloomFunctions.mightContain(col(args(1)), col(args(0))))
+    },
+
     // --- sketches (DS_* family) ---
     "theta_sketch" -> { args =>
       val lgK = if (args.size > 1) litInt(args(1), "theta_sketch") else 12

@@ -85,6 +85,29 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(hist.map(x => math.round(x * 100).toInt) == Seq(25, 50, 25))
   }
 
+  test("EARLIEST/LATEST, APPROX_QUANTILE and BLOOM_FILTER via SQL") {
+    GraftSqlFunctions.register(spark)
+    spark.sql("""
+      SELECT g, CAST(v AS DOUBLE) AS v, ts
+      FROM VALUES (1, 10.0, TIMESTAMP '2024-01-01 00:00:00'),
+                  (1, 20.0, TIMESTAMP '2024-01-02 00:00:00'),
+                  (2, 30.0, TIMESTAMP '2024-01-01 00:00:00')
+      AS t(g, v, ts)""").createOrReplaceTempView("graft_el")
+    val r = spark.sql("""
+      SELECT g, EARLIEST(v, ts) AS e, LATEST(v, ts) AS l,
+             APPROX_QUANTILE(v, 0.5) AS med
+      FROM graft_el GROUP BY g ORDER BY g""").collect()
+    assert(r(0).getDouble(1) == 10.0 && r(0).getDouble(2) == 20.0)
+    assert(r(1).getDouble(1) == 30.0 && r(1).getDouble(2) == 30.0)
+    assert(r(0).getDouble(3) == 10.0 || r(0).getDouble(3) == 20.0)
+    spark.range(0, 100).createOrReplaceTempView("graft_bf")
+    val hits = spark.sql("""
+      SELECT count(*) FROM graft_bf
+      WHERE BLOOM_FILTER_TEST(id,
+        (SELECT BLOOM_FILTER(id, 1000) FROM graft_bf WHERE id < 10))""").head().getLong(0)
+    assert(hits >= 10 && hits < 100) // no false negatives, mostly filtered
+  }
+
   test("text pipeline functions via SQL") {
     assert(one[Int]("TOKEN_COUNT('  the quick   brown fox ')") == 4)
     assert(one[String]("LANG_ID('the cat of the house and the dog')") == "en")
