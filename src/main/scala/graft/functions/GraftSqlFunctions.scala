@@ -183,6 +183,9 @@ object GraftSqlFunctions {
     // EARLIEST(value, timeCol) / LATEST(value, timeCol): Druid SQL binds the
     // time column implicitly to __time; here it is explicit (no ambient
     // table context inside a FunctionRegistry builder)
+    // SUM0 (SumZeroSqlAggregator): sum that yields 0, not null, on empty
+    // (coalesce type-coerces the zero literal during analysis)
+    "sum0" -> { args => ex(coalesce(sum(col(args(0))), lit(0))) },
     "earliest" -> { args => ex(min_by(col(args(0)), col(args(1)))) },
     "latest" -> { args => ex(max_by(col(args(0)), col(args(1)))) },
     "earliest_by" -> { args => ex(min_by(col(args(0)), col(args(1)))) },

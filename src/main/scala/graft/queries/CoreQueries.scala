@@ -139,6 +139,21 @@ object CoreQueries {
       SegmentMetadataQuery(exact = true).run(Sources.table(s, dir, "orders"))
     }),
 
+    // --- Druid SQL aggregate names end-to-end (EarliestLatestAnySqlAggregator,
+    // SumZeroSqlAggregator): EARLIEST/LATEST with the unique supplier key as
+    // the ordering column (deterministic), SUM0 non-null on any slice ---
+    "sql_agg_names" -> ((s, dir) => {
+      graft.functions.GraftSqlFunctions.register(s)
+      Sources.table(s, dir, "supplier").createOrReplaceTempView("graft_supplier2")
+      s.sql("""
+        SELECT s_nationkey,
+               EARLIEST(s_acctbal, s_suppkey) AS first_bal,
+               LATEST(s_acctbal, s_suppkey) AS last_bal,
+               CAST(SUM0(s_suppkey) AS BIGINT) AS key_sum,
+               count(*) AS cnt
+        FROM graft_supplier2 GROUP BY 1 ORDER BY 1""")
+    }),
+
     // --- segmentMetadata analysis types beyond cardinality/nulls
     // (SegmentMetadataQuery.java:50 AnalysisType): minmax + size over
     // render-stable columns (strings + longs; doubles/timestamps render
@@ -244,6 +259,12 @@ object CoreQueries {
         |  UNION ALL SELECT 'o_orderpriority', 'string', count(DISTINCT o_orderpriority),
         |         count(*) - count(o_orderpriority), count(*) FROM orders
         |) ORDER BY "column"""".stripMargin,
+
+    "sql_agg_names" ->
+      """SELECT s_nationkey, arg_min(s_acctbal, s_suppkey) AS first_bal,
+        |       arg_max(s_acctbal, s_suppkey) AS last_bal,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum, count(*) AS cnt
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "segment_metadata_full" -> {
       def one(c: String, t: String) =

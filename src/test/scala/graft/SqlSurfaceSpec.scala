@@ -93,6 +93,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
                   (1, 20.0, TIMESTAMP '2024-01-02 00:00:00'),
                   (2, 30.0, TIMESTAMP '2024-01-01 00:00:00')
       AS t(g, v, ts)""").createOrReplaceTempView("graft_el")
+    assert(spark.sql("SELECT SUM0(v) FROM graft_el WHERE g = 99").head().getDouble(0) == 0.0)
     val r = spark.sql("""
       SELECT g, EARLIEST(v, ts) AS e, LATEST(v, ts) AS l,
              APPROX_QUANTILE(v, 0.5) AS med
