@@ -30,7 +30,10 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize through a noop sink, not count(): under count Catalyst
+      // prunes scan projections, which flatters scan-type queries
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
@@ -57,7 +60,9 @@ object Bench {
     // size the scan table so a full pass takes ≳1 s at 32 cores — otherwise
     // the per-job scheduling floor (~0.1 s) dominates and the "rate" measures
     // latency, not throughput (measured: 60M rows → 4× lower apparent rate)
-    val replication = math.max(1, (240000000L / math.max(li0.count(), 1L)).toInt)
+    // capped: at tiny SFs an uncapped factor would build a 40000-way union
+    // plan (the yardstick only matters at sf0.1, where the factor is ~4)
+    val replication = math.min(64, math.max(1, (240000000L / math.max(li0.count(), 1L)).toInt))
     val scanDir = "/tmp/graft_scan_bench"
     Seq.fill(replication)(li0).reduce(_ union _)
       .repartition(nCores)

@@ -240,7 +240,20 @@ object GraftSqlFunctions {
       graft.plans.TupleSketchAgg(args.head, args.tail).toAggregateExpression()
     },
     "ds_tuple_doubles_sketch_estimate" -> { args => graft.plans.TupleEstimate(args(0)) },
-    "ds_tuple_doubles_metrics_sum_estimate" -> { args => graft.plans.TupleMetricsSum(args(0)) }
+    "ds_tuple_doubles_metrics_sum_estimate" -> { args => graft.plans.TupleMetricsSum(args(0)) },
+
+    // hyper_unique expression-macro family (processing/.../query/expression/
+    // HyperUniqueExpressions.java:44-260): per-row HLL collector create /
+    // add(value, sketch) / estimate — usable from math-expr virtual columns
+    // and the expression-lambda aggregator's initialValue/fold/finalize.
+    "hyper_unique" -> { args =>
+      graft.plans.HllCreateExpr(if (args.nonEmpty) litInt(args(0), "hyper_unique") else 12)
+    },
+    "hyper_unique_add" -> { args => graft.plans.HllAddExpr(args(0), args(1)) },
+    "hyper_unique_estimate" -> { args => graft.plans.HllEstimateExpr(args(0)) },
+
+    // KLL quantile-sketch post-ops needed by JSON post-aggs and SQL alike
+    "ds_quantiles_n" -> { args => graft.plans.KllN(args(0)) }
   )
 
   /** Idempotent per-session registration. */

@@ -58,3 +58,54 @@ object MathExpr {
     */
   def expr(e: String): Column = org.apache.spark.sql.functions.expr(toSparkSql(e))
 }
+
+/** ExpressionLambdaAggregatorFactory lifecycle (reference: processing/.../
+  * aggregation/ExpressionLambdaAggregatorFactory.java:103-125 — JSON fields
+  * `fields`, `accumulatorIdentifier` (default "__acc"), `initialValue`,
+  * `fold`, `combine`, `finalize`, all math-expr strings).
+  *
+  * Spark-first compilation: the per-row fold becomes a higher-order
+  * `aggregate(collect_list(struct(fields)), init, (acc, row) -> fold)` —
+  * the fold/finalize math-expr strings are parsed by [[MathExpr]] and their
+  * identifier references substituted at the Catalyst level (accumulator id →
+  * the lambda's acc variable, field names → row-struct extraction).
+  * `combine` is accepted but not separately executed: folding the complete
+  * collected list is equivalent whenever (initialValue, fold, combine) form
+  * the fold monoid the reference requires of this aggregator.
+  */
+object ExpressionLambda {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.graftbridge.CatalystBridge
+
+  private def substitute(template: Column, binds: Map[String, Column]): Column =
+    CatalystBridge.column(CatalystBridge.expression(template).transformUp {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 && binds.contains(ua.nameParts.head) =>
+        CatalystBridge.expression(binds(ua.nameParts.head))
+    })
+
+  /** Type the initial accumulator like the reference's math-expr literals:
+    * integral text is a Druid LONG, decimal text a DOUBLE; anything else
+    * (e.g. `hyper_unique()`) is compiled as-is. */
+  private def initColumn(init: String): Column = {
+    val t = init.trim
+    if (t.matches("-?\\d+")) MathExpr.expr(t).cast("long")
+    else if (t.matches("-?\\d*\\.\\d+([eE]-?\\d+)?")) MathExpr.expr(t).cast("double")
+    else MathExpr.expr(t)
+  }
+
+  def fold(fields: Seq[String], accumulatorId: String, initialValue: String,
+      foldExpr: String, finalizeExpr: Option[String]): Column = {
+    require(fields.nonEmpty, "expression lambda aggregator needs at least one field")
+    val rows = collect_list(struct(fields.map(f => org.apache.spark.sql.functions.col(f).as(f)): _*))
+    val foldTemplate = MathExpr.expr(foldExpr)
+    val agg = aggregate(rows, initColumn(initialValue), (acc, row) =>
+      substitute(foldTemplate,
+        fields.map(f => f -> row.getField(f)).toMap + (accumulatorId -> acc)))
+    finalizeExpr.fold(agg) { fin =>
+      // finalize references the accumulator as `o` (reference: the factory's
+      // FINALIZE_IDENTIFIER)
+      substitute(MathExpr.expr(fin), Map("o" -> agg))
+    }
+  }
+}

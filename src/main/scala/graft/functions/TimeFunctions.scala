@@ -124,7 +124,8 @@ object TimeFunctions {
   def timeParse(s: Column, fmt: String): Column = to_timestamp(s, fmt)
   def timeFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
 
-  /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin). */
+  /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin).
+    * tz-naive columns are cast first (identity under the UTC session TZ). */
   def millisToTimestamp(c: Column): Column = timestamp_millis(c)
-  def timestampToMillis(c: Column): Column = unix_millis(c)
+  def timestampToMillis(c: Column): Column = millisOf(c)
 }

@@ -44,6 +44,7 @@ object NativeQuery {
     val ds = dataSource(spark, q \ "dataSource", resolve, lookups)
     val timeCol = strOpt(q \ "timeColumn").getOrElse("__time")
     val prepared = applyVirtualColumns(applyIntervals(ds, q \ "intervals", timeCol), q \ "virtualColumns")
+    val finalizeAggs = aggFinalizers(q \ "aggregations")
     str(q \ "queryType") match {
       case "timeseries" =>
         TimeseriesQuery(
@@ -59,7 +60,7 @@ object NativeQuery {
           // (TimeseriesQueryEngine.java:131,210)
           skipEmptyBuckets = (q \ "context" \ "skipEmptyBuckets") == JBool(true),
           fillIntervals = parseIntervals(q \ "intervals")
-        ).run(prepared)
+        ).run(prepared).transform(finalizeAggs)
       case "topN" =>
         val dim = dimSpec(q \ "dimension")
         // metric specs (query/topn/TopNMetricSpec.java): numeric (default
@@ -88,7 +89,7 @@ object NativeQuery {
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
           sortKey = sortKey
-        ).run(prepared)
+        ).run(prepared).transform(finalizeAggs)
       case "groupBy" =>
         val ls = q \ "limitSpec"
         GroupByQuery(
@@ -117,7 +118,7 @@ object NativeQuery {
             case JArray(sets) => sets.map(s => arr(s).map { case JString(d) => d; case x => str(x) })
             case _ => null
           }
-        ).run(prepared)
+        ).run(prepared).transform(finalizeAggs)
       case "scan" =>
         ScanQuery(
           columns = arr(q \ "columns").map { case JString(c) => c; case x => str(x) },
@@ -466,11 +467,24 @@ object NativeQuery {
     case "regex" => mvAware(j, schema)(_.rlike(str(j \ "pattern")))
     case "search" => mvAware(j, schema)(searchMatcher(j \ "query"))
     case "interval" =>
-      val c = col(str(j \ "dimension"))
+      // the reference applies interval filters to __time AND to plain LONG
+      // millis columns (IntervalDimFilter.java — bounds become long range
+      // filters); branch on the column's schema type so a long column
+      // compares against epoch-millis bounds instead of a timestamp literal
+      val dimName = str(j \ "dimension")
+      val c = col(dimName)
+      val isIntegral = schema != null && schema.fields.exists(fld =>
+        fld.name == dimName && (fld.dataType match {
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+          case _ => false
+        }))
       arr(j \ "intervals").map { i =>
         val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-        c >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
-          c < lit(b.replace("T", " ")).cast("timestamp_ntz")
+        if (isIntegral)
+          c >= lit(isoToMillis(a)) && c < lit(isoToMillis(b))
+        else
+          c >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
+            c < lit(b.replace("T", " ")).cast("timestamp_ntz")
       }.reduce(_ || _)
     case "columnComparison" =>
       val ds = arr(j \ "dimensions").map { case JString(d) => col(d); case o => col(str(o \ "dimension")) }
@@ -519,6 +533,42 @@ object NativeQuery {
     }
   }
 
+  /** Output-time finalization of sketch-typed aggregators, matching the
+    * reference's AggregatorFactory.finalizeComputation contract: post-aggs
+    * see the raw sketch column, but the query OUTPUT carries the finalized
+    * value — theta → estimate (SketchMergeAggregatorFactory.java:125-131,
+    * unless shouldFinalize=false), quantiles sketch → stream length n
+    * (DoublesSketchAggregatorFactory.java:354-357), HLL → estimate with
+    * optional round (HllSketchAggregatorFactory.java:180-190), tuple sketch
+    * → distinct-key estimate. */
+  private def aggFinalizers(j: JValue): DataFrame => DataFrame = {
+    import graft.plans.SketchFunctions
+    val fs: Seq[(String, Column => Column)] = arr(j).flatMap { a0 =>
+      // a filtered wrapper finalizes like its inner aggregator
+      val a = if (strOpt(a0 \ "type").contains("filtered")) a0 \ "aggregator" else a0
+      (strOpt(a0 \ "name") orElse strOpt(a \ "name")).toSeq.flatMap { name =>
+        strOpt(a \ "type") match {
+          case Some("thetaSketch") if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
+            Seq(name -> ((c: Column) => SketchFunctions.thetaEstimate(c)))
+          case Some("arrayOfDoublesSketch") =>
+            Seq(name -> ((c: Column) => SketchFunctions.tupleEstimate(c)))
+          case Some("quantilesDoublesSketch" | "quantilesDoublesSketchMerge") =>
+            Seq(name -> ((c: Column) => SketchFunctions.kllN(c)))
+          case Some("HLLSketchBuild" | "HLLSketchMerge") =>
+            val doRound = boolOpt(a \ "round").getOrElse(false)
+            Seq(name -> ((c: Column) => {
+              val e = hll_sketch_estimate(c)
+              if (doRound) e else e.cast("double")
+            }))
+          case _ => Nil
+        }
+      }
+    }
+    df => fs.foldLeft(df) { case (d, (n, f)) =>
+      if (d.columns.contains(n)) d.withColumn(n, f(col(n))) else d
+    }
+  }
+
   // ---- aggregations (§2.6) ----
   private def aggregations(j: JValue, timeCol: String): Seq[Agg] = j match {
     case JNothing | JNull => Seq(Agg("count", count(lit(1))))
@@ -556,14 +606,72 @@ object NativeQuery {
         Agg(name, max_by(substring(f.cast("string"), 1, n),
           col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longAny" | "doubleAny" | "floatAny" | "stringAny" => Agg(name, any_value(f))
+      // cardinality (CardinalityAggregatorFactory.java:110-128): byRow=false
+      // (the default, "byValue") counts distinct over the UNION of the
+      // fields' values; byRow=true counts distinct value tuples. Both ride
+      // exactness-tunable theta sketches (values hashed as strings, like the
+      // reference's String-based CardinalityAggregator); `round` finalizes
+      // to a long, else the estimate stays a double per the reference.
       case "cardinality" | "hyperUnique" =>
+        import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate, thetaUnion}
         val fields = (j \ "fields") match {
-          case JArray(fs) => fs.map { case JString(s) => col(s); case o => col(str(o)) }
+          case JArray(fs) => fs.map(dimSpec(_).col)
           case _ => Seq(f)
         }
-        Agg(name, approx_count_distinct(if (fields.size == 1) fields.head else concat_ws("", fields: _*)))
+        val byRow = boolOpt(j \ "byRow").getOrElse(false)
+        val est =
+          if (fields.size == 1) thetaEstimate(thetaSketch(fields.head.cast("string"), 18))
+          else if (byRow)
+            thetaEstimate(thetaSketch(concat_ws("", fields.map(_.cast("string")): _*), 18))
+          else thetaEstimate(fields.map(c => thetaSketch(c.cast("string"), 18)).reduce(thetaUnion))
+        Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
-        Agg(name, graft.plans.SketchFunctions.thetaSketch(f))
+        val lgK = intOpt(j \ "size")
+          .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
+        Agg(name, graft.plans.SketchFunctions.thetaSketch(f, lgK))
+      // quantiles sketch (DoublesSketchModule.java:46 "quantilesDoublesSketch";
+      // the KLL family is this engine's quantile sketch — exact while n ≤ k)
+      case "quantilesDoublesSketch" | "quantilesDoublesSketchMerge" =>
+        Agg(name, graft.plans.SketchFunctions.kllSketch(f, intOpt(j \ "k").getOrElse(128)))
+      // HLL sketches (HllSketchModule.java:49-50) over Spark's DataSketches-
+      // backed HLL functions; Merge unions pre-built sketch bytes
+      case "HLLSketchBuild" =>
+        Agg(name, hll_sketch_agg(f, intOpt(j \ "lgK").getOrElse(12)))
+      case "HLLSketchMerge" =>
+        Agg(name, hll_union_agg(f, true))
+      // variance (extensions-core/stats VarianceAggregatorFactory.java:77-89:
+      // estimator "population" → population variance, else sample)
+      case "variance" | "varianceFold" =>
+        val pop = strOpt(j \ "estimator").exists(_.equalsIgnoreCase("population"))
+        Agg(name, if (pop) var_pop(f) else var_samp(f))
+      // approxHistogram (ApproximateHistogramAggregatorFactory.java:69-75 —
+      // Ben-Haim/Tom-Tov centroids ≡ histogram_numeric); rendered as
+      // "x:y,..." centroid pairs (rounded), a documented string rendering of
+      // the finalized histogram
+      case "approxHistogram" =>
+        val res = intOpt(j \ "resolution").getOrElse(50)
+        Agg(name, array_join(transform(
+          DruidFunctions.approxHistogram(f, res),
+          b => concat(round(b.getField("x")).cast("long").cast("string"), lit(":"),
+                      round(b.getField("y")).cast("long").cast("string"))), ","))
+      // fixedBucketsHistogram (FixedBucketsHistogramAggregatorFactory.java:
+      // 66-72); outlierHandlingMode clip/ignore (overflow unsupported);
+      // rendered as comma-joined bucket counts
+      case "fixedBucketsHistogram" =>
+        val mode = strOpt(j \ "outlierHandlingMode").getOrElse("ignore").toLowerCase
+        Agg(name, array_join(transform(
+          DruidFunctions.fixedBucketsHistogram(f,
+            dbl(j \ "lowerLimit"), dbl(j \ "upperLimit"),
+            intOpt(j \ "numBuckets").getOrElse(10), mode),
+          x => x.cast("string")), ","))
+      // bloom (druid-bloom-filter BloomFilterAggregatorFactory.java:81-83:
+      // field is a DimensionSpec); output base64 of the serialized filter,
+      // feedable back into the JSON bloom filter. Documented deviation: the
+      // binary format is Spark's bloom sketch, not Hive BloomKFilter.
+      case "bloom" =>
+        val fieldCol = dimSpec(j \ "field").col
+        val maxN = intOpt(j \ "maxNumEntries").getOrElse(1500)
+        Agg(name, base64(graft.plans.BloomFunctions.bloomFilterAgg(fieldCol, maxN.toLong)))
       // ArrayOfDoublesSketchAggregatorFactory: fieldName is the key,
       // metricColumns the carried double metrics, nominalEntries the size
       case "arrayOfDoublesSketch" =>
@@ -578,7 +686,22 @@ object NativeQuery {
         if (str(j \ "aggregator" \ "type") == "count")
           Agg(aggName, sum(when(pred, 1L).otherwise(0L)))
         else Agg(aggName, rebuildFiltered(j, pred))
-      case "expression" => Agg(name, MathExpr.expr(str(j \ "expression")))
+      // expression lambda aggregator (ExpressionLambdaAggregatorFactory
+      // .java:103-125): the real JSON lifecycle carries fields/
+      // accumulatorIdentifier/initialValue/fold/combine/finalize math-expr
+      // strings. A bare "expression" string (an extension shortcut: a full
+      // Spark aggregate expression) remains accepted when no fold is given.
+      case "expression" => (j \ "fold") match {
+        case JNothing | JNull => Agg(name, MathExpr.expr(str(j \ "expression")))
+        case foldJ =>
+          val fields = arr(j \ "fields").map { case JString(s) => s; case x => str(x) }
+          Agg(name, graft.functions.ExpressionLambda.fold(
+            fields,
+            strOpt(j \ "accumulatorIdentifier").getOrElse("__acc"),
+            str(j \ "initialValue"),
+            str(foldJ),
+            strOpt(j \ "finalize")))
+      }
       case t => throw new IllegalArgumentException(s"aggregator type: $t")
     }
   }
@@ -593,6 +716,17 @@ object NativeQuery {
       case "longMax" => max(f.cast("long"))
       case "doubleMin" | "floatMin" => min(f.cast("double"))
       case "doubleMax" | "floatMax" => max(f.cast("double"))
+      // sketch builders take conditional input the same way: a null input
+      // never updates the sketch (FilteredAggregatorFactory around any
+      // AggregatorFactory in the reference)
+      case "thetaSketch" =>
+        val lgK = intOpt(inner \ "size")
+          .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
+        graft.plans.SketchFunctions.thetaSketch(f, lgK)
+      case "HLLSketchBuild" =>
+        hll_sketch_agg(f, intOpt(inner \ "lgK").getOrElse(12))
+      case "quantilesDoublesSketch" =>
+        graft.plans.SketchFunctions.kllSketch(f, intOpt(inner \ "k").getOrElse(128))
       case t => throw new IllegalArgumentException(s"filtered aggregator: $t")
     }
   }
@@ -621,6 +755,37 @@ object NativeQuery {
     case "doubleLeast" | "longLeast" => least(arr(j \ "fields").map(postAggExpr): _*)
     case "hyperUniqueCardinality" => col(str(j \ "fieldName"))
     case "thetaSketchEstimate" => graft.plans.SketchFunctions.thetaEstimate(postAggExpr(j \ "field"))
+    // theta set-op post-agg (theta/SketchSetPostAggregator.java:48-56:
+    // func UNION | INTERSECT | NOT over ≥2 sketch fields)
+    case "thetaSketchSetOp" =>
+      import graft.plans.SketchFunctions.{thetaUnion, thetaIntersect, thetaNot}
+      val op: (Column, Column) => Column = str(j \ "func").toUpperCase match {
+        case "UNION" => thetaUnion
+        case "INTERSECT" => thetaIntersect
+        case "NOT" => thetaNot
+        case o => throw new IllegalArgumentException(s"thetaSketchSetOp func: $o")
+      }
+      arr(j \ "fields").map(postAggExpr).reduce(op)
+    // quantiles sketch post-aggs (DoublesSketchModule.java:51-56)
+    case "quantilesDoublesSketchToQuantile" =>
+      graft.plans.SketchFunctions.kllQuantile(postAggExpr(j \ "field"), dbl(j \ "fraction"))
+    case "quantilesDoublesSketchToQuantiles" =>
+      graft.plans.SketchFunctions.kllQuantiles(postAggExpr(j \ "field"),
+        arr(j \ "fractions").map(dbl))
+    case "quantilesDoublesSketchToRank" =>
+      graft.plans.SketchFunctions.kllRank(postAggExpr(j \ "field"), dbl(j \ "value"))
+    case "quantilesDoublesSketchToCDF" =>
+      graft.plans.SketchFunctions.kllCdf(postAggExpr(j \ "field"),
+        arr(j \ "splitPoints").map(dbl))
+    case "quantilesDoublesSketchToHistogram" =>
+      graft.plans.SketchFunctions.kllHistogram(postAggExpr(j \ "field"),
+        arr(j \ "splitPoints").map(dbl), intOpt(j \ "numBins"))
+    // HLL post-aggs (HllSketchModule.java:52-54)
+    case "HLLSketchEstimate" =>
+      val est = hll_sketch_estimate(postAggExpr(j \ "field"))
+      if (boolOpt(j \ "round").getOrElse(false)) est else est.cast("double")
+    case "HLLSketchUnion" =>
+      arr(j \ "fields").map(postAggExpr).reduce((a, b) => hll_union(a, b, true))
     case t => throw new IllegalArgumentException(s"postAggregator: $t")
   }
 
@@ -641,6 +806,15 @@ object NativeQuery {
     case "not" => !having(j \ "havingSpec")
     case "filter" => filter(j \ "filter")
     case t => throw new IllegalArgumentException(s"having type: $t")
+  }
+
+  /** ISO instant-ish interval endpoint → UTC epoch millis (driver-side). */
+  private def isoToMillis(s: String): Long = {
+    val t = s.replace(" ", "T")
+    val ldt =
+      if (t.contains("T")) java.time.LocalDateTime.parse(t.stripSuffix("Z"))
+      else java.time.LocalDate.parse(t).atStartOfDay()
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   // ---- json helpers ----

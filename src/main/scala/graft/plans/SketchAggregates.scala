@@ -311,6 +311,111 @@ case class KllCdf(child: Expression, splits: Seq[Double])
   override def prettyName: String = "kll_cdf"
 }
 
+/** Stream length n of a serialized KLL sketch — the reference finalizes a
+  * quantilesDoublesSketch aggregator to getN()
+  * (DoublesSketchAggregatorFactory.java:354-357). */
+case class KllN(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])).getN
+  override protected def withNewChildInternal(c: Expression): KllN = copy(child = c)
+  override def prettyName: String = "kll_n"
+}
+
+/** Multi-fraction quantile lookup (quantilesDoublesSketchToQuantiles post-agg,
+  * DoublesSketchToQuantilesPostAggregator.java). */
+case class KllQuantiles(child: Expression, fractions: Seq[Double])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      fractions.map(sk.getQuantile).toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): KllQuantiles = copy(child = c)
+  override def prettyName: String = "kll_quantiles"
+}
+
+/** Histogram of estimated item counts per bin (quantilesDoublesSketchToHistogram
+  * post-agg, DoublesSketchToHistogramPostAggregator.java:52-55): either
+  * explicit splitPoints or numBins equal-width bins over [min, max]; each
+  * bin's value is the PMF mass times the stream length n. */
+case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[Int])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) return null
+    val sp: Array[Double] = numBins match {
+      case Some(m) if m > 1 =>
+        val lo = sk.getMinItem; val hi = sk.getMaxItem
+        val w = (hi - lo) / m
+        (1 until m).map(i => lo + w * i).toArray
+      case _ => splits.toArray
+    }
+    val pmf = sk.getPMF(sp)
+    val n = sk.getN.toDouble
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pmf.map(_ * n))
+  }
+  override protected def withNewChildInternal(c: Expression): KllHistogram = copy(child = c)
+  override def prettyName: String = "kll_histogram"
+}
+
+/** hyper_unique() / hyper_unique_add(v, sketch) / hyper_unique_estimate(sketch)
+  * expression macros (reference: processing/.../query/expression/
+  * HyperUniqueExpressions.java:44-260) — per-row HLL collector manipulation
+  * used inside expression virtual columns and expression-lambda aggregators.
+  * The collector rides as DataSketches HLL updatable bytes; exact for small
+  * cardinalities (coupon list phase), the same bound as the reference's
+  * HyperLogLogCollector at those sizes. */
+case class HllCreateExpr(lgK: Int)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false // each call site is a fresh collector
+  override def eval(input: InternalRow): Any =
+    new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray
+  override def prettyName: String = "hyper_unique"
+}
+
+case class HllAddExpr(value: Expression, sketch: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def left: Expression = value
+  override def right: Expression = sketch
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any, s: Any): Any = {
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(s.asInstanceOf[Array[Byte]]))
+    value.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        sk.update(v.asInstanceOf[Number].longValue())
+      case DoubleType | FloatType => sk.update(v.asInstanceOf[Number].doubleValue())
+      case StringType => sk.update(v.asInstanceOf[UTF8String].toString)
+      case BinaryType => // fold another collector (reference COMPLEX case)
+        val other = org.apache.datasketches.hll.HllSketch.heapify(
+          Memory.wrap(v.asInstanceOf[Array[Byte]]))
+        val u = new org.apache.datasketches.hll.Union(sk.getLgConfigK)
+        u.update(sk); u.update(other)
+        return u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4).toUpdatableByteArray
+      case dt => throw new IllegalArgumentException(s"hyper_unique_add: unsupported type $dt")
+    }
+    sk.toUpdatableByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllAddExpr =
+    copy(value = l, sketch = r)
+  override def prettyName: String = "hyper_unique_add"
+}
+
+case class HllEstimateExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): HllEstimateExpr = copy(child = c)
+  override def prettyName: String = "hyper_unique_estimate"
+}
+
 /** Column-level API for the sketch family (plus HLL aliases over Spark's
   * built-in DataSketches HLL functions). */
 object SketchFunctions {
@@ -331,6 +436,17 @@ object SketchFunctions {
   def kllQuantile(col: Column, q: Double): Column = c(KllQuantile(e(col), q))
   def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
   def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))
+  def kllN(col: Column): Column = c(KllN(e(col)))
+  def kllQuantiles(col: Column, fractions: Seq[Double]): Column =
+    c(KllQuantiles(e(col), fractions))
+  def kllHistogram(col: Column, splits: Seq[Double], numBins: Option[Int] = None): Column =
+    c(KllHistogram(e(col), splits, numBins))
+
+  /** hyper_unique expression-macro family (per-row HLL collectors). */
+  def hyperUnique(lgK: Int = 12): Column = c(HllCreateExpr(lgK))
+  def hyperUniqueAdd(value: Column, sketch: Column): Column =
+    c(HllAddExpr(e(value), e(sketch)))
+  def hyperUniqueEstimate(sketch: Column): Column = c(HllEstimateExpr(e(sketch)))
 
   /** DS_TUPLE_DOUBLES family (ArrayOfDoublesSketchModule). */
   def tupleSketch(key: Column, values: Seq[Column], lgK: Int = 12): Column =

@@ -263,6 +263,164 @@ object NativeQueries {
           "order": "ascending",
           "limit": 40
         }""", res(s, dir))
+    }),
+
+    // quantilesDoublesSketch aggregator + ToQuantile post-aggs
+    // (DoublesSketchModule.java:46,52): the aggregator's OUTPUT finalizes to
+    // the stream length n (DoublesSketchAggregatorFactory.java:354-357)
+    // while the post-aggs read the raw sketch — both verified here. Exact
+    // because n ≤ k.
+    "native_sketch_quantiles" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "supplier",
+          "dimensions": [],
+          "aggregations": [
+            {"type": "quantilesDoublesSketch", "name": "sk",
+             "fieldName": "s_acctbal", "k": 4096}
+          ],
+          "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "q25",
+             "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.25},
+            {"type": "quantilesDoublesSketchToQuantile", "name": "q50",
+             "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantile", "name": "q75",
+             "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.75}
+          ]
+        }""", res(s, dir))
+    }),
+
+    // thetaSketch aggregators (filtered) + thetaSketchSetOp post-aggs
+    // (theta/SketchModule.java:83-87, SketchSetPostAggregator.java:48-56);
+    // aggregator outputs finalize to estimates
+    // (SketchMergeAggregatorFactory.java:125-131). Exact below nominal 2^16.
+    "native_sketch_theta_ops" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "lineitem",
+          "dimensions": [],
+          "aggregations": [
+            {"type": "filtered", "name": "sk_a",
+             "filter": {"type": "selector", "dimension": "l_returnflag", "value": "A"},
+             "aggregator": {"type": "thetaSketch", "name": "sk_a",
+                            "fieldName": "l_suppkey", "size": 65536}},
+            {"type": "filtered", "name": "sk_r",
+             "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+             "aggregator": {"type": "thetaSketch", "name": "sk_r",
+                            "fieldName": "l_suppkey", "size": 65536}}
+          ],
+          "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "nd_union",
+             "field": {"type": "thetaSketchSetOp", "name": "u", "func": "UNION", "fields": [
+               {"type": "fieldAccess", "fieldName": "sk_a"},
+               {"type": "fieldAccess", "fieldName": "sk_r"}]}},
+            {"type": "thetaSketchEstimate", "name": "nd_intersect",
+             "field": {"type": "thetaSketchSetOp", "name": "i", "func": "INTERSECT", "fields": [
+               {"type": "fieldAccess", "fieldName": "sk_a"},
+               {"type": "fieldAccess", "fieldName": "sk_r"}]}}
+          ]
+        }""", res(s, dir))
+    }),
+
+    // HLLSketchBuild aggregator (HllSketchModule.java:49) with round=true →
+    // long estimates in the output; exact at ≤25 distinct nation keys
+    // (coupon phase)
+    "native_hll" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "customer",
+          "dimensions": [{"type": "default", "dimension": "c_mktsegment"}],
+          "aggregations": [
+            {"type": "HLLSketchBuild", "name": "nd_nation",
+             "fieldName": "c_nationkey", "lgK": 12, "round": true},
+            {"type": "count", "name": "cnt"}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "c_mktsegment"}]}
+        }""", res(s, dir))
+    }),
+
+    // cardinality aggregator BOTH modes on ≥2 fields
+    // (CardinalityAggregatorFactory.java:110-128): byRow=false (default)
+    // counts distinct over the union of the fields' values, byRow=true
+    // counts distinct value tuples
+    "native_cardinality_modes" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "customer",
+          "dimensions": [],
+          "aggregations": [
+            {"type": "cardinality", "name": "nd_values",
+             "fields": ["c_nationkey", "c_mktsegment"], "byRow": false, "round": true},
+            {"type": "cardinality", "name": "nd_rows",
+             "fields": ["c_nationkey", "c_mktsegment"], "byRow": true, "round": true}
+          ]
+        }""", res(s, dir))
+    }),
+
+    // ExpressionLambdaAggregatorFactory's real JSON lifecycle
+    // (ExpressionLambdaAggregatorFactory.java:103-125): fields /
+    // initialValue / fold in the math-expr dialect — sum of squares
+    // (exact: integer-valued doubles)
+    "native_lambda_fold" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "lineitem",
+          "dimensions": [{"type": "default", "dimension": "l_returnflag"}],
+          "aggregations": [
+            {"type": "expression", "name": "sumsq",
+             "fields": ["l_quantity"],
+             "initialValue": "0.0",
+             "fold": "__acc + \"l_quantity\" * \"l_quantity\"",
+             "combine": "__acc + sumsq"},
+            {"type": "count", "name": "cnt"}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "l_returnflag"}]}
+        }""", res(s, dir))
+    }),
+
+    // expression lambda + the hyper_unique expression macros
+    // (HyperUniqueExpressions.java:44-260): an HLL collector as the
+    // accumulator — initialValue creates it, fold adds each value,
+    // finalize reads the estimate (exact at 25 distinct)
+    "native_lambda_hll" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "customer",
+          "dimensions": [{"type": "default", "dimension": "c_mktsegment"}],
+          "aggregations": [
+            {"type": "expression", "name": "nd_nation",
+             "fields": ["c_nationkey"],
+             "initialValue": "hyper_unique()",
+             "fold": "hyper_unique_add(\"c_nationkey\", __acc)",
+             "finalize": "round(hyper_unique_estimate(o))"}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "c_mktsegment"}]}
+        }""", res(s, dir))
+    }),
+
+    // interval filter on a LONG millis column (IntervalDimFilter.java —
+    // bounds compile to a long range, not a timestamp compare): the virtual
+    // column materializes epoch millis, the filter must hit the long branch
+    "native_interval_long" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "virtualColumns": [{"type": "expression", "name": "o_ms",
+                              "expression": "timestamp_to_millis(\"o_orderdate\")"}],
+          "filter": {"type": "interval", "dimension": "o_ms",
+                     "intervals": ["1995-01-01T00:00:00/1996-01-01T00:00:00"]},
+          "dimensions": [{"type": "extraction", "dimension": "o_orderdate", "outputName": "y",
+                          "extractionFn": {"type": "timeFormat", "format": "yyyy-MM"}}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "y"}]}
+        }""", res(s, dir))
     })
   )
 
@@ -350,6 +508,48 @@ object NativeQueries {
     "native_scan_search" ->
       """SELECT p_partkey, p_name, p_brand FROM part
         |WHERE contains(lower(p_name), 'widget')
-        |ORDER BY p_partkey LIMIT 40""".stripMargin
+        |ORDER BY p_partkey LIMIT 40""".stripMargin,
+
+    // sk = the aggregator's finalized value = stream length n
+    "native_sketch_quantiles" ->
+      """SELECT CAST(count(*) AS BIGINT) AS sk,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75
+        |FROM supplier""".stripMargin,
+
+    "native_sketch_theta_ops" ->
+      """WITH a AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+        |r AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS sk_a,
+        |       CAST((SELECT count(*) FROM r) AS DOUBLE) AS sk_r,
+        |       CAST((SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS DOUBLE) AS nd_union,
+        |       CAST((SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM r)) AS DOUBLE) AS nd_intersect""".stripMargin,
+
+    "native_hll" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nd_nation, count(*) AS cnt
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "native_cardinality_modes" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v FROM customer
+        |     UNION SELECT DISTINCT c_mktsegment FROM customer)) AS nd_values,
+        |  (SELECT count(*) FROM (
+        |     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)) AS nd_rows""".stripMargin,
+
+    "native_lambda_fold" ->
+      """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sumsq, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "native_lambda_hll" ->
+      """SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS nd_nation
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "native_interval_long" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS y, count(*) AS cnt
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
