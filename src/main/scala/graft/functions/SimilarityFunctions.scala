@@ -60,30 +60,57 @@ object SimilarityFunctions {
           element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
     }: _*)
 
-  /** 16-bit SimHash over an array<string> of tokens. Each bit is the sign of
-    * the sum of ±1 votes from the tokens' 32-bit hashes.
+  /** 64-bit SimHash over an array<string> of tokens — the standard width
+    * (16-bit was a quadratic scale-killer: 65,536 join keys means candidate
+    * volume ~n²/2¹⁶ on any large corpus). Each bit is the sign of the sum of
+    * ±1 votes from the tokens' hashes; bits 0-31 vote from md5 hex chars
+    * 1-8, bits 32-63 from chars 9-16 (one digest per token).
+    *
+    * Bit 63 is encoded as the signed long's sign term (-2⁶³ when set, added
+    * LAST so every intermediate sum stays in range under ANSI overflow
+    * checks) — the resulting long is bit-faithful two's complement, so
+    * popcount-of-xor hamming works unchanged in Spark and DuckDB (both
+    * two's-complement for xor/bit_count, verified).
     */
   private val Pow2: Column =
-    typedLit((0 until 16).map(b => 1L << b))
+    typedLit((0 until 32).map(b => 1L << b))
 
-  def simhash16(toks: Column): Column = {
-    // One aggregate pass carrying a 16-slot vote array (tokens hashed once),
-    // then one fold over the votes — not 16 separate aggregates (16x cheaper).
-    val hs = transform(toks, t => hexLong32(t))
-    val votes = aggregate(hs,
-      transform(sequence(lit(0), lit(15)), _ => lit(0L)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
-        (a, b) => a + ((h / element_at(Pow2, b.cast("int") + 1)).cast("long") % 2) * 2 - 1))
-    aggregate(
-      zip_with(votes, Pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+  private def votes32(hs: Column): Column = aggregate(hs,
+    transform(sequence(lit(0), lit(31)), _ => lit(0L)),
+    (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+      (a, b) => a + ((h / element_at(Pow2, b.cast("int") + 1)).cast("long") % 2) * 2 - 1))
+
+  def simhash64(toks: Column): Column = {
+    // One aggregate pass per 32-slot vote array (tokens hashed once; the
+    // hash is the expensive part — votes are arithmetic), then a fold over
+    // the votes — not 64 separate aggregates.
+    val vLo = votes32(transform(toks, t => hexLong32(t)))
+    val vHi = votes32(transform(toks, t => TextFunctions.hexLong32Hi(t)))
+    val lo = aggregate(
+      zip_with(vLo, Pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+    val hi62 = aggregate(
+      zip_with(slice(vHi, 1, 31), typedLit((0 until 31).map(b => 1L << (b + 32))),
+        (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val signTerm = when(element_at(vHi, 32) > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    lo + hi62 + signTerm
   }
 
-  /** Hamming distance between two simhash longs (popcount of xor). */
-  def hammingDistance(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until 16).map(i => shiftright(x, i).bitwiseAND(1)).reduce(_ + _)
-  }
+  /** Hamming distance between two 64-bit simhash longs (popcount of xor —
+    * two's complement, so the sign bit counts like any other). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Banded multi-probe keys for hamming≤k search over 64-bit simhashes:
+    * 4 disjoint 16-bit bands; by pigeonhole, any pair within hamming ≤ 3
+    * agrees exactly on at least one band, so an equi-join on (band index,
+    * band value) finds all such pairs with ~2⁶⁴/4 effective key space —
+    * the standard construction. Band value extraction is shift+mask, which
+    * is arithmetic/logical-shift agnostic (the mask kills sign extension).
+    */
+  def simhashBandKey(simhash: Column, band: Int): Column =
+    lit(band.toLong * 65536L) + shiftright(simhash, band * 16).bitwiseAND(lit(65535L))
 
   /** Dot product of two float-array columns, accumulated in double in array
     * order (deterministic). */

@@ -41,6 +41,11 @@ object TextFunctions {
   def hexLong32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Second independent 32-bit hash from the SAME md5 (hex chars 9-16) —
+    * the high half of a 64-bit hash without a second digest pass. */
+  def hexLong32Hi(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** Exact-dup fingerprint robust to case + whitespace differences. */
   def contentFingerprint(c: Column): Column =
     hexLong60(lower(normalizeWs(c)))

@@ -84,17 +84,35 @@ object Similarity {
   /** Exact n-gram Jaccard similarity join: explode distinct word shingles,
     * self-join on shingle equality, count intersections, compute
     * |A∩B| / (|A|+|B|-|A∩B|). Shuffles only (id, shingle-hash) pairs.
+    *
+    * `maxDf` caps shingle document frequency before the self-join: a
+    * stopword-ish shingle shared by 1% of a 100 TB corpus is a quadratic
+    * hot key (join fan-out = DF², unbounded without the cap). Pruned
+    * shingles drop out of BOTH the intersection and the set sizes
+    * ("filtered Jaccard" over the surviving shingles — the standard
+    * construction; high-DF shingles carry no near-dup signal anyway).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, minJaccard: Double = 0.5): DataFrame = {
-    // cached: read by the self-join twice plus the sizes branch (3 consumers);
-    // tokens hoisted ahead of the shingle lambda (see minhashPairs)
-    val sh = df
+      shingleSize: Int = 5, minJaccard: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    // cached: read by the DF histogram, the self-join twice, and the sizes
+    // branch; tokens hoisted ahead of the shingle lambda (see minhashPairs)
+    val sh0 = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
       .withColumn("sh", TF.hexLong60(col("shingle"))).drop("shingle")
       .cache()
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else {
+        // one extra groupBy on the already-cached hashes: DF per shingle,
+        // broadcast-free semi-join discipline (the hot-key histogram is
+        // tiny — only keys above the cap are dropped)
+        val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("sh")
+        sh0.join(keep, "sh")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -108,24 +126,27 @@ object Similarity {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
-  /** SimHash near-dup: 16-bit simhash per doc; pairs within `maxHamming`
-    * found by joining on the simhash minus each single bit (covers distance
-    * ≤1 exactly; distance ≤k generalizes by multi-probe). Here: exact match
-    * + 1-bit probes. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash near-dup: 64-bit simhash per doc; pairs within `maxHamming`
+    * found by a banded multi-probe equi-join — 4 disjoint 16-bit bands, so
+    * by pigeonhole every pair at hamming ≤ 3 agrees exactly on ≥1 band.
+    * The join key space is ~2⁶⁴/4 (vs 2¹⁶ for the old 16-bit simhash,
+    * whose candidate volume grew ~n²/2¹⁶ — the key space itself was the
+    * skew at corpus scale). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees completeness only for hamming <= 3")
     val sh = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), SF.simhash16(col("__toks")).as("simhash"))
-      .cache() // consumed by the probe side and the build side
-    val probes = sh.select(col("id"), col("simhash"),
-      explode(array(lit(-1) +: (0 until 16).map(lit(_)): _*)).as("bit"))
-      .withColumn("probe",
-        when(col("bit") === -1, col("simhash"))
-          .otherwise(col("simhash").bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), bit)"))))
-    val a = probes.select(col("probe"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("simhash").as("probe2"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("probe") === col("probe2") && col("id_a") < col("id_b"))
+      .select(col("id"), SF.simhash64(col("__toks")).as("simhash"))
+      .cache() // consumed by both sides of the band join
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b => SF.simhashBandKey(col("simhash"), b)): _*)).as("band_key"))
+    val a = banded.select(col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), SF.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
 

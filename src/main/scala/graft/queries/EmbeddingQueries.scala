@@ -74,6 +74,35 @@ object EmbeddingQueries {
         .select(SF.hyperplaneBucket(col("embedding"), 8, 64).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))
+    }),
+
+    // LSH-backed near-dup detection over PLANTED near-duplicates — this is
+    // the scale path the gate verifies (the quadratic embed_cosine_neardup
+    // stays as the exact demo): 20 copies with one coordinate perturbed by
+    // +0.01 (cosine ≈ 0.9997 vs ≤~0.5 for natural pairs) are unioned into
+    // the corpus, vectors are hyperplane-bucketed, and only same-bucket
+    // pairs are scored — candidate volume is O(sum of bucket²), never n².
+    // The oracle re-derives the identical planted copies, buckets, and
+    // cosines (same md5-derived planes, same sequential fold).
+    "embed_lsh_neardup" -> ((s, dir) => {
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val base = emb(s, dir).select(col("vec_id"), vd.as("v"))
+      val copies = emb(s, dir).filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(vd, 1) + lit(0.01)), slice(vd, 2, 63)).as("v"))
+      val all = base.unionByName(copies).select(col("vec_id"), col("v"),
+        SF.hyperplaneBucket(col("v"), 8, 64).as("bucket"),
+        SF.l2Norm(col("v")).as("nrm"))
+      val a = all.select(col("bucket"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = all.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          round(SF.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -151,7 +180,24 @@ object EmbeddingQueries {
       "embed_lsh_buckets" ->
         s"""SELECT CAST(${bucketSql("embedding", 8, 64)} AS BIGINT) AS bucket,
            |       count(*) AS n
-           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+           |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "embed_lsh_neardup" ->
+        s"""WITH vd AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cp AS (SELECT vec_id + 1000000 AS vec_id,
+           |              list_concat([v[1] + 0.01], v[2:64]) AS v
+           |       FROM vd WHERE vec_id < 20),
+           |allv AS (SELECT * FROM vd UNION ALL SELECT * FROM cp),
+           |bk AS (SELECT vec_id, v,
+           |              CAST(${bucketSql("v", 8, 64)} AS BIGINT) AS bucket,
+           |              sqrt(list_dot_product(v, v)) AS nrm
+           |       FROM allv),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, x.vec_id AS id_b, a.bucket,
+           |         round(list_dot_product(a.v, x.v) / (a.nrm * x.nrm), 6) AS cosine
+           |  FROM bk a JOIN bk x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+           |SELECT id_a, id_b, bucket, cosine FROM pairs
+           |WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin
     )
   }
 }

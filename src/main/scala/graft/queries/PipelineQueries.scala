@@ -24,6 +24,7 @@ object PipelineQueries {
     words.map(w => rc("lower(text)", s"\\b$w\\b")).mkString(" + ")
   private def hex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private def hex32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+  private def hex32hi(e: String) = s"('0x' || substr(md5($e), 9, 8))::BIGINT"
 
   /** quality in basis points (mirrors TF.qualityBp bit-exactly). */
   private val QualityBpSql = {
@@ -123,27 +124,31 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // 16-bit simhash per document (tokens hoisted ahead of the vote lambda)
+    // 64-bit simhash per document (tokens hoisted ahead of the vote lambda)
     "dedup_simhash" -> ((s, dir) => {
       Sources.table(s, dir, "documents")
         .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), SF.simhash16(col("__toks")).as("simhash"))
+        .select(col("doc_id"), SF.simhash64(col("__toks")).as("simhash"))
         .orderBy(col("doc_id")).limit(200)
     }),
 
-    // exact n-gram jaccard similarity join
+    // exact n-gram jaccard similarity join, with the document-frequency cap
+    // that bounds self-join fan-out at corpus scale (hot shingles pruned
+    // from both the intersection and the set sizes — mirrored exactly by
+    // the oracle)
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Similarity.ngramJaccardPairs(Sources.table(s, dir, "documents"),
-          "doc_id", "text", shingleSize = 5, minJaccard = 0.4)
+          "doc_id", "text", shingleSize = 5, minJaccard = 0.4, maxDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // simhash hamming-distance pairs (multi-probe LSH): identity + 1-bit
-    // probes find exactly the hamming<=1 pairs; the oracle mirrors the
-    // simhash bit-exactly and self-joins on bit_count(xor)<=1
+    // simhash hamming-distance pairs via 4x16-bit banded multi-probe
+    // (complete for hamming<=3 by pigeonhole); the oracle mirrors the
+    // 64-bit simhash bit-exactly and self-joins on bit_count(xor)<=3 —
+    // banding completeness makes the two result sets identical
     "dedup_simhash_pairs" -> ((s, dir) => {
-      Similarity.simhashPairs(Sources.table(s, dir, "documents"), "doc_id", "text")
-        .filter(col("hamming") <= 1)
+      Similarity.simhashPairs(Sources.table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -164,9 +169,15 @@ object PipelineQueries {
       hex60(s"concat_ws(',', $parts)")
     }.mkString(", ") + "]"
 
-    val simhashTerms = (0 until 16).map { b =>
-      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    // 64-bit simhash: bits 0-31 vote from the lo 32-bit hash, 32-62 from the
+    // hi hash, and bit 63 is the sign term (added last; intermediate HUGEINT
+    // arithmetic in DuckDB is exact, the final CAST AS BIGINT fits)
+    val simhashTerms = ((0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hlo, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    } ++ (0 until 31).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hhi, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << (b + 32)} ELSE 0 END)"
+    }).mkString(" + ") +
+      " + (CASE WHEN list_sum(list_transform(hhi, h -> ((h >> 31) & 1) * 2 - 1)) > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
 
     Map(
       "text_analysis" ->
@@ -224,24 +235,28 @@ object PipelineQueries {
 
       "dedup_simhash" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
-           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hs FROM base)
+           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hlo,
+           |               list_transform(t, s -> ${hex32hi("s")}) AS hhi FROM base)
            |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
            |FROM hsx ORDER BY doc_id LIMIT 200""".stripMargin,
 
       "dedup_simhash_pairs" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
-           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hs FROM base),
+           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hlo,
+           |               list_transform(t, s -> ${hex32hi("s")}) AS hhi FROM base),
            |sh AS (SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM hsx)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
            |sh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM base WHERE len(t) >= 5),
-           |shh AS (SELECT doc_id, ${hex60("s")} AS sh FROM sh),
+           |shh0 AS (SELECT doc_id, ${hex60("s")} AS sh FROM sh),
+           |dfc AS (SELECT sh, count(*) AS df FROM shh0 GROUP BY 1),
+           |shh AS (SELECT shh0.doc_id, shh0.sh FROM shh0 JOIN dfc USING (sh) WHERE df <= 50),
            |sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
            |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
            |          FROM shh x JOIN shh y ON x.sh = y.sh AND x.doc_id < y.doc_id

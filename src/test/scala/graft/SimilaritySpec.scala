@@ -41,8 +41,47 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("simhashPairs: identical docs at hamming 0") {
     val out = Similarity.simhashPairs(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(out((0L, 3L)) == 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((0L, 3L)) == 0)
+  }
+
+  test("simhash64 uses the full 64-bit space and banding is complete for hamming <= 3") {
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+    val sh = corpus
+      .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), SF.simhash64(col("__toks")).as("simhash"))
+      .cache()
+    // 64-bit key space: hashes spread over positive AND negative longs and
+    // far outside the old 16-bit range
+    val hashes = sh.select("simhash").as[Long].collect()
+    assert(hashes.exists(_ < 0) && hashes.exists(_ > 65535L))
+    assert(hashes.distinct.length > hashes.length / 2)
+    // banded multi-probe result == brute-force all-pairs at hamming <= 3
+    val banded = Similarity.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(SF.hammingDistance(col("sa"), col("sb")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("ngramJaccardPairs maxDf prunes a planted hot shingle") {
+    // every doc shares one stopword-ish shingle; only 0/1/3/5 are related
+    val hot = "alpha beta gamma delta epsilon"
+    val hotDocs = docs.withColumn("text", concat(lit(hot + " "), col("text")))
+    // without a cap the hot shingle links every doc pair; DF cap 3 drops it
+    // (DF = 6 > 3) while near-dup shingles (DF <= 3-4) survive
+    val capped = Similarity.ngramJaccardPairs(hotDocs, "doc_id", "text",
+        minJaccard = 0.01, maxDf = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 3L)))                       // real dups still found
+    assert(!capped.exists(p => p._1 == 2L || p._2 == 2L))   // hot-shingle-only link pruned
+    val uncapped = Similarity.ngramJaccardPairs(hotDocs, "doc_id", "text",
+        minJaccard = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.exists(p => p._1 == 2L || p._2 == 2L))  // proves the cap did the pruning
   }
 
   test("cosineKnn exact top-k and lshAnn recall") {
