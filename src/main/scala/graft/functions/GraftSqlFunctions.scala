@@ -170,8 +170,10 @@ object GraftSqlFunctions {
     },
     "mv_contains" -> { args => ex(arrays_overlap(col(args(0)), array(col(args(1))))) },
     "mv_overlap" -> { args => ex(DruidFunctions.mvOverlap(col(args(0)), col(args(1)))) },
-    "mv_offset" -> { args => ex(element_at(col(args(0)), litInt(args(1), "mv_offset") + 1)) },
-    "mv_ordinal" -> { args => ex(element_at(col(args(0)), litInt(args(1), "mv_ordinal"))) },
+    // try_element_at, not element_at: Druid returns null past the end of the
+    // MV cell, while Spark's element_at throws under ANSI mode
+    "mv_offset" -> { args => ex(try_element_at(col(args(0)), lit(litInt(args(1), "mv_offset") + 1))) },
+    "mv_ordinal" -> { args => ex(try_element_at(col(args(0)), lit(litInt(args(1), "mv_ordinal")))) },
 
     // --- text/pipeline ---
     "token_count" -> { args => ex(TextFunctions.tokenCount(col(args(0)))) },
