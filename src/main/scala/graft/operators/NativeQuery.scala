@@ -147,13 +147,22 @@ object NativeQuery {
       case "segmentMetadata" =>
         val analyses = (q \ "analysisTypes") match {
           case JArray(as) =>
-            // base analyses always run; minmax/size opt-in (AnalysisType enum)
+            // base analyses always run; minmax/size/aggregators/rollup/
+            // queryGranularity/timestampSpec opt-in (AnalysisType enum,
+            // SegmentMetadataQuery.java:50)
             Set("cardinality", "nulls") ++ as.map {
               case JString(s) => s; case x => str(x)
             }
           case _ => Set("cardinality", "nulls")
         }
-        SegmentMetadataQuery(exact = true, analysisTypes = analyses).run(prepared)
+        // spec-describing analyses resolve through the ingest catalog by
+        // datasource name (the coordinator's segment-metadata analog)
+        val dsName = (q \ "dataSource") match {
+          case JString(n) => Some(n)
+          case o => strOpt(o \ "name")
+        }
+        SegmentMetadataQuery(exact = true, analysisTypes = analyses,
+          ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(prepared)
       case t => throw new IllegalArgumentException(s"unsupported queryType: $t")
     }
   }

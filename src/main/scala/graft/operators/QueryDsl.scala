@@ -407,7 +407,11 @@ final case class DataSourceMetadataQuery(timeColumn: String = "__time") {
   * not the data — they live in the ingest/rollup registries, not here.
   */
 final case class SegmentMetadataQuery(exact: Boolean = false,
-    analysisTypes: Set[String] = Set("cardinality", "nulls")) {
+    analysisTypes: Set[String] = Set("cardinality", "nulls"),
+    // spec-describing analyses (AGGREGATORS / ROLLUP / TIMESTAMPSPEC /
+    // QUERYGRANULARITY, SegmentMetadataQuery.java:50) are served from the
+    // ingest spec that produced the table (BatchIngest.specOf)
+    ingestSpec: Option[graft.sources.BatchIngest.IngestSpec] = None) {
   def run(ds: DataFrame): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -426,8 +430,24 @@ final case class SegmentMetadataQuery(exact: Boolean = false,
       struct(base ++ mm ++ sz: _*)
     }
     val row = ds.agg(count(lit(1)).as("numRows"), array(perCol.map(s => s): _*).as("columns"))
-    row.select(col("numRows"), explode(col("columns")).as("c"))
+    val cols = row.select(col("numRows"), explode(col("columns")).as("c"))
       .select($"c.*", $"numRows")
       .orderBy("column")
+    // table-level spec analyses repeat on every row (the reference reports
+    // them once per segment alongside the per-column map)
+    val withAggs =
+      if (!analysisTypes("aggregators")) cols
+      else cols.withColumn("aggregators", lit(ingestSpec.flatMap(_.rollup)
+        .map(_.aggregations.map(a => s"${a.name}=${a.column.toString}").mkString(";"))
+        .orNull))
+    val withRollup =
+      if (!analysisTypes("rollup")) withAggs
+      else withAggs.withColumn("rollup", lit(ingestSpec.map(_.rollup.isDefined).orNull))
+    val withGran =
+      if (!analysisTypes("queryGranularity")) withRollup
+      else withRollup.withColumn("queryGranularity",
+        lit(ingestSpec.flatMap(_.rollup).map(_.granularity.period).orNull))
+    if (!analysisTypes("timestampSpec")) withGran
+    else withGran.withColumn("timestampSpec", lit(ingestSpec.map(_.timeColumn).orNull))
   }
 }

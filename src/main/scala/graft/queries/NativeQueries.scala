@@ -23,32 +23,35 @@ object NativeQueries {
       Sources.table(s, dir, "nation")
         .select(col("n_nationkey").cast("string").as("k"), col("n_name").as("v")))
 
+  /** Gate JSONs also POSTed verbatim by the HTTP façade spec. */
+  val TimeseriesGateJson: String =
+    """{
+      "queryType": "timeseries",
+      "dataSource": "lineitem",
+      "timeColumn": "l_shipdate",
+      "granularity": "quarter",
+      "intervals": ["1996-01-01T00:00:00/1999-01-01T00:00:00"],
+      "filter": {"type": "and", "fields": [
+        {"type": "in", "dimension": "l_returnflag", "values": ["A", "R"]},
+        {"type": "bound", "dimension": "l_quantity", "lower": 5, "ordering": "numeric"}
+      ]},
+      "aggregations": [
+        {"type": "count", "name": "cnt"},
+        {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
+        {"type": "filtered", "name": "qty_a",
+         "filter": {"type": "selector", "dimension": "l_returnflag", "value": "A"},
+         "aggregator": {"type": "doubleSum", "name": "qty_a", "fieldName": "l_quantity"}}
+      ],
+      "postAggregations": [
+        {"type": "arithmetic", "name": "avg_qty", "fn": "/", "fields": [
+          {"type": "fieldAccess", "fieldName": "sum_qty"},
+          {"type": "fieldAccess", "fieldName": "cnt"}]}
+      ]
+    }"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "native_timeseries" -> ((s, dir) => {
-      NativeQuery.run(s,
-        """{
-          "queryType": "timeseries",
-          "dataSource": "lineitem",
-          "timeColumn": "l_shipdate",
-          "granularity": "quarter",
-          "intervals": ["1996-01-01T00:00:00/1999-01-01T00:00:00"],
-          "filter": {"type": "and", "fields": [
-            {"type": "in", "dimension": "l_returnflag", "values": ["A", "R"]},
-            {"type": "bound", "dimension": "l_quantity", "lower": 5, "ordering": "numeric"}
-          ]},
-          "aggregations": [
-            {"type": "count", "name": "cnt"},
-            {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
-            {"type": "filtered", "name": "qty_a",
-             "filter": {"type": "selector", "dimension": "l_returnflag", "value": "A"},
-             "aggregator": {"type": "doubleSum", "name": "qty_a", "fieldName": "l_quantity"}}
-          ],
-          "postAggregations": [
-            {"type": "arithmetic", "name": "avg_qty", "fn": "/", "fields": [
-              {"type": "fieldAccess", "fieldName": "sum_qty"},
-              {"type": "fieldAccess", "fieldName": "cnt"}]}
-          ]
-        }""", res(s, dir))
+      NativeQuery.run(s, TimeseriesGateJson, res(s, dir))
     }),
 
     "native_topn" -> ((s, dir) => {

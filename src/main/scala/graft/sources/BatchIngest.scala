@@ -43,6 +43,14 @@ object BatchIngest {
       partitionsSpec: PartitionsSpec = DynamicPartitions,
       rollup: Option[RollupSpec] = None)
 
+  /** Datasource → IngestSpec catalog (reference: the coordinator serves
+    * AGGREGATORS/ROLLUP/TIMESTAMPSPEC segmentMetadata analyses from segment
+    * metadata, SegmentMetadataQuery.java:50; here the spec that produced a
+    * table is registered at ingest and served from this catalog). */
+  private val specs = scala.collection.concurrent.TrieMap.empty[String, IngestSpec]
+  def registerSpec(name: String, spec: IngestSpec): Unit = specs.put(name, spec)
+  def specOf(name: String): Option[IngestSpec] = specs.get(name)
+
   /** Read per inputFormat (InputSource × InputFormat). */
   def read(spark: SparkSession, spec: IngestSpec): DataFrame = {
     val r = spark.read.options(spec.formatOptions)
@@ -88,6 +96,7 @@ object BatchIngest {
 
   def run(spark: SparkSession, spec: IngestSpec, outPath: String): DataFrame = {
     write(prepare(read(spark, spec), spec), spec, outPath)
+    registerSpec(outPath, spec)
     spark.read.parquet(outPath)
   }
 

@@ -30,6 +30,20 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(back.agg(sum($"cnt")).head().getLong(0) == expected)
     // time-chunked directory layout (month partitions)
     assert(new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith("__chunk=")))
+
+    // spec-describing segmentMetadata analyses (AGGREGATORS / ROLLUP /
+    // QUERYGRANULARITY / TIMESTAMPSPEC, SegmentMetadataQuery.java:50) are
+    // served from the ingest catalog registered by BatchIngest.run
+    val meta = graft.operators.SegmentMetadataQuery(exact = true,
+      analysisTypes = Set("cardinality", "nulls", "aggregators", "rollup",
+        "queryGranularity", "timestampSpec"),
+      ingestSpec = BatchIngest.specOf(s"$dir/out")).run(back)
+    val m = meta.head()
+    assert(m.getAs[Boolean]("rollup"))
+    assert(m.getAs[String]("queryGranularity") == "P1D")
+    assert(m.getAs[String]("timestampSpec") == "o_orderdate")
+    val aggs = m.getAs[String]("aggregators")
+    assert(aggs.contains("cnt=") && aggs.contains("urgent="))
   }
 
   test("batch ingest reads csv with schema inference") {
