@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.broadcast
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,14 +58,16 @@ object Bench {
     // column as FLOAT like a Druid float metric column (druid.tex:881)
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("l_quantity", "cast(l_extendedprice as float) as l_extendedprice")
-    // size the scan table so a full pass takes ≳1 s at 32 cores — otherwise
-    // the per-job scheduling floor (~0.1 s) dominates and the "rate" measures
-    // latency, not throughput (measured: 60M rows → 4× lower apparent rate)
-    // capped: at tiny SFs an uncapped factor would build a 40000-way union
-    // plan (the yardstick only matters at sf0.1, where the factor is ~4)
-    val replication = math.min(64, math.max(1, (240000000L / math.max(li0.count(), 1L)).toInt))
+    // size the scan table so a full pass dwarfs the ~0.1 s per-job
+    // scheduling floor — otherwise the "rate" measures latency, not
+    // throughput (measured: 38M rows → 9.9M/s/core, 240M → 41M, 480M →
+    // 117M count / 48M sum: only the last is out of the floor's shadow).
+    // replicate via crossJoin(range(n)) — a constant-size plan at ANY
+    // factor (an n-way union was a 40000-node plan at sf0.001)
+    val replication = math.max(1, (480000000L / math.max(li0.count(), 1L)).toInt)
     val scanDir = "/tmp/graft_scan_bench"
-    Seq.fill(replication)(li0).reduce(_ union _)
+    li0.crossJoin(broadcast(spark.range(replication)))
+      .select("l_quantity", "l_extendedprice")
       .repartition(nCores)
       .write.mode("overwrite").option("compression", "uncompressed").parquet(scanDir)
     val li = spark.read.parquet(scanDir)
