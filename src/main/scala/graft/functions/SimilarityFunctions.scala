@@ -105,9 +105,16 @@ object SimilarityFunctions {
   /** Banded multi-probe keys for hamming≤k search over 64-bit simhashes:
     * 4 disjoint 16-bit bands; by pigeonhole, any pair within hamming ≤ 3
     * agrees exactly on at least one band, so an equi-join on (band index,
-    * band value) finds all such pairs with ~2⁶⁴/4 effective key space —
-    * the standard construction. Band value extraction is shift+mask, which
-    * is arithmetic/logical-shift agnostic (the mask kills sign extension).
+    * band value) finds all such pairs — the minimal exact-match banding for
+    * k=3 over 64 bits. Per-band key space is 2¹⁶ (16 bits is the widest
+    * band 4-way pigeonhole allows), so candidate volume grows ~4·n²/2¹⁶;
+    * every candidate is then popcount-verified on the full 64 bits, so
+    * false positives cost join fan-out, not correctness. At corpus scale,
+    * the wide-key refinement is Manku et al. (WWW'07): permute 64 bits into
+    * C(6,3)=20 tables each keyed on ~32 leading bits — more probes, but
+    * n²/2³² candidates per table. Band value extraction is shift+mask,
+    * which is arithmetic/logical-shift agnostic (the mask kills sign
+    * extension).
     */
   def simhashBandKey(simhash: Column, band: Int): Column =
     lit(band.toLong * 65536L) + shiftright(simhash, band * 16).bitwiseAND(lit(65535L))
