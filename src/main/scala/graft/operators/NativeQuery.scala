@@ -88,8 +88,11 @@ object NativeQuery {
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
-          sortKey = sortKey
-        ).run(prepared).transform(finalizeAggs)
+          sortKey = sortKey,
+          // finalize sketches before the metric sort — ordering raw sketch
+          // bytes would not match the reference's estimate comparators
+          finalizeFn = finalizeAggs
+        ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
         GroupByQuery(
@@ -566,8 +569,12 @@ object NativeQuery {
           case Some("HLLSketchBuild" | "HLLSketchMerge") =>
             val doRound = boolOpt(a \ "round").getOrElse(false)
             Seq(name -> ((c: Column) => {
-              val e = hll_sketch_estimate(c)
-              if (doRound) e else e.cast("double")
+              // round=false must yield the fractional DataSketches estimate
+              // (HllSketchAggregatorFactory.finalizeComputation); Spark's
+              // hll_sketch_estimate is BIGINT (already rounded), so casting
+              // it to double would stay integral beyond the coupon range
+              if (doRound) hll_sketch_estimate(c)
+              else SketchFunctions.hyperUniqueEstimate(c)
             }))
           case _ => Nil
         }
@@ -631,7 +638,11 @@ object NativeQuery {
         val est =
           if (fields.size == 1) thetaEstimate(thetaSketch(fields.head.cast("string"), 18))
           else if (byRow)
-            thetaEstimate(thetaSketch(concat_ws("", fields.map(_.cast("string")): _*), 18))
+            //  separator +  null sentinel: concat_ws alone drops
+            // null fields, which would merge (null,"x") with ("x",null); the
+            // reference's byRow hashing distinguishes null per position
+            thetaEstimate(thetaSketch(concat_ws("",
+              fields.map(c => coalesce(c.cast("string"), lit(""))): _*), 18))
           else thetaEstimate(fields.map(c => thetaSketch(c.cast("string"), 18)).reduce(thetaUnion))
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
@@ -791,8 +802,11 @@ object NativeQuery {
         arr(j \ "splitPoints").map(dbl), intOpt(j \ "numBins"))
     // HLL post-aggs (HllSketchModule.java:52-54)
     case "HLLSketchEstimate" =>
-      val est = hll_sketch_estimate(postAggExpr(j \ "field"))
-      if (boolOpt(j \ "round").getOrElse(false)) est else est.cast("double")
+      // round=true → Spark's long-valued estimate; round=false → fractional
+      // double via DataSketches (HllSketchToEstimatePostAggregator semantics)
+      if (boolOpt(j \ "round").getOrElse(false))
+        hll_sketch_estimate(postAggExpr(j \ "field"))
+      else graft.plans.SketchFunctions.hyperUniqueEstimate(postAggExpr(j \ "field"))
     case "HLLSketchUnion" =>
       arr(j \ "fields").map(postAggExpr).reduce((a, b) => hll_union(a, b, true))
     case t => throw new IllegalArgumentException(s"postAggregator: $t")

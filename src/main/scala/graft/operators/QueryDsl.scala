@@ -247,14 +247,19 @@ final case class TopNQuery(
     // .java): rank by a sort KEY over the dimension value (lexicographic /
     // alphanumeric / version / numeric via StringOrderings) instead of a
     // metric. When set, `metric` is ignored for ordering.
-    sortKey: Option[Column] = None) {
+    sortKey: Option[Column] = None,
+    // Finalization (sketch → estimate) applied BEFORE the metric sort: the
+    // reference's sketch comparators order on finalized estimates
+    // (SketchAggregatorFactory.getComparator), so sorting raw binary sketch
+    // bytes would rank garbage. NativeQuery passes its aggFinalizers here.
+    finalizeFn: DataFrame => DataFrame = identity) {
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
     val (prepared, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
     val aggCols = aggregations.map(_.aliased)
     val agged = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
-    val post = QueryCommon.applyPostAggs(agged, postAggregations)
+    val post = finalizeFn(QueryCommon.applyPostAggs(agged, postAggregations))
     val key = sortKey.getOrElse(col(metric))
     val ord = if (ascending) key.asc else key.desc
     post.orderBy(ord, col(dimension.output).asc_nulls_last).limit(threshold)

@@ -384,6 +384,18 @@ case class HllAddExpr(value: Expression, sketch: Expression)
   override def left: Expression = value
   override def right: Expression = sketch
   override def dataType: DataType = BinaryType
+  // Null VALUE passes the collector through unchanged (the reference's
+  // sql-compatible mode skips nulls, HyperUniqueExpressions.java:168-191);
+  // only a null sketch yields null. BinaryExpression.nullSafeEval would
+  // null the accumulator permanently on the first null row.
+  override def eval(input: InternalRow): Any = {
+    val s = sketch.eval(input)
+    if (s == null) null
+    else {
+      val v = value.eval(input)
+      if (v == null) s else nullSafeEval(v, s)
+    }
+  }
   override protected def nullSafeEval(v: Any, s: Any): Any = {
     val sk = org.apache.datasketches.hll.HllSketch.heapify(
       Memory.wrap(s.asInstanceOf[Array[Byte]]))

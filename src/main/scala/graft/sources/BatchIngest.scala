@@ -41,7 +41,8 @@ object BatchIngest {
       filter: Column = null,                    // TransformSpec filter
       segmentGranularity: String = "P1D",       // time-chunk directory layout
       partitionsSpec: PartitionsSpec = DynamicPartitions,
-      rollup: Option[RollupSpec] = None)
+      rollup: Option[RollupSpec] = None,
+      dataSource: Option[String] = None)        // logical datasource name for the spec catalog
 
   /** Datasource → IngestSpec catalog (reference: the coordinator serves
     * AGGREGATORS/ROLLUP/TIMESTAMPSPEC segmentMetadata analyses from segment
@@ -96,7 +97,11 @@ object BatchIngest {
 
   def run(spark: SparkSession, spec: IngestSpec, outPath: String): DataFrame = {
     write(prepare(read(spark, spec), spec), spec, outPath)
+    // register under both the physical path and the logical datasource name,
+    // so segmentMetadata's spec-describing analyses (AGGREGATORS/ROLLUP/
+    // TIMESTAMPSPEC) resolve through the name a query actually uses
     registerSpec(outPath, spec)
+    spec.dataSource.foreach(registerSpec(_, spec))
     spark.read.parquet(outPath)
   }
 

@@ -19,7 +19,8 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
       segmentGranularity = "P1M",
       partitionsSpec = HashedPartitions(4, Seq("o_orderpriority")),
       rollup = Some(RollupSpec(PeriodGranularity("P1D"), Seq("o_orderpriority"),
-        Seq(Agg("cnt", count(lit(1))), Agg("urgent", sum(col("is_urgent")))))))
+        Seq(Agg("cnt", count(lit(1))), Agg("urgent", sum(col("is_urgent")))))),
+      dataSource = Some("rollup_orders"))
     val back = BatchIngest.run(spark, spec, s"$dir/out")
     // rollup key is unique per (day, priority)
     val dup = back.groupBy("o_orderdate", "o_orderpriority").count().filter($"count" > 1).count()
@@ -44,6 +45,19 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(m.getAs[String]("timestampSpec") == "o_orderdate")
     val aggs = m.getAs[String]("aggregators")
     assert(aggs.contains("cnt=") && aggs.contains("urgent="))
+
+    // the JSON path resolves the spec by LOGICAL datasource name (the key a
+    // query actually uses), not the physical output path — BatchIngest.run
+    // registers both
+    val viaJson = graft.operators.NativeQuery.run(spark,
+      """{"queryType": "segmentMetadata", "dataSource": "rollup_orders",
+          "timeColumn": "o_orderdate",
+          "analysisTypes": ["aggregators", "rollup", "queryGranularity", "timestampSpec"]}""",
+      _ => back)
+    val jm = viaJson.head()
+    assert(jm.getAs[Boolean]("rollup"))
+    assert(jm.getAs[String]("timestampSpec") == "o_orderdate")
+    assert(jm.getAs[String]("aggregators").contains("cnt="))
   }
 
   test("batch ingest reads csv with schema inference") {

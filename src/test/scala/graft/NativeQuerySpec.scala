@@ -316,4 +316,48 @@ class NativeQuerySpec extends SparkSpecBase {
       "concat('a \"quoted\" str', `col`)")
     assertThrows[IllegalArgumentException](MathExpr.toSparkSql("\"a\" ^ 2"))
   }
+
+  test("cardinality byRow distinguishes null position and field boundaries") {
+    // (null,"x") vs ("x",null) are distinct tuples; ("ab","c") vs ("a","bc")
+    // are distinct tuples — concat_ws without separator/sentinel merges both
+    // pairs (CardinalityAggregatorFactory hashes fields separately)
+    val df = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline",
+          "columnNames": ["a", "b"],
+          "columnTypes": ["string", "string"],
+          "rows": [[null, "x"], ["x", null], ["ab", "c"], ["a", "bc"]]},
+        "dimensions": [],
+        "aggregations": [
+          {"type": "cardinality", "name": "nd_rows",
+           "fields": ["a", "b"], "byRow": true, "round": true}
+        ]
+      }""")
+    assert(df.head().getLong(0) == 4L)
+  }
+
+  test("topN on a sketch metric orders by the finalized estimate") {
+    // 3 groups with distinct-counts 1 / 20 / 5: ranking raw sketch bytes
+    // would be arbitrary; the reference's sketch comparators rank estimates
+    // (SketchAggregatorFactory.getComparator)
+    val rows = (1 to 20).map(i => s"""["lo", $i]""").take(1).toList :::
+      (1 to 20).map(i => s"""["hi", $i]""").toList :::
+      (1 to 5).map(i => s"""["mid", $i]""").toList
+    val df = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": {"type": "inline",
+          "columnNames": ["g", "v"], "columnTypes": ["string", "long"],
+          "rows": [${rows.mkString(",")}]},
+        "dimension": "g",
+        "metric": "nd",
+        "threshold": 2,
+        "aggregations": [
+          {"type": "HLLSketchBuild", "name": "nd", "fieldName": "v", "round": true}
+        ]
+      }""").collect()
+    assert(df.map(_.getString(0)).toSeq == Seq("hi", "mid"))
+    assert(df.head.getLong(1) == 20L)
+  }
 }

@@ -68,4 +68,30 @@ class SketchSpec extends SparkSpecBase {
       .agg(hll_sketch_estimate(hll_union_agg($"h"))).head().getLong(0)
     assert(math.abs(est - 10000) < 300) // ~2% HLL error bound at lgK=12
   }
+
+  test("hyper_unique_add passes the collector through on null input (skip-null)") {
+    // reference sql-compatible mode skips null values rather than nulling the
+    // accumulator (HyperUniqueExpressions.java:168-191); one null row in a
+    // fold must not destroy the group's estimate
+    graft.functions.GraftSqlFunctions.register(spark)
+    val nd = spark.sql(
+      """SELECT round(hyper_unique_estimate(
+        |  aggregate(array(1L, CAST(NULL AS BIGINT), 2L, NULL, 3L, 1L),
+        |            hyper_unique(), (acc, x) -> hyper_unique_add(x, acc)))) AS nd
+        |""".stripMargin).head().getDouble(0)
+    assert(nd == 3.0)
+    // null sketch still yields null
+    val n = spark.sql("SELECT hyper_unique_add(1L, CAST(NULL AS BINARY))").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("hll round=false finalization is the fractional DataSketches estimate") {
+    // beyond the coupon-exact range the estimate is non-integral; Spark's
+    // hll_sketch_estimate (BIGINT) cast to double would stay integral
+    val df = (1 to 20000).toDF("v")
+    val est = df.agg(hllSketch($"v", 12).as("h"))
+      .select(hyperUniqueEstimate($"h")).head().getDouble(0)
+    assert(est != math.floor(est), s"expected fractional estimate, got $est")
+    assert(math.abs(est - 20000) < 600)
+  }
 }
