@@ -29,7 +29,12 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the suite (dev iteration);
+    // unset = full suite (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize through a noop sink, not count(): under count Catalyst
       // prunes scan projections, which flatters scan-type queries
@@ -54,6 +59,11 @@ object Bench {
     //  - sum(double) is a genuine full column scan through whole-stage
     //    codegen — the honest compute-bound yardstick.
     val nCores = cpus.toInt
+    if (only.isDefined) { // dev iteration: skip the multi-minute scan yardstick
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     // the whitepaper yardstick is "select sum(float)" — store the summed
     // column as FLOAT like a Druid float metric column (druid.tex:881)
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.AggQueries.queries ++
     graft.queries.MvTimeQueries.queries ++
     graft.queries.PipelineQueries.queries ++
+    graft.queries.CurationQueries.queries ++
     graft.queries.EmbeddingQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
     graft.queries.SketchQueries.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     graft.queries.AggQueries.oracle ++
     graft.queries.MvTimeQueries.oracle ++
     graft.queries.PipelineQueries.oracle ++
+    graft.queries.CurationQueries.oracle ++
     graft.queries.EmbeddingQueries.oracle ++
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.SketchQueries.oracle ++

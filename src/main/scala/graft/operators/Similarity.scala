@@ -126,6 +126,32 @@ object Similarity {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** 64-bit simhash per document, row-based: explode tokens, hash each once
+    * inside the codegen'd scan pipeline, then take the 64 bit-votes as 64
+    * conditional-sum aggregates in a single HashAggregate (map-side
+    * combined). The array-lambda formulation (aggregate/zip_with over the
+    * token array) evaluates interpreted per element — measured 4× slower at
+    * sf0.1. Same lesson as minhashPairs' row-based signatures. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), explode(TF.tokens(col(textCol))).as("__tok"))
+      .select(col("id"), TF.hexLong32(col("__tok")).as("hlo"),
+        TF.hexLong32Hi(col("__tok")).as("hhi"))
+    // vote for bit b = sum over tokens of (bit set ? +1 : -1)
+    val voteCols =
+      (0 until 32).map(b =>
+        sum(shiftright(col("hlo"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")) ++
+      (0 until 32).map(b =>
+        sum(shiftright(col("hhi"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"w$b"))
+    val votes = ex.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val lo = (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val hi62 = (0 until 31).map(b =>
+      when(col(s"w$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))).reduce(_ + _)
+    val sign = when(col("w31") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    votes.select(col("id"), (lo + hi62 + sign).as("simhash"))
+  }
+
   /** SimHash near-dup: 64-bit simhash per doc; pairs within `maxHamming`
     * found by a banded multi-probe equi-join — 4 disjoint 16-bit bands, so
     * by pigeonhole every pair at hamming ≤ 3 agrees exactly on ≥1 band.
@@ -135,9 +161,7 @@ object Similarity {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees completeness only for hamming <= 3")
-    val sh = df
-      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
-      .select(col("id"), SF.simhash64(col("__toks")).as("simhash"))
+    val sh = simhashTable(df, idCol, textCol)
       .cache() // consumed by both sides of the band join
     val banded = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b => SF.simhashBandKey(col("simhash"), b)): _*)).as("band_key"))
@@ -148,6 +172,70 @@ object Similarity {
       .select(col("id_a"), col("id_b"), SF.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Duplicate-cluster assignment: connected components over a candidate-pair
+    * edge list (the step after any pair-finder — minhash/simhash/ngram —
+    * in a real dedup pipeline: near-dup PAIRS must become CLUSTERS so one
+    * survivor per cluster can be kept).
+    *
+    * Hash-min label propagation: every node starts labeled with its own id;
+    * each round every node takes the min label among itself and its
+    * neighbors; converges in O(max component diameter) rounds — near-dup
+    * clusters are shallow (dup rings around a survivor), so typically 2-4
+    * rounds even at corpus scale. Each round is one equi-join + one
+    * groupBy-min on (id, label) longs only; `localCheckpoint` truncates the
+    * growing lineage (the single-JVM analog of checkpointing iteration
+    * state to storage on a cluster). The driver-side loop is iteration
+    * control, not data movement — per round it moves exactly one boolean
+    * (the convergence check).
+    *
+    * Returns (id, cluster_id) for every node that appears in a pair;
+    * cluster_id = min id in the component. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // materialize the pair-finder ONCE — the bidirectional union would
+    // otherwise evaluate the (expensive) upstream plan per branch
+    val pc = pairs.select(col(idA), col(idB)).localCheckpoint(true)
+    val edges0 = pc.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pc.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    // Partition count scales with the edge count, not the session default:
+    // iterative shuffles on a candidate-pair graph orders of magnitude
+    // smaller than the corpus would otherwise pay a fixed per-task floor
+    // every round (measured 10.8 s → 1.9 s at sf0.1 from this alone).
+    val p = math.max(1L, math.min(edges0.sparkSession.sparkContext.defaultParallelism.toLong,
+      edges0.count() / 500000L + 1L)).toInt
+    val edges = edges0.repartition(p, col("dst")).localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val nbrMin = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+      // pointer jumping (label := label of label): path compression halves
+      // the rounds to O(log diameter) — labels only decrease, and the label
+      // node's own label is always ≤ it
+      val jumped = nbrMin.as("c")
+        .join(nbrMin.select(col("id").as("label"), col("label").as("label2")).as("p"),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
+      // old and new label in one checkpointed pass: the convergence probe
+      // then runs over cached rows instead of re-joining
+      val merged = labels.withColumnRenamed("label", "old_label")
+        .join(jumped, "id")
+        .localCheckpoint(true)
+      converged = merged.filter(col("label") =!= col("old_label")).isEmpty
+      labels = merged.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Brute-force cosine top-k: exact baseline for ANN. Queries broadcast;

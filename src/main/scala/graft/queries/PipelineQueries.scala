@@ -16,15 +16,35 @@ import graft.sources.Sources
 object PipelineQueries {
 
   // ---- SQL fragments mirroring TextFunctions (DuckDB dialect) ----
-  private val NormSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
-  private val ToksSql = s"string_split($NormSql, ' ')"
-  private val NTokSql = s"CASE WHEN len($NormSql) = 0 THEN 0 ELSE len($ToksSql) END"
+  // private[queries]: CurationQueries reuses the token count, hash and
+  // simhash mirrors for its sampling/packing/clustering oracles
+  private[queries] val NormSql = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private[queries] val ToksSql = s"string_split($NormSql, ' ')"
+  private[queries] val NTokSql = s"CASE WHEN len($NormSql) = 0 THEN 0 ELSE len($ToksSql) END"
   private def rc(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
   private def markers(words: Seq[String]) =
     words.map(w => rc("lower(text)", s"\\b$w\\b")).mkString(" + ")
-  private def hex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private[queries] def hex60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private def hex32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
   private def hex32hi(e: String) = s"('0x' || substr(md5($e), 9, 8))::BIGINT"
+
+  // 64-bit simhash: bits 0-31 vote from the lo 32-bit hash, 32-62 from the
+  // hi hash, and bit 63 is the sign term (added last; intermediate HUGEINT
+  // arithmetic in DuckDB is exact, the final CAST AS BIGINT fits)
+  private lazy val simhashTerms = ((0 until 32).map { b =>
+    s"(CASE WHEN list_sum(list_transform(hlo, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+  } ++ (0 until 31).map { b =>
+    s"(CASE WHEN list_sum(list_transform(hhi, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << (b + 32)} ELSE 0 END)"
+  }).mkString(" + ") +
+    " + (CASE WHEN list_sum(list_transform(hhi, h -> ((h >> 31) & 1) * 2 - 1)) > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+
+  /** CTE chain ending in `sh(doc_id, simhash)` — the bit-exact DuckDB mirror
+    * of SimilarityFunctions.simhash64 over the documents table. */
+  private[queries] lazy val SimhashCte =
+    s"""base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+       |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hlo,
+       |               list_transform(t, s -> ${hex32hi("s")}) AS hhi FROM base),
+       |sh AS (SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM hsx)""".stripMargin
 
   /** quality in basis points (mirrors TF.qualityBp bit-exactly). */
   private val QualityBpSql = {
@@ -124,11 +144,11 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // 64-bit simhash per document (tokens hoisted ahead of the vote lambda)
+    // 64-bit simhash per document (row-based: explode → hash once → 64
+    // conditional sums in one HashAggregate; see Similarity.simhashTable)
     "dedup_simhash" -> ((s, dir) => {
-      Sources.table(s, dir, "documents")
-        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), SF.simhash64(col("__toks")).as("simhash"))
+      Similarity.simhashTable(Sources.table(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id")).limit(200)
     }),
 
@@ -168,16 +188,6 @@ object PipelineQueries {
       val parts = (s"'$bnd'" +: (0 until 4).map(r => s"CAST(sig[${bnd * 4 + r + 1}] AS VARCHAR)")).mkString(", ")
       hex60(s"concat_ws(',', $parts)")
     }.mkString(", ") + "]"
-
-    // 64-bit simhash: bits 0-31 vote from the lo 32-bit hash, 32-62 from the
-    // hi hash, and bit 63 is the sign term (added last; intermediate HUGEINT
-    // arithmetic in DuckDB is exact, the final CAST AS BIGINT fits)
-    val simhashTerms = ((0 until 32).map { b =>
-      s"(CASE WHEN list_sum(list_transform(hlo, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
-    } ++ (0 until 31).map { b =>
-      s"(CASE WHEN list_sum(list_transform(hhi, h -> ((h >> $b) & 1) * 2 - 1)) > 0 THEN ${1L << (b + 32)} ELSE 0 END)"
-    }).mkString(" + ") +
-      " + (CASE WHEN list_sum(list_transform(hhi, h -> ((h >> 31) & 1) * 2 - 1)) > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
 
     Map(
       "text_analysis" ->
@@ -234,17 +244,11 @@ object PipelineQueries {
            |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_simhash" ->
-        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
-           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hlo,
-           |               list_transform(t, s -> ${hex32hi("s")}) AS hhi FROM base)
-           |SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash
-           |FROM hsx ORDER BY doc_id LIMIT 200""".stripMargin,
+        s"""WITH $SimhashCte
+           |SELECT doc_id, simhash FROM sh ORDER BY doc_id LIMIT 200""".stripMargin,
 
       "dedup_simhash_pairs" ->
-        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
-           |hsx AS (SELECT doc_id, list_transform(t, s -> ${hex32("s")}) AS hlo,
-           |               list_transform(t, s -> ${hex32hi("s")}) AS hhi FROM base),
-           |sh AS (SELECT doc_id, CAST($simhashTerms AS BIGINT) AS simhash FROM hsx)
+        s"""WITH $SimhashCte
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
