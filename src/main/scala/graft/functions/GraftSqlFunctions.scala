@@ -243,6 +243,23 @@ object GraftSqlFunctions {
     },
     "ds_tuple_doubles_sketch_estimate" -> { args => graft.plans.TupleEstimate(args(0)) },
     "ds_tuple_doubles_metrics_sum_estimate" -> { args => graft.plans.TupleMetricsSum(args(0)) },
+    // full ArrayOfDoublesSketchModule post-op family (tuple/
+    // ArrayOfDoublesSketchModule.java:64-105)
+    "ds_tuple_doubles_num_entries" -> { args => graft.plans.TupleNumEntries(args(0)) },
+    "ds_tuple_doubles_means" -> { args => graft.plans.TupleColumnStats(args(0), "mean") },
+    "ds_tuple_doubles_variances" -> { args => graft.plans.TupleColumnStats(args(0), "variance") },
+    "ds_tuple_doubles_estimate_and_bounds" -> { args =>
+      graft.plans.TupleEstimateAndBounds(args(0),
+        if (args.size > 1) litInt(args(1), "ds_tuple_doubles_estimate_and_bounds") else 1)
+    },
+    "ds_tuple_doubles_union" -> { args => graft.plans.TupleSetOp(args(0), args(1), "union") },
+    "ds_tuple_doubles_intersect" -> { args => graft.plans.TupleSetOp(args(0), args(1), "intersect") },
+    "ds_tuple_doubles_not" -> { args => graft.plans.TupleSetOp(args(0), args(1), "not") },
+    "ds_tuple_doubles_to_quantiles_sketch" -> { args =>
+      graft.plans.TupleToKll(args(0),
+        if (args.size > 1) litInt(args(1), "ds_tuple_doubles_to_quantiles_sketch") else 1,
+        if (args.size > 2) litInt(args(2), "ds_tuple_doubles_to_quantiles_sketch") else 200)
+    },
 
     // hyper_unique expression-macro family (processing/.../query/expression/
     // HyperUniqueExpressions.java:44-260): per-row HLL collector create /

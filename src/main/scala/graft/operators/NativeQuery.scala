@@ -747,6 +747,15 @@ object NativeQuery {
         hll_sketch_agg(f, intOpt(inner \ "lgK").getOrElse(12))
       case "quantilesDoublesSketch" =>
         graft.plans.SketchFunctions.kllSketch(f, intOpt(inner \ "k").getOrElse(128))
+      case "arrayOfDoublesSketch" =>
+        // null key never updates the sketch; metric columns pass unfiltered
+        // (they are only read when the key row matches)
+        val metrics = arr(inner \ "metricColumns").map {
+          case JString(s) => col(s); case x => col(str(x))
+        }
+        val lgK = intOpt(inner \ "nominalEntries")
+          .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
+        graft.plans.SketchFunctions.tupleSketch(f, metrics, lgK)
       case t => throw new IllegalArgumentException(s"filtered aggregator: $t")
     }
   }
@@ -786,6 +795,34 @@ object NativeQuery {
         case o => throw new IllegalArgumentException(s"thetaSketchSetOp func: $o")
       }
       arr(j \ "fields").map(postAggExpr).reduce(op)
+    // ArrayOfDoubles tuple-sketch post-aggs (tuple/ArrayOfDoublesSketchModule
+    // .java:64-105). TTest is a declared non-goal (needs commons-math's
+    // t-distribution CDF, not in the sandbox); toString is Scala-API only.
+    case "arrayOfDoublesSketchToEstimate" =>
+      graft.plans.SketchFunctions.tupleEstimate(postAggExpr(j \ "field"))
+    case "arrayOfDoublesSketchToMetricsSumEstimate" =>
+      graft.plans.SketchFunctions.tupleMetricsSum(postAggExpr(j \ "field"))
+    case "arrayOfDoublesSketchToNumEntries" =>
+      graft.plans.SketchFunctions.tupleNumEntries(postAggExpr(j \ "field"))
+    case "arrayOfDoublesSketchToMeans" =>
+      graft.plans.SketchFunctions.tupleMeans(postAggExpr(j \ "field"))
+    case "arrayOfDoublesSketchToVariances" =>
+      graft.plans.SketchFunctions.tupleVariances(postAggExpr(j \ "field"))
+    case "arrayOfDoublesSketchToEstimateAndBounds" =>
+      graft.plans.SketchFunctions.tupleEstimateAndBounds(postAggExpr(j \ "field"),
+        intOpt(j \ "numStdDevs").getOrElse(1))
+    case "arrayOfDoublesSketchSetOp" =>
+      import graft.plans.SketchFunctions.{tupleUnion, tupleIntersect, tupleNot}
+      val op: (Column, Column) => Column = str(j \ "func").toUpperCase match {
+        case "UNION" => tupleUnion
+        case "INTERSECT" => tupleIntersect
+        case "NOT" => tupleNot
+        case o => throw new IllegalArgumentException(s"arrayOfDoublesSketchSetOp func: $o")
+      }
+      arr(j \ "fields").map(postAggExpr).reduce(op)
+    case "arrayOfDoublesSketchToQuantilesSketch" =>
+      graft.plans.SketchFunctions.tupleToKll(postAggExpr(j \ "field"),
+        intOpt(j \ "column").getOrElse(1), intOpt(j \ "k").getOrElse(200))
     // quantiles sketch post-aggs (DoublesSketchModule.java:51-56)
     case "quantilesDoublesSketchToQuantile" =>
       graft.plans.SketchFunctions.kllQuantile(postAggExpr(j \ "field"), dbl(j \ "fraction"))

@@ -242,6 +242,120 @@ case class TupleMetricsSum(child: Expression) extends UnaryExpression with Codeg
   override def prettyName: String = "ds_tuple_metrics_sum"
 }
 
+/** arrayOfDoublesSketchToNumEntries (ArrayOfDoublesSketchToNumEntriesPostAggregator):
+  * retained entries — NOT the estimate. */
+case class TupleNumEntries(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+      .getRetainedEntries.toLong
+  override protected def withNewChildInternal(c: Expression): TupleNumEntries = copy(child = c)
+  override def prettyName: String = "ds_tuple_num_entries"
+}
+
+/** arrayOfDoublesSketchToMeans / ToVariances: per-metric mean / SAMPLE
+  * variance over retained entries (the reference streams them through
+  * commons-math SummaryStatistics — Welford here, same n-1 denominator). */
+case class TupleColumnStats(child: Expression, stat: String)
+  extends UnaryExpression with CodegenFallback {
+  require(stat == "mean" || stat == "variance", s"stat must be mean|variance, got $stat")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    val m = sk.getNumValues
+    val n = new Array[Long](m); val mean = new Array[Double](m); val m2 = new Array[Double](m)
+    val it = sk.iterator()
+    while (it.next()) {
+      val vals = it.getValues
+      var i = 0
+      while (i < m) {
+        n(i) += 1
+        val d = vals(i) - mean(i)
+        mean(i) += d / n(i)
+        m2(i) += d * (vals(i) - mean(i))
+        i += 1
+      }
+    }
+    val out = (0 until m).map { i =>
+      if (stat == "mean") (if (n(i) == 0) Double.NaN else mean(i))
+      else if (n(i) < 2) (if (n(i) == 1) 0.0 else Double.NaN)
+      else m2(i) / (n(i) - 1)
+    }.toArray
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): TupleColumnStats = copy(child = c)
+  override def prettyName: String = s"ds_tuple_$stat"
+}
+
+/** arrayOfDoublesSketchToEstimateAndBounds: [estimate, lowerBound(numStdDevs),
+  * upperBound(numStdDevs)]. */
+case class TupleEstimateAndBounds(child: Expression, numStdDevs: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(sk.getEstimate, sk.getLowerBound(numStdDevs), sk.getUpperBound(numStdDevs)))
+  }
+  override protected def withNewChildInternal(c: Expression): TupleEstimateAndBounds =
+    copy(child = c)
+  override def prettyName: String = "ds_tuple_estimate_and_bounds"
+}
+
+/** arrayOfDoublesSketchSetOp (ArrayOfDoublesSketchOperations.Operation):
+  * UNION / INTERSECT (values summed on common keys, the reference's
+  * COMBINER) / NOT. Output numValues follows the left operand. */
+case class TupleSetOp(left: Expression, right: Expression, op: String)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    val builder = new ArrayOfDoublesSetOperationBuilder()
+      .setNumberOfValues(sa.getNumValues)
+    val result = op match {
+      case "union" =>
+        val u = builder.buildUnion(); u.union(sa); u.union(sb); u.getResult
+      case "intersect" =>
+        val i = builder.buildIntersection()
+        val combiner = new org.apache.datasketches.tuple.arrayofdoubles.ArrayOfDoublesCombiner {
+          override def combine(x: Array[Double], y: Array[Double]): Array[Double] = {
+            val r = new Array[Double](x.length)
+            var i = 0; while (i < x.length) { r(i) = x(i) + y(i); i += 1 }; r
+          }
+        }
+        i.intersect(sa, combiner); i.intersect(sb, combiner); i.getResult
+      case "not" =>
+        val n = builder.buildAnotB(); n.update(sa, sb); n.getResult
+      case o => throw new IllegalArgumentException(s"tuple set op: $o")
+    }
+    result.toByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TupleSetOp =
+    copy(left = l, right = r)
+  override def prettyName: String = s"ds_tuple_$op"
+}
+
+/** arrayOfDoublesSketchToQuantilesSketch: the distribution of one metric
+  * column over retained keys as a quantile sketch. Deviation (documented):
+  * a KLL doubles sketch, this engine's quantile sketch family, not the
+  * classic DoublesSketch. */
+case class TupleToKll(child: Expression, column: Int, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    require(column >= 1 && column <= sk.getNumValues,
+      s"column $column out of range 1..${sk.getNumValues}")
+    val kll = KllDoublesSketch.newHeapInstance(k)
+    val it = sk.iterator()
+    while (it.next()) kll.update(it.getValues()(column - 1))
+    kll.toByteArray
+  }
+  override protected def withNewChildInternal(c: Expression): TupleToKll = copy(child = c)
+  override def prettyName: String = "ds_tuple_to_kll"
+}
+
 /** KLL doubles quantile sketch build+merge → serialized sketch bytes.
   * (reference: datasketches/quantiles — DoublesSketch; KLL is the modern
   * equivalent with better accuracy per byte). Exact while n ≤ k. */
@@ -465,6 +579,16 @@ object SketchFunctions {
     c(TupleSketchAgg(e(key), values.map(e), lgK).toAggregateExpression())
   def tupleEstimate(col: Column): Column = c(TupleEstimate(e(col)))
   def tupleMetricsSum(col: Column): Column = c(TupleMetricsSum(e(col)))
+  def tupleNumEntries(col: Column): Column = c(TupleNumEntries(e(col)))
+  def tupleMeans(col: Column): Column = c(TupleColumnStats(e(col), "mean"))
+  def tupleVariances(col: Column): Column = c(TupleColumnStats(e(col), "variance"))
+  def tupleEstimateAndBounds(col: Column, numStdDevs: Int = 1): Column =
+    c(TupleEstimateAndBounds(e(col), numStdDevs))
+  def tupleUnion(a: Column, b: Column): Column = c(TupleSetOp(e(a), e(b), "union"))
+  def tupleIntersect(a: Column, b: Column): Column = c(TupleSetOp(e(a), e(b), "intersect"))
+  def tupleNot(a: Column, b: Column): Column = c(TupleSetOp(e(a), e(b), "not"))
+  def tupleToKll(col: Column, column: Int = 1, k: Int = 200): Column =
+    c(TupleToKll(e(col), column, k))
 
   /** DS_HLL family — Spark ships DataSketches-backed HLL functions. */
   def hllSketch(col: Column, lgK: Int = 12): Column =

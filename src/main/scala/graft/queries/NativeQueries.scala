@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, element_at, round}
 import graft.operators.NativeQuery
 import graft.sources.{LookupRegistry, Sources}
 
@@ -327,6 +327,70 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // the full ArrayOfDoubles tuple post-agg family (tuple/
+    // ArrayOfDoublesSketchModule.java:64-105): numEntries, set ops,
+    // means/variances over the carried metric, estimate+bounds, and
+    // toQuantilesSketch piped into a KLL quantile — all exact below the
+    // 2^16 nominal. The trailing .select only unpacks array outputs to
+    // scalars (the harness compare cannot hash raw arrays) and rounds the
+    // FP stats; every sketch operation happens in the JSON post-aggs.
+    "native_tuple_postaggs" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "lineitem",
+          "dimensions": [],
+          "aggregations": [
+            {"type": "filtered", "name": "sk_a",
+             "filter": {"type": "selector", "dimension": "l_returnflag", "value": "A"},
+             "aggregator": {"type": "arrayOfDoublesSketch", "name": "sk_a",
+                            "fieldName": "l_suppkey", "metricColumns": ["l_quantity"],
+                            "nominalEntries": 65536}},
+            {"type": "filtered", "name": "sk_r",
+             "filter": {"type": "selector", "dimension": "l_returnflag", "value": "R"},
+             "aggregator": {"type": "arrayOfDoublesSketch", "name": "sk_r",
+                            "fieldName": "l_suppkey", "metricColumns": ["l_quantity"],
+                            "nominalEntries": 65536}}
+          ],
+          "postAggregations": [
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "entries_a",
+             "field": {"type": "fieldAccess", "fieldName": "sk_a"}},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "nd_union",
+             "field": {"type": "arrayOfDoublesSketchSetOp", "name": "u", "func": "UNION",
+               "fields": [{"type": "fieldAccess", "fieldName": "sk_a"},
+                          {"type": "fieldAccess", "fieldName": "sk_r"}]}},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "nd_intersect",
+             "field": {"type": "arrayOfDoublesSketchSetOp", "name": "i", "func": "INTERSECT",
+               "fields": [{"type": "fieldAccess", "fieldName": "sk_a"},
+                          {"type": "fieldAccess", "fieldName": "sk_r"}]}},
+            {"type": "arrayOfDoublesSketchToEstimate", "name": "nd_not",
+             "field": {"type": "arrayOfDoublesSketchSetOp", "name": "n", "func": "NOT",
+               "fields": [{"type": "fieldAccess", "fieldName": "sk_a"},
+                          {"type": "fieldAccess", "fieldName": "sk_r"}]}},
+            {"type": "arrayOfDoublesSketchToMeans", "name": "means_a",
+             "field": {"type": "fieldAccess", "fieldName": "sk_a"}},
+            {"type": "arrayOfDoublesSketchToVariances", "name": "vars_a",
+             "field": {"type": "fieldAccess", "fieldName": "sk_a"}},
+            {"type": "arrayOfDoublesSketchToEstimateAndBounds", "name": "bounds_a",
+             "numStdDevs": 2,
+             "field": {"type": "fieldAccess", "fieldName": "sk_a"}},
+            {"type": "quantilesDoublesSketchToQuantile", "name": "med_qty_a", "fraction": 0.5,
+             "field": {"type": "arrayOfDoublesSketchToQuantilesSketch", "name": "q",
+               "column": 1, "k": 4096,
+               "field": {"type": "fieldAccess", "fieldName": "sk_a"}}}
+          ]
+        }""", res(s, dir))
+        .select(
+          col("entries_a"),
+          round(col("nd_union")).cast("long").as("nd_union"),
+          round(col("nd_intersect")).cast("long").as("nd_intersect"),
+          round(col("nd_not")).cast("long").as("nd_not"),
+          round(element_at(col("means_a"), 1), 4).as("mean_qty_a"),
+          round(element_at(col("vars_a"), 1), 4).as("var_qty_a"),
+          round(element_at(col("bounds_a"), 2)).cast("long").as("lb_a"),
+          col("med_qty_a"))
+    }),
+
     // HLLSketchBuild aggregator (HllSketchModule.java:49) with round=true →
     // long estimates in the output; exact at ≤25 distinct nation keys
     // (coupon phase)
@@ -528,6 +592,24 @@ object NativeQueries {
         |       CAST((SELECT count(*) FROM r) AS DOUBLE) AS sk_r,
         |       CAST((SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM r)) AS DOUBLE) AS nd_union,
         |       CAST((SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM r)) AS DOUBLE) AS nd_intersect""".stripMargin,
+
+    // per-key metric = sum of l_quantity per suppkey (tuple update sums
+    // values on duplicate keys); means/variances/median are over those
+    // per-key sums. KLL quantile == percentile_disc (inclusive rule).
+    "native_tuple_postaggs" ->
+      """WITH a AS (SELECT l_suppkey, sum(l_quantity) AS qty FROM lineitem
+        |           WHERE l_returnflag = 'A' GROUP BY 1),
+        |r AS (SELECT l_suppkey, sum(l_quantity) AS qty FROM lineitem
+        |      WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS entries_a,
+        |  CAST((SELECT count(*) FROM (SELECT l_suppkey FROM a UNION SELECT l_suppkey FROM r)) AS BIGINT) AS nd_union,
+        |  CAST((SELECT count(*) FROM (SELECT l_suppkey FROM a INTERSECT SELECT l_suppkey FROM r)) AS BIGINT) AS nd_intersect,
+        |  CAST((SELECT count(*) FROM (SELECT l_suppkey FROM a EXCEPT SELECT l_suppkey FROM r)) AS BIGINT) AS nd_not,
+        |  round((SELECT avg(qty) FROM a), 4) AS mean_qty_a,
+        |  round((SELECT var_samp(qty) FROM a), 4) AS var_qty_a,
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS lb_a,
+        |  (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY qty) FROM a) AS med_qty_a""".stripMargin,
 
     "native_hll" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nd_nation, count(*) AS cnt

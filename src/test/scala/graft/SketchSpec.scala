@@ -69,6 +69,28 @@ class SketchSpec extends SparkSpecBase {
     assert(math.abs(est - 10000) < 300) // ~2% HLL error bound at lgK=12
   }
 
+  test("tuple post-op family: set ops, stats, bounds, quantile pipe") {
+    val a = Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v")
+      .agg(tupleSketch($"k", Seq($"v")).as("ska"))
+    val b = Seq((2, 5.0), (3, 5.0), (4, 5.0)).toDF("k", "v")
+      .agg(tupleSketch($"k", Seq($"v")).as("skb"))
+    val r = a.crossJoin(b).select(
+      round(tupleEstimate(tupleUnion($"ska", $"skb"))).as("u"),
+      round(tupleEstimate(tupleIntersect($"ska", $"skb"))).as("i"),
+      round(tupleEstimate(tupleNot($"ska", $"skb"))).as("n"),
+      tupleNumEntries($"ska").as("entries"),
+      element_at(tupleMeans($"ska"), 1).as("mean"),
+      element_at(tupleVariances($"ska"), 1).as("variance"),
+      element_at(tupleEstimateAndBounds($"ska", 2), 1).as("est"),
+      kllQuantile(tupleToKll($"ska", 1, 200), 0.5).as("med")).head()
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 2.0 && r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 20.0)      // mean of 10,20,30
+    assert(r.getDouble(5) == 100.0)     // sample variance of 10,20,30
+    assert(r.getDouble(6) == 3.0)       // exact estimate
+    assert(r.getDouble(7) == 20.0)      // inclusive median
+  }
+
   test("hyper_unique_add passes the collector through on null input (skip-null)") {
     // reference sql-compatible mode skips null values rather than nulling the
     // accumulator (HyperUniqueExpressions.java:168-191); one null row in a
