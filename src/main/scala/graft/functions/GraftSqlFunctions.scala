@@ -120,6 +120,22 @@ object GraftSqlFunctions {
     "icontains_string" -> { args =>
       ex(DruidFunctions.iContainsString(col(args(0)), litStr(args(1), "icontains_string")))
     },
+    // REGEXP_EXTRACT(expr, pattern[, group]) (RegexpExtractOperatorConversion):
+    // Druid returns NULL when the pattern does not match (RegexDimExtractionFn
+    // with replaceMissingValue), unlike Spark's regexp_extract which returns
+    // ''. Guard with rlike — both use unanchored Java-regex find semantics.
+    "regexp_extract" -> { args =>
+      val pat = Literal(UTF8String.fromString(litStr(args(1), "regexp_extract")),
+        org.apache.spark.sql.types.StringType)
+      val grp = if (args.size > 2) litInt(args(2), "regexp_extract") else 0
+      // raw Catalyst nodes, not functions.regexp_extract: the functions API
+      // builds UnresolvedFunction("regexp_extract") by name, which would
+      // resolve straight back into this builder (analyzer loop)
+      CaseWhen(Seq((
+        org.apache.spark.sql.catalyst.expressions.RLike(args(0), pat),
+        org.apache.spark.sql.catalyst.expressions.RegExpExtract(args(0), pat,
+          Literal(grp)))), None)
+    },
     "parse_long" -> { args =>
       val radix = if (args.size > 1) litInt(args(1), "parse_long") else 10
       ex(DruidFunctions.parseLong(col(args(0)), radix))

@@ -371,4 +371,384 @@ class CalciteGoldenSpec extends SparkSpecBase {
     assert(out("2") == Some(""))
     assert(out("abc") == None)
   }
+
+  // ---- tranche 2 (round 5): simple aggregations over nullable numerics ----
+
+  test("testSimpleLongAggregations (:4518)") {
+    val r = single("SELECT MIN(l1), MIN(cnt), MAX(l1) FROM numfoo")
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 1L, 325323L)))
+  }
+
+  test("testSimpleDoubleAggregations (:4542)") {
+    val r = single("SELECT MIN(d1), MAX(d1) FROM numfoo")
+    assert((r.getDouble(0), r.getDouble(1)) == ((0.0, 1.7)))
+  }
+
+  test("testSimpleFloatAggregations (:4565)") {
+    val r = single("SELECT MIN(m1), MAX(m1) FROM numfoo")
+    assert((r.getFloat(0), r.getFloat(1)) == ((1.0f, 6.0f)))
+  }
+
+  test("testSimpleAggregations (:4589; Druid types AVG-of-long as LONG, Spark as DOUBLE)") {
+    val r = single(
+      """SELECT COUNT(*), COUNT(cnt), COUNT(dim1), AVG(cnt), SUM(cnt),
+        |       SUM(cnt) + MIN(cnt) + MAX(cnt), COUNT(dim2), COUNT(d1), AVG(d1)
+        |FROM numfoo""".stripMargin)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 6L, 6L)))
+    assert(r.getDouble(3) == 1.0)
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) == ((6L, 8L, 4L, 3L)))
+    assert(math.abs(r.getDouble(8) - (1 + 1.7) / 3) < 1e-12)
+  }
+
+  test("testCountNonNullColumn (:4058)") {
+    assert(single("SELECT COUNT(cnt) FROM foo").getLong(0) == 6L)
+  }
+
+  test("testCountNullableColumn (:4087)") {
+    assert(single("SELECT COUNT(dim2) FROM foo").getLong(0) == 4L)
+  }
+
+  test("testCountNullableExpression (:4116)") {
+    assert(single(
+      """SELECT COUNT(CASE WHEN dim2 = 'abc' THEN 'yes' WHEN dim2 = 'def' THEN 'yes' END)
+        |FROM foo""".stripMargin).getLong(0) == 1L)
+  }
+
+  // ---- HAVING ----
+
+  test("testHavingOnGrandTotal (:1978)") {
+    assert(single("SELECT SUM(m1) AS m1_sum FROM foo HAVING m1_sum = 21").getDouble(0) == 21.0)
+  }
+
+  test("testHavingOnDoubleSum (:1999)") {
+    val out = sql("SELECT dim1, SUM(m1) AS m1_sum FROM foo GROUP BY dim1 HAVING SUM(m1) > 1 ORDER BY dim1")
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("1", 4.0), ("10.1", 2.0), ("2", 3.0), ("abc", 6.0), ("def", 5.0)))
+  }
+
+  test("testHavingOnRatio (:2326; Druid's not(selector) keeps null dim2, spelled OR IS NULL)") {
+    val out = sql(
+      """SELECT dim1,
+        |  CAST(COUNT(*) FILTER(WHERE dim2 <> 'a' OR dim2 IS NULL) / COUNT(*) AS BIGINT) AS ratio
+        |FROM foo GROUP BY dim1
+        |HAVING COUNT(*) FILTER(WHERE dim2 <> 'a' OR dim2 IS NULL) / COUNT(*) = 1
+        |ORDER BY dim1""".stripMargin).map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("10.1", 1L), ("2", 1L), ("abc", 1L), ("def", 1L)))
+  }
+
+  // ---- filtered aggregations ----
+
+  test("testFilteredAggregations (:4811)") {
+    val r = single(
+      """SELECT
+        |  SUM(case dim1 when 'abc' then cnt end),
+        |  SUM(case dim1 when 'abc' then null else cnt end),
+        |  SUM(case substring(dim1, 1, 1) when 'a' then cnt end),
+        |  COUNT(dim2) filter(WHERE dim1 <> '1'),
+        |  COUNT(CASE WHEN dim1 <> '1' THEN 'dummy' END),
+        |  SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END),
+        |  SUM(cnt) filter(WHERE dim2 = 'a'),
+        |  SUM(case when dim1 <> '1' then cnt end) filter(WHERE dim2 = 'a'),
+        |  SUM(CASE WHEN dim1 <> '1' THEN cnt ELSE 0 END),
+        |  MAX(CASE WHEN dim1 <> '1' THEN cnt END),
+        |  COUNT(DISTINCT CASE WHEN dim1 <> '1' THEN m1 END),
+        |  SUM(cnt) filter(WHERE dim2 = 'a' AND dim1 = 'b')
+        |FROM foo""".stripMargin)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)) ==
+      ((1L, 5L, 1L, 3L, 5L, 5L, 2L, 1L, 5L, 1L, 5L)))
+    assert(r.isNullAt(11)) // no matching rows -> null (sql-compatible)
+  }
+
+  test("testCaseFilteredAggregationWithGroupBy (:4909)") {
+    val r = single(
+      """SELECT cnt, SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) + SUM(cnt)
+        |FROM foo GROUP BY cnt""".stripMargin)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 11L)))
+  }
+
+  test("testFilteredAggregationWithNotIn (:4941)") {
+    val r = single(
+      """SELECT
+        |  COUNT(*) filter(WHERE dim1 NOT IN ('1')),
+        |  COUNT(dim2) filter(WHERE dim1 NOT IN ('1'))
+        |FROM foo""".stripMargin)
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 3L)))
+  }
+
+  // ---- null semantics ----
+
+  test("testNullEmptyStringEquality (:3221)") {
+    assert(single("SELECT COUNT(*) FROM foo WHERE NULLIF(dim2, 'a') IS NULL").getLong(0) == 4L)
+  }
+
+  test("testCoalesceColumns (:3667)") {
+    val out = sql("SELECT COALESCE(dim2, dim1), COUNT(*) FROM foo GROUP BY COALESCE(dim2, dim1) ORDER BY 1")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("", 1L), ("10.1", 1L), ("a", 2L), ("abc", 2L)))
+  }
+
+  test("testNvlColumns (:12136)") {
+    val out = sql("SELECT NVL(dim2, dim1), COUNT(*) FROM foo GROUP BY NVL(dim2, dim1) ORDER BY 1")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("", 1L), ("10.1", 1L), ("a", 2L), ("abc", 2L)))
+  }
+
+  test("testColumnIsNull (:3711)") {
+    assert(single("SELECT COUNT(*) FROM foo WHERE dim2 IS NULL").getLong(0) == 2L)
+  }
+
+  test("testSelfJoin (:3735)") {
+    assert(single("SELECT COUNT(*) FROM foo x, foo y").getLong(0) == 36L)
+  }
+
+  test("testInFilter (:5181)") {
+    val out = sql("SELECT dim1, COUNT(*) FROM foo WHERE dim1 IN ('abc', 'def', 'ghi') GROUP BY dim1 ORDER BY 1")
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("abc", 1L), ("def", 1L)))
+  }
+
+  // ---- CASE / expression grouping ----
+
+  test("testGroupByCaseWhen (:3132)") {
+    val out = sql(
+      """SELECT
+        |  CASE EXTRACT(DAY FROM __time)
+        |    WHEN m1 THEN 'match-m1'
+        |    WHEN cnt THEN 'match-cnt'
+        |    WHEN 0 THEN 'zero'
+        |    END,
+        |  COUNT(*)
+        |FROM foo
+        |GROUP BY 1""".stripMargin)
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(out == Set((None, 2L), (Some("match-cnt"), 1L), (Some("match-m1"), 3L)))
+  }
+
+  test("testGroupByCaseWhenOfTripleAnd (:3185)") {
+    val out = sql(
+      """SELECT CASE WHEN m1 > 1 AND m1 < 5 AND cnt = 1 THEN 'x' ELSE NULL END, COUNT(*)
+        |FROM foo GROUP BY 1""".stripMargin)
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(out == Set((None, 3L), (Some("x"), 3L)))
+  }
+
+  test("testColumnComparison (:2296; Druid CAST-to-double returns null on junk, spelled TRY_CAST under ANSI)") {
+    val out = sql(
+      """SELECT dim1, m1, COUNT(*) FROM foo
+        |WHERE m1 - 1 = TRY_CAST(dim1 AS DOUBLE) GROUP BY dim1, m1""".stripMargin)
+      .map(r => (r.getString(0), r.getFloat(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2", 3.0f, 1L)))
+  }
+
+  test("testGroupByLong (:1750)") {
+    val r = single("SELECT cnt, COUNT(*) FROM foo GROUP BY cnt")
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 6L)))
+  }
+
+  test("testGroupByFloor (:8251; Druid floor(float) is FLOAT, Spark FLOOR is BIGINT; TRY_CAST under ANSI)") {
+    val out = sql(
+      """SELECT floor(TRY_CAST(dim1 AS FLOAT)), COUNT(*) FROM foo
+        |GROUP BY floor(TRY_CAST(dim1 AS FLOAT)) ORDER BY 1""".stripMargin)
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    assert(out.toSeq == Seq((None, 3L), (Some(1L), 1L), (Some(2L), 1L), (Some(10L), 1L)))
+  }
+
+  test("testSillyQuarters (:7587)") {
+    val r = single(
+      """SELECT CAST((EXTRACT(MONTH FROM __time) - 1 ) / 3 + 1 AS INTEGER) AS quarter, COUNT(*)
+        |FROM foo
+        |GROUP BY CAST((EXTRACT(MONTH FROM __time) - 1 ) / 3 + 1 AS INTEGER)""".stripMargin)
+    assert((r.getInt(0), r.getLong(1)) == ((1, 6L)))
+  }
+
+  // ---- nested groupBy / subqueries ----
+
+  test("testNestedGroupBy (:6438; FLOOR(__time TO HOUR) spelled TIME_FLOOR)") {
+    val out = sql(
+      """SELECT TIME_FLOOR(__time, 'PT1H') AS t, dim1, COUNT(m2)
+        |FROM (
+        |  SELECT MAX(__time) AS __time, m2, dim1 FROM foo
+        |  WHERE 1=1 AND m1 = '5.0' GROUP BY m2, dim1
+        |)
+        |GROUP BY TIME_FLOOR(__time, 'PT1H'), dim1""".stripMargin)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((ts("2001-01-02 00:00:00"), "def", 1L)))
+  }
+
+  test("testExactCountDistinctUsingSubquery (:6613)") {
+    val r = single(
+      """SELECT SUM(cnt), COUNT(*)
+        |FROM (SELECT dim2, SUM(cnt) AS cnt FROM foo GROUP BY dim2)""".stripMargin)
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 4L)))
+  }
+
+  test("testMinMaxAvgDailyCountWithLimit (:6706; Druid types AVG-of-long LONG; EPOCH via TIME_EXTRACT)") {
+    val r = single(
+      """SELECT * FROM (
+        |  SELECT max(cnt), min(cnt), CAST(avg(cnt) AS BIGINT),
+        |         TIME_EXTRACT(max(t), 'EPOCH') last_time, count(1) num_days
+        |  FROM (
+        |      SELECT TIME_FLOOR(__time, 'P1D') AS t, count(1) cnt
+        |      FROM foo GROUP BY 1
+        |  )
+        |) LIMIT 1""".stripMargin)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 1L, 1L, 978480000L, 6L)))
+  }
+
+  // ---- regexp ----
+
+  test("testRegexpExtract (:7620; Druid <> keeps nulls, spelled IS DISTINCT FROM)") {
+    val out = sql(
+      """SELECT DISTINCT REGEXP_EXTRACT(dim1, '^.'), REGEXP_EXTRACT(dim1, '^(.)', 1)
+        |FROM foo
+        |WHERE REGEXP_EXTRACT(dim1, '^(.)', 1) IS DISTINCT FROM 'x'""".stripMargin)
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      (None, None), (Some("1"), Some("1")), (Some("2"), Some("2")),
+      (Some("a"), Some("a")), (Some("d"), Some("d"))))
+  }
+
+  test("testRegexpExtractFilterViaNotNullCheck (:7671)") {
+    assert(single(
+      """SELECT COUNT(*) FROM foo
+        |WHERE REGEXP_EXTRACT(dim1, '^1') IS NOT NULL
+        |   OR REGEXP_EXTRACT('Z' || dim1, '^Z2') IS NOT NULL""".stripMargin).getLong(0) == 3L)
+  }
+
+  test("testRegexpLikeFilter (:7705)") {
+    assert(single(
+      """SELECT COUNT(*) FROM foo
+        |WHERE REGEXP_LIKE(dim1, '^1') OR REGEXP_LIKE('Z' || dim1, '^Z2')""".stripMargin)
+      .getLong(0) == 3L)
+  }
+
+  // ---- time extraction / formatting ----
+
+  test("testGroupByExtractYear (:9732)") {
+    val out = sql(
+      """SELECT EXTRACT(YEAR FROM __time) AS y, SUM(cnt)
+        |FROM foo GROUP BY EXTRACT(YEAR FROM __time) ORDER BY 1""".stripMargin)
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    assert(out.toSeq == Seq((2000L, 3L), (2001L, 3L)))
+  }
+
+  test("testGroupByFormatYearAndMonth (:9781)") {
+    val out = sql(
+      """SELECT TIME_FORMAT(__time, 'yyyy MM') AS ym, SUM(cnt)
+        |FROM foo GROUP BY TIME_FORMAT(__time, 'yyyy MM') ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("2000 01", 3L), ("2001 01", 3L)))
+  }
+
+  test("testTimestampDiff (:12046; ORDER BY added for a deterministic LIMIT)") {
+    val out = sql(
+      """SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '1999-01-01 00:00:00', __time),
+        |TIMESTAMPDIFF(DAY, __time, DATE '2001-01-01'),
+        |TIMESTAMPDIFF(HOUR, TIMESTAMP '1999-12-31 01:00:00', __time),
+        |TIMESTAMPDIFF(MINUTE, TIMESTAMP '1999-12-31 23:58:03', __time),
+        |TIMESTAMPDIFF(SECOND, TIMESTAMP '1999-12-31 23:59:03', __time),
+        |TIMESTAMPDIFF(MONTH, TIMESTAMP '1999-11-01 00:00:00', __time),
+        |TIMESTAMPDIFF(YEAR, TIMESTAMP '1996-11-01 00:00:00', __time),
+        |TIMESTAMPDIFF(QUARTER, TIMESTAMP '1996-10-01 00:00:00', __time),
+        |TIMESTAMPDIFF(WEEK, TIMESTAMP '1998-10-01 00:00:00', __time)
+        |FROM foo ORDER BY __time LIMIT 2""".stripMargin)
+      .map(r => (0 to 8).map(r.getLong).toSeq)
+    assert(out(0) == Seq(365L, 366L, 23L, 1L, 57L, 2L, 3L, 13L, 65L))
+    assert(out(1) == Seq(366L, 365L, 47L, 1441L, 86457L, 2L, 3L, 13L, 65L))
+  }
+
+  test("testTimestampCeil (:12098; CEIL(ts TO DAY) spelled TIME_CEIL)") {
+    val r = single(
+      """SELECT TIME_CEIL(TIMESTAMP '2000-01-01 00:00:00', 'P1D'),
+        |       TIME_CEIL(TIMESTAMP '2000-01-01 01:00:00', 'P1D')
+        |FROM foo LIMIT 1""".stripMargin)
+    assert(r.getTimestamp(0) == ts("2000-01-01 00:00:00"))
+    assert(r.getTimestamp(1) == ts("2000-01-02 00:00:00"))
+  }
+
+  // ---- ROLLUP / CUBE ----
+
+  test("testGroupByRollup (:10408; FLOOR(__time TO MONTH) spelled TIME_FLOOR)") {
+    val out = sql(
+      """SELECT dim2, gran, SUM(cnt)
+        |FROM (SELECT TIME_FLOOR(__time, 'P1M') AS gran, COALESCE(dim2, '') dim2, cnt FROM foo) AS x
+        |GROUP BY ROLLUP (dim2, gran)""".stripMargin)
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (Some(""), Some(ts("2000-01-01 00:00:00")), 2L),
+      (Some(""), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2000-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("abc"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some(""), None, 3L),
+      (Some("a"), None, 2L),
+      (Some("abc"), None, 1L),
+      (None, None, 6L)))
+  }
+
+  test("testGroupByCube (:10524; FLOOR(__time TO MONTH) spelled TIME_FLOOR)") {
+    val out = sql(
+      """SELECT dim2, gran, SUM(cnt)
+        |FROM (SELECT TIME_FLOOR(__time, 'P1M') AS gran, COALESCE(dim2, '') dim2, cnt FROM foo) AS x
+        |GROUP BY CUBE (dim2, gran)""".stripMargin)
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (Some(""), Some(ts("2000-01-01 00:00:00")), 2L),
+      (Some(""), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2000-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("abc"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some(""), None, 3L),
+      (Some("a"), None, 2L),
+      (Some("abc"), None, 1L),
+      (None, Some(ts("2000-01-01 00:00:00")), 3L),
+      (None, Some(ts("2001-01-01 00:00:00")), 3L),
+      (None, None, 6L)))
+  }
+
+  // ---- math ----
+
+  test("testTrigonometricFunction (:11973; bare pi spelled pi(), dim2=0 via TRY_CAST under ANSI)") {
+    val r = single(
+      """SELECT exp(count(*)) + 10, sin(pi() / 6), cos(pi() / 6), tan(pi() / 6), cot(pi() / 6),
+        |asin(exp(count(*)) / 2), acos(exp(count(*)) / 2), atan(exp(count(*)) / 2),
+        |atan2(exp(count(*)), 1)
+        |FROM foo WHERE TRY_CAST(dim2 AS DOUBLE) = 0""".stripMargin)
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - math.sin(math.Pi / 6)) < 1e-15)
+    assert(math.abs(r.getDouble(2) - math.cos(math.Pi / 6)) < 1e-15)
+    assert(math.abs(r.getDouble(3) - math.tan(math.Pi / 6)) < 1e-15)
+    assert(math.abs(r.getDouble(4) - math.cos(math.Pi / 6) / math.sin(math.Pi / 6)) < 1e-12)
+    assert(math.abs(r.getDouble(5) - math.asin(0.5)) < 1e-15)
+    assert(math.abs(r.getDouble(6) - math.acos(0.5)) < 1e-15)
+    assert(math.abs(r.getDouble(7) - math.atan(0.5)) < 1e-15)
+    assert(math.abs(r.getDouble(8) - math.atan2(1, 1)) < 1e-15)
+  }
+
+  test("testRadiansAndDegrees (:12022)") {
+    val v = single("SELECT RADIANS(m1 * 15)/DEGREES(m2) FROM numfoo WHERE dim1 = '1'").getDouble(0)
+    assert(math.abs(v - math.toRadians(60) / math.toDegrees(4)) < 1e-15)
+  }
+
+  test("testRoundFuc (:12764)") {
+    val out = sql("SELECT f1, round(f1) FROM numfoo")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getFloat(0)),
+                 if (r.isNullAt(1)) None else Some(r.getFloat(1))))
+    assert(out.count(_ == ((None, None))) == 3)
+    assert(out.toSet == Set(
+      (Some(1.0f), Some(1.0f)), (Some(0.1f), Some(0.0f)), (Some(0.0f), Some(0.0f)),
+      (None, None)))
+  }
+
+  // ---- string operators ----
+
+  test("testLeftRightStringOperators (:12240)") {
+    val out = sql("SELECT dim1, LEFT(dim1, 2), RIGHT(dim1, 2) FROM foo GROUP BY dim1 ORDER BY dim1")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("", "", ""), ("1", "1", "1"), ("10.1", "10", ".1"),
+      ("2", "2", "2"), ("abc", "ab", "bc"), ("def", "de", "ef")))
+  }
 }
