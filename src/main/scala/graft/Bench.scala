@@ -42,6 +42,10 @@ object Bench {
       catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      // drop cache/checkpoint blocks a query left behind (.cache in the
+      // similarity family) so later queries aren't timed under the earlier
+      // queries' memory pressure — each query is measured independently
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

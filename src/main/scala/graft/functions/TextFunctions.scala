@@ -60,10 +60,14 @@ object TextFunctions {
     * `(text)`-taking wrappers exist for small/ad-hoc use only.
     */
 
-  /** Rolling-hash fingerprint over a PRE-MATERIALIZED normalized column. */
+  /** Rolling-hash fingerprint over a PRE-MATERIALIZED normalized column.
+    * Single fused pass: hash each k-gram as it is cut, rather than
+    * materializing the full gram array and then a second hash array (two
+    * HOF passes + an intermediate ~len(n)-element array per row). */
   def rollingMinHashOfNormalized(n: Column, k: Int = 8): Column =
     when(length(n) >= k,
-      array_min(transform(charShinglesOfNormalized(n, k), g => hexLong60(g))))
+      array_min(transform(sequence(lit(1), length(n) - (k - 1)),
+        i => hexLong60(n.substr(i, lit(k))))))
 
   /** Rolling-hash-style content fingerprint: minimum 60-bit hash over
     * character k-grams (a 1-perm minhash — robust to small edits;

@@ -19,6 +19,26 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Rebalance a CPU-dense input up to cluster width when the scan
+    * under-partitions (a small file / single parquet row group scans as ONE
+    * task, serializing per-row-expensive stages — hashing, shingling, regex
+    * scoring — onto one core no matter how many are idle). Conditional by
+    * design: at 100 TB the scan already yields thousands of partitions, the
+    * predicate never fires, and no shuffle is added; when it does fire the
+    * shuffle moves only the small input itself. This is the scan-side analog
+    * of AQE's runtime rebalancing, which tunes shuffle stages but never
+    * splits an under-partitioned scan. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // hash-partition on the row (all columns), NOT round-robin: round-robin
+    // repartition local-sorts every row by every column first for retry
+    // determinism (sortBeforeRepartition) — a full sort of the text payload
+    // that cost 4x the stage it was parallelizing; one hash pass is free
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
+    else df
+  }
+
   /** events table with its TIMESTAMP(NANOS) `ts` column normalized to
     * microsecond timestamp_ntz (Spark's reader has no nanos type; the session
     * sets spark.sql.legacy.parquet.nanosAsLong=true and we truncate ns→µs,
