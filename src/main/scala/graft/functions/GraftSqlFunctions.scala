@@ -184,6 +184,58 @@ object GraftSqlFunctions {
     "string_to_mv" -> { args =>
       ex(DruidFunctions.stringToMv(col(args(0)), litStr(args(1), "string_to_mv")))
     },
+    // --- arrays (ArrayOperatorConversions — Druid registers the ARRAY_*
+    // spellings over the same native fns as the MV_* family; SQL ARRAY
+    // inputs and MV strings are both array<string> here) ---
+    "array_length" -> { args => ex(size(col(args(0)))) },
+    // 0-based / 1-based element access; try_element_at (null past the end),
+    // accepting non-literal indices (mv_offset's contract is literal-only)
+    "array_offset" -> { args =>
+      ex(try_element_at(col(args(0)), col(args(1)).cast("int") + lit(1)))
+    },
+    "array_ordinal" -> { args => ex(try_element_at(col(args(0)), col(args(1)).cast("int"))) },
+    // index-of: Druid returns null (sql-compatible) when absent; Spark's
+    // array_position returns 0 — nullif translates
+    "array_offset_of" -> { args =>
+      ex(nullif(array_position(col(args(0)), col(args(1))), lit(0L)) - lit(1L))
+    },
+    "array_ordinal_of" -> { args =>
+      ex(nullif(array_position(col(args(0)), col(args(1))), lit(0L)))
+    },
+    "array_append" -> { args => ex(concat(col(args(0)), array(col(args(1))))) },
+    "array_prepend" -> { args => ex(concat(array(col(args(0))), col(args(1)))) },
+    "array_concat" -> { args => ex(concat(col(args(0)), col(args(1)))) },
+    // ARRAY_SLICE(arr, start[, end]): 0-based, end-exclusive, end defaults
+    // to length (ArraySliceOperatorConversion)
+    "array_slice" -> { args =>
+      val arr = col(args(0)); val start = col(args(1)).cast("int")
+      val end = if (args.size > 2) col(args(2)).cast("int") else size(arr)
+      ex(slice(arr, start + lit(1), greatest(end - start, lit(0))))
+    },
+    "array_overlap" -> { args => ex(arrays_overlap(col(args(0)), col(args(1)))) },
+    // ARRAY_CONTAINS(arr, x): contains ALL of x when x is an array, else
+    // contains the scalar (ArrayContainsOperatorConversion). The scalar arm
+    // must build the Catalyst node directly — functions.array_contains
+    // resolves by THIS name and would loop the analyzer.
+    "array_contains" -> { args =>
+      args(1) match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if u.nameParts.last.equalsIgnoreCase("array") =>
+          ex(col(args(0)).isNotNull &&
+            size(array_except(col(args(1)), col(args(0)))) === 0)
+        case c: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+          ex(col(args(0)).isNotNull && size(array_except(col(c), col(args(0)))) === 0)
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.ArrayContains(args(0), args(1))
+      }
+    },
+    "array_to_string" -> { args =>
+      ex(DruidFunctions.mvToString(col(args(0)), litStr(args(1), "array_to_string")))
+    },
+    "string_to_array" -> { args =>
+      ex(DruidFunctions.stringToMv(col(args(0)), litStr(args(1), "string_to_array")))
+    },
+
     "mv_contains" -> { args => ex(arrays_overlap(col(args(0)), array(col(args(1))))) },
     "mv_overlap" -> { args => ex(DruidFunctions.mvOverlap(col(args(0)), col(args(1)))) },
     // try_element_at, not element_at: Druid returns null past the end of the

@@ -41,7 +41,7 @@ object HttpFacade {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     server.createContext("/druid/v2/sql", handler { body =>
-      val (sqlText, format) = JsonMethods.parseOpt(body) match {
+      val (sqlText, format, header) = JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
           val q = (o \ "query") match {
             case JString(s) => s
@@ -50,11 +50,23 @@ object HttpFacade {
           val fmt = (o \ "resultFormat") match {
             case JString(f) => f; case _ => "object"
           }
-          (q, fmt)
-        case _ => (body, "object") // bare SQL string body
+          val hdr = (o \ "header") match { case JBool(b) => b; case _ => false }
+          // typed positional parameters (SqlQuery.java `parameters`:
+          // [{"type":"VARCHAR","value":...}, ...] bound to `?` in order)
+          val params = (o \ "parameters") match {
+            case JArray(ps) => ps.map {
+              case p: JObject => ((p \ "type") match {
+                case JString(t) => t.toUpperCase; case _ => "VARCHAR"
+              }, p \ "value")
+              case other => throw new IllegalArgumentException(s"parameter: $other")
+            }
+            case _ => Nil
+          }
+          (bindParameters(q, params), fmt, hdr)
+        case _ => (body, "object", false) // bare SQL string body
       }
       graft.functions.GraftSqlFunctions.register(spark)
-      render(spark.sql(sqlText), format)
+      render(spark.sql(sqlText), format, header)
     })
 
     // registered second so the more specific /druid/v2/sql path wins
@@ -89,12 +101,13 @@ object HttpFacade {
     }
   }
 
-  private def render(df: DataFrame, format: String): String = {
+  private def render(df: DataFrame, format: String, header: Boolean = false): String = {
     val objects = df.toJSON.collect()
     format match {
       case "object" => objects.mkString("[", ",", "]")
       case "array" =>
-        // row arrays in column order, values taken from the object rendering
+        // row arrays in column order, values taken from the object rendering;
+        // header=true prepends the column-name row (SqlResource's header)
         val cols = df.columns
         val rows = objects.map { o =>
           val parsed = JsonMethods.parse(o)
@@ -103,8 +116,70 @@ object HttpFacade {
             case v => v
           }))
         }
-        JsonMethods.compact(JsonMethods.render(JArray(rows.toList)))
+        val withHeader =
+          if (header) JArray(cols.toList.map(JString(_))) +: rows.toSeq else rows.toSeq
+        JsonMethods.compact(JsonMethods.render(JArray(withHeader.toList)))
       case other => throw new IllegalArgumentException(s"resultFormat: $other")
+    }
+  }
+
+  /** Bind positional `?` placeholders to typed parameter literals — the
+    * reference's prepared-statement path (SqlQuery.java getParameterList →
+    * Calcite TypedValue binding). Literal rendering by declared SQL type;
+    * `?` inside string literals and line comments is left alone. */
+  private[server] def bindParameters(sql: String,
+      params: Seq[(String, JValue)]): String = {
+    if (params.isEmpty) return sql
+    val out = new StringBuilder
+    var inString = false
+    var inComment = false
+    var next = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inComment) {
+        out.append(c); if (c == '\n') inComment = false
+      } else if (inString) {
+        out.append(c); if (c == '\'') inString = false
+      } else c match {
+        case '\'' => inString = true; out.append(c)
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          inComment = true; out.append(c)
+        case '?' =>
+          if (next >= params.length)
+            throw new IllegalArgumentException(s"parameter ${next + 1} not supplied")
+          out.append(literal(params(next))); next += 1
+        case other => out.append(other)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  private def literal(p: (String, JValue)): String = {
+    val (tpe, v) = p
+    def str = v match {
+      case JString(s) => s
+      case JInt(n) => n.toString
+      case JLong(n) => n.toString
+      case JDouble(d) => d.toString
+      case JDecimal(d) => d.toString
+      case JBool(b) => b.toString
+      case other => throw new IllegalArgumentException(s"parameter value: $other")
+    }
+    v match {
+      case JNull => "NULL"
+      case _ => tpe match {
+        case "VARCHAR" | "CHAR" => "'" + str.replace("'", "''") + "'"
+        case "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" =>
+          BigDecimal(str).toBigInt.toString
+        case "FLOAT" | "REAL" | "DOUBLE" | "DECIMAL" | "NUMERIC" =>
+          BigDecimal(str).toString
+        case "BOOLEAN" => str.toBoolean.toString
+        case "TIMESTAMP" => "TIMESTAMP '" + str.replace("'", "''") + "'"
+        case "DATE" => "DATE '" + str.replace("'", "''") + "'"
+        case other => throw new IllegalArgumentException(s"parameter type: $other")
+      }
     }
   }
 }

@@ -33,7 +33,10 @@ class CalciteGoldenSpec extends SparkSpecBase {
         Some(0.0), Some(0.0), Some(0.0f), Some(0.0f), Some(0L), Some(0L), 1L),
       (ts("2001-01-01 00:00:00"), "1",    "a",  Seq(""),       "b", "ad", "4", 4.0f, 4.0,
         None, None, None, None, None, None, 1L),
-      (ts("2001-01-02 00:00:00"), "def",  "abc", Seq(),        "b", "aa", "5", 5.0f, 5.0,
+      // dim3 = [] in RAW_ROWS1, but Druid's segment writer stores an empty
+      // multi-value cell as null (sql-compatible mode reads it back null) —
+      // the fixture mirrors the SEGMENT, which is what queries see
+      (ts("2001-01-02 00:00:00"), "def",  "abc", null,         "b", "aa", "5", 5.0f, 5.0,
         None, None, None, None, None, None, 1L),
       (ts("2001-01-03 00:00:00"), "abc",  null, null,          "b", "ab", "6", 6.0f, 6.0,
         None, None, None, None, None, None, 1L))
@@ -339,7 +342,7 @@ class CalciteGoldenSpec extends SparkSpecBase {
       .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
     assert(out == Set(
       ("", Some(2)), ("10.1", Some(2)), ("2", Some(1)),
-      ("1", Some(1)), ("def", Some(0)), ("abc", None)))
+      ("1", Some(1)), ("def", None), ("abc", None)))
   }
 
   test("testMultiValueStringOffset / Ordinal null past the end (:748, :787)") {
@@ -740,6 +743,100 @@ class CalciteGoldenSpec extends SparkSpecBase {
     assert(out.toSet == Set(
       (Some(1.0f), Some(1.0f)), (Some(0.1f), Some(0.0f)), (Some(0.0f), Some(0.0f)),
       (None, None)))
+  }
+
+  // ---- arrays (CalciteArraysQueryTest.java; ARRAY_* over the MV column) ----
+
+  private def arr(r: Row, i: Int): Option[Seq[String]] =
+    if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
+
+  test("testArrayLength (CalciteArraysQueryTest.java:622)") {
+    val out = sql("SELECT dim1, ARRAY_LENGTH(dim3), SUM(cnt) FROM numfoo GROUP BY 1, 2")
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      ("", Some(2), 1L), ("10.1", Some(2), 1L), ("1", Some(1), 1L),
+      ("2", Some(1), 1L), ("abc", None, 1L), ("def", None, 1L)))
+  }
+
+  test("testArraySlice (:594)") {
+    val out = sql("SELECT ARRAY_SLICE(dim3, 1) FROM numfoo").map(r => arr(r, 0))
+    assert(out.count(_.isEmpty) == 2)
+    assert(out.flatten.toSet == Set(Seq("b"), Seq("c"), Seq()))
+  }
+
+  test("testArrayAppend (:665)") {
+    val out = sql("SELECT ARRAY_APPEND(dim3, 'foo'), SUM(cnt) FROM numfoo GROUP BY 1")
+      .map(r => (arr(r, 0), r.getLong(1))).toSet
+    assert(out == Set(
+      (None, 2L), (Some(Seq("", "foo")), 1L), (Some(Seq("a", "b", "foo")), 1L),
+      (Some(Seq("b", "c", "foo")), 1L), (Some(Seq("d", "foo")), 1L)))
+  }
+
+  test("testArrayPrepend (:722)") {
+    val out = sql("SELECT ARRAY_PREPEND('foo', dim3), SUM(cnt) FROM numfoo GROUP BY 1")
+      .map(r => (arr(r, 0), r.getLong(1))).toSet
+    assert(out == Set(
+      (None, 2L), (Some(Seq("foo", "")), 1L), (Some(Seq("foo", "a", "b")), 1L),
+      (Some(Seq("foo", "b", "c")), 1L), (Some(Seq("foo", "d")), 1L)))
+  }
+
+  test("testArrayPrependAppend (:779)") {
+    val out = sql(
+      """SELECT ARRAY_TO_STRING(ARRAY_PREPEND('foo', dim3), ','),
+        |       ARRAY_TO_STRING(ARRAY_APPEND(dim3, 'foo'), ','), SUM(cnt)
+        |FROM numfoo GROUP BY 1, 2""".stripMargin)
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (None, None, 2L), (Some("foo,"), Some(",foo"), 1L),
+      (Some("foo,a,b"), Some("a,b,foo"), 1L),
+      (Some("foo,b,c"), Some("b,c,foo"), 1L), (Some("foo,d"), Some("d,foo"), 1L)))
+  }
+
+  test("testArrayConcat (:843)") {
+    val out = sql("SELECT ARRAY_CONCAT(dim3, dim3), SUM(cnt) FROM numfoo GROUP BY 1")
+      .map(r => (arr(r, 0), r.getLong(1))).toSet
+    assert(out == Set(
+      (None, 2L), (Some(Seq("", "")), 1L), (Some(Seq("a", "b", "a", "b")), 1L),
+      (Some(Seq("b", "c", "b", "c")), 1L), (Some(Seq("d", "d")), 1L)))
+  }
+
+  test("testArrayOffset / testArrayOrdinal (:900, :1130)") {
+    val out = sql("SELECT ARRAY_OFFSET(dim3, 1), ARRAY_ORDINAL(dim3, 2), SUM(cnt) FROM numfoo GROUP BY 1, 2")
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (None, None, 4L), (Some("b"), Some("b"), 1L), (Some("c"), Some("c"), 1L)))
+  }
+
+  test("testArrayOffsetOf / testArrayOrdinalOf (:1173, :1222)") {
+    val out = sql("SELECT ARRAY_OFFSET_OF(dim3, 'b'), ARRAY_ORDINAL_OF(dim3, 'b'), SUM(cnt) FROM numfoo GROUP BY 1, 2")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (None, None, 4L), (Some(0L), Some(1L), 1L), (Some(1L), Some(2L), 1L)))
+  }
+
+  test("testArrayOverlapFilter + non-literal (:477, :500; ARRAY[...] spelled ARRAY(...))") {
+    val out = sql("SELECT dim3 FROM numfoo WHERE ARRAY_OVERLAP(dim3, ARRAY('a','b')) LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(out == Set(Seq("a", "b"), Seq("b", "c")))
+    val out2 = sql("SELECT dim3 FROM numfoo WHERE ARRAY_OVERLAP(dim3, ARRAY(dim2)) LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(out2 == Set(Seq("a", "b")))
+  }
+
+  test("testArrayContainsFilter variants (:522, :549, :571)") {
+    val out = sql("SELECT dim3 FROM numfoo WHERE ARRAY_CONTAINS(dim3, ARRAY('a','b')) LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(out == Set(Seq("a", "b")))
+    val one = sql("SELECT dim3 FROM numfoo WHERE ARRAY_CONTAINS(dim3, ARRAY('a')) LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(one == Set(Seq("a", "b")))
+    val nonLit = sql("SELECT dim3 FROM numfoo WHERE ARRAY_CONTAINS(dim3, ARRAY(dim2)) LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(nonLit == Set(Seq("a", "b")))
+    val scalar = sql("SELECT dim3 FROM numfoo WHERE ARRAY_CONTAINS(dim3, 'b') LIMIT 5")
+      .map(r => r.getSeq[String](0)).toSet
+    assert(scalar == Set(Seq("a", "b"), Seq("b", "c")))
   }
 
   // ---- string operators ----

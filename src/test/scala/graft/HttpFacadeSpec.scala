@@ -62,6 +62,41 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("POST /druid/v2/sql binds typed positional parameters (SqlQuery.java parameters)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "nation").createOrReplaceTempView("nation")
+      // CalciteParameterQueryTest.java:84 shape: params in SELECT and LIMIT
+      val (s1, out) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT 1 + ?, n_name FROM nation ORDER BY n_nationkey LIMIT ?",
+            "resultFormat": "array",
+            "parameters": [{"type":"INTEGER","value":1}, {"type":"INTEGER","value":1}]}""")
+      assert(s1 == 200)
+      assert(out.asInstanceOf[JArray].arr == List(JArray(List(JInt(2), JString("NATION_0")))))
+
+      // VARCHAR param in a filter; '?' inside a string literal is untouched
+      val (s2, out2) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS cnt FROM nation WHERE n_name = ? AND n_name <> 'who?'",
+            "parameters": [{"type":"VARCHAR","value":"NATION_3"}]}""")
+      assert(s2 == 200)
+      assert((out2.asInstanceOf[JArray].arr.head \ "cnt") == JInt(1))
+    } finally facade.stop()
+  }
+
+  test("POST /druid/v2/sql header=true prepends the column-name row") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "region").createOrReplaceTempView("region")
+      val (s, out) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT r_regionkey FROM region ORDER BY 1 LIMIT 2",
+            "resultFormat": "array", "header": true}""")
+      assert(s == 200)
+      val rows = out.asInstanceOf[JArray].arr
+      assert(rows.head == JArray(List(JString("r_regionkey"))))
+      assert(rows.tail == List(JArray(List(JInt(0))), JArray(List(JInt(1)))))
+    } finally facade.stop()
+  }
+
   test("errors surface as JSON with status 500") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
