@@ -839,6 +839,127 @@ class CalciteGoldenSpec extends SparkSpecBase {
     assert(scalar == Set(Seq("a", "b"), Seq("b", "c")))
   }
 
+  // ---- tranche 3: numeric-null filters and predicates ----
+
+  test("testNullLongFilter / Double / Float (:3258, :3296, :3335)") {
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE l1 IS NULL").getLong(0) == 3L)
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE d1 IS NULL").getLong(0) == 3L)
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE f1 IS NULL").getLong(0) == 3L)
+  }
+
+  test("testNullDoubleTopN (:3373; Druid desc puts nulls first — NULLS FIRST spelled out)") {
+    val out = sql("SELECT d1, COUNT(*) FROM numfoo GROUP BY d1 ORDER BY d1 DESC NULLS FIRST LIMIT 10")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)), r.getLong(1)))
+    assert(out.toSeq == Seq((None, 3L), (Some(1.7), 1L), (Some(1.0), 1L), (Some(0.0), 1L)))
+  }
+
+  test("testNullLongTopN (:3453; NULLS FIRST spelled out)") {
+    val out = sql("SELECT l1, COUNT(*) FROM numfoo GROUP BY l1 ORDER BY l1 DESC NULLS FIRST LIMIT 10")
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1)))
+    assert(out.toSeq == Seq((None, 3L), (Some(325323L), 1L), (Some(7L), 1L), (Some(0L), 1L)))
+  }
+
+  test("testLongPredicateIsNull (:3493)") {
+    val out = sql("SELECT l1 is null FROM numfoo").map(_.getBoolean(0))
+    assert(out.count(_ == false) == 3 && out.count(_ == true) == 3)
+  }
+
+  test("testLong/Double/FloatPredicateFilterNulls (:3533, :3554, :3575)") {
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE l1 > 3").getLong(0) == 2L)
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE d1 > 0").getLong(0) == 2L)
+    assert(single("SELECT COUNT(*) FROM numfoo WHERE f1 > 0").getLong(0) == 2L)
+  }
+
+  test("testEmptyStringEquality / testNullStringEquality (:3596, :3642)") {
+    assert(single("SELECT COUNT(*) FROM foo WHERE NULLIF(dim2, 'a') = ''").getLong(0) == 1L)
+    assert(single("SELECT COUNT(*) FROM foo WHERE NULLIF(dim2, 'a') = null").getLong(0) == 0L)
+  }
+
+  test("testTwoExactCountDistincts (:3819)") {
+    val r = single("SELECT COUNT(distinct dim1), COUNT(distinct dim2) FROM foo")
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 3L)))
+  }
+
+  test("testGroupByNothingWithLiterallyFalseFilter (:3895)") {
+    val r = single("SELECT COUNT(*), MAX(cnt) FROM foo WHERE 1 = 0")
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
+
+  test("testGroupByOneColumnWithLiterallyFalseFilter / FilterMatchingNothing (:3967, :3990)") {
+    assert(sql("SELECT dim1, MAX(cnt) FROM foo WHERE 1 = 0 GROUP BY dim1").isEmpty)
+    assert(sql("SELECT dim1, MAX(cnt) FROM foo WHERE dim1 = 'foobar' GROUP BY dim1").isEmpty)
+  }
+
+  // ---- projections after sort, unions, misc ----
+
+  test("testProjectAfterSort (:11184)") {
+    val out = sql(
+      "select dim1 from (select dim1, dim2, count(*) cnt from foo group by dim1, dim2 order by cnt)")
+      .map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("", "1", "10.1", "2", "abc", "def"))
+  }
+
+  test("testProjectAfterSort2 (:11214)") {
+    val out = sql(
+      """select s / cnt, dim1, dim2, s from
+        |(select dim1, dim2, count(*) cnt, sum(m2) s from foo group by dim1, dim2 order by cnt)""".stripMargin)
+      .map(r => (r.getDouble(0), r.getString(1), Option(r.getString(2)), r.getDouble(3))).toSet
+    assert(out == Set(
+      (1.0, "", Some("a"), 1.0), (4.0, "1", Some("a"), 4.0),
+      (2.0, "10.1", None, 2.0), (3.0, "2", Some(""), 3.0),
+      (6.0, "abc", None, 6.0), (5.0, "def", Some("abc"), 5.0)))
+  }
+
+  test("testUnionAllDifferentTablesWithMapping (:2580)") {
+    val out = sql(
+      """SELECT dim1, dim2, SUM(m1) AS s, COUNT(*) AS c
+        |FROM (SELECT dim1, dim2, m1 FROM foo UNION ALL SELECT dim1, dim2, m1 FROM numfoo)
+        |WHERE dim2 = 'a' OR dim2 = 'def'
+        |GROUP BY 1, 2""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(("", "a", 2.0, 2L), ("1", "a", 8.0, 2L)))
+  }
+
+  test("testCountDistinctOfTrim (:7550)") {
+    assert(single(
+      "SELECT COUNT(DISTINCT TRIM(BOTH ' ' FROM dim1)) FROM foo WHERE TRIM(dim1) <> ''")
+      .getLong(0) == 5L)
+  }
+
+  test("testTimeseriesWithLimitAndOffset (:9961; ORDER BY gran added — Druid timeseries is implicitly time-ordered)") {
+    val out = sql(
+      """SELECT gran, SUM(cnt) FROM (
+        |  SELECT TIME_FLOOR(__time, 'P1M') AS gran, cnt FROM foo
+        |) AS x GROUP BY gran ORDER BY gran LIMIT 2 OFFSET 1""".stripMargin)
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    assert(out.toSeq == Seq((ts("2001-01-01 00:00:00"), 3L)))
+  }
+
+  test("testExpressionCounts (:12972)") {
+    val r = single(
+      """SELECT COUNT(reverse(dim2)), COUNT(left(dim2, 5)), COUNT(strpos(dim2, 'a'))
+        |FROM numfoo""".stripMargin)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 4L)))
+  }
+
+  test("testGroupingSetsWithLimit (:12584)") {
+    val out = sql(
+      """SELECT dim2, gran, SUM(cnt)
+        |FROM (SELECT TIME_FLOOR(__time, 'P1M') AS gran, COALESCE(dim2, '') dim2, cnt FROM foo) AS x
+        |GROUP BY GROUPING SETS ( (dim2, gran), (dim2), (gran), () ) LIMIT 100""".stripMargin)
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (Some(""), Some(ts("2000-01-01 00:00:00")), 2L),
+      (Some(""), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2000-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("abc"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some(""), None, 3L), (Some("a"), None, 2L), (Some("abc"), None, 1L),
+      (None, Some(ts("2000-01-01 00:00:00")), 3L),
+      (None, Some(ts("2001-01-01 00:00:00")), 3L),
+      (None, None, 6L)))
+  }
+
   // ---- string operators ----
 
   test("testLeftRightStringOperators (:12240)") {
