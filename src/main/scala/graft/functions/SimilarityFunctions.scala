@@ -127,6 +127,20 @@ object SimilarityFunctions {
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** Symmetric int8 quantization scale: max|x| / 127 (floored at 1e-12 so a
+    * zero vector quantizes to zeros instead of dividing by zero). The
+    * standard ANN memory lever — 4× smaller vectors, cosine preserved to
+    * ~1e-2, exact integer dot products that reproduce bit-for-bit in any
+    * engine. */
+  def int8Scale(a: Column): Column =
+    greatest(array_max(transform(a, x => abs(x.cast("double")))), lit(1e-12)) / 127.0
+
+  /** Quantized codes as integer-valued doubles: floor(x/scale + 0.5) —
+    * explicit half-up rounding, identical in Spark and DuckDB (library
+    * round() half-mode differs between engines). */
+  def int8Quantize(a: Column, scale: Column): Column =
+    transform(a, x => floor(x.cast("double") / scale + lit(0.5)))
+
   /** Cosine similarity in double precision. */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))

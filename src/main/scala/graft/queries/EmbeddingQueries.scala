@@ -103,6 +103,49 @@ object EmbeddingQueries {
         .filter(col("cosine") >= 0.8)
         .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // int8 symmetric quantization (the ANN memory lever: 4× smaller vectors,
+    // integer dot products). Codes, scale and the integer self-dot-product
+    // per vector; codes rendered as CSV (the gate's row hash can't take raw
+    // arrays). Every value is integer-exact or explicitly rounded, so the
+    // oracle reproduces all of it bit-for-bit.
+    "embed_quantize_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val scale = SF.int8Scale(col("embedding"))
+      val q = SF.int8Quantize(col("embedding"), col("scale"))
+      e.select(col("vec_id"), scale.as("scale"), col("embedding"))
+        .select(col("vec_id"), round(col("scale"), 8).as("scale8"), q.as("q"))
+        .select(col("vec_id"), col("scale8"),
+          SF.dotProduct(col("q"), col("q")).cast("long").as("qsq"),
+          concat_ws(",", transform(col("q"), x => x.cast("int").cast("string"))).as("q_csv"))
+        .orderBy(col("vec_id")).limit(200)
+    }),
+
+    // top-5 neighbors for the 3 fixed queries ranked by QUANTIZED cosine —
+    // integer dot product over int8 codes, norms from the quantized codes
+    // too, so the whole ranking is integer-derived and engine-exact.
+    // QuantizeSpec asserts recall vs the exact ranking.
+    "embed_knn_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val withQ = e
+        .select(col("vec_id"), SF.int8Scale(col("embedding")).as("scale"), col("embedding"))
+        .select(col("vec_id"), SF.int8Quantize(col("embedding"), col("scale")).as("q"))
+        .select(col("vec_id"), col("q"), SF.dotProduct(col("q"), col("q")).as("qsq"))
+      val qs = broadcast(withQ.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qsq").as("qqsq")))
+      val scored = withQ.crossJoin(qs)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("qdot", SF.dotProduct(col("q"), col("qq")).cast("long"))
+        .withColumn("qcosine",
+          round(col("qdot").cast("double") / sqrt(col("qsq") * col("qqsq")), 6))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("qcosine").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("qdot"),
+          col("qcosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -197,7 +240,45 @@ object EmbeddingQueries {
            |         round(list_dot_product(a.v, x.v) / (a.nrm * x.nrm), 6) AS cosine
            |  FROM bk a JOIN bk x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
            |SELECT id_a, id_b, bucket, cosine FROM pairs
-           |WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin
+           |WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+      // int8 quantization mirror: same floor(x/scale + 0.5) half-up rounding,
+      // integer-valued doubles throughout, CSV codes via truncating INT cast
+      "embed_quantize_int8" ->
+        s"""WITH s AS (
+           |  SELECT vec_id,
+           |         greatest(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 1e-12) / 127.0 AS scale,
+           |         embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |qv AS (SELECT vec_id, scale,
+           |              list_transform(v, x -> floor(x / scale + 0.5)) AS q
+           |       FROM s)
+           |SELECT vec_id, round(scale, 8) AS scale8,
+           |       CAST(list_dot_product(q, q) AS BIGINT) AS qsq,
+           |       array_to_string(list_transform(q, x -> CAST(x AS INT)), ',') AS q_csv
+           |FROM qv ORDER BY vec_id LIMIT 200""".stripMargin,
+
+      "embed_knn_int8" ->
+        s"""WITH s AS (
+           |  SELECT vec_id,
+           |         greatest(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 1e-12) / 127.0 AS scale,
+           |         embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |qv AS (SELECT vec_id, list_transform(v, x -> floor(x / scale + 0.5)) AS q FROM s),
+           |qd AS (SELECT vec_id, q, list_dot_product(q, q) AS qsq FROM qv),
+           |qs AS (SELECT vec_id AS query_id, q AS qq, qsq AS qqsq FROM qd WHERE vec_id IN (0, 1, 2)),
+           |scored AS (
+           |  SELECT qs.query_id, c.vec_id AS cand_id,
+           |         CAST(list_dot_product(c.q, qs.qq) AS BIGINT) AS qdot,
+           |         round(list_dot_product(c.q, qs.qq) / sqrt(c.qsq * qs.qqsq), 6) AS qcosine
+           |  FROM qd c, qs WHERE c.vec_id <> qs.query_id),
+           |ranked AS (
+           |  SELECT query_id, cand_id, qdot, qcosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY qcosine DESC, cand_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, cand_id, qdot, qcosine, rank FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     )
   }
 }

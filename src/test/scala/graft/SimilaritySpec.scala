@@ -101,6 +101,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ann.forall(r => r.getDouble(3) <= 1.000001 && r.getDouble(3) >= -1.000001))
   }
 
+  test("int8 quantization: codes in range, recall vs exact top-5") {
+    val exact = graft.queries.EmbeddingQueries.queries("embed_knn_bruteforce")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val quant = graft.queries.EmbeddingQueries.queries("embed_knn_int8")(spark, sf())
+      .collect()
+    // codes within int8 range
+    val codes = graft.queries.EmbeddingQueries.queries("embed_quantize_int8")(spark, sf())
+      .collect()
+    assert(codes.forall(_.getString(3).split(",").forall(s => math.abs(s.toInt) <= 127)))
+    // recall@5 of the quantized ranking vs the exact ranking: int8 keeps
+    // cosine to ~1e-2, which on near-random vectors still recovers most of
+    // the true neighborhood
+    val byQ = quant.map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet; val g = byQ(q).map(_._2).toSet
+      (e intersect g).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("minhash signature determinism + hexLong32 range") {
     val sig1 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
     val sig2 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
