@@ -16,8 +16,11 @@ object DruidFunctions {
 
   // --- conditional / null (Function.java:2089-2304) ---
   def nvl(a: Column, b: Column): Column = coalesce(a, b)
+  /** Druid safe_divide (Function.java:1171-1213, sql-compatible mode):
+    * x/0 → null EXCEPT 0/0 → 0 (also for NaN denominators). */
   def safeDivide(a: Column, b: Column): Column =
-    when(b === 0 || b.isNull, lit(null)).otherwise(a / b)
+    when(b === 0 || isnan(b), when(a === 0, lit(0)).otherwise(lit(null)))
+      .otherwise(a / b)
   /** Druid `div(x,y)`: integer division. */
   def intDiv(a: Column, b: Column): Column = (a.cast("long") / b.cast("long")).cast("long")
 
@@ -148,4 +151,31 @@ object DruidFunctions {
     val entries = m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     element_at(map(entries: _*), c)
   }
+}
+
+/** BITWISE_CONVERT_DOUBLE_TO_LONG_BITS (Function.java BitwiseConvertDoubleToLongBits):
+  * IEEE-754 bit pattern of the double as a long — no Spark builtin. */
+case class DoubleToLongBits(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): DoubleToLongBits = copy(child = c)
+  override def prettyName: String = "bitwise_convert_double_to_long_bits"
+}
+
+/** BITWISE_CONVERT_LONG_BITS_TO_DOUBLE: the inverse reinterpretation. */
+case class LongBitsToDouble(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Double.longBitsToDouble(v.asInstanceOf[Long])
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): LongBitsToDouble = copy(child = c)
+  override def prettyName: String = "bitwise_convert_long_bits_to_double"
 }

@@ -154,6 +154,25 @@ object GraftSqlFunctions {
     },
     "scalb" -> { args => ex(DruidFunctions.scalb(col(args(0)), col(args(1)))) },
 
+    // --- bitwise scalars (BitwiseOperatorConversions over Function.java's
+    // Bitwise* family; inputs coerce to long as in the reference) ---
+    "bitwise_and" -> { args => ex(col(args(0)).cast("long").bitwiseAND(col(args(1)).cast("long"))) },
+    "bitwise_or" -> { args => ex(col(args(0)).cast("long").bitwiseOR(col(args(1)).cast("long"))) },
+    "bitwise_xor" -> { args => ex(col(args(0)).cast("long").bitwiseXOR(col(args(1)).cast("long"))) },
+    "bitwise_complement" -> { args => ex(bitwise_not(col(args(0)).cast("long"))) },
+    "bitwise_shift_left" -> { args =>
+      ex(shiftleft(col(args(0)).cast("long"), litInt(args(1), "bitwise_shift_left")))
+    },
+    "bitwise_shift_right" -> { args =>
+      ex(shiftright(col(args(0)).cast("long"), litInt(args(1), "bitwise_shift_right")))
+    },
+    "bitwise_convert_double_to_long_bits" -> { args =>
+      DoubleToLongBits(ex(col(args(0)).cast("double")))
+    },
+    "bitwise_convert_long_bits_to_double" -> { args =>
+      LongBitsToDouble(ex(col(args(0)).cast("long")))
+    },
+
     // --- IPv4 ---
     "ipv4_parse" -> { args => ex(DruidFunctions.ipv4Parse(col(args(0)))) },
     "ipv4_stringify" -> { args => ex(DruidFunctions.ipv4Stringify(col(args(0)))) },

@@ -960,6 +960,75 @@ class CalciteGoldenSpec extends SparkSpecBase {
       (None, None, 6L)))
   }
 
+  // ---- scan-side scalar families (CalciteSelectQueryTest.java) ----
+
+  test("testSelectTrimFamily (CalciteSelectQueryTest.java:332)") {
+    val r = single(
+      """SELECT
+        |TRIM(BOTH 'x' FROM 'xfoox'),
+        |TRIM(TRAILING 'x' FROM 'xfoox'),
+        |TRIM(' ' FROM ' foo '),
+        |TRIM(TRAILING FROM ' foo '),
+        |TRIM(' foo '),
+        |BTRIM(' foo '),
+        |BTRIM('xfoox', 'x'),
+        |LTRIM(' foo '),
+        |TRIM(LEADING 'x' FROM 'xfoox'),
+        |RTRIM(' foo '),
+        |TRIM(TRAILING 'x' FROM 'xfoox'),
+        |COUNT(*)
+        |FROM foo""".stripMargin)
+    assert((0 to 10).map(r.getString) == Seq(
+      "foo", "xfoo", "foo", " foo", "foo", "foo", "foo", "foo ", "foox", " foo", "xfoo"))
+    assert(r.getLong(11) == 6L)
+  }
+
+  test("testSelectPadFamily (:380)") {
+    val r = single(
+      """SELECT LPAD('foo', 5, 'x'), LPAD('foo', 2, 'x'), LPAD('foo', 5),
+        |       RPAD('foo', 5, 'x'), RPAD('foo', 2, 'x'), RPAD('foo', 5), COUNT(*)
+        |FROM foo""".stripMargin)
+    assert((0 to 5).map(r.getString) == Seq("xxfoo", "fo", "  foo", "fooxx", "fo", "foo  "))
+    assert(r.getLong(6) == 6L)
+  }
+
+  test("testBitwiseExpressions (:416)") {
+    val out = sql(
+      """SELECT
+        |BITWISE_AND(l1, l2), BITWISE_OR(l1, l2), BITWISE_XOR(l1, l2),
+        |BITWISE_COMPLEMENT(l1), BITWISE_SHIFT_LEFT(l1, 2), BITWISE_SHIFT_RIGHT(l1, 2),
+        |BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d1), BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(l1)
+        |FROM numfoo""".stripMargin)
+      .map(r => (0 to 7).map(i => if (r.isNullAt(i)) None else Some(r.get(i))))
+    val nullRow = (0 to 7).map(_ => None)
+    assert(out.count(_ == nullRow) == 3)
+    assert(out.toSet.contains(Vector(None, None, None, Some(-8L), Some(28L), Some(1L),
+      Some(java.lang.Double.doubleToLongBits(1.0)),
+      Some(java.lang.Double.longBitsToDouble(7L)))))
+    assert(out.toSet.contains(Vector(Some(325323L), Some(325323L), Some(0L), Some(-325324L),
+      Some(1301292L), Some(81330L),
+      Some(java.lang.Double.doubleToLongBits(1.7)),
+      Some(java.lang.Double.longBitsToDouble(325323L)))))
+    assert(out.toSet.contains(Vector(Some(0L), Some(0L), Some(0L), Some(-1L), Some(0L),
+      Some(0L), Some(java.lang.Double.doubleToLongBits(0.0)), Some(0.0))))
+  }
+
+  test("testSafeDivideExpressions (:474; Druid 0/0 -> 0, x/0 -> null; long/long typed LONG there, DOUBLE here)") {
+    val out = sql(
+      """SELECT SAFE_DIVIDE(f1, f2), SAFE_DIVIDE(l1, l2), SAFE_DIVIDE(d2, d1), SAFE_DIVIDE(l1, f1)
+        |FROM numfoo""".stripMargin)
+      .map(r => (0 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val nullRow = (0 to 3).map(_ => None)
+    assert(out.count(_ == nullRow) == 3)
+    assert(out.toSet.contains(Vector(None, None, None, Some(7.0))))
+    // 325323 / 0.1f: Druid types the result FLOAT and renders 3253230.0f;
+    // Spark keeps the full double (0.1f widens to 0.10000000149...) — same
+    // arithmetic, one narrowing difference at the output type
+    assert(out.exists(r => r.take(3) == Vector(Some(1.0), Some(1.0), Some(1.0)) &&
+      r(3).exists(d => d.asInstanceOf[Double].toFloat == 3253230.0f)))
+    assert(out.toSet.contains(Vector(Some(0.0), Some(0.0), Some(0.0), Some(0.0))))
+  }
+
   // ---- string operators ----
 
   test("testLeftRightStringOperators (:12240)") {
