@@ -211,6 +211,14 @@ object Similarity {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // Convergence probe: labels only ever DECREASE (min of self, neighbors
+    // and the jump target), so the exact sum of labels strictly decreases
+    // until fixpoint — comparing one decimal aggregate per round replaces
+    // the old-vs-new join + isEmpty scan (two fewer operators per round;
+    // decimal(38) so a corpus-scale sum of 64-bit ids cannot overflow).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -226,13 +234,15 @@ object Similarity {
         .join(nbrMin.select(col("id").as("label"), col("label").as("label2")).as("p"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      // old and new label in one checkpointed pass: the convergence probe
-      // then runs over cached rows instead of re-joining
-      val merged = labels.withColumnRenamed("label", "old_label")
-        .join(jumped, "id")
-        .localCheckpoint(true)
-      converged = merged.filter(col("label") =!= col("old_label")).isEmpty
-      labels = merged.select(col("id"), col("label"))
+      // re-alias above the checkpoint: fresh expression ids per round, so
+      // next round's self-referencing union (labels ∪ f(labels)) never
+      // carries duplicate attribute ids into Union constraint rewriting
+      // (key-not-found analysis failure otherwise)
+      labels = jumped.localCheckpoint(true)
+        .select(col("id").as("id"), col("label").as("label"))
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
