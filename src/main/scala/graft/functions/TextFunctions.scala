@@ -142,6 +142,54 @@ object TextFunctions {
     * (basis points / 1e4) so the value is hash-stable across engines. */
   def qualityScore(c: Column): Column = qualityBp(c) / 10000.0
 
+  // --- Gopher/C4-style document filters (public heuristics: Rae et al.
+  // 2021 "Scaling Language Models" §A1.1, Raffel et al. 2020 C4 §2.2) —
+  // line-level repetition and formatting signals, emitted as integer basis
+  // points so corpus aggregation is exact and engine-portable. ---
+
+  /** Lines of the raw text (newline split; a text with no newline is one
+    * line). */
+  def lines(c: Column): Column = split(c, "\n")
+
+  /** Fraction of duplicate lines in basis points — Gopher's
+    * duplicate-line-fraction repetition signal. */
+  def dupLineBp(c: Column): Column = {
+    val l = lines(c)
+    floor((lit(1.0) - size(array_distinct(l)).cast("double") / size(l).cast("double"))
+      * 10000.0 + 0.5).cast("long")
+  }
+
+  /** Fraction of lines starting with a bullet marker, in basis points
+    * (Gopher drops docs with >90% bullet lines). */
+  def bulletLineBp(c: Column): Column = {
+    val l = lines(c)
+    floor(size(filter(l, x => trim(x).rlike("^[-*•]"))).cast("double") /
+      size(l).cast("double") * 10000.0 + 0.5).cast("long")
+  }
+
+  /** Fraction of lines ending in an ellipsis, in basis points (Gopher
+    * drops docs with >30% ellipsis lines). */
+  def ellipsisLineBp(c: Column): Column = {
+    val l = lines(c)
+    floor(size(filter(l, x => x.endsWith("..."))).cast("double") /
+      size(l).cast("double") * 10000.0 + 0.5).cast("long")
+  }
+
+  /** Symbol-to-token ratio in basis points (Gopher's symbol-to-word ratio;
+    * symbols = # and ellipsis marks here). */
+  def symbolRatioBp(c: Column): Column =
+    floor(regexp_count(c, lit("[#…]|\\.\\.\\.")).cast("double") /
+      greatest(tokenCount(c).cast("double"), lit(1.0)) * 10000.0 + 0.5).cast("long")
+
+  /** Mean word length ×100 (integer): Gopher keeps documents with mean
+    * word length in [3, 10]. */
+  def meanWordLenX100(c: Column): Column = {
+    val n = normalizeWs(c)
+    val ntok = tokenCount(c).cast("double")
+    floor((length(n).cast("double") - (ntok - 1)) / greatest(ntok, lit(1.0))
+      * 100.0 + 0.5).cast("long")
+  }
+
   private def rawQuality(c: Column): Column = {
     val n = normalizeWs(c)
     val nchars = length(n).cast("double")

@@ -118,6 +118,39 @@ object PipelineQueries {
           TF.rollingMinHashOfNormalized(col("__norm"), 8).as("rolling_fp"))
     }),
 
+    // Gopher/C4-style per-document filter signals (public heuristics —
+    // Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2), all integer basis
+    // points → exact cross-engine compare. Top-200 then project (the
+    // corpus-wide aggregate is text_gopher_gate below).
+    "text_gopher_filters" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(200)
+        .select(col("doc_id"),
+          size(TF.lines(col("text"))).cast("long").as("n_lines"),
+          TF.dupLineBp(col("text")).as("dup_line_bp"),
+          TF.bulletLineBp(col("text")).as("bullet_bp"),
+          TF.ellipsisLineBp(col("text")).as("ellipsis_bp"),
+          TF.symbolRatioBp(col("text")).as("symbol_bp"),
+          TF.meanWordLenX100(col("text")).as("mwl_x100"))
+    }),
+
+    // corpus gate: documents passing the Gopher keep-thresholds, per source
+    // (dup lines < 30%, bullets < 90%, ellipses < 30%, mean word length in
+    // [3,10] — the published cutoffs)
+    "text_gopher_gate" -> ((s, dir) => {
+      Sources.parallelized(Sources.table(s, dir, "documents"))
+        .select(col("source"),
+          (TF.dupLineBp(col("text")) < 3000 &&
+           TF.bulletLineBp(col("text")) < 9000 &&
+           TF.ellipsisLineBp(col("text")) < 3000 &&
+           TF.meanWordLenX100(col("text")).between(300, 1000)).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .orderBy(col("source"))
+    }),
+
     // exact dedup via content hash, per source
     "dedup_exact" -> ((s, dir) => {
       val d = Sources.parallelized(Sources.table(s, dir, "documents"))
@@ -222,6 +255,34 @@ object PipelineQueries {
            |      i -> ${hex60(s"substr($NormSql, i, 8)")}))
            |  END AS rolling_fp
            |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+      "text_gopher_filters" -> {
+        val l = "string_split(text, chr(10))"
+        val bp = (x: String) => s"CAST(floor(($x) * 10000.0 + 0.5) AS BIGINT)"
+        val ntokD = s"greatest(CAST($NTokSql AS DOUBLE), 1.0)"
+        s"""SELECT doc_id,
+           |  CAST(len($l) AS BIGINT) AS n_lines,
+           |  ${bp(s"1.0 - CAST(len(list_distinct($l)) AS DOUBLE) / len($l)")} AS dup_line_bp,
+           |  ${bp(s"CAST(len(list_filter($l, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len($l)")} AS bullet_bp,
+           |  ${bp(s"CAST(len(list_filter($l, x -> ends_with(x, '...'))) AS DOUBLE) / len($l)")} AS ellipsis_bp,
+           |  ${bp(s"CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS DOUBLE) / $ntokD")} AS symbol_bp,
+           |  CAST(floor((CAST(len($NormSql) AS DOUBLE) - (CAST($NTokSql AS DOUBLE) - 1)) / $ntokD * 100.0 + 0.5) AS BIGINT) AS mwl_x100
+           |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
+      },
+
+      "text_gopher_gate" -> {
+        val l = "string_split(text, chr(10))"
+        val bp = (x: String) => s"CAST(floor(($x) * 10000.0 + 0.5) AS BIGINT)"
+        val ntokD = s"greatest(CAST($NTokSql AS DOUBLE), 1.0)"
+        val dup = bp(s"1.0 - CAST(len(list_distinct($l)) AS DOUBLE) / len($l)")
+        val bullet = bp(s"CAST(len(list_filter($l, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len($l)")
+        val ell = bp(s"CAST(len(list_filter($l, x -> ends_with(x, '...'))) AS DOUBLE) / len($l)")
+        val mwl = s"CAST(floor((CAST(len($NormSql) AS DOUBLE) - (CAST($NTokSql AS DOUBLE) - 1)) / $ntokD * 100.0 + 0.5) AS BIGINT)"
+        s"""SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN $dup < 3000 AND $bullet < 9000 AND $ell < 3000
+           |                 AND $mwl BETWEEN 300 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       "dedup_exact" ->
         s"""SELECT source, count(*) AS n_docs,
