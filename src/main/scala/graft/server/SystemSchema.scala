@@ -1,0 +1,86 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** The reference's SQL metadata surface (sql/.../schema/DruidSchema.java
+  * INFORMATION_SCHEMA + SystemSchema.java `sys` tables), re-expressed over
+  * the Spark session catalog:
+  *
+  *  - INFORMATION_SCHEMA.SCHEMATA / TABLES / COLUMNS
+  *    (CalciteQueryTest.java:183-396 query these three)
+  *  - sys.segments — the segment inventory (SystemSchema.java:115, served
+  *    from BatchIngest.segments' per-file stats)
+  *
+  * Spark's in-memory catalog has neither an INFORMATION_SCHEMA nor
+  * cross-database views over temp state, and permanent views may not
+  * reference temp views — so each register() materializes a SNAPSHOT as
+  * `CREATE OR REPLACE VIEW ... AS VALUES` (plan-inlined literal rows, no
+  * filesystem writes). Re-register after catalog changes, the same way the
+  * reference's broker refreshes its DruidSchema on segment change.
+  */
+object SystemSchema {
+
+  /** Register INFORMATION_SCHEMA views over the current catalog state. */
+  def register(spark: SparkSession): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+
+    val catalogName = "druid" // the reference's catalog name (DruidSchema)
+    inlineView(spark, "information_schema.schemata",
+      Seq("catalog_name", "schema_name"),
+      spark.catalog.listDatabases().collect().toSeq
+        .map(d => Seq(catalogName, d.name)))
+
+    val tables = spark.catalog.listTables().collect().toSeq
+    inlineView(spark, "information_schema.tables",
+      Seq("table_catalog", "table_schema", "table_name", "table_type"),
+      tables.map { t =>
+        val schema = Option(t.database).filter(_.nonEmpty).getOrElse("druid")
+        Seq(catalogName, schema, t.name, t.tableType)
+      })
+
+    inlineView(spark, "information_schema.columns",
+      Seq("table_catalog", "table_schema", "table_name", "column_name",
+        "ordinal_position", "data_type", "is_nullable"),
+      tables.flatMap { t =>
+        val schema = Option(t.database).filter(_.nonEmpty).getOrElse("druid")
+        val fq = Option(t.database).filter(_.nonEmpty).map(d => s"$d.${t.name}").getOrElse(t.name)
+        try spark.table(fq).schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
+          Seq(catalogName, schema, t.name, f.name, (i + 1).toString,
+            f.dataType.sql, if (f.nullable) "YES" else "NO")
+        }
+        catch { case _: Throwable => Nil } // unreadable entry → skip, like a dropped segment
+      })
+  }
+
+  /** Register sys.segments from a datasource path's segment inventory. */
+  def registerSegments(spark: SparkSession, dataSource: String, path: String,
+      timeColumn: String): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sys")
+    val inv = graft.sources.BatchIngest.segments(spark, path, timeColumn).collect().toSeq
+    inlineView(spark, "sys.segments",
+      Seq("datasource", "segment_id", "num_rows", "start", "`end`", "size"),
+      inv.map(r => Seq(dataSource, r.getString(0), r.getLong(1).toString,
+        String.valueOf(r.get(2)), String.valueOf(r.get(3)), r.getLong(4).toString)),
+      numericCols = Set("num_rows", "size"))
+  }
+
+  /** CREATE OR REPLACE VIEW name AS VALUES(...) — snapshot rows inlined as
+    * literals (escaped); empty input still yields a valid empty view. */
+  private def inlineView(spark: SparkSession, name: String, cols: Seq[String],
+      rows: Seq[Seq[String]], numericCols: Set[String] = Set.empty): Unit = {
+    def literal(col: String, v: String): String =
+      if (v == null) "NULL"
+      else if (numericCols.contains(col)) s"CAST($v AS BIGINT)"
+      else "'" + v.replace("'", "''") + "'"
+    val colNames = cols.map(_.stripPrefix("`").stripSuffix("`"))
+    val body =
+      if (rows.isEmpty)
+        // typed empty relation: one all-NULL row filtered back out
+        s"SELECT ${cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString(", ")} WHERE 1 = 0"
+      else
+        rows.map(r => r.zip(colNames).map { case (v, c) => literal(c, v) }
+          .mkString("(", ", ", ")"))
+          .mkString(s"SELECT * FROM (VALUES ", ", ", s") AS t(${cols.mkString(", ")})")
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS $body")
+  }
+}
