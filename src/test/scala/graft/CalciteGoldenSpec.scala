@@ -662,6 +662,23 @@ class CalciteGoldenSpec extends SparkSpecBase {
     assert(out(1) == Seq(366L, 365L, 47L, 1441L, 86457L, 2L, 3L, 13L, 65L))
   }
 
+  test("testTimeStampAddZeroPeriod / Conversion (:12432, :12457, :12486, :12521)") {
+    // zero-interval adds are identity; adding 1 month / cnt months shifts
+    // by the calendar period (the reference checks periodGranularity
+    // increments)
+    val rows = sql(
+      """SELECT __time, TIMESTAMPADD(DAY, 0, __time), TIMESTAMPADD(MONTH, 0, __time),
+        |       TIMESTAMPADD(YEAR, 0, __time), TIMESTAMPADD(MONTH, 1, __time),
+        |       TIMESTAMPADD(MONTH, cnt, __time)
+        |FROM foo ORDER BY __time""".stripMargin)
+    rows.foreach { r =>
+      val t = r.getTimestamp(0)
+      assert(r.getTimestamp(1) == t && r.getTimestamp(2) == t && r.getTimestamp(3) == t)
+      val plusMonth = java.sql.Timestamp.valueOf(t.toLocalDateTime.plusMonths(1))
+      assert(r.getTimestamp(4) == plusMonth && r.getTimestamp(5) == plusMonth) // cnt = 1
+    }
+  }
+
   test("testTimestampCeil (:12098; CEIL(ts TO DAY) spelled TIME_CEIL)") {
     val r = single(
       """SELECT TIME_CEIL(TIMESTAMP '2000-01-01 00:00:00', 'P1D'),
