@@ -977,6 +977,37 @@ class CalciteGoldenSpec extends SparkSpecBase {
       (None, None, 6L)))
   }
 
+  // ---- time+dim groupBys (CalciteSimpleQueryTest.java) ----
+
+  test("testGroupByTimeAndDim (CalciteSimpleQueryTest.java:45; FLOOR TO MONTH spelled TIME_FLOOR)") {
+    val out = sql(
+      """SELECT TIME_FLOOR(__time, 'P1M'), dim2, SUM(cnt) FROM foo GROUP BY 1, 2""")
+      .map(r => (r.getTimestamp(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(out == Set(
+      (ts("2000-01-01 00:00:00"), None, 1L), (ts("2000-01-01 00:00:00"), Some(""), 1L),
+      (ts("2000-01-01 00:00:00"), Some("a"), 1L), (ts("2001-01-01 00:00:00"), None, 1L),
+      (ts("2001-01-01 00:00:00"), Some("a"), 1L), (ts("2001-01-01 00:00:00"), Some("abc"), 1L)))
+  }
+
+  test("testGroupByTimeAndDimOrderByDim / Desc (:230, :285; tie order pinned ORDER BY 1)") {
+    val asc = sql(
+      """SELECT TIME_FLOOR(__time, 'P1M') AS t, dim2, SUM(cnt) AS s
+        |FROM foo GROUP BY 1, 2 ORDER BY dim2, 1""".stripMargin)
+      .map(r => (r.getTimestamp(0), Option(r.getString(1)), r.getLong(2)))
+    assert(asc.toSeq == Seq(
+      (ts("2000-01-01 00:00:00"), None, 1L), (ts("2001-01-01 00:00:00"), None, 1L),
+      (ts("2000-01-01 00:00:00"), Some(""), 1L), (ts("2000-01-01 00:00:00"), Some("a"), 1L),
+      (ts("2001-01-01 00:00:00"), Some("a"), 1L), (ts("2001-01-01 00:00:00"), Some("abc"), 1L)))
+    val desc = sql(
+      """SELECT TIME_FLOOR(__time, 'P1M') AS t, dim2, SUM(cnt) AS s
+        |FROM foo GROUP BY 1, 2 ORDER BY dim2 DESC, 1""".stripMargin)
+      .map(r => (r.getTimestamp(0), Option(r.getString(1)), r.getLong(2)))
+    assert(desc.toSeq == Seq(
+      (ts("2001-01-01 00:00:00"), Some("abc"), 1L), (ts("2000-01-01 00:00:00"), Some("a"), 1L),
+      (ts("2001-01-01 00:00:00"), Some("a"), 1L), (ts("2000-01-01 00:00:00"), Some(""), 1L),
+      (ts("2000-01-01 00:00:00"), None, 1L), (ts("2001-01-01 00:00:00"), None, 1L)))
+  }
+
   // ---- scan-side scalar families (CalciteSelectQueryTest.java) ----
 
   test("testSelectTrimFamily (CalciteSelectQueryTest.java:332)") {
