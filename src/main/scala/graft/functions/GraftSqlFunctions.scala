@@ -207,12 +207,18 @@ object GraftSqlFunctions {
     // spellings over the same native fns as the MV_* family; SQL ARRAY
     // inputs and MV strings are both array<string> here) ---
     "array_length" -> { args => ex(size(col(args(0)))) },
-    // 0-based / 1-based element access; try_element_at (null past the end),
-    // accepting non-literal indices (mv_offset's contract is literal-only)
+    // 0-based / 1-based element access. Druid's ArrayOffset/OrdinalFunction
+    // (core/.../math/expr/Function.java:3267,3295) return null whenever the
+    // position misses the array, so the index is range-guarded here — a bare
+    // element_at would throw on 0 and count negatives from the end.
     "array_offset" -> { args =>
-      ex(try_element_at(col(args(0)), col(args(1)).cast("int") + lit(1)))
+      val arr = col(args(0)); val idx = col(args(1)).cast("int")
+      ex(when(idx >= 0 && idx < size(arr), element_at(arr, idx + lit(1))))
     },
-    "array_ordinal" -> { args => ex(try_element_at(col(args(0)), col(args(1)).cast("int"))) },
+    "array_ordinal" -> { args =>
+      val arr = col(args(0)); val idx = col(args(1)).cast("int")
+      ex(when(idx >= 1 && idx <= size(arr), element_at(arr, idx)))
+    },
     // index-of: Druid returns null (sql-compatible) when absent; Spark's
     // array_position returns 0 — nullif translates
     "array_offset_of" -> { args =>
@@ -225,11 +231,18 @@ object GraftSqlFunctions {
     "array_prepend" -> { args => ex(concat(array(col(args(0))), col(args(1)))) },
     "array_concat" -> { args => ex(concat(col(args(0)), col(args(1)))) },
     // ARRAY_SLICE(arr, start[, end]): 0-based, end-exclusive, end defaults
-    // to length (ArraySliceOperatorConversion)
+    // to length. ArraySliceFunction (Function.java:3557) returns null when
+    // start<0 / start>length / start>end, and Arrays.copyOfRange null-pads
+    // when end overruns the array — both mirrored here.
     "array_slice" -> { args =>
       val arr = col(args(0)); val start = col(args(1)).cast("int")
       val end = if (args.size > 2) col(args(2)).cast("int") else size(arr)
-      ex(slice(arr, start + lit(1), greatest(end - start, lit(0))))
+      val len = size(arr)
+      val taken = slice(arr, start + lit(1), least(end, len) - start)
+      val padded = when(end > len,
+        concat(taken, array_repeat(get(arr, lit(-1)), end - len))
+      ).otherwise(taken)
+      ex(when(start < 0 || start > len || start > end, lit(null)).otherwise(padded))
     },
     "array_overlap" -> { args => ex(arrays_overlap(col(args(0)), col(args(1)))) },
     // ARRAY_CONTAINS(arr, x): contains ALL of x when x is an array, else

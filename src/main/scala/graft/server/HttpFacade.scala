@@ -2,6 +2,8 @@ package graft.server
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
+import java.time.{Instant, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
@@ -14,20 +16,26 @@ import graft.sources.LookupRegistry
   * server/.../QueryResource.java:90 `/druid/v2`), so a reference user can
   * POST the same request bodies at this engine:
   *
-  *  - POST /druid/v2        body = a native JSON query → rows
+  *  - POST /druid/v2        body = a native JSON query → per-query-type
+  *                          result envelopes (below)
   *  - POST /druid/v2/sql    body = {"query": "...", "resultFormat":
-  *                          "object" (default) | "array"} or a bare SQL
-  *                          string → rows
+  *                          "object" (default) | "array", "header": bool,
+  *                          "parameters": [...]} or a bare SQL string
   *
-  * Responses are JSON arrays of row objects (resultFormat "object", the
-  * reference's SQL default) or row arrays ("array"). Rendering rides
-  * `Dataset.toJSON`, so types (timestamps, arrays, structs) serialize the
-  * way Spark defines them — a documented simplification of the reference's
-  * per-query-type envelope (timeseries' {timestamp, result} nesting).
+  * Native results carry the reference's per-query-type envelopes
+  * (the result examples under docs/querying, `*QueryQueryToolChest.java`):
+  * timeseries rows nest as `{"timestamp", "result": {...}}` (grand-total
+  * row: null timestamp), topN as one `{"timestamp", "result": [...]}`
+  * bucket, groupBy as `{"version": "v1", "timestamp", "event": {...}}`.
+  * Other query types return flat row objects (scan's segment envelope is a
+  * documented simplification). SQL supports `EXPLAIN PLAN FOR ...`
+  * (DruidPlanner.java:669 — one row with PLAN + RESOURCES columns; the plan
+  * text here is Spark's, since Catalyst is the planner).
   *
   * This is a DRIVER-side convenience for parity testing and small result
-  * sets (`collect()` on the driver — the reference's broker has the same
-  * materialize-at-broker shape); large exports should write through a sink.
+  * sets (the reference's broker has the same materialize-at-broker shape);
+  * `maxResultRows` bounds the driver materialization — results past the cap
+  * fail loudly instead of OOMing. Large exports should write through a sink.
   */
 object HttpFacade {
 
@@ -37,7 +45,8 @@ object HttpFacade {
   }
 
   def start(spark: SparkSession, resolve: NativeQuery.Resolver,
-      lookups: LookupRegistry = LookupRegistry.global, port: Int = 0): Facade = {
+      lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
+      maxResultRows: Int = 100000): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     server.createContext("/druid/v2/sql", handler { body =>
@@ -66,12 +75,18 @@ object HttpFacade {
         case _ => (body, "object", false) // bare SQL string body
       }
       graft.functions.GraftSqlFunctions.register(spark)
-      render(spark.sql(sqlText), format, header)
+      val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
+      sqlText match {
+        case ExplainRe(inner) => renderRows(explainRows(spark, inner), Seq("PLAN", "RESOURCES"), format, header)
+        case _ => render(spark.sql(sqlText), format, header, maxResultRows)
+      }
     })
 
     // registered second so the more specific /druid/v2/sql path wins
     server.createContext("/druid/v2", handler { body =>
-      render(NativeQuery.run(spark, body, resolve, lookups), "object")
+      val q = JsonMethods.parse(body)
+      val df = NativeQuery.run(spark, body, resolve, lookups)
+      envelope(q, df, maxResultRows)
     })
 
     server.start()
@@ -101,43 +116,153 @@ object HttpFacade {
     }
   }
 
-  private def render(df: DataFrame, format: String, header: Boolean = false): String = {
-    val objects = df.toJSON.collect()
-    format match {
-      case "object" => objects.mkString("[", ",", "]")
-      case "array" =>
-        // row arrays in column order, values taken from the object rendering;
-        // header=true prepends the column-name row (SqlResource's header)
-        val cols = df.columns
-        val rows = objects.map { o =>
-          val parsed = JsonMethods.parse(o)
-          JArray(cols.toList.map(c => parsed \ c match {
-            case JNothing => JNull // toJSON omits null cells
-            case v => v
-          }))
+  /** Materialize at most `maxRows` result rows as parsed JSON objects;
+    * one row past the cap fails the request instead of OOMing the driver. */
+  private def materialize(df: DataFrame, maxRows: Int): Seq[JObject] = {
+    val objects = df.toJSON.limit(maxRows + 1).collect()
+    if (objects.length > maxRows)
+      throw new IllegalStateException(s"result exceeds maxResultRows=$maxRows")
+    objects.toSeq.map(o => JsonMethods.parse(o).asInstanceOf[JObject])
+  }
+
+  /** Druid renders bucket timestamps as ISO-8601 with milliseconds in UTC
+    * (e.g. "2012-01-01T00:00:00.000Z"); normalize Spark's rendering. */
+  private val IsoMillis =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+  private[server] def isoMillis(v: JValue): JValue = v match {
+    case JString(s) =>
+      val inst =
+        try Some(Instant.parse(s))
+        catch { case _: Exception =>
+          try Some(OffsetDateTime.parse(s).toInstant)
+          catch { case _: Exception =>
+            try Some(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC))
+            catch { case _: Exception =>
+              try Some(java.time.LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC).toInstant)
+              catch { case _: Exception => None }
+            }
+          }
         }
-        val withHeader =
-          if (header) JArray(cols.toList.map(JString(_))) +: rows.toSeq else rows.toSeq
-        JsonMethods.compact(JsonMethods.render(JArray(withHeader.toList)))
-      case other => throw new IllegalArgumentException(s"resultFormat: $other")
+      inst.fold(v: JValue)(i => JString(IsoMillis.format(i)))
+    case other => other
+  }
+
+  /** Wrap native rows in the reference's per-query-type result envelope. */
+  private[server] def envelope(q: JValue, df: DataFrame, maxRows: Int): String = {
+    val timeCol = (q \ "timeColumn") match { case JString(t) => t; case _ => "__time" }
+    // granularity-all buckets stamp with the first interval start, the
+    // reference's bucket time for a single all-granularity bucket
+    val intervalStart: JValue = ((q \ "intervals") match {
+      case JArray(JString(iv) :: _) => JString(iv.split('/')(0))
+      case o: JObject => (o \ "intervals") match {
+        case JArray(JString(iv) :: _) => JString(iv.split('/')(0))
+        case _ => JNull
+      }
+      case _ => JNull
+    }) match { case s: JString => isoMillis(s); case other => other }
+    def rowTs(fields: List[JField]): JValue =
+      fields.collectFirst { case (`timeCol`, v) => isoMillis(v) }.getOrElse(JNull)
+    def event(fields: List[JField]): JObject = JObject(fields.filterNot(_._1 == timeCol))
+
+    val rows = materialize(df, maxRows)
+    val queryType = (q \ "queryType") match { case JString(t) => t; case _ => "" }
+    val out: JValue = queryType match {
+      case "timeseries" =>
+        // TimeseriesQueryQueryToolChest: {timestamp, result}; the grandTotal
+        // row "will have no timestamp" (docs/querying/timeseriesquery.md)
+        JArray(rows.toList.map { o =>
+          JObject("timestamp" -> rowTs(o.obj), "result" -> event(o.obj))
+        })
+      case "topN" =>
+        // TopNQueryQueryToolChest: one bucket per granularity period; this
+        // engine computes exact all-granularity topN → a single bucket
+        JArray(List(JObject(
+          "timestamp" -> (rows.headOption.map(o => rowTs(o.obj)).getOrElse(JNull) match {
+            case JNull => intervalStart; case ts => ts
+          }),
+          "result" -> JArray(rows.toList.map(o => event(o.obj))))))
+      case "groupBy" =>
+        // GroupByQueryQueryToolChest: {version: "v1", timestamp, event}
+        JArray(rows.toList.map { o =>
+          val ts = rowTs(o.obj) match { case JNull => intervalStart; case t => t }
+          JObject("version" -> JString("v1"), "timestamp" -> ts, "event" -> event(o.obj))
+        })
+      case _ => JArray(rows.toList) // flat rows (documented simplification)
     }
+    JsonMethods.compact(JsonMethods.render(out))
+  }
+
+  private def render(df: DataFrame, format: String, header: Boolean,
+      maxRows: Int): String =
+    renderObjects(materialize(df, maxRows), df.columns.toSeq, format, header)
+
+  /** Render pre-built rows (used by EXPLAIN, which never touches a plan). */
+  private def renderRows(rows: Seq[JObject], cols: Seq[String], format: String,
+      header: Boolean): String = renderObjects(rows, cols, format, header)
+
+  private def renderObjects(parsed: Seq[JObject], cols: Seq[String],
+      format: String, header: Boolean): String = format match {
+    case "object" =>
+      // header=true prepends {"col": null, ...} for the object format too
+      // (ObjectWriter.writeHeader — every reference format writes a header)
+      val headerRow =
+        if (header) Seq(JObject(cols.toList.map(c => c -> (JNull: JValue)))) else Nil
+      JsonMethods.compact(JsonMethods.render(JArray((headerRow ++ parsed).toList)))
+    case "array" =>
+      // row arrays in column order, values taken from the object rendering;
+      // header=true prepends the column-name row (SqlResource's header)
+      val rows = parsed.map { o =>
+        JArray(cols.toList.map(c => o \ c match {
+          case JNothing => JNull // toJSON omits null cells
+          case v => v
+        }))
+      }
+      val withHeader =
+        if (header) JArray(cols.toList.map(JString(_))) +: rows else rows
+      JsonMethods.compact(JsonMethods.render(JArray(withHeader.toList)))
+    case other => throw new IllegalArgumentException(s"resultFormat: $other")
+  }
+
+  /** `EXPLAIN PLAN FOR <sql>`: one row with PLAN + RESOURCES VARCHAR columns
+    * (DruidPlanner.getExplainStructType, DruidPlanner.java:669). PLAN is the
+    * Catalyst plan (this engine's native form, where the reference embeds
+    * its native JSON); RESOURCES lists the referenced datasources as the
+    * reference's resource-action JSON string. */
+  private def explainRows(spark: SparkSession, sql: String): Seq[JObject] = {
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode).trim
+    val tables = spark.sessionState.sqlParser.parsePlan(sql).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.mkString(".")
+    }.distinct.sorted
+    val resources = JsonMethods.compact(JsonMethods.render(JArray(
+      tables.toList.map(t => JObject("name" -> JString(t), "type" -> JString("DATASOURCE"))))))
+    Seq(JObject("PLAN" -> JString(plan), "RESOURCES" -> JString(resources)))
   }
 
   /** Bind positional `?` placeholders to typed parameter literals — the
     * reference's prepared-statement path (SqlQuery.java getParameterList →
     * Calcite TypedValue binding). Literal rendering by declared SQL type;
-    * `?` inside string literals and line comments is left alone. */
+    * `?` inside string literals, `--` line comments, and (*) block comments
+    * is left alone. */
   private[server] def bindParameters(sql: String,
       params: Seq[(String, JValue)]): String = {
     if (params.isEmpty) return sql
     val out = new StringBuilder
     var inString = false
     var inComment = false
+    var inBlock = false
     var next = 0
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inComment) {
+      if (inBlock) {
+        out.append(c)
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          out.append('/'); i += 1; inBlock = false
+        }
+      } else if (inComment) {
         out.append(c); if (c == '\n') inComment = false
       } else if (inString) {
         out.append(c); if (c == '\'') inString = false
@@ -145,6 +270,8 @@ object HttpFacade {
         case '\'' => inString = true; out.append(c)
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           inComment = true; out.append(c)
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          inBlock = true; out.append("/*"); i += 1
         case '?' =>
           if (next >= params.length)
             throw new IllegalArgumentException(s"parameter ${next + 1} not supplied")

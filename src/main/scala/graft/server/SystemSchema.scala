@@ -44,8 +44,10 @@ object SystemSchema {
       tables.flatMap { t =>
         val schema = Option(t.database).filter(_.nonEmpty).getOrElse("druid")
         val fq = Option(t.database).filter(_.nonEmpty).map(d => s"$d.${t.name}").getOrElse(t.name)
+        // ORDINAL_POSITION is 0-based in the reference
+        // (InformationSchema.java:430 String.valueOf(field.getIndex()))
         try spark.table(fq).schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
-          Seq(catalogName, schema, t.name, f.name, (i + 1).toString,
+          Seq(catalogName, schema, t.name, f.name, i.toString,
             f.dataType.sql, if (f.nullable) "YES" else "NO")
         }
         catch { case _: Throwable => Nil } // unreadable entry → skip, like a dropped segment
@@ -75,8 +77,12 @@ object SystemSchema {
     val colNames = cols.map(_.stripPrefix("`").stripSuffix("`"))
     val body =
       if (rows.isEmpty)
-        // typed empty relation: one all-NULL row filtered back out
-        s"SELECT ${cols.map(c => s"CAST(NULL AS STRING) AS $c").mkString(", ")} WHERE 1 = 0"
+        // typed empty relation: schema-stable with the populated view —
+        // numeric columns stay BIGINT even when no rows exist
+        s"SELECT ${cols.zip(colNames).map { case (c, n) =>
+          val t = if (numericCols.contains(n)) "BIGINT" else "STRING"
+          s"CAST(NULL AS $t) AS $c"
+        }.mkString(", ")} WHERE 1 = 0"
       else
         rows.map(r => r.zip(colNames).map { case (v, c) => literal(c, v) }
           .mkString("(", ", ", ")"))

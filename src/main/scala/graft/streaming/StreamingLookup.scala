@@ -64,10 +64,15 @@ object StreamingLookup {
               .agg(last(col(valueCol).cast("string")).as("v"))
         }
         // on-heap merge, the reference's cache.put(key, value) loop; the
-        // collect is bounded by the lookup-size contract
+        // collect is bounded by the lookup-size contract — limit(maxEntries+1)
+        // keeps a runaway batch from materializing unbounded rows while the
+        // +1 sentinel still lets the size check below observe the overflow
         val updates = perKey.limit(maxEntries + 1).collect()
-        require(state.size + updates.length <= 2 * maxEntries,
-          s"streaming lookup '$name' exceeds $maxEntries entries")
+        require(updates.length <= maxEntries,
+          s"streaming lookup '$name': micro-batch carries more than $maxEntries distinct keys")
+        val newKeys = updates.count(r => !state.contains(r.getString(0)))
+        require(state.size + newKeys <= maxEntries,
+          s"streaming lookup '$name' would exceed $maxEntries entries after merge")
         updates.foreach(r => state.put(r.getString(0), r.getString(1)))
         registerSnapshot(batch.sparkSession, name, registry, state)
       }

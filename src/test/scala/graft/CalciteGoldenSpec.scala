@@ -781,6 +781,29 @@ class CalciteGoldenSpec extends SparkSpecBase {
     assert(out.flatten.toSet == Set(Seq("b"), Seq("c"), Seq()))
   }
 
+  test("array_slice/offset/ordinal out-of-range semantics (FunctionTest.java:250-259,368-373)") {
+    val r = sql(
+      """SELECT ARRAY_SLICE(ARRAY(1, 2, 3, 4), 1, 3),  -- [2, 3]
+        |       ARRAY_SLICE(ARRAY('a', 'b', 'c', 'd'), 4, 6),  -- null-padded [null, null]
+        |       ARRAY_SLICE(ARRAY(1, 2, 3, 4), 2, 2),  -- []
+        |       ARRAY_SLICE(ARRAY(1, 2, 3, 4), 5, 7),  -- start > length -> null
+        |       ARRAY_SLICE(ARRAY(1, 2, 3, 4), 2, 1),  -- start > end -> null
+        |       ARRAY_SLICE(ARRAY(1, 2, 3, 4), -1, 2), -- start < 0 -> null
+        |       ARRAY_OFFSET(ARRAY(1, 2, 3), 2),       -- 3
+        |       ARRAY_OFFSET(ARRAY(1, 2, 3), 3),       -- past end -> null
+        |       ARRAY_OFFSET(ARRAY(1, 2, 3), -1),      -- negative -> null, not from-end
+        |       ARRAY_ORDINAL(ARRAY(1, 2, 3), 3),      -- 3
+        |       ARRAY_ORDINAL(ARRAY(1, 2, 3), 4),      -- past end -> null
+        |       ARRAY_ORDINAL(ARRAY(1, 2, 3), 0)       -- below 1 -> null
+        |""".stripMargin).head
+    assert(r.getSeq[Int](0) == Seq(2, 3))
+    assert(r.getSeq[String](1) == Seq(null, null))
+    assert(r.getSeq[Int](2) == Seq())
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    assert(r.getInt(6) == 3 && r.isNullAt(7) && r.isNullAt(8))
+    assert(r.getInt(9) == 3 && r.isNullAt(10) && r.isNullAt(11))
+  }
+
   test("testArrayAppend (:665)") {
     val out = sql("SELECT ARRAY_APPEND(dim3, 'foo'), SUM(cnt) FROM numfoo GROUP BY 1")
       .map(r => (arr(r, 0), r.getLong(1))).toSet

@@ -23,7 +23,8 @@ class HttpFacadeSpec extends SparkSpecBase {
     (resp.statusCode(), JsonMethods.parse(resp.body()))
   }
 
-  test("POST /druid/v2 runs the native timeseries gate JSON verbatim") {
+  test("POST /druid/v2 runs the native timeseries gate JSON verbatim, with the " +
+      "{timestamp, result} envelope (docs/querying/timeseriesquery.md)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
       val (status, json) = post(facade.port, "/druid/v2",
@@ -31,13 +32,94 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert(status == 200)
       val rows = json.asInstanceOf[JArray].arr
       assert(rows.nonEmpty)
-      // every row carries the declared agg/post-agg names
-      val first = rows.head.asInstanceOf[JObject].obj.toMap
-      assert(Set("cnt", "sum_qty", "avg_qty").subsetOf(first.keySet))
-      // counts are positive within the filtered interval
-      assert(rows.forall(r => (r \ "cnt") match {
+      // every bucket nests as {"timestamp": ISO millis, "result": {aggs}}
+      rows.foreach { r =>
+        assert((r \ "timestamp").isInstanceOf[JString])
+        val result = (r \ "result").asInstanceOf[JObject].obj.toMap
+        assert(Set("cnt", "sum_qty", "avg_qty").subsetOf(result.keySet))
+        // the time column never leaks into the result object
+        assert(!result.contains("l_shipdate"))
+      }
+      // timestamps render Druid-style: ISO-8601 with milliseconds, UTC
+      val ts = (rows.head \ "timestamp").asInstanceOf[JString].s
+      assert(ts.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""))
+      assert(rows.forall(r => (r \ "result" \ "cnt") match {
         case JInt(n) => n >= 0; case JLong(n) => n >= 0; case _ => false
       }))
+    } finally facade.stop()
+  }
+
+  test("POST /druid/v2 topN and groupBy envelopes (topnquery.md, groupbyquery.md)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      // topN: ONE granularity bucket holding the ranked dimension rows
+      val (s1, topn) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "topN",
+          "dataSource": "nation",
+          "timeColumn": "n_nationkey",
+          "dimension": "n_regionkey",
+          "metric": "cnt",
+          "threshold": 3,
+          "aggregations": [{"type": "count", "name": "cnt"}]
+        }""")
+      assert(s1 == 200)
+      val buckets = topn.asInstanceOf[JArray].arr
+      assert(buckets.size == 1)
+      val result = (buckets.head \ "result").asInstanceOf[JArray].arr
+      assert(result.size == 3)
+      assert(result.forall(r => (r \ "cnt") == JInt(5)))
+      assert(result.forall(r => (r \ "n_regionkey") != JNothing))
+
+      // groupBy: one {"version": "v1", "timestamp", "event"} object per row
+      val (s2, gby) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "groupBy",
+          "dataSource": "region",
+          "timeColumn": "r_regionkey",
+          "dimensions": ["r_name"],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": ["r_name"], "limit": 2}
+        }""")
+      assert(s2 == 200)
+      val rows = gby.asInstanceOf[JArray].arr
+      assert(rows.size == 2)
+      rows.foreach { r =>
+        assert((r \ "version") == JString("v1"))
+        assert((r \ "event" \ "cnt") == JInt(1))
+        assert((r \ "event" \ "r_name").isInstanceOf[JString])
+      }
+    } finally facade.stop()
+  }
+
+  test("EXPLAIN PLAN FOR returns the PLAN + RESOURCES row (DruidPlanner.java:669)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "nation").createOrReplaceTempView("nation")
+      val (s, out) = post(facade.port, "/druid/v2/sql",
+        """{"query": "EXPLAIN PLAN FOR SELECT COUNT(*) FROM nation"}""")
+      assert(s == 200)
+      val row = out.asInstanceOf[JArray].arr.head
+      val plan = (row \ "PLAN").asInstanceOf[JString].s
+      assert(plan.contains("Physical Plan"))
+      val resources = JsonMethods.parse((row \ "RESOURCES").asInstanceOf[JString].s)
+      assert(resources == JArray(List(
+        JObject("name" -> JString("nation"), "type" -> JString("DATASOURCE")))))
+    } finally facade.stop()
+  }
+
+  test("maxResultRows guards the driver-side materialization") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      maxResultRows = 3)
+    try {
+      Sources.table(spark, sf(), "nation").createOrReplaceTempView("nation")
+      val (ok, small) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT n_name FROM nation LIMIT 3"}""")
+      assert(ok == 200 && small.asInstanceOf[JArray].arr.size == 3)
+      val (status, err) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT n_name FROM nation"}""")
+      assert(status == 500)
+      assert((err \ "error").asInstanceOf[JString].s.contains("maxResultRows"))
     } finally facade.stop()
   }
 
@@ -94,6 +176,33 @@ class HttpFacadeSpec extends SparkSpecBase {
       val rows = out.asInstanceOf[JArray].arr
       assert(rows.head == JArray(List(JString("r_regionkey"))))
       assert(rows.tail == List(JArray(List(JInt(0))), JArray(List(JInt(1)))))
+    } finally facade.stop()
+  }
+
+  test("header=true prepends the null-valued column object for the object format " +
+      "(ObjectWriter.writeHeader)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "region").createOrReplaceTempView("region")
+      val (s, out) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT r_regionkey, r_name FROM region ORDER BY 1 LIMIT 1",
+            "header": true}""")
+      assert(s == 200)
+      val rows = out.asInstanceOf[JArray].arr
+      assert(rows.head == JObject("r_regionkey" -> JNull, "r_name" -> JNull))
+      assert((rows(1) \ "r_regionkey") == JInt(0))
+    } finally facade.stop()
+  }
+
+  test("'?' inside block comments does not consume a parameter") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "nation").createOrReplaceTempView("nation")
+      val (s, out) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS cnt /* not a param? */ FROM nation WHERE n_name = ?",
+            "parameters": [{"type":"VARCHAR","value":"NATION_3"}]}""")
+      assert(s == 200)
+      assert((out.asInstanceOf[JArray].arr.head \ "cnt") == JInt(1))
     } finally facade.stop()
   }
 

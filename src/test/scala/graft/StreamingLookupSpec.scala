@@ -54,6 +54,44 @@ class StreamingLookupSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("an oversized micro-batch fails loudly instead of silently dropping keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val reg = new LookupRegistry
+    val mem = MemoryStream[Msg]
+    val q = StreamingLookup.start(spark, "tiny", mem.toDF(), registry = reg,
+      maxEntries = 3)
+    try {
+      // 4 distinct keys in one batch against maxEntries=3 → the batch must
+      // raise (fail-on-overflow contract), not truncate to an arbitrary 3
+      mem.addData(Msg("a", "1", 0L), Msg("b", "2", 1L), Msg("c", "3", 2L),
+        Msg("d", "4", 3L))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("tiny") || err.getCause != null)
+    } finally q.stop()
+  }
+
+  test("merging past maxEntries across batches fails before mutating state") {
+    implicit val sqlCtx = spark.sqlContext
+    val reg = new LookupRegistry
+    val mem = MemoryStream[Msg]
+    val q = StreamingLookup.start(spark, "tiny2", mem.toDF(), registry = reg,
+      maxEntries = 2)
+    try {
+      mem.addData(Msg("a", "1", 0L), Msg("b", "2", 1L))
+      q.processAllAvailable()
+      assert(reg.asMap("tiny2") == Map("a" -> "1", "b" -> "2"))
+      // a third distinct key would push state to 3 > maxEntries=2
+      mem.addData(Msg("c", "3", 2L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the failed batch did not half-merge: the snapshot still has 2 keys
+      assert(reg.asMap("tiny2") == Map("a" -> "1", "b" -> "2"))
+    } finally q.stop()
+  }
+
   test("restart seeds from the registered snapshot instead of clobbering") {
     implicit val sqlCtx = spark.sqlContext
     val reg = new LookupRegistry

@@ -26,7 +26,8 @@ class SystemSchemaSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1).toInt))
     val expected = spark.table("nation_sys_test").schema.fieldNames.toSeq
     assert(cols.map(_._1).toSeq == expected)
-    assert(cols.map(_._2).toSeq == (1 to expected.size))
+    // 0-based, matching InformationSchema.java:430 field.getIndex()
+    assert(cols.map(_._2).toSeq == expected.indices)
   }
 
   test("aggregations run over INFORMATION_SCHEMA.COLUMNS (:376)") {
