@@ -73,4 +73,16 @@ object StringOrderings {
 
   /** alphanumeric ordering ("file9" < "file10"): same digit-run padding. */
   def alphanumericKey(c: Column): Column = versionKey(c)
+
+  /** A named StringComparator as a sort key (StringComparators.java) —
+    * orderBy(key(name, c)) reproduces the comparator's ordering. */
+  def key(ordering: String, c: Column): Column = ordering match {
+    case "lexicographic" => c.cast("string")
+    case "numeric" => c.cast("double")
+    case "alphanumeric" => alphanumericKey(c.cast("string"))
+    case "version" => versionKey(c.cast("string"))
+    // strlen comparator: shorter first, ties lexicographic
+    case "strlen" => struct(length(c.cast("string")), c.cast("string"))
+    case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")
+  }
 }

@@ -140,7 +140,13 @@ object NativeQuery {
           searchDimensions = arr(q \ "searchDimensions").map { case JString(c) => c; case x => str(x) },
           matcher = searchMatcher(q \ "query"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          limit = intOpt(q \ "limit")
+          limit = intOpt(q \ "limit"),
+          // SearchSortSpec JSON: {"sort": {"type": "strlen" | ...}}
+          sort = ((q \ "sort") match {
+            case JString(n) => Some(n)
+            case o: JObject => strOpt(o \ "type")
+            case _ => None
+          }).getOrElse("lexicographic")
         ).run(prepared)
       case "timeBoundary" =>
         TimeBoundaryQuery(timeCol, filterOpt(q \ "filter", prepared.schema).orNull,
@@ -305,15 +311,8 @@ object NativeQuery {
   /** StringComparators as sort/compare KEYS (reference: query/ordering/
     * StringComparators.java) — used by bound-filter orderings, limitSpec
     * dimensionOrder, and the dimension topN metric spec. */
-  private def comparatorKey(ordering: String, c: Column): Column = ordering match {
-    case "lexicographic" => c.cast("string")
-    case "numeric" => c.cast("double")
-    case "alphanumeric" => StringOrderings.alphanumericKey(c.cast("string"))
-    case "version" => StringOrderings.versionKey(c.cast("string"))
-    // strlen comparator: shorter first, ties lexicographic
-    case "strlen" => struct(length(c.cast("string")), c.cast("string"))
-    case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")
-  }
+  private def comparatorKey(ordering: String, c: Column): Column =
+    StringOrderings.key(ordering, c)
 
   // ---- granularity ----
   private val NamedGranularities = Map(

@@ -344,7 +344,11 @@ final case class SearchQuery(
     searchDimensions: Seq[String],
     matcher: Column => Column, // e.g. _.contains("foo") | insensitive variants
     filter: Column = null,
-    limit: Option[Int] = None) {
+    limit: Option[Int] = None,
+    // SearchSortSpec (query/search/SearchSortSpec.java): hits order by VALUE
+    // under a StringComparator — lexicographic (default) / alphanumeric /
+    // strlen / numeric / version — with dimension as the lexicographic tiebreak
+    sort: String = "lexicographic") {
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
@@ -352,7 +356,7 @@ final case class SearchQuery(
     val unpivoted = filtered.select(explode(map(pairs: _*)).as(Seq("dimension", "value")))
     val matched = unpivoted.filter(matcher(col("value")))
     val counted = matched.groupBy("dimension", "value").agg(count(lit(1)).as("count"))
-      .orderBy(col("dimension"), col("value"))
+      .orderBy(graft.functions.StringOrderings.key(sort, col("value")), col("dimension"))
     limit.fold(counted)(counted.limit)
   }
 }

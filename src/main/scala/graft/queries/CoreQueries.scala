@@ -134,6 +134,39 @@ object CoreQueries {
       ).run(Sources.table(s, dir, "orders"))
     }),
 
+    // --- SQL INSERT DML (DruidSqlInsert.java, DruidPlanner.java:212,674):
+    // INSERT ... PARTITIONED BY MONTH CLUSTERED BY, then query the published
+    // table back — the oracle is the plain aggregate over the same source,
+    // so the gate checks the whole write→read round trip ---
+    "sql_insert_dml" -> ((s, dir) => {
+      Sources.table(s, dir, "orders").createOrReplaceTempView("graft_dml_orders")
+      // a fresh base per run keeps the gate idempotent under append semantics
+      val base = java.nio.file.Files.createTempDirectory("graft_dml_gate").toString
+      graft.sources.SqlInsertDml.run(s,
+        """INSERT INTO graft_monthly_orders
+          |SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP_NTZ) AS __time,
+          |       o_orderstatus,
+          |       count(*) AS cnt,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM graft_dml_orders
+          |GROUP BY 1, 2
+          |PARTITIONED BY MONTH CLUSTERED BY 2""".stripMargin, base)
+      s.sql("""SELECT __time, o_orderstatus, cnt, revenue FROM graft_monthly_orders
+              |ORDER BY __time, o_orderstatus""".stripMargin)
+    }),
+
+    // --- search sort specs (SearchSortSpec.java): strlen ordering with a
+    // limit keeps a DIFFERENT hit set than lexicographic would, so the
+    // oracle verifies the comparator, not just the rows ---
+    "search_sort_strlen" -> ((s, dir) => {
+      SearchQuery(
+        searchDimensions = Seq("c_mktsegment"),
+        matcher = v => v.contains("U"),
+        limit = Some(3),
+        sort = "strlen"
+      ).run(Sources.table(s, dir, "customer"))
+    }),
+
     // --- segmentMetadata (SegmentMetadataQuery.java:46) ---
     "segment_metadata" -> ((s, dir) => {
       SegmentMetadataQuery(exact = true).run(Sources.table(s, dir, "orders"))
@@ -243,6 +276,19 @@ object CoreQueries {
         |  SELECT 'o_orderstatus', o_orderstatus, count(*)
         |  FROM orders WHERE o_orderstatus LIKE '%E%' GROUP BY 2
         |) ORDER BY dimension, "value"""".stripMargin,
+
+    "sql_insert_dml" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
+        |       o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY __time, o_orderstatus""".stripMargin,
+
+    "search_sort_strlen" ->
+      """SELECT dimension, "value", "count" FROM (
+        |  SELECT 'c_mktsegment' AS dimension, c_mktsegment AS "value", count(*) AS "count"
+        |  FROM customer WHERE c_mktsegment LIKE '%U%' GROUP BY 2
+        |) ORDER BY length("value"), "value", dimension LIMIT 3""".stripMargin,
 
     "segment_metadata" ->
       """SELECT "column", "type", cardinality, nullCount, numRows FROM (

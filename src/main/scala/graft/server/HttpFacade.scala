@@ -78,7 +78,16 @@ object HttpFacade {
       val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
       sqlText match {
         case ExplainRe(inner) => renderRows(explainRows(spark, inner), Seq("PLAN", "RESOURCES"), format, header)
-        case _ => render(spark.sql(sqlText), format, header, maxResultRows)
+        case _ => graft.sources.SqlInsertDml.parse(sqlText) match {
+          case Some(_) =>
+            // INSERT DML routes through the ingest path; where the reference
+            // hands back an ingest task handle, this facade reports the
+            // published row count (the write is synchronous here)
+            val published = graft.sources.SqlInsertDml.run(spark, sqlText)
+            renderRows(Seq(JObject("inserted" -> JLong(published.count()))),
+              Seq("inserted"), format, header)
+          case None => render(spark.sql(sqlText), format, header, maxResultRows)
+        }
       }
     })
 

@@ -33,7 +33,7 @@ object BatchIngest {
 
   final case class IngestSpec(
       inputPath: String,
-      inputFormat: String = "parquet",          // csv | json | parquet | orc | avro
+      inputFormat: String = "parquet",          // csv | json | parquet | orc | avro | regex
       formatOptions: Map[String, String] = Map.empty,
       timeColumn: String = "__time",
       timeParseExpr: Column = null,             // timestampSpec: expr producing the time col
@@ -61,8 +61,47 @@ object BatchIngest {
       case "parquet" => r.parquet(spec.inputPath)
       case "orc"     => r.orc(spec.inputPath)
       case "avro"    => r.format("avro").load(spec.inputPath)
+      case "regex"   => readRegex(spark, spec)
       case f         => throw new IllegalArgumentException(s"unknown inputFormat: $f")
     }
+  }
+
+  /** `regex` InputFormat (core/.../data/input/impl/RegexInputFormat.java +
+    * RegexReader.parseLine): each text line must FULLY match `pattern`;
+    * capture groups 1..n become the columns (`columns` option, comma-
+    * separated; absent → column_1..column_n per ParserUtils
+    * .getDefaultColumnName). `listDelimiter` splits groups into multi-value
+    * columns; since a Spark column's type is static (the reference's rows
+    * are dynamic maps where only delimiter-carrying VALUES become lists),
+    * the MV columns are declared by name via `multiValueColumns` and are
+    * always array<string> — a 1-element MV is Druid-equivalent to the
+    * scalar. Non-matching lines are dropped distributedly — the analog of
+    * the reference's ParseException + maxParseExceptions tolerance, minus
+    * the task-killing counter. */
+  private def readRegex(spark: SparkSession, spec: IngestSpec): DataFrame = {
+    val pattern = spec.formatOptions.getOrElse("pattern",
+      throw new IllegalArgumentException("regex inputFormat requires a 'pattern' option"))
+    val groupCount = java.util.regex.Pattern.compile(pattern).matcher("").groupCount()
+    val columns = spec.formatOptions.get("columns") match {
+      case Some(cs) => cs.split(",").map(_.trim).toSeq
+      case None => (1 to groupCount).map(i => s"column_$i")
+    }
+    // RegexReader uses matcher.matches() — anchor so rlike/extract agree
+    val anchored = s"^(?:$pattern)$$"
+    val lines = spark.read.text(spec.inputPath)
+      .filter(col("value").rlike(anchored))
+    val mvCols = spec.formatOptions.get("multiValueColumns")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val delimiter = spec.formatOptions.get("listDelimiter")
+    val extracted = columns.zipWithIndex.map { case (name, i) =>
+      val g = regexp_extract(col("value"), anchored, i + 1)
+      delimiter match {
+        case Some(d) if mvCols.contains(name) =>
+          split(g, java.util.regex.Pattern.quote(d)).as(name)
+        case _ => g.as(name)
+      }
+    }
+    lines.select(extracted: _*)
   }
 
   /** TransformSpec + rollup, producing the rows to publish. */
@@ -82,17 +121,24 @@ object BatchIngest {
     }
   }
 
-  /** Publish: time-chunked + partitioned parquet (the segment layout). */
-  def write(df: DataFrame, spec: IngestSpec, outPath: String): Unit = {
-    val chunked = df.withColumn("__chunk",
-      date_format(PeriodGranularity(spec.segmentGranularity).bucket(col(spec.timeColumn)),
-        "yyyy-MM-dd'T'HH"))
+  /** Publish: time-chunked + partitioned parquet (the segment layout).
+    * segmentGranularity "ALL" puts everything in one eternity chunk (the
+    * reference's ALL-granularity segment); `mode` Append adds new segments
+    * to an existing datasource, the INSERT DML path. */
+  def write(df: DataFrame, spec: IngestSpec, outPath: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val chunked =
+      if (spec.segmentGranularity.equalsIgnoreCase("all"))
+        df.withColumn("__chunk", lit("all"))
+      else df.withColumn("__chunk",
+        date_format(PeriodGranularity(spec.segmentGranularity).bucket(col(spec.timeColumn)),
+          "yyyy-MM-dd'T'HH"))
     val arranged = spec.partitionsSpec match {
       case DynamicPartitions          => chunked
       case HashedPartitions(n, dims)  => chunked.repartition(n, dims.map(col): _*)
       case RangePartitions(n, dims)   => chunked.repartitionByRange(n, dims.map(col): _*)
     }
-    arranged.write.mode(SaveMode.Overwrite).partitionBy("__chunk").parquet(outPath)
+    arranged.write.mode(mode).partitionBy("__chunk").parquet(outPath)
   }
 
   def run(spark: SparkSession, spec: IngestSpec, outPath: String): DataFrame = {

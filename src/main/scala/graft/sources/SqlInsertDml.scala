@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Druid SQL INSERT DML (SURVEY §2 edge surface; reference:
+  * sql/.../parser/DruidSqlInsert.java + codegen/includes/insert.ftl,
+  * planner/DruidPlanner.java:212,674 validateAndGetDataSourceForInsert,
+  * parser/DruidSqlParserUtils.java convertSqlNodeToGranularity; behavioral
+  * corpus CalciteInsertDmlTest.java):
+  *
+  *   INSERT INTO <table> SELECT ... PARTITIONED BY <granularity>
+  *                                  [CLUSTERED BY <col | ordinal> [DESC], ...]
+  *
+  * Semantics mirrored from the reference:
+  *  - PARTITIONED BY is mandatory (DruidSqlInsert.java:74 friendly error),
+  *    accepting HOUR / DAY / MONTH / YEAR / ALL [TIME] /
+  *    FLOOR(__time TO unit) / TIME_FLOOR(__time, 'period') (insert.ftl:80).
+  *  - ORDER BY on the outer SELECT is rejected — "use CLUSTERED BY instead"
+  *    (DruidPlanner; LIMIT/OFFSET stay allowed:
+  *    testInsertWithPartitionedByAndLimitOffset).
+  *  - UPSERT and a target column list are rejected
+  *    (validateAndGetDataSourceForInsert).
+  *  - The target may be unqualified or qualified by the default `druid`
+  *    schema only.
+  *  - A time-based PARTITIONED BY requires a `__time` column in the SELECT
+  *    output (the segment time chunking has nothing to bucket otherwise).
+  *
+  * Spark mapping: the SELECT plans through Catalyst untouched; PARTITIONED
+  * BY becomes the segment-granularity directory layout (BatchIngest.write
+  * time chunks — readers prune whole chunks on time predicates at any
+  * scale); CLUSTERED BY becomes repartitionByRange + sortWithinPartitions
+  * (the reference's range-partitioned, intra-segment-sorted layout → range
+  * exchange + local sort, no global sort barrier); INSERT appends segments
+  * (SaveMode.Append), the reference's add-new-segments behavior. The ingest
+  * spec registers under the table name so segmentMetadata's spec-describing
+  * analyses resolve, and the published table registers in the session
+  * catalog for follow-up queries.
+  */
+object SqlInsertDml {
+
+  final case class InsertStatement(
+      target: String,
+      selectSql: String,
+      segmentGranularity: String,          // ISO period, or "ALL"
+      clusteredBy: Seq[(String, Boolean)]) // (column name or 1-based ordinal, descending)
+
+  private val InsertHead =
+    "(?is)^\\s*(INSERT|UPSERT)\\s+INTO\\s+([A-Za-z_][\\w.]*)\\s*(\\([^)]*\\))?\\s+(.*)$".r
+  private val PartitionedBy = "(?is)\\bPARTITIONED\\s+BY\\b".r
+  private val ClusteredBy = "(?is)\\bCLUSTERED\\s+BY\\b".r
+
+  /** FLOOR(__time TO unit) units (sql/.../expression/TimeUnits.java). */
+  private val FloorUnits = Map(
+    "SECOND" -> "PT1S", "MINUTE" -> "PT1M", "HOUR" -> "PT1H", "DAY" -> "P1D",
+    "WEEK" -> "P1W", "MONTH" -> "P1M", "QUARTER" -> "P3M", "YEAR" -> "P1Y")
+
+  /** Parse a Druid INSERT statement; None when `sql` is not INSERT/UPSERT. */
+  def parse(sql: String): Option[InsertStatement] = sql match {
+    case InsertHead(verb, targetRaw, columnList, rest) =>
+      if (verb.equalsIgnoreCase("UPSERT"))
+        throw new IllegalArgumentException("UPSERT is not supported.")
+      if (columnList != null)
+        throw new IllegalArgumentException("INSERT with target column list is not supported.")
+      val target = targetRaw.split('.') match {
+        case Array(t) => t
+        case Array(schema, t) if schema.equalsIgnoreCase("druid") => t
+        case parts => throw new IllegalArgumentException(
+          s"Cannot INSERT into ${parts.mkString(".")}: the target must be unqualified " +
+            "or qualified by the default druid schema")
+      }
+      // the custom clauses trail the SELECT (insert.ftl grammar) — split on
+      // the LAST occurrence so subquery text can't shadow them
+      val pbMatches = PartitionedBy.findAllMatchIn(rest).toSeq
+      if (pbMatches.isEmpty)
+        throw new IllegalArgumentException(
+          "INSERT statements must specify PARTITIONED BY clause explicitly")
+      val pb = pbMatches.last
+      val selectSql = rest.substring(0, pb.start).trim
+      val tail = rest.substring(pb.end).trim
+      val (granClause, clusterClause) = ClusteredBy.findFirstMatchIn(tail) match {
+        case Some(cb) => (tail.substring(0, cb.start).trim, Some(tail.substring(cb.end).trim))
+        case None => (tail, None)
+      }
+      Some(InsertStatement(
+        target = target,
+        selectSql = selectSql,
+        segmentGranularity = parseGranularity(granClause),
+        clusteredBy = clusterClause.map(parseClusterItems).getOrElse(Nil)))
+    case _ => None
+  }
+
+  /** The PARTITIONED BY clause grammar (insert.ftl:80 + DruidSqlParserUtils
+    * .convertSqlNodeToGranularity). Returns an ISO period or "ALL". */
+  private def parseGranularity(clause: String): String = {
+    val c = clause.trim.replaceAll("\\s+", " ")
+    val upper = c.toUpperCase
+    upper match {
+      case "HOUR" => "PT1H"
+      case "DAY" => "P1D"
+      case "MONTH" => "P1M"
+      case "YEAR" => "P1Y"
+      case "ALL" | "ALL TIME" => "ALL"
+      case _ =>
+        val Floor = "(?i)FLOOR\\s*\\(\\s*(\\w+)\\s+TO\\s+(\\w+)\\s*\\)".r
+        val TimeFloor = "(?i)TIME_FLOOR\\s*\\(\\s*(\\w+)\\s*,\\s*'([^']+)'\\s*\\)".r
+        c match {
+          case Floor(timeCol, unit) =>
+            require(timeCol == "__time",
+              "First argument to FLOOR in PARTITIONED BY clause can only be __time")
+            FloorUnits.getOrElse(unit.toUpperCase, throw new IllegalArgumentException(
+              s"$unit is not a valid granularity for FLOOR in PARTITIONED BY"))
+          case TimeFloor(timeCol, period) =>
+            require(timeCol == "__time",
+              "First argument to TIME_FLOOR in PARTITIONED BY clause can only be __time")
+            graft.functions.TimeFunctions.parsePeriod(period) // validates
+            period
+          case other => throw new IllegalArgumentException(
+            s"Encountered '$other' after PARTITIONED BY. Expected HOUR, DAY, MONTH, " +
+              "YEAR, ALL TIME, FLOOR function or TIME_FLOOR function")
+        }
+    }
+  }
+
+  /** CLUSTERED BY items: comma-separated column names or 1-based select
+    * ordinals, each optionally DESC (insert.ftl ClusterItems → OrderItem). */
+  private def parseClusterItems(clause: String): Seq[(String, Boolean)] =
+    clause.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+      val Desc = "(?i)^(.*?)\\s+DESC$".r
+      val Asc = "(?i)^(.*?)\\s+ASC$".r
+      item match {
+        case Desc(c) => (c.trim, true)
+        case Asc(c) => (c.trim, false)
+        case c => (c, false)
+      }
+    }
+
+  /** Parse + execute an INSERT statement: run the SELECT, publish through
+    * BatchIngest under `outBase/<table>`, and register the table. Returns
+    * the published DataFrame. */
+  def run(spark: SparkSession, sql: String,
+      outBase: String = defaultOutBase): DataFrame = {
+    val stmt = parse(sql).getOrElse(
+      throw new IllegalArgumentException(s"not an INSERT statement: $sql"))
+    graft.functions.GraftSqlFunctions.register(spark)
+
+    // the reference rejects ORDER BY on the outer SELECT (CLUSTERED BY owns
+    // segment ordering); LIMIT/OFFSET wrappers above the Sort stay legal
+    var parsed = spark.sessionState.sqlParser.parsePlan(stmt.selectSql)
+    var unwrapping = true
+    while (unwrapping) parsed match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => parsed = l.child
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => parsed = l.child
+      case o: org.apache.spark.sql.catalyst.plans.logical.Offset => parsed = o.child
+      case _ => unwrapping = false
+    }
+    if (parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort])
+      throw new IllegalArgumentException(
+        "Cannot have ORDER BY on an INSERT query, use CLUSTERED BY instead.")
+
+    val selected = spark.sql(stmt.selectSql)
+    if (stmt.segmentGranularity != "ALL" && !selected.columns.contains("__time"))
+      throw new IllegalArgumentException(
+        "INSERT queries with a time-based PARTITIONED BY must provide a __time column")
+
+    // CLUSTERED BY → range exchange + intra-partition sort: ordinals resolve
+    // against the SELECT output, DESC flips the range/sort key
+    val clusterCols: Seq[Column] = stmt.clusteredBy.map { case (ref, desc) =>
+      val base =
+        if (ref.forall(_.isDigit)) col(selected.columns(ref.toInt - 1))
+        else expr(ref) // a column name or a simple scalar expression
+      if (desc) base.desc else base.asc
+    }
+    val arranged =
+      if (clusterCols.isEmpty) selected
+      else selected.repartitionByRange(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+
+    val spec = BatchIngest.IngestSpec(
+      inputPath = "<sql-insert>",
+      timeColumn = "__time",
+      segmentGranularity = stmt.segmentGranularity,
+      dataSource = Some(stmt.target))
+    val outPath = s"$outBase/${stmt.target}"
+    // INSERT appends segments to the datasource (the reference's add-
+    // segments semantics; REPLACE would overwrite)
+    BatchIngest.write(arranged, spec, outPath, SaveMode.Append)
+    BatchIngest.registerSpec(outPath, spec)
+    BatchIngest.registerSpec(stmt.target, spec)
+    // __chunk is the segment-directory key, not part of the table's schema
+    val published = spark.read.parquet(outPath).drop("__chunk")
+    published.createOrReplaceTempView(stmt.target)
+    published
+  }
+
+  private def defaultOutBase: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dml"
+}

@@ -72,6 +72,38 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(out.schema("__time").dataType.typeName.startsWith("timestamp"))
   }
 
+  test("batch ingest reads regex-parsed lines (RegexInputFormat.java round-trip)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_regex").toString
+    // an access-log-ish line format: ts level tag|tag message
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "app.log"),
+      java.util.Arrays.asList(
+        "2024-01-01T10:00:00 INFO web|api started ok",
+        "2024-01-02T11:30:00 WARN db slow query",
+        "this line does not match and is dropped"))
+    val spec = IngestSpec(
+      inputPath = s"$dir/app.log", inputFormat = "regex",
+      formatOptions = Map(
+        "pattern" -> "(\\d{4}-\\d{2}-\\d{2}T\\S+) (\\w+) (\\S+) (.*)",
+        "columns" -> "ts,level,tags,message",
+        "listDelimiter" -> "|",
+        "multiValueColumns" -> "tags"),
+      timeColumn = "__time", timeParseExpr = to_timestamp(col("ts")))
+    val out = BatchIngest.run(spark, spec, s"$dir/out").orderBy("__time")
+    assert(out.count() == 2) // the unparseable line is rejected
+    val first = out.head()
+    assert(first.getAs[String]("level") == "INFO")
+    assert(first.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("web", "api"))
+    assert(first.getAs[String]("message") == "started ok")
+    assert(out.schema("__time").dataType.typeName.startsWith("timestamp"))
+
+    // columns omitted → column_1..column_n (ParserUtils.getDefaultColumnName)
+    val defaults = BatchIngest.read(spark, IngestSpec(
+      inputPath = s"$dir/app.log", inputFormat = "regex",
+      formatOptions = Map("pattern" -> "(\\d{4}-\\S+) (\\w+) .*")))
+    assert(defaults.columns.toSeq == Seq("column_1", "column_2"))
+    assert(defaults.count() == 2)
+  }
+
   test("multimodal: stub decode features are deterministic and match formula") {
     val media = Multimodal.mediaFromDocuments(spark, sf())
     val feats = Multimodal.extractFeatures(media)

@@ -231,6 +231,37 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(names.forall(n => n.toLowerCase.contains("widget") && n.toLowerCase.contains("small")))
   }
 
+  test("search sort specs order hits by value comparator (SearchSortSpec.java)") {
+    // strlen: shorter values first, ties lexicographic; limit trims under
+    // THAT ordering (lexicographic would keep AUTOMOBILE over HOUSEHOLD)
+    val strlen = run(
+      """{
+        "queryType": "search",
+        "dataSource": "customer",
+        "timeColumn": "c_custkey",
+        "searchDimensions": ["c_mktsegment"],
+        "query": {"type": "contains", "value": "U"},
+        "sort": {"type": "strlen"},
+        "limit": 3
+      }""")
+    assert(strlen.collect().map(_.getString(1)).toSeq ==
+      Seq("BUILDING", "FURNITURE", "HOUSEHOLD"))
+
+    // alphanumeric: digit runs compare numerically within the value
+    val alnum = run(
+      """{
+        "queryType": "search",
+        "dataSource": {"type": "inline",
+          "columnNames": ["d"], "columnTypes": ["STRING"],
+          "rows": [["file10"], ["file9"], ["file1"]]},
+        "searchDimensions": ["d"],
+        "query": {"type": "contains", "value": "file"},
+        "sort": {"type": "alphanumeric"}
+      }""")
+    assert(alnum.collect().map(_.getString(1)).toSeq ==
+      Seq("file1", "file9", "file10"))
+  }
+
   test("prefixFiltered and regexFiltered dimension specs filter MV values") {
     val df = run(
       """{
