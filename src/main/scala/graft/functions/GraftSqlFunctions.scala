@@ -313,6 +313,13 @@ object GraftSqlFunctions {
       graft.plans.ThetaSketchAgg(args(0), lgK).toAggregateExpression()
     },
     "theta_sketch_estimate" -> { args => graft.plans.ThetaEstimate(args(0)) },
+    // Druid HyperLogLogCollector BINARY interop (read path; SURVEY §7.3):
+    // estimate / union-estimate stored hyperUnique sketch columns from an
+    // existing Druid cluster (hll/.../HyperLogLogCollector.java:53)
+    "hllc_estimate" -> { args => graft.plans.HllcEstimate(args(0)) },
+    "hllc_union_estimate" -> { args =>
+      graft.plans.HllcUnionEstimate(args(0)).toAggregateExpression()
+    },
     "theta_sketch_union" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "union") },
     "theta_sketch_intersect" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "intersect") },
     "theta_sketch_not" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "not") },

@@ -395,8 +395,8 @@ case class KllQuantile(child: Expression, q: Double)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
-    if (sk.isEmpty) null else sk.getQuantile(q)
+    val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
+    if (sk.isEmpty) null else sk.quantile(q)
   }
   override protected def withNewChildInternal(c: Expression): KllQuantile = copy(child = c)
   override def prettyName: String = "kll_quantile"
@@ -406,8 +406,8 @@ case class KllRank(child: Expression, value: Double)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
-    if (sk.isEmpty) null else sk.getRank(value)
+    val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
+    if (sk.isEmpty) null else sk.rank(value)
   }
   override protected def withNewChildInternal(c: Expression): KllRank = copy(child = c)
   override def prettyName: String = "kll_rank"
@@ -417,9 +417,9 @@ case class KllCdf(child: Expression, splits: Seq[Double])
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) null
-    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sk.getCDF(splits.toArray))
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sk.cdf(splits.toArray))
   }
   override protected def withNewChildInternal(c: Expression): KllCdf = copy(child = c)
   override def prettyName: String = "kll_cdf"
@@ -431,7 +431,7 @@ case class KllCdf(child: Expression, splits: Seq[Double])
 case class KllN(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
-    KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])).getN
+    QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]]).getN
   override protected def withNewChildInternal(c: Expression): KllN = copy(child = c)
   override def prettyName: String = "kll_n"
 }
@@ -442,10 +442,10 @@ case class KllQuantiles(child: Expression, fractions: Seq[Double])
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) null
     else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      fractions.map(sk.getQuantile).toArray)
+      fractions.map(sk.quantile).toArray)
   }
   override protected def withNewChildInternal(c: Expression): KllQuantiles = copy(child = c)
   override def prettyName: String = "kll_quantiles"
@@ -459,16 +459,16 @@ case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
-    val sk = KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) return null
     val sp: Array[Double] = numBins match {
       case Some(m) if m > 1 =>
-        val lo = sk.getMinItem; val hi = sk.getMaxItem
+        val lo = sk.minItem; val hi = sk.maxItem
         val w = (hi - lo) / m
         (1 until m).map(i => lo + w * i).toArray
       case _ => splits.toArray
     }
-    val pmf = sk.getPMF(sp)
+    val pmf = sk.pmf(sp)
     val n = sk.getN.toDouble
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pmf.map(_ * n))
   }

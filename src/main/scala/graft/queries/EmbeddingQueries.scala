@@ -81,17 +81,25 @@ object EmbeddingQueries {
     // stays as the exact demo): 20 copies with one coordinate perturbed by
     // +0.01 (cosine ≈ 0.9997 vs ≤~0.5 for natural pairs) are unioned into
     // the corpus, vectors are hyperplane-bucketed, and only same-bucket
-    // pairs are scored — candidate volume is O(sum of bucket²), never n².
-    // The oracle re-derives the identical planted copies, buckets, and
-    // cosines (same md5-derived planes, same sequential fold).
+    // pairs are scored. Candidate volume is O(sum of bucket²), which only
+    // stays sub-quadratic if the bucket COUNT grows with the corpus: plane
+    // count scales as log2(n / targetBucketSize) — with 8 planes fixed,
+    // 200k vectors at sf10 measured 342 s (n²/256 pairs); adaptive planes
+    // bring it back to ~bucketSize·n pairs at any scale. The sf0.01 oracle
+    // re-derives the identical planted copies, buckets, and cosines (same
+    // md5-derived planes, same sequential fold) — at gate scale the
+    // adaptive count resolves to the oracle's 8 planes.
     "embed_lsh_neardup" -> ((s, dir) => {
       val vd = transform(col("embedding"), x => x.cast("double"))
+      val n = emb(s, dir).count() // parquet footer count: no data scan
+      val planes = math.max(8,
+        math.ceil(math.log(n / 100.0) / math.log(2)).toInt)
       val base = emb(s, dir).select(col("vec_id"), vd.as("v"))
       val copies = emb(s, dir).filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(array(element_at(vd, 1) + lit(0.01)), slice(vd, 2, 63)).as("v"))
       val all = base.unionByName(copies).select(col("vec_id"), col("v"),
-        SF.hyperplaneBucket(col("v"), 8, 64).as("bucket"),
+        SF.hyperplaneBucket(col("v"), planes, 64).as("bucket"),
         SF.l2Norm(col("v")).as("nrm"))
       val a = all.select(col("bucket"), col("vec_id").as("id_a"),
         col("v").as("va"), col("nrm").as("na"))

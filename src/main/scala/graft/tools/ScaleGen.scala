@@ -48,8 +48,14 @@ object ScaleGen {
 
     tables.foreach { t =>
       val df = scaled(spark, src, t, factor)
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      System.err.println(s"[scalegen] $t -> $dest/$t.parquet")
+      // a replicated table must also LOOK like a big table on disk: the
+      // crossJoin preserves the source's partition count, so a 10× lineitem
+      // would land as one 80 MB single-row-group file that every scan reads
+      // on ONE task. Spread output across files so scans parallelize the
+      // way they would on a real multi-file corpus.
+      val parts = math.min(64, math.max(df.rdd.getNumPartitions, factor))
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      System.err.println(s"[scalegen] $t -> $dest/$t.parquet ($parts files)")
     }
     spark.stop()
   }
