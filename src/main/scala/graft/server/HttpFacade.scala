@@ -25,10 +25,14 @@ import graft.sources.LookupRegistry
   * Native results carry the reference's per-query-type envelopes
   * (the result examples under docs/querying, `*QueryQueryToolChest.java`):
   * timeseries rows nest as `{"timestamp", "result": {...}}` (grand-total
-  * row: null timestamp), topN as one `{"timestamp", "result": [...]}`
-  * bucket, groupBy as `{"version": "v1", "timestamp", "event": {...}}`.
-  * Other query types return flat row objects (scan's segment envelope is a
-  * documented simplification). SQL supports `EXPLAIN PLAN FOR ...`
+  * row: null timestamp), topN and search as one `{"timestamp", "result":
+  * [...]}` bucket, groupBy as `{"version": "v1", "timestamp", "event":
+  * {...}}`, timeBoundary/dataSourceMetadata as `{"timestamp", "result":
+  * {...}}`, scan as `{"segmentId": null, "columns", "events"}` honoring
+  * list/compactedList resultFormats (segments are not a query-time concept
+  * here; the reference itself nulls segmentId under time ordering).
+  * Remaining types (segmentMetadata) return flat row objects. SQL supports
+  * `EXPLAIN PLAN FOR ...`
   * (DruidPlanner.java:669 — one row with PLAN + RESOURCES columns; the plan
   * text here is Spark's, since Catalyst is the planner).
   *
@@ -196,6 +200,47 @@ object HttpFacade {
           val ts = rowTs(o.obj) match { case JNull => intervalStart; case t => t }
           JObject("version" -> JString("v1"), "timestamp" -> ts, "event" -> event(o.obj))
         })
+      case "search" =>
+        // docs/querying/searchquery.md: one bucket of {dimension, value,
+        // count} hits (all-granularity here, like topN)
+        JArray(List(JObject(
+          "timestamp" -> intervalStart,
+          "result" -> JArray(rows.toList))))
+      case "timeBoundary" =>
+        // timeboundaryquery.md: [{timestamp: minTime, result: {min/max}}] —
+        // boundary values render Druid-style ISO millis like the timestamp
+        JArray(rows.toList.map { o =>
+          val result = JObject(o.obj.map { case (k, v) => k -> isoMillis(v) })
+          val fields = result.obj.toMap
+          val ts = fields.get("minTime").orElse(fields.get("maxTime")).getOrElse(JNull)
+          JObject("timestamp" -> ts, "result" -> result)
+        })
+      case "dataSourceMetadata" =>
+        // datasourcemetadataquery.md: timestamp = maxIngestedEventTime
+        JArray(rows.toList.map { o =>
+          val result = JObject(o.obj.map { case (k, v) => k -> isoMillis(v) })
+          val ts = result.obj.toMap.get("maxIngestedEventTime").getOrElse(JNull)
+          JObject("timestamp" -> ts, "result" -> result)
+        })
+      case "scan" =>
+        // scan-query.md: [{segmentId, columns, events}] — segments are not a
+        // query-time concept on this engine, so one batch with a null
+        // segmentId (the reference itself reports null under time ordering);
+        // events render as objects ("list", the default) or positional
+        // arrays ("compactedList")
+        val columns = df.columns.toList
+        val events: List[JValue] = (q \ "resultFormat") match {
+          case JString("compactedList") =>
+            rows.toList.map { o =>
+              val m = o.obj.toMap
+              JArray(columns.map(c => m.getOrElse(c, JNull)))
+            }
+          case _ => rows.toList
+        }
+        JArray(List(JObject(
+          "segmentId" -> JNull,
+          "columns" -> JArray(columns.map(JString(_))),
+          "events" -> JArray(events))))
       case _ => JArray(rows.toList) // flat rows (documented simplification)
     }
     JsonMethods.compact(JsonMethods.render(out))

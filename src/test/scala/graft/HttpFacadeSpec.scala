@@ -92,6 +92,61 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("POST /druid/v2 scan, search, timeBoundary and dataSourceMetadata envelopes") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      // scan (scan-query.md): one {segmentId: null, columns, events} batch;
+      // compactedList renders events as positional arrays
+      val (s1, scan) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "scan",
+          "dataSource": "region",
+          "timeColumn": "r_regionkey",
+          "columns": ["r_regionkey", "r_name"],
+          "resultFormat": "compactedList",
+          "limit": 2
+        }""")
+      assert(s1 == 200)
+      val batch = scan.asInstanceOf[JArray].arr.head
+      assert((batch \ "segmentId") == JNull)
+      assert((batch \ "columns") == JArray(List(JString("r_regionkey"), JString("r_name"))))
+      val events = (batch \ "events").asInstanceOf[JArray].arr
+      assert(events.size == 2)
+      assert(events.head == JArray(List(JInt(0), JString("AFRICA"))))
+
+      // search (searchquery.md): one bucket of {dimension, value, count}
+      val (s2, search) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "search",
+          "dataSource": "region",
+          "timeColumn": "r_regionkey",
+          "searchDimensions": ["r_name"],
+          "query": {"type": "insensitive_contains", "value": "americ"}
+        }""")
+      assert(s2 == 200)
+      val hits = (search.asInstanceOf[JArray].arr.head \ "result").asInstanceOf[JArray].arr
+      assert(hits.size == 1)
+      assert((hits.head \ "dimension") == JString("r_name"))
+      assert((hits.head \ "value") == JString("AMERICA"))
+      assert((hits.head \ "count") == JInt(1))
+
+      // timeBoundary (timeboundaryquery.md): timestamp = minTime
+      val (s3, tb) = post(facade.port, "/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "orders", "timeColumn": "o_orderdate"}""")
+      assert(s3 == 200)
+      val tbRow = tb.asInstanceOf[JArray].arr.head
+      assert((tbRow \ "timestamp") == (tbRow \ "result" \ "minTime"))
+      assert((tbRow \ "result" \ "maxTime").isInstanceOf[JString])
+
+      // dataSourceMetadata: timestamp = maxIngestedEventTime
+      val (s4, dsm) = post(facade.port, "/druid/v2",
+        """{"queryType": "dataSourceMetadata", "dataSource": "orders", "timeColumn": "o_orderdate"}""")
+      assert(s4 == 200)
+      val dsmRow = dsm.asInstanceOf[JArray].arr.head
+      assert((dsmRow \ "timestamp") == (dsmRow \ "result" \ "maxIngestedEventTime"))
+    } finally facade.stop()
+  }
+
   test("EXPLAIN PLAN FOR returns the PLAN + RESOURCES row (DruidPlanner.java:669)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
