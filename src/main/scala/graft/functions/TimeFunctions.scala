@@ -62,10 +62,28 @@ object TimeFunctions {
       val o = millisOf(origin)
       timestamp_millis(floorDiv(millisOf(ts) - o, p.millis) * p.millis + o)
     } else {
-      val n = p.months
-      val monthsSince = floor(months_between(ts, origin) / n) * n
-      add_months(origin, monthsSince.cast("int")).cast("timestamp")
+      monthAdd(origin, monthFloorIndex(ts, origin, p.months))
     }
+  }
+
+  /** origin + k calendar months, PRESERVING the origin's time-of-day —
+    * add_months returns a DATE and would silently drop a sub-day origin
+    * offset (TIME_FLOOR(__time, 'P1M', TIMESTAMP '1970-01-01 01:02:03'),
+    * CalciteQueryTest testTimeseriesUsingTimeFloorWithOrigin). */
+  private def monthAdd(origin: Column, months: Column): Column =
+    origin.cast("timestamp") +
+      make_interval(lit(0), months, lit(0), lit(0), lit(0), lit(0), lit(0))
+
+  /** Largest multiple-of-n month count k with origin + k months ≤ ts.
+    * months_between IGNORES time-of-day when both sides share a
+    * day-of-month, so the estimate is corrected against the actual period
+    * boundaries (the error is under one month, i.e. under one period). */
+  private def monthFloorIndex(ts: Column, origin: Column, n: Int): Column = {
+    val t = ts.cast("timestamp")
+    val approx = (floor(months_between(t, origin) / n) * n).cast("int")
+    when(monthAdd(origin, approx) > t, approx - n)
+      .when(monthAdd(origin, approx + n) <= t, approx + n)
+      .otherwise(approx)
   }
 
   /** floor-division on longs as a Column (Java-style floorDiv, handles ts < origin). */
@@ -86,10 +104,10 @@ object TimeFunctions {
       timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + o)
     } else {
       val n = p.months
-      val mb = months_between(ts, origin)
-      val flo = floor(mb / n) * n
-      val floTs = add_months(origin, flo.cast("int")).cast("timestamp")
-      when(floTs === ts, ts).otherwise(add_months(origin, (flo + n).cast("int")).cast("timestamp"))
+      val flo = monthFloorIndex(ts, origin, n)
+      val floTs = monthAdd(origin, flo)
+      when(floTs === ts.cast("timestamp"), ts.cast("timestamp"))
+        .otherwise(monthAdd(origin, flo + n))
     }
   }
 
