@@ -37,22 +37,35 @@ object GraftSqlFunctions {
   /** name → builder over raw catalyst expressions. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // --- time family (TimestampFloorExprMacro et al.) ---
+    // TIME_* accept Druid's optional trailing IANA timezone (and a NULL
+    // origin placeholder: TIME_FLOOR(t, p, CAST(NULL AS TIMESTAMP), tz))
     "time_floor" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
-      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "time_floor"), origin))
+      val origin = if (args.size > 2) col(args(2)) else null
+      val tz = if (args.size > 3) litStr(args(3), "time_floor") else null
+      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "time_floor"), origin, tz))
     },
     "time_ceil" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
-      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "time_ceil"), origin))
+      val origin = if (args.size > 2) col(args(2)) else null
+      val tz = if (args.size > 3) litStr(args(3), "time_ceil") else null
+      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "time_ceil"), origin, tz))
     },
     "time_shift" -> { args =>
-      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "time_shift"), litInt(args(2), "time_shift")))
+      val tz = if (args.size > 3) litStr(args(3), "time_shift") else null
+      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "time_shift"),
+        litInt(args(2), "time_shift"), tz))
     },
     "time_extract" -> { args =>
-      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "time_extract")))
+      val tz = if (args.size > 2) litStr(args(2), "time_extract") else null
+      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "time_extract"), tz))
     },
-    "time_parse" -> { args => ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "time_parse"))) },
-    "time_format" -> { args => ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"))) },
+    "time_parse" -> { args =>
+      val tz = if (args.size > 2) litStr(args(2), "time_parse") else null
+      ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "time_parse"), tz))
+    },
+    "time_format" -> { args =>
+      val tz = if (args.size > 2) litStr(args(2), "time_format") else null
+      ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"), tz))
+    },
     "millis_to_timestamp" -> { args => ex(TimeFunctions.millisToTimestamp(col(args(0)))) },
     "timestamp_to_millis" -> { args => ex(TimeFunctions.timestampToMillis(col(args(0)))) },
 
@@ -60,11 +73,11 @@ object GraftSqlFunctions {
     // timestamp_* macros in query/expression/) so JSON virtualColumns /
     // expression filters written in Druid syntax compile verbatim ---
     "timestamp_floor" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      val origin = if (args.size > 2) col(args(2)) else null
       ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "timestamp_floor"), origin))
     },
     "timestamp_ceil" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else TimeFunctions.defaultOrigin
+      val origin = if (args.size > 2) col(args(2)) else null
       ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "timestamp_ceil"), origin))
     },
     "timestamp_shift" -> { args =>

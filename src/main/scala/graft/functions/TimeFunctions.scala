@@ -56,15 +56,43 @@ object TimeFunctions {
     * (identity under the UTC session timezone this engine standardizes on). */
   private def millisOf(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
-  def timeFloor(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
+  def timeFloor(ts: Column, period: String, origin: Column = null,
+      tz: String = null): Column = zonedRoundTrip(ts, origin, tz) { (t, o) =>
     val p = parsePeriod(period)
     if (p.months == 0) {
-      val o = millisOf(origin)
-      timestamp_millis(floorDiv(millisOf(ts) - o, p.millis) * p.millis + o)
+      val om = millisOf(o)
+      timestamp_millis(floorDiv(millisOf(t) - om, p.millis) * p.millis + om)
     } else {
-      monthAdd(origin, monthFloorIndex(ts, origin, p.months))
+      monthAdd(o, monthFloorIndex(t, o, p.months))
     }
   }
+
+  /** Druid's TIME_* functions take an optional IANA timezone: bucket/shift
+    * boundaries are computed on that zone's WALL CLOCK (DST-aware for day+
+    * periods), then mapped back to the engine's UTC timeline
+    * (query/expression/TimestampFloorExprMacro.java granularity.bucketStart
+    * under the period's chronology). With no explicit origin the buckets
+    * anchor to the zone's own calendar (epoch in LOCAL time — Joda
+    * chronology semantics), so the default origin stays in the wall frame
+    * unconverted; an explicit origin is an instant and converts with ts. A
+    * runtime-null origin (CAST(NULL AS TIMESTAMP)) falls back the same way. */
+  private def zonedRoundTrip(ts: Column, origin: Column, tz: String)(
+      f: (Column, Column) => Column): Column =
+    if (tz == null) {
+      val o = if (origin == null) defaultOrigin
+              else coalesce(origin.cast("timestamp"), defaultOrigin)
+      f(ts, o)
+    } else {
+      // explicit origin = an INSTANT, converted with ts; absent (or
+      // runtime-null) origin = the zone's own calendar anchor, wall-frame
+      val o = if (origin == null) defaultOrigin
+              else coalesce(from_utc_timestamp(origin.cast("timestamp"), tz), defaultOrigin)
+      to_utc_timestamp(f(from_utc_timestamp(ts.cast("timestamp"), tz), o), tz)
+    }
+
+  /** Wall-clock view only (extract/format: the result is not a timestamp). */
+  private[functions] def wallClock(ts: Column, tz: String): Column =
+    if (tz == null) ts else from_utc_timestamp(ts.cast("timestamp"), tz)
 
   /** origin + k calendar months, PRESERVING the origin's time-of-day —
     * add_months returns a DATE and would silently drop a sub-day origin
@@ -95,32 +123,38 @@ object TimeFunctions {
   def defaultOrigin: Column = timestamp_millis(lit(0L))
 
   /** Druid `timestamp_ceil`. */
-  def timeCeil(ts: Column, period: String, origin: Column = defaultOrigin): Column = {
+  def timeCeil(ts: Column, period: String, origin: Column = null,
+      tz: String = null): Column = zonedRoundTrip(ts, origin, tz) { (t, o) =>
     val p = parsePeriod(period)
     if (p.months == 0) {
-      val o = millisOf(origin)
-      val rel = millisOf(ts) - o
+      val om = millisOf(o)
+      val rel = millisOf(t) - om
       val flo = floorDiv(rel, p.millis) * p.millis
-      timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + o)
+      timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + om)
     } else {
       val n = p.months
-      val flo = monthFloorIndex(ts, origin, n)
-      val floTs = monthAdd(origin, flo)
-      when(floTs === ts.cast("timestamp"), ts.cast("timestamp"))
-        .otherwise(monthAdd(origin, flo + n))
+      val flo = monthFloorIndex(t, o, n)
+      val floTs = monthAdd(o, flo)
+      when(floTs === t.cast("timestamp"), t.cast("timestamp"))
+        .otherwise(monthAdd(o, flo + n))
     }
   }
 
   /** Druid `timestamp_shift(ts, period, step)` — preserves time-of-day for
     * month shifts (add_months would truncate to DATE). */
-  def timeShift(ts: Column, period: String, step: Int): Column = {
+  def timeShift(ts: Column, period: String, step: Int, tz: String = null): Column = {
     val p = parsePeriod(period)
     if (p.months == 0) timestamp_millis(millisOf(ts) + p.millis * step)
-    else ts + make_interval(lit(0), lit(p.months * step), lit(0), lit(0), lit(0), lit(0), lit(0))
+    else zonedRoundTrip(ts, defaultOrigin, tz) { (t, _) =>
+      t + make_interval(lit(0), lit(p.months * step), lit(0), lit(0), lit(0), lit(0), lit(0))
+    }
   }
 
   /** Druid `timestamp_extract(ts, unit)` — unit per Druid's TimestampExtractExprMacro. */
-  def timeExtract(ts: Column, unit: String): Column = unit.toUpperCase match {
+  def timeExtract(ts0: Column, unit: String, tz: String = null): Column = {
+    // EPOCH/MILLIS identify the instant — zone-independent by definition
+    val ts = if (Set("EPOCH", "MILLIS")(unit.toUpperCase)) ts0 else wallClock(ts0, tz)
+    unit.toUpperCase match {
     case "EPOCH"   => unix_timestamp(ts)
     case "MILLIS"  => unix_millis(ts)
     case "SECOND"  => second(ts)
@@ -136,11 +170,17 @@ object TimeFunctions {
     case "QUARTER" => quarter(ts)
     case "YEAR"    => year(ts)
     case u => throw new IllegalArgumentException(s"unknown extract unit: $u")
+    }
   }
 
-  /** Druid `timestamp_parse` / `timestamp_format`. */
-  def timeParse(s: Column, fmt: String): Column = to_timestamp(s, fmt)
-  def timeFormat(ts: Column, fmt: String): Column = date_format(ts, fmt)
+  /** Druid `timestamp_parse` / `timestamp_format` (optional IANA zone:
+    * parse interprets the string as that zone's wall clock; format renders
+    * the wall clock of that zone). */
+  def timeParse(s: Column, fmt: String, tz: String = null): Column =
+    if (tz == null) to_timestamp(s, fmt)
+    else to_utc_timestamp(to_timestamp(s, fmt), tz)
+  def timeFormat(ts: Column, fmt: String, tz: String = null): Column =
+    date_format(wallClock(ts, tz), fmt)
 
   /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin).
     * tz-naive columns are cast first (identity under the UTC session TZ). */

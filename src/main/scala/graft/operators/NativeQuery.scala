@@ -325,7 +325,8 @@ object NativeQuery {
     case JString(name) => PeriodGranularity(NamedGranularities.getOrElse(name, name))
     case o if strOpt(o \ "type").contains("period") =>
       PeriodGranularity(str(o \ "period"),
-        strOpt(o \ "origin").map(_.replace("T", " ")).orNull)
+        strOpt(o \ "origin").map(_.replace("T", " ")).orNull,
+        strOpt(o \ "timeZone").orNull)
     case JNothing | JNull => AllGranularity
     case x => throw new IllegalArgumentException(s"granularity: $x")
   }

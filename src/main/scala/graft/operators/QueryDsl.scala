@@ -109,13 +109,15 @@ object FirstLast {
   * (reference: PeriodGranularity). `All` = single bucket. */
 sealed trait Granularity
 case object AllGranularity extends Granularity
-final case class PeriodGranularity(period: String, origin: String = null) extends Granularity {
+final case class PeriodGranularity(period: String, origin: String = null,
+    timeZone: String = null) extends Granularity {
   def bucket(ts: Column): Column = {
-    val o = if (origin == null) TimeFunctions.defaultOrigin
-            else lit(origin).cast("timestamp")
+    val o = if (origin == null) null else lit(origin).cast("timestamp")
     // timestamp_ntz keeps parquet output type aligned with the tz-naive
     // source columns (session TZ is UTC, so the conversion is identity).
-    TimeFunctions.timeFloor(ts, period, o).cast("timestamp_ntz")
+    // timeZone (PeriodGranularity.java `timeZone`) computes bucket
+    // boundaries on that zone's wall clock.
+    TimeFunctions.timeFloor(ts, period, o, timeZone).cast("timestamp_ntz")
   }
 }
 

@@ -100,6 +100,28 @@ class CalciteTimeseriesTopNGoldenSpec extends SparkSpecBase {
     }
   }
 
+  test("testTimeseriesLosAngelesUsingTimeFloorConnectionUtc (:6280s) — " +
+      "month buckets on the Los Angeles wall clock, rendered in UTC") {
+    val out = sql(
+      """SELECT SUM(cnt), gran FROM (
+        |  SELECT TIME_FLOOR(__time, 'P1M', CAST(NULL AS TIMESTAMP), 'America/Los_Angeles') AS gran,
+        |  cnt FROM foo
+        |) AS x GROUP BY gran ORDER BY gran""".stripMargin)
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(out == Seq(
+      (1L, ts("1999-12-01 08:00:00")), (2L, ts("2000-01-01 08:00:00")),
+      (1L, ts("2000-12-01 08:00:00")), (2L, ts("2001-01-01 08:00:00"))))
+  }
+
+  test("TIME_EXTRACT / TIME_FORMAT with a timezone argument (TimeExtractOperatorConversion)") {
+    // 2000-01-01 00:00 UTC = 1999-12-31 16:00 in Los Angeles
+    val r = single(
+      """SELECT TIME_EXTRACT(TIMESTAMP '2000-01-01 00:00:00', 'DAY', 'America/Los_Angeles'),
+        |       TIME_EXTRACT(TIMESTAMP '2000-01-01 00:00:00', 'HOUR', 'America/Los_Angeles'),
+        |       TIME_FORMAT(TIMESTAMP '2000-01-01 00:00:00', 'yyyy-MM-dd HH:mm', 'America/Los_Angeles')""".stripMargin)
+    assert((r.getInt(0), r.getInt(1), r.getString(2)) == ((31, 16, "1999-12-31 16:00")))
+  }
+
   test("testTimeseriesUsingCastAsDate (:6350s)") {
     val out = sql(
       """SELECT SUM(cnt), dt FROM (

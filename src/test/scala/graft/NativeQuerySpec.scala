@@ -262,6 +262,28 @@ class NativeQuerySpec extends SparkSpecBase {
       Seq("file1", "file9", "file10"))
   }
 
+  test("period granularity with timeZone buckets on that zone's wall clock " +
+      "(PeriodGranularity.java timeZone)") {
+    val df = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": {"type": "inline",
+          "columnNames": ["__time", "n"],
+          "columnTypes": ["STRING", "LONG"],
+          "rows": [["2000-01-01 00:00:00", 1], ["2000-01-01 10:00:00", 2]]},
+        "virtualColumns": [{"type": "expression", "name": "__time",
+                            "expression": "timestamp_parse(__time, 'yyyy-MM-dd HH:mm:ss')"}],
+        "granularity": {"type": "period", "period": "P1D", "timeZone": "America/Los_Angeles"},
+        "context": {"skipEmptyBuckets": true},
+        "aggregations": [{"type": "longSum", "name": "s", "fieldName": "n"}]
+      }""")
+    // 00:00 UTC = Dec 31 16:00 LA; 10:00 UTC = Jan 1 02:00 LA → two LA-day
+    // buckets, each rendered as its UTC instant (LA midnight = 08:00 UTC)
+    val rows = df.collect()
+      .map(r => (String.valueOf(r.get(0)).replace('T', ' '), r.getLong(1))).toSeq
+    assert(rows == Seq(("1999-12-31 08:00", 1L), ("2000-01-01 08:00", 2L)))
+  }
+
   test("prefixFiltered and regexFiltered dimension specs filter MV values") {
     val df = run(
       """{
