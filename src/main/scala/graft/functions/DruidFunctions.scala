@@ -38,10 +38,16 @@ object DruidFunctions {
   // groupBy = one group per element (epinephelinae/GroupByQueryEngineV2.java:603).
   def mvContains(c: Column, v: Any): Column = array_contains(c, v)
   def mvOverlap(a: Column, b: Column): Column = arrays_overlap(a, b)
+  /** MV_FILTER_ONLY/NONE plan to the reference's ListFilteredVirtualColumn,
+    * whose dimension selector yields NULL — not an empty cell — when nothing
+    * survives the list (processing/.../virtual/ListFilteredVirtualColumn.java;
+    * CalciteMultiValueStringQueryTest.java:1184 documents the quirk vs the
+    * filter() expression fallback), so 0-length results nullify here. */
   def mvFilterOnly(c: Column, allowed: Seq[String]): Column =
-    filter(c, x => x.isin(allowed: _*))
+    nullifyEmpty(filter(c, x => x.isin(allowed: _*)))
   def mvFilterNone(c: Column, denied: Seq[String]): Column =
-    filter(c, x => !x.isin(denied: _*))
+    nullifyEmpty(filter(c, x => !x.isin(denied: _*)))
+  private def nullifyEmpty(arr: Column): Column = when(size(arr) > 0, arr)
   def mvLength(c: Column): Column = size(c)
   def mvToString(c: Column, sep: String): Column = array_join(c, sep)
   def stringToMv(c: Column, sep: String): Column = split(c, sep)

@@ -33,6 +33,18 @@ object GraftSqlFunctions {
     case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble // SQL 0.5 parses as decimal
     case _ => throw new IllegalArgumentException(s"$fn: argument must be a numeric literal")
   }
+  /** String-literal varargs, unwrapping ARRAY('b','c') literal arguments —
+    * Calcite spells list-valued args as ARRAY['b','c'] (e.g.
+    * MV_FILTER_ONLY), the expression dialect as bare varargs. */
+  private def litStrSeq(args: Seq[Expression], fn: String): Seq[String] =
+    args.flatMap {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.last.equalsIgnoreCase("array") =>
+        u.children.map(litStr(_, fn))
+      case c: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+        c.children.map(litStr(_, fn))
+      case e => Seq(litStr(e, fn))
+    }
 
   /** name → builder over raw catalyst expressions. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -202,14 +214,13 @@ object GraftSqlFunctions {
 
     // --- multi-value strings (MV_*) ---
     "mv_filter_only" -> { args =>
-      val allowed = args.tail.map(a => litStr(a, "mv_filter_only"))
+      val allowed = litStrSeq(args.tail, "mv_filter_only")
       ex(DruidFunctions.mvFilterOnly(col(args(0)), allowed))
     },
     "mv_filter_none" -> { args =>
-      val denied = args.tail.map(a => litStr(a, "mv_filter_none"))
+      val denied = litStrSeq(args.tail, "mv_filter_none")
       ex(DruidFunctions.mvFilterNone(col(args(0)), denied))
     },
-    "mv_length" -> { args => ex(DruidFunctions.mvLength(col(args(0)))) },
     "mv_to_string" -> { args =>
       ex(DruidFunctions.mvToString(col(args(0)), litStr(args(1), "mv_to_string")))
     },
@@ -281,12 +292,16 @@ object GraftSqlFunctions {
       ex(DruidFunctions.stringToMv(col(args(0)), litStr(args(1), "string_to_array")))
     },
 
-    "mv_contains" -> { args => ex(arrays_overlap(col(args(0)), array(col(args(1))))) },
-    "mv_overlap" -> { args => ex(DruidFunctions.mvOverlap(col(args(0)), col(args(1)))) },
-    // try_element_at, not element_at: Druid returns null past the end of the
-    // MV cell, while Spark's element_at throws under ANSI mode
-    "mv_offset" -> { args => ex(try_element_at(col(args(0)), lit(litInt(args(1), "mv_offset") + 1))) },
-    "mv_ordinal" -> { args => ex(try_element_at(col(args(0)), lit(litInt(args(1), "mv_ordinal")))) },
+    // MV_TO_ARRAY (MultiValueStringToArrayOperatorConversion): identity on an
+    // MV (array) column, single-element wrap on a scalar string dimension
+    "mv_to_array" -> { args =>
+      if (args.size != 1)
+        throw new IllegalArgumentException("Invalid number of arguments to function MV_TO_ARRAY")
+      MvToArray(args(0))
+    },
+    // the remaining MV_* spellings are the same functions as ARRAY_* —
+    // Druid registers MultiValueStringOperatorConversions over the identical
+    // native array fns (sql/.../expression/builtin) — aliased in register()
 
     // --- text/pipeline ---
     "token_count" -> { args => ex(TextFunctions.tokenCount(col(args(0)))) },
@@ -395,13 +410,48 @@ object GraftSqlFunctions {
     "ds_quantiles_n" -> { args => graft.plans.KllN(args(0)) }
   )
 
+  /** MV_* ↔ ARRAY_* name equivalences (MultiValueStringOperatorConversions:
+    * Druid's MV functions ARE the array functions applied to MV columns). */
+  private val aliases: Seq[(String, String)] = Seq(
+    "mv_length" -> "array_length",
+    "mv_offset" -> "array_offset",
+    "mv_ordinal" -> "array_ordinal",
+    "mv_offset_of" -> "array_offset_of",
+    "mv_ordinal_of" -> "array_ordinal_of",
+    "mv_append" -> "array_append",
+    "mv_prepend" -> "array_prepend",
+    "mv_concat" -> "array_concat",
+    "mv_slice" -> "array_slice",
+    "mv_contains" -> "array_contains",
+    "mv_overlap" -> "array_overlap")
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = CatalystBridge.functionRegistry(spark)
     builders.foreach { case (name, b) =>
       registry.createOrReplaceTempFunction(name, exprs => b(exprs), "internal")
     }
+    val byName = builders.toMap
+    aliases.foreach { case (name, target) =>
+      val b = byName(target)
+      registry.createOrReplaceTempFunction(name, exprs => b(exprs), "internal")
+    }
   }
 
-  def functionNames: Seq[String] = builders.map(_._1)
+  def functionNames: Seq[String] = builders.map(_._1) ++ aliases.map(_._1)
+}
+
+/** MV_TO_ARRAY: Druid coerces an MV string dimension to a true ARRAY —
+  * identity on array input, single-element wrap on a scalar (an MV column
+  * holding one row-value reads back as that scalar). Resolved after analysis
+  * so the branch can see the argument's type. */
+case class MvToArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override def replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.ArrayType => child
+    case _ => org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(child))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MvToArray =
+    copy(child = newChild)
 }
