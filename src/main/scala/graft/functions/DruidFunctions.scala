@@ -49,7 +49,11 @@ object DruidFunctions {
     nullifyEmpty(filter(c, x => !x.isin(denied: _*)))
   private def nullifyEmpty(arr: Column): Column = when(size(arr) > 0, arr)
   def mvLength(c: Column): Column = size(c)
-  def mvToString(c: Column, sep: String): Column = array_join(c, sep)
+  /** array_to_string stringifies null ELEMENTS as "null" (Function.java
+    * ArrayToStringFunction joins with String.valueOf; e.g.
+    * CalciteArraysQueryTest.java:1967 expects "null,1a,2,a,defabc"); a null
+    * ARRAY still yields null. */
+  def mvToString(c: Column, sep: String): Column = array_join(c, sep, "null")
   def stringToMv(c: Column, sep: String): Column = split(c, sep)
   /** Any-element-matches filter semantics for arbitrary predicates. */
   def mvAnyMatch(c: Column, pred: Column => Column): Column = exists(c, pred)

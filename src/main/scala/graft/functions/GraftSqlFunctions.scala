@@ -251,9 +251,12 @@ object GraftSqlFunctions {
     "array_ordinal_of" -> { args =>
       ex(nullif(array_position(col(args(0)), col(args(1))), lit(0L)))
     },
-    "array_append" -> { args => ex(concat(col(args(0)), array(col(args(1))))) },
-    "array_prepend" -> { args => ex(concat(array(col(args(0))), col(args(1)))) },
-    "array_concat" -> { args => ex(concat(col(args(0)), col(args(1)))) },
+    // Druid's array fns coerce a scalar arg to a single-element array
+    // (Function.java ArrayConcatFunction et al: ARRAY_CONCAT(dim2, dim3)
+    // with scalar dim2 works) — MvToArray supplies that polymorphism
+    "array_append" -> { args => ex(concat(col(MvToArray(args(0))), array(col(args(1))))) },
+    "array_prepend" -> { args => ex(concat(array(col(args(0))), col(MvToArray(args(1))))) },
+    "array_concat" -> { args => ex(concat(col(MvToArray(args(0))), col(MvToArray(args(1))))) },
     // ARRAY_SLICE(arr, start[, end]): 0-based, end-exclusive, end defaults
     // to length. ArraySliceFunction (Function.java:3557) returns null when
     // start<0 / start>length / start>end, and Arrays.copyOfRange null-pads

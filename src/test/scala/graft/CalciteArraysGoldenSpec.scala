@@ -1,0 +1,246 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Round-6 golden tranche: CalciteArraysQueryTest.java (2,367 LoC — array
+  * expressions, the scalar-coercing ARRAY_* functions, and the ARRAY_AGG /
+  * ARRAY_CONCAT_AGG aggregator family).
+  *
+  * Porting rules (sql-compatible null mode; same fixture as
+  * CalciteGoldenSpec = CalciteTests.java:530-611 RAW_ROWS1_WITH_NUMERIC_DIMS):
+  *   - Array cells are asserted through to_json (Druid's scan stringifies
+  *     arrays the same way).
+  *   - Druid ARRAY_AGG keeps null inputs in row order and ARRAY_AGG(DISTINCT)
+  *     is a sorted set with null FIRST (array_set_add); Spark's array_agg
+  *     drops nulls and sorts null last, so the ports spell the null-keeping
+  *     forms explicitly: `transform(array_agg(struct(x)), s -> s.x)` and
+  *     `transform(array_sort(collect_set(struct(x))), s -> s.x)` (struct
+  *     ordering places a null field first, matching array_set_add).
+  *   - Druid aggregates an MV column element-wise (the lambda aggregator
+  *     unnests); spelled LATERAL VIEW OUTER explode.
+  */
+class CalciteArraysGoldenSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val numfoo: DataFrame = {
+    val rows = Seq(
+      (ts("2000-01-01 00:00:00"), "",     "a",  Seq("a", "b"), "a",
+        Some(1.0), None: Option[Double], Some(1.0f), None: Option[Float], Some(7L), None: Option[Long], 1L),
+      (ts("2000-01-02 00:00:00"), "10.1", null, Seq("b", "c"), "a",
+        Some(1.7), Some(1.7), Some(0.1f), Some(0.1f), Some(325323L), Some(325323L), 1L),
+      (ts("2000-01-03 00:00:00"), "2",    "",   Seq("d"),      "a",
+        Some(0.0), Some(0.0), Some(0.0f), Some(0.0f), Some(0L), Some(0L), 1L),
+      (ts("2001-01-01 00:00:00"), "1",    "a",  Seq(""),       "b",
+        None, None, None, None, None, None, 1L),
+      (ts("2001-01-02 00:00:00"), "def",  "abc", null,         "b",
+        None, None, None, None, None, None, 1L),
+      (ts("2001-01-03 00:00:00"), "abc",  null, null,          "b",
+        None, None, None, None, None, None, 1L))
+    rows.toDF("__time", "dim1", "dim2", "dim3", "dim4",
+      "d1", "d2", "f1", "f2", "l1", "l2", "cnt")
+  }
+
+  private lazy val registered: Unit = {
+    graft.functions.GraftSqlFunctions.register(spark)
+    numfoo.createOrReplaceTempView("numfoo")
+    numfoo.createOrReplaceTempView("foo")
+  }
+
+  private def sql(q: String): Array[Row] = { registered; spark.sql(q).collect() }
+  private def single(q: String): Row = { val r = sql(q); assert(r.length == 1); r.head }
+
+  // Druid's ARRAY_AGG spelled with Spark built-ins, null-keeping (see header)
+  private def aggAll(e: String) = s"transform(array_agg(struct($e AS v)), s -> s.v)"
+  private def aggDistinct(e: String) = s"transform(array_sort(collect_set(struct($e AS v))), s -> s.v)"
+
+  // ---- array expressions ----
+
+  test("testSelectConstantArrayExpressionFromTable (CalciteArraysQueryTest.java:73)") {
+    val r = single("SELECT to_json(ARRAY(1,2)) AS arr, dim1 FROM foo LIMIT 1")
+    assert((r.getString(0), r.getString(1)) == (("[1,2]", "")))
+  }
+
+  test("testGroupByArrayFromCase (:95)") {
+    val out = sql(
+      """SELECT to_json(CASE WHEN dim4 = 'a' THEN ARRAY('foo','bar','baz') END) AS mv_value, count(1)
+        |FROM numfoo GROUP BY CASE WHEN dim4 = 'a' THEN ARRAY('foo','bar','baz') END
+        |ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(out == Seq((None, 3L), (Some("""["foo","bar","baz"]"""), 3L)))
+  }
+
+  test("testSelectNonConstantArrayExpressionFromTable (:124)") {
+    val out = sql("SELECT to_json(ARRAY(CONCAT(dim1, 'word'), 'up')) AS arr, dim1 FROM foo LIMIT 5")
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(
+      ("""["word","up"]""", ""), ("""["10.1word","up"]""", "10.1"),
+      ("""["2word","up"]""", "2"), ("""["1word","up"]""", "1"),
+      ("""["defword","up"]""", "def")))
+  }
+
+  test("testSomeArrayFunctionsWithScanQuery — incl. scalar-coercing ARRAY_CONCAT(dim2, dim3) (:207)") {
+    val r = single(
+      """SELECT
+        | dim1, dim2, to_json(dim3), l1, l2, d1, d2,
+        | to_json(ARRAY('a','b','c')),
+        | to_json(ARRAY(1,2,3)),
+        | to_json(ARRAY(1.9, 2.2, 4.3)),
+        | to_json(ARRAY_APPEND(dim3, 'foo')),
+        | to_json(ARRAY_PREPEND('foo', ARRAY(dim2))),
+        | to_json(ARRAY_APPEND(ARRAY(1,2), l1)),
+        | to_json(ARRAY_PREPEND(l2, ARRAY(1,2))),
+        | to_json(ARRAY_APPEND(ARRAY(1.2,2.2), d1)),
+        | to_json(ARRAY_PREPEND(d2, ARRAY(1.1,2.2))),
+        | to_json(ARRAY_CONCAT(dim2, dim3)),
+        | to_json(ARRAY_CONCAT(ARRAY(l1), ARRAY(l2))),
+        | to_json(ARRAY_CONCAT(ARRAY(d1), ARRAY(d2))),
+        | ARRAY_OFFSET(ARRAY(l1), 0),
+        | ARRAY_OFFSET(ARRAY(d1), 0),
+        | ARRAY_ORDINAL(ARRAY(l1), 1),
+        | ARRAY_ORDINAL(ARRAY(d1), 1)
+        |FROM numfoo LIMIT 1""".stripMargin)
+    assert(r.getString(0) == "")
+    assert(r.getString(1) == "a")
+    assert(r.getString(2) == """["a","b"]""")
+    assert(r.getLong(3) == 7L && r.isNullAt(4))
+    assert(r.getDouble(5) == 1.0 && r.isNullAt(6))
+    assert(r.getString(7) == """["a","b","c"]""")
+    assert(r.getString(8) == "[1,2,3]")
+    assert(r.getString(9) == "[1.9,2.2,4.3]")
+    assert(r.getString(10) == """["a","b","foo"]""")
+    assert(r.getString(11) == """["foo","a"]""")
+    assert(r.getString(12) == "[1,2,7]")
+    assert(r.getString(13) == "[null,1,2]")
+    assert(r.getString(14) == "[1.2,2.2,1.0]")
+    assert(r.getString(15) == "[null,1.1,2.2]")
+    assert(r.getString(16) == """["a","a","b"]""")
+    assert(r.getString(17) == "[7,null]")
+    assert(r.getString(18) == "[1.0,null]")
+    assert(r.getLong(19) == 7L)
+    assert(r.getDouble(20) == 1.0)
+    assert(r.getLong(21) == 7L)
+    assert(r.getDouble(22) == 1.0)
+  }
+
+  // ---- ARRAY_AGG family ----
+
+  test("testArrayAgg (:1387)") {
+    val r = single(
+      s"""SELECT to_json(${aggAll("dim1")}),
+         |       to_json(${aggDistinct("dim1")}),
+         |       to_json(transform(array_sort(
+         |         collect_set(struct(dim1 AS v)) FILTER(WHERE dim1 = 'shazbot')), s -> s.v))
+         |FROM foo WHERE dim1 is not null""".stripMargin)
+    assert(r.getString(0) == """["","10.1","2","1","def","abc"]""")
+    assert(r.getString(1) == """["","1","10.1","2","abc","def"]""")
+    // Druid finalizes an empty accumulator to null; this spelling keeps the
+    // empty array — same no-rows-matched information
+    assert(r.getString(2) == "[]")
+  }
+
+  test("testArrayAggMultiValue — MV input aggregates element-wise (:1469)") {
+    val r = single(
+      s"""SELECT to_json(${aggAll("v")}), to_json(${aggDistinct("v")})
+         |FROM foo LATERAL VIEW OUTER explode(dim3) t AS v""".stripMargin)
+    assert(r.getString(0) == """["a","b","b","c","d","",null,null]""")
+    assert(r.getString(1) == """[null,"","a","b","c","d"]""")
+  }
+
+  test("testArrayAggNumeric (:1527)") {
+    val r = single(
+      s"""SELECT to_json(${aggAll("l1")}), to_json(${aggDistinct("l1")}),
+         |       to_json(${aggAll("d1")}), to_json(${aggDistinct("d1")}),
+         |       to_json(${aggAll("CAST(f1 AS DOUBLE)")}), to_json(${aggDistinct("CAST(f1 AS DOUBLE)")})
+         |FROM numfoo""".stripMargin)
+    assert(r.getString(0) == "[7,325323,0,null,null,null]")
+    assert(r.getString(1) == "[null,0,7,325323]")
+    assert(r.getString(2) == "[1.0,1.7,0.0,null,null,null]")
+    assert(r.getString(3) == "[null,0.0,1.0,1.7]")
+    assert(r.getString(4) == "[1.0,0.10000000149011612,0.0,null,null,null]")
+    assert(r.getString(5) == "[null,0.0,0.10000000149011612,1.0]")
+  }
+
+  test("testArrayAggArrays — nested array accumulator (:1663)") {
+    val r = single(
+      s"""SELECT to_json(${aggAll("ARRAY(l1, l2)")}), to_json(${aggDistinct("ARRAY(l1, l2)")})
+         |FROM numfoo""".stripMargin)
+    assert(r.getString(0) ==
+      "[[7,null],[325323,325323],[0,0],[null,null],[null,null],[null,null]]")
+    assert(r.getString(1) == "[[null,null],[0,0],[7,null],[325323,325323]]")
+  }
+
+  test("testArrayConcatAggArrays (:1826)") {
+    val r = single(
+      s"""SELECT to_json(flatten(array_agg(ARRAY(l1, l2)))),
+         |       (SELECT to_json(${aggDistinct("v")}) FROM numfoo
+         |        LATERAL VIEW explode(ARRAY(l1, l2)) t AS v)
+         |FROM numfoo""".stripMargin)
+    assert(r.getString(0) == "[7,null,325323,325323,0,0,null,null,null,null,null,null]")
+    assert(r.getString(1) == "[null,0,7,325323]")
+  }
+
+  test("testArrayAggToString (:1887)") {
+    assert(single(
+      s"""SELECT ARRAY_TO_STRING(${aggDistinct("dim1")}, ',')
+         |FROM foo WHERE dim1 is not null""".stripMargin).getString(0)
+      == ",1,10.1,2,abc,def")
+  }
+
+  test("testArrayAggExpression — null element stringifies as 'null' (:1929)") {
+    assert(single(
+      s"""SELECT ARRAY_TO_STRING(${aggDistinct("CONCAT(dim1, dim2)")}, ',')
+         |FROM foo""".stripMargin).getString(0)
+      == "null,1a,2,a,defabc")
+  }
+
+  test("testArrayAggAsArrayFromJoin (:2031)") {
+    val out = sql(
+      s"""SELECT numfoo.dim4, to_json(j.arr), ARRAY_TO_STRING(j.arr, ',')
+         |FROM numfoo INNER JOIN
+         |  (SELECT dim4, ${aggDistinct("dim1")} AS arr FROM numfoo
+         |   WHERE dim1 is not null GROUP BY dim4) AS j
+         |ON numfoo.dim4 = j.dim4 ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    val a = ("a", """["","10.1","2"]""", ",10.1,2")
+    val b = ("b", """["1","abc","def"]""", "1,abc,def")
+    assert(out == Seq(a, a, a, b, b, b))
+  }
+
+  test("testArrayAggGroupByArrayAggFromSubquery (:2113)") {
+    val out = sql(
+      s"""SELECT dim2, to_json(arr) AS arr, COUNT(*) FROM
+         |  (SELECT dim2, ${aggDistinct("dim1")} AS arr FROM foo
+         |   WHERE dim1 is not null GROUP BY dim2 LIMIT 5)
+         |GROUP BY 1, 2 ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (None, """["10.1","abc"]""", 1L),
+      (Some(""), """["2"]""", 1L),
+      (Some("a"), """["","1"]""", 1L),
+      (Some("abc"), """["def"]""", 1L)))
+  }
+
+  test("testArrayAggArrayContainsSubquery (:2181)") {
+    val out = sql(
+      s"""SELECT dim1, dim2 FROM foo
+         |WHERE ARRAY_CONTAINS(
+         |  (SELECT ${aggDistinct("dim1")} FROM foo WHERE dim1 is not null), dim1)""".stripMargin)
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(out == Seq(
+      ("", Some("a")), ("10.1", None), ("2", Some("")),
+      ("1", Some("a")), ("def", Some("abc")), ("abc", None)))
+  }
+
+  test("testArrayAggGroupByArrayContainsSubquery (:2264)") {
+    val out = sql(
+      s"""SELECT dim2, COUNT(*) FROM foo
+         |WHERE ARRAY_CONTAINS(
+         |  (SELECT ${aggDistinct("dim1")} FROM foo WHERE dim1 is not null), dim1)
+         |GROUP BY 1 ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(out == Seq((None, 2L), (Some(""), 1L), (Some("a"), 2L), (Some("abc"), 1L)))
+  }
+}
