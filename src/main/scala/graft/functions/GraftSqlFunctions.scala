@@ -306,6 +306,20 @@ object GraftSqlFunctions {
     // Druid registers MultiValueStringOperatorConversions over the identical
     // native array fns (sql/.../expression/builtin) — aliased in register()
 
+    // LTRIM/RTRIM take (expr, chars) in Druid (Function.java LTrimFunction,
+    // docs/misc/math-expr.md); Spark's own two-arg spelling is the reversed
+    // Hive order (trimStr, srcStr) — registered Druid-ordered here. Catalyst
+    // nodes built directly: functions.ltrim resolves by THIS name and would
+    // loop the analyzer (same trap as array_contains above)
+    "ltrim" -> { args =>
+      if (args.size == 1) org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args(0))
+      else org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args(0), args(1))
+    },
+    "rtrim" -> { args =>
+      if (args.size == 1) org.apache.spark.sql.catalyst.expressions.StringTrimRight(args(0))
+      else org.apache.spark.sql.catalyst.expressions.StringTrimRight(args(0), args(1))
+    },
+
     // --- text/pipeline ---
     "token_count" -> { args => ex(TextFunctions.tokenCount(col(args(0)))) },
     "lang_id" -> { args => ex(TextFunctions.langId(col(args(0)))) },

@@ -79,19 +79,32 @@ object HttpFacade {
         case _ => (body, "object", false) // bare SQL string body
       }
       graft.functions.GraftSqlFunctions.register(spark)
-      val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
-      sqlText match {
-        case ExplainRe(inner) => renderRows(explainRows(spark, inner), Seq("PLAN", "RESOURCES"), format, header)
-        case _ => graft.sources.SqlInsertDml.parse(sqlText) match {
-          case Some(_) =>
-            // INSERT DML routes through the ingest path; where the reference
-            // hands back an ingest task handle, this facade reports the
-            // published row count (the write is synchronous here)
-            val published = graft.sources.SqlInsertDml.run(spark, sqlText)
-            renderRows(Seq(JObject("inserted" -> JLong(published.count()))),
-              Seq("inserted"), format, header)
-          case None => render(spark.sql(sqlText), format, header, maxResultRows)
+      // Druid SQL never throws on a malformed cast — a mismatched-type
+      // comparison plans to null / no-match (sql/.../planner/Calcites.java
+      // lenient coercion; CalciteParameterQueryTest.java:623 binds VARCHAR
+      // 'wat' against a float and expects 0 rows, not an error) — so the
+      // SQL endpoint analyzes queries with ANSI cast errors off, restoring
+      // the session default afterwards.
+      val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
+        sqlText match {
+          case ExplainRe(inner) => renderRows(explainRows(spark, inner), Seq("PLAN", "RESOURCES"), format, header)
+          case _ => graft.sources.SqlInsertDml.parse(sqlText) match {
+            case Some(_) =>
+              // INSERT DML routes through the ingest path; where the reference
+              // hands back an ingest task handle, this facade reports the
+              // published row count (the write is synchronous here)
+              val published = graft.sources.SqlInsertDml.run(spark, sqlText)
+              renderRows(Seq(JObject("inserted" -> JLong(published.count()))),
+                Seq("inserted"), format, header)
+            case None => render(spark.sql(sqlText), format, header, maxResultRows)
+          }
         }
+      } finally prevAnsi match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+        case None => spark.conf.unset("spark.sql.ansi.enabled")
       }
     })
 
@@ -357,7 +370,16 @@ object HttpFacade {
         case "FLOAT" | "REAL" | "DOUBLE" | "DECIMAL" | "NUMERIC" =>
           BigDecimal(str).toString
         case "BOOLEAN" => str.toBoolean.toString
-        case "TIMESTAMP" => "TIMESTAMP '" + str.replace("'", "''") + "'"
+        case "TIMESTAMP" =>
+          // Druid accepts epoch-millis TIMESTAMP parameters
+          // (CalciteParameterQueryTest.java:374 binds DateTimes millis)
+          val s = v match {
+            case JInt(_) | JLong(_) =>
+              LocalDateTime.ofInstant(Instant.ofEpochMilli(str.toLong), ZoneOffset.UTC)
+                .format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+            case _ => str
+          }
+          "TIMESTAMP '" + s.replace("'", "''") + "'"
         case "DATE" => "DATE '" + str.replace("'", "''") + "'"
         case other => throw new IllegalArgumentException(s"parameter type: $other")
       }

@@ -40,18 +40,44 @@ object SystemSchema {
 
     inlineView(spark, "information_schema.columns",
       Seq("table_catalog", "table_schema", "table_name", "column_name",
-        "ordinal_position", "data_type", "is_nullable"),
+        "ordinal_position", "data_type", "jdbc_type", "is_nullable"),
       tables.flatMap { t =>
         val schema = Option(t.database).filter(_.nonEmpty).getOrElse("druid")
         val fq = Option(t.database).filter(_.nonEmpty).map(d => s"$d.${t.name}").getOrElse(t.name)
         // ORDINAL_POSITION is 0-based in the reference
-        // (InformationSchema.java:430 String.valueOf(field.getIndex()))
+        // (InformationSchema.java:430 String.valueOf(field.getIndex()));
+        // JDBC_TYPE is the java.sql.Types code (InformationSchema.java:433,
+        // aggregated by CalciteParameterQueryTest.java:209)
         try spark.table(fq).schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
           Seq(catalogName, schema, t.name, f.name, i.toString,
-            f.dataType.sql, if (f.nullable) "YES" else "NO")
+            f.dataType.sql, jdbcType(f.dataType).toString,
+            if (f.nullable) "YES" else "NO")
         }
         catch { case _: Throwable => Nil } // unreadable entry → skip, like a dropped segment
-      })
+      },
+      numericCols = Set("ordinal_position", "jdbc_type"))
+  }
+
+  /** java.sql.Types code per Spark type (the reference maps Calcite types
+    * via RelDataType.getSqlTypeName().getJdbcOrdinal()). */
+  private def jdbcType(t: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType => java.sql.Types.VARCHAR
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case ByteType => java.sql.Types.TINYINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.FLOAT // Druid FLOAT → JDBC FLOAT(6)
+      case BooleanType => java.sql.Types.BOOLEAN
+      case DateType => java.sql.Types.DATE
+      case _: TimestampType | _: TimestampNTZType => java.sql.Types.TIMESTAMP
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case BinaryType => java.sql.Types.VARBINARY
+      case _: ArrayType => java.sql.Types.ARRAY
+      case _ => java.sql.Types.OTHER // COMPLEX columns report OTHER(1111)
+    }
   }
 
   /** Register sys.segments from a datasource path's segment inventory. */

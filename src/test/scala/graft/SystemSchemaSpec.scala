@@ -23,7 +23,7 @@ class SystemSchemaSpec extends SparkSpecBase {
       """SELECT column_name, ordinal_position, data_type, is_nullable
         |FROM information_schema.columns
         |WHERE table_name = 'nation_sys_test' ORDER BY ordinal_position""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getString(1).toInt))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt))
     val expected = spark.table("nation_sys_test").schema.fieldNames.toSeq
     assert(cols.map(_._1).toSeq == expected)
     // 0-based, matching InformationSchema.java:430 field.getIndex()
