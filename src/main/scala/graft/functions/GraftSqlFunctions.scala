@@ -24,6 +24,10 @@ object GraftSqlFunctions {
     case Literal(s: String, _) => s
     case _ => throw new IllegalArgumentException(s"$fn: argument must be a string literal")
   }
+  private def litStrOrNull(e: Expression, fn: String): String = e match {
+    case Literal(null, _) => null
+    case other => litStr(other, fn)
+  }
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Number, _) => v.intValue()
     case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
@@ -53,29 +57,32 @@ object GraftSqlFunctions {
     // origin placeholder: TIME_FLOOR(t, p, CAST(NULL AS TIMESTAMP), tz))
     "time_floor" -> { args =>
       val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStr(args(3), "time_floor") else null
+      val tz = if (args.size > 3) litStrOrNull(args(3), "time_floor") else null
       ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "time_floor"), origin, tz))
     },
     "time_ceil" -> { args =>
       val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStr(args(3), "time_ceil") else null
+      val tz = if (args.size > 3) litStrOrNull(args(3), "time_ceil") else null
       ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "time_ceil"), origin, tz))
     },
     "time_shift" -> { args =>
-      val tz = if (args.size > 3) litStr(args(3), "time_shift") else null
+      val tz = if (args.size > 3) litStrOrNull(args(3), "time_shift") else null
       ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "time_shift"),
         litInt(args(2), "time_shift"), tz))
     },
     "time_extract" -> { args =>
-      val tz = if (args.size > 2) litStr(args(2), "time_extract") else null
+      val tz = if (args.size > 2) litStrOrNull(args(2), "time_extract") else null
       ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "time_extract"), tz))
     },
     "time_parse" -> { args =>
-      val tz = if (args.size > 2) litStr(args(2), "time_parse") else null
-      ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "time_parse"), tz))
+      // format may be an explicit NULL placeholder: TIME_PARSE(s, NULL, tz)
+      // falls back to the default parser (TimestampParseExprMacro)
+      val fmt = if (args.size > 1) litStrOrNull(args(1), "time_parse") else null
+      val tz = if (args.size > 2) litStrOrNull(args(2), "time_parse") else null
+      ex(TimeFunctions.timeParse(col(args(0)), fmt, tz))
     },
     "time_format" -> { args =>
-      val tz = if (args.size > 2) litStr(args(2), "time_format") else null
+      val tz = if (args.size > 2) litStrOrNull(args(2), "time_format") else null
       ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"), tz))
     },
     "millis_to_timestamp" -> { args => ex(TimeFunctions.millisToTimestamp(col(args(0)))) },
@@ -86,21 +93,27 @@ object GraftSqlFunctions {
     // expression filters written in Druid syntax compile verbatim ---
     "timestamp_floor" -> { args =>
       val origin = if (args.size > 2) col(args(2)) else null
-      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "timestamp_floor"), origin))
+      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_floor") else null
+      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "timestamp_floor"), origin, tz))
     },
     "timestamp_ceil" -> { args =>
       val origin = if (args.size > 2) col(args(2)) else null
-      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "timestamp_ceil"), origin))
+      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_ceil") else null
+      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "timestamp_ceil"), origin, tz))
     },
     "timestamp_shift" -> { args =>
+      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_shift") else null
       ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "timestamp_shift"),
-        litInt(args(2), "timestamp_shift")))
+        litInt(args(2), "timestamp_shift"), tz))
     },
     "timestamp_extract" -> { args =>
-      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "timestamp_extract")))
+      val tz = if (args.size > 2) litStrOrNull(args(2), "timestamp_extract") else null
+      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "timestamp_extract"), tz))
     },
     "timestamp_parse" -> { args =>
-      ex(TimeFunctions.timeParse(col(args(0)), litStr(args(1), "timestamp_parse")))
+      val fmt = if (args.size > 1) litStrOrNull(args(1), "timestamp_parse") else null
+      val tz = if (args.size > 2) litStr(args(2), "timestamp_parse") else null
+      ex(TimeFunctions.timeParse(col(args(0)), fmt, tz))
     },
     "timestamp_format" -> { args =>
       ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "timestamp_format")))

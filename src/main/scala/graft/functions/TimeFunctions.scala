@@ -150,13 +150,19 @@ object TimeFunctions {
     }
   }
 
-  /** Druid `timestamp_extract(ts, unit)` — unit per Druid's TimestampExtractExprMacro. */
+  /** Druid `timestamp_extract(ts, unit)` — unit per Druid's
+    * TimestampExtractExprMacro (processing/.../TimestampExtractExprMacro.java:
+    * MICROSECOND is epoch/1000, ISOYEAR is plain year, DECADE/CENTURY/
+    * MILLENNIUM follow the PostgreSQL year arithmetic). */
   def timeExtract(ts0: Column, unit: String, tz: String = null): Column = {
-    // EPOCH/MILLIS identify the instant — zone-independent by definition
-    val ts = if (Set("EPOCH", "MILLIS")(unit.toUpperCase)) ts0 else wallClock(ts0, tz)
+    // EPOCH/MILLIS/MICROSECOND identify the instant — zone-independent
+    val ts = if (Set("EPOCH", "MILLIS", "MICROSECOND")(unit.toUpperCase)) ts0
+             else wallClock(ts0, tz)
     unit.toUpperCase match {
     case "EPOCH"   => unix_timestamp(ts)
     case "MILLIS"  => unix_millis(ts)
+    case "MICROSECOND" => floorDiv(unix_millis(ts), 1000000L)
+    case "MILLISECOND" => unix_millis(ts) - floorDiv(unix_millis(ts), 1000L) * 1000L
     case "SECOND"  => second(ts)
     case "MINUTE"  => minute(ts)
     case "HOUR"    => hour(ts)
@@ -168,17 +174,23 @@ object TimeFunctions {
     case "WEEK"    => weekofyear(ts)
     case "MONTH"   => month(ts)
     case "QUARTER" => quarter(ts)
-    case "YEAR"    => year(ts)
+    case "YEAR" | "ISOYEAR" => year(ts)
+    case "DECADE"  => (year(ts) / 10).cast("long")
+    case "CENTURY" => ceil(year(ts).cast("double") / 100).cast("long")
+    case "MILLENNIUM" => ceil(year(ts).cast("double") / 1000).cast("long")
     case u => throw new IllegalArgumentException(s"unknown extract unit: $u")
     }
   }
 
   /** Druid `timestamp_parse` / `timestamp_format` (optional IANA zone:
     * parse interprets the string as that zone's wall clock; format renders
-    * the wall clock of that zone). */
-  def timeParse(s: Column, fmt: String, tz: String = null): Column =
-    if (tz == null) to_timestamp(s, fmt)
-    else to_utc_timestamp(to_timestamp(s, fmt), tz)
+    * the wall clock of that zone). A null format falls back to the default
+    * parser (TimestampParseExprMacro: ISO-or-SQL timestamp forms — Spark's
+    * bare to_timestamp accepts the same). */
+  def timeParse(s: Column, fmt: String, tz: String = null): Column = {
+    val parsed = if (fmt == null) to_timestamp(s) else to_timestamp(s, fmt)
+    if (tz == null) parsed else to_utc_timestamp(parsed, tz)
+  }
   def timeFormat(ts: Column, fmt: String, tz: String = null): Column =
     date_format(wallClock(ts, tz), fmt)
 
