@@ -18,13 +18,13 @@ class CalciteJoinGoldenSpec extends SparkSpecBase {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private lazy val foo: DataFrame = Seq(
-    (ts("2000-01-01 00:00:00"), "",     Option("a"),   1.0f, 1.0, 1L),
-    (ts("2000-01-02 00:00:00"), "10.1", None: Option[String], 2.0f, 2.0, 1L),
-    (ts("2000-01-03 00:00:00"), "2",    Option(""),    3.0f, 3.0, 1L),
-    (ts("2001-01-01 00:00:00"), "1",    Option("a"),   4.0f, 4.0, 1L),
-    (ts("2001-01-02 00:00:00"), "def",  Option("abc"), 5.0f, 5.0, 1L),
-    (ts("2001-01-03 00:00:00"), "abc",  None: Option[String], 6.0f, 6.0, 1L)
-  ).toDF("__time", "dim1", "dim2", "m1", "m2", "cnt")
+    (ts("2000-01-01 00:00:00"), "",     Option("a"),   Option(Seq("a", "b")), 1.0f, 1.0, 1L),
+    (ts("2000-01-02 00:00:00"), "10.1", None: Option[String], Option(Seq("b", "c")), 2.0f, 2.0, 1L),
+    (ts("2000-01-03 00:00:00"), "2",    Option(""),    Option(Seq("d")), 3.0f, 3.0, 1L),
+    (ts("2001-01-01 00:00:00"), "1",    Option("a"),   Option(Seq("")),  4.0f, 4.0, 1L),
+    (ts("2001-01-02 00:00:00"), "def",  Option("abc"), None: Option[Seq[String]], 5.0f, 5.0, 1L),
+    (ts("2001-01-03 00:00:00"), "abc",  None: Option[String], None: Option[Seq[String]], 6.0f, 6.0, 1L)
+  ).toDF("__time", "dim1", "dim2", "dim3", "m1", "m2", "cnt")
 
   private lazy val lookyloo: DataFrame = Seq(
     ("a", "xa"), ("abc", "xabc"), ("nosuchkey", "mysteryvalue"), ("6", "x6")
@@ -202,5 +202,123 @@ class CalciteJoinGoldenSpec extends SparkSpecBase {
 
   test("testCountDistinctOfLookup (:8589)") {
     assert(single("SELECT COUNT(DISTINCT LOOKUP(dim1, 'lookyloo')) FROM foo").getLong(0) == 1L)
+  }
+
+  // ---- round-6 second tranche: filter+groupBy over lookup joins ----
+
+  test("testFilterAndGroupByLookupUsingJoinOperator + ValueFilterPushdownMatchesNothing " +
+      "(CalciteJoinQueryTest.java:804, :594)") {
+    val out = sql(
+      """SELECT lookyloo.k, COUNT(*) FROM foo
+        |LEFT JOIN lookyloo ON foo.dim2 = lookyloo.k
+        |WHERE lookyloo.v = 'xa' GROUP BY lookyloo.k""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L)))
+    assert(sql(
+      """SELECT lookyloo.k, COUNT(*) FROM foo
+        |LEFT JOIN lookyloo ON foo.dim2 = lookyloo.k
+        |WHERE lookyloo.v = '123' GROUP BY lookyloo.k""".stripMargin).isEmpty)
+  }
+
+  test("testFilterAndGroupByLookupUsingJoinOperatorAllowNulls / WithNotFilter / Backwards " +
+      "(:631, :718, :670 — Druid's not-selector matches nulls, spelled null-safely)") {
+    val expected = Set((None, 3L), (Some("xabc"), 1L))
+    assert(sql(
+      """SELECT lookyloo.v, COUNT(*) FROM foo
+        |LEFT JOIN lookyloo ON foo.dim2 = lookyloo.k
+        |WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL GROUP BY lookyloo.v""".stripMargin)
+      .map(r => (os(r, 0), r.getLong(1))).toSet == expected)
+    assert(sql(
+      """SELECT lookyloo.v, COUNT(*) FROM foo
+        |LEFT JOIN lookyloo ON foo.dim2 = lookyloo.k
+        |WHERE NOT lookyloo.v <=> 'xa' GROUP BY lookyloo.v""".stripMargin)
+      .map(r => (os(r, 0), r.getLong(1))).toSet == expected)
+    assert(sql(
+      """SELECT lookyloo.v, COUNT(*) FROM lookyloo
+        |RIGHT JOIN foo ON foo.dim2 = lookyloo.k
+        |WHERE NOT lookyloo.v <=> 'xa' GROUP BY lookyloo.v""".stripMargin)
+      .map(r => (os(r, 0), r.getLong(1))).toSet == expected)
+  }
+
+  test("testFilterAndGroupByLookupUsingPostAggregationJoinOperator (:842)") {
+    val out = sql(
+      """SELECT base.dim2, lookyloo.v, base.cnt FROM (
+        |  SELECT dim2, COUNT(*) cnt FROM foo GROUP BY dim2
+        |) base
+        |LEFT JOIN lookyloo ON base.dim2 = lookyloo.k
+        |WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL
+        |ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+      .map(r => (os(r, 0), os(r, 1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (None, None, 2L), (Some(""), None, 1L), (Some("abc"), Some("xabc"), 1L)))
+  }
+
+  test("testGroupByInnerJoinOnLookupUsingJoinOperator (:893)") {
+    val out = sql(
+      """SELECT lookyloo.v, COUNT(*) FROM foo
+        |INNER JOIN lookyloo ON foo.dim1 = lookyloo.k GROUP BY lookyloo.v""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("xabc", 1L)))
+  }
+
+  // ---- joins on cast / function keys ----
+
+  test("testInnerJoinCastLeft — no float string renders equal to a key (:1977)") {
+    assert(sql(
+      """SELECT foo.m1, l.k, l.v FROM foo
+        |INNER JOIN lookyloo l ON CAST(foo.m1 AS VARCHAR(20)) = l.k""".stripMargin).isEmpty)
+  }
+
+  test("testInnerJoinCastRight / MismatchedTypes — key cast to float matches m1=6 (:2011, :2055)") {
+    // Druid CASTs the lookup key leniently (non-numeric keys -> null);
+    // TRY_CAST is the ANSI-session spelling of the same cast
+    val expected = Seq((6.0f, "6", "x6"))
+    assert(sql(
+      """SELECT foo.m1, l.k, l.v FROM foo
+        |INNER JOIN lookyloo l ON foo.m1 = TRY_CAST(l.k AS FLOAT)""".stripMargin)
+      .map(r => (r.getFloat(0), r.getString(1), r.getString(2))).toSeq == expected)
+    assert(sql(
+      """SELECT foo.m1, l.k, l.v FROM foo
+        |INNER JOIN lookyloo l ON foo.m1 = TRY_CAST(l.k AS DOUBLE)""".stripMargin)
+      .map(r => (r.getFloat(0), r.getString(1), r.getString(2))).toSeq == expected)
+  }
+
+  test("testInnerJoinLeftFunction / RightFunction (:2099, :2135)") {
+    assert(sql(
+      """SELECT foo.dim1, foo.dim2, l.k, l.v FROM foo
+        |INNER JOIN lookyloo l ON SUBSTRING(foo.dim2, 1, 1) = l.k ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("", "a", "a", "xa"), ("1", "a", "a", "xa"), ("def", "abc", "a", "xa")))
+    assert(sql(
+      """SELECT foo.dim1, foo.dim2, l.k, l.v FROM foo
+        |INNER JOIN lookyloo l ON foo.dim2 = SUBSTRING(l.k, 1, 2) ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("", "a", "a", "xa"), ("1", "a", "a", "xa")))
+  }
+
+  // ---- join shapes over subqueries ----
+
+  test("testJoinWithLimitBeforeJoining (:386)") {
+    val out = sql(
+      """SELECT t1.dim2, AVG(t1.m2) FROM (SELECT * FROM foo LIMIT 10) AS t1
+        |INNER JOIN foo AS t2 ON t1.m1 = t2.m1
+        |GROUP BY t1.dim2 ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+      .map(r => (os(r, 0), r.getDouble(1))).toSeq
+    assert(out == Seq(
+      (None, 4.0), (Some(""), 3.0), (Some("a"), 2.5), (Some("abc"), 5.0)))
+  }
+
+  test("testJoinOnTimeseriesWithFloorOnTime — tuple IN over a floored timeseries (:472)") {
+    val out = sql(
+      """SELECT TIMESTAMP_TO_MILLIS(__time) AS t, m1, to_json(ANY_VALUE(dim3)) AS d3
+        |FROM foo WHERE (TIME_FLOOR(__time, 'PT1H'), m1) IN (
+        |  SELECT TIME_FLOOR(__time, 'PT1H') AS t1, MIN(m1) AS t2 FROM foo
+        |  WHERE array_contains(dim3, 'b')
+        |    AND __time BETWEEN '1994-04-29 00:00:00' AND '2020-01-11 00:00:00' GROUP BY 1)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+      .map(r => (r.getLong(0), r.getFloat(1), r.getString(2))).toSeq
+    assert(out == Seq(
+      (946684800000L, 1.0f, """["a","b"]"""),
+      (946771200000L, 2.0f, """["b","c"]""")))
   }
 }
