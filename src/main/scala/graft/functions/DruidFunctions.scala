@@ -103,6 +103,18 @@ object DruidFunctions {
     humanReadable(c, 1000.0, decUnits, precision)
   def humanReadableBinaryByteFormat(c: Column, precision: Int = 2): Column =
     humanReadable(c, 1024.0, binUnits, precision)
+  /** HUMAN_READABLE_DECIMAL_FORMAT (HumanReadableNumber: plain count units
+    * K/M/G/T/P/E, no suffix below 1000 — "49.38 K",
+    * CalciteQueryTest.java:13725). */
+  def humanReadableDecimalFormat(c: Column, precision: Int = 2): Column = {
+    val b = c.cast("double")
+    val mag = when(b === 0, 0).otherwise(floor(log(1000.0, abs(b))).cast("int"))
+    val magC = least(greatest(mag, lit(0)), lit(6))
+    val scaled = b / pow(lit(1000.0), magC.cast("double"))
+    val unit = element_at(array(Seq("", "K", "M", "G", "T", "P", "E").map(lit): _*), magC + 1)
+    when(magC === 0, format_number(b, precision))
+      .otherwise(concat(format_number(scaled, precision), lit(" "), unit))
+  }
 
   // --- IPv4 (query/expression/IPv4Address*ExprMacro.java) ---
   /** Dotted-quad string → long (null if malformed). */

@@ -186,6 +186,10 @@ object GraftSqlFunctions {
       val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
       ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), p))
     },
+    "human_readable_decimal_format" -> { args =>
+      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
+      ex(DruidFunctions.humanReadableDecimalFormat(col(args(0)), p))
+    },
     "bucket" -> { args =>
       val off = if (args.size > 2) litDouble(args(2), "bucket") else 0.0
       ex(DruidFunctions.bucket(col(args(0)), litDouble(args(1), "bucket"), off))
