@@ -14,13 +14,13 @@ class CalciteGroupingSetsGoldenSpec extends SparkSpecBase {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private lazy val foo: DataFrame = Seq(
-    (ts("2000-01-01 00:00:00"), "",     "a",   1L),
-    (ts("2000-01-02 00:00:00"), "10.1", null,  1L),
-    (ts("2000-01-03 00:00:00"), "2",    "",    1L),
-    (ts("2001-01-01 00:00:00"), "1",    "a",   1L),
-    (ts("2001-01-02 00:00:00"), "def",  "abc", 1L),
-    (ts("2001-01-03 00:00:00"), "abc",  null,  1L))
-    .toDF("__time", "dim1", "dim2", "cnt")
+    (ts("2000-01-01 00:00:00"), "",     "a",   "a", 1.0f, 1L),
+    (ts("2000-01-02 00:00:00"), "10.1", null,  "a", 2.0f, 1L),
+    (ts("2000-01-03 00:00:00"), "2",    "",    "a", 3.0f, 1L),
+    (ts("2001-01-01 00:00:00"), "1",    "a",   "b", 4.0f, 1L),
+    (ts("2001-01-02 00:00:00"), "def",  "abc", "b", 5.0f, 1L),
+    (ts("2001-01-03 00:00:00"), "abc",  null,  "b", 6.0f, 1L))
+    .toDF("__time", "dim1", "dim2", "dim4", "m1", "cnt")
 
   private lazy val registered: Unit = {
     graft.functions.GraftSqlFunctions.register(spark)
@@ -144,5 +144,73 @@ class CalciteGroupingSetsGoldenSpec extends SparkSpecBase {
         |GROUP BY CAST(thecnt AS STRING)""".stripMargin)
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(out == Set(("1", 2L), ("2", 2L)))
+  }
+
+  // ---- round-6 second tranche ----
+
+  test("testGroupingSetsWithOrderByAggregatorWithLimit (:10843)") {
+    val r = single(
+      s"""SELECT dim2, gran, SUM(cnt) FROM $subq
+         |GROUP BY GROUPING SETS ( (), (dim2), (gran) )
+         |ORDER BY SUM(cnt) LIMIT 1""".stripMargin)
+    assert((r.getString(0), r.isNullAt(1), r.getLong(2)) == (("abc", true, 1L)))
+  }
+
+  test("testGroupByRollupDifferentOrder / CUBE (:10466)") {
+    val rollup = sql(
+      s"""SELECT dim2, gran, SUM(cnt) FROM $subq GROUP BY ROLLUP (gran, dim2)""")
+      .map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getTimestamp(1)), r.getLong(2))).toSet
+    assert(rollup == Set(
+      (Some(""), Some(ts("2000-01-01 00:00:00")), 2L),
+      (Some("a"), Some(ts("2000-01-01 00:00:00")), 1L),
+      (Some(""), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("a"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (Some("abc"), Some(ts("2001-01-01 00:00:00")), 1L),
+      (None, Some(ts("2000-01-01 00:00:00")), 3L),
+      (None, Some(ts("2001-01-01 00:00:00")), 3L),
+      (None, None, 6L)))
+    // CUBE adds the dim2-only subtotals to the rollup set
+    val cube = sql(
+      s"""SELECT dim2, gran, SUM(cnt) FROM $subq GROUP BY CUBE (dim2, gran)""")
+      .map(r => (Option(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getTimestamp(1)), r.getLong(2))).toSet
+    assert(cube == rollup ++ Set(
+      (Some(""), None, 3L), (Some("a"), None, 2L), (Some("abc"), None, 1L)))
+  }
+
+  test("testCountDistinct — plain and CASE-wrapped distinct counts (:6009, :6040s)") {
+    val r = single("SELECT SUM(cnt), COUNT(distinct dim2) FROM foo")
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 3L)))
+    val c = single(
+      """SELECT COUNT(DISTINCT CASE WHEN m1 >= 4 THEN m1 END),
+        |       COUNT(DISTINCT CASE WHEN m1 >= 4 THEN dim1 END) FROM foo""".stripMargin)
+    assert((c.getLong(0), c.getLong(1)) == ((3L, 3L)))
+  }
+
+  test("testExactCountDistinctWithFilter (:2156)") {
+    val r = single(
+      "SELECT COUNT(DISTINCT foo.dim1) FILTER(WHERE foo.cnt = 1), SUM(foo.cnt) FROM foo")
+    assert((r.getLong(0), r.getLong(1)) == ((6L, 6L)))
+  }
+
+  test("testExactCountDistinctUsingSubqueryOnUnionAllTables (:6654)") {
+    val r = single(
+      """SELECT SUM(cnt), COUNT(*) FROM (
+        |  SELECT dim2, SUM(cnt) AS cnt
+        |  FROM (SELECT * FROM foo UNION ALL SELECT * FROM foo)
+        |  GROUP BY dim2)""".stripMargin)
+    assert((r.getLong(0), r.getLong(1)) == ((12L, 4L)))
+  }
+
+  test("testGroupByWithLiteralInSubqueryGrouping (:12177)") {
+    val out = sql(
+      """SELECT t1, t2 FROM (
+        |  SELECT 'dummy' as t1,
+        |         CASE WHEN dim4 = 'b' THEN dim4 ELSE NULL END AS t2
+        |  FROM foo GROUP BY dim4
+        |) GROUP BY t1, t2 ORDER BY 2 ASC NULLS FIRST""".stripMargin)
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(out == Seq(("dummy", None), ("dummy", Some("b"))))
   }
 }
