@@ -99,6 +99,15 @@ class CalciteFirstLastAnyGoldenSpec extends SparkSpecBase {
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("testEarliestByInvalidTimestamp / testLatestByInvalidTimestamp — SUPERSET: numeric " +
+      "ordering columns work (:699, :712)") {
+    // the reference's validator rejects a non-timestamp ordering arg
+    // ("Cannot apply 'EARLIEST_BY' to ... (<FLOAT>, <BIGINT>)"); min_by/
+    // max_by order by any comparable type here, so the BIGINT form executes
+    assert(single("SELECT EARLIEST_BY(m1, l1) FROM numfoo").getFloat(0) == 3.0f) // min l1 = 0 is row 3
+    assert(single("SELECT LATEST_BY(m1, l1) FROM numfoo").getFloat(0) == 2.0f)   // max l1 is row 2
+  }
+
   test("testAnyAggregatorsSkipNullsWithFilter (:1283)") {
     val r = single(
       """SELECT ANY_VALUE(dim1), ANY_VALUE(l2), ANY_VALUE(d2), ANY_VALUE(f2) FROM numfoo
