@@ -74,6 +74,29 @@ class CalciteCteAndShapesGoldenSpec extends SparkSpecBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 4L)))
   }
 
+  test("testGroupByWithFilterMatchingNothingWithGroupByLiteral (:4036)") {
+    assert(sql(
+      "SELECT COUNT(*), MAX(cnt) FROM foo WHERE dim1 = 'foobar' GROUP BY 'dummy'").isEmpty)
+  }
+
+  test("COUNT over columns and CASE skips nulls (:4060s)") {
+    assert(single("SELECT COUNT(cnt) FROM foo").getLong(0) == 6L)
+    assert(single("SELECT COUNT(dim2) FROM foo").getLong(0) == 4L)
+    assert(single(
+      """SELECT COUNT(CASE WHEN dim2 = 'abc' THEN 'yes' WHEN dim2 = 'def' THEN 'yes' END)
+        |FROM foo""".stripMargin).getLong(0) == 1L)
+  }
+
+  test("testGroupByWithPostAggregatorReferencingTimeFloorColumnOnTimeseries (:137)") {
+    val out = sql(
+      """SELECT TIME_FORMAT(`date`, 'yyyy-MM') AS m, SUM(x) FROM (
+        |    SELECT TIME_FLOOR(__time, 'PT1H') as `date`, COUNT(*) as x
+        |    FROM foo GROUP BY 1
+        |) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("2000-01", 3L), ("2001-01", 3L)))
+  }
+
   test("testProjectAfterSort3 / testSortProjectAfterNestedGroupBy (:11253, :11323)") {
     val nested =
       """SELECT cnt FROM (
