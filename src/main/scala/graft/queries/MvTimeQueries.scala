@@ -85,6 +85,19 @@ object MvTimeQueries {
       ).run(Sources.events(s, dir))
     }),
 
+    // IANA-timezone granularity (PeriodGranularity.java `timeZone`): daily
+    // buckets on the Los Angeles WALL CLOCK, DST-aware — each bucket's
+    // instant renders in UTC (08:00Z in winter, 07:00Z in summer)
+    "time_floor_tz" -> ((s, dir) => {
+      TimeseriesQuery(
+        timeColumn = "ts",
+        granularity = PeriodGranularity("P1D", timeZone = "America/Los_Angeles"),
+        aggregations = Seq(Agg("cnt", count(lit(1)))),
+        limit = Some(400),
+        skipEmptyBuckets = true
+      ).run(Sources.events(s, dir))
+    }),
+
     // arbitrary origin: 6-hour buckets anchored at 03:00
     "time_floor_origin" -> ((s, dir) => {
       TimeseriesQuery(
@@ -196,6 +209,16 @@ object MvTimeQueries {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
+
+    // naive UTC ts → LA wall clock → day floor → back to the UTC instant
+    // (DuckDB session tz is UTC in the driver container, so the TIMESTAMPTZ
+    // cast interprets the naive value as UTC)
+    "time_floor_tz" ->
+      """SELECT CAST(timezone('America/Los_Angeles',
+        |         date_trunc('day', timezone('America/Los_Angeles',
+        |                                    CAST(ts AS TIMESTAMP)::TIMESTAMPTZ))) AS TIMESTAMP) AS ts,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1 LIMIT 400""".stripMargin,
 
     "time_floor_origin" ->
       """SELECT make_timestamp((CAST(floor(
