@@ -1,0 +1,180 @@
+package graft
+
+import java.sql.Timestamp
+import scala.collection.JavaConverters._
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Round-6 golden tranche 2 over CalciteSelectQueryTest.java: select-star
+  * families, limit/offset wrapping, DISTINCT-sort outer queries, and
+  * zero-row aggregates. The reference applies an outer-limit QUERY CONTEXT
+  * (OUTER_LIMIT=2) in the wrapping family — spelled here as an explicit
+  * outer `LIMIT 2`, which is how the context reaches this engine's facade
+  * (`maxResultRows`/LIMIT). Fixture foo = CalciteTests.java RAW_ROWS1 minus
+  * the HLLC column (`unique_dim1` — sketch columns are queried through the
+  * DS_* functions here, not scanned raw).
+  */
+class CalciteSelectGoldenSpec2 extends SparkSpecBase {
+
+  private lazy val druidSql: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    graft.functions.GraftSqlFunctions.register(s)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("__time", TimestampType, false), StructField("cnt", LongType, false),
+      StructField("dim1", StringType, false), StructField("dim2", StringType, true),
+      StructField("dim3", ArrayType(StringType, true), true),
+      StructField("m1", FloatType, false), StructField("m2", DoubleType, false)))
+    val rows = Seq(
+      Row(Timestamp.valueOf("2000-01-01 00:00:00"), 1L, "",     "a",   Seq("a", "b"), 1.0f, 1.0),
+      Row(Timestamp.valueOf("2000-01-02 00:00:00"), 1L, "10.1", null,  Seq("b", "c"), 2.0f, 2.0),
+      Row(Timestamp.valueOf("2000-01-03 00:00:00"), 1L, "2",    "",    Seq("d"),      3.0f, 3.0),
+      Row(Timestamp.valueOf("2001-01-01 00:00:00"), 1L, "1",    "a",   Seq(""),       4.0f, 4.0),
+      Row(Timestamp.valueOf("2001-01-02 00:00:00"), 1L, "def",  "abc", null,          5.0f, 5.0),
+      Row(Timestamp.valueOf("2001-01-03 00:00:00"), 1L, "abc",  null,  null,          6.0f, 6.0))
+    val df = s.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+    df.createOrReplaceTempView("foo")
+    val lookSchema = StructType(Seq(
+      StructField("k", StringType, false), StructField("v", StringType, false)))
+    val lookRows = Seq(Row("a", "xa"), Row("abc", "xabc"),
+      Row("nosuchkey", "mysteryvalue"), Row("6", "x6"))
+    s.createDataFrame(new java.util.ArrayList[Row](lookRows.asJava), lookSchema)
+      .createOrReplaceTempView("lookyloo")
+    s
+  }
+
+  private def sql(q: String): Array[Row] = druidSql.sql(q).collect()
+  private def single(q: String): Row = { val r = sql(q); assert(r.length == 1); r.head }
+  private def dim1s(q: String): Seq[String] = sql(q).map(_.getString(0)).toSeq
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  // ---- select-star family ----
+
+  test("testSelectStar / WithoutLimitTimeAscending (CalciteSelectQueryTest.java select-star family)") {
+    val out = sql("SELECT * FROM foo ORDER BY __time")
+    assert(out.length == 6)
+    val r0 = out.head
+    assert((r0.getTimestamp(0), r0.getLong(1), r0.getString(2), r0.getString(3),
+      r0.getSeq[String](4), r0.getFloat(5), r0.getDouble(6)) ==
+      ((ts("2000-01-01"), 1L, "", "a", Seq("a", "b"), 1.0f, 1.0)))
+    val r5 = out.last
+    assert((r5.getTimestamp(0), r5.getString(2), r5.getString(3)) ==
+      ((ts("2001-01-03"), "abc", null)))
+    assert(r5.isNullAt(4))
+  }
+
+  test("testSelectStarWithLimit / WithLimitAndOffset / WithLimitTimeDescending") {
+    assert(sql("SELECT * FROM foo ORDER BY __time LIMIT 2").map(_.getString(2)).toSeq ==
+      Seq("", "10.1"))
+    assert(sql("SELECT * FROM foo ORDER BY __time LIMIT 2 OFFSET 1").map(_.getString(2)).toSeq ==
+      Seq("10.1", "2"))
+    assert(sql("SELECT * FROM foo ORDER BY __time DESC LIMIT 2").map(_.getString(2)).toSeq ==
+      Seq("abc", "def"))
+  }
+
+  test("testSelectStarWithDimFilter") {
+    val out = sql("SELECT * FROM foo WHERE dim1 > 'd' OR dim2 = 'a' ORDER BY __time")
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (ts("2000-01-01"), "", "a"),
+      (ts("2001-01-01"), "1", "a"),
+      (ts("2001-01-02"), "def", "abc")))
+  }
+
+  test("testSelectStarFromLookup") {
+    val out = sql("SELECT * FROM lookyloo").map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "xa"), ("abc", "xabc"), ("nosuchkey", "mysteryvalue"), ("6", "x6")))
+  }
+
+  test("testUnqualifiedTableName") {
+    assert(single("SELECT COUNT(*) FROM foo").getLong(0) == 6L)
+  }
+
+  // ---- projections over sorted subqueries ----
+
+  test("testSelectSingleColumnWithLimitDescending") {
+    assert(dim1s("SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 2") == Seq("abc", "def"))
+  }
+
+  test("testSelectProjectionFromSelectSingleColumnWithInnerLimitDescending / InnerAndOuter") {
+    assert(dim1s("SELECT 'beep ' || dim1 FROM (SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 2)") ==
+      Seq("beep abc", "beep def"))
+    assert(dim1s(
+      "SELECT 'beep ' || dim1 FROM (SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 4) LIMIT 2") ==
+      Seq("beep abc", "beep def"))
+  }
+
+  test("testSelectProjectionFromSelectSingleColumnDescending — unordered outer (:~560)") {
+    // the reference DROPS the inner ORDER BY (a subquery's order is not a
+    // result contract) and scans time-ascending; Spark likewise treats the
+    // unlimited inner sort as removable, so only the ROW SET is asserted
+    val out = dim1s("SELECT 'beep ' || dim1 FROM (SELECT dim1 FROM foo ORDER BY __time DESC)").toSet
+    assert(out == Set("beep ", "beep 10.1", "beep 2", "beep 1", "beep def", "beep abc"))
+  }
+
+  test("testSelectStarFromSelectSingleColumnWithLimitDescending — DEVIATION on row choice") {
+    // the reference drops the INNER unlimited sort, so its outer LIMIT 2
+    // returns the two time-EARLIEST rows ('', '10.1'); Spark keeps the sort
+    // adjacent to the limit and returns the two LATEST. Both row sets are
+    // valid reads of the unspecified subquery order; asserted per-engine.
+    val out = dim1s("SELECT * FROM (SELECT dim1 FROM foo ORDER BY __time DESC) LIMIT 2")
+    assert(out == Seq("abc", "def") || out == Seq("", "10.1"))
+  }
+
+  // ---- limit wrapping (reference: OUTER_LIMIT=2 query context) ----
+
+  test("testSelectLimitWrapping / OnTopOfOffset / LowLimit / HighLimit") {
+    assert(dim1s("SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 2") == Seq("abc", "def"))
+    assert(dim1s("SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 2 OFFSET 1") == Seq("def", "1"))
+    assert(dim1s("SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 1 OFFSET 1") == Seq("def"))
+    // high limit (10) clamped by the context limit 2
+    assert(dim1s("SELECT * FROM (SELECT dim1 FROM foo ORDER BY __time DESC LIMIT 10 OFFSET 1) LIMIT 2") ==
+      Seq("def", "1"))
+  }
+
+  // ---- DISTINCT with sort as outer query ----
+
+  test("testSelectDistinctWithSortAsOuterQuery / 2 — null sorts first (sql-compatible)") {
+    for (inner <- Seq(
+      "SELECT DISTINCT dim2 FROM foo ORDER BY dim2",
+      "SELECT DISTINCT dim2 FROM foo ORDER BY dim2 LIMIT 5")) {
+      val out = sql(s"SELECT * FROM ($inner) LIMIT 10")
+        .map(r => Option(r.getString(0))).toSeq
+      assert(out == Seq(None, Some(""), Some("a"), Some("abc")))
+    }
+  }
+
+  test("testSelectAggregatingWithLimitReducedToZero / NonAggregating — offset beyond data") {
+    assert(sql(
+      "SELECT * FROM (SELECT DISTINCT dim2 FROM foo ORDER BY dim2 LIMIT 2 OFFSET 5) OFFSET 2").isEmpty)
+    assert(sql(
+      "SELECT * FROM (SELECT dim2 FROM foo ORDER BY dim2 LIMIT 2 OFFSET 5) OFFSET 2").isEmpty)
+  }
+
+  // ---- projections / expression filters / zero-row aggregates ----
+
+  test("testSelectWithProjection — SUBSTRING over the first two scan rows") {
+    // the reference scans in __time order with a limit; spelled explicitly
+    val out = sql("SELECT SUBSTRING(dim2, 1, 1) FROM foo ORDER BY __time LIMIT 2")
+      .map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(Some("a"), None))
+  }
+
+  test("testSelectWithExpressionFilter") {
+    assert(dim1s("SELECT dim1 FROM foo WHERE m1 + 1 = 7") == Seq("abc"))
+  }
+
+  test("testSelectCountStar — zero-matching-row aggregates") {
+    // lenient cast: dim2 = 0 coerces the string dim; nothing parses to 0
+    val r1 = single("SELECT exp(count(*)) + 10, sum(m2) FROM foo WHERE dim2 = 0")
+    assert(r1.getDouble(0) == 11.0 && r1.isNullAt(1))
+    val r2 = single(
+      "SELECT exp(count(*)) + 10, sum(m2) FROM foo WHERE __time >= TIMESTAMP '2999-01-01 00:00:00'")
+    assert(r2.getDouble(0) == 11.0 && r2.isNullAt(1))
+    assert(single("SELECT COUNT(*) FROM foo WHERE dim1 = 'nonexistent'").getLong(0) == 0L)
+    // grouped variant has no groups at all (FLOOR(__time TO DAY) is the
+    // Calcite spelling; DATE_TRUNC is this engine's)
+    assert(sql(
+      "SELECT COUNT(*) FROM foo WHERE dim1 = 'nonexistent' GROUP BY DATE_TRUNC('DAY', __time)").isEmpty)
+  }
+}
