@@ -30,12 +30,33 @@ object SystemSchema {
       spark.catalog.listDatabases().collect().toSeq
         .map(d => Seq(catalogName, d.name)))
 
-    val tables = spark.catalog.listTables().collect().toSeq
+    // listTables(db) repeats temp views under every database — dedupe by
+    // (schema, name); the three metadata views themselves are added
+    // statically below (they are (re)created only at the end of register(),
+    // but InformationSchema always lists itself — TablesTable does too)
+    val tables = spark.catalog.listDatabases().collect().toSeq.map(_.name)
+      .flatMap(db => try spark.catalog.listTables(db).collect().toSeq
+        catch { case _: Throwable => Nil })
+      .filterNot(t => Option(t.database).contains("information_schema"))
+      .distinctBy(t => (Option(t.database).getOrElse(""), t.name))
+    val lookupNames = graft.sources.LookupRegistry.global.names.toSet
+    val selfRows = Seq("schemata", "tables", "columns").map(n =>
+      Seq(catalogName, "information_schema", n, "SYSTEM_TABLE", "NO", "NO"))
     inlineView(spark, "information_schema.tables",
-      Seq("table_catalog", "table_schema", "table_name", "table_type"),
-      tables.map { t =>
+      Seq("table_catalog", "table_schema", "table_name", "table_type",
+        "is_joinable", "is_broadcast"),
+      selfRows ++ tables.map { t =>
         val schema = Option(t.database).filter(_.nonEmpty).getOrElse("druid")
-        Seq(catalogName, schema, t.name, t.tableType)
+        // the reference's TABLE_TYPE vocabulary (InformationSchema.java
+        // TablesTable): datasources are TABLE, SQL views VIEW, and the
+        // metadata tables themselves SYSTEM_TABLE; registered lookups are
+        // the joinable/broadcast tables (testInformationSchemaTables)
+        val tableType =
+          if (schema == "information_schema" || schema == "sys") "SYSTEM_TABLE"
+          else if (t.tableType == "VIEW") "VIEW"
+          else "TABLE"
+        val joinable = if (lookupNames.contains(t.name)) "YES" else "NO"
+        Seq(catalogName, schema, t.name, tableType, joinable, joinable)
       })
 
     inlineView(spark, "information_schema.columns",
@@ -50,12 +71,23 @@ object SystemSchema {
         // aggregated by CalciteParameterQueryTest.java:209)
         try spark.table(fq).schema.fields.zipWithIndex.toSeq.map { case (f, i) =>
           Seq(catalogName, schema, t.name, f.name, i.toString,
-            f.dataType.sql, jdbcType(f.dataType).toString,
+            calciteTypeName(f.dataType), jdbcType(f.dataType).toString,
             if (f.nullable) "YES" else "NO")
         }
         catch { case _: Throwable => Nil } // unreadable entry → skip, like a dropped segment
       },
       numericCols = Set("ordinal_position", "jdbc_type"))
+  }
+
+  /** DATA_TYPE rendered with the reference's Calcite names — strings are
+    * VARCHAR (testInformationSchemaColumnsOnTable expects VARCHAR, not
+    * Spark's STRING); everything else already matches. */
+  private def calciteTypeName(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType => "VARCHAR"
+      case other => other.sql
+    }
   }
 
   /** java.sql.Types code per Spark type (the reference maps Calcite types
