@@ -135,6 +135,120 @@ object SqlInsertDml {
       }
     }
 
+  // ---- EXTERN: SQL-addressable external inputs ----
+
+  /** `TABLE(EXTERN('<inputSource>', '<inputFormat>', '<rowSignature>'))` —
+    * the reference's external-input table function
+    * (sql/.../external/ExternalOperatorConversion.java; corpus
+    * CalciteInsertDmlTest.testInsertFromExternal*). The three arguments are
+    * the JSON specs: an InputSource (`inline` with a data string, or
+    * `local` with `files` / `baseDir`+`filter`), an InputFormat (csv/json
+    * inline; csv/json/parquet/orc from local files), and a RowSignature
+    * (`[{"name","type"}...]`, types STRING/LONG/DOUBLE/FLOAT). Each match
+    * is read, cast to the declared signature, registered as a temp view,
+    * and the call text replaced by the view name — the SELECT then plans
+    * through Catalyst unchanged. `http` sources are rejected (this sandbox
+    * has no egress; a deployment would route them through the same reader).
+    */
+  private val ExternRe =
+    ("(?is)TABLE\\s*\\(\\s*EXTERN\\s*\\(\\s*" +
+      "'((?:[^']|'')*)'\\s*,\\s*'((?:[^']|'')*)'\\s*,\\s*'((?:[^']|'')*)'\\s*\\)\\s*\\)").r
+
+  /** Replace every TABLE(EXTERN(...)) with a registered temp view. */
+  def rewriteExtern(spark: SparkSession, sql: String): String =
+    ExternRe.replaceAllIn(sql, m => {
+      def unq(s: String) = s.replace("''", "'")
+      val df = readExtern(spark, unq(m.group(1)), unq(m.group(2)), unq(m.group(3)))
+      val view = "extern_" + java.lang.Integer.toHexString(m.group(0).hashCode & 0x7fffffff)
+      df.createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+
+  private def readExtern(spark: SparkSession, inputSource: String,
+      inputFormat: String, signature: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val formats: Formats = DefaultFormats
+    val src = JsonMethods.parse(inputSource)
+    val fmt = JsonMethods.parse(inputFormat)
+    val fmtType = (fmt \ "type").extractOpt[String].getOrElse("csv")
+
+    val raw: DataFrame = (src \ "type").extractOpt[String].getOrElse("") match {
+      case "inline" =>
+        val skip = (fmt \ "skipHeaderRows").extractOpt[Int].getOrElse(0)
+        val lines = (src \ "data").extract[String]
+          .split("\n", -1).toSeq.filter(_.nonEmpty).drop(skip)
+        val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+        fmtType match {
+          case "csv" => nameCsvColumns(spark.read
+            .option("header", findColumnsFromHeader(fmt).toString).csv(ds), fmt)
+          case "json" => spark.read.json(ds)
+          case other => throw new IllegalArgumentException(
+            s"inline EXTERN supports csv/json input formats, got '$other'")
+        }
+      case "local" =>
+        val files: Seq[String] = (src \ "files") match {
+          case JArray(fs) => fs.map(_.extract[String])
+          case _ =>
+            val base = (src \ "baseDir").extract[String]
+            val filter = (src \ "filter").extractOpt[String].getOrElse("*")
+            Seq(s"$base/$filter")
+        }
+        fmtType match {
+          case "csv" => nameCsvColumns(spark.read
+            .option("header", findColumnsFromHeader(fmt).toString).csv(files: _*), fmt)
+          case "json" => spark.read.json(files: _*)
+          case "parquet" => spark.read.parquet(files: _*)
+          case "orc" => spark.read.orc(files: _*)
+          case other => throw new IllegalArgumentException(
+            s"local EXTERN supports csv/json/parquet/orc input formats, got '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported EXTERN inputSource type '$other' (inline and local are supported)")
+    }
+
+    // cast to the declared row signature (RowSignature.java @JsonValue:
+    // [{"name","type"}...]); columns not in the signature are dropped
+    val sig: Seq[(String, String)] = JsonMethods.parse(signature) match {
+      case JArray(cols) => cols.map(c =>
+        ((c \ "name").extract[String], (c \ "type").extract[String]))
+      case _ => throw new IllegalArgumentException("EXTERN signature must be a JSON array")
+    }
+    val typed = sig.map { case (name, druidType) =>
+      val sparkType = druidType.toUpperCase match {
+        case "STRING" => "string"
+        case "LONG" => "bigint"
+        case "DOUBLE" => "double"
+        case "FLOAT" => "float"
+        case other => throw new IllegalArgumentException(
+          s"unsupported EXTERN signature type '$other'")
+      }
+      col(name).cast(sparkType).as(name)
+    }
+    raw.select(typed: _*)
+  }
+
+  private def findColumnsFromHeader(fmt: org.json4s.JValue): Boolean = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    (fmt \ "findColumnsFromHeader").extractOpt[Boolean].getOrElse(false)
+  }
+
+  /** Without a header row the csv columns arrive as _c0.._cN; assign the
+    * format's declared `columns` names positionally (CsvInputFormat). */
+  private def nameCsvColumns(df: DataFrame, fmt: org.json4s.JValue): DataFrame = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    (fmt \ "columns") match {
+      case JArray(cols) if !findColumnsFromHeader(fmt) =>
+        val names = cols.map(_.extract[String])
+        require(names.length == df.columns.length,
+          s"csv EXTERN declares ${names.length} columns but the data has ${df.columns.length}")
+        df.toDF(names: _*)
+      case _ => df
+    }
+  }
+
   /** Parse + execute an INSERT statement: run the SELECT, publish through
     * BatchIngest under `outBase/<table>`, and register the table. Returns
     * the published DataFrame. */
@@ -143,10 +257,11 @@ object SqlInsertDml {
     val stmt = parse(sql).getOrElse(
       throw new IllegalArgumentException(s"not an INSERT statement: $sql"))
     graft.functions.GraftSqlFunctions.register(spark)
+    val selectSql = rewriteExtern(spark, stmt.selectSql)
 
     // the reference rejects ORDER BY on the outer SELECT (CLUSTERED BY owns
     // segment ordering); LIMIT/OFFSET wrappers above the Sort stay legal
-    var parsed = spark.sessionState.sqlParser.parsePlan(stmt.selectSql)
+    var parsed = spark.sessionState.sqlParser.parsePlan(selectSql)
     var unwrapping = true
     while (unwrapping) parsed match {
       case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => parsed = l.child
@@ -158,7 +273,7 @@ object SqlInsertDml {
       throw new IllegalArgumentException(
         "Cannot have ORDER BY on an INSERT query, use CLUSTERED BY instead.")
 
-    val selected = spark.sql(stmt.selectSql)
+    val selected = spark.sql(selectSql)
     if (stmt.segmentGranularity != "ALL" && !selected.columns.contains("__time"))
       throw new IllegalArgumentException(
         "INSERT queries with a time-based PARTITIONED BY must provide a __time column")

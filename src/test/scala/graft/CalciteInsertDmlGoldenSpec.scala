@@ -147,6 +147,77 @@ class CalciteInsertDmlGoldenSpec extends SparkSpecBase {
     assert(spec.segmentGranularity == "P1M")
   }
 
+  // ---- EXTERN: external inputs through SQL (testInsertFromExternal*) ----
+
+  private val inlineExtern =
+    """TABLE(EXTERN('{"type":"inline","data":"a,b,1\nc,d,2\n"}',""" +
+      """'{"type":"csv","columns":["x","y","z"]}',""" +
+      """'[{"name":"x","type":"STRING"},{"name":"y","type":"STRING"},{"name":"z","type":"LONG"}]'))"""
+
+  test("testInsertFromExternal (:282) — inline csv through TABLE(EXTERN(...))") {
+    val out = SqlInsertDml.run(spark,
+      s"INSERT INTO dst_ext SELECT * FROM $inlineExtern PARTITIONED BY ALL TIME", freshBase())
+    val rows = out.orderBy("x").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("a", "b", 1L), ("c", "d", 2L)))
+    assert(out.schema("z").dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("testInsertFromExternalProjectSort (:612) — projection + CLUSTERED BY ordinals") {
+    val out = SqlInsertDml.run(spark,
+      s"INSERT INTO dst_ext_ps SELECT x || y AS xy, z FROM $inlineExtern " +
+        "PARTITIONED BY ALL TIME CLUSTERED BY 1, 2", freshBase())
+    assert(out.orderBy("xy").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("ab", 1L), ("cd", 2L)))
+  }
+
+  test("testInsertFromExternalAggregate / AggregateAll (:670, :707) — rollup on external input") {
+    val out = SqlInsertDml.run(spark,
+      s"INSERT INTO dst_ext_agg SELECT x, SUM(z) AS sum_z, COUNT(*) AS cnt FROM $inlineExtern " +
+        "GROUP BY 1 PARTITIONED BY ALL TIME", freshBase())
+    assert(out.orderBy("x").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 1L, 1L), ("c", 2L, 1L)))
+    val all = SqlInsertDml.run(spark,
+      s"INSERT INTO dst_ext_all SELECT COUNT(*) AS cnt FROM $inlineExtern PARTITIONED BY ALL TIME",
+      freshBase())
+    assert(all.head().getLong(0) == 2L)
+  }
+
+  test("EXTERN local files (LocalInputSource analog of testInsertFromExternal)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_extern").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part1.csv"),
+      "a,b,1\nc,d,2\n".getBytes)
+    val externLocal =
+      s"""TABLE(EXTERN('{"type":"local","files":["$dir/part1.csv"]}',""" +
+        """'{"type":"csv","columns":["x","y","z"]}',""" +
+        """'[{"name":"x","type":"STRING"},{"name":"z","type":"LONG"}]'))"""
+    // note: the signature keeps only (x, z) — signature-driven pruning
+    val out = SqlInsertDml.run(spark,
+      s"INSERT INTO dst_ext_local SELECT * FROM $externLocal PARTITIONED BY ALL TIME", freshBase())
+    assert(out.orderBy("x").collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("c", 2L)))
+  }
+
+  test("testInsertIntoNonexistentSchema / IntoSystemTable (:~) — non-druid schemas reject") {
+    for (target <- Seq("nonexistent.dst", "INFORMATION_SCHEMA.COLUMNS")) {
+      val e = intercept[IllegalArgumentException] {
+        SqlInsertDml.run(spark,
+          s"INSERT INTO $target SELECT * FROM foo PARTITIONED BY ALL TIME", freshBase())
+      }
+      assert(e.getMessage.contains("Cannot INSERT into"))
+    }
+  }
+
+  test("testInsertWithClusteredByAndOrderBy (:475) — ORDER BY rejected even with CLUSTERED BY") {
+    srcView()
+    val e = intercept[IllegalArgumentException] {
+      SqlInsertDml.run(spark,
+        "INSERT INTO dst_obcb SELECT * FROM foo ORDER BY 2 PARTITIONED BY ALL TIME CLUSTERED BY 1",
+        freshBase())
+    }
+    assert(e.getMessage == "Cannot have ORDER BY on an INSERT query, use CLUSTERED BY instead.")
+  }
+
   test("a time-based PARTITIONED BY requires a __time column in the SELECT output") {
     srcView()
     val e = intercept[IllegalArgumentException] {
