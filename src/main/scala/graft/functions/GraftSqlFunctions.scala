@@ -459,16 +459,27 @@ object GraftSqlFunctions {
     "mv_contains" -> "array_contains",
     "mv_overlap" -> "array_overlap")
 
+  /** A builder handed too few arguments would surface a bare
+    * index-out-of-bounds; the reference raises a validation error naming
+    * the function (testTimeExtractWithTooFewArguments expects "Invalid
+    * number of arguments to function 'TIME_EXTRACT'"). */
+  private def guarded(name: String, b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    exprs => try b(exprs) catch {
+      case _: IndexOutOfBoundsException => throw new IllegalArgumentException(
+        s"Invalid number of arguments to function '${name.toUpperCase}'")
+    }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val registry = CatalystBridge.functionRegistry(spark)
     builders.foreach { case (name, b) =>
-      registry.createOrReplaceTempFunction(name, exprs => b(exprs), "internal")
+      registry.createOrReplaceTempFunction(name, guarded(name, b), "internal")
     }
     val byName = builders.toMap
     aliases.foreach { case (name, target) =>
       val b = byName(target)
-      registry.createOrReplaceTempFunction(name, exprs => b(exprs), "internal")
+      registry.createOrReplaceTempFunction(name, guarded(name, b), "internal")
     }
   }
 
