@@ -32,6 +32,10 @@ object GraftSqlFunctions {
     case Literal(v: Number, _) => v.intValue()
     case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
   }
+  private def humanReadableArity(name: String, args: Seq[Expression]): Unit =
+    if (args.size < 1 || args.size > 2)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments to function '$name'. Was expecting 1 arguments")
   private def litDouble(e: Expression, fn: String): Double = e match {
     case Literal(v: Number, _) => v.doubleValue()
     case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble // SQL 0.5 parses as decimal
@@ -178,15 +182,21 @@ object GraftSqlFunctions {
       val radix = if (args.size > 1) litInt(args(1), "parse_long") else 10
       ex(DruidFunctions.parseLong(col(args(0)), radix))
     },
+    // the reference validates these to exactly (Number, [Precision])
+    // (HumanReadableFormatOperatorConversion; corpus
+    // testHumanReadableFormatFunctionWithInvalidNumberOfArguments)
     "human_readable_decimal_byte_format" -> { args =>
+      humanReadableArity("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", args)
       val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
       ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), p))
     },
     "human_readable_binary_byte_format" -> { args =>
+      humanReadableArity("HUMAN_READABLE_BINARY_BYTE_FORMAT", args)
       val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
       ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), p))
     },
     "human_readable_decimal_format" -> { args =>
+      humanReadableArity("HUMAN_READABLE_DECIMAL_FORMAT", args)
       val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
       ex(DruidFunctions.humanReadableDecimalFormat(col(args(0)), p))
     },
