@@ -149,6 +149,59 @@ class CalciteJoinGoldenSpec3 extends SparkSpecBase {
     assert(sql("SELECT foo.dim1 FROM foo INNER JOIN lookyloo l ON 1 = 2").isEmpty)
   }
 
+  test("testInnerJoinTableLookupLookupWithFilterWithOuterLimit / WithoutLimit / WithAllColumns") {
+    for (limit <- Seq("LIMIT 100", "")) {
+      val out = sql(
+        s"""SELECT dim1
+           |FROM foo
+           |INNER JOIN lookyloo l ON foo.dim2 = l.k
+           |INNER JOIN lookyloo l2 ON foo.dim2 = l2.k
+           |WHERE l.v = 'xa'
+           |ORDER BY 1 $limit""".stripMargin).map(_.getString(0)).toSeq
+      assert(out == Seq("", "1"))
+    }
+    val all = sql(
+      """SELECT __time, dim1, dim2, m1
+        |FROM foo
+        |INNER JOIN lookyloo l ON foo.dim2 = l.k
+        |INNER JOIN lookyloo l2 ON foo.dim2 = l2.k
+        |WHERE l.v = 'xa' ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(1), r.getString(2), r.getFloat(3))).toSeq
+    assert(all == Seq(("", "a", 1.0f), ("1", "a", 4.0f)))
+  }
+
+  test("testCountDistinctOfLookupUsingJoinOperator — unmatched rows add no distinct value") {
+    assert(single(
+      "SELECT COUNT(DISTINCT lookyloo.v) FROM foo LEFT JOIN lookyloo ON foo.dim1 = lookyloo.k")
+      .getLong(0) == 1L)
+  }
+
+  test("testUsingSubqueryWithExtractionFns") {
+    val out = sql(
+      """SELECT dim2, COUNT(*) FROM foo
+        |WHERE substring(dim2, 1, 1) IN (SELECT substring(dim1, 1, 1) FROM foo WHERE dim1 <> '')
+        |GROUP BY dim2 ORDER BY 1""".stripMargin)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L), ("abc", 1L)))
+  }
+
+  test("testJoinOnGroupByInsteadOfTimeseriesWithFloorOnTime — tuple IN over hour floor") {
+    // CAST(timestamp AS BIGINT) is seconds in Spark, millis in Druid —
+    // TIMESTAMP_TO_MILLIS is the parity spelling on both sides of the IN
+    val out = sql(
+      """SELECT TIMESTAMP_TO_MILLIS(__time), m1, dim3 FROM foo
+        |WHERE (TIMESTAMP_TO_MILLIS(TIME_FLOOR(__time, 'PT1H')), m1) IN
+        |   (
+        |     SELECT TIMESTAMP_TO_MILLIS(TIME_FLOOR(__time, 'PT1H')) + 0 AS t1, MIN(m1) AS t2 FROM foo
+        |     WHERE array_contains(dim3, 'b')
+        |         AND __time BETWEEN '1994-04-29 00:00:00' AND '2020-01-11 00:00:00' GROUP BY 1
+        |    ) ORDER BY 1""".stripMargin)
+      .map(r => (r.getLong(0), r.getFloat(1), r.getSeq[String](2).toList)).toSeq
+    assert(out == Seq(
+      (946684800000L, 1.0f, List("a", "b")),
+      (946771200000L, 2.0f, List("b", "c"))))
+  }
+
   // ---- MV-filter join keys ----
 
   test("testVirtualColumnOnMVFilterJoinExpression / MultiJoinExpression") {
