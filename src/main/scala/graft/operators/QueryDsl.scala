@@ -289,8 +289,14 @@ final case class GroupByQuery(
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
     val (prepared, dimCols) = QueryCommon.prepareDims(filtered, dimensions)
-    val aggCols = aggregations.map(_.aliased)
-    val agged =
+    // aggregator-less groupBy is legal (the reference's SQL planner emits
+    // dimensions-only GroupByQuerys for DISTINCT subqueries); a dummy agg
+    // keeps the single groupBy/groupingSets shape and is dropped after
+    val (aggCols, dummyAgg) = aggregations match {
+      case Nil => (Seq(count(lit(1)).as("__graft_dummy_agg")), true)
+      case as => (as.map(_.aliased), false)
+    }
+    val agged0 =
       if (subtotalsSpec == null) {
         if (dimCols.isEmpty) prepared.agg(aggCols.head, aggCols.tail: _*)
         else prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
@@ -301,6 +307,7 @@ final case class GroupByQuery(
         val sets = subtotalsSpec.map(_.map(n => col(n)))
         prepared.groupingSets(sets, dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
       }
+    val agged = if (dummyAgg) agged0.drop("__graft_dummy_agg") else agged0
     val havinged = if (having == null) agged else agged.filter(having)
     val post = QueryCommon.applyPostAggs(havinged, postAggregations)
     val ordered = if (limitSpec.orderBy.nonEmpty) post.orderBy(limitSpec.orderBy: _*) else post
