@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Plan-level validations mirroring the reference's PlannerConfig gates
+  * (sql/.../planner/PlannerConfig.java). */
+object PlannerChecks {
+
+  /** `requireTimeCondition` (reference: PlannerConfig.isRequireTimeCondition;
+    * DruidQuery throws CannotBuildQueryException "requireTimeCondition is
+    * enabled on this server, but this query is missing a filter on the
+    * __time column" — sql/.../rel/DruidQuery.java). Every datasource leaf in
+    * the analyzed plan must sit under at least one Filter whose condition
+    * references a `__time`-derived attribute; subqueries (IN / EXISTS /
+    * scalar) are checked independently, matching the reference's
+    * per-table-scan interval requirement. Constant relations (SELECT 2+2,
+    * VALUES) carry no time obligation, like the reference's
+    * InlineDataSource. */
+  def requireTimeCondition(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach(_ => ()) // force analysis
+    check(df.queryExecution.analyzed)
+  }
+
+  private def check(root: LogicalPlan): Unit = {
+    // every subquery expression hosts an independent plan with its own
+    // time-condition obligation (the reference requires the condition "on
+    // both left and right" of a semi-join)
+    (root +: root.subqueriesAll).foreach { plan =>
+      val (uncovered, _) = walk(plan)
+      uncovered.headOption.foreach { leaf =>
+        throw new IllegalStateException(
+          "requireTimeCondition is enabled, but the query is missing a filter on the __time column " +
+            s"for datasource leaf: ${leaf.nodeName}")
+      }
+    }
+  }
+
+  /** Returns (datasource leaves not yet covered by a __time filter,
+    * ExprIds flowing out of this plan that derive from a __time column). */
+  private def walk(p: LogicalPlan): (Seq[LogicalPlan], Set[ExprId]) = p match {
+    case _: OneRowRelation | _: Range => (Nil, Set.empty)
+    case l: LocalRelation if l.data.isEmpty => (Nil, Set.empty)
+    case leaf: LeafNode =>
+      val timeIds = leaf.output.collect {
+        case a: Attribute if a.name.equalsIgnoreCase("__time") => a.exprId
+      }.toSet
+      // an inline VALUES relation whose rows were given literally carries no
+      // obligation only when it lacks a __time column; a named datasource
+      // (temp view over parquet or a registered fixture) always does
+      (Seq(leaf), timeIds)
+    case f: Filter =>
+      val (uncovered, timeIds) = walk(f.child)
+      val refs = f.condition.references.map(_.exprId).toSet
+      if (refs.exists(timeIds)) (Nil, timeIds) else (uncovered, timeIds)
+    case other =>
+      val results = other.children.map(walk)
+      val childUncovered = results.flatMap(_._1)
+      val childTime = results.flatMap(_._2).toSet
+      // propagate time-derivation through aliases (Project/Aggregate output
+      // like `__time AS t` or `floor(__time to month) AS gran`); an alias
+      // NAMED __time also introduces derivation — datasources materialized
+      // from typed rows surface their time column as `_1 AS __time`
+      val aliased = other.expressions.flatMap(_.collect {
+        case a: Alias if a.name.equalsIgnoreCase("__time") ||
+          a.child.references.exists(r => childTime(r.exprId)) => a.exprId
+      }).toSet
+      // nodes with their own output (Project/Aggregate) restrict visibility,
+      // but coverage tracking only needs the derived-id set to grow
+      (childUncovered, childTime ++ aliased)
+  }
+}

@@ -54,7 +54,7 @@ object HttpFacade {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
     server.createContext("/druid/v2/sql", handler { body =>
-      val (sqlText, format, header) = JsonMethods.parseOpt(body) match {
+      val (sqlText, format, header, context) = JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
           val q = (o \ "query") match {
             case JString(s) => s
@@ -64,6 +64,7 @@ object HttpFacade {
             case JString(f) => f; case _ => "object"
           }
           val hdr = (o \ "header") match { case JBool(b) => b; case _ => false }
+          val ctx = (o \ "context") match { case c: JObject => c; case _ => JObject() }
           // typed positional parameters (SqlQuery.java `parameters`:
           // [{"type":"VARCHAR","value":...}, ...] bound to `?` in order)
           val params = (o \ "parameters") match {
@@ -75,8 +76,22 @@ object HttpFacade {
             }
             case _ => Nil
           }
-          (bindParameters(q, params), fmt, hdr)
-        case _ => (body, "object", false) // bare SQL string body
+          (bindParameters(q, params), fmt, hdr, ctx)
+        case _ => (body, "object", false, JObject()) // bare SQL string body
+      }
+      // context-parameter validation (reference: QueryContexts.java —
+      // maxNumericInFilters must be positive and may not exceed the
+      // system cap of 100)
+      (context \ "maxNumericInFilters") match {
+        case JInt(n) if n <= 0 =>
+          throw new IllegalArgumentException("[maxNumericInFilters] must be greater than 0")
+        case JInt(n) if n > 100 =>
+          throw new IllegalArgumentException(
+            "Expected parameter[maxNumericInFilters] cannot exceed system set value of [100]")
+        case _ => ()
+      }
+      val requireTime = (context \ "requireTimeCondition") match {
+        case JBool(b) => b; case _ => false
       }
       graft.functions.GraftSqlFunctions.register(spark)
       // Druid SQL never throws on a malformed cast — a mismatched-type
@@ -99,7 +114,10 @@ object HttpFacade {
               val published = graft.sources.SqlInsertDml.run(spark, sqlText)
               renderRows(Seq(JObject("inserted" -> JLong(published.count()))),
                 Seq("inserted"), format, header)
-            case None => render(spark.sql(sqlText), format, header, maxResultRows)
+            case None =>
+              val df = spark.sql(sqlText)
+              if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
+              render(df, format, header, maxResultRows)
           }
         }
       } finally prevAnsi match {
@@ -303,8 +321,18 @@ object HttpFacade {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.mkString(".")
     }.distinct.sorted
+      // system tables are not resources (the reference's EXPLAIN of an
+      // INFORMATION_SCHEMA query reports "[]")
+      .filterNot(t => t.toLowerCase.startsWith("information_schema.") ||
+        t.toLowerCase.startsWith("sys."))
+    // resource typing (DruidPlanner resource collection): SQL-created views
+    // surface as VIEW resources, everything else as DATASOURCE
+    def resourceType(name: String): String =
+      try {
+        if (spark.catalog.getTable(name).tableType == "VIEW") "VIEW" else "DATASOURCE"
+      } catch { case _: Exception => "DATASOURCE" }
     val resources = JsonMethods.compact(JsonMethods.render(JArray(
-      tables.toList.map(t => JObject("name" -> JString(t), "type" -> JString("DATASOURCE"))))))
+      tables.toList.map(t => JObject("name" -> JString(t), "type" -> JString(resourceType(t)))))))
     Seq(JObject("PLAN" -> JString(plan), "RESOURCES" -> JString(resources)))
   }
 
