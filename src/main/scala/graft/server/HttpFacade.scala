@@ -314,25 +314,25 @@ object HttpFacade {
     * its native JSON); RESOURCES lists the referenced datasources as the
     * reference's resource-action JSON string. */
   private def explainRows(spark: SparkSession, sql: String): Seq[JObject] = {
-    val df = spark.sql(sql)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.SimpleMode).trim
-    val tables = spark.sessionState.sqlParser.parsePlan(sql).collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.mkString(".")
-    }.distinct.sorted
-      // system tables are not resources (the reference's EXPLAIN of an
-      // INFORMATION_SCHEMA query reports "[]")
-      .filterNot(t => t.toLowerCase.startsWith("information_schema.") ||
-        t.toLowerCase.startsWith("sys."))
-    // resource typing (DruidPlanner resource collection): SQL-created views
-    // surface as VIEW resources, everything else as DATASOURCE
-    def resourceType(name: String): String =
-      try {
-        if (spark.catalog.getTable(name).tableType == "VIEW") "VIEW" else "DATASOURCE"
-      } catch { case _: Exception => "DATASOURCE" }
+    // resource collection (typing, sys/metadata exclusion, INSERT write
+    // targets, EXTERN) lives in PlannerResources — the same set the
+    // reference's authorizer sees
+    val resourceSet = PlannerResources.analyze(spark, sql)
+    // `EXPLAIN PLAN FOR INSERT ...` explains the inner SELECT's plan (the
+    // reference renders the underlying scan query: CalciteInsertDmlTest
+    // .testExplainInsertFromExternal)
+    val plan = graft.sources.SqlInsertDml.parse(sql) match {
+      case Some(ins) =>
+        val selectSql = graft.sources.SqlInsertDml.rewriteExtern(spark, ins.selectSql)
+        spark.sql(selectSql).queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode).trim
+      case None =>
+        spark.sql(sql).queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode).trim
+    }
     val resources = JsonMethods.compact(JsonMethods.render(JArray(
-      tables.toList.map(t => JObject("name" -> JString(t), "type" -> JString(resourceType(t)))))))
+      resourceSet.toList.sortBy(r => (r.name, r.resourceType))
+        .map(r => JObject("name" -> JString(r.name), "type" -> JString(r.resourceType))))))
     Seq(JObject("PLAN" -> JString(plan), "RESOURCES" -> JString(resources)))
   }
 
