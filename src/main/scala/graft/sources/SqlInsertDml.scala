@@ -46,7 +46,7 @@ object SqlInsertDml {
       clusteredBy: Seq[(String, Boolean)]) // (column name or 1-based ordinal, descending)
 
   private val InsertHead =
-    "(?is)^\\s*(INSERT|UPSERT)\\s+INTO\\s+([A-Za-z_][\\w.]*)\\s*(\\([^)]*\\))?\\s+(.*)$".r
+    "(?is)^\\s*(INSERT|UPSERT)\\s+INTO\\s+(\"[^\"]+\"|[A-Za-z_][\\w.]*)\\s*(\\([^)]*\\))?\\s+(.*)$".r
   private val PartitionedBy = "(?is)\\bPARTITIONED\\s+BY\\b".r
   private val ClusteredBy = "(?is)\\bCLUSTERED\\s+BY\\b".r
 
@@ -62,13 +62,22 @@ object SqlInsertDml {
         throw new IllegalArgumentException("UPSERT is not supported.")
       if (columnList != null)
         throw new IllegalArgumentException("INSERT with target column list is not supported.")
-      val target = targetRaw.split('.') match {
-        case Array(t) => t
-        case Array(schema, t) if schema.equalsIgnoreCase("druid") => t
-        case parts => throw new IllegalArgumentException(
-          s"Cannot INSERT into ${parts.mkString(".")}: the target must be unqualified " +
-            "or qualified by the default druid schema")
-      }
+      // a quoted identifier is a single (schema-less) name, taken verbatim
+      val target =
+        if (targetRaw.startsWith("\"")) targetRaw.substring(1, targetRaw.length - 1)
+        else targetRaw.split('.') match {
+          case Array(t) => t
+          case Array(schema, t) if schema.equalsIgnoreCase("druid") => t
+          case _ =>
+            // non-druid schemas (view.*, INFORMATION_SCHEMA.*, sys.*,
+            // anything unknown) reject with the reference's message
+            // (DruidPlanner.validateAndGetDataSourceForInsert)
+            throw new IllegalArgumentException(
+              s"Cannot INSERT into [$targetRaw] because it is not a Druid datasource.")
+        }
+      if (target.contains("/"))
+        throw new IllegalArgumentException(
+          "INSERT dataSource cannot contain the '/' character.")
       // the custom clauses trail the SELECT (insert.ftl grammar) — split on
       // the LAST occurrence so subquery text can't shadow them
       val pbMatches = PartitionedBy.findAllMatchIn(rest).toSeq
@@ -256,6 +265,11 @@ object SqlInsertDml {
       outBase: String = defaultOutBase): DataFrame = {
     val stmt = parse(sql).getOrElse(
       throw new IllegalArgumentException(s"not an INSERT statement: $sql"))
+    // SQL views are not insertable datasources (CalciteInsertDmlTest
+    // .testInsertIntoView; the view schema itself is caught at parse)
+    if (graft.server.PlannerResources.isView(stmt.target))
+      throw new IllegalArgumentException(
+        s"Cannot INSERT into [view.${stmt.target}] because it is not a Druid datasource.")
     graft.functions.GraftSqlFunctions.register(spark)
     val selectSql = rewriteExtern(spark, stmt.selectSql)
 
@@ -273,7 +287,15 @@ object SqlInsertDml {
       throw new IllegalArgumentException(
         "Cannot have ORDER BY on an INSERT query, use CLUSTERED BY instead.")
 
-    val selected = spark.sql(selectSql)
+    // self-insert (INSERT INTO foo SELECT ... FROM foo — the reference's
+    // testInsertIntoExistingTable): materialize the read eagerly so the
+    // append doesn't scan the directory it is writing into
+    val readsTarget = spark.sessionState.sqlParser.parsePlan(selectSql).collect {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase
+    }.contains(stmt.target.toLowerCase)
+    val selectedRaw = spark.sql(selectSql)
+    val selected = if (readsTarget) selectedRaw.localCheckpoint() else selectedRaw
     if (stmt.segmentGranularity != "ALL" && !selected.columns.contains("__time"))
       throw new IllegalArgumentException(
         "INSERT queries with a time-based PARTITIONED BY must provide a __time column")

@@ -126,7 +126,8 @@ class CalciteInsertDmlGoldenSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException] {
       SqlInsertDml.parse("INSERT INTO sys.segments SELECT * FROM foo PARTITIONED BY ALL TIME")
     }
-    assert(e.getMessage.contains("Cannot INSERT into sys.segments"))
+    assert(e.getMessage ==
+      "Cannot INSERT into [sys.segments] because it is not a Druid datasource.")
   }
 
   test("INSERT appends segments (the reference's add-new-segments semantics)") {

@@ -163,6 +163,30 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("EXPLAIN PLAN FOR INSERT from EXTERN (CalciteInsertDmlTest.java:564)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val extern =
+        """TABLE(EXTERN('{\"type\":\"inline\",\"data\":\"a,b,1\"}',""" +
+          """'{\"type\":\"csv\",\"columns\":[\"x\",\"y\",\"z\"]}',""" +
+          """'[{\"name\":\"x\",\"type\":\"STRING\"},{\"name\":\"y\",\"type\":\"STRING\"},{\"name\":\"z\",\"type\":\"LONG\"}]'))"""
+      val (s, out) = post(facade.port, "/druid/v2/sql",
+        s"""{"query": "EXPLAIN PLAN FOR INSERT INTO dst_explain SELECT * FROM $extern PARTITIONED BY ALL TIME"}""")
+      assert(s == 200)
+      val row = out.asInstanceOf[JArray].arr.head
+      // the plan is the inner SELECT's (the reference renders the scan query)
+      assert((row \ "PLAN").asInstanceOf[JString].s.contains("Physical Plan"))
+      // the reference's expected resources JSON: the fixed EXTERNAL resource
+      // plus the write target (testExplainInsertFromExternal)
+      val resources = JsonMethods.parse((row \ "RESOURCES").asInstanceOf[JString].s)
+      assert(resources == JArray(List(
+        JObject("name" -> JString("EXTERNAL"), "type" -> JString("EXTERNAL")),
+        JObject("name" -> JString("dst_explain"), "type" -> JString("DATASOURCE")))))
+      // EXPLAIN must not have executed the insert
+      assert(!spark.catalog.tableExists("dst_explain"))
+    } finally facade.stop()
+  }
+
   test("maxResultRows guards the driver-side materialization") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
       maxResultRows = 3)
