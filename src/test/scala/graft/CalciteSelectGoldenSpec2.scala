@@ -177,4 +177,79 @@ class CalciteSelectGoldenSpec2 extends SparkSpecBase {
     assert(sql(
       "SELECT COUNT(*) FROM foo WHERE dim1 = 'nonexistent' GROUP BY DATE_TRUNC('DAY', __time)").isEmpty)
   }
+
+  // ---- completion cases (remaining CalciteSelectQueryTest methods;
+  // testSelectStarOnForbiddenTable/ForbiddenView/RestrictedView exercise
+  // the reference's authorizer and are non-goals — no auth layer here) ----
+
+  test("testDruidLogicalValuesRule (:257) — constant-only selects fold to inline values, no scan") {
+    val df = druidSql.sql("SELECT FLOOR(123), CEIL(123), CAST(123.0 AS INTEGER)")
+    val r = df.head()
+    assert((r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+      r.getAs[Number](2).longValue) == ((123L, 123L, 123L)))
+    // the rule's essence: the plan is an inline relation (the reference's
+    // InlineDataSource) — every leaf is a one-row/local relation, no scan
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation}
+    assert(df.queryExecution.optimizedPlan.collectLeaves().forall(l =>
+      l.isInstanceOf[OneRowRelation] || l.isInstanceOf[LocalRelation]))
+  }
+
+  test("testExplainSelectConstantExpression (:524) — constant EXPLAIN reports no resources") {
+    // RESOURCES "[]" (the reference's expected resource JSON for a
+    // table-less query); the plan renders the folded constant
+    assert(graft.server.PlannerResources.analyze(druidSql, "SELECT 1 + 1").isEmpty)
+    val plan = druidSql.sql("SELECT 1 + 1").queryExecution.optimizedPlan.toString
+    assert(plan.contains("2"))
+  }
+
+  test("testSelectCurrentTimeAndDateLosAngeles (:880) — session timezone drives CURRENT_DATE") {
+    // the reference freezes now at 2000-01-01T00Z; here the invariants are
+    // asserted against the live clock: CURRENT_DATE is the Los Angeles
+    // local date of CURRENT_TIMESTAMP, and +INTERVAL '1' DAY is exact
+    val la = spark.newSession()
+    la.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val r = la.sql("SELECT CURRENT_TIMESTAMP, CURRENT_DATE, CURRENT_DATE + INTERVAL '1' DAY").head()
+    val nowLa = r.getTimestamp(0).toLocalDateTime.toLocalDate // rendered in session tz
+    assert(r.getDate(1).toLocalDate == nowLa)
+    assert(r.getDate(2).toLocalDate == nowLa.plusDays(1))
+  }
+
+  test("testSelectLimitWrappingAgainAkaIDontReallyQuiteUnderstandCalciteQueryPlanning (:1597)") {
+    // the reference's regression: a 13/14-column projection + time filter
+    // must still plan under outer limit wrapping. lotsocolumns fixture =
+    // CalciteTests.ROWS_LOTS_OF_COLUMNS post-ingest (MV values sorted,
+    // rollup count), 2019-12-14T07:00Z
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("__time", TimestampType, false), StructField("count", LongType, false),
+      StructField("dimHyperUnique", StringType, true),
+      StructField("dimMultivalEnumerated", ArrayType(StringType, true), true),
+      StructField("dimMultivalEnumerated2", ArrayType(StringType, true), true),
+      StructField("dimMultivalSequentialWithNulls", ArrayType(StringType, true), true),
+      StructField("dimSequential", StringType, true),
+      StructField("dimSequentialHalfNull", StringType, true),
+      StructField("dimUniform", StringType, true), StructField("dimZipf", StringType, true),
+      StructField("metFloatNormal", DoubleType, true), StructField("metFloatZipf", DoubleType, true),
+      StructField("metLongSequential", LongType, true), StructField("metLongUniform", LongType, true)))
+    val t = new Timestamp(1576306800000L)
+    val rows = Seq(
+      Row(t, 1L, "0", Seq("Baz", "Baz", "Hello", "World"), Seq(null, "Apple", "Orange"),
+        Seq("1", "2", "3", "4", "5", "6", "7", "8"), "0", "0", "74416", "27", 5000.0, 147.0, 0L, 372L),
+      Row(t, 1L, "8", Seq("Baz", "World", "ㅑ ㅓ ㅕ ㅗ ㅛ ㅜ ㅠ ㅡ ㅣ"), Seq(null, "Corundum", "Xylophone"),
+        null, "8", null, "50515", "9", 4999.0, 25.0, 8L, 252L))
+    druidSql.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+      .createOrReplaceTempView("lotsocolumns")
+    val out = sql(
+      """SELECT `__time`, `count`, `dimHyperUnique`, `dimMultivalEnumerated`, `dimMultivalEnumerated2`,
+        | `dimMultivalSequentialWithNulls`, `dimSequential`, `dimSequentialHalfNull`, `dimUniform`,
+        | `dimZipf`, `metFloatNormal`, `metFloatZipf`, `metLongSequential`, `metLongUniform`
+        | FROM lotsocolumns
+        | WHERE __time >= CURRENT_TIMESTAMP - INTERVAL '10' YEAR
+        | ORDER BY `dimSequential` LIMIT 2""".stripMargin)
+    assert(out.length == 2)
+    assert((out(0).getString(2), out(0).getSeq[String](3), out(0).getLong(13)) ==
+      (("0", Seq("Baz", "Baz", "Hello", "World"), 372L)))
+    assert((out(1).getString(2), out(1).getSeq[String](4), out(1).isNullAt(5), out(1).isNullAt(7)) ==
+      (("8", Seq(null, "Corundum", "Xylophone"), true, true)))
+  }
 }
