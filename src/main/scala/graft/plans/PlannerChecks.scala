@@ -37,6 +37,47 @@ object PlannerChecks {
     }
   }
 
+  /** `groupByEnableMultiValueUnnesting = false` — the reference's groupBy
+    * context key (processing/.../groupby/GroupByQueryConfig.java
+    * CTX_KEY_ENABLE_MULTI_VALUE_UNNESTING; corpus
+    * CalciteMultiValueStringQueryTest.testMultiValueStringGroupByDoesNotWork):
+    * with implicit MV unnesting disabled, a groupBy that would unnest a
+    * multi-value dimension raises instead of silently exploding rows. In
+    * this engine unnesting is always EXPLICIT (LATERAL VIEW explode), so
+    * the guard rejects any aggregate whose grouping keys derive from a
+    * generator (explode/inline) output — the same queries the reference's
+    * flag rejects. */
+  def requireNoMultiValueUnnesting(df: DataFrame): Unit = {
+    val plan = df.queryExecution.analyzed
+    var generated: Set[ExprId] = plan.collectWithSubqueries {
+      case g: Generate => g.generatorOutput.map(_.exprId)
+    }.flatten.toSet
+    // transitive: aliases over generator outputs (Project renames) taint too
+    var grew = true
+    while (grew) {
+      val next = generated ++ plan.collectWithSubqueries { case p =>
+        p.expressions.flatMap(_.collect {
+          case a: Alias if a.child.references.exists(r => generated(r.exprId)) => a.exprId
+        })
+      }.flatten
+      grew = next.size > generated.size
+      generated = next
+    }
+    plan.foreach {
+      case a: Aggregate =>
+        a.groupingExpressions.foreach { g =>
+          val hit = g.references.find(r => generated(r.exprId))
+          hit.foreach { dim =>
+            throw new IllegalStateException(
+              s"Encountered multi-value dimension [${dim.name}] that cannot be processed with " +
+                "'groupByEnableMultiValueUnnesting' set to false. Consider setting " +
+                "'groupByEnableMultiValueUnnesting' to true in your query context.")
+          }
+        }
+      case _ => ()
+    }
+  }
+
   /** Returns (datasource leaves not yet covered by a __time filter,
     * ExprIds flowing out of this plan that derive from a __time column). */
   private def walk(p: LogicalPlan): (Seq[LogicalPlan], Set[ExprId]) = p match {

@@ -93,6 +93,10 @@ object HttpFacade {
       val requireTime = (context \ "requireTimeCondition") match {
         case JBool(b) => b; case _ => false
       }
+      // GroupByQueryConfig.CTX_KEY_ENABLE_MULTI_VALUE_UNNESTING (default true)
+      val mvUnnesting = (context \ "groupByEnableMultiValueUnnesting") match {
+        case JBool(b) => b; case _ => true
+      }
       graft.functions.GraftSqlFunctions.register(spark)
       // Druid SQL never throws on a malformed cast — a mismatched-type
       // comparison plans to null / no-match (sql/.../planner/Calcites.java
@@ -117,6 +121,7 @@ object HttpFacade {
             case None =>
               val df = spark.sql(sqlText)
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
+              if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
               render(df, format, header, maxResultRows)
           }
         }

@@ -243,4 +243,40 @@ class CalciteArraysGoldenSpec extends SparkSpecBase {
       .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
     assert(out == Seq((None, 2L), (Some(""), 1L), (Some("a"), 2L), (Some("abc"), 1L)))
   }
+
+  test("testArrayAggArraysNoNest (:1765) — SUPERSET: nested arrays need no config gate") {
+    // the reference rejects ARRAY<ARRAY<LONG>> accumulators unless
+    // druid.expressions.allowNestedArrays=true; Catalyst types nested
+    // arrays natively, so the same query simply works (its enabled-mode
+    // results are asserted at :1663 above)
+    val r = single(s"SELECT to_json(${aggAll("ARRAY(l1, l2)")}) FROM numfoo")
+    assert(r.getString(0).startsWith("[[7,null]"))
+  }
+
+  test("testSomeArrayFunctionsWithScanQueryNoStringify (:359)") {
+    // MV dims still stringify (to_json) while ARRAY[...] outputs stay typed
+    // — the reference's no-stringify context draws the same line
+    val r = single(
+      """SELECT dim1, dim2, to_json(dim3),
+        | ARRAY('a','b','c'), ARRAY(1,2,3), ARRAY(1.9D, 2.2D, 4.3D),
+        | ARRAY_APPEND(dim3, 'foo'), ARRAY_PREPEND('foo', ARRAY(dim2)),
+        | ARRAY_APPEND(ARRAY(1,2), l1), ARRAY_PREPEND(l2, ARRAY(1,2)),
+        | ARRAY_APPEND(ARRAY(1.2D,2.2D), d1), ARRAY_PREPEND(d2, ARRAY(1.1D,2.2D)),
+        | ARRAY_CONCAT(dim2, dim3), ARRAY_CONCAT(ARRAY(l1), ARRAY(l2)),
+        | ARRAY_CONCAT(ARRAY(d1), ARRAY(d2))
+        |FROM numfoo LIMIT 1""".stripMargin)
+    assert((r.getString(0), r.getString(1), r.getString(2)) == (("", "a", """["a","b"]""")))
+    assert(r.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(r.getSeq[Int](4) == Seq(1, 2, 3))
+    assert(r.getSeq[Double](5) == Seq(1.9, 2.2, 4.3))
+    assert(r.getSeq[String](6) == Seq("a", "b", "foo"))
+    assert(r.getSeq[String](7) == Seq("foo", "a"))
+    assert(r.getSeq[Long](8) == Seq(1L, 2L, 7L))
+    assert(r.getSeq[Any](9) == Seq(null, 1L, 2L))
+    assert(r.getSeq[Double](10) == Seq(1.2, 2.2, 1.0))
+    assert(r.getSeq[Any](11) == Seq(null, 1.1, 2.2))
+    assert(r.getSeq[String](12) == Seq("a", "a", "b"))
+    assert(r.getSeq[Any](13) == Seq(7L, null))
+    assert(r.getSeq[Any](14) == Seq(1.0, null))
+  }
 }

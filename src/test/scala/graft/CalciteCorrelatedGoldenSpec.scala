@@ -81,4 +81,34 @@ class CalciteCorrelatedGoldenSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("canada", 2L)))
   }
+
+  test("testCorrelatedSubqueryWithLeftFilter_leftDirectAccessDisabled / WithCorrelatedQueryFilter_Scan (:267, :452)") {
+    // the reference's enableLeftScanDirect planner flag only changes the
+    // PLAN (scan-direct vs query datasource on the join's left); Catalyst
+    // owns that choice here, so both variants collapse to the same results
+    // as their ported base cases (:178, :358) — re-asserted against the
+    // reference's expected rows for the flagged variants
+    val leftFilter = sql(
+      """select country, ANY_VALUE(
+        |        (select max(users) from (
+        |            select TIME_FLOOR(__time, 'P1D'), count(*) users
+        |            from visits f where f.country = visits.country group by 1
+        |        ))
+        |     ) as dailyVisits
+        |from visits
+        | where city = 'B' and __time between '2021-01-01 01:00:00' AND '2021-01-02 23:59:59'
+        | group by 1""".stripMargin).map(r => (r.getString(0), r.getLong(1)))
+    assert(leftFilter.toSeq == Seq(("canada", 4L)))
+    val correlatedFilter = sql(
+      """select country, ANY_VALUE(
+        |        (select max(users) from (
+        |            select TIME_FLOOR(__time, 'P1D'), count(user) users
+        |            from visits f where f.country = visits.country and f.city = 'A' group by 1
+        |        ))
+        |     ) as dailyVisits
+        |from visits
+        | where city = 'B'
+        | group by 1""".stripMargin).map(r => (r.getString(0), r.getLong(1)))
+    assert(correlatedFilter.toSeq == Seq(("canada", 2L)))
+  }
 }

@@ -337,4 +337,36 @@ class CalciteJoinGoldenSpec4 extends SparkSpecBase {
     val rows = out.select("d0").collect().map(_.getString(0)).toSeq
     assert(rows == Seq("def"))
   }
+
+  test("testInnerJoinOnMultiValueColumn (:2605) — DEVIATION: explicit unnest semantics") {
+    registered
+    // the reference's own MV-column join is documented as surprising
+    // (docs/querying/datasource.md warns against joining on an MV column);
+    // this engine makes the per-value semantics EXPLICIT with an unnest —
+    // each dim3 element matches the lookup key independently. Of the foo
+    // MV values (a,b | b,c | d | "") only 'a' has a lookyloo entry.
+    val out = sql(
+      """SELECT u.g, l.v, count(*) AS cnt
+        |FROM (SELECT to_json(f.dim3) AS g, dim3v
+        |      FROM foo f LATERAL VIEW explode(f.dim3) t AS dim3v) u
+        |INNER JOIN lookyloo l ON u.dim3v = l.k
+        |GROUP BY 1, 2""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("""["a","b"]""", "xa", 1L)))
+  }
+
+  test("testVirtualColumnOnMVFilterMultiJoinExpression (:4735) — MV_FILTER_ONLY join keys") {
+    registered
+    // three-way self join on MV_FILTER_ONLY(dim3, ['a']): only the row whose
+    // filtered MV is non-empty (["a","b"] → ["a"]) joins; empty filter
+    // results are null (testMultiValueListFilterComposed) and null keys
+    // never match
+    val out = sql(
+      """SELECT to_json(foo1.dim3) AS a, to_json(foo2.dim3) AS b FROM foo AS foo1 INNER JOIN
+        |(SELECT foo3.dim3 FROM foo AS foo3 INNER JOIN foo AS foo4
+        |   ON MV_FILTER_ONLY(foo3.dim3, ARRAY('a')) = MV_FILTER_ONLY(foo4.dim3, ARRAY('a'))) AS foo2
+        |ON MV_FILTER_ONLY(foo1.dim3, ARRAY('a')) = MV_FILTER_ONLY(foo2.dim3, ARRAY('a'))""".stripMargin)
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("""["a","b"]""", """["a","b"]""")))
+  }
 }

@@ -313,4 +313,44 @@ class CalciteMultiValueGoldenSpec extends SparkSpecBase {
     val e2 = intercept[Exception](sql("SELECT MV_TO_ARRAY() FROM numfoo"))
     assert(e2.getMessage.contains("Invalid number of arguments"))
   }
+
+  // ---- completion cases. Non-goal: testMultiValueStringConcatBackwards-
+  // Compat0dot22andOlder (:684) exercises the pre-0.23 homogenize-null-MV
+  // legacy flag (ExpressionProcessing.initializeForHomogenizeNullMultiValue-
+  // Strings); this engine implements only the modern semantics, tested by
+  // testMultiValueStringConcat (:626) above. ----
+
+  test("testMultiValueToArrayArgsWithMultiValueDimFunc (:1571) — MV-expression arg rejects") {
+    // concat(array, string) fails type checking on both engines
+    intercept[Exception](sql("SELECT MV_TO_ARRAY(concat(dim3,'c')) FROM numfoo"))
+  }
+
+  test("testMultiValueToArrayArgsWithSingleDimFunc / WithConstant / WithArray (:1580, :1589, :1598) — SUPERSET") {
+    // the reference restricts MV_TO_ARRAY to direct column references and
+    // throws on these; here MV and ARRAY are one type family, so string
+    // expressions wrap and arrays pass through — a deliberate superset
+    val fn = sql("SELECT to_json(MV_TO_ARRAY(concat(dim1,'c'))) FROM numfoo LIMIT 1")
+    assert(fn.head.getString(0) == """["c"]""")
+    val arr = sql("SELECT MV_TO_ARRAY(Array(1,2)) FROM numfoo LIMIT 1")
+    assert(arr.head.getSeq[Int](0) == Seq(1, 2))
+  }
+
+  test("testMultiValueStringGroupByDoesNotWork (:113) — unnesting disabled raises") {
+    registered
+    // groupByEnableMultiValueUnnesting=false (GroupByQueryConfig) — the
+    // facade maps the context key to PlannerChecks.requireNoMultiValueUnnesting
+    val df = spark.sql(
+      """SELECT concat(v, 'foo') AS c, SUM(cnt) FROM numfoo
+        |LATERAL VIEW OUTER explode(dim3) t AS v GROUP BY 1""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
+    }
+    assert(e.getMessage ==
+      "Encountered multi-value dimension [v] that cannot be processed with " +
+        "'groupByEnableMultiValueUnnesting' set to false. Consider setting " +
+        "'groupByEnableMultiValueUnnesting' to true in your query context.")
+    // a plain (non-unnesting) groupBy stays legal under the flag
+    graft.plans.PlannerChecks.requireNoMultiValueUnnesting(
+      spark.sql("SELECT dim2, SUM(cnt) FROM numfoo GROUP BY 1"))
+  }
 }
