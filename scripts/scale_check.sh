@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# Scale-regression gate (SCALE.md §9): regenerate the stepped-up corpora via
+# graft.tools.ScaleGen, re-run the dedup/similarity/curation family at sf0.1
+# and sf10 (100x documents/embeddings), and assert each query stays inside
+# its sf10 wall-clock budget. This guards the two scale defects the round-6
+# step-up study caught and fixed — single-file generated layout serializing
+# every scan, and a fixed LSH plane count going quadratic (342 s at sf10) —
+# against silent regression. One command reproduces SCALE.md §9's family
+# table:
+#
+#   scripts/scale_check.sh            # ~12-15 min on a 32-core box
+#
+# Env knobs: SRC (source sf dir, default /root/testdata/sf0.1),
+#            WORK (scratch dir, default /tmp/graft_scale),
+#            SPARK_GRAFT_CPUS (default 32),
+#            KEEP=1 to skip regeneration when $WORK/sf10 already exists.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SRC=${SRC:-/root/testdata/sf0.1}
+WORK=${WORK:-/tmp/graft_scale}
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,embed_lsh_neardup,embed_knn_int8,text_gopher_gate
+
+mkdir -p "$WORK"
+
+if [[ "${KEEP:-0}" != "1" || ! -d "$WORK/sf10/documents.parquet" ]]; then
+  echo "[scale_check] generating sf10 documents/embeddings under $WORK/sf10"
+  sbt -batch "runMain graft.tools.ScaleGen $SRC $WORK/sf10 100 documents,embeddings"
+fi
+
+run_family() { # $1 = sf dir, $2 = output json
+  SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$FAMILY" sbt -batch "runMain graft.Bench" \
+    | grep -o '{"metric".*}' | tail -1 > "$2"
+}
+
+echo "[scale_check] family run at sf0.1 (baseline)"
+run_family "$SRC" "$WORK/bench_sf01.json"
+echo "[scale_check] family run at sf10"
+run_family "$WORK/sf10" "$WORK/bench_sf10.json"
+
+python3 - "$WORK/bench_sf01.json" "$WORK/bench_sf10.json" <<'EOF'
+import json, sys
+base = json.load(open(sys.argv[1]))["queries"]
+sf10 = json.load(open(sys.argv[2]))["queries"]
+# sf10 budgets: ~2x the round-6 quiet-box measurements (SCALE.md section 9)
+# - loose enough for box noise, tight enough that the two fixed defects
+# (single-file layout; fixed LSH plane count, 342 s) blow through them.
+budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 100,
+          "dedup_ngram_jaccard": 140, "dedup_clusters": 90, "embed_lsh_neardup": 120,
+          "embed_knn_int8": 25, "text_gopher_gate": 15}
+fail = []
+print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
+for q, b in budget.items():
+    t0, t1 = base.get(q), sf10.get(q)
+    if t1 is None:
+        fail.append(f"{q}: missing from sf10 run")
+        continue
+    ratio = t1 / t0 if t0 else float("nan")
+    ok = t1 <= b
+    print(f"{q:26s} {t0:8.1f} {t1:8.1f} {ratio:8.1f} {b:8d}  {'OK' if ok else 'OVER BUDGET'}")
+    if not ok:
+        fail.append(f"{q}: {t1:.1f}s > {b}s budget")
+if fail:
+    print("SCALE REGRESSION:\n  " + "\n  ".join(fail))
+    sys.exit(1)
+print("scale check PASSED: family sublinear at 100x data")
+EOF

@@ -57,13 +57,29 @@ object TimeFunctions {
   private def millisOf(ts: Column): Column = unix_millis(ts.cast("timestamp"))
 
   def timeFloor(ts: Column, period: String, origin: Column = null,
-      tz: String = null): Column = zonedRoundTrip(ts, origin, tz) { (t, o) =>
-    val p = parsePeriod(period)
-    if (p.months == 0) {
-      val om = millisOf(o)
-      timestamp_millis(floorDiv(millisOf(t) - om, p.millis) * p.millis + om)
-    } else {
-      monthAdd(o, monthFloorIndex(t, o, p.months))
+      tz: String = null): Column = {
+    val fastOrigin = fastMonthOrigin(origin, tz)
+    zonedRoundTrip(ts, origin, tz) { (t, o) =>
+      val p = parsePeriod(period)
+      if (p.months == 0) {
+        val om = millisOf(o)
+        timestamp_millis(floorDiv(millisOf(t) - om, p.millis) * p.millis + om)
+      } else fastOrigin match {
+        // day-1/midnight origin (incl. the epoch default — the overwhelmingly
+        // common case): the grid is month-aligned, so date_trunc covers the
+        // calendar-named periods and months_between is exact at bucket
+        // boundaries — the correction branches and the interval-preserving
+        // monthAdd are elided at plan-build time
+        case Some(_) if p.months == 1 => date_trunc("month", t.cast("timestamp"))
+        case Some(idx) if p.months == 3 && idx % 3 == 0 =>
+          date_trunc("quarter", t.cast("timestamp"))
+        case Some(idx) if p.months == 12 && idx % 12 == 0 =>
+          date_trunc("year", t.cast("timestamp"))
+        case Some(_) =>
+          val k = (floor(months_between(t.cast("timestamp"), o) / p.months) * p.months).cast("int")
+          add_months(o, k).cast("timestamp")
+        case None => monthAdd(o, monthFloorIndex(t, o, p.months))
+      }
     }
   }
 
@@ -114,29 +130,76 @@ object TimeFunctions {
       .otherwise(approx)
   }
 
+  /** Absolute month index (year*12 + month-1) of a literal day-1/midnight
+    * origin, or None when the origin is dynamic, not day-1/midnight, or
+    * wall-frame-shifted (explicit origin + tz converts before bucketing, so
+    * the literal's UTC fields don't describe the frame it buckets in). The
+    * epoch default is 1970-01 = 23640 — divisible by 3 and 12, so the
+    * quarter/year date_trunc alignments hold. */
+  private def fastMonthOrigin(origin: Column, tz: String): Option[Int] =
+    if (origin == null) Some(1970 * 12)
+    else if (tz != null) None
+    else try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, TimeZoneAwareExpression}
+      import org.apache.spark.sql.types.TimestampType
+      val cast = Cast(
+        org.apache.spark.sql.graftbridge.CatalystBridge.expression(origin), TimestampType)
+      val resolved = cast.transformUp {
+        case tza: TimeZoneAwareExpression if tza.timeZoneId.isEmpty => tza.withTimeZone("UTC")
+      }
+      if (!resolved.foldable) None
+      else resolved.eval(null) match {
+        case micros: java.lang.Long =>
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000).toInt,
+            java.time.ZoneOffset.UTC)
+          if (ldt.getDayOfMonth == 1 && ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+            Some(ldt.getYear * 12 + ldt.getMonthValue - 1)
+          else None
+        case _ => None // runtime-null origins fall back to the corrected path
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** floor-division on longs as a Column (Java-style floorDiv, handles ts < origin). */
   private def floorDiv(a: Column, b: Long): Column = {
     val q = (a / b).cast("long")
     when(a % b < 0, q - 1).otherwise(q)
   }
 
+  /** Java-style truncation-toward-zero long division as a Column. */
+  private def truncDiv(a: Column, b: Long): Column = {
+    val q = floorDiv(a, b)
+    when(a < 0 && a % b =!= 0, q + 1).otherwise(q)
+  }
+
   def defaultOrigin: Column = timestamp_millis(lit(0L))
 
   /** Druid `timestamp_ceil`. */
   def timeCeil(ts: Column, period: String, origin: Column = null,
-      tz: String = null): Column = zonedRoundTrip(ts, origin, tz) { (t, o) =>
-    val p = parsePeriod(period)
-    if (p.months == 0) {
-      val om = millisOf(o)
-      val rel = millisOf(t) - om
-      val flo = floorDiv(rel, p.millis) * p.millis
-      timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + om)
-    } else {
-      val n = p.months
-      val flo = monthFloorIndex(t, o, n)
-      val floTs = monthAdd(o, flo)
-      when(floTs === t.cast("timestamp"), t.cast("timestamp"))
-        .otherwise(monthAdd(o, flo + n))
+      tz: String = null): Column = {
+    val fastOrigin = fastMonthOrigin(origin, tz)
+    zonedRoundTrip(ts, origin, tz) { (t, o) =>
+      val p = parsePeriod(period)
+      if (p.months == 0) {
+        val om = millisOf(o)
+        val rel = millisOf(t) - om
+        val flo = floorDiv(rel, p.millis) * p.millis
+        timestamp_millis(when(rel === flo, rel).otherwise(flo + p.millis) + om)
+      } else {
+        val n = p.months
+        fastOrigin match {
+          case Some(_) => // see timeFloor: exact index, midnight grid
+            val tt = t.cast("timestamp")
+            val flo = (floor(months_between(tt, o) / n) * n).cast("int")
+            when(add_months(o, flo).cast("timestamp") === tt, tt)
+              .otherwise(add_months(o, flo + n).cast("timestamp"))
+          case None =>
+            val flo = monthFloorIndex(t, o, n)
+            val floTs = monthAdd(o, flo)
+            when(floTs === t.cast("timestamp"), t.cast("timestamp"))
+              .otherwise(monthAdd(o, flo + n))
+        }
+      }
     }
   }
 
@@ -161,7 +224,10 @@ object TimeFunctions {
     unit.toUpperCase match {
     case "EPOCH"   => unix_timestamp(ts)
     case "MILLIS"  => unix_millis(ts)
-    case "MICROSECOND" => floorDiv(unix_millis(ts), 1000000L)
+    // the reference truncates toward zero TWICE (TimestampExtractExprMacro
+    // .java:118-119: getMillis()/1000 then /1000 in Java long division) —
+    // floorDiv would diverge for pre-1970 timestamps
+    case "MICROSECOND" => truncDiv(truncDiv(unix_millis(ts), 1000L), 1000L)
     case "MILLISECOND" => unix_millis(ts) - floorDiv(unix_millis(ts), 1000L) * 1000L
     case "SECOND"  => second(ts)
     case "MINUTE"  => minute(ts)

@@ -63,7 +63,10 @@ object PlannerChecks {
       grew = next.size > generated.size
       generated = next
     }
-    plan.foreach {
+    // foreachWithSubqueries, symmetric with the generator collection above:
+    // a disallowed unnesting groupBy inside a scalar/IN subquery must not
+    // escape the guard
+    plan.foreachWithSubqueries {
       case a: Aggregate =>
         a.groupingExpressions.foreach { g =>
           val hit = g.references.find(r => generated(r.exprId))

@@ -36,7 +36,10 @@ object PlannerResources {
   def read(name: String, tpe: String): ResourceAction = ResourceAction(name, tpe, "READ")
   def write(name: String, tpe: String): ResourceAction = ResourceAction(name, tpe, "WRITE")
 
-  private val viewNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // keyed per SparkSession (weak keys — a closed session's registry entry
+  // must not outlive it, and view typing must not leak across sessions)
+  private val viewNames =
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
   /** The ViewManager.createView analog (sql/.../view/InProcessViewManager
     * .java): registers the SELECT as a session temp view and records the
@@ -47,10 +50,17 @@ object PlannerResources {
     * resource. */
   def createView(spark: SparkSession, name: String, selectSql: String): Unit = {
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS $selectSql")
-    viewNames.add(name.toLowerCase)
+    viewNames.synchronized {
+      viewNames
+        .computeIfAbsent(spark, _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(name.toLowerCase)
+    }
   }
 
-  def isView(name: String): Boolean = viewNames.contains(name.toLowerCase)
+  def isView(spark: SparkSession, name: String): Boolean = viewNames.synchronized {
+    val s = viewNames.get(spark)
+    s != null && s.contains(name.toLowerCase)
+  }
 
   /** `TABLE(EXTERN('inputSource','inputFormat','signature'))` — replaced by
     * an inert relation for parse-level analysis (never read here). */
@@ -112,14 +122,19 @@ object PlannerResources {
     val parsed = spark.sessionState.sqlParser.parsePlan(neutralized)
     val fromTables = collectRelations(parsed).filterNot(_ == Seq("__extern__"))
 
-    val tableResources = fromTables.flatMap {
-      case Seq("information_schema", _) => None
-      case Seq("sys", t) =>
-        if (authorizeSysTables) Some(read(t, "SYSTEM_TABLE")) else None
-      case Seq("view", t) => Some(read(t, "VIEW"))
-      case Seq("druid", t) => Some(read(t, typeOf(spark, t)))
-      case Seq(t) => Some(read(t, typeOf(spark, t)))
-      case parts => Some(read(parts.mkString("."), "DATASOURCE"))
+    // schema spellings are case-insensitive (Calcite resolves
+    // INFORMATION_SCHEMA/sys/view/druid regardless of case; Spark's parser
+    // preserves identifier case, so normalize before matching)
+    val tableResources = fromTables.flatMap { parts =>
+      (parts.map(_.toLowerCase), parts) match {
+        case (Seq("information_schema", _), _) => None
+        case (Seq("sys", _), Seq(_, t)) =>
+          if (authorizeSysTables) Some(read(t, "SYSTEM_TABLE")) else None
+        case (Seq("view", _), Seq(_, t)) => Some(read(t, "VIEW"))
+        case (Seq("druid", _), Seq(_, t)) => Some(read(t, typeOf(spark, t)))
+        case (Seq(_), Seq(t)) => Some(read(t, typeOf(spark, t)))
+        case _ => Some(read(parts.mkString("."), "DATASOURCE"))
+      }
     }
     val contextResources =
       if (authorizeQueryContextParams)
@@ -147,7 +162,7 @@ object PlannerResources {
   }
 
   private def typeOf(spark: SparkSession, name: String): String =
-    if (isView(name)) "VIEW"
+    if (isView(spark, name)) "VIEW"
     else {
       // SQL-created catalog views (SystemSchema's inline views and the like)
       // also surface as VIEW resources; everything else is a datasource

@@ -112,6 +112,88 @@ object SystemSchema {
     }
   }
 
+  // ---- sys.servers / sys.server_segments / sys.tasks / sys.supervisors ----
+  //
+  // The reference serves these from coordinator/overlord state
+  // (SystemSchema.java:104-108 SERVERS/SERVER_SEGMENTS/TASKS/SUPERVISORS).
+  // The honest Spark analogs: servers = the session's executor inventory
+  // (each executor is a data-serving "historical"; the driver doubles as
+  // the leader/broker), server_segments = executor × segment assignment
+  // (shared storage: every data server can serve every segment),
+  // tasks = active Structured Streaming queries (the reference's indexing
+  // tasks), supervisors = the registered streaming-ingest supervisors.
+
+  /** Supervisor registry — the overlord's supervisor list analog
+    * (SeekableStreamSupervisor). `StreamingIngest` pipelines register here;
+    * `suspended` mirrors the reference's suspend/resume toggle. */
+  final case class SupervisorEntry(id: String, supervisorType: String,
+      source: String, spec: String, suspended: Boolean = false)
+  private val supervisorRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, SupervisorEntry]()
+  def registerSupervisor(e: SupervisorEntry): Unit = supervisorRegistry.put(e.id, e)
+  def removeSupervisor(id: String): Unit = supervisorRegistry.remove(id)
+
+  /** Register sys.servers / sys.server_segments / sys.tasks /
+    * sys.supervisors snapshots from the session's runtime state. Re-register
+    * after executor or streaming-query changes, like the reference's
+    * coordinator poll. */
+  def registerServers(spark: SparkSession): Unit = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sys")
+    val sc = spark.sparkContext
+    val execs = sc.statusTracker.getExecutorInfos.toSeq
+
+    // SERVERS_SIGNATURE (SystemSchema.java:153-163): the first entry is the
+    // driver — the leader (broker+coordinator analog); every entry serves
+    // data in local/shared-storage mode, so server_type stays "historical"
+    inlineView(spark, "sys.servers",
+      Seq("server", "host", "plaintext_port", "tls_port", "server_type",
+        "tier", "curr_size", "max_size", "is_leader"),
+      execs.zipWithIndex.map { case (e, i) =>
+        val curr = e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory
+        val max = e.totalOnHeapStorageMemory + e.totalOffHeapStorageMemory
+        Seq(s"${e.host}:${e.port}", e.host, e.port.toString, "-1",
+          "historical", "_default_tier", curr.toString, max.toString,
+          if (i == 0) "1" else "0")
+      },
+      numericCols = Set("plaintext_port", "tls_port", "curr_size", "max_size", "is_leader"))
+
+    // SERVER_SEGMENTS_SIGNATURE (SystemSchema.java:166-170): shared storage
+    // means every data server is assignable to every registered segment
+    val segmentIds =
+      try spark.table("sys.segments").select("segment_id").collect().toSeq.map(_.getString(0))
+      catch { case _: Throwable => Nil }
+    inlineView(spark, "sys.server_segments",
+      Seq("server", "segment_id"),
+      for { e <- execs; sid <- segmentIds } yield Seq(s"${e.host}:${e.port}", sid))
+
+    // TASKS_SIGNATURE (SystemSchema.java:172-188): an active streaming query
+    // is a running indexing task (the reference's index_kafka task group)
+    val host = spark.conf.getOption("spark.driver.host").getOrElse("localhost")
+    inlineView(spark, "sys.tasks",
+      Seq("task_id", "group_id", "type", "datasource", "created_time",
+        "queue_insertion_time", "status", "runner_status", "duration",
+        "location", "host", "plaintext_port", "tls_port", "error_msg"),
+      spark.streams.active.toSeq.map { q =>
+        val created = q.recentProgress.headOption.map(_.timestamp).getOrElse("")
+        Seq(q.id.toString, q.runId.toString, "index_spark_streaming",
+          Option(q.name).getOrElse(""), created, created, "RUNNING", "RUNNING",
+          "-1", s"$host:-1", host, "-1", "-1", null)
+      },
+      numericCols = Set("duration", "plaintext_port", "tls_port"))
+
+    // SUPERVISOR_SIGNATURE (SystemSchema.java:190-200)
+    import scala.jdk.CollectionConverters._
+    inlineView(spark, "sys.supervisors",
+      Seq("supervisor_id", "state", "detailed_state", "healthy", "type",
+        "source", "suspended", "spec"),
+      supervisorRegistry.values.asScala.toSeq.sortBy(_.id).map { s =>
+        val state = if (s.suspended) "SUSPENDED" else "RUNNING"
+        Seq(s.id, state, state, if (s.suspended) "0" else "1",
+          s.supervisorType, s.source, if (s.suspended) "1" else "0", s.spec)
+      },
+      numericCols = Set("healthy", "suspended"))
+  }
+
   /** Register sys.segments from a datasource path's segment inventory. */
   def registerSegments(spark: SparkSession, dataSource: String, path: String,
       timeColumn: String): Unit = {

@@ -45,8 +45,13 @@ object SqlInsertDml {
       segmentGranularity: String,          // ISO period, or "ALL"
       clusteredBy: Seq[(String, Boolean)]) // (column name or 1-based ordinal, descending)
 
+  // target: a dotted chain of quoted ("a""b" doubles escape) or bare
+  // identifiers — the reference's Calcite grammar accepts INSERT INTO
+  // "druid".dst and quoted names containing dots
   private val InsertHead =
-    "(?is)^\\s*(INSERT|UPSERT)\\s+INTO\\s+(\"[^\"]+\"|[A-Za-z_][\\w.]*)\\s*(\\([^)]*\\))?\\s+(.*)$".r
+    ("(?is)^\\s*(INSERT|UPSERT)\\s+INTO\\s+" +
+      "((?:\"(?:[^\"]|\"\")+\"|[A-Za-z_]\\w*)(?:\\.(?:\"(?:[^\"]|\"\")+\"|[A-Za-z_]\\w*))*)" +
+      "\\s*(\\([^)]*\\))?\\s+(.*)$").r
   private val PartitionedBy = "(?is)\\bPARTITIONED\\s+BY\\b".r
   private val ClusteredBy = "(?is)\\bCLUSTERED\\s+BY\\b".r
 
@@ -62,19 +67,17 @@ object SqlInsertDml {
         throw new IllegalArgumentException("UPSERT is not supported.")
       if (columnList != null)
         throw new IllegalArgumentException("INSERT with target column list is not supported.")
-      // a quoted identifier is a single (schema-less) name, taken verbatim
-      val target =
-        if (targetRaw.startsWith("\"")) targetRaw.substring(1, targetRaw.length - 1)
-        else targetRaw.split('.') match {
-          case Array(t) => t
-          case Array(schema, t) if schema.equalsIgnoreCase("druid") => t
-          case _ =>
-            // non-druid schemas (view.*, INFORMATION_SCHEMA.*, sys.*,
-            // anything unknown) reject with the reference's message
-            // (DruidPlanner.validateAndGetDataSourceForInsert)
-            throw new IllegalArgumentException(
-              s"Cannot INSERT into [$targetRaw] because it is not a Druid datasource.")
-        }
+      // dots inside quotes are part of the name; "" unescapes to "
+      val target = splitTargetParts(targetRaw) match {
+        case Seq(t) => t
+        case Seq(schema, t) if schema.equalsIgnoreCase("druid") => t
+        case _ =>
+          // non-druid schemas (view.*, INFORMATION_SCHEMA.*, sys.*,
+          // anything unknown) reject with the reference's message
+          // (DruidPlanner.validateAndGetDataSourceForInsert)
+          throw new IllegalArgumentException(
+            s"Cannot INSERT into [$targetRaw] because it is not a Druid datasource.")
+      }
       if (target.contains("/"))
         throw new IllegalArgumentException(
           "INSERT dataSource cannot contain the '/' character.")
@@ -97,6 +100,30 @@ object SqlInsertDml {
         segmentGranularity = parseGranularity(granClause),
         clusteredBy = clusterClause.map(parseClusterItems).getOrElse(Nil)))
     case _ => None
+  }
+
+  /** Split a matched target into identifier parts: dots outside quotes
+    * separate, doubled quotes inside a quoted part unescape. */
+  private def splitTargetParts(raw: String): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var i = 0; var inQ = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < raw.length && raw.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case '.' => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.toString
+    parts.toSeq
   }
 
   /** The PARTITIONED BY clause grammar (insert.ftl:80 + DruidSqlParserUtils
@@ -267,7 +294,7 @@ object SqlInsertDml {
       throw new IllegalArgumentException(s"not an INSERT statement: $sql"))
     // SQL views are not insertable datasources (CalciteInsertDmlTest
     // .testInsertIntoView; the view schema itself is caught at parse)
-    if (graft.server.PlannerResources.isView(stmt.target))
+    if (graft.server.PlannerResources.isView(spark, stmt.target))
       throw new IllegalArgumentException(
         s"Cannot INSERT into [view.${stmt.target}] because it is not a Druid datasource.")
     graft.functions.GraftSqlFunctions.register(spark)
@@ -290,10 +317,13 @@ object SqlInsertDml {
     // self-insert (INSERT INTO foo SELECT ... FROM foo — the reference's
     // testInsertIntoExistingTable): materialize the read eagerly so the
     // append doesn't scan the directory it is writing into
-    val readsTarget = spark.sessionState.sqlParser.parsePlan(selectSql).collect {
-      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-        r.multipartIdentifier.last.toLowerCase
-    }.contains(stmt.target.toLowerCase)
+    // collectWithSubqueries: a target read hidden in an expression subquery
+    // (WHERE x IN (SELECT ... FROM target)) must also trigger checkpointing
+    val readsTarget = spark.sessionState.sqlParser.parsePlan(selectSql)
+      .collectWithSubqueries {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          r.multipartIdentifier.last.toLowerCase
+      }.contains(stmt.target.toLowerCase)
     val selectedRaw = spark.sql(selectSql)
     val selected = if (readsTarget) selectedRaw.localCheckpoint() else selectedRaw
     if (stmt.segmentGranularity != "ALL" && !selected.columns.contains("__time"))

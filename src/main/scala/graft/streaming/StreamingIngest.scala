@@ -97,10 +97,17 @@ object StreamingIngest {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerInterval))
 
-  /** End-to-end convenience: Kafka → transform → exactly-once parquet. */
+  /** End-to-end convenience: Kafka → transform → exactly-once parquet.
+    * Registers as a `sys.supervisors` entry (the reference's kafka
+    * supervisor ≈ one Structured Streaming query). */
   def run(spark: SparkSession, bootstrapServers: String, topic: String,
       schema: StructType, spec: StreamIngestSpec, outPath: String,
-      checkpointPath: String): StreamingQuery =
-    sink(transform(fromKafka(spark, bootstrapServers, topic, schema), spec),
+      checkpointPath: String): StreamingQuery = {
+    val q = sink(transform(fromKafka(spark, bootstrapServers, topic, schema), spec),
       outPath, checkpointPath).start()
+    graft.server.SystemSchema.registerSupervisor(graft.server.SystemSchema.SupervisorEntry(
+      id = topic, supervisorType = "kafka", source = topic,
+      spec = s"""{"type":"kafka","topic":"$topic","bootstrapServers":"$bootstrapServers","outPath":"$outPath"}"""))
+    q
+  }
 }

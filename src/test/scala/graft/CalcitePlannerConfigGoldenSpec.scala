@@ -109,7 +109,7 @@ class CalcitePlannerConfigGoldenSpec extends SparkSpecBase
     val (plan, resources) = explain(
       "EXPLAIN PLAN FOR SELECT COUNT(*) FROM `view`.aview WHERE dim1_firstchar <> 'z'")
     assert(plan.nonEmpty)
-    assert(resources == List(("view.aview", "VIEW")))
+    assert(resources == List(("aview", "VIEW")))
   }
 
   test("testExplainExactCountDistinctOfSemiJoinResult (CalciteQueryTest.java:7008)") {

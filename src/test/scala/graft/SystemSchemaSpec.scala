@@ -39,6 +39,87 @@ class SystemSchemaSpec extends SparkSpecBase {
     assert(n == spark.table("region_sys_test").schema.size.toLong)
   }
 
+  test("sys.servers serves the executor inventory (SystemSchema.java:153)") {
+    SystemSchema.registerServers(spark)
+    val rows = spark.sql(
+      "SELECT server, host, server_type, tier, is_leader, max_size FROM sys.servers").collect()
+    assert(rows.nonEmpty) // local mode: the driver executor
+    assert(rows.forall(_.getString(2) == "historical"))
+    assert(rows.forall(_.getString(3) == "_default_tier"))
+    assert(rows.map(_.getLong(4)).sum == 1L) // exactly one leader
+    assert(rows.forall(_.getLong(5) > 0L))   // storage memory is reported
+  }
+
+  test("sys.server_segments assigns every segment to a data server (SystemSchema.java:166)") {
+    val out = java.nio.file.Files.createTempDirectory("sysservseg").toString
+    Sources.table(spark, sf(), "region").write.mode("overwrite").parquet(out)
+    SystemSchema.registerSegments(spark, "region_ds", out, "r_regionkey")
+    SystemSchema.registerServers(spark)
+    val nSeg = spark.sql("SELECT COUNT(*) FROM sys.segments").head().getLong(0)
+    val nSrv = spark.sql("SELECT COUNT(*) FROM sys.servers").head().getLong(0)
+    val pairs = spark.sql(
+      "SELECT server, segment_id FROM sys.server_segments").collect()
+    assert(pairs.length == (nSeg * nSrv)) // shared storage: full assignment
+    // joinable back to the segment inventory, like the reference's
+    // sys.server_segments ⋈ sys.segments examples
+    val joined = spark.sql(
+      """SELECT COUNT(*) FROM sys.server_segments ss
+        |JOIN sys.segments s ON ss.segment_id = s.segment_id""".stripMargin)
+      .head().getLong(0)
+    assert(joined == pairs.length)
+  }
+
+  test("sys.tasks lists active streaming queries as running tasks (SystemSchema.java:172)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    mem.addData(1, 2, 3)
+    val q = mem.toDF().writeStream.format("memory")
+      .queryName("sys_tasks_probe").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      SystemSchema.registerServers(spark)
+      val rows = spark.sql(
+        """SELECT task_id, type, status, runner_status FROM sys.tasks
+          |WHERE datasource = 'sys_tasks_probe'""".stripMargin).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == q.id.toString)
+      assert(rows.head.getString(1) == "index_spark_streaming")
+      assert(rows.head.getString(2) == "RUNNING" && rows.head.getString(3) == "RUNNING")
+    } finally q.stop()
+    // after the query stops, a re-registration drops the task row — the
+    // reference's task view reflects the overlord's current state
+    SystemSchema.registerServers(spark)
+    assert(spark.sql("SELECT * FROM sys.tasks WHERE datasource = 'sys_tasks_probe'")
+      .collect().isEmpty)
+  }
+
+  test("sys.supervisors lists registered supervisors (SystemSchema.java:190)") {
+    SystemSchema.registerSupervisor(SystemSchema.SupervisorEntry(
+      id = "events_sup", supervisorType = "kafka", source = "events",
+      spec = """{"type":"kafka","topic":"events"}"""))
+    SystemSchema.registerSupervisor(SystemSchema.SupervisorEntry(
+      id = "paused_sup", supervisorType = "kafka", source = "paused",
+      spec = "{}", suspended = true))
+    try {
+      SystemSchema.registerServers(spark)
+      val rows = spark.sql(
+        """SELECT supervisor_id, state, healthy, type, source, suspended
+          |FROM sys.supervisors ORDER BY supervisor_id""".stripMargin).collect()
+        .filter(r => Set("events_sup", "paused_sup")(r.getString(0)))
+      assert(rows.length == 2)
+      val active = rows.find(_.getString(0) == "events_sup").get
+      assert(active.getString(1) == "RUNNING" && active.getLong(2) == 1L &&
+        active.getString(3) == "kafka" && active.getString(4) == "events" &&
+        active.getLong(5) == 0L)
+      val paused = rows.find(_.getString(0) == "paused_sup").get
+      assert(paused.getString(1) == "SUSPENDED" && paused.getLong(5) == 1L)
+    } finally {
+      SystemSchema.removeSupervisor("events_sup")
+      SystemSchema.removeSupervisor("paused_sup")
+    }
+  }
+
   test("sys.segments serves the segment inventory (SystemSchema.java:115)") {
     val out = java.nio.file.Files.createTempDirectory("syssegments").toString
     Sources.table(spark, sf(), "orders").write.mode("overwrite").parquet(out)
