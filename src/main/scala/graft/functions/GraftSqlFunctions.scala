@@ -378,6 +378,14 @@ object GraftSqlFunctions {
     "bloom_filter_test" -> { args =>
       ex(graft.plans.BloomFunctions.mightContain(col(args(1)), col(args(0))))
     },
+    // Druid BloomKFilter BINARY interop (read+write;
+    // extensions-core/druid-bloom-filter): test values against / build
+    // filters in the reference's own serialized format
+    "druid_bloom_filter" -> { args =>
+      val n = if (args.size > 1) litInt(args(1), "druid_bloom_filter").toLong else 1500L
+      graft.plans.DruidBloomAgg(args(0), n).toAggregateExpression()
+    },
+    "druid_bloom_test" -> { args => graft.plans.DruidBloomTest(args(1), args(0)) },
 
     // --- sketches (DS_* family) ---
     "theta_sketch" -> { args =>

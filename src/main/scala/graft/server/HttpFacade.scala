@@ -30,8 +30,9 @@ import graft.sources.LookupRegistry
   * {...}}`, timeBoundary/dataSourceMetadata as `{"timestamp", "result":
   * {...}}`, scan as `{"segmentId": null, "columns", "events"}` honoring
   * list/compactedList resultFormats (segments are not a query-time concept
-  * here; the reference itself nulls segmentId under time ordering).
-  * Remaining types (segmentMetadata) return flat row objects. SQL supports
+  * here; the reference itself nulls segmentId under time ordering),
+  * segmentMetadata as one merged SegmentAnalysis object with a per-column
+  * ColumnAnalysis map. SQL supports
   * `EXPLAIN PLAN FOR ...`
   * (DruidPlanner.java:669 — one row with PLAN + RESOURCES columns; the plan
   * text here is Spark's, since Catalyst is the planner).
@@ -72,6 +73,9 @@ object HttpFacade {
               case p: JObject => ((p \ "type") match {
                 case JString(t) => t.toUpperCase; case _ => "VARCHAR"
               }, p \ "value")
+              // a null entry is an explicitly-unbound position
+              // (CalciteParameterQueryTest.testPartiallyMissingParameterInTheMiddle)
+              case JNull => null
               case other => throw new IllegalArgumentException(s"parameter: $other")
             }
             case _ => Nil
@@ -277,6 +281,60 @@ object HttpFacade {
           "segmentId" -> JNull,
           "columns" -> JArray(columns.map(JString(_))),
           "events" -> JArray(events))))
+      case "segmentMetadata" =>
+        // SegmentMetadataQueryQueryToolChest merged response: a list of
+        // SegmentAnalysis objects {id, intervals, columns: {name:
+        // ColumnAnalysis}, size, numRows, aggregators, timestampSpec,
+        // queryGranularity, rollup} (SegmentAnalysis.java:43-51,
+        // ColumnAnalysis.java:42-50); this engine computes one merged
+        // analysis over the datasource, so id is the toolchest's "merged"
+        // (SegmentMetadataQueryQueryToolChest.java:350)
+        def jnum(v: JValue): Long = v match {
+          case JInt(i) => i.toLong
+          case JLong(l) => l
+          case JDouble(d) => d.toLong
+          case _ => 0L
+        }
+        def druidType(sparkType: String): (String, Boolean) = {
+          val isMv = sparkType.startsWith("array<")
+          val base = if (isMv) sparkType.stripPrefix("array<").stripSuffix(">") else sparkType
+          val t = base match {
+            case "string" => "STRING"
+            case "bigint" | "int" | "smallint" | "tinyint" | "long" |
+                 "timestamp" | "timestamp_ntz" | "date" | "boolean" => "LONG"
+            case "double" => "DOUBLE"
+            case "float" => "FLOAT"
+            case d if d.startsWith("decimal") => "DOUBLE"
+            case _ => "COMPLEX"
+          }
+          (t, isMv)
+        }
+        val maps = rows.toList.map(_.obj.toMap)
+        val colEntries: List[JField] = maps.map { m =>
+          val name = m.get("column").collect { case JString(s) => s }.getOrElse("")
+          val (tpe, mv) = druidType(
+            m.get("type").collect { case JString(s) => s }.getOrElse(""))
+          name -> (JObject(
+            "type" -> JString(tpe),
+            "hasMultipleValues" -> JBool(mv),
+            "hasNulls" -> JBool(m.get("nullCount").exists(jnum(_) > 0L)),
+            "size" -> JInt(BigInt(m.get("size_bytes").map(jnum).getOrElse(0L))),
+            "cardinality" -> m.getOrElse("cardinality", JNull),
+            "minValue" -> m.getOrElse("minValue", JNull),
+            "maxValue" -> m.getOrElse("maxValue", JNull),
+            "errorMessage" -> JNull): JValue)
+        }
+        val first = maps.headOption.getOrElse(Map.empty)
+        JArray(List(JObject(
+          "id" -> JString("merged"),
+          "intervals" -> JNull,
+          "columns" -> JObject(colEntries),
+          "size" -> JInt(BigInt(maps.map(m => m.get("size_bytes").map(jnum).getOrElse(0L)).sum)),
+          "numRows" -> JInt(BigInt(first.get("numRows").map(jnum).getOrElse(0L))),
+          "aggregators" -> first.getOrElse("aggregators", JNull),
+          "timestampSpec" -> first.getOrElse("timestampSpec", JNull),
+          "queryGranularity" -> first.getOrElse("queryGranularity", JNull),
+          "rollup" -> first.getOrElse("rollup", JNull))))
       case _ => JArray(rows.toList) // flat rows (documented simplification)
     }
     JsonMethods.compact(JsonMethods.render(out))
@@ -373,8 +431,11 @@ object HttpFacade {
         case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
           inBlock = true; out.append("/*"); i += 1
         case '?' =>
-          if (next >= params.length)
-            throw new IllegalArgumentException(s"parameter ${next + 1} not supplied")
+          // the reference's unbound-parameter surface (SqlPlanningException,
+          // 0-indexed position: CalciteParameterQueryTest
+          // .testPartiallyMissingParameter expects position[1])
+          if (next >= params.length || params(next) == null)
+            throw new IllegalArgumentException(s"Parameter at position[$next] is not bound")
           out.append(literal(params(next))); next += 1
         case other => out.append(other)
       }

@@ -184,10 +184,18 @@ class CalciteParameterGoldenSpec extends SparkSpecBase {
 
   test("testMissingParameter / partially missing / in the middle reject (:577, :592, :607)") {
     assert(post("SELECT COUNT(*) FROM numfoo WHERE l1 > ?", "[]")._1 != 200)
-    assert(post("SELECT COUNT(*) FROM numfoo WHERE l1 > ? AND f1 = ?",
-      """[{"type":"BIGINT","value":3}]""")._1 != 200)
-    assert(post("SELECT 1 + ?, dim1 FROM foo LIMIT ?",
-      """[null,{"type":"INTEGER","value":1}]""")._1 != 200)
+    // testPartiallyMissingParameter (CalciteParameterQueryTest.java): the
+    // reference's SqlPlanningException names the 0-indexed unbound position
+    val (s1, b1) = post("SELECT COUNT(*) FROM numfoo WHERE l1 > ? AND f1 = ?",
+      """[{"type":"BIGINT","value":3}]""")
+    assert(s1 != 200)
+    assert(b1.toString.contains("Parameter at position[1] is not bound"))
+    // testPartiallyMissingParameterInTheMiddle: a null entry leaves ITS
+    // position unbound even though a later position is bound
+    val (s2, b2) = post("SELECT 1 + ?, dim1 FROM foo LIMIT ?",
+      """[null,{"type":"INTEGER","value":1}]""")
+    assert(s2 != 200)
+    assert(b2.toString.contains("Parameter at position[0] is not bound"))
   }
 
   test("testWrongTypeParameter — mismatched type binds to no rows (:623)") {

@@ -147,6 +147,41 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("POST /druid/v2 segmentMetadata nests a merged SegmentAnalysis (SegmentAnalysis.java:43)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val (s, out) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "segmentMetadata",
+          "dataSource": "region",
+          "timeColumn": "r_regionkey",
+          "analysisTypes": ["minmax", "size"]
+        }""")
+      assert(s == 200)
+      val analyses = out.asInstanceOf[JArray].arr
+      assert(analyses.size == 1) // one merged analysis
+      val a = analyses.head
+      assert((a \ "id") == JString("merged")) // SegmentMetadataQueryQueryToolChest.java:350
+      // columns is a MAP of name -> ColumnAnalysis (ColumnAnalysis.java:42)
+      val cols = (a \ "columns").asInstanceOf[JObject].obj.toMap
+      assert(cols.keySet == Set("r_regionkey", "r_name"))
+      val nameCol = cols("r_name")
+      assert((nameCol \ "type") == JString("STRING"))
+      assert((nameCol \ "hasMultipleValues") == JBool(false))
+      assert((nameCol \ "hasNulls") == JBool(false))
+      assert((nameCol \ "cardinality") == JInt(5))
+      assert((nameCol \ "minValue") == JString("AFRICA"))
+      assert((nameCol \ "maxValue") == JString("MIDDLE EAST"))
+      assert((nameCol \ "errorMessage") == JNull)
+      assert((cols("r_regionkey") \ "type") == JString("LONG"))
+      // table-level fields: numRows, total size, spec analyses null here
+      assert((a \ "numRows") == JInt(5))
+      val size = (a \ "size").asInstanceOf[JInt].num.toLong
+      assert(size > 0L)
+      assert((a \ "rollup") == JNull)
+    } finally facade.stop()
+  }
+
   test("EXPLAIN PLAN FOR returns the PLAN + RESOURCES row (DruidPlanner.java:669)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
