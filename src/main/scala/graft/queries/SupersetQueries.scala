@@ -54,6 +54,31 @@ object SupersetQueries {
         aggregations = Seq(Agg("cnt", count(lit(1)))),
         limitSpec = LimitSpec(orderBy = Seq(col("token").asc_nulls_first))
       ).run(Sources.table(s, dir, "part"))
+    }),
+
+    // Druid BloomKFilter binary round trip as a pre-join semi filter
+    // (extensions-core/druid-bloom-filter BloomDimFilter.java): build the
+    // reference-format filter on the dim side, prune the fact scan with it,
+    // exact-recheck behind it (no false negatives → the result is exact and
+    // oracle-checkable; the bloom only PRUNES, the reference's own pattern)
+    "druid_bloom_semijoin" -> ((s, dir) => {
+      val bf = Sources.table(s, dir, "supplier").filter(col("s_suppkey") < 10)
+        .agg(graft.plans.BloomFunctions.druidBloomAgg(col("s_suppkey"), 1500L).as("bf"))
+        .head().getAs[Array[Byte]]("bf") // one filter blob — the reference POSTs exactly this
+      Sources.table(s, dir, "lineitem")
+        .filter(graft.plans.BloomFunctions.druidBloomTest(lit(bf), col("l_suppkey")) &&
+          col("l_suppkey") < 10)
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("l_suppkey")).as("nd_supp"))
+    }),
+
+    // sys.supervisors (SystemSchema.java:190): deterministic registry row
+    "sys_supervisors" -> ((s, dir) => {
+      graft.server.SystemSchema.registerSupervisor(graft.server.SystemSchema.SupervisorEntry(
+        id = "events_sup", supervisorType = "kafka", source = "events",
+        spec = """{"type":"kafka","topic":"events"}"""))
+      graft.server.SystemSchema.registerServers(s)
+      s.sql("""SELECT supervisor_id, state, healthy, type, source, suspended
+              |FROM sys.supervisors WHERE supervisor_id = 'events_sup'""".stripMargin)
     })
   )
 
@@ -90,6 +115,15 @@ object SupersetQueries {
         |  SELECT unnest(CASE WHEN len(f) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE f END) AS token
         |  FROM (SELECT list_filter(string_split(p_name, ' '),
         |        t -> regexp_matches(t, '^[bg]')) AS f FROM part))
-        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "druid_bloom_semijoin" ->
+      """SELECT count(*) AS cnt, count(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem WHERE l_suppkey < 10""".stripMargin,
+
+    "sys_supervisors" ->
+      """SELECT 'events_sup' AS supervisor_id, 'RUNNING' AS state,
+        |       CAST(1 AS BIGINT) AS healthy, 'kafka' AS type,
+        |       'events' AS source, CAST(0 AS BIGINT) AS suspended""".stripMargin
   )
 }

@@ -62,8 +62,35 @@ object BatchIngest {
       case "orc"     => r.orc(spec.inputPath)
       case "avro"    => r.format("avro").load(spec.inputPath)
       case "regex"   => readRegex(spark, spec)
+      case "protobuf" => readProtobuf(spark, spec)
       case f         => throw new IllegalArgumentException(s"unknown inputFormat: $f")
     }
+  }
+
+  /** `protobuf` InputFormat (extensions-core/protobuf-extensions
+    * ProtobufInputFormat.java: a binary FileDescriptorSet `descriptorFile`
+    * + `protoMessageType` select the schema). Files are read through the
+    * binaryFile source; each file holds one message, or — with
+    * `delimited=true` — a stream of varint-length-prefixed messages
+    * (writeDelimitedTo's convention), which is the multi-record batch
+    * layout. The descriptor parses once on the driver; record decode is a
+    * Catalyst expression distributed with the scan (ProtobufFormat). */
+  private def readProtobuf(spark: SparkSession, spec: IngestSpec): DataFrame = {
+    val descPath = spec.formatOptions.getOrElse("descriptorFile",
+      throw new IllegalArgumentException("protobuf inputFormat requires a 'descriptorFile' option"))
+    val messageType = spec.formatOptions.getOrElse("protoMessageType",
+      throw new IllegalArgumentException("protobuf inputFormat requires a 'protoMessageType' option"))
+    val delimited = spec.formatOptions.get("delimited").exists(_.toBoolean)
+    val descriptor = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(descPath))
+    val raw = spark.read.format("binaryFile").load(spec.inputPath)
+    def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+      org.apache.spark.sql.graftbridge.CatalystBridge.column(e)
+    def e(col: Column) = org.apache.spark.sql.graftbridge.CatalystBridge.expression(col)
+    val decoded = c(ProtobufDecode(e(col("content")), descriptor, messageType, delimited))
+    if (delimited)
+      raw.select(explode(decoded).as("__msg")).select(col("__msg.*"))
+    else
+      raw.select(decoded.as("__msg")).select(col("__msg.*"))
   }
 
   /** `regex` InputFormat (core/.../data/input/impl/RegexInputFormat.java +

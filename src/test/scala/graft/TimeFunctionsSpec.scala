@@ -63,6 +63,23 @@ class TimeFunctionsSpec extends SparkSpecBase {
       .head().getLong(0) == 7)
   }
 
+  test("timeExtract MICROSECOND truncates toward zero twice pre-1970 (TimestampExtractExprMacro.java:118)") {
+    import spark.implicits._
+    // the reference computes getMillis()/1000 then /1000 in Java long
+    // division (truncation toward zero at both steps) — for a pre-1970
+    // instant this differs from floor division
+    def micro(millis: Long): Long =
+      Seq(1).toDF("x")
+        .select(TimeFunctions.timeExtract(
+          org.apache.spark.sql.functions.timestamp_millis(
+            org.apache.spark.sql.functions.lit(millis)), "MICROSECOND").cast("long"))
+        .head().getLong(0)
+    assert(micro(1500999L) == 1L)    // 1500999/1000=1500, /1000=1
+    assert(micro(-1500999L) == -1L)  // Java: -1500, -1 (floorDiv would say -2)
+    assert(micro(-999L) == 0L)       // Java: 0, 0 (floorDiv would say -1)
+    assert(micro(-1000000L) == -1L)  // exact boundary agrees both ways
+  }
+
   test("parsePeriod rejects garbage and mixed units") {
     assertThrows[IllegalArgumentException](TimeFunctions.parsePeriod("banana"))
     assertThrows[IllegalArgumentException](TimeFunctions.parsePeriod("P1M1D"))
