@@ -97,8 +97,25 @@ object DruidFunctions {
     val magC = least(greatest(mag, lit(0)), lit(units.size - 1))
     val scaled = b / pow(lit(base), magC.cast("double"))
     val unit = element_at(array(units.map(lit): _*), magC + 1)
-    concat(format_number(scaled, precision), lit(" "), unit)
+    // the reference prints the RAW long below one unit ("1000 B", no
+    // precision) and %.Nf above it — no thousands grouping either way
+    // (HumanReadableBytes.java:253,272 BinaryFormatter/DecimalFormatter)
+    when(c.isNull, lit(null).cast("string"))
+      .when(abs(b) < base, concat(c.cast("long").cast("string"), lit(" "), lit(units.head)))
+      .otherwise(concat(format_string(s"%.${precision}f", scaled), lit(" "), unit))
   }
+  /** Precision as a per-row expression (the reference evaluates it per row;
+    * valid range [0,3], HumanReadableBytes.java:249). */
+  private[functions] def humanReadableDyn(c: Column, base: Double, units: Seq[String],
+      p: Column): Column =
+    when(p === 1, humanReadable(c, base, units, 1))
+      .when(p === 2, humanReadable(c, base, units, 2))
+      .when(p === 3, humanReadable(c, base, units, 3))
+      .otherwise(humanReadable(c, base, units, 0))
+  def humanReadableDecimalByteFormatDyn(c: Column, p: Column): Column =
+    humanReadableDyn(c, 1000.0, decUnits, p)
+  def humanReadableBinaryByteFormatDyn(c: Column, p: Column): Column =
+    humanReadableDyn(c, 1024.0, binUnits, p)
   def humanReadableDecimalByteFormat(c: Column, precision: Int = 2): Column =
     humanReadable(c, 1000.0, decUnits, precision)
   def humanReadableBinaryByteFormat(c: Column, precision: Int = 2): Column =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualNullSafe, Expression, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualNullSafe, Expression, IsNotNull, Literal, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.unsafe.types.UTF8String
@@ -178,6 +178,55 @@ object GraftSqlFunctions {
         org.apache.spark.sql.catalyst.expressions.RegExpExtract(args(0), pat,
           Literal(grp)))), None)
     },
+    // LEFT/RIGHT (Function.java Left/Right): a negative length is the
+    // reference's plan-time IAE, not Spark's empty string
+    "left" -> { args =>
+      args(1) match {
+        case Literal(v: Number, _) if v.intValue() < 0 => throw new IllegalArgumentException(
+          "Function[left] needs a postive integer as second argument")
+        case _ => ()
+      }
+      org.apache.spark.sql.catalyst.expressions.Left(args(0), args(1))
+    },
+    "right" -> { args =>
+      args(1) match {
+        case Literal(v: Number, _) if v.intValue() < 0 => throw new IllegalArgumentException(
+          "Function[right] needs a postive integer as second argument")
+        case _ => ()
+      }
+      org.apache.spark.sql.catalyst.expressions.Right(args(0), args(1))
+    },
+    // REPEAT (Function.java Repeat): a negative count yields NULL (Spark's
+    // builtin yields '')
+    "repeat" -> { args =>
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.LessThan(args(1), Literal(0)),
+        Literal(null, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.StringRepeat(args(0), args(1)))
+    },
+    // ROUND with Druid's non-finite handling (Function.java:1449; SQL
+    // RoundOperatorConversion): NaN→0, ±Inf→±MAX_VALUE, LONG stays LONG
+    "round" -> { args =>
+      val scale = if (args.size < 2) 0 else args(1) match {
+        case Literal(v: Number, t)
+            if Seq("int", "bigint", "smallint", "tinyint").contains(t.simpleString) =>
+          v.intValue()
+        case other => throw new IllegalArgumentException(
+          "The second argument to the function[round] should be integer type but got the type: " +
+            other.dataType.simpleString.toUpperCase)
+      }
+      DruidRound(args(0), scale)
+    },
+    // STRING_FORMAT (StringFormatOperatorConversion → Function.java:2439):
+    // non-strict — a format error degrades to "fmt; arg1; ..."
+    "string_format" -> { args => DruidStringFormat(args) },
+    // TRUNCATE (TruncateOperatorConversion — Spark has no numeric
+    // TRUNCATE): cast(cast(x * 10^d as long) as double) / 10^d
+    "truncate" -> { args =>
+      val d = if (args.size > 1) litInt(args(1), "truncate") else 0
+      val factor = math.pow(10, d)
+      ex((col(args(0)) * lit(factor)).cast("long").cast("double") / lit(factor))
+    },
     "parse_long" -> { args =>
       val radix = if (args.size > 1) litInt(args(1), "parse_long") else 10
       ex(DruidFunctions.parseLong(col(args(0)), radix))
@@ -185,15 +234,33 @@ object GraftSqlFunctions {
     // the reference validates these to exactly (Number, [Precision])
     // (HumanReadableFormatOperatorConversion; corpus
     // testHumanReadableFormatFunctionWithInvalidNumberOfArguments)
+    // a non-literal precision evaluates per row (ExpressionsTest passes a
+    // column ref; valid range [0,3] per HumanReadableBytes.java:249)
     "human_readable_decimal_byte_format" -> { args =>
       humanReadableArity("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", args)
-      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
-      ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), p))
+      if (args.size <= 1)
+        ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), 2))
+      else args(1) match {
+        case Literal(v: Number, _) =>
+          ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), v.intValue()))
+        case Literal(_, _) => throw new IllegalArgumentException(
+          "human_readable: argument must be an integer literal") // wrong precision TYPE rejects
+        case dyn =>
+          ex(DruidFunctions.humanReadableDecimalByteFormatDyn(col(args(0)), col(dyn)))
+      }
     },
     "human_readable_binary_byte_format" -> { args =>
       humanReadableArity("HUMAN_READABLE_BINARY_BYTE_FORMAT", args)
-      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
-      ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), p))
+      if (args.size <= 1)
+        ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), 2))
+      else args(1) match {
+        case Literal(v: Number, _) =>
+          ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), v.intValue()))
+        case Literal(_, _) => throw new IllegalArgumentException(
+          "human_readable: argument must be an integer literal") // wrong precision TYPE rejects
+        case dyn =>
+          ex(DruidFunctions.humanReadableBinaryByteFormatDyn(col(args(0)), col(dyn)))
+      }
     },
     "human_readable_decimal_format" -> { args =>
       humanReadableArity("HUMAN_READABLE_DECIMAL_FORMAT", args)
@@ -508,6 +575,79 @@ object GraftSqlFunctions {
   * identity on array input, single-element wrap on a scalar (an MV column
   * holding one row-value reads back as that scalar). Resolved after analysis
   * so the branch can see the argument's type. */
+/** Druid ROUND (core/.../math/expr/Function.java:1449 Round): BigDecimal
+  * HALF_UP at `scale`, LONG stays LONG, NaN rounds to 0, ±Infinity clamps
+  * to ±Double.MAX_VALUE (safeGetFromDouble:1530); a non-numeric first
+  * argument is null in sql-compatible mode, a non-integer-literal second
+  * argument raises the reference's IAE. Spark's builtin ROUND keeps
+  * NaN/Infinity — the clamps are the Druid-visible difference. */
+case class DruidRound(child: Expression, scale: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => LongType
+    case FloatType => FloatType // Calcite return-type inference keeps FLOAT
+    case _ => DoubleType
+  }
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    def roundDouble(d: Double): Double = {
+      val dec =
+        if (java.lang.Double.isNaN(d)) java.math.BigDecimal.ZERO
+        else if (d == Double.PositiveInfinity) java.math.BigDecimal.valueOf(Double.MaxValue)
+        else if (d == Double.NegativeInfinity) java.math.BigDecimal.valueOf(-Double.MaxValue)
+        else java.math.BigDecimal.valueOf(d)
+      dec.setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    v match {
+      case l: java.lang.Long =>
+        java.math.BigDecimal.valueOf(l).setScale(scale, java.math.RoundingMode.HALF_UP).longValue()
+      case i: java.lang.Integer =>
+        java.math.BigDecimal.valueOf(i.toLong).setScale(scale, java.math.RoundingMode.HALF_UP).longValue()
+      case f: java.lang.Float => roundDouble(f.doubleValue()).toFloat
+      case n: Number => roundDouble(n.doubleValue())
+      case _ => null // sql-compatible mode: a string rounds to null
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): DruidRound = copy(child = c)
+  override def prettyName: String = "round"
+}
+
+/** Druid STRING_FORMAT (Function.java:2439 StringFormatFunc →
+  * StringUtils.nonStrictFormat:182): Java String.format, but a format
+  * error degrades to `format; arg1; arg2...` instead of throwing. */
+case class DruidStringFormat(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fmt = children.head.eval(input)
+    if (fmt == null) return null
+    def toJava(v: Any): AnyRef = v match {
+      case s: UTF8String => s.toString
+      case other => other.asInstanceOf[AnyRef]
+    }
+    val args = children.tail.map(e => toJava(e.eval(input)))
+    val f = toJava(fmt).toString
+    val out =
+      if (args.isEmpty) f
+      else try String.format(java.util.Locale.ENGLISH, f, args: _*)
+      catch {
+        case _: java.util.IllegalFormatException =>
+          args.foldLeft(new StringBuilder(f))((b, a) => b.append("; ").append(a)).toString
+      }
+    UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DruidStringFormat = copy(children = newChildren)
+  override def prettyName: String = "string_format"
+}
+
 case class MvToArray(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {

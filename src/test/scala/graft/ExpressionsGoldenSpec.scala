@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Golden tranche over the reference's operator-conversion vectors
+  * (sql/.../expression/ExpressionsTest.java — 55 methods exercising the
+  * SQL-function → math-expr surface against one fixed binding row,
+  * ExpressionsTest.java:BINDINGS). Each test cites its reference method;
+  * expected values are the sql-compatible-mode branch. The binding row is
+  * reproduced as a one-row table and every expression runs through the
+  * registered Druid SQL names. */
+class ExpressionsGoldenSpec extends SparkSpecBase {
+
+  // own session: ansi=false must not leak into the shared suite session
+  // (it flips size(NULL) semantics JVM-wide otherwise)
+  private lazy val druidSql: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    graft.functions.GraftSqlFunctions.register(s)
+    s
+  }
+
+  private lazy val registered: Unit = {
+    val s = druidSql
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType), StructField("p", LongType),
+      StructField("x", FloatType), StructField("y", LongType), StructField("z", FloatType),
+      StructField("s", StringType), StructField("nan", DoubleType),
+      StructField("inf", DoubleType), StructField("ninf", DoubleType),
+      StructField("fnan", FloatType), StructField("hexstr", StringType),
+      StructField("intstr", StringType), StructField("spacey", StringType),
+      StructField("tstr", StringType), StructField("dstr", StringType)))
+    val row = Row(10L, 25L, 3L, 2.25f, 3L, -2.25f, "foo", Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, Float.NaN, "EF", "-100",
+      "  hey there  ", "2000-02-03 04:05:06", "2000-02-03")
+    s.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(row)), schema)
+      .createOrReplaceTempView("exprbindings")
+  }
+
+  private def one(exprSql: String): Any = {
+    registered
+    druidSql.sql(s"SELECT $exprSql FROM exprbindings").head().get(0)
+  }
+
+  test("testLeft / testRight (ExpressionsTest.java)") {
+    assert(one("LEFT(s, 1)") == "f")
+    assert(one("LEFT(s, 2)") == "fo")
+    assert(one("LEFT(s, 3)") == "foo")
+    assert(one("LEFT(s, 4)") == "foo")
+    assert(one("LEFT(tstr, 10)") == "2000-02-03")
+    assert(one("RIGHT(s, 1)") == "o")
+    assert(one("RIGHT(s, 2)") == "oo")
+    assert(one("RIGHT(s, 3)") == "foo")
+    assert(one("RIGHT(s, 4)") == "foo")
+    assert(one("RIGHT(tstr, 5)") == "05:06")
+  }
+
+  test("testAbnormalLeftWithNegativeNumber / testAbnormalRightWithNegativeNumber") {
+    registered
+    val e1 = intercept[Exception](druidSql.sql("SELECT LEFT(s, -1) FROM exprbindings").collect())
+    assert(e1.getMessage.contains("needs a postive integer as second argument"))
+    val e2 = intercept[Exception](druidSql.sql("SELECT RIGHT(s, -1) FROM exprbindings").collect())
+    assert(e2.getMessage.contains("needs a postive integer as second argument"))
+  }
+
+  test("testRepeat — negative count is NULL (ExpressionsTest.java)") {
+    assert(one("REPEAT(s, 1)") == "foo")
+    assert(one("REPEAT(s, 3)") == "foofoofoo")
+    assert(one("REPEAT(s, -1)") == null)
+  }
+
+  test("testReverse / testPad (ExpressionsTest.java)") {
+    assert(one("REVERSE(s)") == "oof")
+    assert(one("REVERSE(spacey)") == "  ereht yeh  ")
+    assert(one("REVERSE(tstr)") == "60:50:40 30-20-0002")
+    assert(one("REVERSE(dstr)") == "30-20-0002")
+    assert(one("LPAD(s, 5, 'x')") == "xxfoo")
+    assert(one("RPAD(s, 5, 'x')") == "fooxx")
+  }
+
+  test("testRound (ExpressionsTest.java) — LONG stays LONG, HALF_UP") {
+    assert(one("ROUND(a)") == 10L)
+    assert(one("ROUND(b)") == 25L)
+    assert(one("ROUND(b, -1)") == 30L)
+    assert(one("ROUND(x)") == 2.0f) // FLOAT column keeps FLOAT (testRoundFuc reads floats)
+    assert(one("ROUND(x, 1)") == 2.3f)
+    assert(one("ROUND(y)") == 3L) // y is LONG in the binding row
+    assert(one("ROUND(z)") == -2.0f)
+  }
+
+  test("testRoundWithNanShouldRoundTo0 / testRoundWithInfinityShouldRoundTo0 (Function.java:1530 safeGetFromDouble)") {
+    assert(one("ROUND(nan)") == 0.0)
+    assert(one("ROUND(fnan)") == 0.0f)
+    assert(one("ROUND(inf)") == Double.MaxValue)
+    assert(one("ROUND(ninf)") == -Double.MaxValue)
+  }
+
+  test("testRoundWithInvalidArgument — string rounds to null (sql-compatible); bad scale raises the IAE") {
+    assert(one("ROUND(s)") == null)
+    registered
+    val e = intercept[Exception](
+      druidSql.sql("SELECT ROUND(x, 'foo') FROM exprbindings").collect())
+    assert(e.getMessage.contains(
+      "The second argument to the function[round] should be integer type"))
+  }
+
+  test("testTruncate (TruncateOperatorConversion expression shape)") {
+    assert(one("TRUNCATE(a)") == 10.0)
+    assert(one("TRUNCATE(x)") == 2.0)
+    assert(one("TRUNCATE(y)") == 3.0)
+    assert(one("TRUNCATE(z)") == -2.0)
+    assert(one("TRUNCATE(x, 1)") == 2.2)
+    assert(one("TRUNCATE(z, 1)") == -2.2)
+    assert(one("TRUNCATE(b, -1)") == 20.0)
+    assert(one("TRUNCATE(z, -1)") == 0.0)
+  }
+
+  test("testParseLong (ExpressionsTest.java) — radix 16 strips 0x; unparseable is null") {
+    assert(one("PARSE_LONG(intstr)") == -100L)
+    assert(one("PARSE_LONG(hexstr, 16)") == 239L)
+    assert(one("PARSE_LONG(CONCAT('0x', hexstr), 16)") == 239L)
+    assert(one("PARSE_LONG(hexstr)") == null) // 'EF' at radix 10, sql-compatible
+  }
+
+  test("testStringFormat (StringUtils.nonStrictFormat:182) — format errors degrade, extra args drop") {
+    assert(one("STRING_FORMAT('%x', b)") == "19")
+    assert(one("STRING_FORMAT('%s %,d', s, 1234)") == "foo 1,234")
+    assert(one("STRING_FORMAT('%s %,d', s)") == "%s %,d; foo")
+    assert(one("STRING_FORMAT('%s %,d', s, 1234, 6789)") == "foo 1,234")
+  }
+
+  test("testPosition (ExpressionsTest.java) — 1-based, 0 when absent") {
+    assert(one("POSITION('oo' IN s)") == 2)
+    assert(one("position('oo', s, 2)") == 2)
+    assert(one("position('oo', s, 3)") == 0)
+  }
+
+  test("testHumanReadableBinaryByteFormat / DecimalByteFormat (ExpressionsTest.java)") {
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1000)") == "1000 B")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1024)") == "1.00 KiB")
+    assert(one(s"HUMAN_READABLE_BINARY_BYTE_FORMAT(${Long.MaxValue})") == "8.00 EiB")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(b, p)") == "25 B")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 0)") == "44 KiB")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 1)") == "43.9 KiB")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 2)") == "43.95 KiB")
+    assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 3)") == "43.945 KiB")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(999)") == "999 B")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1024)") == "1.02 KB")
+    assert(one(s"HUMAN_READABLE_DECIMAL_BYTE_FORMAT(${Long.MaxValue})") == "9.22 EB")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(b, p)") == "25 B")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 0)") == "46 KB")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 1)") == "45.7 KB")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 2)") == "45.68 KB")
+    assert(one("HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 3)") == "45.678 KB")
+  }
+}
