@@ -220,6 +220,10 @@ object GraftSqlFunctions {
     // STRING_FORMAT (StringFormatOperatorConversion → Function.java:2439):
     // non-strict — a format error degrades to "fmt; arg1; ..."
     "string_format" -> { args => DruidStringFormat(args) },
+    // GREATEST/LEAST with Druid's null-skipping + string-coercing compare
+    // (GreatestExpressionTest/LeastExpressionTest)
+    "greatest" -> { args => DruidGreatestLeast(args, isLeast = false) },
+    "least" -> { args => DruidGreatestLeast(args, isLeast = true) },
     // TRUNCATE (TruncateOperatorConversion — Spark has no numeric
     // TRUNCATE): cast(cast(x * 10^d as long) as double) / 10^d
     "truncate" -> { args =>
@@ -293,8 +297,11 @@ object GraftSqlFunctions {
     },
 
     // --- IPv4 ---
-    "ipv4_parse" -> { args => ex(DruidFunctions.ipv4Parse(col(args(0)))) },
-    "ipv4_stringify" -> { args => ex(DruidFunctions.ipv4Stringify(col(args(0)))) },
+    // type-dispatched (IPv4Address*ExpressionTest): a LONG in unsigned-32
+    // range parses to itself / stringifies to dotted-quad; a STRING parses
+    // only from the dotted-quad form / stringifies to itself when valid
+    "ipv4_parse" -> { args => Ipv4TypeDispatch(args(0), stringify = false) },
+    "ipv4_stringify" -> { args => Ipv4TypeDispatch(args(0), stringify = true) },
     "ipv4_match" -> { args =>
       ex(DruidFunctions.ipv4Match(col(args(0)), litStr(args(1), "ipv4_match")))
     },
@@ -616,6 +623,60 @@ case class DruidRound(child: Expression, scale: Int)
   override def prettyName: String = "round"
 }
 
+/** Druid GREATEST/LEAST (sql/.../builtin/GreatestOperatorConversion →
+  * math-expr greatest/least; vectors GreatestExpressionTest/
+  * LeastExpressionTest): nulls are SKIPPED (all-null → null), and the
+  * result type is the Druid common type — any STRING argument makes the
+  * whole comparison lexicographic ("A" beats 3.4, testCoerceString), else
+  * any fractional makes it DOUBLE, else LONG (timestamps compare by epoch
+  * millis). Spark's builtin instead type-coerces eagerly and propagates
+  * like SQL greatest, so this is a registered override. */
+case class DruidGreatestLeast(children: Seq[Expression], isLeast: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Greatest, Least, UnixMillis}
+  import org.apache.spark.sql.types._
+
+  // Druid's expression type calculus: strings stay strings, fractional
+  // kinds are DOUBLE, everything else (ints, booleans, timestamps-as-
+  // millis) is LONG
+  private def effective(t: DataType): DataType = t match {
+    case _: StringType => StringType
+    case DoubleType | FloatType | _: DecimalType => DoubleType
+    case _ => LongType
+  }
+
+  override lazy val replacement: Expression = {
+    val hasTs = children.exists(c => c.dataType match {
+      case _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    })
+    // homogeneous non-timestamp, non-decimal arguments: exactly Spark's
+    // builtin (which also skips nulls) — full codegen, types untouched
+    // (decimals coerce to DOUBLE below: Druid has no decimal type)
+    val uniform = children.map(_.dataType).distinct
+    if (!hasTs && uniform.size == 1 && !uniform.head.isInstanceOf[DecimalType]) {
+      if (isLeast) Least(children) else Greatest(children)
+    } else {
+      val eff = children.map(c => effective(c.dataType))
+      val target =
+        if (eff.exists(_.isInstanceOf[StringType])) StringType
+        else if (eff.contains(DoubleType)) DoubleType else LongType
+      val kids = children.map { c =>
+        val base: Expression = c.dataType match {
+          case _: TimestampType => UnixMillis(c)
+          case _: TimestampNTZType => UnixMillis(Cast(c, TimestampType))
+          case _ => c
+        }
+        if (base.dataType == target) base else Cast(base, target)
+      }
+      if (isLeast) Least(kids) else Greatest(kids)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DruidGreatestLeast = copy(children = newChildren)
+  override def prettyName: String = if (isLeast) "least" else "greatest"
+}
+
 /** Druid STRING_FORMAT (Function.java:2439 StringFormatFunc →
   * StringUtils.nonStrictFormat:182): Java String.format, but a format
   * error degrades to `format; arg1; arg2...` instead of throwing. */
@@ -646,6 +707,49 @@ case class DruidStringFormat(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DruidStringFormat = copy(children = newChildren)
   override def prettyName: String = "string_format"
+}
+
+/** IPV4_PARSE / IPV4_STRINGIFY dispatch on the ARGUMENT TYPE
+  * (query/expression/IPv4AddressParseExprMacro.java + StringifyExprMacro:
+  * behavioral vectors IPv4AddressParseExpressionTest /
+  * IPv4AddressStringifyExpressionTest): a string parses only from the
+  * dotted-quad form ("3232235521" → null), a long is valid iff it fits
+  * unsigned 32 bits; stringify is the mirror image. */
+case class Ipv4TypeDispatch(child: Expression, stringify: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = if (stringify) StringType else LongType
+  override def nullable: Boolean = true
+
+  private val Dotted = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
+  private def parseDotted(s: String): Option[Long] = s match {
+    case Dotted(a, b, c, d) =>
+      val parts = Seq(a, b, c, d).map(_.toLong)
+      if (parts.forall(_ <= 255)) Some(parts.reduce(_ * 256 + _)) else None
+    case _ => None
+  }
+  private def toDotted(v: Long): String =
+    s"${(v >> 24) & 255}.${(v >> 16) & 255}.${(v >> 8) & 255}.${v & 255}"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val asLong: Option[Long] = v match {
+      case s: UTF8String => parseDotted(s.toString)
+      case n: Number =>
+        val l = n.longValue()
+        if (l >= 0L && l <= 0xFFFFFFFFL) Some(l) else None
+      case _ => None
+    }
+    if (stringify)
+      asLong.map {
+        case _ if v.isInstanceOf[UTF8String] => v // a valid dotted string stays itself
+        case l => UTF8String.fromString(toDotted(l))
+      }.orNull
+    else asLong.map(java.lang.Long.valueOf).orNull
+  }
+  override protected def withNewChildInternal(newChild: Expression): Ipv4TypeDispatch =
+    copy(child = newChild)
+  override def prettyName: String = if (stringify) "ipv4_stringify" else "ipv4_parse"
 }
 
 case class MvToArray(child: Expression)

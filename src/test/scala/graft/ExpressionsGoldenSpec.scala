@@ -137,6 +137,53 @@ class ExpressionsGoldenSpec extends SparkSpecBase {
     assert(one("position('oo', s, 3)") == 0)
   }
 
+  test("GreatestExpressionTest / LeastExpressionTest — null-skipping, string-coercing compare") {
+    // fixture: d=3.1 DOUBLE, l=2 LONG, s='foo' STRING (GreatestExpressionTest.java)
+    registered
+    druidSql.sql("SELECT CAST(3.1 AS DOUBLE) d, CAST(2 AS BIGINT) l, 'foo' s")
+      .createOrReplaceTempView("glbindings")
+    def g(e: String): Any = druidSql.sql(s"SELECT $e FROM glbindings").head().get(0)
+    // testAllNull → null; testSomeNull skips nulls and string-coerces
+    assert(g("GREATEST(CAST(NULL AS STRING), CAST(NULL AS STRING))") == null)
+    assert(g("GREATEST(d, CAST(NULL AS STRING), s)") == "foo")
+    // testAllDouble / testAllLong / testAllString
+    assert(g("GREATEST(34.1, d, 5.2, 767.3)") == 767.3)
+    assert(g("GREATEST(0, l, -1)") == 2L)
+    assert(g("GREATEST('B', s, 'A')") == "foo")
+    // testCoerceString: any string argument → lexicographic ('A' beats -1 and 3.1)
+    assert(g("GREATEST(-1, d, 'A')") == "A")
+    // testCoerceDouble analog on LEAST; testDecimal
+    assert(g("LEAST(-1, d)") == -1.0)
+    assert(g("GREATEST(1.2, 3.4)") == 3.4)
+    // LEAST mirrors (LeastExpressionTest)
+    assert(g("LEAST(d, CAST(NULL AS STRING), s)") == "3.1")
+    assert(g("LEAST(34.1, d, 5.2, 767.3)") == 3.1)
+    assert(g("LEAST('B', s, 'A')") == "A")
+  }
+
+  test("IPv4AddressParseExpressionTest / StringifyExpressionTest — type-dispatched validity") {
+    // string form: only dotted-quad parses (192.168.0.1 = 3232235521)
+    assert(one("IPV4_PARSE('192.168.0.1')") == 3232235521L)
+    assert(one("IPV4_PARSE('druid.apache.org')") == null)
+    assert(one("IPV4_PARSE('::192.168.0.1')") == null)
+    assert(one("IPV4_PARSE('::ffff:192.168.0.1')") == null)
+    assert(one("IPV4_PARSE('3232235521')") == null) // numeric STRING is invalid
+    // long form: unsigned-32 range passes through
+    assert(one("IPV4_PARSE(0)") == 0L)
+    assert(one("IPV4_PARSE(3232235521)") == 3232235521L)
+    assert(one("IPV4_PARSE(4294967295)") == 4294967295L)
+    assert(one("IPV4_PARSE(4294967296)") == null)
+    assert(one("IPV4_PARSE(-1)") == null)
+    // stringify mirrors
+    assert(one("IPV4_STRINGIFY(0)") == "0.0.0.0")
+    assert(one("IPV4_STRINGIFY(3232235521)") == "192.168.0.1")
+    assert(one("IPV4_STRINGIFY(4294967295)") == "255.255.255.255")
+    assert(one("IPV4_STRINGIFY(4294967296)") == null)
+    assert(one("IPV4_STRINGIFY(-1)") == null)
+    assert(one("IPV4_STRINGIFY('192.168.0.1')") == "192.168.0.1")
+    assert(one("IPV4_STRINGIFY('druid.apache.org')") == null)
+  }
+
   test("testHumanReadableBinaryByteFormat / DecimalByteFormat (ExpressionsTest.java)") {
     assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1000)") == "1000 B")
     assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1024)") == "1.00 KiB")
