@@ -525,12 +525,20 @@ object NativeQuery {
       }
     // bloom filter (extensions-core/druid-bloom-filter BloomDimFilter):
     // bloomKFilter carries the base64 serialized filter. Documented
-    // deviation: the binary format is Spark's bloom_filter_agg sketch
-    // (BloomFunctions.bloomFilterAgg), not Hive's BloomKFilter — filters
-    // are built and tested within this engine.
+    // Both binary formats are accepted, dispatched on the first byte: the
+    // reference's BloomKFilter starts with numHashFunctions ≥ 1
+    // (BloomKFilter.java:135 serialize), Spark's bloom sketch with a
+    // big-endian version int whose first byte is 0 — so filters POSTed by
+    // a real Druid client (BloomDimFilter.java base64) test natively, and
+    // Spark-built filters keep working.
     case "bloom" =>
-      val bytes = java.util.Base64.getDecoder.decode(str(j \ "bloomKFilter"))
-      graft.plans.BloomFunctions.mightContain(lit(bytes), dimWithExtraction(j))
+      // MIME decoder: accepts both a Druid client's unchunked base64 and
+      // Spark's line-wrapped base64() output fed back from the bloom agg
+      val bytes = java.util.Base64.getMimeDecoder.decode(str(j \ "bloomKFilter"))
+      if (bytes.nonEmpty && bytes(0) != 0)
+        graft.plans.BloomFunctions.druidBloomTest(lit(bytes), dimWithExtraction(j))
+      else
+        graft.plans.BloomFunctions.mightContain(lit(bytes), dimWithExtraction(j))
     case "expression" => MathExpr.expr(str(j \ "expression"))
     case "true" => lit(true)
     case "false" => lit(false)
@@ -685,13 +693,14 @@ object NativeQuery {
             intOpt(j \ "numBuckets").getOrElse(10), mode),
           x => x.cast("string")), ","))
       // bloom (druid-bloom-filter BloomFilterAggregatorFactory.java:81-83:
-      // field is a DimensionSpec); output base64 of the serialized filter,
-      // feedable back into the JSON bloom filter. Documented deviation: the
-      // binary format is Spark's bloom sketch, not Hive BloomKFilter.
+      // field is a DimensionSpec); output base64 of the serialized filter
+      // in the REFERENCE'S BloomKFilter format (BloomFilterAggregatorFactory
+      // + BloomFilterSerializersModule base64) — feedable back into the JSON
+      // bloom filter here or into a real Druid cluster's.
       case "bloom" =>
         val fieldCol = dimSpec(j \ "field").col
         val maxN = intOpt(j \ "maxNumEntries").getOrElse(1500)
-        Agg(name, base64(graft.plans.BloomFunctions.bloomFilterAgg(fieldCol, maxN.toLong)))
+        Agg(name, base64(graft.plans.BloomFunctions.druidBloomAgg(fieldCol, maxN.toLong)))
       // ArrayOfDoublesSketchAggregatorFactory: fieldName is the key,
       // metricColumns the carried double metrics, nominalEntries the size
       case "arrayOfDoublesSketch" =>

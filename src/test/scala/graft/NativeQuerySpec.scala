@@ -343,6 +343,38 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(keys.size < sup.count())         // filters most non-members
   }
 
+  test("bloom filter accepts DRUID BloomKFilter bytes; bloom agg emits them (BloomDimFilter.java)") {
+    // a filter in the reference's own serialized format (as a Druid client
+    // would POST it, BloomFilterSerializersModule base64)
+    val f = new org.apache.hive.common.util.BloomKFilter(100)
+    Seq(1L, 2L, 3L).foreach(f.addLong)
+    val b64 = java.util.Base64.getEncoder.encodeToString(graft.plans.DruidBloomBytes.serialize(f))
+    val df = run(
+      s"""{
+        "queryType": "scan",
+        "dataSource": "supplier",
+        "columns": ["s_suppkey"], "timeColumn": "s_suppkey", "order": "ascending",
+        "filter": {"type": "bloom", "dimension": "s_suppkey", "bloomKFilter": "$b64"}
+      }""")
+    val keys = df.collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(keys))
+    assert(keys.size < spark.read.parquet(s"${sf()}/supplier.parquet").count())
+    // the native bloom AGGREGATOR emits reference-format bytes that feed
+    // straight back into the filter (full JSON round trip in Druid format)
+    val agg = run(
+      """{
+        "queryType": "timeseries", "dataSource": "supplier",
+        "timeColumn": "s_suppkey", "granularity": "all",
+        "filter": {"type": "bound", "dimension": "s_suppkey", "upper": "3",
+                   "upperStrict": false, "ordering": "numeric"},
+        "aggregations": [{"type": "bloom", "name": "bf", "field": "s_suppkey"}]
+      }""").collect()
+    val outBytes = java.util.Base64.getMimeDecoder.decode(agg.head.getAs[String]("bf"))
+    assert(outBytes(0) >= 1) // reference layout: numHashFunctions first
+    val parsed = graft.plans.DruidBloomBytes.deserialize(outBytes)
+    (0L to 3L).foreach(k => assert(parsed.testLong(k)))
+  }
+
   test("segmentMetadata analysisTypes and dimSelector having via JSON") {
     val meta = run(
       """{
