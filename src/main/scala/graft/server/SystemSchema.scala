@@ -194,16 +194,40 @@ object SystemSchema {
       numericCols = Set("healthy", "suspended"))
   }
 
-  /** Register sys.segments from a datasource path's segment inventory. */
+  /** Register sys.segments from a datasource path's segment inventory —
+    * the full SEGMENTS_SIGNATURE (SystemSchema.java:134-150). Spark-honest
+    * values for the coordinator-state columns: every published parquet
+    * segment is available and not realtime/overshadowed; version is the
+    * write-commit marker (constant "v1" — parquet files don't version);
+    * partition_num indexes the file within the datasource; num_replicas is
+    * the shared-storage fan-out (every data server can serve it, like
+    * sys.server_segments); dimensions/metrics come from the schema split
+    * (non-numeric vs numeric non-time columns, the ingest rollup model). */
   def registerSegments(spark: SparkSession, dataSource: String, path: String,
       timeColumn: String): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS sys")
     val inv = graft.sources.BatchIngest.segments(spark, path, timeColumn).collect().toSeq
+    val schema = spark.read.parquet(path).schema
+    val (metrics, dims) = schema.fields.filterNot(_.name == timeColumn)
+      .filterNot(_.name == "__chunk")
+      .partition(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val nServers = math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length)
     inlineView(spark, "sys.segments",
-      Seq("datasource", "segment_id", "num_rows", "start", "`end`", "size"),
-      inv.map(r => Seq(dataSource, r.getString(0), r.getLong(1).toString,
-        String.valueOf(r.get(2)), String.valueOf(r.get(3)), r.getLong(4).toString)),
-      numericCols = Set("num_rows", "size"))
+      Seq("segment_id", "datasource", "start", "`end`", "size", "version",
+        "partition_num", "num_replicas", "num_rows", "is_published",
+        "is_available", "is_realtime", "is_overshadowed", "shard_spec",
+        "dimensions", "metrics", "last_compaction_state"),
+      inv.zipWithIndex.map { case (r, i) =>
+        Seq(r.getString(0), dataSource,
+          String.valueOf(r.get(2)), String.valueOf(r.get(3)), r.getLong(4).toString,
+          "v1", i.toString, nServers.toString, r.getLong(1).toString,
+          "1", "1", "0", "0",
+          s"""{"type":"numbered","partitionNum":$i}""",
+          dims.map(_.name).mkString(","), metrics.map(_.name).mkString(","),
+          null)
+      },
+      numericCols = Set("size", "partition_num", "num_replicas", "num_rows",
+        "is_published", "is_available", "is_realtime", "is_overshadowed"))
   }
 
   /** CREATE OR REPLACE VIEW name AS VALUES(...) — snapshot rows inlined as

@@ -131,4 +131,35 @@ class SystemSchemaSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).sum == Sources.table(spark, sf(), "orders").count())
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("sys.segments carries the full SEGMENTS_SIGNATURE (SystemSchema.java:134-150)") {
+    val out = java.nio.file.Files.createTempDirectory("syssegfull").toString
+    Sources.table(spark, sf(), "orders").write.mode("overwrite").parquet(out)
+    SystemSchema.registerSegments(spark, "orders_ds", out, "o_orderdate")
+    val df = spark.table("sys.segments")
+    assert(df.columns.toSeq == Seq("segment_id", "datasource", "start", "end",
+      "size", "version", "partition_num", "num_replicas", "num_rows",
+      "is_published", "is_available", "is_realtime", "is_overshadowed",
+      "shard_spec", "dimensions", "metrics", "last_compaction_state"))
+    val rows = df.collect()
+    // partition_num is dense from 0; published+available, never realtime
+    assert(rows.map(_.getAs[Long]("partition_num")).sorted.toSeq ==
+      (0L until rows.length).toSeq)
+    assert(rows.forall(r => r.getAs[Long]("is_published") == 1L &&
+      r.getAs[Long]("is_available") == 1L && r.getAs[Long]("is_realtime") == 0L &&
+      r.getAs[Long]("is_overshadowed") == 0L))
+    assert(rows.forall(_.getAs[Long]("num_replicas") >= 1L))
+    assert(rows.forall(_.getAs[String]("shard_spec").contains("\"type\":\"numbered\"")))
+    // schema split: o_orderkey/o_custkey/o_totalprice land in metrics,
+    // o_orderstatus/o_orderpriority in dimensions
+    val dims = rows.head.getAs[String]("dimensions")
+    val mets = rows.head.getAs[String]("metrics")
+    assert(dims.contains("o_orderstatus") && !dims.contains("o_totalprice"))
+    assert(mets.contains("o_totalprice") && !mets.contains("o_orderstatus"))
+    // the reference's canonical sys query: sum sizes per datasource
+    val bySize = spark.sql(
+      """SELECT datasource, SUM(size) AS total, COUNT(*) AS n
+        |FROM sys.segments GROUP BY 1""".stripMargin).head()
+    assert(bySize.getString(0) == "orders_ds" && bySize.getLong(1) > 0L)
+  }
 }
