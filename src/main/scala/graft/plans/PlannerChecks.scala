@@ -81,6 +81,34 @@ object PlannerChecks {
     }
   }
 
+  /** `maxNumericInFilters` (PlannerConfig.java:37 CTX_MAX_NUMERIC_IN_FILTERS;
+    * enforcement NativeQueryMaker.java:154): the reference plans each
+    * NUMERIC IN value as its own BoundFilter, so a large numeric IN stalls
+    * a historical — when the cap is set, a numeric IN list longer than the
+    * cap rejects with the reference's message telling the user to cast the
+    * values to strings. String IN lists are exempt (they plan to a single
+    * InFilter there, and to a single InSet here). */
+  def requireMaxNumericInFilters(df: DataFrame, cap: Int): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.types.NumericType
+    def reject(dim: String, n: Int): Nothing = throw new IllegalStateException(
+      s"The number of values in the IN clause for [$dim] in query exceeds configured " +
+        s"maxNumericFilter limit of [$cap] for INs. Cast [$n] values of IN clause to String")
+    df.queryExecution.analyzed.foreachWithSubqueries { p =>
+      p.expressions.foreach(_.foreach {
+        case in: In if in.list.size > cap &&
+            in.list.forall(_.dataType.isInstanceOf[NumericType]) =>
+          reject(in.value.references.headOption.map(_.name).getOrElse(in.value.sql),
+            in.list.size)
+        case inset: InSet if inset.hset.size > cap &&
+            inset.child.dataType.isInstanceOf[NumericType] =>
+          reject(inset.child.references.headOption.map(_.name).getOrElse(inset.child.sql),
+            inset.hset.size)
+        case _ => ()
+      })
+    }
+  }
+
   /** Returns (datasource leaves not yet covered by a __time filter,
     * ExprIds flowing out of this plan that derive from a __time column). */
   private def walk(p: LogicalPlan): (Seq[LogicalPlan], Set[ExprId]) = p match {

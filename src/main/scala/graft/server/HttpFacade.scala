@@ -101,6 +101,9 @@ object HttpFacade {
       val mvUnnesting = (context \ "groupByEnableMultiValueUnnesting") match {
         case JBool(b) => b; case _ => true
       }
+      val maxNumericIn = (context \ "maxNumericInFilters") match {
+        case JInt(n) => Some(n.toInt); case _ => None
+      }
       graft.functions.GraftSqlFunctions.register(spark)
       // Druid SQL never throws on a malformed cast — a mismatched-type
       // comparison plans to null / no-match (sql/.../planner/Calcites.java
@@ -126,6 +129,7 @@ object HttpFacade {
               val df = spark.sql(sqlText)
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
+              maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
               render(df, format, header, maxResultRows)
           }
         }

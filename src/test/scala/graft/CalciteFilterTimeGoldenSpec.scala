@@ -134,8 +134,9 @@ class CalciteFilterTimeGoldenSpec extends SparkSpecBase {
   }
 
   test("testHighestMaxNumericInFilter / testQueryWithMoreThanMaxNumericInFilter — numeric IN over string dim") {
-    // the reference tests a planner context cap (maxNumericInFilter); this
-    // engine has no such cap, so result parity alone is asserted
+    // result parity for the uncapped query; the cap itself
+    // (PlannerChecks.requireMaxNumericInFilters) is exercised through the
+    // facade in CalcitePlannerConfigGoldenSpec
     assert(count("SELECT COUNT(*) FROM numfoo WHERE dim6 IN (1, 2, 3)") == 3L)
   }
 

@@ -212,4 +212,29 @@ class CalcitePlannerConfigGoldenSpec extends SparkSpecBase
       """{"maxNumericInFilters": 0}""")
     assert(status != 200 && body.contains("[maxNumericInFilters] must be greater than 0"), body)
   }
+
+  test("testQueryWithMoreThanMaxNumericInFilter (CalciteQueryTest.java) — numeric IN over the cap rejects") {
+    val (status, body) = post(
+      "SELECT COUNT(*) c FROM foo WHERE m1 IN (1, 2, 3)",
+      """{"maxNumericInFilters": 2}""")
+    assert(status != 200, body)
+    assert(body.contains("The number of values in the IN clause for [m1] in query exceeds " +
+      "configured maxNumericFilter limit of [2] for INs. Cast [3] values of IN clause to String"), body)
+  }
+
+  test("maxNumericInFilters positive cases: within the cap runs; string INs are exempt") {
+    // within the cap (the testHighestMaxNumericInFilter query shape with a
+    // legal context value — its 20000 over-system-cap variant is
+    // testZeroMaxNumericInFilter's sibling, covered above)
+    val (s1, b1) = post(
+      "SELECT COUNT(*) c FROM foo WHERE m1 IN (1, 2, 3)",
+      """{"maxNumericInFilters": 3}""")
+    assert(s1 == 200, b1)
+    // a STRING IN list is exempt at any length (the reference plans it to
+    // one InFilter — only numeric INs fan out into per-value BoundFilters)
+    val (s2, b2) = post(
+      "SELECT COUNT(*) c FROM foo WHERE dim1 IN ('10.1', '2', 'abc', 'def')",
+      """{"maxNumericInFilters": 2}""")
+    assert(s2 == 200, b2)
+  }
 }
