@@ -209,7 +209,12 @@ class CalciteSelectGoldenSpec2 extends SparkSpecBase {
     val la = spark.newSession()
     la.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
     val r = la.sql("SELECT CURRENT_TIMESTAMP, CURRENT_DATE, CURRENT_DATE + INTERVAL '1' DAY").head()
-    val nowLa = r.getTimestamp(0).toLocalDateTime.toLocalDate // rendered in session tz
+    // getTimestamp renders in the JVM default zone, NOT the session tz —
+    // convert the instant to Los Angeles explicitly (the bare
+    // toLocalDateTime form failed whenever UTC and LA were on different
+    // calendar days, i.e. every day 00:00-08:00 UTC)
+    val nowLa = r.getTimestamp(0).toInstant
+      .atZone(java.time.ZoneId.of("America/Los_Angeles")).toLocalDate
     assert(r.getDate(1).toLocalDate == nowLa)
     assert(r.getDate(2).toLocalDate == nowLa.plusDays(1))
   }
