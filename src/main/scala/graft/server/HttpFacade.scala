@@ -19,8 +19,25 @@ import graft.sources.LookupRegistry
   *  - POST /druid/v2        body = a native JSON query → per-query-type
   *                          result envelopes (below)
   *  - POST /druid/v2/sql    body = {"query": "...", "resultFormat":
-  *                          "object" (default) | "array", "header": bool,
+  *                          "object" (default) | "array" | "objectLines" |
+  *                          "arrayLines" | "csv", "header": bool,
+  *                          "typesHeader": bool, "sqlTypesHeader": bool,
   *                          "parameters": [...]} or a bare SQL string
+  *
+  * SQL responses mirror ResultFormat.java's writers byte-for-byte where the
+  * engines' value renderings agree: object/array are one JSON array ending
+  * in LF (ObjectWriter/ArrayWriter.writeResponseEnd), the Lines formats put
+  * one JSON value per line and terminate with a blank line, csv quotes
+  * RFC-4180-style and also terminates with a blank line (CsvWriter.java:63
+  * "an extra blank line, so users can tell the response was not cut off").
+  * header=true emits the column-name header; typesHeader/sqlTypesHeader add
+  * the Druid-type and SQL-type rows (ArrayWriter) or nest
+  * {"type","sqlType"} objects per column (ObjectWriter.writeHeader).
+  * Errors return the reference's QueryException JSON {error, errorMessage,
+  * errorClass, host} with 400 for planning errors (SqlPlanningException:
+  * "SQL parse failed" / "Plan validation failed") and 500 otherwise; every
+  * SQL response carries X-Druid-SQL-Query-Id (SqlResource.java:75), taken
+  * from context.sqlQueryId when set.
   *
   * Native results carry the reference's per-query-type envelopes
   * (the result examples under docs/querying, `*QueryQueryToolChest.java`):
@@ -54,8 +71,9 @@ object HttpFacade {
       maxResultRows: Int = 100000): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
-    server.createContext("/druid/v2/sql", handler { body =>
-      val (sqlText, format, header, context) = JsonMethods.parseOpt(body) match {
+    server.createContext("/druid/v2/sql", sqlHandler { body =>
+      val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
+        JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
           val q = (o \ "query") match {
             case JString(s) => s
@@ -65,6 +83,13 @@ object HttpFacade {
             case JString(f) => f; case _ => "object"
           }
           val hdr = (o \ "header") match { case JBool(b) => b; case _ => false }
+          // SqlQuery.java:75-82 rejects type headers without the header row
+          val tHdr = (o \ "typesHeader") match { case JBool(b) => b; case _ => false }
+          val sHdr = (o \ "sqlTypesHeader") match { case JBool(b) => b; case _ => false }
+          if (tHdr && !hdr)
+            throw new IllegalStateException("Cannot include 'typesHeader' without 'header'")
+          if (sHdr && !hdr)
+            throw new IllegalStateException("Cannot include 'sqlTypesHeader' without 'header'")
           val ctx = (o \ "context") match { case c: JObject => c; case _ => JObject() }
           // typed positional parameters (SqlQuery.java `parameters`:
           // [{"type":"VARCHAR","value":...}, ...] bound to `?` in order)
@@ -80,8 +105,9 @@ object HttpFacade {
             }
             case _ => Nil
           }
-          (bindParameters(q, params), fmt, hdr, ctx)
-        case _ => (body, "object", false, JObject()) // bare SQL string body
+          (bindParameters(q, params), fmt, hdr, tHdr, sHdr, ctx)
+        case _ => // bare SQL string body
+          (body, "object", false, false, false, JObject())
       }
       // context-parameter validation (reference: QueryContexts.java —
       // maxNumericInFilters must be positive and may not exceed the
@@ -116,21 +142,25 @@ object HttpFacade {
       try {
         val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
         sqlText match {
-          case ExplainRe(inner) => renderRows(explainRows(spark, inner), Seq("PLAN", "RESOURCES"), format, header)
+          case ExplainRe(inner) => renderObjects(explainRows(spark, inner),
+            Seq(ColMeta("PLAN", Some("STRING"), "VARCHAR"),
+              ColMeta("RESOURCES", Some("STRING"), "VARCHAR")),
+            format, header, typesHeader, sqlTypesHeader)
           case _ => graft.sources.SqlInsertDml.parse(sqlText) match {
             case Some(_) =>
               // INSERT DML routes through the ingest path; where the reference
               // hands back an ingest task handle, this facade reports the
               // published row count (the write is synchronous here)
               val published = graft.sources.SqlInsertDml.run(spark, sqlText)
-              renderRows(Seq(JObject("inserted" -> JLong(published.count()))),
-                Seq("inserted"), format, header)
+              renderObjects(Seq(JObject("inserted" -> JLong(published.count()))),
+                Seq(ColMeta("inserted", Some("LONG"), "BIGINT")),
+                format, header, typesHeader, sqlTypesHeader)
             case None =>
               val df = spark.sql(sqlText)
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
               maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
-              render(df, format, header, maxResultRows)
+              render(df, format, header, typesHeader, sqlTypesHeader, maxResultRows)
           }
         }
       } finally prevAnsi match {
@@ -160,11 +190,7 @@ object HttpFacade {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             (200, f(body))
           }
-        } catch {
-          case e: Throwable =>
-            (500, JsonMethods.compact(JsonMethods.render(
-              JObject("error" -> JString(String.valueOf(e.getMessage))))))
-        }
+        } catch { case e: Throwable => queryError(e) }
       val bytes = payload.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
       ex.sendResponseHeaders(status, bytes.length)
@@ -173,12 +199,84 @@ object HttpFacade {
     }
   }
 
+  /** The SQL endpoint's wrapper: stamps X-Druid-SQL-Query-Id on EVERY
+    * response (SqlResource.java:75,173 — context.sqlQueryId when the client
+    * set one, a fresh id otherwise, including on errors: SqlResourceTest
+    * .testErrorResponseReturnSameQueryIdWhenSetInContext), serves the
+    * format's content type (ResultFormat.java:38-96 — array/object JSON,
+    * the Lines formats text/plain, csv text/csv), and renders failures as
+    * the reference's QueryException envelope. */
+  private def sqlHandler(f: String => String): HttpHandler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val body =
+        if (ex.getRequestMethod == "POST")
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        else ""
+      val parsed = JsonMethods.parseOpt(body)
+      val sqlQueryId = parsed.flatMap(o => (o \ "context" \ "sqlQueryId") match {
+        case JString(id) => Some(id); case _ => None
+      }).getOrElse(java.util.UUID.randomUUID().toString)
+      val format = parsed.flatMap(o => (o \ "resultFormat") match {
+        case JString(fmt) => Some(fmt); case _ => None
+      }).getOrElse("object")
+      val (status, payload, contentType) =
+        try {
+          if (ex.getRequestMethod != "POST")
+            (405, """{"error":"POST only"}""", "application/json")
+          else (200, f(body), format match {
+            case "objectLines" | "arrayLines" => "text/plain"
+            case "csv" => "text/csv"
+            case _ => "application/json"
+          })
+        } catch { case e: Throwable =>
+          val (s, p) = queryError(e); (s, p, "application/json")
+        }
+      val bytes = payload.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.getResponseHeaders.set("X-Druid-SQL-Query-Id", sqlQueryId)
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  }
+
+  /** Exceeding `maxResultRows` is the reference's "Resource limit exceeded"
+    * QueryException (ResourceLimitExceededException, HTTP 400). */
+  private[server] final class ResourceLimitExceededException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Map a failure to the reference's QueryException JSON — {error,
+    * errorMessage, errorClass, host} (QueryException.java) — with
+    * SqlPlanningException's error codes (SqlPlanningException.java:36-38:
+    * parse failures are "SQL parse failed" with the Calcite parser class,
+    * planning/validation failures "Plan validation failed") at HTTP 400
+    * (BadQueryException), and "Unknown exception" at 500 for the rest. */
+  private[server] def queryError(e: Throwable): (Int, String) = {
+    val (status, code, errorClass) = e match {
+      case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        (400, "SQL parse failed", "org.apache.calcite.sql.parser.SqlParseException")
+      case _: ResourceLimitExceededException =>
+        (400, "Resource limit exceeded",
+          "org.apache.druid.query.ResourceLimitExceededException")
+      case _: org.apache.spark.sql.AnalysisException =>
+        (400, "Plan validation failed", "org.apache.calcite.tools.ValidationException")
+      case _: IllegalArgumentException =>
+        (400, "Plan validation failed", "org.apache.calcite.tools.ValidationException")
+      case other => (500, "Unknown exception", other.getClass.getName)
+    }
+    (status, JsonMethods.compact(JsonMethods.render(JObject(
+      "error" -> JString(code),
+      "errorMessage" -> JString(String.valueOf(e.getMessage)),
+      "errorClass" -> JString(errorClass),
+      "host" -> JNull))))
+  }
+
   /** Materialize at most `maxRows` result rows as parsed JSON objects;
     * one row past the cap fails the request instead of OOMing the driver. */
   private def materialize(df: DataFrame, maxRows: Int): Seq[JObject] = {
     val objects = df.toJSON.limit(maxRows + 1).collect()
     if (objects.length > maxRows)
-      throw new IllegalStateException(s"result exceeds maxResultRows=$maxRows")
+      throw new ResourceLimitExceededException(s"result exceeds maxResultRows=$maxRows")
     objects.toSeq.map(o => JsonMethods.parse(o).asInstanceOf[JObject])
   }
 
@@ -344,35 +442,157 @@ object HttpFacade {
     JsonMethods.compact(JsonMethods.render(out))
   }
 
+  /** A result column's name plus its two header typings: the Druid type
+    * string (RowSignature asTypeString — None renders a null type, the
+    * reference's untypable-column case) and the SQL type name
+    * (RelDataType.getSqlTypeName). */
+  private[server] final case class ColMeta(name: String, druidType: Option[String],
+      sqlType: String)
+
+  /** Spark type → (Druid type string, SQL type name), the two header rows
+    * of ResultFormat writers. Timestamps are LONG/TIMESTAMP like the
+    * reference's __time (SqlResourceTest EXPECTED_TYPES/EXPECTED_SQL_TYPES);
+    * structs have no Druid type and SQL type ROW (SqlResourceTest
+    * .testArrayResultFormatWithHeader_nullColumnType). */
+  private[server] def colMeta(field: org.apache.spark.sql.types.StructField): ColMeta = {
+    import org.apache.spark.sql.types._
+    def druid(dt: DataType): Option[String] = dt match {
+      case StringType => Some("STRING")
+      case LongType | IntegerType | ShortType | ByteType | BooleanType |
+           TimestampType | TimestampNTZType | DateType => Some("LONG")
+      case FloatType => Some("FLOAT")
+      case DoubleType => Some("DOUBLE")
+      case _: DecimalType => Some("DOUBLE")
+      case ArrayType(e, _) => druid(e).map(t => s"ARRAY<$t>")
+      case BinaryType => Some("COMPLEX")
+      case _ => None
+    }
+    val sqlType = field.dataType match {
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case BooleanType => "BOOLEAN"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case _: DecimalType => "DECIMAL"
+      case StringType => "VARCHAR"
+      case _: ArrayType => "ARRAY"
+      case _: StructType => "ROW"
+      case _ => "OTHER"
+    }
+    ColMeta(field.name, druid(field.dataType), sqlType)
+  }
+
   private def render(df: DataFrame, format: String, header: Boolean,
-      maxRows: Int): String =
-    renderObjects(materialize(df, maxRows), df.columns.toSeq, format, header)
-
-  /** Render pre-built rows (used by EXPLAIN, which never touches a plan). */
-  private def renderRows(rows: Seq[JObject], cols: Seq[String], format: String,
-      header: Boolean): String = renderObjects(rows, cols, format, header)
-
-  private def renderObjects(parsed: Seq[JObject], cols: Seq[String],
-      format: String, header: Boolean): String = format match {
-    case "object" =>
-      // header=true prepends {"col": null, ...} for the object format too
-      // (ObjectWriter.writeHeader — every reference format writes a header)
-      val headerRow =
-        if (header) Seq(JObject(cols.toList.map(c => c -> (JNull: JValue)))) else Nil
-      JsonMethods.compact(JsonMethods.render(JArray((headerRow ++ parsed).toList)))
-    case "array" =>
-      // row arrays in column order, values taken from the object rendering;
-      // header=true prepends the column-name row (SqlResource's header)
-      val rows = parsed.map { o =>
-        JArray(cols.toList.map(c => o \ c match {
-          case JNothing => JNull // toJSON omits null cells
+      typesHeader: Boolean, sqlTypesHeader: Boolean, maxRows: Int): String = {
+    import org.apache.spark.sql.types.TimestampType
+    val metas = df.schema.fields.toSeq.map(colMeta)
+    // timestamp cells render Druid-style ISO millis ("2000-01-01T00:00:00
+    // .000Z" — SqlResourceTest.testTimestampsInResponse), not Spark's
+    // variable-precision JSON rendering
+    val tsCols = df.schema.fields.collect {
+      case f if f.dataType == TimestampType => f.name
+    }.toSet
+    // toJSON drops null cells; the reference's object rows carry every
+    // column explicitly (ObjectWriter.writeRowField is called per column),
+    // so rebuild each row over the full schema, nulls included
+    val rows = materialize(df, maxRows).map { o =>
+      JObject(metas.toList.map { m =>
+        m.name -> (o \ m.name match {
+          case JNothing => JNull
+          case v if tsCols(m.name) => isoMillis(v)
           case v => v
-        }))
-      }
-      val withHeader =
-        if (header) JArray(cols.toList.map(JString(_))) +: rows else rows
-      JsonMethods.compact(JsonMethods.render(JArray(withHeader.toList)))
-    case other => throw new IllegalArgumentException(s"resultFormat: $other")
+        })
+      })
+    }
+    renderObjects(rows, metas, format, header, typesHeader, sqlTypesHeader)
+  }
+
+  /** Render result rows in one of ResultFormat.java's five formats, with
+    * the writers' exact header and termination shapes. */
+  private[server] def renderObjects(parsed: Seq[JObject], metas: Seq[ColMeta],
+      format: String, header: Boolean, typesHeader: Boolean,
+      sqlTypesHeader: Boolean): String = {
+    val cols = metas.map(_.name)
+    // ObjectWriter.writeHeader: {"col": null, ...} bare, or {"col":
+    // {"type": ..., "sqlType": ...}, ...} when type headers are requested
+    def headerObj: JObject =
+      if (!typesHeader && !sqlTypesHeader)
+        JObject(cols.toList.map(c => c -> (JNull: JValue)))
+      else JObject(metas.toList.map { m =>
+        val fields =
+          (if (typesHeader)
+            List("type" -> m.druidType.fold(JNull: JValue)(JString(_))) else Nil) ++
+          (if (sqlTypesHeader) List("sqlType" -> (JString(m.sqlType): JValue)) else Nil)
+        m.name -> (JObject(fields): JValue)
+      })
+    // ArrayWriter.writeHeader: a names row, then a Druid-types row iff
+    // typesHeader, then a SQL-types row iff sqlTypesHeader
+    def arrayHeaderRows: Seq[JValue] =
+      Seq(JArray(cols.toList.map(JString(_): JValue))) ++
+      (if (typesHeader)
+        Seq(JArray(metas.toList.map(_.druidType.fold(JNull: JValue)(JString(_))))) else Nil) ++
+      (if (sqlTypesHeader)
+        Seq(JArray(metas.toList.map(m => JString(m.sqlType): JValue))) else Nil)
+    def rowArray(o: JObject): JValue =
+      JArray(cols.toList.map(c => o \ c match {
+        case JNothing => JNull // toJSON omits null cells
+        case v => v
+      }))
+    def jsonLine(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+    format match {
+      case "object" =>
+        val headerRow = if (header) Seq(headerObj: JValue) else Nil
+        // writeResponseEnd terminates the array with LF (ObjectWriter.java:63)
+        jsonLine(JArray((headerRow ++ parsed).toList)) + "\n"
+      case "array" =>
+        val withHeader =
+          (if (header) arrayHeaderRows else Nil) ++ parsed.map(rowArray)
+        jsonLine(JArray(withHeader.toList)) + "\n"
+      case "objectLines" | "arrayLines" =>
+        // one JSON value per LF-terminated line; writeResponseEnd adds the
+        // blank trailer line (ObjectLinesWriter/ArrayLinesWriter)
+        val lines =
+          if (format == "objectLines")
+            (if (header) Seq(headerObj: JValue) else Nil) ++ parsed
+          else (if (header) arrayHeaderRows else Nil) ++ parsed.map(rowArray)
+        lines.map(l => jsonLine(l) + "\n").mkString + "\n"
+      case "csv" =>
+        val headerLines: Seq[String] =
+          if (!header) Nil
+          else Seq(cols.map(csvField).mkString(",")) ++
+            (if (typesHeader)
+              Seq(metas.map(_.druidType.fold("")(csvField)).mkString(",")) else Nil) ++
+            (if (sqlTypesHeader)
+              Seq(metas.map(m => csvField(m.sqlType)).mkString(",")) else Nil)
+        val dataLines = parsed.map(o => csvRow(o, cols))
+        // like the Lines formats, a blank trailer line ends the response
+        (headerLines ++ dataLines).map(_ + "\n").mkString + "\n"
+      case other => throw new IllegalArgumentException(s"resultFormat: $other")
+    }
+  }
+
+  /** RFC-4180-ish quoting (the reference's opencsv CSVWriter defaults):
+    * quote a field only when it contains a quote, comma, or newline; double
+    * embedded quotes. */
+  private def csvField(s: String): String =
+    if (s.exists(c => c == '"' || c == ',' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  private def csvRow(o: JObject, cols: Seq[String]): String = {
+    val vals = cols.map(c => o \ c match {
+      case JNothing | JNull => "" // "CSV cannot differentiate null and empty string"
+      case JString(s) => s
+      case v => JsonMethods.compact(JsonMethods.render(v))
+    })
+    // CsvWriter.writeRowEnd: a single-empty-field row is written quoted so
+    // users can't confuse it with the blank trailer line
+    if (vals.length == 1 && vals.head.isEmpty) "\"\""
+    else vals.map(csvField).mkString(",")
   }
 
   /** `EXPLAIN PLAN FOR <sql>`: one row with PLAN + RESOURCES VARCHAR columns

@@ -232,8 +232,11 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert(ok == 200 && small.asInstanceOf[JArray].arr.size == 3)
       val (status, err) = post(facade.port, "/druid/v2/sql",
         """{"query": "SELECT n_name FROM nation"}""")
-      assert(status == 500)
-      assert((err \ "error").asInstanceOf[JString].s.contains("maxResultRows"))
+      // the reference's ResourceLimitExceededException surface: QueryException
+      // JSON at HTTP 400 (SqlResourceTest.testResourceLimitExceeded)
+      assert(status == 400)
+      assert((err \ "error") == JString("Resource limit exceeded"))
+      assert((err \ "errorMessage").asInstanceOf[JString].s.contains("maxResultRows"))
     } finally facade.stop()
   }
 
@@ -320,12 +323,14 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
-  test("errors surface as JSON with status 500") {
+  test("errors surface as QueryException JSON (QueryResource: bad native query → 400)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
       val (status, json) = post(facade.port, "/druid/v2", """{"queryType": "nope"}""")
-      assert(status == 500)
+      assert(status == 400)
       assert((json \ "error").isInstanceOf[JString])
+      assert((json \ "errorMessage").isInstanceOf[JString])
+      assert((json \ "host") == JNull)
     } finally facade.stop()
   }
 }

@@ -1,0 +1,332 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.server.HttpFacade
+import graft.sources.Sources
+
+/** SqlResourceTest golden tranche — the reference's SQL HTTP surface
+  * (sql/src/test/.../http/SqlResourceTest.java): the five ResultFormats with
+  * their exact header and termination bytes, the QueryException error
+  * envelope, and the X-Druid-SQL-Query-Id response header.
+  *
+  * Fixture: the first two RAW_ROWS1 rows of the reference's `foo`
+  * (CalciteTests.java:417-528), minus unique_dim1 (a Druid hyperUnique
+  * complex column — segment-level state with no table-column analog here).
+  * Queries alias the computed column to EXPR$8 explicitly where Calcite
+  * auto-names it.
+  *
+  * Documented renderings where the engines' column typing differs:
+  * multi-value dim3 is a real ARRAY<STRING> column on this engine, so rows
+  * carry JSON arrays (and type headers say ARRAY<STRING>/ARRAY) where Druid
+  * SQL stringifies MV values and types them STRING/VARCHAR; a ROW value
+  * renders as Spark's field-named object rather than Calcite's positional
+  * array — the header typing (null Druid type, SQL type ROW) matches.
+  */
+class SqlResourceGoldenSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val foo: DataFrame = Seq(
+    (ts("2000-01-01 00:00:00"), 1L, "",     Option("a"), Seq("a", "b"), 1.0f, 1.0),
+    (ts("2000-01-02 00:00:00"), 1L, "10.1", None,        Seq("b", "c"), 2.0f, 2.0)
+  ).toDF("__time", "cnt", "dim1", "dim2", "dim3", "m1", "m2")
+
+  /** POST a SqlQuery body; returns (status, raw body, X-Druid-SQL-Query-Id). */
+  private def post(port: Int, body: String): (Int, String, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2/sql"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body(),
+      resp.headers().firstValue("X-Druid-SQL-Query-Id").orElse(""))
+  }
+
+  private def withFacade[A](f: Int => A): A = {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try f(facade.port) finally facade.stop()
+  }
+
+  // the result-format family's shared query (SqlResourceTest.java:531) —
+  // EXPR$8 aliased explicitly (Spark names expression columns differently)
+  private val StarQuery =
+    "SELECT *, CASE dim2 WHEN '' THEN dim2 END AS `EXPR$8` " +
+      "FROM foo ORDER BY __time LIMIT 2"
+
+  private val Row1Obj =
+    """{"__time":"2000-01-01T00:00:00.000Z","cnt":1,"dim1":"","dim2":"a",""" +
+      """"dim3":["a","b"],"m1":1.0,"m2":1.0,"EXPR$8":null}"""
+  private val Row2Obj =
+    """{"__time":"2000-01-02T00:00:00.000Z","cnt":1,"dim1":"10.1","dim2":null,""" +
+      """"dim3":["b","c"],"m1":2.0,"m2":2.0,"EXPR$8":null}"""
+  private val Row1Arr =
+    """["2000-01-01T00:00:00.000Z",1,"","a",["a","b"],1.0,1.0,null]"""
+  private val Row2Arr =
+    """["2000-01-02T00:00:00.000Z",1,"10.1",null,["b","c"],2.0,2.0,null]"""
+
+  // SqlResourceTest.java:120-127 minus unique_dim1; dim3 typed honestly
+  private val HeaderNames =
+    """["__time","cnt","dim1","dim2","dim3","m1","m2","EXPR$8"]"""
+  private val HeaderTypes =
+    """["LONG","LONG","STRING","STRING","ARRAY<STRING>","FLOAT","DOUBLE","STRING"]"""
+  private val HeaderSqlTypes =
+    """["TIMESTAMP","BIGINT","VARCHAR","VARCHAR","ARRAY","FLOAT","DOUBLE","VARCHAR"]"""
+
+  test("testCountStar (SqlResourceTest.java:336)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt, 'foo' AS a FROM foo"}""")
+      assert(status == 200)
+      assert(body == """[{"cnt":2,"a":"foo"}]""" + "\n")
+    }
+  }
+
+  test("testTimestampsInResponse (:374) — ISO millis UTC") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT __time, CAST(__time AS DATE) AS t2 FROM foo ORDER BY __time LIMIT 1"}""")
+      assert(status == 200)
+      val row = JsonMethods.parse(body).asInstanceOf[JArray].arr.head
+      assert((row \ "__time") == JString("2000-01-01T00:00:00.000Z"))
+    }
+  }
+
+  test("testFieldAliasingSelect (:474) — duplicate aliases both render") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT dim2 AS x, dim2 AS y FROM foo WHERE dim2 = 'a' LIMIT 1"}""")
+      assert(status == 200)
+      assert(body == """[{"x":"a","y":"a"}]""" + "\n")
+    }
+  }
+
+  test("testArrayResultFormat (:530)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "array"}""")
+      assert(status == 200)
+      assert(body == s"[$Row1Arr,$Row2Arr]\n")
+    }
+  }
+
+  test("testArrayResultFormatWithHeader (:638) — names + types + sqlTypes rows") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "array",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      assert(body ==
+        s"[$HeaderNames,$HeaderTypes,$HeaderSqlTypes,$Row1Arr,$Row2Arr]\n")
+    }
+  }
+
+  test("testArrayResultFormatWithHeader_nullColumnType (:679) — ROW: null Druid type") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT struct(1, 2) AS `EXPR$0`",
+            "resultFormat": "array",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      val rows = JsonMethods.parse(body).asInstanceOf[JArray].arr
+      assert(rows(0) == JArray(List(JString("EXPR$0"))))
+      assert(rows(1) == JArray(List(JNull)))          // no Druid type
+      assert(rows(2) == JArray(List(JString("ROW")))) // SQL type ROW
+      // value: Spark renders the ROW with field names (reference: positional)
+      assert((rows(3).asInstanceOf[JArray].arr.head \ "col1") == JInt(1))
+    }
+  }
+
+  test("testArrayLinesResultFormat (:703) — 4 lines, blank-line trailer") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "arrayLines"}""")
+      assert(status == 200)
+      assert(body.split("\n", -1).toSeq == Seq(Row1Arr, Row2Arr, "", ""))
+    }
+  }
+
+  test("testArrayLinesResultFormatWithHeader (:748) — 7 lines") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "arrayLines",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      assert(body.split("\n", -1).toSeq ==
+        Seq(HeaderNames, HeaderTypes, HeaderSqlTypes, Row1Arr, Row2Arr, "", ""))
+    }
+  }
+
+  test("testObjectResultFormat (:824) — nulls carried explicitly") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "object"}""")
+      assert(status == 200)
+      assert(body == s"[$Row1Obj,$Row2Obj]\n")
+    }
+  }
+
+  test("testObjectLinesResultFormat (:870)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "objectLines"}""")
+      assert(status == 200)
+      assert(body.split("\n", -1).toSeq == Seq(Row1Obj, Row2Obj, "", ""))
+    }
+  }
+
+  test("testObjectLinesResultFormatWithMinimalHeader (:927) — {col: null} header") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "objectLines", "header": true}""")
+      assert(status == 200)
+      val lines = body.split("\n", -1).toSeq
+      assert(lines.length == 5)
+      val expectedHeader = JObject(List("__time", "cnt", "dim1", "dim2",
+        "dim3", "m1", "m2", "EXPR$8").map(_ -> (JNull: JValue)))
+      assert(JsonMethods.parse(lines.head) == expectedHeader)
+      assert(lines(1) == Row1Obj && lines(2) == Row2Obj)
+      assert(lines(3) == "" && lines(4) == "")
+    }
+  }
+
+  test("testObjectLinesResultFormatWithFullHeader (:987) — {type, sqlType} per column") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "objectLines",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      val lines = body.split("\n", -1).toSeq
+      assert(lines.length == 5)
+      val header = JsonMethods.parse(lines.head)
+      assert((header \ "cnt") ==
+        JObject("type" -> JString("LONG"), "sqlType" -> JString("BIGINT")))
+      assert((header \ "__time") ==
+        JObject("type" -> JString("LONG"), "sqlType" -> JString("TIMESTAMP")))
+      assert((header \ "m1") ==
+        JObject("type" -> JString("FLOAT"), "sqlType" -> JString("FLOAT")))
+    }
+  }
+
+  test("testObjectLinesResultFormatWithFullHeader_nullColumnType (:1053)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT struct(1, 2) AS `EXPR$0`",
+            "resultFormat": "objectLines",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      val header = JsonMethods.parse(body.split("\n", -1).head)
+      assert((header \ "EXPR$0") ==
+        JObject("type" -> JNull, "sqlType" -> JString("ROW")))
+    }
+  }
+
+  test("testCsvResultFormat (:1082) — RFC-4180 quoting, blank-line trailer") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "csv"}""")
+      assert(status == 200)
+      assert(body.split("\n", -1).toSeq == Seq(
+        """2000-01-01T00:00:00.000Z,1,,a,"[""a"",""b""]",1.0,1.0,""",
+        """2000-01-02T00:00:00.000Z,1,10.1,,"[""b"",""c""]",2.0,2.0,""",
+        "", ""))
+    }
+  }
+
+  test("testCsvResultFormatWithHeaders (:1104)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "csv",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      val lines = body.split("\n", -1).toSeq
+      assert(lines.take(3) == Seq(
+        "__time,cnt,dim1,dim2,dim3,m1,m2,EXPR$8",
+        "LONG,LONG,STRING,STRING,ARRAY<STRING>,FLOAT,DOUBLE,STRING",
+        "TIMESTAMP,BIGINT,VARCHAR,VARCHAR,ARRAY,FLOAT,DOUBLE,VARCHAR"))
+      assert(lines(3).startsWith("2000-01-01T00:00:00.000Z,1,,a,"))
+    }
+  }
+
+  test("testCsvResultFormatWithHeaders_nullColumnType (:1129) — empty type cell") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT struct(1, 2) AS `EXPR$0`", "resultFormat": "csv",
+            "header": true, "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      assert(body.split("\n", -1).take(3).toSeq == Seq("EXPR$0", "", "ROW"))
+    }
+  }
+
+  test("testCannotParse (:1182) — 'SQL parse failed' QueryException at 400") {
+    withFacade { port =>
+      // the reference posts "FROM druid.foo"; Spark's grammar accepts the
+      // Hive FROM-first form, so an unambiguously unparsable string stands
+      // in to exercise the same parse-error surface
+      val (status, body, _) = post(port, """{"query": "SELECT COUNT(*) FRM foo"}""")
+      assert(status == 400)
+      val err = JsonMethods.parse(body)
+      // SqlPlanningException.PlanningError.SQL_PARSE_ERROR's code + class
+      assert((err \ "error") == JString("SQL parse failed"))
+      assert((err \ "errorClass") ==
+        JString("org.apache.calcite.sql.parser.SqlParseException"))
+      assert((err \ "host") == JNull)
+      assert((err \ "errorMessage").isInstanceOf[JString])
+    }
+  }
+
+  test("testCannotValidate (:1197) — unknown column is 'Plan validation failed'") {
+    withFacade { port =>
+      val (status, body, _) = post(port, """{"query": "SELECT dim4 FROM foo"}""")
+      assert(status == 400)
+      val err = JsonMethods.parse(body)
+      assert((err \ "error") == JString("Plan validation failed"))
+      assert((err \ "errorClass") ==
+        JString("org.apache.calcite.tools.ValidationException"))
+      assert((err \ "errorMessage").asInstanceOf[JString].s.contains("dim4"))
+    }
+  }
+
+  test("testErrorResponseReturnSameQueryIdWhenSetInContext (:1296)") {
+    withFacade { port =>
+      val (status, _, queryId) = post(port,
+        """{"query": "SELECT A ORDER BY 1", "context": {"sqlQueryId": "id123"}}""")
+      assert(status != 200)
+      assert(queryId == "id123")
+    }
+  }
+
+  test("testErrorResponseReturnNewQueryIdWhenNotSetInContext (:1314)") {
+    withFacade { port =>
+      val (status, _, queryId) = post(port, """{"query": "SELECT A ORDER BY 1"}""")
+      assert(status != 200)
+      assert(queryId.nonEmpty)
+    }
+  }
+
+  test("success responses also carry X-Druid-SQL-Query-Id (SqlResource.java:173)") {
+    withFacade { port =>
+      val (status, _, queryId) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt FROM foo", "context": {"sqlQueryId": "ok1"}}""")
+      assert(status == 200)
+      assert(queryId == "ok1")
+    }
+  }
+
+  test("typesHeader without header is rejected (SqlQuery.java:75-82)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        s"""{"query": "$StarQuery", "resultFormat": "array", "typesHeader": true}""")
+      assert(status == 500)
+      assert(JsonMethods.parse(body) \ "errorMessage" ==
+        JString("Cannot include 'typesHeader' without 'header'"))
+    }
+  }
+}
