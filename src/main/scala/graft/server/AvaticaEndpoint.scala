@@ -1,0 +1,421 @@
+package graft.server
+
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's SECOND SQL transport: the Avatica JDBC endpoint
+  * (sql/.../avatica/DruidAvaticaJsonHandler.java:38 serves Calcite
+  * Avatica's JSON-RPC at `/druid/v2/sql/avatica/`; DruidMeta.java is the
+  * Meta implementation behind it). This is a dependency-free re-expression
+  * of the protocol subset a JDBC client exercises — the Avatica remote
+  * JSON wire format is public Calcite surface (Service.java request/
+  * response classes):
+  *
+  *   openConnection / closeConnection / connectionSync
+  *   createStatement / closeStatement
+  *   prepareAndExecute / prepare / execute / fetch
+  *   getCatalogs / getSchemas / getTables / getColumns / getTableTypes
+  *   databaseProperty
+  *
+  * Results carry Avatica's wire representations: LIST cursor rows as
+  * positional arrays, TIMESTAMP cells as epoch millis, DATE cells as epoch
+  * days (Avatica ColumnMetaData.Rep). Connection/statement caps mirror
+  * AvaticaServerConfig defaults (25 connections, 4 statements each —
+  * DruidMeta.java:754 "Too many connections, limit is[%,d] per broker",
+  * DruidConnection.java:92 "Too many open statements, limit is[%,d]"), and
+  * results stream in frames of `maxRowsPerFrame` continued by fetch calls
+  * (AvaticaServerConfig.maxRowsPerFrame).
+  */
+final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
+    maxConnections: Int = 25, maxStatementsPerConnection: Int = 4,
+    maxRowsPerFrame: Int = 5000, maxResultRows: Int = 100000) {
+
+  private final case class Statement(id: Int, var sql: Option[String],
+      var metas: Seq[HttpFacade.ColMeta] = Nil,
+      var rows: IndexedSeq[JValue] = Vector.empty, var fetched: Boolean = false)
+
+  private final class Connection {
+    val statements = TrieMap.empty[Int, Statement]
+    val statementCounter = new AtomicInteger(0)
+  }
+
+  private val connections = TrieMap.empty[String, Connection]
+
+  private def rpcMetadata: JField =
+    "rpcMetadata" -> JObject("response" -> JString("rpcMetadata"),
+      "serverAddress" -> JString(serverAddress))
+
+  def handle(body: String): String = {
+    val req = JsonMethods.parse(body)
+    def str(k: String): String = (req \ k) match {
+      case JString(s) => s; case _ => ""
+    }
+    def num(k: String, default: Long = -1L): Long = (req \ k) match {
+      case JInt(n) => n.toLong; case JLong(n) => n
+      case JDouble(d) => d.toLong; case _ => default
+    }
+    val out: JObject =
+      try {
+        str("request") match {
+          case "openConnection" => openConnection(str("connectionId"))
+          case "closeConnection" =>
+            connections.remove(str("connectionId"))
+            JObject("response" -> JString("closeConnection"), rpcMetadata)
+          case "connectionSync" =>
+            JObject("response" -> JString("connectionSync"),
+              "connProps" -> (req \ "connProps"), rpcMetadata)
+          case "createStatement" =>
+            val cid = str("connectionId")
+            val st = newStatement(cid)
+            JObject("response" -> JString("createStatement"),
+              "connectionId" -> JString(cid), "statementId" -> JInt(st.id),
+              rpcMetadata)
+          case "closeStatement" =>
+            connection(str("connectionId")).statements.remove(num("statementId").toInt)
+            JObject("response" -> JString("closeStatement"), rpcMetadata)
+          case "prepareAndExecute" =>
+            val cid = str("connectionId")
+            val st = connection(cid).statements.getOrElse(num("statementId").toInt,
+              throw new IllegalStateException(s"Statement not found"))
+            runSql(st, str("sql"))
+            executeResults(cid, st, num("maxRowsInFirstFrame", maxRowsPerFrame).toInt)
+          case "prepare" =>
+            val cid = str("connectionId")
+            val st = newStatement(cid)
+            st.sql = Some(str("sql"))
+            // signature without executing: analyze the plan only. A
+            // parameterized statement can't be analyzed until its `?`s are
+            // bound (DruidStatement defers the same way), so the signature
+            // stays empty until execute
+            st.metas =
+              try signatureOf(st.sql.get)
+              catch { case _: Exception => Nil }
+            JObject("response" -> JString("prepare"),
+              "statement" -> JObject(
+                "connectionId" -> JString(cid), "id" -> JInt(st.id),
+                "signature" -> signatureJson(st)),
+              rpcMetadata)
+          case "execute" =>
+            val handle = req \ "statementHandle"
+            val cid = (handle \ "connectionId") match {
+              case JString(s) => s; case _ => ""
+            }
+            val sid = (handle \ "id") match {
+              case JInt(n) => n.toInt; case JLong(n) => n.toInt; case _ => -1
+            }
+            val st = connection(cid).statements.getOrElse(sid,
+              throw new IllegalStateException("Statement not found"))
+            val params = (req \ "parameterValues") match {
+              case JArray(ps) => ps.map { p =>
+                ((p \ "type") match {
+                  case JString(t) => avaticaParamType(t); case _ => "VARCHAR"
+                }, p \ "value")
+              }
+              case _ => Nil
+            }
+            runSql(st, HttpFacade.bindParameters(
+              st.sql.getOrElse(throw new IllegalStateException("not prepared")), params))
+            executeResults(cid, st, num("maxRowsInFirstFrame", maxRowsPerFrame).toInt)
+          case "fetch" =>
+            val st = connection(str("connectionId")).statements
+              .getOrElse(num("statementId").toInt,
+                throw new IllegalStateException("Statement not found"))
+            val offset = num("offset", 0L).toInt
+            val n = math.min(num("fetchMaxRowCount", maxRowsPerFrame).toInt
+              match { case x if x < 0 => maxRowsPerFrame; case x => x }, maxRowsPerFrame)
+            JObject("response" -> JString("fetch"),
+              "connectionId" -> JString(str("connectionId")),
+              "statementId" -> JInt(st.id),
+              "frame" -> frame(st, offset, n), rpcMetadata)
+          case "getCatalogs" => metaResult(str("connectionId"),
+            Seq("TABLE_CAT"), Seq(Seq(JString("druid"))))
+          case "getSchemas" =>
+            val pattern = likeRe((req \ "schemaPattern" \ "s") match {
+              case JString(s) => s
+              case _ => (req \ "schemaPattern") match {
+                case JString(s) => s; case _ => "%"
+              }
+            })
+            // the reference's schema set (information_schema/druid/sys);
+            // TABLE_CATALOG is the fixed "druid" catalog
+            val schemas = Seq("druid", "information_schema", "sys")
+              .filter(s => pattern.matches(s)).sorted
+            metaResult(str("connectionId"), Seq("TABLE_SCHEM", "TABLE_CATALOG"),
+              schemas.map(s => Seq(JString(s), JString("druid"))))
+          case "getTables" =>
+            val pattern = likeRe((req \ "tableNamePattern" \ "s") match {
+              case JString(s) => s
+              case _ => (req \ "tableNamePattern") match {
+                case JString(s) => s; case _ => "%"
+              }
+            })
+            val tables = spark.catalog.listTables().collect()
+              .map(_.name).filter(pattern.matches).sorted.toSeq
+            metaResult(str("connectionId"),
+              Seq("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE"),
+              tables.map(t => Seq(JString("druid"), JString("druid"),
+                JString(t), JString("TABLE"))))
+          case "getColumns" =>
+            val tablePattern = likeRe((req \ "tableNamePattern" \ "s") match {
+              case JString(s) => s
+              case _ => (req \ "tableNamePattern") match {
+                case JString(s) => s; case _ => "%"
+              }
+            })
+            val tables = spark.catalog.listTables().collect()
+              .map(_.name).filter(tablePattern.matches).sorted.toSeq
+            val rows = tables.flatMap { t =>
+              spark.table(t).schema.fields.zipWithIndex.map { case (f, i) =>
+                val (jdbcId, typeName) = jdbcType(f.dataType)
+                Seq(JString("druid"), JString("druid"), JString(t),
+                  JString(f.name), JInt(jdbcId), JString(typeName),
+                  JInt(i + 1), JString(if (f.nullable) "YES" else "NO"))
+              }
+            }
+            metaResult(str("connectionId"),
+              Seq("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
+                "DATA_TYPE", "TYPE_NAME", "ORDINAL_POSITION", "IS_NULLABLE"),
+              rows)
+          case "getTableTypes" => metaResult(str("connectionId"),
+            Seq("TABLE_TYPE"), Seq(Seq(JString("TABLE"))))
+          case "databaseProperty" =>
+            JObject("response" -> JString("databaseProperty"),
+              "map" -> JObject(), rpcMetadata)
+          case other =>
+            throw new IllegalArgumentException(s"unsupported request: $other")
+        }
+      } catch { case e: Throwable =>
+        JObject("response" -> JString("error"),
+          "exceptions" -> JArray(List(JString(String.valueOf(e.getMessage)))),
+          "errorMessage" -> JString(String.valueOf(e.getMessage)),
+          "errorCode" -> JInt(-1), "sqlState" -> JString("00000"),
+          "severity" -> JString("ERROR"), rpcMetadata)
+      }
+    JsonMethods.compact(JsonMethods.render(out))
+  }
+
+  // ---- connections / statements ----
+
+  private def connection(id: String): Connection =
+    connections.getOrElse(id,
+      throw new IllegalStateException(s"Connection[$id] not open"))
+
+  private def openConnection(id: String): JObject = {
+    if (connections.size >= maxConnections && !connections.contains(id))
+      throw new IllegalStateException(
+        s"Too many connections, limit is[$maxConnections] per broker")
+    if (connections.putIfAbsent(id, new Connection).isDefined)
+      throw new IllegalStateException(s"Connection[$id] already open.")
+    JObject("response" -> JString("openConnection"), rpcMetadata)
+  }
+
+  private def newStatement(cid: String): Statement = {
+    val conn = connection(cid)
+    conn.synchronized {
+      if (conn.statements.size >= maxStatementsPerConnection)
+        throw new IllegalStateException(
+          s"Too many open statements, limit is[$maxStatementsPerConnection]")
+      val st = Statement(conn.statementCounter.incrementAndGet(), None)
+      conn.statements.put(st.id, st)
+      st
+    }
+  }
+
+  // ---- SQL execution (the same lenient planning surface as /druid/v2/sql) ----
+
+  private def plan(sqlText: String): Either[Seq[JObject], DataFrame] = {
+    graft.functions.GraftSqlFunctions.register(spark)
+    val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
+      sqlText match {
+        case ExplainRe(inner) => Left(HttpFacade.explainRows(spark, inner))
+        case _ => Right(spark.sql(sqlText))
+      }
+    } finally prevAnsi match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  private val explainMetas = Seq(
+    HttpFacade.ColMeta("PLAN", Some("STRING"), "VARCHAR"),
+    HttpFacade.ColMeta("RESOURCES", Some("STRING"), "VARCHAR"))
+
+  private def signatureOf(sqlText: String): Seq[HttpFacade.ColMeta] =
+    plan(sqlText) match {
+      case Left(_) => explainMetas
+      case Right(df) => df.schema.fields.toSeq.map(HttpFacade.colMeta)
+    }
+
+  private def runSql(st: Statement, sqlText: String): Unit = {
+    st.sql = Some(sqlText)
+    plan(sqlText) match {
+      case Left(explain) =>
+        st.metas = explainMetas
+        st.rows = explain.toIndexedSeq.map(o =>
+          JArray(List(o \ "PLAN", o \ "RESOURCES")))
+      case Right(df) =>
+        st.metas = df.schema.fields.toSeq.map(HttpFacade.colMeta)
+        val collected = df.limit(maxResultRows + 1).collect()
+        if (collected.length > maxResultRows)
+          throw new IllegalStateException(s"result exceeds maxResultRows=$maxResultRows")
+        val fields = df.schema.fields
+        st.rows = collected.toIndexedSeq.map { r =>
+          JArray(fields.indices.toList.map(i => cell(r.get(i), fields(i).dataType)))
+        }
+    }
+  }
+
+  /** Avatica wire reps: TIMESTAMP → epoch millis, DATE → epoch days,
+    * everything else its JSON value (ColumnMetaData.Rep serialization). */
+  private def cell(v: Any, dt: DataType): JValue = v match {
+    case null => JNull
+    case ts: java.sql.Timestamp => JLong(ts.getTime)
+    case ts: java.time.LocalDateTime =>
+      JLong(ts.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case d: java.sql.Date => JLong(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => JLong(d.toEpochDay)
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case n: Byte => JInt(n.toInt)
+    case n: Short => JInt(n.toInt)
+    case n: Int => JInt(n)
+    case n: Long => JLong(n)
+    case n: Float => JDouble(n.toDouble)
+    case n: Double => JDouble(n)
+    case n: java.math.BigDecimal => JDecimal(BigDecimal(n))
+    case bytes: Array[Byte] =>
+      JString(java.util.Base64.getEncoder.encodeToString(bytes))
+    case seq: scala.collection.Seq[_] =>
+      val et = dt match { case ArrayType(e, _) => e; case _ => NullType }
+      JArray(seq.toList.map(cell(_, et)))
+    case other => JString(other.toString)
+  }
+
+  // ---- response shapes ----
+
+  private def executeResults(cid: String, st: Statement, firstFrameRows: Int): JObject = {
+    val n = math.min(if (firstFrameRows < 0) maxRowsPerFrame else firstFrameRows,
+      maxRowsPerFrame)
+    JObject("response" -> JString("executeResults"),
+      "missingStatement" -> JBool(false), rpcMetadata,
+      "results" -> JArray(List(resultSet(cid, st, n))))
+  }
+
+  private def resultSet(cid: String, st: Statement, firstFrameRows: Int): JObject =
+    JObject("response" -> JString("resultSet"),
+      "connectionId" -> JString(cid), "statementId" -> JInt(st.id),
+      "ownStatement" -> JBool(true),
+      "signature" -> signatureJson(st),
+      "firstFrame" -> frame(st, 0, firstFrameRows),
+      "updateCount" -> JLong(-1L), rpcMetadata)
+
+  private def frame(st: Statement, offset: Int, n: Int): JObject = {
+    val slice = st.rows.slice(offset, offset + n)
+    JObject("offset" -> JInt(offset),
+      "done" -> JBool(offset + slice.length >= st.rows.length),
+      "rows" -> JArray(slice.toList))
+  }
+
+  private def signatureJson(st: Statement): JObject =
+    JObject(
+      "columns" -> JArray(st.metas.zipWithIndex.toList.map { case (m, i) =>
+        columnMetaData(m, i)
+      }),
+      "sql" -> st.sql.fold(JNull: JValue)(JString(_)),
+      "parameters" -> JArray(Nil),
+      "cursorFactory" -> JObject("style" -> JString("LIST"),
+        "clazz" -> JNull, "fieldNames" -> JNull),
+      "statementType" -> JString("SELECT"))
+
+  /** Avatica ColumnMetaData JSON for a result column. */
+  private def columnMetaData(m: HttpFacade.ColMeta, ordinal: Int): JObject = {
+    val (id, name, rep, clazz) = m.sqlType match {
+      case "TIMESTAMP" => (93, "TIMESTAMP", "JAVA_SQL_TIMESTAMP", "java.sql.Timestamp")
+      case "DATE" => (91, "DATE", "JAVA_SQL_DATE", "java.sql.Date")
+      case "BIGINT" => (-5, "BIGINT", "PRIMITIVE_LONG", "java.lang.Long")
+      case "INTEGER" => (4, "INTEGER", "PRIMITIVE_INT", "java.lang.Integer")
+      case "SMALLINT" => (5, "SMALLINT", "PRIMITIVE_SHORT", "java.lang.Short")
+      case "TINYINT" => (-6, "TINYINT", "PRIMITIVE_BYTE", "java.lang.Byte")
+      case "BOOLEAN" => (16, "BOOLEAN", "PRIMITIVE_BOOLEAN", "java.lang.Boolean")
+      case "FLOAT" => (6, "FLOAT", "PRIMITIVE_FLOAT", "java.lang.Float")
+      case "DOUBLE" => (8, "DOUBLE", "PRIMITIVE_DOUBLE", "java.lang.Double")
+      case "DECIMAL" => (3, "DECIMAL", "NUMBER", "java.math.BigDecimal")
+      case "VARCHAR" => (12, "VARCHAR", "STRING", "java.lang.String")
+      case "ARRAY" => (2003, "ARRAY", "OBJECT", "java.util.List")
+      case _ => (1111, "OTHER", "OBJECT", "java.lang.Object")
+    }
+    JObject(
+      "ordinal" -> JInt(ordinal),
+      "autoIncrement" -> JBool(false), "caseSensitive" -> JBool(true),
+      "searchable" -> JBool(false), "currency" -> JBool(false),
+      "nullable" -> JInt(1), "signed" -> JBool(true),
+      "displaySize" -> JInt(-1),
+      "label" -> JString(m.name), "columnName" -> JString(m.name),
+      "schemaName" -> JNull, "precision" -> JInt(0), "scale" -> JInt(0),
+      "tableName" -> JNull, "catalogName" -> JNull,
+      "type" -> JObject("type" -> JString("scalar"), "id" -> JInt(id),
+        "name" -> JString(name), "rep" -> JString(rep)),
+      "readOnly" -> JBool(true), "writable" -> JBool(false),
+      "definitelyWritable" -> JBool(false),
+      "columnClassName" -> JString(clazz))
+  }
+
+  /** Metadata results reuse the resultSet shape over a transient statement. */
+  private def metaResult(cid: String, cols: Seq[String],
+      rows: Seq[Seq[JValue]]): JObject = {
+    val st = Statement(-1, None,
+      cols.map(c => HttpFacade.ColMeta(c, Some("STRING"), "VARCHAR")),
+      rows.toIndexedSeq.map(r => JArray(r.toList)))
+    resultSet(if (cid.isEmpty) "meta" else cid, st, maxRowsPerFrame)
+  }
+
+  /** Avatica TypedValue type → the SQL-endpoint parameter type vocabulary
+    * (HttpFacade.bindParameters). */
+  private def avaticaParamType(t: String): String = t.toUpperCase match {
+    case "STRING" | "CHARACTER_STRING" => "VARCHAR"
+    case "LONG" | "PRIMITIVE_LONG" | "INTEGER" | "PRIMITIVE_INT" => "BIGINT"
+    case "DOUBLE" | "PRIMITIVE_DOUBLE" | "FLOAT" | "PRIMITIVE_FLOAT" |
+         "NUMBER" | "BIG_DECIMAL" => "DOUBLE"
+    case "BOOLEAN" | "PRIMITIVE_BOOLEAN" => "BOOLEAN"
+    case "JAVA_SQL_TIMESTAMP" => "TIMESTAMP"
+    case "JAVA_SQL_DATE" => "DATE"
+    case _ => "VARCHAR"
+  }
+
+  private def jdbcType(dt: DataType): (Int, String) = dt match {
+    case TimestampType | TimestampNTZType => (93, "TIMESTAMP")
+    case DateType => (91, "DATE")
+    case LongType => (-5, "BIGINT")
+    case IntegerType => (4, "INTEGER")
+    case ShortType => (5, "SMALLINT")
+    case ByteType => (-6, "TINYINT")
+    case BooleanType => (16, "BOOLEAN")
+    case FloatType => (6, "FLOAT")
+    case DoubleType => (8, "DOUBLE")
+    case _: DecimalType => (3, "DECIMAL")
+    case StringType => (12, "VARCHAR")
+    case ArrayType(e, _) =>
+      val inner = jdbcType(e)._2
+      (2003, s"ARRAY<$inner>")
+    case BinaryType => (1111, "COMPLEX")
+    case _ => (1111, "OTHER")
+  }
+
+  /** JDBC LIKE pattern (`%`, `_`) → anchored regex. */
+  private def likeRe(pattern: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.toString.r
+  }
+}

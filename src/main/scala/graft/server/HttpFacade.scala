@@ -71,6 +71,14 @@ object HttpFacade {
       maxResultRows: Int = 100000): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+    // the reference's JDBC transport (DruidAvaticaJsonHandler.AVATICA_PATH);
+    // the longer context path wins over /druid/v2/sql for both the trailing-
+    // slash and bare spellings (the reference accepts both:
+    // DruidAvaticaJsonHandler.java:38-39)
+    val avatica = new AvaticaEndpoint(spark,
+      s"127.0.0.1:${server.getAddress.getPort}", maxResultRows = maxResultRows)
+    server.createContext("/druid/v2/sql/avatica", handler(avatica.handle))
+
     server.createContext("/druid/v2/sql", sqlHandler { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
         JsonMethods.parseOpt(body) match {
@@ -600,7 +608,7 @@ object HttpFacade {
     * Catalyst plan (this engine's native form, where the reference embeds
     * its native JSON); RESOURCES lists the referenced datasources as the
     * reference's resource-action JSON string. */
-  private def explainRows(spark: SparkSession, sql: String): Seq[JObject] = {
+  private[server] def explainRows(spark: SparkSession, sql: String): Seq[JObject] = {
     // resource collection (typing, sys/metadata exclusion, INSERT write
     // targets, EXTERN) lives in PlannerResources — the same set the
     // reference's authorizer sees

@@ -1,0 +1,322 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.server.HttpFacade
+import graft.sources.Sources
+
+/** DruidAvaticaHandlerTest golden tranche over the raw Avatica JSON-RPC
+  * wire (the reference serves Calcite Avatica's protocol at
+  * DruidAvaticaJsonHandler.AVATICA_PATH `/druid/v2/sql/avatica/`;
+  * sql/src/test/.../avatica/DruidAvaticaHandlerTest.java drives it through
+  * a real JDBC client — here the same request/response cycle is asserted at
+  * the protocol level, since the Avatica client jar is not a dependency).
+  */
+class AvaticaEndpointSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // first rows of the reference foo fixture (CalciteTests.java:417-528)
+  private lazy val foo: DataFrame = Seq(
+    (ts("2000-01-01 00:00:00"), 1L, "",     Option("a"),   1.0f, 1.0),
+    (ts("2000-01-02 00:00:00"), 1L, "10.1", None,          2.0f, 2.0),
+    (ts("2000-01-03 00:00:00"), 1L, "2",    Option(""),    3.0f, 3.0),
+    (ts("2001-01-01 00:00:00"), 1L, "1",    Option("a"),   4.0f, 4.0),
+    (ts("2001-01-02 00:00:00"), 1L, "def",  Option("abc"), 5.0f, 5.0),
+    (ts("2001-01-03 00:00:00"), 1L, "abc",  None,          6.0f, 6.0)
+  ).toDF("__time", "cnt", "dim1", "dim2", "m1", "m2")
+
+  private def post(port: Int, path: String, body: String): JValue = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json")
+      .build()
+    JsonMethods.parse(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+  }
+
+  /** Open a connection + statement, run `sql` via prepareAndExecute, return
+    * the firstFrame rows (the JDBC executeQuery cycle). */
+  private def query(port: Int, conn: String, sql: String,
+      path: String = "/druid/v2/sql/avatica/"): (List[JValue], JValue) = {
+    assert((post(port, path,
+      s"""{"request":"openConnection","connectionId":"$conn"}""")
+      \ "response") == JString("openConnection"))
+    val created = post(port, path,
+      s"""{"request":"createStatement","connectionId":"$conn"}""")
+    val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+    val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("prepareAndExecute"),
+      "connectionId" -> JString(conn), "statementId" -> JInt(sid),
+      "sql" -> JString(sql), "maxRowCount" -> JInt(-1)))))
+    assert((executed \ "response") == JString("executeResults"))
+    val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+    ((rs \ "firstFrame" \ "rows").asInstanceOf[JArray].arr, rs \ "signature")
+  }
+
+  private def withFacade[A](f: Int => A): A = {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try f(facade.port) finally facade.stop()
+  }
+
+  test("testSelectCount (DruidAvaticaHandlerTest.java:256) — the full JDBC cycle") {
+    withFacade { port =>
+      val (rows, sig) = query(port, "c1", "SELECT COUNT(*) AS cnt FROM foo")
+      assert(rows == List(JArray(List(JInt(6)))))
+      val col = (sig \ "columns").asInstanceOf[JArray].arr.head
+      assert((col \ "columnName") == JString("cnt"))
+      assert((col \ "type" \ "name") == JString("BIGINT"))
+      assert((col \ "type" \ "id") == JInt(-5)) // java.sql.Types.BIGINT
+    }
+  }
+
+  test("testSelectCountNoTrailingSlash (:269)") {
+    withFacade { port =>
+      val (rows, _) = query(port, "c2", "SELECT COUNT(*) AS cnt FROM foo",
+        path = "/druid/v2/sql/avatica")
+      assert(rows == List(JArray(List(JInt(6)))))
+    }
+  }
+
+  test("testSelectCountAlternateStyle (:282) — prepare then execute") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"c3"}""")
+      val prepared = post(port, path,
+        """{"request":"prepare","connectionId":"c3",
+           "sql":"SELECT COUNT(*) AS cnt FROM foo","maxRowCount":-1}""")
+      assert((prepared \ "response") == JString("prepare"))
+      val sid = (prepared \ "statement" \ "id").asInstanceOf[JInt].num.toInt
+      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("execute"),
+        "statementHandle" -> JObject("connectionId" -> JString("c3"), "id" -> JInt(sid)),
+        "parameterValues" -> JArray(Nil), "maxRowCount" -> JInt(-1)))))
+      val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+      assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(6))))))
+    }
+  }
+
+  test("testTimestampsInResponse (:295) — TIMESTAMP cells ride as epoch millis") {
+    withFacade { port =>
+      val (rows, sig) = query(port, "c4",
+        "SELECT __time, CAST(__time AS DATE) AS t2 FROM foo ORDER BY __time LIMIT 1")
+      // 2000-01-01T00:00:00Z = 946684800000 ms; epoch days = 10957
+      assert(rows == List(JArray(List(JInt(946684800000L), JInt(10957L)))))
+      val cols = (sig \ "columns").asInstanceOf[JArray].arr
+      assert((cols(0) \ "type" \ "rep") == JString("JAVA_SQL_TIMESTAMP"))
+      assert((cols(1) \ "type" \ "name") == JString("DATE"))
+    }
+  }
+
+  test("testFieldAliasingSelect (:336)") {
+    withFacade { port =>
+      val (rows, sig) = query(port, "c5",
+        "SELECT dim2 AS x, dim2 AS y FROM foo WHERE dim2 = 'a' LIMIT 1")
+      assert(rows == List(JArray(List(JString("a"), JString("a")))))
+      assert((sig \ "columns").asInstanceOf[JArray].arr.map(c =>
+        (c \ "columnName").asInstanceOf[JString].s) == List("x", "y"))
+    }
+  }
+
+  test("testSelectBoolean (:351)") {
+    withFacade { port =>
+      val (rows, _) = query(port, "c6",
+        "SELECT dim2, dim2 IS NULL AS isnull FROM foo WHERE dim2 = 'a' LIMIT 1")
+      assert(rows == List(JArray(List(JString("a"), JBool(false)))))
+    }
+  }
+
+  test("testExplainSelectCount (:366) — PLAN + RESOURCES through JDBC") {
+    withFacade { port =>
+      val (rows, sig) = query(port, "c7",
+        "EXPLAIN PLAN FOR SELECT COUNT(*) AS cnt FROM foo")
+      val row = rows.head.asInstanceOf[JArray].arr
+      assert(row.head.asInstanceOf[JString].s.contains("Physical Plan"))
+      assert(row(1).asInstanceOf[JString].s.contains("\"type\":\"DATASOURCE\""))
+      assert((sig \ "columns").asInstanceOf[JArray].arr.map(c =>
+        (c \ "columnName").asInstanceOf[JString].s) == List("PLAN", "RESOURCES"))
+    }
+  }
+
+  test("testDatabaseMetaDataCatalogs (:388) — catalog row [druid]") {
+    withFacade { port =>
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getCatalogs","connectionId":"m1"}""")
+      assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JString("druid"))))))
+    }
+  }
+
+  test("testDatabaseMetaDataSchemas (:400) — TABLE_SCHEM druid / TABLE_CATALOG druid") {
+    withFacade { port =>
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getSchemas","connectionId":"m2","schemaPattern":{"s":"druid"}}""")
+      assert((rs \ "firstFrame" \ "rows") ==
+        JArray(List(JArray(List(JString("druid"), JString("druid"))))))
+    }
+  }
+
+  test("testDatabaseMetaDataTables (:412) — TABLE rows for the registered tables") {
+    withFacade { port =>
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getTables","connectionId":"m3","tableNamePattern":{"s":"foo"}}""")
+      assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(
+        JString("druid"), JString("druid"), JString("foo"), JString("TABLE"))))))
+    }
+  }
+
+  test("testDatabaseMetaDataColumns (:555) — JDBC type ids + IS_NULLABLE") {
+    withFacade { port =>
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getColumns","connectionId":"m4","tableNamePattern":{"s":"foo"}}""")
+      val rows = (rs \ "firstFrame" \ "rows").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JArray].arr)
+      val byName = rows.map(r => r(3).asInstanceOf[JString].s -> r).toMap
+      // (TABLE_CAT, TABLE_SCHEM, TABLE_NAME, COLUMN_NAME, DATA_TYPE,
+      //  TYPE_NAME, ORDINAL_POSITION, IS_NULLABLE)
+      assert(byName("__time")(4) == JInt(93) && byName("__time")(5) == JString("TIMESTAMP"))
+      assert(byName("cnt")(4) == JInt(-5) && byName("cnt")(5) == JString("BIGINT"))
+      assert(byName("dim1")(4) == JInt(12) && byName("dim1")(5) == JString("VARCHAR"))
+      assert(byName("m1")(4) == JInt(6) && byName("m1")(5) == JString("FLOAT"))
+      assert(byName("m2")(4) == JInt(8) && byName("m2")(5) == JString("DOUBLE"))
+      assert(byName("dim2")(7) == JString("YES")) // nullable string
+      assert(byName("__time")(2) == JString("foo"))
+    }
+  }
+
+  test("testMaxRowsPerFrame (:865) — frames + fetch continuation") {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val port = facade.port
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"f1"}""")
+      val created = post(port, path,
+        """{"request":"createStatement","connectionId":"f1"}""")
+      val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+      // ask for a 2-row first frame over a 6-row result
+      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("prepareAndExecute"),
+        "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
+        "sql" -> JString("SELECT dim1 FROM foo ORDER BY __time"),
+        "maxRowCount" -> JInt(-1), "maxRowsInFirstFrame" -> JInt(2)))))
+      val first = (executed \ "results").asInstanceOf[JArray].arr.head \ "firstFrame"
+      assert((first \ "done") == JBool(false))
+      assert((first \ "rows").asInstanceOf[JArray].arr.size == 2)
+      val fetched = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("fetch"),
+        "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
+        "offset" -> JInt(2), "fetchMaxRowCount" -> JInt(100)))))
+      val frame = fetched \ "frame"
+      assert((frame \ "done") == JBool(true))
+      assert((frame \ "rows").asInstanceOf[JArray].arr.map(
+        _.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s) ==
+        List("2", "1", "def", "abc"))
+    } finally facade.stop()
+  }
+
+  test("testTooManyStatements (:748) — limit is[4] per connection") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"s1"}""")
+      (1 to 4).foreach { _ =>
+        assert((post(port, path,
+          """{"request":"createStatement","connectionId":"s1"}""")
+          \ "response") == JString("createStatement"))
+      }
+      val fifth = post(port, path,
+        """{"request":"createStatement","connectionId":"s1"}""")
+      assert((fifth \ "response") == JString("error"))
+      assert((fifth \ "errorMessage").asInstanceOf[JString].s ==
+        "Too many open statements, limit is[4]")
+    }
+  }
+
+  test("statement close frees the slot (testNotTooManyStatementsWhenYouCloseThem :761)") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"s2"}""")
+      (1 to 10).foreach { _ =>
+        val created = post(port, path,
+          """{"request":"createStatement","connectionId":"s2"}""")
+        assert((created \ "response") == JString("createStatement"))
+        val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+        post(port, path,
+          s"""{"request":"closeStatement","connectionId":"s2","statementId":$sid}""")
+      }
+    }
+  }
+
+  test("testTooManyConnections (:835) — limit is[25] per broker") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      (1 to 25).foreach { i =>
+        assert((post(port, path,
+          s"""{"request":"openConnection","connectionId":"conn$i"}""")
+          \ "response") == JString("openConnection"))
+      }
+      val extra = post(port, path,
+        """{"request":"openConnection","connectionId":"conn26"}""")
+      assert((extra \ "response") == JString("error"))
+      assert((extra \ "errorMessage").asInstanceOf[JString].s ==
+        "Too many connections, limit is[25] per broker")
+      // duplicate open is DruidMeta.java:769's "already open" error
+      val dup = post(port, path,
+        """{"request":"openConnection","connectionId":"conn1"}""")
+      assert((dup \ "errorMessage").asInstanceOf[JString].s ==
+        "Connection[conn1] already open.")
+    }
+  }
+
+  test("testParameterBinding (:1089) — TypedValue STRING bound to ?") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"p1"}""")
+      val prepared = post(port, path,
+        """{"request":"prepare","connectionId":"p1",
+           "sql":"SELECT COUNT(*) AS cnt FROM foo WHERE dim1 = ? OR dim1 = ?",
+           "maxRowCount":-1}""")
+      val sid = (prepared \ "statement" \ "id").asInstanceOf[JInt].num.toInt
+      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("execute"),
+        "statementHandle" -> JObject("connectionId" -> JString("p1"), "id" -> JInt(sid)),
+        "parameterValues" -> JArray(List(
+          JObject("type" -> JString("STRING"), "value" -> JString("abc")),
+          JObject("type" -> JString("STRING"), "value" -> JString("def")))),
+        "maxRowCount" -> JInt(-1)))))
+      val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+      assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(2))))))
+    }
+  }
+
+  test("testExtendedCharacters (:1135)") {
+    withFacade { port =>
+      val (rows, _) = query(port, "c8",
+        "SELECT COUNT(*) AS cnt FROM foo WHERE dim1 = 'друид' OR dim1 <> ''")
+      assert(rows == List(JArray(List(JInt(5)))))
+    }
+  }
+
+  test("closeConnection drops statements; auto-reconnect surface (:820)") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"x1"}""")
+      post(port, path, """{"request":"closeConnection","connectionId":"x1"}""")
+      // a request against the closed connection errors with "not open" —
+      // the client-side driver reacts by reopening (auto-reconnect)
+      val err = post(port, path,
+        """{"request":"createStatement","connectionId":"x1"}""")
+      assert((err \ "response") == JString("error"))
+      assert((err \ "errorMessage").asInstanceOf[JString].s.contains("not open"))
+      // reopening the same id succeeds
+      assert((post(port, path,
+        """{"request":"openConnection","connectionId":"x1"}""")
+        \ "response") == JString("openConnection"))
+    }
+  }
+}
