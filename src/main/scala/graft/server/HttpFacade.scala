@@ -87,8 +87,11 @@ object HttpFacade {
             case JString(s) => s
             case _ => throw new IllegalArgumentException("missing \"query\"")
           }
+          // deserialization is case-insensitive (ResultFormatTest
+          // .testDeserializeWithDifferentCase: OBJECTLINES/objectlines/
+          // oBjEcTlInEs all resolve)
           val fmt = (o \ "resultFormat") match {
-            case JString(f) => f; case _ => "object"
+            case JString(f) => canonicalFormat(f); case _ => "object"
           }
           val hdr = (o \ "header") match { case JBool(b) => b; case _ => false }
           // SqlQuery.java:75-82 rejects type headers without the header row
@@ -225,7 +228,7 @@ object HttpFacade {
         case JString(id) => Some(id); case _ => None
       }).getOrElse(java.util.UUID.randomUUID().toString)
       val format = parsed.flatMap(o => (o \ "resultFormat") match {
-        case JString(fmt) => Some(fmt); case _ => None
+        case JString(fmt) => Some(canonicalFormat(fmt)); case _ => None
       }).getOrElse("object")
       val (status, payload, contentType) =
         try {
@@ -448,6 +451,18 @@ object HttpFacade {
       case _ => JArray(rows.toList) // flat rows (documented simplification)
     }
     JsonMethods.compact(JsonMethods.render(out))
+  }
+
+  /** ResultFormat names parse case-insensitively (ResultFormat.java enum
+    * deserialization, ResultFormatTest.testDeserializeWithDifferentCase);
+    * unknown names pass through to renderObjects' error. */
+  private[server] def canonicalFormat(f: String): String = f.toLowerCase match {
+    case "object" => "object"
+    case "array" => "array"
+    case "objectlines" => "objectLines"
+    case "arraylines" => "arrayLines"
+    case "csv" => "csv"
+    case _ => f
   }
 
   /** A result column's name plus its two header typings: the Druid type

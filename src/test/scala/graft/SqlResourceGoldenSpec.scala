@@ -320,6 +320,18 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     }
   }
 
+  test("resultFormat parses case-insensitively (ResultFormatTest" +
+      ".testDeserializeWithDifferentCase)") {
+    withFacade { port =>
+      for (spelling <- Seq("OBJECTLINES", "objectlines", "oBjEcTlInEs")) {
+        val (status, body, _) = post(port,
+          s"""{"query": "SELECT COUNT(*) AS cnt FROM foo", "resultFormat": "$spelling"}""")
+        assert(status == 200)
+        assert(body == "{\"cnt\":2}\n\n")
+      }
+    }
+  }
+
   test("typesHeader without header is rejected (SqlQuery.java:75-82)") {
     withFacade { port =>
       val (status, body, _) = post(port,
