@@ -511,13 +511,14 @@ object HttpFacade {
 
   private def render(df: DataFrame, format: String, header: Boolean,
       typesHeader: Boolean, sqlTypesHeader: Boolean, maxRows: Int): String = {
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     val metas = df.schema.fields.toSeq.map(colMeta)
-    // timestamp cells render Druid-style ISO millis ("2000-01-01T00:00:00
-    // .000Z" — SqlResourceTest.testTimestampsInResponse), not Spark's
+    // timestamp AND date cells render Druid-style ISO millis
+    // ("2000-01-01T00:00:00.000Z" — SqlResourceTest.testTimestampsInResponse
+    // expects CAST(__time AS DATE) as full midnight ISO too), not Spark's
     // variable-precision JSON rendering
     val tsCols = df.schema.fields.collect {
-      case f if f.dataType == TimestampType => f.name
+      case f if f.dataType == TimestampType || f.dataType == DateType => f.name
     }.toSet
     // toJSON drops null cells; the reference's object rows carry every
     // column explicitly (ObjectWriter.writeRowField is called per column),

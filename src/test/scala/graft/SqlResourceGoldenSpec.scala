@@ -14,9 +14,9 @@ import graft.sources.Sources
   * their exact header and termination bytes, the QueryException error
   * envelope, and the X-Druid-SQL-Query-Id response header.
   *
-  * Fixture: the first two RAW_ROWS1 rows of the reference's `foo`
-  * (CalciteTests.java:417-528), minus unique_dim1 (a Druid hyperUnique
-  * complex column — segment-level state with no table-column analog here).
+  * Fixture: the reference's `foo` (CalciteTests.java:417-528 RAW_ROWS1),
+  * minus unique_dim1 (a Druid hyperUnique complex column — segment-level
+  * state with no table-column analog here).
   * Queries alias the computed column to EXPR$8 explicitly where Calcite
   * auto-names it.
   *
@@ -33,8 +33,12 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   private lazy val foo: DataFrame = Seq(
-    (ts("2000-01-01 00:00:00"), 1L, "",     Option("a"), Seq("a", "b"), 1.0f, 1.0),
-    (ts("2000-01-02 00:00:00"), 1L, "10.1", None,        Seq("b", "c"), 2.0f, 2.0)
+    (ts("2000-01-01 00:00:00"), 1L, "",     Option("a"),   Seq("a", "b"),     1.0f, 1.0),
+    (ts("2000-01-02 00:00:00"), 1L, "10.1", None,          Seq("b", "c"),     2.0f, 2.0),
+    (ts("2000-01-03 00:00:00"), 1L, "2",    Option(""),    Seq("d"),          3.0f, 3.0),
+    (ts("2001-01-01 00:00:00"), 1L, "1",    Option("a"),   Seq(""),           4.0f, 4.0),
+    (ts("2001-01-02 00:00:00"), 1L, "def",  Option("abc"), null: Seq[String], 5.0f, 5.0),
+    (ts("2001-01-03 00:00:00"), 1L, "abc",  None,          null: Seq[String], 6.0f, 6.0)
   ).toDF("__time", "cnt", "dim1", "dim2", "dim3", "m1", "m2")
 
   /** POST a SqlQuery body; returns (status, raw body, X-Druid-SQL-Query-Id). */
@@ -85,7 +89,7 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
       val (status, body, _) = post(port,
         """{"query": "SELECT COUNT(*) AS cnt, 'foo' AS a FROM foo"}""")
       assert(status == 200)
-      assert(body == """[{"cnt":2,"a":"foo"}]""" + "\n")
+      assert(body == """[{"cnt":6,"a":"foo"}]""" + "\n")
     }
   }
 
@@ -96,6 +100,37 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
       assert(status == 200)
       val row = JsonMethods.parse(body).asInstanceOf[JArray].arr.head
       assert((row \ "__time") == JString("2000-01-01T00:00:00.000Z"))
+    }
+  }
+
+  test("testTimestampsInResponseWithParameterizedLimit (:397)") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT __time, CAST(__time AS DATE) AS t2 FROM foo ORDER BY __time LIMIT ?",
+            "parameters": [{"type":"INTEGER","value":1}]}""")
+      assert(status == 200)
+      assert(body ==
+        """[{"__time":"2000-01-01T00:00:00.000Z","t2":"2000-01-01T00:00:00.000Z"}]""" + "\n")
+    }
+  }
+
+  test("testTimestampsInResponseWithNulls (:443) — null timestamp cell carried explicitly") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT MAX(__time) AS t1, MAX(CASE WHEN dim1 = 'non_existing' THEN __time END) AS t2 FROM foo"}""")
+      assert(status == 200)
+      // sql-compatible null mode: t2 is null, not Long.MIN's timestamp
+      assert(body == """[{"t1":"2001-01-03T00:00:00.000Z","t2":null}]""" + "\n")
+    }
+  }
+
+  test("testFieldAliasingGroupBy (:497) — sql-null mode groups null and '' apart") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT dim2 AS x, dim2 AS y FROM foo GROUP BY dim2 ORDER BY dim2 ASC NULLS FIRST"}""")
+      assert(status == 200)
+      assert(body == ("""[{"x":null,"y":null},{"x":"","y":""},""" +
+        """{"x":"a","y":"a"},{"x":"abc","y":"abc"}]""" + "\n"))
     }
   }
 
@@ -327,7 +362,7 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
         val (status, body, _) = post(port,
           s"""{"query": "SELECT COUNT(*) AS cnt FROM foo", "resultFormat": "$spelling"}""")
         assert(status == 200)
-        assert(body == "{\"cnt\":2}\n\n")
+        assert(body == "{\"cnt\":6}\n\n")
       }
     }
   }
