@@ -36,7 +36,8 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
 
   private final case class Statement(id: Int, var sql: Option[String],
       var metas: Seq[HttpFacade.ColMeta] = Nil,
-      var rows: IndexedSeq[JValue] = Vector.empty, var fetched: Boolean = false)
+      var rows: IndexedSeq[JValue] = Vector.empty,
+      var updateCount: Long = -1L)
 
   private final class Connection {
     val statements = TrieMap.empty[Int, Statement]
@@ -255,6 +256,15 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
 
   private def runSql(st: Statement, sqlText: String): Unit = {
     st.sql = Some(sqlText)
+    st.updateCount = -1L
+    // JDBC executeUpdate surface: INSERT DML routes through the ingest
+    // path and reports the published row count as the update count
+    if (graft.sources.SqlInsertDml.parse(sqlText).isDefined) {
+      st.metas = Nil
+      st.rows = Vector.empty
+      st.updateCount = graft.sources.SqlInsertDml.run(spark, sqlText).count()
+      return
+    }
     plan(sqlText) match {
       case Left(explain) =>
         st.metas = explainMetas
@@ -314,7 +324,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
       "ownStatement" -> JBool(true),
       "signature" -> signatureJson(st),
       "firstFrame" -> frame(st, 0, firstFrameRows),
-      "updateCount" -> JLong(-1L), rpcMetadata)
+      "updateCount" -> JLong(st.updateCount), rpcMetadata)
 
   private def frame(st: Statement, offset: Int, n: Int): JObject = {
     val slice = st.rows.slice(offset, offset + n)

@@ -302,6 +302,25 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     }
   }
 
+  test("INSERT DML through JDBC reports the published count as updateCount") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"i1"}""")
+      val created = post(port, path,
+        """{"request":"createStatement","connectionId":"i1"}""")
+      val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("prepareAndExecute"),
+        "connectionId" -> JString("i1"), "statementId" -> JInt(sid),
+        "sql" -> JString(
+          "INSERT INTO dst_avatica SELECT dim1, cnt FROM foo PARTITIONED BY ALL TIME"),
+        "maxRowCount" -> JInt(-1)))))
+      val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+      assert((rs \ "updateCount") == JInt(6))
+      assert((rs \ "firstFrame" \ "done") == JBool(true))
+    }
+  }
+
   test("closeConnection drops statements; auto-reconnect surface (:820)") {
     withFacade { port =>
       val path = "/druid/v2/sql/avatica/"
