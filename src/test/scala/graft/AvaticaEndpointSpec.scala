@@ -309,11 +309,14 @@ class AvaticaEndpointSpec extends SparkSpecBase {
       val created = post(port, path,
         """{"request":"createStatement","connectionId":"i1"}""")
       val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+      // unique target per JVM: the default ingest base persists on disk, so
+      // a fixed name would append across suite runs and drift the count
+      val target = s"dst_avatica_${System.nanoTime}"
       val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
         "request" -> JString("prepareAndExecute"),
         "connectionId" -> JString("i1"), "statementId" -> JInt(sid),
         "sql" -> JString(
-          "INSERT INTO dst_avatica SELECT dim1, cnt FROM foo PARTITIONED BY ALL TIME"),
+          s"INSERT INTO $target SELECT dim1, cnt FROM foo PARTITIONED BY ALL TIME"),
         "maxRowCount" -> JInt(-1)))))
       val rs = (executed \ "results").asInstanceOf[JArray].arr.head
       assert((rs \ "updateCount") == JInt(6))
