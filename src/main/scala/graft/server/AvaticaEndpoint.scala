@@ -37,7 +37,8 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
   private final case class Statement(id: Int, var sql: Option[String],
       var metas: Seq[HttpFacade.ColMeta] = Nil,
       var rows: IndexedSeq[JValue] = Vector.empty,
-      var updateCount: Long = -1L)
+      var updateCount: Long = -1L,
+      var statementType: String = "SELECT")
 
   private final class Connection {
     val statements = TrieMap.empty[Int, Statement]
@@ -50,7 +51,11 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     "rpcMetadata" -> JObject("response" -> JString("rpcMetadata"),
       "serverAddress" -> JString(serverAddress))
 
-  def handle(body: String): String = {
+  /** Handle one Avatica JSON-RPC request; returns (HTTP status, body).
+    * Calcite's AvaticaJsonHandler answers 200 on success and 500 with the
+    * ErrorResponse envelope on failure (some avatica-core clients key error
+    * handling off the status code, not just the response JSON). */
+  def handle(body: String): (Int, String) = {
     val req = JsonMethods.parse(body)
     def str(k: String): String = (req \ k) match {
       case JString(s) => s; case _ => ""
@@ -59,9 +64,9 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
       case JInt(n) => n.toLong; case JLong(n) => n
       case JDouble(d) => d.toLong; case _ => default
     }
-    val out: JObject =
+    val (status, out): (Int, JObject) =
       try {
-        str("request") match {
+        (200, str("request") match {
           case "openConnection" => openConnection(str("connectionId"))
           case "closeConnection" =>
             connections.remove(str("connectionId"))
@@ -91,8 +96,13 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
             // signature without executing: analyze the plan only. A
             // parameterized statement can't be analyzed until its `?`s are
             // bound (DruidStatement defers the same way), so the signature
-            // stays empty until execute
-            st.metas =
+            // stays empty until execute. DML and command statements are NOT
+            // planned here — Spark executes command plans eagerly on
+            // spark.sql(), and the reference's DruidMeta.prepare only plans,
+            // never runs side effects
+            if (graft.sources.SqlInsertDml.parse(st.sql.get).isDefined)
+              st.statementType = "INSERT"
+            else st.metas =
               try signatureOf(st.sql.get)
               catch { case _: Exception => Nil }
             JObject("response" -> JString("prepare"),
@@ -161,25 +171,30 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
               tables.map(t => Seq(JString("druid"), JString("druid"),
                 JString(t), JString("TABLE"))))
           case "getColumns" =>
-            val tablePattern = likeRe((req \ "tableNamePattern" \ "s") match {
-              case JString(s) => s
-              case _ => (req \ "tableNamePattern") match {
-                case JString(s) => s; case _ => "%"
-              }
-            })
+            def pattern(key: String): scala.util.matching.Regex =
+              likeRe((req \ key \ "s") match {
+                case JString(s) => s
+                case _ => (req \ key) match {
+                  case JString(s) => s; case _ => "%"
+                }
+              })
+            val tablePattern = pattern("tableNamePattern")
+            val columnPattern = pattern("columnNamePattern")
             val tables = spark.catalog.listTables().collect()
               .map(_.name).filter(tablePattern.matches).sorted.toSeq
             val rows = tables.flatMap { t =>
-              spark.table(t).schema.fields.zipWithIndex.map { case (f, i) =>
-                val (jdbcId, typeName) = jdbcType(f.dataType)
-                Seq(JString("druid"), JString("druid"), JString(t),
-                  JString(f.name), JInt(jdbcId), JString(typeName),
-                  JInt(i + 1), JString(if (f.nullable) "YES" else "NO"))
+              spark.table(t).schema.fields.zipWithIndex.collect {
+                case (f, i) if columnPattern.matches(f.name) =>
+                  val (jdbcId, typeName) = jdbcType(f.dataType)
+                  Seq(JString("druid"), JString("druid"), JString(t),
+                    JString(f.name), JInt(jdbcId), JString(typeName),
+                    JInt(i + 1), JString(if (f.nullable) "YES" else "NO"))
               }
             }
             metaResult(str("connectionId"),
               Seq("TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
-                "DATA_TYPE", "TYPE_NAME", "ORDINAL_POSITION", "IS_NULLABLE"),
+                "DATA_TYPE:INTEGER", "TYPE_NAME", "ORDINAL_POSITION:INTEGER",
+                "IS_NULLABLE"),
               rows)
           case "getTableTypes" => metaResult(str("connectionId"),
             Seq("TABLE_TYPE"), Seq(Seq(JString("TABLE"))))
@@ -188,15 +203,15 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
               "map" -> JObject(), rpcMetadata)
           case other =>
             throw new IllegalArgumentException(s"unsupported request: $other")
-        }
+        })
       } catch { case e: Throwable =>
-        JObject("response" -> JString("error"),
+        (500, JObject("response" -> JString("error"),
           "exceptions" -> JArray(List(JString(String.valueOf(e.getMessage)))),
           "errorMessage" -> JString(String.valueOf(e.getMessage)),
           "errorCode" -> JInt(-1), "sqlState" -> JString("00000"),
-          "severity" -> JString("ERROR"), rpcMetadata)
+          "severity" -> JString("ERROR"), rpcMetadata))
       }
-    JsonMethods.compact(JsonMethods.render(out))
+    (status, JsonMethods.compact(JsonMethods.render(out)))
   }
 
   // ---- connections / statements ----
@@ -205,7 +220,9 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     connections.getOrElse(id,
       throw new IllegalStateException(s"Connection[$id] not open"))
 
-  private def openConnection(id: String): JObject = {
+  private def openConnection(id: String): JObject = connections.synchronized {
+    // check-and-insert under one lock: the HTTP server runs handlers on a
+    // thread pool, so concurrent opens must not exceed maxConnections
     if (connections.size >= maxConnections && !connections.contains(id))
       throw new IllegalStateException(
         s"Too many connections, limit is[$maxConnections] per broker")
@@ -248,20 +265,34 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     HttpFacade.ColMeta("PLAN", Some("STRING"), "VARCHAR"),
     HttpFacade.ColMeta("RESOURCES", Some("STRING"), "VARCHAR"))
 
-  private def signatureOf(sqlText: String): Seq[HttpFacade.ColMeta] =
+  private def signatureOf(sqlText: String): Seq[HttpFacade.ColMeta] = {
+    val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
+    if (ExplainRe.matches(sqlText)) return explainMetas
+    // refuse to signature non-query statements: spark.sql() executes
+    // command plans (DDL, Spark-dialect DML) eagerly, and prepare must
+    // never run side effects (DruidMeta.prepare only plans)
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val isCommand = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+      parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement]
+    if (isCommand)
+      throw new IllegalArgumentException("cannot prepare a non-query statement")
     plan(sqlText) match {
       case Left(_) => explainMetas
       case Right(df) => df.schema.fields.toSeq.map(HttpFacade.colMeta)
     }
+  }
 
   private def runSql(st: Statement, sqlText: String): Unit = {
     st.sql = Some(sqlText)
     st.updateCount = -1L
+    st.statementType = "SELECT"
     // JDBC executeUpdate surface: INSERT DML routes through the ingest
-    // path and reports the published row count as the update count
+    // path and reports the published row count as the update count; the
+    // signature carries the DML statement type (Meta.StatementType.INSERT)
     if (graft.sources.SqlInsertDml.parse(sqlText).isDefined) {
       st.metas = Nil
       st.rows = Vector.empty
+      st.statementType = "INSERT"
       st.updateCount = graft.sources.SqlInsertDml.run(spark, sqlText).count()
       return
     }
@@ -342,7 +373,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
       "parameters" -> JArray(Nil),
       "cursorFactory" -> JObject("style" -> JString("LIST"),
         "clazz" -> JNull, "fieldNames" -> JNull),
-      "statementType" -> JString("SELECT"))
+      "statementType" -> JString(st.statementType))
 
   /** Avatica ColumnMetaData JSON for a result column. */
   private def columnMetaData(m: HttpFacade.ColMeta, ordinal: Int): JObject = {
@@ -377,11 +408,19 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
       "columnClassName" -> JString(clazz))
   }
 
-  /** Metadata results reuse the resultSet shape over a transient statement. */
+  /** Metadata results reuse the resultSet shape over a transient statement.
+    * Columns default to VARCHAR; integer-valued metadata columns
+    * (DATA_TYPE, ORDINAL_POSITION — named with a ":INTEGER" suffix) are
+    * typed INTEGER so a rep-driven Avatica client reads them through the
+    * int accessor, like the reference's properly-typed metadata cursors. */
   private def metaResult(cid: String, cols: Seq[String],
       rows: Seq[Seq[JValue]]): JObject = {
     val st = Statement(-1, None,
-      cols.map(c => HttpFacade.ColMeta(c, Some("STRING"), "VARCHAR")),
+      cols.map { c =>
+        if (c.endsWith(":INTEGER"))
+          HttpFacade.ColMeta(c.stripSuffix(":INTEGER"), Some("LONG"), "INTEGER")
+        else HttpFacade.ColMeta(c, Some("STRING"), "VARCHAR")
+      },
       rows.toIndexedSeq.map(r => JArray(r.toList)))
     resultSet(if (cid.isEmpty) "meta" else cid, st, maxRowsPerFrame)
   }
@@ -418,13 +457,24 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     case _ => (1111, "OTHER")
   }
 
-  /** JDBC LIKE pattern (`%`, `_`) → anchored regex. */
+  /** JDBC LIKE pattern (`%`, `_`, `\` escape) → anchored regex. The JDBC
+    * DatabaseMetaData search-pattern escape is backslash
+    * (DruidAvaticaHandlerTest.testEscapingForGetColumns: "m_\\_x" matches
+    * only the literal-underscore names; unescaped "some_datasource" matches
+    * both some_datasource and somexdatasource). */
   private def likeRe(pattern: String): scala.util.matching.Regex = {
     val sb = new StringBuilder
-    pattern.foreach {
-      case '%' => sb.append(".*")
-      case '_' => sb.append('.')
-      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '\\' if i + 1 < pattern.length =>
+          sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+          i += 1
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+      }
+      i += 1
     }
     sb.toString.r
   }

@@ -70,6 +70,11 @@ object HttpFacade {
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
       maxResultRows: Int = 100000): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // a request pool (vs the default single dispatcher thread) so a DELETE
+    // cancellation can be served while a POST query is still executing —
+    // the reference's Jetty broker is multi-threaded the same way
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
 
     // the reference's JDBC transport (DruidAvaticaJsonHandler.AVATICA_PATH);
     // the longer context path wins over /druid/v2/sql for both the trailing-
@@ -77,7 +82,7 @@ object HttpFacade {
     // DruidAvaticaJsonHandler.java:38-39)
     val avatica = new AvaticaEndpoint(spark,
       s"127.0.0.1:${server.getAddress.getPort}", maxResultRows = maxResultRows)
-    server.createContext("/druid/v2/sql/avatica", handler(avatica.handle))
+    server.createContext("/druid/v2/sql/avatica", statusHandler(avatica.handle))
 
     server.createContext("/druid/v2/sql", sqlHandler { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
@@ -94,13 +99,14 @@ object HttpFacade {
             case JString(f) => canonicalFormat(f); case _ => "object"
           }
           val hdr = (o \ "header") match { case JBool(b) => b; case _ => false }
-          // SqlQuery.java:75-82 rejects type headers without the header row
+          // SqlQuery.java:75-82 rejects type headers without the header row —
+          // request validation in the @JsonCreator, a 400-class bad request
           val tHdr = (o \ "typesHeader") match { case JBool(b) => b; case _ => false }
           val sHdr = (o \ "sqlTypesHeader") match { case JBool(b) => b; case _ => false }
           if (tHdr && !hdr)
-            throw new IllegalStateException("Cannot include 'typesHeader' without 'header'")
+            throw new IllegalArgumentException("Cannot include 'typesHeader' without 'header'")
           if (sHdr && !hdr)
-            throw new IllegalStateException("Cannot include 'sqlTypesHeader' without 'header'")
+            throw new IllegalArgumentException("Cannot include 'sqlTypesHeader' without 'header'")
           val ctx = (o \ "context") match { case c: JObject => c; case _ => JObject() }
           // typed positional parameters (SqlQuery.java `parameters`:
           // [{"type":"VARCHAR","value":...}, ...] bound to `?` in order)
@@ -191,7 +197,13 @@ object HttpFacade {
     new Facade(server)
   }
 
-  private def handler(f: String => String): HttpHandler = new HttpHandler {
+  private def handler(f: String => String): HttpHandler =
+    statusHandler(body => (200, f(body)))
+
+  /** Like handler, but `f` chooses the HTTP status itself (the Avatica
+    * endpoint answers 500 with its own ErrorResponse envelope on failure,
+    * matching Calcite's AvaticaJsonHandler). */
+  private def statusHandler(f: String => (Int, String)): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val (status, payload) =
         try {
@@ -199,7 +211,7 @@ object HttpFacade {
             (405, """{"error":"POST only"}""")
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            (200, f(body))
+            f(body)
           }
         } catch { case e: Throwable => queryError(e) }
       val bytes = payload.getBytes(StandardCharsets.UTF_8)

@@ -31,14 +31,18 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     (ts("2001-01-03 00:00:00"), 1L, "abc",  None,          6.0f, 6.0)
   ).toDF("__time", "cnt", "dim1", "dim2", "m1", "m2")
 
-  private def post(port: Int, path: String, body: String): JValue = {
+  private def postStatus(port: Int, path: String, body: String): (Int, JValue) = {
     val client = HttpClient.newHttpClient()
     val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
       .POST(HttpRequest.BodyPublishers.ofString(body))
       .header("Content-Type", "application/json")
       .build()
-    JsonMethods.parse(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
   }
+
+  private def post(port: Int, path: String, body: String): JValue =
+    postStatus(port, path, body)._2
 
   /** Open a connection + statement, run `sql` via prepareAndExecute, return
     * the firstFrame rows (the JDBC executeQuery cycle). */
@@ -321,6 +325,104 @@ class AvaticaEndpointSpec extends SparkSpecBase {
       val rs = (executed \ "results").asInstanceOf[JArray].arr.head
       assert((rs \ "updateCount") == JInt(6))
       assert((rs \ "firstFrame" \ "done") == JBool(true))
+    }
+  }
+
+  test("error responses carry HTTP 500 (Calcite AvaticaJsonHandler sends " +
+      "ErrorResponse with 500; clients key off the status)") {
+    withFacade { port =>
+      val (status, body) = postStatus(port, "/druid/v2/sql/avatica/",
+        """{"request":"createStatement","connectionId":"nope"}""")
+      assert(status == 500)
+      assert((body \ "response") == JString("error"))
+      val (okStatus, _) = postStatus(port, "/druid/v2/sql/avatica/",
+        """{"request":"openConnection","connectionId":"ok500"}""")
+      assert(okStatus == 200)
+    }
+  }
+
+  test("prepare never executes a non-query statement (DruidMeta.prepare only " +
+      "plans; Spark would run command plans eagerly on spark.sql)") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"prep1"}""")
+      // a Spark-parseable DDL command: if prepare planned it through
+      // spark.sql, the view would be dropped here
+      val prepared = post(port, path,
+        """{"request":"prepare","connectionId":"prep1",
+           "sql":"DROP VIEW foo","maxRowCount":-1}""")
+      assert((prepared \ "response") == JString("prepare"))
+      assert((prepared \ "statement" \ "signature" \ "columns") == JArray(Nil))
+      // the view survives: prepare did not execute the command
+      val (rows, _) = query(port, "prep2", "SELECT COUNT(*) AS cnt FROM foo")
+      assert(rows == List(JArray(List(JInt(6)))))
+    }
+  }
+
+  test("prepare of INSERT DML reports statementType INSERT without running " +
+      "the ingest (Avatica Meta.StatementType fidelity)") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"prep3"}""")
+      val target = s"dst_prepared_${System.nanoTime}"
+      val prepared = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("prepare"), "connectionId" -> JString("prep3"),
+        "sql" -> JString(
+          s"INSERT INTO $target SELECT dim1, cnt FROM foo PARTITIONED BY ALL TIME"),
+        "maxRowCount" -> JInt(-1)))))
+      assert((prepared \ "statement" \ "signature" \ "statementType") == JString("INSERT"))
+      // nothing was ingested at prepare time: the target datasource does
+      // not exist until execute runs the ingest
+      val err = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("prepareAndExecute"),
+        "connectionId" -> JString("prep3"),
+        "statementId" -> (prepared \ "statement" \ "id"),
+        "sql" -> JString(s"SELECT COUNT(*) AS c FROM $target"),
+        "maxRowCount" -> JInt(-1)))))
+      assert((err \ "response") == JString("error")) // unresolved relation → never written
+    }
+  }
+
+  test("getColumns metadata cursor types DATA_TYPE/ORDINAL_POSITION as " +
+      "INTEGER (reference returns typed metadata columns, not all-VARCHAR)") {
+    withFacade { port =>
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getColumns","connectionId":"mt1","tableNamePattern":{"s":"foo"}}""")
+      val cols = (rs \ "signature" \ "columns").asInstanceOf[JArray].arr
+      val byName = cols.map(c => (c \ "columnName").asInstanceOf[JString].s -> c).toMap
+      assert((byName("DATA_TYPE") \ "type" \ "name") == JString("INTEGER"))
+      assert((byName("ORDINAL_POSITION") \ "type" \ "name") == JString("INTEGER"))
+      assert((byName("TYPE_NAME") \ "type" \ "name") == JString("VARCHAR"))
+    }
+  }
+
+  test("testEscapingForGetColumns (:1165) — backslash escapes _ in patterns; " +
+      "unescaped _ stays a wildcard; column-name patterns filter") {
+    withFacade { port =>
+      // two tables whose names differ only at the wildcard position
+      foo.withColumnRenamed("m1", "m1_x").createOrReplaceTempView("some_datasource")
+      foo.withColumnRenamed("m1", "m1_x").createOrReplaceTempView("somexdatasource")
+      def tableNames(pattern: String): List[String] = {
+        val rs = post(port, "/druid/v2/sql/avatica/",
+          s"""{"request":"getTables","connectionId":"e1","tableNamePattern":{"s":"$pattern"}}""")
+        (rs \ "firstFrame" \ "rows").asInstanceOf[JArray].arr
+          .map(_.asInstanceOf[JArray].arr(2).asInstanceOf[JString].s)
+      }
+      // unescaped: _ matches any char → both tables (testEscapingForGetTables :1319)
+      assert(tableNames("some_datasource") ==
+        List("some_datasource", "somexdatasource"))
+      // escaped: literal underscore only
+      assert(tableNames("some\\\\_datasource") == List("some_datasource"))
+      // column-name pattern with escape: m1\_x matches m1_x only
+      val rs = post(port, "/druid/v2/sql/avatica/",
+        """{"request":"getColumns","connectionId":"e2",
+           "tableNamePattern":{"s":"some\\_datasource"},
+           "columnNamePattern":{"s":"m_\\_x"}}""")
+      val colNames = (rs \ "firstFrame" \ "rows").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JArray].arr(3).asInstanceOf[JString].s)
+      assert(colNames == List("m1_x"))
+      spark.catalog.dropTempView("some_datasource")
+      spark.catalog.dropTempView("somexdatasource")
     }
   }
 

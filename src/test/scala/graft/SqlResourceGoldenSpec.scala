@@ -371,7 +371,9 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     withFacade { port =>
       val (status, body, _) = post(port,
         s"""{"query": "$StarQuery", "resultFormat": "array", "typesHeader": true}""")
-      assert(status == 500)
+      // request validation thrown during SqlQuery body deserialization — a
+      // bad request, not a server error
+      assert(status == 400)
       assert(JsonMethods.parse(body) \ "errorMessage" ==
         JString("Cannot include 'typesHeader' without 'header'"))
     }
