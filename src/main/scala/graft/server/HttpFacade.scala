@@ -66,6 +66,58 @@ object HttpFacade {
     def stop(): Unit = server.stop(0)
   }
 
+  /** Raised when a request's query was cancelled through the DELETE
+    * endpoints; rendered as the reference's QUERY_CANCELLED QueryException
+    * (QueryInterruptedException.java:47 "Query cancelled", HTTP 500 —
+    * SqlResourceTest.testCancelBetweenPlanAndExecute). */
+  private[server] final class QueryCancelledException
+    extends RuntimeException("Query canceled")
+
+  /** queryId → running-query registry backing `DELETE /druid/v2/{id}` and
+    * `DELETE /druid/v2/sql/{id}` (QueryResource.java:142-166 cancelQuery via
+    * the QueryScheduler; SqlResource.java:264-290 via the
+    * SqlLifecycleManager). Each query runs inside a Spark job group named
+    * after its queryId; cancel() kills the group's active jobs
+    * (SparkContext.cancelJobGroup with task interruption) and flags the
+    * entry so a cancel that lands between plan and execute still fails the
+    * request — the reference removes the lifecycle snapshot the same way. */
+  private[server] final class CancelRegistry(sc: org.apache.spark.SparkContext) {
+    final class State(val groupId: String) { @volatile var cancelled = false }
+    private val counter = new java.util.concurrent.atomic.AtomicLong
+    private val running = scala.collection.concurrent.TrieMap.empty[String, State]
+
+    def run[A](queryId: String)(body: => A): A = {
+      val st = new State(s"graft-query-$queryId-${counter.incrementAndGet()}")
+      running.put(queryId, st)
+      // thread-local: the handler thread submits the query's jobs, so the
+      // group tags exactly this request's work; interruptOnCancel kills the
+      // running tasks, not just pending stages
+      sc.setJobGroup(st.groupId, s"queryId=$queryId", interruptOnCancel = true)
+      try {
+        val out = body
+        if (st.cancelled) throw new QueryCancelledException
+        out
+      } catch {
+        case e: Throwable =>
+          if (st.cancelled) throw new QueryCancelledException else throw e
+      } finally {
+        sc.clearJobGroup()
+        running.remove(queryId)
+      }
+    }
+
+    def cancel(queryId: String): Boolean = running.remove(queryId) match {
+      case Some(st) =>
+        st.cancelled = true
+        // ...AndFutureJobs: a cancel landing while the request is still
+        // planning (no job submitted yet) must also void the jobs it would
+        // submit next — plain cancelJobGroup only kills active ones
+        sc.cancelJobGroupAndFutureJobs(st.groupId)
+        true
+      case None => false
+    }
+  }
+
   def start(spark: SparkSession, resolve: NativeQuery.Resolver,
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
       maxResultRows: Int = 100000): Facade = {
@@ -84,7 +136,9 @@ object HttpFacade {
       s"127.0.0.1:${server.getAddress.getPort}", maxResultRows = maxResultRows)
     server.createContext("/druid/v2/sql/avatica", statusHandler(avatica.handle))
 
-    server.createContext("/druid/v2/sql", sqlHandler { body =>
+    val cancels = new CancelRegistry(spark.sparkContext)
+
+    server.createContext("/druid/v2/sql", sqlHandler(cancels) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
         JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
@@ -186,12 +240,20 @@ object HttpFacade {
       }
     })
 
-    // registered second so the more specific /druid/v2/sql path wins
-    server.createContext("/druid/v2", handler { body =>
+    // registered second so the more specific /druid/v2/sql path wins.
+    // DELETE /druid/v2/{id} is the native cancellation endpoint
+    // (QueryResource.java:142-166 cancelQuery): the reference answers 202
+    // even for an id the scheduler never registered (it only warns), so the
+    // status is ACCEPTED either way
+    server.createContext("/druid/v2", statusHandler(body => {
       val q = JsonMethods.parse(body)
-      val df = NativeQuery.run(spark, body, resolve, lookups)
-      envelope(q, df, maxResultRows)
-    })
+      val queryId = (q \ "context" \ "queryId") match {
+        case JString(id) => Some(id); case _ => None
+      }
+      def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
+        maxResultRows)
+      (200, queryId.fold(exec())(id => cancels.run(id)(exec())))
+    }, onDelete = Some(id => { cancels.cancel(id); 202 })))
 
     server.start()
     new Facade(server)
@@ -202,9 +264,21 @@ object HttpFacade {
 
   /** Like handler, but `f` chooses the HTTP status itself (the Avatica
     * endpoint answers 500 with its own ErrorResponse envelope on failure,
-    * matching Calcite's AvaticaJsonHandler). */
-  private def statusHandler(f: String => (Int, String)): HttpHandler = new HttpHandler {
+    * matching Calcite's AvaticaJsonHandler). `onDelete` serves
+    * `DELETE <context>/{id}` — the cancellation routes — returning just a
+    * status with an empty body, like the reference's Response.status(...)
+    * .build(). */
+  private def statusHandler(f: String => (Int, String),
+      onDelete: Option[String => Int] = None): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      if (ex.getRequestMethod == "DELETE" && onDelete.isDefined) {
+        val id = ex.getRequestURI.getPath
+          .stripPrefix(ex.getHttpContext.getPath).stripPrefix("/")
+        val status = try onDelete.get(id) catch { case _: Throwable => 500 }
+        ex.sendResponseHeaders(status, -1)
+        ex.close()
+        return
+      }
       val (status, payload) =
         try {
           if (ex.getRequestMethod != "POST")
@@ -229,8 +303,20 @@ object HttpFacade {
     * format's content type (ResultFormat.java:38-96 — array/object JSON,
     * the Lines formats text/plain, csv text/csv), and renders failures as
     * the reference's QueryException envelope. */
-  private def sqlHandler(f: String => String): HttpHandler = new HttpHandler {
+  private def sqlHandler(cancels: CancelRegistry)(f: String => String): HttpHandler =
+      new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      // DELETE /druid/v2/sql/{id}: 202 when the id names a registered
+      // in-flight query, 404 otherwise (SqlResource.java:264-290;
+      // SqlResourceTest.testCancelInvalidQuery expects NOT_FOUND)
+      if (ex.getRequestMethod == "DELETE") {
+        val id = ex.getRequestURI.getPath
+          .stripPrefix(ex.getHttpContext.getPath).stripPrefix("/")
+        val status = if (cancels.cancel(id)) 202 else 404
+        ex.sendResponseHeaders(status, -1)
+        ex.close()
+        return
+      }
       val body =
         if (ex.getRequestMethod == "POST")
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -246,7 +332,10 @@ object HttpFacade {
         try {
           if (ex.getRequestMethod != "POST")
             (405, """{"error":"POST only"}""", "application/json")
-          else (200, f(body), format match {
+          // registered for the request's full lifecycle — parse, plan,
+          // execute — like SqlLifecycleManager.add at doPost entry, so a
+          // cancel landing between plan and execute still voids the request
+          else (200, cancels.run(sqlQueryId)(f(body)), format match {
             case "objectLines" | "arrayLines" => "text/plain"
             case "csv" => "text/csv"
             case _ => "application/json"
@@ -276,6 +365,11 @@ object HttpFacade {
     * (BadQueryException), and "Unknown exception" at 500 for the rest. */
   private[server] def queryError(e: Throwable): (Int, String) = {
     val (status, code, errorClass) = e match {
+      case _: QueryCancelledException =>
+        // QueryInterruptedException.QUERY_CANCELLED at 500
+        // (SqlResourceTest.testCancelBetweenPlanAndExecute asserts
+        // INTERNAL_SERVER_ERROR + this error code)
+        (500, "Query cancelled", "java.util.concurrent.CancellationException")
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         (400, "SQL parse failed", "org.apache.calcite.sql.parser.SqlParseException")
       case _: ResourceLimitExceededException =>

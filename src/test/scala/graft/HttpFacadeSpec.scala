@@ -333,4 +333,90 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert((json \ "host") == JNull)
     } finally facade.stop()
   }
+
+  private def delete(port: Int, path: String): Int = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .DELETE().build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("DELETE /druid/v2/sql/{id} cancels the in-flight query: 202, the POST " +
+      "fails with 'Query cancelled' at 500, and the Spark jobs stop " +
+      "(SqlResourceTest.testCancelBetweenPlanAndExecute)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // a query the box cannot finish quickly: 10^12 multiply-accumulate
+      val slow = """{"query":
+        "SELECT SUM(a.id * b.id) AS s FROM range(1000000) a CROSS JOIN range(1000000) b",
+        "context": {"sqlQueryId": "toCancel"}}"""
+      val pending = Future(post(facade.port, "/druid/v2/sql", slow))
+      // poll until the request registers (cancel of a not-yet-arrived id is 404)
+      var status = 404
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (status == 404 && System.nanoTime < deadline) {
+        Thread.sleep(50)
+        status = delete(facade.port, "/druid/v2/sql/toCancel")
+      }
+      assert(status == 202)
+      val (postStatus, json) = Await.result(pending, 60.seconds)
+      assert(postStatus == 500)
+      assert((json \ "error") == JString("Query cancelled"))
+      // the registry entry is gone: a second cancel is 404
+      // (testCancelBetweenValidateAndPlan asserts lifecycleManager empty)
+      assert(delete(facade.port, "/druid/v2/sql/toCancel") == 404)
+      // and the engine still answers new queries promptly afterwards
+      val (okStatus, ok) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT 1 + 1 AS two"}""")
+      assert(okStatus == 200)
+      assert(ok.asInstanceOf[JArray].arr.head \ "two" == JInt(2))
+    } finally facade.stop()
+  }
+
+  test("DELETE /druid/v2/sql/{id} of an unknown id is 404 " +
+      "(SqlResourceTest.testCancelInvalidQuery)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try assert(delete(facade.port, "/druid/v2/sql/invalidQuery") == 404)
+    finally facade.stop()
+  }
+
+  test("DELETE /druid/v2/{id} answers 202 whether or not the id is registered " +
+      "(QueryResource.java:142-166 only warns on an unknown queryId)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      assert(delete(facade.port, "/druid/v2/neverRegistered") == 202)
+      // a registered native query cancels through the same route
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slowNative = """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": {
+          "queryType": "scan",
+          "dataSource": "lineitem",
+          "columns": ["l_orderkey", "l_quantity"]
+        }},
+        "dimensions": ["l_orderkey"],
+        "aggregations": [{"type": "longSum", "name": "q", "fieldName": "l_quantity"}],
+        "context": {"queryId": "nativeToCancel"}
+      }"""
+      val pending = Future(post(facade.port, "/druid/v2", slowNative))
+      var status = 0
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      // 202 always — poll until the POST either registers or completes
+      while (status != 202 && !pending.isCompleted && System.nanoTime < deadline) {
+        Thread.sleep(20)
+        status = delete(facade.port, "/druid/v2/nativeToCancel")
+      }
+      // whichever side won the race, the POST terminates: either cancelled
+      // (500 Query cancelled) or already complete (200)
+      val (postStatus, json) = Await.result(pending, 60.seconds)
+      assert(postStatus == 200 || postStatus == 500)
+      if (postStatus == 500)
+        assert((json \ "error") == JString("Query cancelled"))
+    } finally facade.stop()
+  }
 }
