@@ -247,6 +247,8 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
 
   private def plan(sqlText: String): Either[Seq[JObject], DataFrame] = {
     graft.functions.GraftSqlFunctions.register(spark)
+    // metadata queries see the live catalog without a manual re-register
+    SystemSchema.refreshIfMetadataQuery(spark, sqlText)
     val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try {

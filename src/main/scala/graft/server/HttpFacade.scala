@@ -202,6 +202,8 @@ object HttpFacade {
         case JInt(n) => Some(n.toInt); case _ => None
       }
       graft.functions.GraftSqlFunctions.register(spark)
+      // metadata queries see the live catalog without a manual re-register
+      SystemSchema.refreshIfMetadataQuery(spark, sqlText)
       // Druid SQL never throws on a malformed cast — a mismatched-type
       // comparison plans to null / no-match (sql/.../planner/Calcites.java
       // lenient coercion; CalciteParameterQueryTest.java:623 binds VARCHAR

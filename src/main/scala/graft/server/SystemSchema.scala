@@ -15,10 +15,25 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * cross-database views over temp state, and permanent views may not
   * reference temp views — so each register() materializes a SNAPSHOT as
   * `CREATE OR REPLACE VIEW ... AS VALUES` (plan-inlined literal rows, no
-  * filesystem writes). Re-register after catalog changes, the same way the
-  * reference's broker refreshes its DruidSchema on segment change.
+  * filesystem writes). The SQL entry points call refreshIfMetadataQuery
+  * before planning, so metadata queries always see the live catalog — the
+  * same effect as the reference's broker refreshing its DruidSchema on
+  * segment change. sys.server_segments is NOT a snapshot: it's a lazy view
+  * over sys.servers × sys.segments, computed distributed at query time.
   */
 object SystemSchema {
+
+  /** Register-on-access: the SQL entry points call this with the statement
+    * text before planning; when it references a metadata schema, the
+    * snapshots refresh from the live catalog/runtime state first — the
+    * analog of the reference broker refreshing DruidSchema on segment
+    * change (sql/.../schema/DruidSchema.java), without a manual
+    * register(). A non-metadata query pays only a substring check. */
+  def refreshIfMetadataQuery(spark: SparkSession, sql: String): Unit = {
+    val s = sql.toLowerCase(java.util.Locale.ROOT)
+    if (s.contains("information_schema.")) register(spark)
+    if (s.contains("sys.")) registerServers(spark)
+  }
 
   /** Register INFORMATION_SCHEMA views over the current catalog state. */
   def register(spark: SparkSession): Unit = {
@@ -158,13 +173,24 @@ object SystemSchema {
       numericCols = Set("plaintext_port", "tls_port", "curr_size", "max_size", "is_leader"))
 
     // SERVER_SEGMENTS_SIGNATURE (SystemSchema.java:166-170): shared storage
-    // means every data server is assignable to every registered segment
-    val segmentIds =
-      try spark.table("sys.segments").select("segment_id").collect().toSeq.map(_.getString(0))
-      catch { case _: Throwable => Nil }
-    inlineView(spark, "sys.server_segments",
-      Seq("server", "segment_id"),
-      for { e <- execs; sid <- segmentIds } yield Seq(s"${e.host}:${e.port}", sid))
+    // means every data server is assignable to every registered segment.
+    // Defined as a LAZY view over sys.servers × sys.segments — evaluated
+    // distributed at query time, never inlined: a 10k-segment ×
+    // 1k-executor cluster would otherwise bake 10M literal rows into the
+    // view definition
+    if (!spark.catalog.tableExists("sys.segments"))
+      inlineView(spark, "sys.segments",
+        Seq("segment_id", "datasource", "start", "`end`", "size", "version",
+          "partition_num", "num_replicas", "num_rows", "is_published",
+          "is_available", "is_realtime", "is_overshadowed", "shard_spec",
+          "dimensions", "metrics", "last_compaction_state"),
+        Nil,
+        numericCols = Set("size", "partition_num", "num_replicas", "num_rows",
+          "is_published", "is_available", "is_realtime", "is_overshadowed"))
+    spark.sql(
+      """CREATE OR REPLACE VIEW sys.server_segments AS
+        |SELECT s.server, g.segment_id
+        |FROM sys.servers s CROSS JOIN sys.segments g""".stripMargin)
 
     // TASKS_SIGNATURE (SystemSchema.java:172-188): an active streaming query
     // is a running indexing task (the reference's index_kafka task group)

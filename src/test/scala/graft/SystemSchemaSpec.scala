@@ -69,6 +69,48 @@ class SystemSchemaSpec extends SparkSpecBase {
     assert(joined == pairs.length)
   }
 
+  test("metadata queries see a table created AFTER the last register() — " +
+      "register-on-access, like the broker's DruidSchema refresh on change") {
+    SystemSchema.register(spark)
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("fresh_after_register")
+    // through the real SQL entry point (the facade), no explicit register()
+    val facade = graft.server.HttpFacade.start(spark,
+      name => Sources.table(spark, sf(), name))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${facade.port}/druid/v2/sql"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT table_name FROM information_schema.tables WHERE table_name = 'fresh_after_register'"}"""))
+        .header("Content-Type", "application/json").build()
+      val body = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(body.contains("fresh_after_register"))
+    } finally {
+      facade.stop()
+      spark.catalog.dropTempView("fresh_after_register")
+    }
+  }
+
+  test("sys.server_segments is a lazy view: segments registered AFTER " +
+      "registerServers appear without another registerServers call") {
+    SystemSchema.registerServers(spark)
+    val out = java.nio.file.Files.createTempDirectory("syslazyseg").toString
+    Sources.table(spark, sf(), "supplier").write.mode("overwrite").parquet(out)
+    SystemSchema.registerSegments(spark, "supplier_lazy_ds", out, "s_suppkey")
+    val nSrv = spark.sql("SELECT COUNT(*) FROM sys.servers").head().getLong(0)
+    val lazyPairs = spark.sql(
+      """SELECT COUNT(*) FROM sys.server_segments ss
+        |JOIN sys.segments s ON ss.segment_id = s.segment_id
+        |WHERE s.datasource = 'supplier_lazy_ds'""".stripMargin).head().getLong(0)
+    val nSeg = spark.sql(
+      "SELECT COUNT(*) FROM sys.segments WHERE datasource = 'supplier_lazy_ds'")
+      .head().getLong(0)
+    assert(nSeg > 0)
+    assert(lazyPairs == nSeg * nSrv)
+  }
+
   test("sys.tasks lists active streaming queries as running tasks (SystemSchema.java:172)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
