@@ -474,6 +474,11 @@ object GraftSqlFunctions {
     "hllc_union_estimate" -> { args =>
       graft.plans.HllcUnionEstimate(args(0)).toAggregateExpression()
     },
+    // write path: build reference-format collector bytes from raw values,
+    // so a Druid cluster can read THIS engine's hyperUnique columns
+    "hllc_build" -> { args =>
+      graft.plans.HllcBuild(args(0)).toAggregateExpression()
+    },
     "theta_sketch_union" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "union") },
     "theta_sketch_intersect" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "intersect") },
     "theta_sketch_not" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "not") },

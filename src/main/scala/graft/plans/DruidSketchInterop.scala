@@ -30,6 +30,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   */
 object DruidHllc {
   val NumBuckets = 2048
+  /** V1 header: version, registerOffset, numNonZero (short), overflow value,
+    * overflow register (short) — VersionOneHyperLogLogCollector.java:33-41. */
+  val HeaderNumBytes = 7
   private val Alpha = 0.7213 / (1 + 1.079 / NumBuckets)
   private val CorrectionParameter = Alpha * NumBuckets * NumBuckets
   private val LowCorrectionThreshold = (5 * NumBuckets) / 2.0d
@@ -73,11 +76,18 @@ object DruidHllc {
         pos += 1
       }
     } else {
-      // sparse: (short position, byte register) triples; missing = zero
+      // sparse: (short position, byte register) triples; missing = zero.
+      // Positions are BYTE positions including the 7-byte header — the
+      // writer emits `i + startPosition - initPosition` (toByteArray) and
+      // fold reads them back as `getShort() - getNumHeaderBytes()`
+      // (HyperLogLogCollector.java:494, fold's sparse branch) — so the
+      // bucket-pair index is the stored short minus the header size
       require(payloadLen % 3 == 0, s"malformed HLLC sparse payload: $payloadLen bytes")
       var i = 7
       while (i < bytes.length) {
-        val pos = buf.getShort(i) & 0xffff
+        val pos = (buf.getShort(i) & 0xffff) - HeaderNumBytes
+        require(pos >= 0 && pos < NumBuckets / 2,
+          s"malformed HLLC sparse position: ${pos + HeaderNumBytes}")
         val reg = bytes(i + 2) & 0xff
         put(pos, (reg & 0xf0) >>> 4, reg & 0x0f)
         i += 3
@@ -166,6 +176,226 @@ object QuantileSketchBytes {
     case other => throw new IllegalArgumentException(
       s"unsupported quantile sketch family id $other (KLL=15, classic DoublesSketch=8)")
   }
+}
+
+/** WRITE-side HyperLogLogCollector interop: build reference-format V1
+  * collector bytes from raw values, so a Druid cluster can read THIS
+  * engine's hyperUnique output (the inverse of DruidHllc's read path).
+  *
+  * Faithful to the reference's state machine
+  * (hll/.../HyperLogLogCollector.java):
+  *  - values hash with Guava murmur3_128 — the exact library call the
+  *    reference makes (HyperLogLogHash.java:39 Hashing.murmur3_128(),
+  *    strings as UTF-8)
+  *  - bucket = big-endian short at hash bytes 14-15 masked to 11 bits;
+  *    positionOf1 = leading-zero count over hash bytes 0-7, plus one
+  *    (add(byte[]):303-331 with ByteBitLookup)
+  *  - registers hold positionOf1 max'd per bucket; values beyond the
+  *    4-bit range above registerOffset go to the single max-overflow slot,
+  *    and the offset bumps when all 2048 registers are nonzero
+  *    (add(short,byte):333-364)
+  *  - serialization emits the V1 layout: 7-byte header + dense 1024-byte
+  *    payload, or sparse (position+7, byte) triples when fewer than 128
+  *    registers are set (toByteArray:476-498, DENSE_THRESHOLD)
+  */
+object DruidHllcBuild {
+  import DruidHllc.{HeaderNumBytes, NumBuckets}
+  private val DenseThreshold = 128 // HyperLogLogCollector.DENSE_THRESHOLD
+  private val Range = 15           // 4-bit nibble range
+
+  /** Value-space collector state: regs hold effective register values
+    * (offset + nibble); the offset/overflow fields evolve exactly like the
+    * reference's header fields. */
+  final class State {
+    val regs = new Array[Int](NumBuckets)
+    var offset = 0
+    var numNonZero = 0 // count of regs(b) > offset
+    var overflowValue = 0
+    var overflowBucket = 0
+  }
+
+  private val hashFn = com.google.common.hash.Hashing.murmur3_128()
+
+  /** HyperLogLogHash.hash: murmur3_128 over the value's UTF-8 bytes
+    * (binary input hashes raw). */
+  def hashValue(v: Any): Array[Byte] = v match {
+    case b: Array[Byte] => hashFn.hashBytes(b).asBytes()
+    case other => hashFn.hashBytes(
+      other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).asBytes()
+  }
+
+  /** add(byte[] hashedValue): bucket from the trailing short, positionOf1
+    * from the leading 8 bytes' first set bit. */
+  def addHashed(st: State, hashed: Array[Byte]): Unit = {
+    val bucket = (((hashed(hashed.length - 2) & 0xff) << 8) |
+      (hashed(hashed.length - 1) & 0xff)) & 0x7ff
+    var positionOf1 = 0
+    var i = 0
+    var found = false
+    while (i < 8 && !found) {
+      val b = hashed(i) & 0xff
+      if (b == 0) positionOf1 += 8
+      else { positionOf1 += Integer.numberOfLeadingZeros(b) - 24 + 1; found = true }
+      i += 1
+    }
+    add(st, bucket, positionOf1)
+  }
+
+  /** add(short bucket, byte positionOf1) — the reference's exact
+    * discard/overflow/offset-bump ladder in value space. */
+  def add(st: State, bucket: Int, positionOf1: Int): Unit = {
+    if (positionOf1 <= st.offset) return
+    if (positionOf1 > st.offset + Range) {
+      if (positionOf1 > st.overflowValue) {
+        val currMax = st.overflowValue
+        val currBucket = st.overflowBucket
+        st.overflowValue = positionOf1
+        st.overflowBucket = bucket
+        // the displaced overflow folds back into the registers when it now
+        // fits the range (reference: add(getMaxOverflowRegister(), currMax))
+        if (currMax > st.offset && currMax <= st.offset + Range)
+          add(st, currBucket, currMax)
+      }
+      return
+    }
+    if (positionOf1 > st.regs(bucket)) {
+      val wasZero = st.regs(bucket) <= st.offset
+      st.regs(bucket) = positionOf1
+      if (wasZero) {
+        st.numNonZero += 1
+        if (st.numNonZero == NumBuckets) {
+          // all registers set: raise the shared offset; registers sitting at
+          // exactly the new offset become "zero" nibbles (their effective
+          // value is unchanged — nibble 0 at offset o reads as o)
+          st.offset += 1
+          var b = 0
+          var n = 0
+          while (b < NumBuckets) { if (st.regs(b) > st.offset) n += 1; b += 1 }
+          st.numNonZero = n
+        }
+      }
+    }
+  }
+
+  /** Merge = the reference fold's value-space effect: elementwise max of
+    * effective register values, overflow folded through the same ladder. */
+  def merge(a: State, b: State): Unit = {
+    var i = 0
+    while (i < NumBuckets) {
+      if (b.regs(i) > 0) add(a, i, b.regs(i))
+      i += 1
+    }
+    if (b.overflowValue > 0) add(a, b.overflowBucket, b.overflowValue)
+  }
+
+  /** Emit reference V1 bytes (toByteArray): sparse below DENSE_THRESHOLD
+    * nonzero registers, dense otherwise. */
+  def toBytes(st: State): Array[Byte] = {
+    val nibbles = new Array[Byte](NumBuckets / 2)
+    var nonZero = 0
+    var b = 0
+    while (b < NumBuckets) {
+      val nib = if (st.regs(b) > st.offset) st.regs(b) - st.offset else 0
+      if (nib > 0) nonZero += 1
+      val idx = b >> 1
+      if ((b & 1) == 0) nibbles(idx) = (nibbles(idx) | (nib << 4)).toByte
+      else nibbles(idx) = (nibbles(idx) | nib).toByte
+      b += 1
+    }
+    def header(buf: ByteBuffer): Unit = {
+      buf.put(0, 1.toByte)
+      buf.put(1, st.offset.toByte)
+      buf.putShort(2, nonZero.toShort)
+      buf.put(4, st.overflowValue.toByte)
+      buf.putShort(5, st.overflowBucket.toShort)
+    }
+    if (nonZero < DenseThreshold) {
+      val pairs = nibbles.indices.count(nibbles(_) != 0)
+      val buf = ByteBuffer.allocate(HeaderNumBytes + pairs * 3)
+      header(buf)
+      buf.position(HeaderNumBytes)
+      var i = 0
+      while (i < nibbles.length) {
+        if (nibbles(i) != 0) {
+          // positions include the header size, as the reference writes them
+          buf.putShort((i + HeaderNumBytes).toShort)
+          buf.put(nibbles(i))
+        }
+        i += 1
+      }
+      buf.array()
+    } else {
+      val buf = ByteBuffer.allocate(HeaderNumBytes + NumBuckets / 2)
+      header(buf)
+      System.arraycopy(nibbles, 0, buf.array(), HeaderNumBytes, nibbles.length)
+      buf.array()
+    }
+  }
+
+  /** Internal partial-state codec for the aggregation buffer shuffle. */
+  def serializeState(st: State): Array[Byte] = {
+    val buf = ByteBuffer.allocate(12 + NumBuckets)
+    buf.putInt(st.offset).putInt(st.overflowValue).putInt(st.overflowBucket)
+    var i = 0
+    while (i < NumBuckets) { buf.put(st.regs(i).toByte); i += 1 }
+    buf.array()
+  }
+  def deserializeState(bytes: Array[Byte]): State = {
+    val buf = ByteBuffer.wrap(bytes)
+    val st = new State
+    st.offset = buf.getInt
+    st.overflowValue = buf.getInt
+    st.overflowBucket = buf.getInt
+    var i = 0
+    var n = 0
+    while (i < NumBuckets) {
+      st.regs(i) = bytes(12 + i) & 0xff
+      if (st.regs(i) > st.offset) n += 1
+      i += 1
+    }
+    st.numNonZero = n
+    st
+  }
+}
+
+/** HLLC_BUILD(col) → binary: aggregate raw values into a reference-format
+  * HyperLogLogCollector (V1 bytes a Druid cluster reads as a stored
+  * hyperUnique column). The write-side inverse of HllcUnionEstimate. */
+case class HllcBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DruidHllcBuild.State] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): DruidHllcBuild.State = new DruidHllcBuild.State
+
+  override def update(st: DruidHllcBuild.State, input: InternalRow): DruidHllcBuild.State = {
+    val v = child.eval(input)
+    if (v != null) DruidHllcBuild.addHashed(st, DruidHllcBuild.hashValue(v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }))
+    st
+  }
+
+  override def merge(a: DruidHllcBuild.State, b: DruidHllcBuild.State): DruidHllcBuild.State = {
+    DruidHllcBuild.merge(a, b)
+    a
+  }
+
+  override def eval(st: DruidHllcBuild.State): Any = DruidHllcBuild.toBytes(st)
+
+  override def serialize(st: DruidHllcBuild.State): Array[Byte] =
+    DruidHllcBuild.serializeState(st)
+  override def deserialize(bytes: Array[Byte]): DruidHllcBuild.State =
+    DruidHllcBuild.deserializeState(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): HllcBuild = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllcBuild = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllcBuild = copy(child = c)
+  override def prettyName: String = "hllc_build"
 }
 
 /** HLLC_ESTIMATE(druid_hllc_bytes) → double: estimate one stored

@@ -590,6 +590,14 @@ object SketchFunctions {
   def tupleToKll(col: Column, column: Int = 1, k: Int = 200): Column =
     c(TupleToKll(e(col), column, k))
 
+  /** Druid HyperLogLogCollector binary interop — read (estimate/union) AND
+    * write (build reference-format V1 bytes a Druid cluster can consume). */
+  def hllcBuild(col: Column): Column =
+    c(HllcBuild(e(col)).toAggregateExpression())
+  def hllcEstimate(col: Column): Column = c(HllcEstimate(e(col)))
+  def hllcUnionEstimate(col: Column): Column =
+    c(HllcUnionEstimate(e(col)).toAggregateExpression())
+
   /** DS_HLL family — Spark ships DataSketches-backed HLL functions. */
   def hllSketch(col: Column, lgK: Int = 12): Column =
     org.apache.spark.sql.functions.hll_sketch_agg(col, lgK)

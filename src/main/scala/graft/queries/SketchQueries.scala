@@ -72,6 +72,25 @@ object SketchQueries {
         count(lit(1)).as("n_groups"))
     }),
 
+    // Druid HyperLogLogCollector WRITE interop: build reference-format V1
+    // collector bytes (what a Druid cluster reads as a stored hyperUnique
+    // column) per group, union-estimate the shuffled partials, and gate the
+    // estimate against the exact count — HLLC has no exact phase (2048
+    // 4-bit registers from the first add), so the oracle checks the exact
+    // side plus a within-tolerance flag rather than estimate == exact
+    "sketch_hllc_build" -> ((s, dir) => {
+      import graft.plans.SketchFunctions.{hllcBuild, hllcUnionEstimate}
+      val li = Sources.table(s, dir, "lineitem")
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(hllcBuild(col("l_suppkey")).as("sk"))
+      val exact = li.agg(countDistinct(col("l_suppkey")).as("nd_exact"))
+      perFlag.agg(hllcUnionEstimate(col("sk")).as("est"))
+        .crossJoin(exact)
+        .select(col("nd_exact"),
+          when(abs(col("est") - col("nd_exact")) / col("nd_exact") < lit(0.15), 1L)
+            .otherwise(0L).as("within_tol"))
+    }),
+
     // ArrayOfDoubles tuple sketch (datasketches/tuple): distinct suppliers
     // AND their summed quantities from ONE sketch column — exact below the
     // 2^16 nominal, so both the estimate and the metric-sum post-op are
@@ -106,6 +125,11 @@ object SketchQueries {
     "sketch_hll" ->
       """SELECT count(DISTINCT l_suppkey) AS nd_global,
         |       count(DISTINCT l_returnflag) AS n_groups
+        |FROM lineitem""".stripMargin,
+
+    "sketch_hllc_build" ->
+      """SELECT count(DISTINCT l_suppkey) AS nd_exact,
+        |       CAST(1 AS BIGINT) AS within_tol
         |FROM lineitem""".stripMargin,
 
     "sketch_tuple" ->

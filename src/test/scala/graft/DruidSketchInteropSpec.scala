@@ -78,6 +78,80 @@ class DruidSketchInteropSpec extends SparkSpecBase {
     }
   }
 
+  test("HLLC_BUILD emits reference V1 bytes: single-value sparse fixture " +
+      "(byte-level: header, position-with-header-offset, register nibble)") {
+    import graft.plans.DruidHllcBuild
+    val st = new DruidHllcBuild.State
+    val hashed = DruidHllcBuild.hashValue("foo")
+    DruidHllcBuild.addHashed(st, hashed)
+    val bytes = DruidHllcBuild.toBytes(st)
+    // sparse: 7-byte header + exactly one (short position, byte register)
+    assert(bytes.length == 10)
+    assert(bytes(0) == 1)                   // version
+    assert(bytes(1) == 0)                   // registerOffset
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    assert(bb.getShort(2) == 1)             // numNonZeroRegisters
+    assert(bytes(4) == 0 && bb.getShort(5) == 0) // no overflow
+    // independent recomputation of bucket/position from the hash bytes
+    val bucket = (((hashed(14) & 0xff) << 8) | (hashed(15) & 0xff)) & 0x7ff
+    var position = 0; var i = 0; var found = false
+    while (i < 8 && !found) {
+      val b = hashed(i) & 0xff
+      if (b == 0) position += 8
+      else { position += Integer.numberOfLeadingZeros(b) - 24 + 1; found = true }
+      i += 1
+    }
+    // sparse position = bucket-pair byte index + header size (the writer
+    // emits i + startPosition - initPosition; HyperLogLogCollector.java:494)
+    assert((bb.getShort(7) & 0xffff) == (bucket >> 1) + 7)
+    val nibble = if ((bucket & 1) == 0) (bytes(9) & 0xf0) >>> 4 else bytes(9) & 0x0f
+    assert(nibble == position)
+    // the read path decodes the build output (sparse +7 regression cover)
+    val regs = DruidHllc.registerValues(bytes)
+    assert(regs(bucket) == position)
+    assert(regs.count(_ != 0) == 1)
+    // an empty state serializes to the bare 7-byte header (estimates 0)
+    val empty = DruidHllcBuild.toBytes(new DruidHllcBuild.State)
+    assert(empty.toSeq == Seq[Byte](1, 0, 0, 0, 0, 0, 0))
+    assert(DruidHllc.estimate(empty) == 0.0)
+  }
+
+  test("HLLC_BUILD → read-path estimate round trip within HLL tolerance, " +
+      "sparse (<128 registers) and dense forms") {
+    import graft.plans.{DruidHllc, DruidHllcBuild}
+    // sparse: 50 distinct values set <128 registers
+    val sparse = new DruidHllcBuild.State
+    (1 to 50).foreach(i => DruidHllcBuild.addHashed(sparse, DruidHllcBuild.hashValue(s"v$i")))
+    val sparseBytes = DruidHllcBuild.toBytes(sparse)
+    assert(sparseBytes.length < 7 + 1024) // sparse encoding chosen
+    assert(math.abs(DruidHllc.estimate(sparseBytes) - 50.0) < 5.0)
+    // dense: 100k distinct values force the 1024-byte payload
+    val dense = new DruidHllcBuild.State
+    (1 to 100000).foreach(i => DruidHllcBuild.addHashed(dense, DruidHllcBuild.hashValue(s"w$i")))
+    val denseBytes = DruidHllcBuild.toBytes(dense)
+    assert(denseBytes.length == 7 + 1024)
+    // HLL standard error for 2048 buckets ≈ 2.3%; allow 4 sigma
+    assert(math.abs(DruidHllc.estimate(denseBytes) - 100000.0) / 100000.0 < 0.1)
+  }
+
+  test("HLLC_BUILD distributes: SQL aggregate with shuffle-merged partials, " +
+      "and its output feeds HLLC_UNION_ESTIMATE like a stored Druid column") {
+    graft.functions.GraftSqlFunctions.register(spark)
+    spark.range(20000).selectExpr("id", "id % 8 AS g", "CONCAT('u', id % 5000) AS u")
+      .repartition(8).createOrReplaceTempView("hllc_build_src")
+    // per-group collectors (what an ingest-time rollup would store), then
+    // union-estimated back — the full write→read interop cycle
+    val row = spark.sql(
+      """SELECT HLLC_UNION_ESTIMATE(sk) AS est FROM (
+        |  SELECT g, HLLC_BUILD(u) AS sk FROM hllc_build_src GROUP BY g
+        |)""".stripMargin).head()
+    assert(math.abs(row.getDouble(0) - 5000.0) / 5000.0 < 0.1)
+    // direct build over the whole column agrees with the unioned partials
+    val direct = spark.sql(
+      "SELECT HLLC_ESTIMATE(HLLC_BUILD(u)) AS est FROM hllc_build_src").head()
+    assert(math.abs(direct.getDouble(0) - row.getDouble(0)) / 5000.0 < 0.05)
+  }
+
   test("HLLC_ESTIMATE and HLLC_UNION_ESTIMATE work over a binary sketch column in SQL") {
     graft.functions.GraftSqlFunctions.register(spark)
     vectors.indices.map(bytes).toDF("hllc").createOrReplaceTempView("druid_sketches")
