@@ -257,9 +257,41 @@ object HttpFacade {
       (200, queryId.fold(exec())(id => cancels.run(id)(exec())))
     }, onDelete = Some(id => { cancels.cancel(id); 202 })))
 
+    // lookup admin CRUD + introspection (LookupCoordinatorResource.java,
+    // LookupIntrospectionResource.java) over the registry the lookup
+    // datasource / LOOKUP() / extraction fns already read from
+    server.createContext("/druid/coordinator/v1/lookups", restHandler(
+      (method, sub, body) => LookupResource.config(spark, lookups, method, sub, body)))
+    server.createContext("/druid/v1/lookups/introspect", restHandler(
+      (method, sub, _) => LookupResource.introspect(lookups, method, sub)))
+
     server.start()
     new Facade(server)
   }
+
+  /** Method-and-path routing handler for the REST-ish admin resources:
+    * passes (method, sub-path, body) through and writes (status, body) back
+    * (an empty body sends just the status, like Response.status().build()). */
+  private def restHandler(f: (String, String, String) => (Int, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (status, payload) =
+          try {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val sub = ex.getRequestURI.getPath.stripPrefix(ex.getHttpContext.getPath)
+            f(ex.getRequestMethod, sub, body)
+          } catch { case e: Throwable => queryError(e) }
+        if (payload.isEmpty) {
+          ex.sendResponseHeaders(status, -1)
+        } else {
+          val bytes = payload.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(status, bytes.length)
+          ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    }
 
   private def handler(f: String => String): HttpHandler =
     statusHandler(body => (200, f(body)))

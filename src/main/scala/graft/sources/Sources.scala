@@ -92,10 +92,24 @@ object LookupRegistry {
 
 final class LookupRegistry {
   private val lookups = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // spec versions for the HTTP config surface (the reference's
+  // LookupExtractorFactoryMapContainer.version); programmatic registrations
+  // without a version read back null, like a v1 container
+  private val versions = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def register(name: String, kv: DataFrame): Unit = {
     require(kv.columns.length >= 2, "lookup needs (key, value) columns")
     lookups.put(name, kv)
+  }
+  def register(name: String, kv: DataFrame, version: String): Unit = {
+    register(name, kv)
+    if (version != null) versions.put(name, version) else versions.remove(name)
+  }
+  def version(name: String): Option[String] = versions.get(name)
+  def contains(name: String): Boolean = lookups.contains(name)
+  def remove(name: String): Boolean = {
+    versions.remove(name)
+    lookups.remove(name).isDefined
   }
   def registerMap(spark: SparkSession, name: String, m: Map[String, String]): Unit = {
     import spark.implicits._

@@ -334,6 +334,75 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  private def send(port: Int, method: String, path: String,
+      body: String = ""): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val builder = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    val req = (method match {
+      case "GET" => builder.GET()
+      case "DELETE" => builder.DELETE()
+      case "POST" => builder.POST(HttpRequest.BodyPublishers.ofString(body))
+    }).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("lookup config CRUD round trip (LookupCoordinatorResource.java): " +
+      "POST container → GET spec/tier/list → queryable via LOOKUP() → DELETE") {
+    val registry = new graft.sources.LookupRegistry
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      lookups = registry)
+    try {
+      val p = facade.port
+      val base = "/druid/coordinator/v1/lookups/config"
+      // create with the reference's container shape
+      val (postStatus, _) = send(p, "POST", s"$base/__default/country_names",
+        """{"version": "v1", "lookupExtractorFactory":
+           {"type": "map", "map": {"DE": "Germany", "FR": "France"}}}""")
+      assert(postStatus == 202)
+      // tier listing + names + full dump
+      assert(send(p, "GET", base) == ((200, """["__default"]""")))
+      assert(send(p, "GET", s"$base/__default")._2.contains("country_names"))
+      val (allStatus, all) = send(p, "GET", s"$base/all")
+      assert(allStatus == 200 && all.contains("\"DE\":\"Germany\""))
+      // spec read-back carries version + factory
+      val (getStatus, spec) = send(p, "GET", s"$base/__default/country_names")
+      assert(getStatus == 200)
+      val parsed = JsonMethods.parse(spec)
+      assert((parsed \ "version") == JString("v1"))
+      assert((parsed \ "lookupExtractorFactory" \ "map" \ "FR") == JString("France"))
+      // the HTTP-registered lookup is live for queries on this registry
+      val enriched = registry(
+        spark.createDataFrame(Seq(Tuple1("DE"))).toDF("code"),
+        "code", "country_names", "country").head()
+      assert(enriched.getString(1) == "Germany")
+      // unknown tier / unknown lookup are 404s
+      assert(send(p, "GET", s"$base/no_such_tier")._1 == 404)
+      assert(send(p, "GET", s"$base/__default/nope")._1 == 404)
+      assert(send(p, "DELETE", s"$base/__default/nope")._1 == 404)
+      // delete drops it
+      assert(send(p, "DELETE", s"$base/__default/country_names")._1 == 202)
+      assert(send(p, "GET", s"$base/__default/country_names")._1 == 404)
+    } finally facade.stop()
+  }
+
+  test("lookup introspection (LookupIntrospectionResource + " +
+      "MapLookupExtractorFactory handler): map, /keys, /values, 404") {
+    val registry = new graft.sources.LookupRegistry
+    registry.registerMap(spark, "intro_lk", Map("a" -> "x", "b" -> "y"))
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      lookups = registry)
+    try {
+      val p = facade.port
+      val base = "/druid/v1/lookups/introspect"
+      assert(send(p, "GET", s"$base/intro_lk") ==
+        ((200, """{"a":"x","b":"y"}""")))
+      assert(send(p, "GET", s"$base/intro_lk/keys") == ((200, """["a","b"]""")))
+      assert(send(p, "GET", s"$base/intro_lk/values") == ((200, """["x","y"]""")))
+      assert(send(p, "GET", s"$base/no_such_lookup")._1 == 404)
+    } finally facade.stop()
+  }
+
   private def delete(port: Int, path: String): Int = {
     val client = HttpClient.newHttpClient()
     val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
