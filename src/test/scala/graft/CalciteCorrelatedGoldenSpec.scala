@@ -82,12 +82,12 @@ class CalciteCorrelatedGoldenSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("canada", 2L)))
   }
 
-  test("testCorrelatedSubqueryWithLeftFilter_leftDirectAccessDisabled / WithCorrelatedQueryFilter_Scan (:267, :452)") {
+  test("testCorrelatedSubqueryWithLeftFilter_leftDirectAccessDisabled (:267)") {
     // the reference's enableLeftScanDirect planner flag only changes the
     // PLAN (scan-direct vs query datasource on the join's left); Catalyst
-    // owns that choice here, so both variants collapse to the same results
-    // as their ported base cases (:178, :358) — re-asserted against the
-    // reference's expected rows for the flagged variants
+    // owns that choice here, so the variant collapses to the same results
+    // as its ported base case (:178) — re-asserted against the reference's
+    // expected rows for the flagged variant
     val leftFilter = sql(
       """select country, ANY_VALUE(
         |        (select max(users) from (
@@ -99,7 +99,14 @@ class CalciteCorrelatedGoldenSpec extends SparkSpecBase {
         | where city = 'B' and __time between '2021-01-01 01:00:00' AND '2021-01-02 23:59:59'
         | group by 1""".stripMargin).map(r => (r.getString(0), r.getLong(1)))
     assert(leftFilter.toSeq == Seq(("canada", 4L)))
-    val correlatedFilter = sql(
+  }
+
+  test("testCorrelatedSubqueryWithCorrelatedQueryFilter_Scan (CalciteCorrelatedQueryTest.java:452)") {
+    // the withLeftDirectAccessEnabled variant of :358: the flag selects the
+    // reference's scan-direct left input, a physical-plan choice Catalyst
+    // makes on its own here — the query text and expected rows are the
+    // reference's (one row: canada, 2 daily city-A visits)
+    val out = sql(
       """select country, ANY_VALUE(
         |        (select max(users) from (
         |            select TIME_FLOOR(__time, 'P1D'), count(user) users
@@ -109,6 +116,6 @@ class CalciteCorrelatedGoldenSpec extends SparkSpecBase {
         |from visits
         | where city = 'B'
         | group by 1""".stripMargin).map(r => (r.getString(0), r.getLong(1)))
-    assert(correlatedFilter.toSeq == Seq(("canada", 2L)))
+    assert(out.toSeq == Seq(("canada", 2L)))
   }
 }

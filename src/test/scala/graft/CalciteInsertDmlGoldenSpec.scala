@@ -172,16 +172,23 @@ class CalciteInsertDmlGoldenSpec extends SparkSpecBase {
       Seq(("ab", 1L), ("cd", 2L)))
   }
 
-  test("testInsertFromExternalAggregate / AggregateAll (:670, :707) — rollup on external input") {
+  test("testInsertFromExternalAggregate (:669) — rollup on external input") {
     val out = SqlInsertDml.run(spark,
       s"INSERT INTO dst_ext_agg SELECT x, SUM(z) AS sum_z, COUNT(*) AS cnt FROM $inlineExtern " +
         "GROUP BY 1 PARTITIONED BY ALL TIME", freshBase())
     assert(out.orderBy("x").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("a", 1L, 1L), ("c", 2L, 1L)))
+  }
+
+  test("testInsertFromExternalAggregateAll (CalciteInsertDmlTest.java:705) — " +
+      "rollup into a single row (no GROUP BY exprs), LONG cnt signature") {
     val all = SqlInsertDml.run(spark,
       s"INSERT INTO dst_ext_all SELECT COUNT(*) AS cnt FROM $inlineExtern PARTITIONED BY ALL TIME",
       freshBase())
     assert(all.head().getLong(0) == 2L)
+    // expectTarget: one LONG column named cnt
+    assert(all.schema.fieldNames.toSeq == Seq("cnt"))
+    assert(all.schema("cnt").dataType == org.apache.spark.sql.types.LongType)
   }
 
   test("EXTERN local files (LocalInputSource analog of testInsertFromExternal)") {
