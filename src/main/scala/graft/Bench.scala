@@ -62,10 +62,26 @@ object Bench {
     //    never scans values either (druid.tex:880 measures exactly that).
     //  - sum(double) is a genuine full column scan through whole-stage
     //    codegen — the honest compute-bound yardstick.
+    // Artifact hygiene: the harness captures a bounded tail of merged
+    // stdout/stderr, and Spark's shutdown logging can push the (long) JSON
+    // line out of the window or interleave into it. So: write the line to
+    // BENCH_LAST.json (a whole-file artifact), print it once for live
+    // readers, stop Spark (flushing its shutdown noise), then print it
+    // AGAIN as the process's final bytes so any tail capture holds one
+    // complete line.
+    def emit(json: String): Unit = {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => }
+      println(json)
+      System.out.flush()
+      spark.stop()
+      println(json)
+      System.out.flush()
+    }
     val nCores = cpus.toInt
     if (only.isDefined) { // dev iteration: skip the multi-minute scan yardstick
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-      spark.stop()
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       return
     }
     // the whitepaper yardstick is "select sum(float)" — store the summed
@@ -97,9 +113,8 @@ object Bench {
     }
     val countRate = rate { li.selectExpr("count(*)").collect() }
     val sumRate = rate { li.selectExpr("sum(l_extendedprice)").collect() }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""scan_count_rows_per_sec_core":${countRate.toLong},""" +
       s""""scan_sum_rows_per_sec_core":${sumRate.toLong}}""")
-    spark.stop()
   }
 }
