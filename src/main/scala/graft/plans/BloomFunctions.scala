@@ -139,7 +139,12 @@ case class DruidBloomTest(left: Expression, right: Expression)
     val b = left.eval(input)
     if (b == null) return null
     val bytes = b.asInstanceOf[Array[Byte]]
-    if (cachedFilter == null || (cachedBytes ne bytes)) {
+    // identity check first (the dominant literal-filter case re-sees the
+    // same array every row); content equality as the fallback so a bloom
+    // BYTES COLUMN (one filter per row, e.g. joined from a filter table)
+    // still caches across equal-valued rows instead of re-deserializing
+    if (cachedFilter == null ||
+        ((cachedBytes ne bytes) && !java.util.Arrays.equals(cachedBytes, bytes))) {
       cachedBytes = bytes
       cachedFilter = DruidBloomBytes.deserialize(bytes)
     }

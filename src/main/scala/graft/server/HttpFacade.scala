@@ -265,6 +265,14 @@ object HttpFacade {
     server.createContext("/druid/v1/lookups/introspect", restHandler(
       (method, sub, _) => LookupResource.introspect(lookups, method, sub)))
 
+    // node status + client info (StatusResource.java, ClientInfoResource
+    // .java); /druid/v2/datasources wins over the /druid/v2 query context
+    // by longest-prefix routing
+    server.createContext("/status", restHandler(
+      (method, sub, _) => StatusResource.status(spark, method, sub)))
+    server.createContext("/druid/v2/datasources", restHandler(
+      (method, sub, _) => StatusResource.datasources(spark, method, sub)))
+
     server.start()
     new Facade(server)
   }

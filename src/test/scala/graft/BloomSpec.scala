@@ -102,6 +102,19 @@ class BloomSpec extends SparkSpecBase {
     assert(java.util.Arrays.equals(roundTrip, bytes))
   }
 
+  test("DRUID_BLOOM_TEST over a bloom-bytes COLUMN (filter per row, e.g. " +
+      "joined from a filter table) — per-row filters apply independently") {
+    val bfA = druidFixture(Seq("alpha"))
+    val bfB = druidFixture(Seq("beta"))
+    // rows carry their own filter: the value matches row 1 and 4's filters
+    val df = Seq(
+      (bfA, "alpha"), (bfA, "beta"), (bfB, "alpha"), (bfB, "beta")
+    ).toDF("bf", "v")
+    val hits = df.filter(druidBloomTest($"bf", $"v"))
+      .collect().map(_.getString(1)).toSeq
+    assert(hits == Seq("alpha", "beta"))
+  }
+
   test("druid bloom: cross-format build→test through SQL end to end") {
     graft.functions.GraftSqlFunctions.register(spark)
     spark.read.parquet(sf() + "/supplier.parquet").createOrReplaceTempView("supplier_bloom")

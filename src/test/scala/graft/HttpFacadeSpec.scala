@@ -386,6 +386,43 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("GET /status, /status/health, /status/properties (StatusResource.java) " +
+      "and /druid/v2/datasources client info (ClientInfoResource.java)") {
+    import org.apache.spark.sql.functions.col
+    Sources.table(spark, sf(), "lineitem")
+      .select(col("l_shipdate").as("__time"), col("l_returnflag"),
+        col("l_quantity")).createOrReplaceTempView("status_ds")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val p = facade.port
+      // /status: version + memory block
+      val (s1, status) = send(p, "GET", "/status")
+      assert(s1 == 200)
+      val parsed = JsonMethods.parse(status)
+      assert((parsed \ "version").isInstanceOf[JString])
+      assert((parsed \ "memory" \ "maxMemory").isInstanceOf[JLong]
+        || (parsed \ "memory" \ "maxMemory").isInstanceOf[JInt])
+      // /status/health is the literal boolean load balancers poll
+      assert(send(p, "GET", "/status/health") == ((200, "true")))
+      // /status/properties dumps the runtime conf
+      val (s2, props) = send(p, "GET", "/status/properties")
+      assert(s2 == 200 && props.contains("spark.sql.session.timeZone"))
+      // client info: names + dimension/metric split
+      val (s3, names) = send(p, "GET", "/druid/v2/datasources")
+      assert(s3 == 200 && names.contains("status_ds"))
+      val (s4, info) = send(p, "GET", "/druid/v2/datasources/status_ds")
+      assert(s4 == 200)
+      val i = JsonMethods.parse(info)
+      assert((i \ "dimensions") == JArray(List(JString("l_returnflag"))))
+      assert((i \ "metrics") == JArray(List(JString("l_quantity"))))
+      assert(send(p, "GET", "/druid/v2/datasources/status_ds/dimensions")._2 ==
+        """["l_returnflag"]""")
+      assert(send(p, "GET", "/druid/v2/datasources/status_ds/metrics")._2 ==
+        """["l_quantity"]""")
+      spark.catalog.dropTempView("status_ds")
+    } finally facade.stop()
+  }
+
   test("lookup introspection (LookupIntrospectionResource + " +
       "MapLookupExtractorFactory handler): map, /keys, /values, 404") {
     val registry = new graft.sources.LookupRegistry
