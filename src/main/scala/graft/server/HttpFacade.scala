@@ -73,6 +73,13 @@ object HttpFacade {
   private[server] final class QueryCancelledException
     extends RuntimeException("Query canceled")
 
+  /** Raised when the query's `timeout` context parameter elapses; rendered
+    * as the reference's QueryTimeoutException — error "Query timeout",
+    * HTTP 504 (QueryTimeoutException.java:39-41; SqlResourceTest
+    * .testQueryTimeoutException asserts the code + class). */
+  private[server] final class QueryTimedOutException
+    extends RuntimeException("Query Timed Out!")
+
   /** queryId → running-query registry backing `DELETE /druid/v2/{id}` and
     * `DELETE /druid/v2/sql/{id}` (QueryResource.java:142-166 cancelQuery via
     * the QueryScheduler; SqlResource.java:264-290 via the
@@ -82,25 +89,63 @@ object HttpFacade {
     * entry so a cancel that lands between plan and execute still fails the
     * request — the reference removes the lifecycle snapshot the same way. */
   private[server] final class CancelRegistry(sc: org.apache.spark.SparkContext) {
-    final class State(val groupId: String) { @volatile var cancelled = false }
+    final class State(val groupId: String, val runner: Thread) {
+      @volatile var cancelled = false
+      @volatile var timedOut = false
+      // guards runner.interrupt() against the request having already
+      // finished (an interrupt landing after run() returned would poison
+      // the pooled handler thread mid-response)
+      val lock = new Object
+      var finished = false
+      def abort(timeout: Boolean): Unit = lock.synchronized {
+        if (!finished) {
+          if (timeout) timedOut = true else cancelled = true
+          sc.cancelJobGroupAndFutureJobs(groupId)
+          // cancelJobGroup alone can leave the driver thread parked in
+          // AQE's stage-event loop (withFinalPlanUpdate waits on a queue
+          // that a killed stage never feeds) — interrupting the handler
+          // thread unblocks any such wait
+          runner.interrupt()
+        }
+      }
+    }
     private val counter = new java.util.concurrent.atomic.AtomicLong
     private val running = scala.collection.concurrent.TrieMap.empty[String, State]
+    // one shared watchdog thread arms every per-query `timeout` context
+    // parameter (QueryContexts.TIMEOUT_KEY); firing cancels the query's job
+    // group the same way a DELETE does
+    private lazy val watchdog =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor((r: Runnable) => {
+        val t = new Thread(r, "graft-query-timeout"); t.setDaemon(true); t
+      })
 
-    def run[A](queryId: String)(body: => A): A = {
-      val st = new State(s"graft-query-$queryId-${counter.incrementAndGet()}")
+    def run[A](queryId: String, timeoutMillis: Long = 0L)(body: => A): A = {
+      val st = new State(s"graft-query-$queryId-${counter.incrementAndGet()}",
+        Thread.currentThread())
       running.put(queryId, st)
       // thread-local: the handler thread submits the query's jobs, so the
       // group tags exactly this request's work; interruptOnCancel kills the
       // running tasks, not just pending stages
       sc.setJobGroup(st.groupId, s"queryId=$queryId", interruptOnCancel = true)
+      val timer =
+        if (timeoutMillis <= 0L) None
+        else Some(watchdog.schedule(new Runnable {
+          override def run(): Unit = st.abort(timeout = true)
+        }, timeoutMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
       try {
         val out = body
+        if (st.timedOut) throw new QueryTimedOutException
         if (st.cancelled) throw new QueryCancelledException
         out
       } catch {
         case e: Throwable =>
-          if (st.cancelled) throw new QueryCancelledException else throw e
+          if (st.timedOut) throw new QueryTimedOutException
+          else if (st.cancelled) throw new QueryCancelledException
+          else throw e
       } finally {
+        timer.foreach(_.cancel(false))
+        st.lock.synchronized { st.finished = true }
+        Thread.interrupted() // clear a raced interrupt before thread reuse
         sc.clearJobGroup()
         running.remove(queryId)
       }
@@ -108,11 +153,11 @@ object HttpFacade {
 
     def cancel(queryId: String): Boolean = running.remove(queryId) match {
       case Some(st) =>
-        st.cancelled = true
-        // ...AndFutureJobs: a cancel landing while the request is still
-        // planning (no job submitted yet) must also void the jobs it would
-        // submit next — plain cancelJobGroup only kills active ones
-        sc.cancelJobGroupAndFutureJobs(st.groupId)
+        // ...AndFutureJobs (inside abort): a cancel landing while the
+        // request is still planning (no job submitted yet) must also void
+        // the jobs it would submit next — plain cancelJobGroup only kills
+        // active ones
+        st.abort(timeout = false)
         true
       case None => false
     }
@@ -252,9 +297,14 @@ object HttpFacade {
       val queryId = (q \ "context" \ "queryId") match {
         case JString(id) => Some(id); case _ => None
       }
+      val timeoutMs = (q \ "context" \ "timeout") match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+      }
       def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
         maxResultRows)
-      (200, queryId.fold(exec())(id => cancels.run(id)(exec())))
+      (200, if (queryId.isEmpty && timeoutMs <= 0L) exec()
+      else cancels.run(queryId.getOrElse(
+        java.util.UUID.randomUUID().toString), timeoutMs)(exec()))
     }, onDelete = Some(id => { cancels.cancel(id); 202 })))
 
     // lookup admin CRUD + introspection (LookupCoordinatorResource.java,
@@ -370,6 +420,10 @@ object HttpFacade {
       val format = parsed.flatMap(o => (o \ "resultFormat") match {
         case JString(fmt) => Some(canonicalFormat(fmt)); case _ => None
       }).getOrElse("object")
+      // context.timeout in millis (QueryContexts.TIMEOUT_KEY)
+      val timeoutMs = parsed.map(o => (o \ "context" \ "timeout") match {
+        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+      }).getOrElse(0L)
       val (status, payload, contentType) =
         try {
           if (ex.getRequestMethod != "POST")
@@ -377,7 +431,7 @@ object HttpFacade {
           // registered for the request's full lifecycle — parse, plan,
           // execute — like SqlLifecycleManager.add at doPost entry, so a
           // cancel landing between plan and execute still voids the request
-          else (200, cancels.run(sqlQueryId)(f(body)), format match {
+          else (200, cancels.run(sqlQueryId, timeoutMs)(f(body)), format match {
             case "objectLines" | "arrayLines" => "text/plain"
             case "csv" => "text/csv"
             case _ => "application/json"
@@ -412,6 +466,9 @@ object HttpFacade {
         // (SqlResourceTest.testCancelBetweenPlanAndExecute asserts
         // INTERNAL_SERVER_ERROR + this error code)
         (500, "Query cancelled", "java.util.concurrent.CancellationException")
+      case _: QueryTimedOutException =>
+        // QueryTimeoutException.STATUS_CODE = 504, not the generic 500
+        (504, "Query timeout", "org.apache.druid.query.QueryTimeoutException")
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         (400, "SQL parse failed", "org.apache.calcite.sql.parser.SqlParseException")
       case _: ResourceLimitExceededException =>

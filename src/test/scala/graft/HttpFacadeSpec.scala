@@ -482,6 +482,28 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("testQueryTimeoutException (SqlResourceTest.java:1466) — context " +
+      "timeout elapses → 504 'Query timeout', lifecycle deregistered") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val (status, json) = post(facade.port, "/druid/v2/sql",
+        """{"query":
+          "SELECT SUM(a.id * b.id) AS s FROM range(1000000) a CROSS JOIN range(1000000) b",
+          "context": {"sqlQueryId": "timeoutTest", "timeout": 400}}""")
+      assert(status == 504)
+      assert((json \ "error") == JString("Query timeout"))
+      assert((json \ "errorClass") ==
+        JString("org.apache.druid.query.QueryTimeoutException"))
+      // lifecycleManager.getAll(sqlQueryId).isEmpty — deregistered
+      assert(delete(facade.port, "/druid/v2/sql/timeoutTest") == 404)
+      // a fast query with a generous timeout is unaffected
+      val (okStatus, ok) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT 2 + 2 AS four", "context": {"timeout": 60000}}""")
+      assert(okStatus == 200)
+      assert(ok.asInstanceOf[JArray].arr.head \ "four" == JInt(4))
+    } finally facade.stop()
+  }
+
   test("DELETE /druid/v2/sql/{id} of an unknown id is 404 " +
       "(SqlResourceTest.testCancelInvalidQuery)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
