@@ -32,7 +32,23 @@ import org.json4s.jackson.JsonMethods
   */
 final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     maxConnections: Int = 25, maxStatementsPerConnection: Int = 4,
-    maxRowsPerFrame: Int = 5000, maxResultRows: Int = 100000) {
+    maxRowsPerFrame: Int = 5000, minRowsPerFrame: Int = 100,
+    maxResultRows: Int = 100000) {
+
+  /** DruidMeta.getEffectiveMaxRowsPerFrame: client/server maxima of -1 mean
+    * unlimited; the result is coerced up to the server's minimum fetch size
+    * (itself capped by the maximum — AvaticaServerConfig.getMinRowsPerFrame,
+    * default 100). Avatica clients routinely ask for tiny fetch sizes; the
+    * floor keeps frame round trips amortized. */
+  private def effectiveFrameRows(clientMax: Int): Int = {
+    val minRows =
+      if (maxRowsPerFrame < 0) minRowsPerFrame
+      else math.min(maxRowsPerFrame, minRowsPerFrame)
+    def adjust(n: Int): Int = math.max(minRows, n)
+    if (maxRowsPerFrame < 0) adjust(clientMax)
+    else if (clientMax < 0) adjust(maxRowsPerFrame)
+    else adjust(math.min(clientMax, maxRowsPerFrame))
+  }
 
   private final case class Statement(id: Int, var sql: Option[String],
       var metas: Seq[HttpFacade.ColMeta] = Nil,
@@ -136,8 +152,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
               .getOrElse(num("statementId").toInt,
                 throw new IllegalStateException("Statement not found"))
             val offset = num("offset", 0L).toInt
-            val n = math.min(num("fetchMaxRowCount", maxRowsPerFrame).toInt
-              match { case x if x < 0 => maxRowsPerFrame; case x => x }, maxRowsPerFrame)
+            val n = effectiveFrameRows(num("fetchMaxRowCount", -1L).toInt)
             JObject("response" -> JString("fetch"),
               "connectionId" -> JString(str("connectionId")),
               "statementId" -> JInt(st.id),
@@ -344,8 +359,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
   // ---- response shapes ----
 
   private def executeResults(cid: String, st: Statement, firstFrameRows: Int): JObject = {
-    val n = math.min(if (firstFrameRows < 0) maxRowsPerFrame else firstFrameRows,
-      maxRowsPerFrame)
+    val n = effectiveFrameRows(firstFrameRows)
     JObject("response" -> JString("executeResults"),
       "missingStatement" -> JBool(false), rpcMetadata,
       "results" -> JArray(List(resultSet(cid, st, n))))

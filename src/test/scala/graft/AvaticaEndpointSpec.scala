@@ -193,35 +193,108 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     }
   }
 
-  test("testMaxRowsPerFrame (:865) — frames + fetch continuation") {
+  /** Drive an endpoint (custom frame config) at the protocol level. */
+  private def rpc(ep: graft.server.AvaticaEndpoint, body: String): JValue =
+    JsonMethods.parse(ep.handle(body)._2)
+
+  test("testMaxRowsPerFrame (:865) — a small server-side frame cap chunks " +
+      "results into frames continued by fetch") {
     foo.createOrReplaceTempView("foo")
-    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
-    try {
-      val port = facade.port
-      val path = "/druid/v2/sql/avatica/"
-      post(port, path, """{"request":"openConnection","connectionId":"f1"}""")
-      val created = post(port, path,
-        """{"request":"createStatement","connectionId":"f1"}""")
-      val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
-      // ask for a 2-row first frame over a 6-row result
-      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
-        "request" -> JString("prepareAndExecute"),
-        "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
-        "sql" -> JString("SELECT dim1 FROM foo ORDER BY __time"),
-        "maxRowCount" -> JInt(-1), "maxRowsInFirstFrame" -> JInt(2)))))
-      val first = (executed \ "results").asInstanceOf[JArray].arr.head \ "firstFrame"
-      assert((first \ "done") == JBool(false))
-      assert((first \ "rows").asInstanceOf[JArray].arr.size == 2)
-      val fetched = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
-        "request" -> JString("fetch"),
-        "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
-        "offset" -> JInt(2), "fetchMaxRowCount" -> JInt(100)))))
-      val frame = fetched \ "frame"
-      assert((frame \ "done") == JBool(true))
-      assert((frame \ "rows").asInstanceOf[JArray].arr.map(
-        _.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s) ==
-        List("2", "1", "def", "abc"))
-    } finally facade.stop()
+    // the reference test configures the SERVER with maxRowsPerFrame=2
+    // (the min floor coerces down to the cap: AvaticaServerConfig:76)
+    val ep = new graft.server.AvaticaEndpoint(spark, "test", maxRowsPerFrame = 2)
+    rpc(ep, """{"request":"openConnection","connectionId":"f1"}""")
+    val created = rpc(ep, """{"request":"createStatement","connectionId":"f1"}""")
+    val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+    val executed = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("prepareAndExecute"),
+      "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
+      "sql" -> JString("SELECT dim1 FROM foo ORDER BY __time"),
+      "maxRowCount" -> JInt(-1), "maxRowsInFirstFrame" -> JInt(-1)))))
+    val first = (executed \ "results").asInstanceOf[JArray].arr.head \ "firstFrame"
+    assert((first \ "done") == JBool(false))
+    assert((first \ "rows").asInstanceOf[JArray].arr.size == 2)
+    // continuation fetches are also capped at 2 rows per frame
+    val fetched = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("fetch"),
+      "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
+      "offset" -> JInt(2), "fetchMaxRowCount" -> JInt(100)))))
+    assert((fetched \ "frame" \ "done") == JBool(false))
+    assert((fetched \ "frame" \ "rows").asInstanceOf[JArray].arr.map(
+      _.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s) == List("2", "1"))
+    val last = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("fetch"),
+      "connectionId" -> JString("f1"), "statementId" -> JInt(sid),
+      "offset" -> JInt(4), "fetchMaxRowCount" -> JInt(100)))))
+    assert((last \ "frame" \ "done") == JBool(true))
+    assert((last \ "frame" \ "rows").asInstanceOf[JArray].arr.map(
+      _.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s) == List("def", "abc"))
+  }
+
+  test("testMinRowsPerFrame (:954) — a client fetch size below the server " +
+      "minimum is coerced up; the whole result rides the first frame") {
+    foo.createOrReplaceTempView("foo")
+    val ep = new graft.server.AvaticaEndpoint(spark, "test",
+      maxRowsPerFrame = 5000, minRowsPerFrame = 1000)
+    rpc(ep, """{"request":"openConnection","connectionId":"mf1"}""")
+    val created = rpc(ep, """{"request":"createStatement","connectionId":"mf1"}""")
+    val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+    // client asks for 2-row frames (statement.setFetchSize(2))
+    val executed = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("prepareAndExecute"),
+      "connectionId" -> JString("mf1"), "statementId" -> JInt(sid),
+      "sql" -> JString("SELECT dim1 FROM foo ORDER BY __time"),
+      "maxRowCount" -> JInt(-1), "maxRowsInFirstFrame" -> JInt(2)))))
+    val first = (executed \ "results").asInstanceOf[JArray].arr.head \ "firstFrame"
+    // minimum threshold used → everything in the first frame, no fetches
+    assert((first \ "done") == JBool(true))
+    assert((first \ "rows").asInstanceOf[JArray].arr.map(
+      _.asInstanceOf[JArray].arr.head.asInstanceOf[JString].s) ==
+      List("", "10.1", "2", "1", "def", "abc"))
+  }
+
+  test("testConcurrentQueries (:717) — parallel clients over the pooled " +
+      "server each get their own correct result") {
+    withFacade { port =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the reference drives 2000 queries through a small worker pool over
+      // shared client state; here 4 workers × 10 sequential queries, each
+      // closing its connection (staying under the 25-connection cap)
+      val futures = (0 until 4).map { w =>
+        Future {
+          (0 until 10).map { j =>
+            val i = w * 10 + j
+            val conn = s"cc${w}_$j"
+            val (rows, _) = query(port, conn, s"SELECT COUNT(*) + $i AS ci FROM foo")
+            post(port, "/druid/v2/sql/avatica/",
+              s"""{"request":"closeConnection","connectionId":"$conn"}""")
+            rows match {
+              case List(JArray(List(JInt(n)))) => (i, n.toInt)
+              case other => sys.error(s"unexpected rows: $other")
+            }
+          }
+        }
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds).flatten
+      results.foreach { case (i, ci) => assert(ci == i + 6) }
+    }
+  }
+
+  test("testArrayStuffs (:1370) — ARRAY_AGG columns ride frames as JSON " +
+      "arrays with ARRAY signature type") {
+    withFacade { port =>
+      val (rows, sig) = query(port, "arr1",
+        "SELECT ARRAY_AGG(dim1) AS arr1, ARRAY_AGG(cnt) AS arr2 FROM foo")
+      assert(rows.size == 1)
+      val row = rows.head.asInstanceOf[JArray].arr
+      assert(row(0).asInstanceOf[JArray].arr.collect { case JString(s) => s }.toSet ==
+        Set("", "10.1", "2", "1", "def", "abc"))
+      assert(row(1).asInstanceOf[JArray].arr == List.fill(6)(JInt(1)))
+      val cols = (sig \ "columns").asInstanceOf[JArray].arr
+      assert(cols.forall(c => (c \ "type" \ "name") == JString("ARRAY")))
+    }
   }
 
   test("testTooManyStatements (:748) — limit is[4] per connection") {
