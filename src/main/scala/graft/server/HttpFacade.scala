@@ -80,6 +80,32 @@ object HttpFacade {
   private[server] final class QueryTimedOutException
     extends RuntimeException("Query Timed Out!")
 
+  /** Raised when the server's concurrent-query capacity is exhausted;
+    * rendered as the reference's QueryCapacityExceededException — error
+    * "Query capacity exceeded", HTTP 429 (QueryCapacityExceededException
+    * .java:41-47, the QueryScheduler's laning guard;
+    * SqlResourceTest.testTooManyRequests). */
+  private[server] final class QueryCapacityException(capacity: Int)
+    extends RuntimeException(
+      s"Too many concurrent queries, total query capacity of $capacity exceeded. " +
+        "Please try your query again later.")
+
+  /** Total concurrency guard — the QueryScheduler's total-lane analog.
+    * `limit <= 0` means unlimited (the default: this driver-side facade is
+    * usually single-tenant; a shared broker sets a limit sized to its
+    * executor slots so queued queries fail fast instead of piling onto the
+    * scheduler). */
+  private[server] final class CapacityGuard(limit: Int) {
+    private val sem =
+      if (limit > 0) Some(new java.util.concurrent.Semaphore(limit)) else None
+    def run[A](body: => A): A = sem match {
+      case None => body
+      case Some(s) =>
+        if (!s.tryAcquire()) throw new QueryCapacityException(limit)
+        try body finally s.release()
+    }
+  }
+
   /** queryId → running-query registry backing `DELETE /druid/v2/{id}` and
     * `DELETE /druid/v2/sql/{id}` (QueryResource.java:142-166 cancelQuery via
     * the QueryScheduler; SqlResource.java:264-290 via the
@@ -165,7 +191,7 @@ object HttpFacade {
 
   def start(spark: SparkSession, resolve: NativeQuery.Resolver,
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
-      maxResultRows: Int = 100000): Facade = {
+      maxResultRows: Int = 100000, maxConcurrentQueries: Int = 0): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // a request pool (vs the default single dispatcher thread) so a DELETE
     // cancellation can be served while a POST query is still executing —
@@ -182,8 +208,9 @@ object HttpFacade {
     server.createContext("/druid/v2/sql/avatica", statusHandler(avatica.handle))
 
     val cancels = new CancelRegistry(spark.sparkContext)
+    val capacity = new CapacityGuard(maxConcurrentQueries)
 
-    server.createContext("/druid/v2/sql", sqlHandler(cancels) { body =>
+    server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
         JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
@@ -246,6 +273,12 @@ object HttpFacade {
       val maxNumericIn = (context \ "maxNumericInFilters") match {
         case JInt(n) => Some(n.toInt); case _ => None
       }
+      // PlannerContext.CTX_SQL_TIME_ZONE: evaluate AND render in the
+      // query's zone (SqlResourceTest.testTimestampsInResponseLosAngeles
+      // TimeZone expects "1999-12-31T16:00:00.000-08:00")
+      val sqlZone = (context \ "sqlTimeZone") match {
+        case JString(z) => Some(java.time.ZoneId.of(z)); case _ => None
+      }
       graft.functions.GraftSqlFunctions.register(spark)
       // metadata queries see the live catalog without a manual re-register
       SystemSchema.refreshIfMetadataQuery(spark, sqlText)
@@ -257,6 +290,8 @@ object HttpFacade {
       // the session default afterwards.
       val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
       spark.conf.set("spark.sql.ansi.enabled", "false")
+      val prevZone = spark.conf.getOption("spark.sql.session.timeZone")
+      sqlZone.foreach(z => spark.conf.set("spark.sql.session.timeZone", z.getId))
       try {
         val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
         sqlText match {
@@ -278,12 +313,19 @@ object HttpFacade {
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
               maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
-              render(df, format, header, typesHeader, sqlTypesHeader, maxResultRows)
+              render(df, format, header, typesHeader, sqlTypesHeader, maxResultRows,
+                sqlZone.getOrElse(ZoneOffset.UTC))
           }
         }
-      } finally prevAnsi match {
-        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
-        case None => spark.conf.unset("spark.sql.ansi.enabled")
+      } finally {
+        prevAnsi match {
+          case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+          case None => spark.conf.unset("spark.sql.ansi.enabled")
+        }
+        if (sqlZone.isDefined) prevZone match {
+          case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
+          case None => spark.conf.unset("spark.sql.session.timeZone")
+        }
       }
     })
 
@@ -302,9 +344,9 @@ object HttpFacade {
       }
       def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
         maxResultRows)
-      (200, if (queryId.isEmpty && timeoutMs <= 0L) exec()
+      (200, capacity.run(if (queryId.isEmpty && timeoutMs <= 0L) exec()
       else cancels.run(queryId.getOrElse(
-        java.util.UUID.randomUUID().toString), timeoutMs)(exec()))
+        java.util.UUID.randomUUID().toString), timeoutMs)(exec())))
     }, onDelete = Some(id => { cancels.cancel(id); 202 })))
 
     // lookup admin CRUD + introspection (LookupCoordinatorResource.java,
@@ -395,8 +437,8 @@ object HttpFacade {
     * format's content type (ResultFormat.java:38-96 — array/object JSON,
     * the Lines formats text/plain, csv text/csv), and renders failures as
     * the reference's QueryException envelope. */
-  private def sqlHandler(cancels: CancelRegistry)(f: String => String): HttpHandler =
-      new HttpHandler {
+  private def sqlHandler(cancels: CancelRegistry, capacity: CapacityGuard)(
+      f: String => String): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // DELETE /druid/v2/sql/{id}: 202 when the id names a registered
       // in-flight query, 404 otherwise (SqlResource.java:264-290;
@@ -431,7 +473,8 @@ object HttpFacade {
           // registered for the request's full lifecycle — parse, plan,
           // execute — like SqlLifecycleManager.add at doPost entry, so a
           // cancel landing between plan and execute still voids the request
-          else (200, cancels.run(sqlQueryId, timeoutMs)(f(body)), format match {
+          else (200, capacity.run(cancels.run(sqlQueryId, timeoutMs)(f(body))),
+            format match {
             case "objectLines" | "arrayLines" => "text/plain"
             case "csv" => "text/csv"
             case _ => "application/json"
@@ -469,6 +512,10 @@ object HttpFacade {
       case _: QueryTimedOutException =>
         // QueryTimeoutException.STATUS_CODE = 504, not the generic 500
         (504, "Query timeout", "org.apache.druid.query.QueryTimeoutException")
+      case _: QueryCapacityException =>
+        // QueryCapacityExceededException.STATUS_CODE = 429
+        (429, "Query capacity exceeded",
+          "org.apache.druid.query.QueryCapacityExceededException")
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         (400, "SQL parse failed", "org.apache.calcite.sql.parser.SqlParseException")
       case _: ResourceLimitExceededException =>
@@ -517,6 +564,30 @@ object HttpFacade {
       inst.fold(v: JValue)(i => JString(IsoMillis.format(i)))
     case other => other
   }
+
+  /** isoMillis in a query-specified zone: the offset renders instead of Z
+    * (the reference uses ISODateTimeFormat with the sqlTimeZone; DATE cells
+    * are that zone's midnight). */
+  private val IsoMillisOffset = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+  private[server] def isoMillisZoned(v: JValue, zone: java.time.ZoneId): JValue =
+    if (zone == ZoneOffset.UTC) isoMillis(v)
+    else v match {
+      case JString(s) =>
+        val inst =
+          try Some(Instant.parse(s))
+          catch { case _: Exception =>
+            try Some(OffsetDateTime.parse(s).toInstant)
+            catch { case _: Exception =>
+              try Some(LocalDateTime.parse(s).atZone(zone).toInstant)
+              catch { case _: Exception =>
+                try Some(java.time.LocalDate.parse(s).atStartOfDay(zone).toInstant)
+                catch { case _: Exception => None }
+              }
+            }
+          }
+        inst.fold(v: JValue)(i => JString(IsoMillisOffset.withZone(zone).format(i)))
+      case other => other
+    }
 
   /** Wrap native rows in the reference's per-query-type result envelope. */
   private[server] def envelope(q: JValue, df: DataFrame, maxRows: Int): String = {
@@ -715,13 +786,15 @@ object HttpFacade {
   }
 
   private def render(df: DataFrame, format: String, header: Boolean,
-      typesHeader: Boolean, sqlTypesHeader: Boolean, maxRows: Int): String = {
+      typesHeader: Boolean, sqlTypesHeader: Boolean, maxRows: Int,
+      zone: java.time.ZoneId = ZoneOffset.UTC): String = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
     val metas = df.schema.fields.toSeq.map(colMeta)
     // timestamp AND date cells render Druid-style ISO millis
     // ("2000-01-01T00:00:00.000Z" — SqlResourceTest.testTimestampsInResponse
     // expects CAST(__time AS DATE) as full midnight ISO too), not Spark's
-    // variable-precision JSON rendering
+    // variable-precision JSON rendering; a sqlTimeZone context renders the
+    // zone's offset instead of Z ("1999-12-31T16:00:00.000-08:00")
     val tsCols = df.schema.fields.collect {
       case f if f.dataType == TimestampType || f.dataType == DateType => f.name
     }.toSet
@@ -732,7 +805,7 @@ object HttpFacade {
       JObject(metas.toList.map { m =>
         m.name -> (o \ m.name match {
           case JNothing => JNull
-          case v if tsCols(m.name) => isoMillis(v)
+          case v if tsCols(m.name) => isoMillisZoned(v, zone)
           case v => v
         })
       })

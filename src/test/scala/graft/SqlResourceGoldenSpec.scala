@@ -367,6 +367,84 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     }
   }
 
+  test("testCountStarExtendedCharacters (SqlResourceTest.java:354) — " +
+      "non-Latin literals through the HTTP body") {
+    Seq(("ㅑ ㅓ ㅕ ㅗ ㅛ ㅜ ㅠ ㅡ ㅣ", 1L), ("plain", 2L))
+      .toDF("dimMultivalEnumerated", "n")
+      .createOrReplaceTempView("lotsocolumns")
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt FROM lotsocolumns WHERE dimMultivalEnumerated = 'ㅑ ㅓ ㅕ ㅗ ㅛ ㅜ ㅠ ㅡ ㅣ'"}""")
+      assert(status == 200)
+      assert(body == "[{\"cnt\":1}]\n")
+    }
+  }
+
+  test("testTimestampsInResponseLosAngelesTimeZone (:420) — sqlTimeZone " +
+      "context evaluates AND renders in the query's zone") {
+    withFacade { port =>
+      val (status, body, _) = post(port,
+        """{"query": "SELECT __time, CAST(__time AS DATE) AS t2 FROM foo LIMIT 1",
+           "context": {"sqlTimeZone": "America/Los_Angeles"}}""")
+      assert(status == 200)
+      val row = JsonMethods.parse(body).asInstanceOf[JArray].arr.head
+      assert((row \ "__time") == JString("1999-12-31T16:00:00.000-08:00"))
+      assert((row \ "t2") == JString("1999-12-31T00:00:00.000-08:00"))
+    }
+  }
+
+  test("testArrayLinesResultFormatWithHeader_nullColumnType (:796) — a ROW " +
+      "value has no Druid type (null) and SQL type ROW in the type headers") {
+    withFacade { port =>
+      // Spark's ROW constructor spelling (Calcite: SELECT (1, 2));
+      // documented rendering deviation: the row cell is a field-named
+      // object, not Calcite's positional array — the HEADER typing is the
+      // point of the reference test and matches exactly
+      val (status, body, _) = post(port,
+        """{"query": "SELECT struct(1, 2) AS `EXPR$0`",
+           "resultFormat": "arrayLines", "header": true,
+           "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(status == 200)
+      val lines = body.split("\n", -1).toList
+      assert(lines.size == 6)
+      assert(lines(0) == """["EXPR$0"]""")
+      assert(lines(1) == "[null]")   // no Druid type for ROW
+      assert(lines(2) == """["ROW"]""")
+      assert(JsonMethods.parse(lines(3)).isInstanceOf[JArray])
+      assert(lines(4) == "" && lines(5) == "")
+    }
+  }
+
+  test("testTooManyRequests (:1411) — concurrent queries beyond the " +
+      "capacity answer 429 'Query capacity exceeded'") {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      maxConcurrentQueries = 1)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // a query slow enough to hold the only slot while the others arrive
+      val slow = """{"query":
+        "SELECT COUNT(*) AS cnt, 'foo' AS TheFoo FROM foo CROSS JOIN range(40000000)",
+        "context": {"sqlQueryId": "tooManyRequestsTest"}}"""
+      val futures = (1 to 3).map(_ => Future(post(facade.port, slow)))
+      val results = Await.result(Future.sequence(futures), 180.seconds)
+      val statuses = results.map(_._1)
+      assert(statuses.contains(200))
+      assert(statuses.contains(429))
+      results.filter(_._1 == 429).foreach { case (_, body, _) =>
+        val e = JsonMethods.parse(body)
+        assert((e \ "error") == JString("Query capacity exceeded"))
+        assert((e \ "errorMessage").asInstanceOf[JString].s
+          .startsWith("Too many concurrent queries, total query capacity of 1 exceeded"))
+      }
+      results.filter(_._1 == 200).foreach { case (_, body, _) =>
+        assert(body == "[{\"cnt\":240000000,\"TheFoo\":\"foo\"}]\n")
+      }
+    } finally facade.stop()
+  }
+
   test("typesHeader without header is rejected (SqlQuery.java:75-82)") {
     withFacade { port =>
       val (status, body, _) = post(port,
