@@ -445,6 +445,42 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("runtime failure mid-result → clean QueryException envelope " +
+      "(testObjectResultFormatWithErrorAfterFirstRow :582 family, DEVIATION: " +
+      "results materialize at the broker before streaming, so no truncated " +
+      "bodies — the trailer bytes the reference adds to detect truncation " +
+      "are always present on success here)") {
+    withFacade { port =>
+      // fails at execution time, after planning succeeded — the reference's
+      // five *WithErrorAfterFirstRow tests (:582,:596,:610 object/array/
+      // objectLines/arrayLines/csv) would emit a truncated body
+      val (status, body, _) = post(port,
+        """{"query": "SELECT CASE WHEN cnt > 0 THEN raise_error('mid-stream failure') ELSE 'x' END AS c FROM foo"}""")
+      assert(status == 500)
+      val e = JsonMethods.parse(body)
+      assert((e \ "error") == JString("Unknown exception"))
+      assert((e \ "errorMessage").asInstanceOf[JString].s.contains("mid-stream failure"))
+    }
+  }
+
+  test("testCannotConvert (:1212) / testCannotConvert_UnsupportedSQLQueryException " +
+      "(:1236) — SUPERSET: queries the reference cannot plan run here") {
+    withFacade { port =>
+      // "SELECT + ORDER unsupported" in the reference (order by non-time
+      // column on a scan); Catalyst plans it fine
+      val (s1, body1, _) = post(port,
+        """{"query": "SELECT dim1 FROM foo ORDER BY dim1", "resultFormat": "array"}""")
+      assert(s1 == 200)
+      assert(body1 == """[[""],["1"],["10.1"],["2"],["abc"],["def"]]""" + "\n")
+      // max aggregation on a string type (UnsupportedSQLQueryException in
+      // the reference's rules) also plans here
+      val (s2, body2, _) = post(port,
+        """{"query": "SELECT MAX(dim1) AS m FROM foo"}""")
+      assert(s2 == 200)
+      assert(body2 == "[{\"m\":\"def\"}]\n")
+    }
+  }
+
   test("typesHeader without header is rejected (SqlQuery.java:75-82)") {
     withFacade { port =>
       val (status, body, _) = post(port,
