@@ -103,7 +103,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
             val cid = str("connectionId")
             val st = connection(cid).statements.getOrElse(num("statementId").toInt,
               throw new IllegalStateException(s"Statement not found"))
-            runSql(st, str("sql"))
+            runGuarded(cid, st, str("sql"))
             executeResults(cid, st, num("maxRowsInFirstFrame", maxRowsPerFrame).toInt)
           case "prepare" =>
             val cid = str("connectionId")
@@ -144,7 +144,7 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
               }
               case _ => Nil
             }
-            runSql(st, HttpFacade.bindParameters(
+            runGuarded(cid, st, HttpFacade.bindParameters(
               st.sql.getOrElse(throw new IllegalStateException("not prepared")), params))
             executeResults(cid, st, num("maxRowsInFirstFrame", maxRowsPerFrame).toInt)
           case "fetch" =>
@@ -153,10 +153,15 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
                 throw new IllegalStateException("Statement not found"))
             val offset = num("offset", 0L).toInt
             val n = effectiveFrameRows(num("fetchMaxRowCount", -1L).toInt)
+            val theFrame = frame(st, offset, n)
+            // the final frame auto-closes the statement (DruidStatement
+            // .nextFrame:294)
+            if ((theFrame \ "done") == JBool(true))
+              connections.get(str("connectionId")).foreach(_.statements.remove(st.id))
             JObject("response" -> JString("fetch"),
               "connectionId" -> JString(str("connectionId")),
               "statementId" -> JInt(st.id),
-              "frame" -> frame(st, offset, n), rpcMetadata)
+              "frame" -> theFrame, rpcMetadata)
           case "getCatalogs" => metaResult(str("connectionId"),
             Seq("TABLE_CAT"), Seq(Seq(JString("druid"))))
           case "getSchemas" =>
@@ -238,9 +243,16 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
   private def openConnection(id: String): JObject = connections.synchronized {
     // check-and-insert under one lock: the HTTP server runs handlers on a
     // thread pool, so concurrent opens must not exceed maxConnections
-    if (connections.size >= maxConnections && !connections.contains(id))
-      throw new IllegalStateException(
-        s"Too many connections, limit is[$maxConnections] per broker")
+    if (connections.size >= maxConnections && !connections.contains(id)) {
+      // last-ditch effort to clear one abandoned (statement-less)
+      // connection before refusing (DruidMeta.openDruidConnection:729 —
+      // testNotTooManyConnectionsWhenTheyAreEmpty)
+      connections.find(_._2.statements.isEmpty) match {
+        case Some((evictId, _)) => connections.remove(evictId)
+        case None => throw new IllegalStateException(
+          s"Too many connections, limit is[$maxConnections] per broker")
+      }
+    }
     if (connections.putIfAbsent(id, new Connection).isDefined)
       throw new IllegalStateException(s"Connection[$id] already open.")
     JObject("response" -> JString("openConnection"), rpcMetadata)
@@ -264,17 +276,14 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     graft.functions.GraftSqlFunctions.register(spark)
     // metadata queries see the live catalog without a manual re-register
     SystemSchema.refreshIfMetadataQuery(spark, sqlText)
-    val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    try {
+    // ANSI-off via the shared thread-safe scope (concurrent JDBC clients
+    // must not race the session toggle)
+    HttpFacade.SessionScope.run(spark) {
       val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
       sqlText match {
         case ExplainRe(inner) => Left(HttpFacade.explainRows(spark, inner))
         case _ => Right(spark.sql(sqlText))
       }
-    } finally prevAnsi match {
-      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
-      case None => spark.conf.unset("spark.sql.ansi.enabled")
     }
   }
 
@@ -299,6 +308,17 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     }
   }
 
+  /** runSql, releasing the statement slot on failure — the reference closes
+    * the statement when execution throws (DruidStatement.nextFrame's catch
+    * → close()), so 50 consecutive failing statements never exhaust the
+    * 4-slot cap (testNotTooManyStatementsWhenTheyThrowErrors). */
+  private def runGuarded(cid: String, st: Statement, sqlText: String): Unit =
+    try runSql(st, sqlText)
+    catch { case e: Throwable =>
+      connection(cid).statements.remove(st.id)
+      throw e
+    }
+
   private def runSql(st: Statement, sqlText: String): Unit = {
     st.sql = Some(sqlText)
     st.updateCount = -1L
@@ -313,20 +333,25 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
       st.updateCount = graft.sources.SqlInsertDml.run(spark, sqlText).count()
       return
     }
-    plan(sqlText) match {
-      case Left(explain) =>
-        st.metas = explainMetas
-        st.rows = explain.toIndexedSeq.map(o =>
-          JArray(List(o \ "PLAN", o \ "RESOURCES")))
-      case Right(df) =>
-        st.metas = df.schema.fields.toSeq.map(HttpFacade.colMeta)
-        val collected = df.limit(maxResultRows + 1).collect()
-        if (collected.length > maxResultRows)
-          throw new IllegalStateException(s"result exceeds maxResultRows=$maxResultRows")
-        val fields = df.schema.fields
-        st.rows = collected.toIndexedSeq.map { r =>
-          JArray(fields.indices.toList.map(i => cell(r.get(i), fields(i).dataType)))
-        }
+    // execution rides the same lenient-cast scope as planning (runtime
+    // casts must not throw either); the scope is reentrant, so the nested
+    // plan() call shares this thread's toggle
+    HttpFacade.SessionScope.run(spark) {
+      plan(sqlText) match {
+        case Left(explain) =>
+          st.metas = explainMetas
+          st.rows = explain.toIndexedSeq.map(o =>
+            JArray(List(o \ "PLAN", o \ "RESOURCES")))
+        case Right(df) =>
+          st.metas = df.schema.fields.toSeq.map(HttpFacade.colMeta)
+          val collected = df.limit(maxResultRows + 1).collect()
+          if (collected.length > maxResultRows)
+            throw new IllegalStateException(s"result exceeds maxResultRows=$maxResultRows")
+          val fields = df.schema.fields
+          st.rows = collected.toIndexedSeq.map { r =>
+            JArray(fields.indices.toList.map(i => cell(r.get(i), fields(i).dataType)))
+          }
+      }
     }
   }
 
@@ -360,9 +385,15 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
 
   private def executeResults(cid: String, st: Statement, firstFrameRows: Int): JObject = {
     val n = effectiveFrameRows(firstFrameRows)
-    JObject("response" -> JString("executeResults"),
+    val out = JObject("response" -> JString("executeResults"),
       "missingStatement" -> JBool(false), rpcMetadata,
       "results" -> JArray(List(resultSet(cid, st, n))))
+    // fully-served results auto-close the statement, freeing its slot
+    // (DruidStatement.nextFrame:294 closes on done — 50 sequential
+    // executeQuery calls on one connection never hit the statement cap)
+    if (st.id >= 0 && n >= st.rows.length)
+      connections.get(cid).foreach(_.statements.remove(st.id))
+    out
   }
 
   private def resultSet(cid: String, st: Statement, firstFrameRows: Int): JObject =

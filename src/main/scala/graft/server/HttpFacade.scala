@@ -90,6 +90,62 @@ object HttpFacade {
       s"Too many concurrent queries, total query capacity of $capacity exceeded. " +
         "Please try your query again later.")
 
+  /** Guards the session-level conf toggles the SQL entry points apply
+    * around each query (ANSI off for Druid's lenient-cast semantics, the
+    * optional per-query sqlTimeZone). The server runs requests on a thread
+    * pool, so naive save/set/restore races: a query could save ANOTHER
+    * query's toggled value and "restore" the session to it permanently.
+    * ANSI-off is reference-counted (first query in saves the true session
+    * value, last one out restores it); a query that changes the session
+    * time zone runs exclusively, since two zones cannot share one session.
+    */
+  private[server] object SessionScope {
+    private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock
+    private var depth = 0
+    private var savedAnsi: Option[String] = None
+
+    private def enterAnsiOff(spark: SparkSession): Unit = synchronized {
+      if (depth == 0) {
+        savedAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+      }
+      depth += 1
+    }
+    private def exitAnsiOff(spark: SparkSession): Unit = synchronized {
+      depth -= 1
+      if (depth == 0) savedAnsi match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+        case None => spark.conf.unset("spark.sql.ansi.enabled")
+      }
+    }
+
+    /** Run with ANSI off; concurrent callers share the toggle safely. */
+    def run[A](spark: SparkSession)(body: => A): A = {
+      rw.readLock.lock()
+      enterAnsiOff(spark)
+      try body finally {
+        exitAnsiOff(spark)
+        rw.readLock.unlock()
+      }
+    }
+
+    /** Run with ANSI off AND the session time zone set — exclusive. */
+    def runZoned[A](spark: SparkSession, zone: java.time.ZoneId)(body: => A): A = {
+      rw.writeLock.lock()
+      val prevZone = spark.conf.getOption("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", zone.getId)
+      enterAnsiOff(spark)
+      try body finally {
+        exitAnsiOff(spark)
+        prevZone match {
+          case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
+          case None => spark.conf.unset("spark.sql.session.timeZone")
+        }
+        rw.writeLock.unlock()
+      }
+    }
+  }
+
   /** Total concurrency guard — the QueryScheduler's total-lane analog.
     * `limit <= 0` means unlimited (the default: this driver-side facade is
     * usually single-tenant; a shared broker sets a limit sized to its
@@ -286,13 +342,9 @@ object HttpFacade {
       // comparison plans to null / no-match (sql/.../planner/Calcites.java
       // lenient coercion; CalciteParameterQueryTest.java:623 binds VARCHAR
       // 'wat' against a float and expects 0 rows, not an error) — so the
-      // SQL endpoint analyzes queries with ANSI cast errors off, restoring
-      // the session default afterwards.
-      val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
-      spark.conf.set("spark.sql.ansi.enabled", "false")
-      val prevZone = spark.conf.getOption("spark.sql.session.timeZone")
-      sqlZone.foreach(z => spark.conf.set("spark.sql.session.timeZone", z.getId))
-      try {
+      // SQL endpoint analyzes queries with ANSI cast errors off via the
+      // thread-safe SessionScope (concurrent requests share the toggle).
+      def evaluate(): String = {
         val ExplainRe = "(?is)\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.*)".r
         sqlText match {
           case ExplainRe(inner) => renderObjects(explainRows(spark, inner),
@@ -317,15 +369,10 @@ object HttpFacade {
                 sqlZone.getOrElse(ZoneOffset.UTC))
           }
         }
-      } finally {
-        prevAnsi match {
-          case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
-          case None => spark.conf.unset("spark.sql.ansi.enabled")
-        }
-        if (sqlZone.isDefined) prevZone match {
-          case Some(v) => spark.conf.set("spark.sql.session.timeZone", v)
-          case None => spark.conf.unset("spark.sql.session.timeZone")
-        }
+      }
+      sqlZone match {
+        case Some(z) => SessionScope.runZoned(spark, z)(evaluate())
+        case None => SessionScope.run(spark)(evaluate())
       }
     })
 

@@ -329,13 +329,18 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     }
   }
 
-  test("testTooManyConnections (:835) — limit is[25] per broker") {
+  test("testTooManyConnections (:835) — limit is[25] per broker (every " +
+      "connection holds a statement, like the reference's test)") {
     withFacade { port =>
       val path = "/druid/v2/sql/avatica/"
       (1 to 25).foreach { i =>
         assert((post(port, path,
           s"""{"request":"openConnection","connectionId":"conn$i"}""")
           \ "response") == JString("openConnection"))
+        // a live statement keeps the connection non-evictable
+        assert((post(port, path,
+          s"""{"request":"createStatement","connectionId":"conn$i"}""")
+          \ "response") == JString("createStatement"))
       }
       val extra = post(port, path,
         """{"request":"openConnection","connectionId":"conn26"}""")
@@ -347,6 +352,77 @@ class AvaticaEndpointSpec extends SparkSpecBase {
         """{"request":"openConnection","connectionId":"conn1"}""")
       assert((dup \ "errorMessage").asInstanceOf[JString].s ==
         "Connection[conn1] already open.")
+      (1 to 25).foreach { i =>
+        post(port, path, s"""{"request":"closeConnection","connectionId":"conn$i"}""")
+      }
+    }
+  }
+
+  test("testNotTooManyConnectionsWhenTheyAreEmpty (:849) — at the cap, one " +
+      "abandoned statement-less connection is evicted for the new opener") {
+    foo.createOrReplaceTempView("foo")
+    val ep = new graft.server.AvaticaEndpoint(spark, "test", maxConnections = 4)
+    (1 to 4).foreach { i =>
+      assert((rpc(ep, s"""{"request":"openConnection","connectionId":"e$i"}""")
+        \ "response") == JString("openConnection"))
+      // create + close a statement: the connection ends empty
+      val sid = (rpc(ep, s"""{"request":"createStatement","connectionId":"e$i"}""")
+        \ "statementId").asInstanceOf[JInt].num.toInt
+      rpc(ep, s"""{"request":"closeStatement","connectionId":"e$i","statementId":$sid}""")
+    }
+    // a 5th open succeeds by clearing one abandoned connection
+    assert((rpc(ep, """{"request":"openConnection","connectionId":"e5"}""")
+      \ "response") == JString("openConnection"))
+  }
+
+  test("testNotTooManyStatementsWhenYouFullyIterateThem (:778) — a " +
+      "fully-served result auto-closes its statement slot") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"it1"}""")
+      (1 to 50).foreach { _ =>
+        val created = post(port, path,
+          """{"request":"createStatement","connectionId":"it1"}""")
+        assert((created \ "response") == JString("createStatement"))
+        val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+        val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+          "request" -> JString("prepareAndExecute"),
+          "connectionId" -> JString("it1"), "statementId" -> JInt(sid),
+          "sql" -> JString("SELECT COUNT(*) AS cnt FROM foo"),
+          "maxRowCount" -> JInt(-1)))))
+        val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+        assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(6))))))
+      }
+    }
+  }
+
+  test("testNotTooManyStatementsWhenTheyThrowErrors (:796) — a failed " +
+      "execute releases the statement slot") {
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"er1"}""")
+      (1 to 50).foreach { _ =>
+        val created = post(port, path,
+          """{"request":"createStatement","connectionId":"er1"}""")
+        val sid = (created \ "statementId").asInstanceOf[JInt].num.toInt
+        val failed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+          "request" -> JString("prepareAndExecute"),
+          "connectionId" -> JString("er1"), "statementId" -> JInt(sid),
+          "sql" -> JString("SELECT SUM(nonexistent) FROM foo"),
+          "maxRowCount" -> JInt(-1)))))
+        assert((failed \ "response") == JString("error"))
+        // and a fresh statement still works right after
+        val ok = post(port, path,
+          """{"request":"createStatement","connectionId":"er1"}""")
+        val sid2 = (ok \ "statementId").asInstanceOf[JInt].num.toInt
+        val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+          "request" -> JString("prepareAndExecute"),
+          "connectionId" -> JString("er1"), "statementId" -> JInt(sid2),
+          "sql" -> JString("SELECT COUNT(*) AS cnt FROM foo"),
+          "maxRowCount" -> JInt(-1)))))
+        val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+        assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(6))))))
+      }
     }
   }
 
@@ -499,7 +575,9 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     }
   }
 
-  test("closeConnection drops statements; auto-reconnect surface (:820)") {
+  test("testAutoReconnectOnNoSuchConnection (:820) — closeConnection drops " +
+      "statements; a request on the closed id errors 'not open' and the " +
+      "client-side driver reopens") {
     withFacade { port =>
       val path = "/druid/v2/sql/avatica/"
       post(port, path, """{"request":"openConnection","connectionId":"x1"}""")
