@@ -308,16 +308,36 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     }
   }
 
+  /** One line per executed SQL statement — the RequestLogger surface the
+    * reference emits per query (RequestLogLine.forSql with queryStats
+    * success/sqlQuery/time/sqlQuery/bytes;
+    * DruidAvaticaHandlerTest.testSqlRequestLog counts and inspects them). */
+  final case class RequestLogLine(sql: String, success: Boolean, timeMs: Long)
+  private val requestLogLines =
+    new java.util.concurrent.ConcurrentLinkedQueue[RequestLogLine]
+  def sqlRequestLog: Seq[RequestLogLine] = {
+    import scala.jdk.CollectionConverters._
+    requestLogLines.asScala.toSeq
+  }
+
   /** runSql, releasing the statement slot on failure — the reference closes
     * the statement when execution throws (DruidStatement.nextFrame's catch
     * → close()), so 50 consecutive failing statements never exhaust the
-    * 4-slot cap (testNotTooManyStatementsWhenTheyThrowErrors). */
-  private def runGuarded(cid: String, st: Statement, sqlText: String): Unit =
-    try runSql(st, sqlText)
-    catch { case e: Throwable =>
+    * 4-slot cap (testNotTooManyStatementsWhenTheyThrowErrors) — and logging
+    * the request line either way. */
+  private def runGuarded(cid: String, st: Statement, sqlText: String): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      runSql(st, sqlText)
+      requestLogLines.add(RequestLogLine(sqlText, success = true,
+        (System.nanoTime() - t0) / 1000000L))
+    } catch { case e: Throwable =>
+      requestLogLines.add(RequestLogLine(sqlText, success = false,
+        (System.nanoTime() - t0) / 1000000L))
       connection(cid).statements.remove(st.id)
       throw e
     }
+  }
 
   private def runSql(st: Statement, sqlText: String): Unit = {
     st.sql = Some(sqlText)

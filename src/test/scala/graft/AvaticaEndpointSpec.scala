@@ -15,6 +15,14 @@ import graft.sources.Sources
   * sql/src/test/.../avatica/DruidAvaticaHandlerTest.java drives it through
   * a real JDBC client — here the same request/response cycle is asserted at
   * the protocol level, since the Avatica client jar is not a dependency).
+  *
+  * NON-GOAL (no user/authorization model on this engine — deployments
+  * front the Spark driver with their own authn/z): the auth-split method
+  * variants testDatabaseMetaDataTablesAsSuperuser (:481),
+  * testDatabaseMetaDataColumnsOnForbiddenDatasource (:633),
+  * testDatabaseMetaDataColumnsWithSuperuser (:646) — every client here
+  * sees the full (superuser) metadata, asserted by the unsplit ports of
+  * getTables/getColumns above.
   */
 class AvaticaEndpointSpec extends SparkSpecBase {
   import spark.implicits._
@@ -573,6 +581,57 @@ class AvaticaEndpointSpec extends SparkSpecBase {
       spark.catalog.dropTempView("some_datasource")
       spark.catalog.dropTempView("somexdatasource")
     }
+  }
+
+  test("testSysTableParameterBindingSuperUser (:1119) — sys.servers " +
+      "queryable with bound parameters through JDBC (the RegularUser " +
+      "variant :1105 is the auth non-goal: no user model here, every " +
+      "client sees the metadata a superuser would)") {
+    graft.server.SystemSchema.registerServers(spark)
+    withFacade { port =>
+      val path = "/druid/v2/sql/avatica/"
+      post(port, path, """{"request":"openConnection","connectionId":"sys1"}""")
+      val prepared = post(port, path,
+        """{"request":"prepare","connectionId":"sys1",
+           "sql":"SELECT COUNT(*) AS cnt FROM sys.servers WHERE host = ?",
+           "maxRowCount":-1}""")
+      val sid = (prepared \ "statement" \ "id").asInstanceOf[JInt].num.toInt
+      val executed = post(port, path, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("execute"),
+        "statementHandle" -> JObject("connectionId" -> JString("sys1"), "id" -> JInt(sid)),
+        "parameterValues" -> JArray(List(
+          JObject("type" -> JString("STRING"), "value" -> JString("dummy")))),
+        "maxRowCount" -> JInt(-1)))))
+      val rs = (executed \ "results").asInstanceOf[JArray].arr.head
+      // no server named "dummy" → count 0 (the reference's superuser sees 1
+      // for its one fixture server; the shape — bound param over sys — is
+      // the ported surface)
+      assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(0))))))
+    }
+  }
+
+  test("testSqlRequestLog (:1048) — one log line per executed statement " +
+      "with success flag and timing; failures log success=false") {
+    foo.createOrReplaceTempView("foo")
+    val ep = new graft.server.AvaticaEndpoint(spark, "test")
+    rpc(ep, """{"request":"openConnection","connectionId":"log1"}""")
+    def execute(sql: String): JValue = {
+      val sid = (rpc(ep, """{"request":"createStatement","connectionId":"log1"}""")
+        \ "statementId").asInstanceOf[JInt].num.toInt
+      rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+        "request" -> JString("prepareAndExecute"),
+        "connectionId" -> JString("log1"), "statementId" -> JInt(sid),
+        "sql" -> JString(sql), "maxRowCount" -> JInt(-1)))))
+    }
+    (1 to 3).foreach(_ => execute("SELECT COUNT(*) AS cnt FROM foo"))
+    val valid = ep.sqlRequestLog
+    assert(valid.size == 3)
+    assert(valid.forall(l => l.success && l.timeMs >= 0))
+    // invalid sql logs success=false
+    execute("SELECT notexist FROM foo")
+    val all = ep.sqlRequestLog
+    assert(all.size == 4)
+    assert(!all.last.success)
   }
 
   test("testAutoReconnectOnNoSuchConnection (:820) — closeConnection drops " +
