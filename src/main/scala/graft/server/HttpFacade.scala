@@ -411,6 +411,9 @@ object HttpFacade {
       (method, sub, _) => StatusResource.status(spark, method, sub)))
     server.createContext("/druid/v2/datasources", restHandler(
       (method, sub, _) => StatusResource.datasources(spark, method, sub)))
+    // coordinator datasource/segment admin reads over the segment inventory
+    server.createContext("/druid/coordinator/v1/datasources", restHandler(
+      (method, sub, _) => DataSourcesResource.handle(spark, method, sub)))
 
     server.start()
     new Facade(server)

@@ -88,3 +88,98 @@ object StatusResource {
   private def ok(v: JValue): (Int, String) =
     (200, JsonMethods.compact(JsonMethods.render(v)))
 }
+
+/** The coordinator's datasource/segment admin reads
+  * (server/.../http/DataSourcesResource.java,
+  * `@Path("/druid/coordinator/v1/datasources")`), served from the
+  * sys.segments inventory (SystemSchema.registerSegments):
+  *
+  *   GET /                          → datasource names
+  *   GET /{ds}                      → the "simple" summary: {"tiers":
+  *                                    {tier: {segments stats}}, "segments":
+  *                                    {count,size,replicatedSize,minTime,
+  *                                    maxTime}} (getSimpleDatasource:740)
+  *   GET /{ds}/segments             → served segment ids (:597)
+  *   GET /{ds}/segments/{segmentId} → {"metadata": {...}, "servers": [...]}
+  *                                    (:619; shared storage → every data
+  *                                    server serves every segment)
+  *
+  * Unknown datasources answer 404 like
+  * logAndCreateDataSourceNotFoundResponse. The inventory is coordination
+  * metadata (one row per file), so the driver-side materialization here is
+  * bounded the same way the reference coordinator's own heap copy is.
+  */
+object DataSourcesResource {
+
+  def handle(spark: SparkSession, method: String, subPath: String): (Int, String) = {
+    if (method != "GET") return (405, """{"error":"GET only"}""")
+    if (!spark.catalog.tableExists("sys.segments"))
+      return handleEmpty(subPath)
+    val segs = spark.table("sys.segments")
+    import org.apache.spark.sql.functions._
+    // the per-segment read is matched on the raw path: segment ids here are
+    // file paths/URIs whose consecutive slashes a split would collapse
+    val SegmentRe = "^([^/]+)/segments/(.+)$".r
+    subPath.stripPrefix("/") match {
+      case SegmentRe(ds, segmentId) =>
+        val row = segs.filter(col("datasource") === ds)
+          .filter(col("segment_id") === segmentId).collect().headOption
+        return row match {
+          case None => (204, "")
+          case Some(r) =>
+            val fields = segs.schema.fieldNames.toList
+            val metadata = JObject(fields.zipWithIndex.map { case (f, i) =>
+              f -> (r.get(i) match {
+                case null => JNull
+                case l: Long => JLong(l)
+                case v => JString(v.toString)
+              })
+            })
+            val servers =
+              try spark.table("sys.servers").select("server").collect()
+                .map(_.getString(0)).toList
+              catch { case _: Throwable => Nil }
+            ok(JObject("metadata" -> metadata,
+              "servers" -> JArray(servers.map(JString(_)))))
+        }
+      case _ => ()
+    }
+    subPath.split("/").filter(_.nonEmpty).toList match {
+      case Nil =>
+        val names = segs.select("datasource").distinct()
+          .collect().map(_.getString(0)).sorted
+        ok(JArray(names.toList.map(JString(_))))
+      case ds :: rest =>
+        val mine = segs.filter(col("datasource") === ds)
+        val summary = mine.agg(
+          count(lit(1)).as("n"), sum(col("size")).as("sz"),
+          sum(col("size") * col("num_replicas")).as("rsz"),
+          min(col("start")).as("mn"), max(col("`end`")).as("mx")).head()
+        if (summary.getLong(0) == 0L)
+          return (404, s"""{"error":"datasource [$ds] not found"}""")
+        rest match {
+          case Nil =>
+            val stats = JObject(
+              "count" -> JLong(summary.getLong(0)),
+              "size" -> JLong(summary.getLong(1)),
+              "replicatedSize" -> JLong(summary.getLong(2)),
+              "minTime" -> JString(String.valueOf(summary.get(3))),
+              "maxTime" -> JString(String.valueOf(summary.get(4))))
+            ok(JObject("tiers" -> JObject("_default_tier" -> stats), "segments" -> stats))
+          case List("segments") =>
+            val ids = mine.select("segment_id").collect().map(_.getString(0)).sorted
+            ok(JArray(ids.toList.map(JString(_))))
+          case other => (404, s"""{"error":"${other.mkString("/")}"}""")
+        }
+    }
+  }
+
+  private def handleEmpty(subPath: String): (Int, String) =
+    subPath.split("/").filter(_.nonEmpty).toList match {
+      case Nil => ok(JArray(Nil))
+      case ds :: _ => (404, s"""{"error":"datasource [$ds] not found"}""")
+    }
+
+  private def ok(v: JValue): (Int, String) =
+    (200, JsonMethods.compact(JsonMethods.render(v)))
+}

@@ -423,6 +423,43 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("coordinator datasources admin (DataSourcesResource.java): names, " +
+      "simple summary, segment list, per-segment metadata+servers, 404") {
+    import graft.server.SystemSchema
+    val out = java.nio.file.Files.createTempDirectory("dsrsc").toString
+    Sources.table(spark, sf(), "nation").write.mode("overwrite").parquet(out)
+    SystemSchema.registerSegments(spark, "nation_admin_ds", out, "n_nationkey")
+    SystemSchema.registerServers(spark)
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val p = facade.port
+      val base = "/druid/coordinator/v1/datasources"
+      val (s1, names) = send(p, "GET", base)
+      assert(s1 == 200 && names.contains("nation_admin_ds"))
+      val (s2, summary) = send(p, "GET", s"$base/nation_admin_ds")
+      assert(s2 == 200)
+      val j = JsonMethods.parse(summary)
+      val count = (j \ "segments" \ "count") match {
+        case JLong(n) => n; case JInt(n) => n.toLong; case _ => -1L
+      }
+      assert(count > 0)
+      assert((j \ "tiers" \ "_default_tier" \ "size") != JNothing)
+      val (s3, ids) = send(p, "GET", s"$base/nation_admin_ds/segments")
+      assert(s3 == 200)
+      val idList = JsonMethods.parse(ids).asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)
+      assert(idList.size == count)
+      // per-segment metadata + the servers able to serve it
+      val enc = java.net.URLEncoder.encode(idList.head, "UTF-8")
+      val (s4, seg) = send(p, "GET", s"$base/nation_admin_ds/segments/$enc")
+      assert(s4 == 200)
+      val sj = JsonMethods.parse(seg)
+      assert((sj \ "metadata" \ "datasource") == JString("nation_admin_ds"))
+      assert((sj \ "servers").asInstanceOf[JArray].arr.nonEmpty)
+      assert(send(p, "GET", s"$base/no_such_ds")._1 == 404)
+    } finally facade.stop()
+  }
+
   test("lookup introspection (LookupIntrospectionResource + " +
       "MapLookupExtractorFactory handler): map, /keys, /values, 404") {
     val registry = new graft.sources.LookupRegistry
