@@ -414,6 +414,9 @@ object HttpFacade {
     // coordinator datasource/segment admin reads over the segment inventory
     server.createContext("/druid/coordinator/v1/datasources", restHandler(
       (method, sub, _) => DataSourcesResource.handle(spark, method, sub)))
+    // overlord supervisor admin over the sys.supervisors registry
+    server.createContext("/druid/indexer/v1/supervisor", restHandler(
+      (method, sub, body) => SupervisorResource.handle(method, sub, body)))
 
     server.start()
     new Facade(server)
@@ -428,7 +431,8 @@ object HttpFacade {
         val (status, payload) =
           try {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-            val sub = ex.getRequestURI.getPath.stripPrefix(ex.getHttpContext.getPath)
+            val sub = ex.getRequestURI.getPath.stripPrefix(ex.getHttpContext.getPath) +
+              Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
             f(ex.getRequestMethod, sub, body)
           } catch { case e: Throwable => queryError(e) }
         if (payload.isEmpty) {

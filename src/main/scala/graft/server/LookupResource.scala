@@ -44,7 +44,8 @@ object LookupResource {
   /** Handle a coordinator `/druid/coordinator/v1/lookups` request.
     * `subPath` is the path after the resource root. Returns (status, body). */
   def config(spark: SparkSession, lookups: LookupRegistry, method: String,
-      subPath: String, body: String): (Int, String) = {
+      rawSubPath: String, body: String): (Int, String) = {
+    val subPath = rawSubPath.takeWhile(_ != '?')
     val parts = subPath.split("/").filter(_.nonEmpty).toList
     (method, parts) match {
       case ("GET", List("config")) =>
@@ -95,9 +96,9 @@ object LookupResource {
 
   /** Handle a `/druid/v1/lookups/introspect` request. */
   def introspect(lookups: LookupRegistry, method: String,
-      subPath: String): (Int, String) = {
+      rawSubPath: String): (Int, String) = {
     if (method != "GET") return (405, error("GET only"))
-    val parts = subPath.split("/").filter(_.nonEmpty).toList
+    val parts = rawSubPath.takeWhile(_ != '?').split("/").filter(_.nonEmpty).toList
     parts match {
       case name :: rest if lookups.contains(name) =>
         val m = lookups.asMap(name)

@@ -33,9 +33,9 @@ object StatusResource {
 
   def Version = "graft-" + org.apache.spark.SPARK_VERSION
 
-  def status(spark: SparkSession, method: String, subPath: String): (Int, String) = {
+  def status(spark: SparkSession, method: String, rawSubPath: String): (Int, String) = {
     if (method != "GET") return (405, """{"error":"GET only"}""")
-    subPath.split("/").filter(_.nonEmpty).toList match {
+    rawSubPath.takeWhile(_ != '?').split("/").filter(_.nonEmpty).toList match {
       case Nil =>
         val rt = Runtime.getRuntime
         val direct =
@@ -58,8 +58,9 @@ object StatusResource {
     }
   }
 
-  def datasources(spark: SparkSession, method: String, subPath: String): (Int, String) = {
+  def datasources(spark: SparkSession, method: String, rawSubPath: String): (Int, String) = {
     if (method != "GET") return (405, """{"error":"GET only"}""")
+    val subPath = rawSubPath.takeWhile(_ != '?')
     def names: Seq[String] = spark.catalog.listTables().collect().map(_.name).sorted.toSeq
     def split(ds: String): Option[(Seq[String], Seq[String])] =
       if (!names.contains(ds)) None
@@ -111,8 +112,9 @@ object StatusResource {
   */
 object DataSourcesResource {
 
-  def handle(spark: SparkSession, method: String, subPath: String): (Int, String) = {
+  def handle(spark: SparkSession, method: String, rawSubPath: String): (Int, String) = {
     if (method != "GET") return (405, """{"error":"GET only"}""")
+    val subPath = rawSubPath.takeWhile(_ != '?')
     if (!spark.catalog.tableExists("sys.segments"))
       return handleEmpty(subPath)
     val segs = spark.table("sys.segments")

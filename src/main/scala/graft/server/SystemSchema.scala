@@ -146,7 +146,17 @@ object SystemSchema {
   private val supervisorRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, SupervisorEntry]()
   def registerSupervisor(e: SupervisorEntry): Unit = supervisorRegistry.put(e.id, e)
-  def removeSupervisor(id: String): Unit = supervisorRegistry.remove(id)
+  def removeSupervisor(id: String): Boolean = supervisorRegistry.remove(id) != null
+  def supervisor(id: String): Option[SupervisorEntry] =
+    Option(supervisorRegistry.get(id))
+  def supervisors: Seq[SupervisorEntry] = {
+    import scala.jdk.CollectionConverters._
+    supervisorRegistry.values.asScala.toSeq.sortBy(_.id)
+  }
+  /** Suspend/resume toggle (the overlord's specSuspendOrResume). */
+  def setSupervisorSuspended(id: String, suspended: Boolean): Option[SupervisorEntry] =
+    Option(supervisorRegistry.computeIfPresent(id,
+      (_, e) => e.copy(suspended = suspended)))
 
   /** Register sys.servers / sys.server_segments / sys.tasks /
     * sys.supervisors snapshots from the session's runtime state. Re-register
@@ -257,7 +267,12 @@ object SystemSchema {
   }
 
   /** CREATE OR REPLACE VIEW name AS VALUES(...) — snapshot rows inlined as
-    * literals (escaped); empty input still yields a valid empty view. */
+    * literals (escaped); empty input still yields a valid empty view.
+    * The last-registered body is memoized per view: register-on-access runs
+    * before every metadata query, and an unchanged snapshot skips the
+    * catalog round trip entirely. */
+  private val lastBodies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def inlineView(spark: SparkSession, name: String, cols: Seq[String],
       rows: Seq[Seq[String]], numericCols: Set[String] = Set.empty): Unit = {
     def literal(col: String, v: String): String =
@@ -277,6 +292,10 @@ object SystemSchema {
         rows.map(r => r.zip(colNames).map { case (v, c) => literal(c, v) }
           .mkString("(", ", ", ")"))
           .mkString(s"SELECT * FROM (VALUES ", ", ", s") AS t(${cols.mkString(", ")})")
+    // skip the CREATE if the snapshot is byte-identical to the last one
+    // AND the view still exists (a dropped database invalidates the memo)
+    if (lastBodies.get(name) == body && spark.catalog.tableExists(name)) return
     spark.sql(s"CREATE OR REPLACE VIEW $name AS $body")
+    lastBodies.put(name, body)
   }
 }

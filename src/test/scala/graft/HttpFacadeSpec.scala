@@ -460,6 +460,52 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("supervisor admin round trip (SupervisorResource.java): POST spec → " +
+      "list/status/health → suspend/resume → sys.supervisors reflects → " +
+      "terminate → 404") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val p = facade.port
+      val base = "/druid/indexer/v1/supervisor"
+      // create with a reference-shaped kafka supervisor spec
+      val (cs, created) = send(p, "POST", base,
+        """{"type": "kafka", "spec": {"dataSchema": {"dataSource": "events_http_sup"},
+            "ioConfig": {"topic": "events-topic"}}}""")
+      assert(cs == 200 && JsonMethods.parse(created) \ "id" == JString("events_http_sup"))
+      // id listing + stateful listing
+      assert(send(p, "GET", base)._2.contains("events_http_sup"))
+      val (_, stateful) = send(p, "GET", s"$base?state=true")
+      val entry = JsonMethods.parse(stateful).asInstanceOf[JArray].arr
+        .find(e => (e \ "id") == JString("events_http_sup")).get
+      assert((entry \ "state") == JString("RUNNING"))
+      // spec read-back, status envelope, health
+      val (_, spec) = send(p, "GET", s"$base/events_http_sup")
+      assert((JsonMethods.parse(spec) \ "spec" \ "ioConfig" \ "topic") ==
+        JString("events-topic"))
+      val (_, status) = send(p, "GET", s"$base/events_http_sup/status")
+      val sj = JsonMethods.parse(status)
+      assert((sj \ "payload" \ "stream") == JString("events-topic"))
+      assert((sj \ "payload" \ "state") == JString("RUNNING"))
+      assert(send(p, "GET", s"$base/events_http_sup/health")._2 == """{"healthy":true}""")
+      // suspend flips state in the admin API AND in sys.supervisors
+      val (_, suspended) = send(p, "POST", s"$base/events_http_sup/suspend")
+      assert((JsonMethods.parse(suspended) \ "suspended") == JBool(true))
+      graft.server.SystemSchema.registerServers(spark)
+      val sysState = spark.sql(
+        """SELECT state FROM sys.supervisors
+          |WHERE supervisor_id = 'events_http_sup'""".stripMargin).head().getString(0)
+      assert(sysState == "SUSPENDED")
+      val (_, resumed) = send(p, "POST", s"$base/events_http_sup/resume")
+      assert((JsonMethods.parse(resumed) \ "suspended") == JBool(false))
+      // terminate removes; unknown ids answer the reference 404 message
+      assert(send(p, "POST", s"$base/events_http_sup/terminate")._1 == 200)
+      val (nf, nfBody) = send(p, "GET", s"$base/events_http_sup")
+      assert(nf == 404)
+      assert(JsonMethods.parse(nfBody) \ "error" ==
+        JString("[events_http_sup] does not exist"))
+    } finally facade.stop()
+  }
+
   test("lookup introspection (LookupIntrospectionResource + " +
       "MapLookupExtractorFactory handler): map, /keys, /values, 404") {
     val registry = new graft.sources.LookupRegistry
