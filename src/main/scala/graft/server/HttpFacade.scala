@@ -417,6 +417,13 @@ object HttpFacade {
     // overlord supervisor admin over the sys.supervisors registry
     server.createContext("/druid/indexer/v1/supervisor", restHandler(
       (method, sub, body) => SupervisorResource.handle(method, sub, body)))
+    // cluster reads: leader/isLeader/loadstatus/servers + overlord tasks
+    // (the longer lookups/datasources/supervisor contexts win over these)
+    val selfAddress = s"127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/druid/coordinator/v1", restHandler(
+      (method, sub, _) => ClusterResource.coordinator(spark, selfAddress, method, sub)))
+    server.createContext("/druid/indexer/v1", restHandler(
+      (method, sub, _) => ClusterResource.overlord(spark, method, sub)))
 
     server.start()
     new Facade(server)

@@ -90,6 +90,114 @@ object StatusResource {
     (200, JsonMethods.compact(JsonMethods.render(v)))
 }
 
+/** The remaining coordinator/overlord cluster reads:
+  *
+  * CoordinatorResource (server/.../http/CoordinatorResource.java):
+  *   GET /druid/coordinator/v1/leader     → the leader address (the driver)
+  *   GET /druid/coordinator/v1/isLeader   → {"leader": true} (the driver IS
+  *                                          the leader; the reference 404s
+  *                                          only on non-leaders)
+  *   GET /druid/coordinator/v1/loadstatus → {datasource: percent loaded} —
+  *                                          shared storage keeps every
+  *                                          registered segment servable, so
+  *                                          each datasource reports 100.0
+  *
+  * ServersResource (server/.../http/ServersResource.java):
+  *   GET /druid/coordinator/v1/servers[?simple] → host names / simple maps
+  *   GET /servers/{name}[?simple]               → {host,tier,type,priority,
+  *                                                 currSize,maxSize} (:53)
+  *   GET /servers/{name}/segments               → served segment ids
+  *
+  * OverlordResource (indexing-service/.../http/OverlordResource.java):
+  *   GET /druid/indexer/v1/tasks            → TaskStatusPlus-shaped rows for
+  *                                            active streaming queries
+  *   GET /druid/indexer/v1/task/{id}/status → {"task": id, "status": {...}}
+  */
+object ClusterResource {
+
+  def coordinator(spark: SparkSession, serverAddress: String, method: String,
+      rawSubPath: String): (Int, String) = {
+    if (method != "GET") return (405, """{"error":"GET only"}""")
+    val subPath = rawSubPath.takeWhile(_ != '?')
+    val simple = rawSubPath.contains("?") && rawSubPath.contains("simple")
+    def execs = spark.sparkContext.statusTracker.getExecutorInfos.toSeq
+    def simpleServer(e: org.apache.spark.SparkExecutorInfo, i: Int): JObject = JObject(
+      "host" -> JString(s"${e.host}:${e.port}"),
+      "tier" -> JString("_default_tier"), "type" -> JString("historical"),
+      "priority" -> JInt(0),
+      "currSize" -> JLong(e.usedOnHeapStorageMemory + e.usedOffHeapStorageMemory),
+      "maxSize" -> JLong(e.totalOnHeapStorageMemory + e.totalOffHeapStorageMemory))
+    subPath.split("/").filter(_.nonEmpty).toList match {
+      case List("leader") => ok(JString(s"http://$serverAddress"))
+      case List("isLeader") => ok(JObject("leader" -> JBool(true)))
+      case List("loadstatus") =>
+        val datasources =
+          if (!spark.catalog.tableExists("sys.segments")) Nil
+          else spark.table("sys.segments").select("datasource").distinct()
+            .collect().map(_.getString(0)).sorted.toList
+        ok(JObject(datasources.map(d => d -> (JDouble(100.0): JValue))))
+      case List("servers") =>
+        if (simple) ok(JArray(execs.zipWithIndex.toList.map {
+          case (e, i) => simpleServer(e, i): JValue
+        }))
+        else ok(JArray(execs.toList.map(e => JString(s"${e.host}:${e.port}"): JValue)))
+      case List("servers", name) =>
+        execs.zipWithIndex.find { case (e, _) => s"${e.host}:${e.port}" == name } match {
+          case Some((e, i)) => ok(simpleServer(e, i))
+          case None => (404, """{"error":"server not found"}""")
+        }
+      case List("servers", name, "segments") =>
+        if (!execs.exists(e => s"${e.host}:${e.port}" == name))
+          (404, """{"error":"server not found"}""")
+        else {
+          // shared storage: every data server serves every registered segment
+          val ids =
+            if (!spark.catalog.tableExists("sys.segments")) Nil
+            else spark.table("sys.segments").select("segment_id")
+              .collect().map(_.getString(0)).sorted.toList
+          ok(JArray(ids.map(JString(_))))
+        }
+      case other => (404, s"""{"error":"${other.mkString("/")}"}""")
+    }
+  }
+
+  def overlord(spark: SparkSession, method: String,
+      rawSubPath: String): (Int, String) = {
+    if (method != "GET") return (405, """{"error":"GET only"}""")
+    def tasks = spark.streams.active.toSeq
+    def taskRow(q: org.apache.spark.sql.streaming.StreamingQuery): JObject = {
+      val created = q.recentProgress.headOption.map(_.timestamp).getOrElse("")
+      JObject("id" -> JString(q.id.toString),
+        "groupId" -> JString(q.runId.toString),
+        "type" -> JString("index_spark_streaming"),
+        "createdTime" -> JString(created),
+        "statusCode" -> JString("RUNNING"),
+        "status" -> JString("RUNNING"),
+        "runnerStatusCode" -> JString("RUNNING"),
+        "dataSource" -> JString(Option(q.name).getOrElse("")),
+        "errorMsg" -> JNull)
+    }
+    rawSubPath.takeWhile(_ != '?').split("/").filter(_.nonEmpty).toList match {
+      case List("tasks") => ok(JArray(tasks.toList.map(taskRow(_): JValue)))
+      case List("task", id, "status") =>
+        tasks.find(_.id.toString == id) match {
+          case Some(q) => ok(JObject("task" -> JString(id),
+            "status" -> taskRow(q)))
+          case None => (404, s"""{"error":"[$id] does not exist"}""")
+        }
+      case List("task", id) =>
+        tasks.find(_.id.toString == id) match {
+          case Some(q) => ok(JObject("task" -> JString(id), "payload" -> taskRow(q)))
+          case None => (404, s"""{"error":"[$id] does not exist"}""")
+        }
+      case other => (404, s"""{"error":"${other.mkString("/")}"}""")
+    }
+  }
+
+  private def ok(v: JValue): (Int, String) =
+    (200, JsonMethods.compact(JsonMethods.render(v)))
+}
+
 /** The coordinator's datasource/segment admin reads
   * (server/.../http/DataSourcesResource.java,
   * `@Path("/druid/coordinator/v1/datasources")`), served from the

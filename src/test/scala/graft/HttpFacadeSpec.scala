@@ -506,6 +506,40 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("cluster reads (CoordinatorResource/ServersResource/OverlordResource): " +
+      "leader, isLeader, loadstatus, servers, tasks") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val p = facade.port
+      // leader is this driver; isLeader answers the unsecured health shape
+      val (s1, leader) = send(p, "GET", "/druid/coordinator/v1/leader")
+      assert(s1 == 200 && leader == s""""http://127.0.0.1:$p"""")
+      assert(send(p, "GET", "/druid/coordinator/v1/isLeader") ==
+        ((200, """{"leader":true}""")))
+      // loadstatus: every registered datasource fully loaded
+      val (s2, load) = send(p, "GET", "/druid/coordinator/v1/loadstatus")
+      assert(s2 == 200)
+      assert(JsonMethods.parse(load).isInstanceOf[JObject])
+      // server inventory: names, simple shapes, per-server reads
+      val (s3, names) = send(p, "GET", "/druid/coordinator/v1/servers")
+      assert(s3 == 200)
+      val serverNames = JsonMethods.parse(names).asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)
+      assert(serverNames.nonEmpty)
+      val (s4, simple) = send(p, "GET", "/druid/coordinator/v1/servers?simple")
+      assert(s4 == 200)
+      val first = JsonMethods.parse(simple).asInstanceOf[JArray].arr.head
+      assert((first \ "tier") == JString("_default_tier"))
+      assert((first \ "type") == JString("historical"))
+      val (s5, one) = send(p, "GET", s"/druid/coordinator/v1/servers/${serverNames.head}")
+      assert(s5 == 200 && (JsonMethods.parse(one) \ "host") == JString(serverNames.head))
+      assert(send(p, "GET", "/druid/coordinator/v1/servers/nope:1")._1 == 404)
+      // overlord task listing (no active streams here → empty list, not error)
+      assert(send(p, "GET", "/druid/indexer/v1/tasks")._1 == 200)
+      assert(send(p, "GET", "/druid/indexer/v1/task/unknown/status")._1 == 404)
+    } finally facade.stop()
+  }
+
   test("lookup introspection (LookupIntrospectionResource + " +
       "MapLookupExtractorFactory handler): map, /keys, /values, 404") {
     val registry = new graft.sources.LookupRegistry
