@@ -442,21 +442,26 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
         "clazz" -> JNull, "fieldNames" -> JNull),
       "statementType" -> JString(st.statementType))
 
-  /** Avatica ColumnMetaData JSON for a result column. */
+  /** Avatica ColumnMetaData JSON for a result column. Reps follow
+    * DruidStatement.rep (DruidStatement.java:413-440): TIMESTAMP cells ride
+    * the wire as epoch millis so their rep is LONG (not JAVA_SQL_TIMESTAMP),
+    * DATE as epoch days → INTEGER, and exact numerics use NUMBER "since
+    * JSON transport might switch longs to integers"
+    * (DruidStatementTest.testSignature asserts these clazz names). */
   private def columnMetaData(m: HttpFacade.ColMeta, ordinal: Int): JObject = {
     val (id, name, rep, clazz) = m.sqlType match {
-      case "TIMESTAMP" => (93, "TIMESTAMP", "JAVA_SQL_TIMESTAMP", "java.sql.Timestamp")
-      case "DATE" => (91, "DATE", "JAVA_SQL_DATE", "java.sql.Date")
-      case "BIGINT" => (-5, "BIGINT", "PRIMITIVE_LONG", "java.lang.Long")
-      case "INTEGER" => (4, "INTEGER", "PRIMITIVE_INT", "java.lang.Integer")
-      case "SMALLINT" => (5, "SMALLINT", "PRIMITIVE_SHORT", "java.lang.Short")
-      case "TINYINT" => (-6, "TINYINT", "PRIMITIVE_BYTE", "java.lang.Byte")
-      case "BOOLEAN" => (16, "BOOLEAN", "PRIMITIVE_BOOLEAN", "java.lang.Boolean")
-      case "FLOAT" => (6, "FLOAT", "PRIMITIVE_FLOAT", "java.lang.Float")
-      case "DOUBLE" => (8, "DOUBLE", "PRIMITIVE_DOUBLE", "java.lang.Double")
-      case "DECIMAL" => (3, "DECIMAL", "NUMBER", "java.math.BigDecimal")
+      case "TIMESTAMP" => (93, "TIMESTAMP", "LONG", "java.lang.Long")
+      case "DATE" => (91, "DATE", "INTEGER", "java.lang.Integer")
+      case "BIGINT" => (-5, "BIGINT", "NUMBER", "java.lang.Number")
+      case "INTEGER" => (4, "INTEGER", "NUMBER", "java.lang.Number")
+      case "SMALLINT" => (5, "SMALLINT", "NUMBER", "java.lang.Number")
+      case "TINYINT" => (-6, "TINYINT", "NUMBER", "java.lang.Number")
+      case "BOOLEAN" => (16, "BOOLEAN", "BOOLEAN", "java.lang.Boolean")
+      case "FLOAT" => (6, "FLOAT", "FLOAT", "java.lang.Float")
+      case "DOUBLE" => (8, "DOUBLE", "DOUBLE", "java.lang.Double")
+      case "DECIMAL" => (3, "DECIMAL", "DOUBLE", "java.lang.Double")
       case "VARCHAR" => (12, "VARCHAR", "STRING", "java.lang.String")
-      case "ARRAY" => (2003, "ARRAY", "OBJECT", "java.util.List")
+      case "ARRAY" => (2003, "ARRAY", "ARRAY", "java.sql.Array")
       case _ => (1111, "OTHER", "OBJECT", "java.lang.Object")
     }
     JObject(

@@ -121,7 +121,8 @@ class AvaticaEndpointSpec extends SparkSpecBase {
       // 2000-01-01T00:00:00Z = 946684800000 ms; epoch days = 10957
       assert(rows == List(JArray(List(JInt(946684800000L), JInt(10957L)))))
       val cols = (sig \ "columns").asInstanceOf[JArray].arr
-      assert((cols(0) \ "type" \ "rep") == JString("JAVA_SQL_TIMESTAMP"))
+      // epoch-millis wire cells → rep LONG (DruidStatement.rep:417)
+      assert((cols(0) \ "type" \ "rep") == JString("LONG"))
       assert((cols(1) \ "type" \ "name") == JString("DATE"))
     }
   }
@@ -608,6 +609,58 @@ class AvaticaEndpointSpec extends SparkSpecBase {
       // the ported surface)
       assert((rs \ "firstFrame" \ "rows") == JArray(List(JArray(List(JInt(0))))))
     }
+  }
+
+  test("testSignature (DruidStatementTest.java) — (label, type name, rep " +
+      "clazz) triples match the reference's wire typing") {
+    withFacade { port =>
+      val (_, sig) = query(port, "sig1", "SELECT * FROM foo")
+      val triples = (sig \ "columns").asInstanceOf[JArray].arr.map { c =>
+        ((c \ "columnName").asInstanceOf[JString].s,
+         (c \ "type" \ "name").asInstanceOf[JString].s,
+         (c \ "columnClassName").asInstanceOf[JString].s)
+      }
+      // the reference's expected triples over its foo (DruidStatementTest
+      // .testSignature; our fixture has no unique_dim1/dim3)
+      assert(triples == List(
+        ("__time", "TIMESTAMP", "java.lang.Long"),
+        ("cnt", "BIGINT", "java.lang.Number"),
+        ("dim1", "VARCHAR", "java.lang.String"),
+        ("dim2", "VARCHAR", "java.lang.String"),
+        ("m1", "FLOAT", "java.lang.Float"),
+        ("m2", "DOUBLE", "java.lang.Double")))
+      assert((sig \ "statementType") == JString("SELECT"))
+    }
+  }
+
+  test("testSelectAllInFirstFrame / testSelectSplitOverTwoFrames " +
+      "(DruidStatementTest.java:214) — exact frame boundaries and epoch " +
+      "cell values") {
+    foo.createOrReplaceTempView("foo")
+    // minRowsPerFrame=1: DruidStatementTest drives the statement directly,
+    // below DruidMeta's fetch-size coercion
+    val ep = new graft.server.AvaticaEndpoint(spark, "test", minRowsPerFrame = 1)
+    rpc(ep, """{"request":"openConnection","connectionId":"fr1"}""")
+    val sid = (rpc(ep, """{"request":"createStatement","connectionId":"fr1"}""")
+      \ "statementId").asInstanceOf[JInt].num.toInt
+    val executed = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("prepareAndExecute"),
+      "connectionId" -> JString("fr1"), "statementId" -> JInt(sid),
+      "sql" -> JString("SELECT __time, cnt, dim1, dim2, m1 FROM foo ORDER BY __time"),
+      "maxRowCount" -> JInt(-1), "maxRowsInFirstFrame" -> JInt(2)))))
+    val first = (executed \ "results").asInstanceOf[JArray].arr.head \ "firstFrame"
+    assert((first \ "done") == JBool(false))
+    // 2000-01-01 = 946684800000, 2000-01-02 = 946771200000 epoch millis
+    assert((first \ "rows") == JArray(List(
+      JArray(List(JInt(946684800000L), JInt(1), JString(""), JString("a"), JDouble(1.0))),
+      JArray(List(JInt(946771200000L), JInt(1), JString("10.1"), JNull, JDouble(2.0))))))
+    // last frame: ask for all remaining rows → done
+    val fetched = rpc(ep, JsonMethods.compact(JsonMethods.render(JObject(
+      "request" -> JString("fetch"),
+      "connectionId" -> JString("fr1"), "statementId" -> JInt(sid),
+      "offset" -> JInt(2), "fetchMaxRowCount" -> JInt(10)))))
+    assert((fetched \ "frame" \ "done") == JBool(true))
+    assert((fetched \ "frame" \ "rows").asInstanceOf[JArray].arr.size == 4)
   }
 
   test("testSqlRequestLog (:1048) — one log line per executed statement " +
