@@ -663,6 +663,16 @@ class AvaticaEndpointSpec extends SparkSpecBase {
     assert((fetched \ "frame" \ "rows").asInstanceOf[JArray].arr.size == 4)
   }
 
+  test("testSubQueryWithOrderBy (DruidStatementTest.java:154) — aliased " +
+      "DISTINCT subquery, ordered, all rows in one done frame") {
+    withFacade { port =>
+      val (rows, _) = query(port, "sq1",
+        "select T20.F13 as F22 from (SELECT DISTINCT dim1 as F13 FROM foo T10) T20 order by T20.F13 ASC")
+      assert(rows == List("", "1", "10.1", "2", "abc", "def")
+        .map(s => JArray(List(JString(s)))))
+    }
+  }
+
   test("testSqlRequestLog (:1048) — one log line per executed statement " +
       "with success flag and timing; failures log success=false") {
     foo.createOrReplaceTempView("foo")

@@ -355,8 +355,9 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     }
   }
 
-  test("resultFormat parses case-insensitively (ResultFormatTest" +
-      ".testDeserializeWithDifferentCase)") {
+  test("resultFormat parses case-insensitively and canonicalizes to the " +
+      "enum spelling (ResultFormatTest.testDeserializeWithDifferentCase, " +
+      "testSerde)") {
     withFacade { port =>
       for (spelling <- Seq("OBJECTLINES", "objectlines", "oBjEcTlInEs")) {
         val (status, body, _) = post(port,
@@ -364,6 +365,19 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
         assert(status == 200)
         assert(body == "{\"cnt\":6}\n\n")
       }
+    }
+    // testSerde: any casing canonicalizes to the enum's own spelling —
+    // observable through each format's writer (termination/content shape)
+    withFacade { port =>
+      val (_, arrayBody, _) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt FROM foo", "resultFormat": "ARRAY"}""")
+      assert(arrayBody == "[[6]]\n")
+      val (_, csvBody, _) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt FROM foo", "resultFormat": "CSV"}""")
+      assert(csvBody == "6\n\n")
+      val (_, linesBody, _) = post(port,
+        """{"query": "SELECT COUNT(*) AS cnt FROM foo", "resultFormat": "ArrayLines"}""")
+      assert(linesBody == "[6]\n\n")
     }
   }
 
