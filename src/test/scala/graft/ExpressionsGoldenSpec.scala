@@ -30,10 +30,13 @@ class ExpressionsGoldenSpec extends SparkSpecBase {
       StructField("inf", DoubleType), StructField("ninf", DoubleType),
       StructField("fnan", FloatType), StructField("hexstr", StringType),
       StructField("intstr", StringType), StructField("spacey", StringType),
-      StructField("tstr", StringType), StructField("dstr", StringType)))
+      StructField("tstr", StringType), StructField("dstr", StringType),
+      StructField("t", TimestampType)))
     val row = Row(10L, 25L, 3L, 2.25f, 3L, -2.25f, "foo", Double.NaN,
       Double.PositiveInfinity, Double.NegativeInfinity, Float.NaN, "EF", "-100",
-      "  hey there  ", "2000-02-03 04:05:06", "2000-02-03")
+      "  hey there  ", "2000-02-03 04:05:06", "2000-02-03",
+      // the binding row's t: 2000-02-03T04:05:06Z = 949550706000 ms
+      java.sql.Timestamp.valueOf("2000-02-03 04:05:06"))
     s.createDataFrame(
       new java.util.ArrayList[Row](java.util.List.of(row)), schema)
       .createOrReplaceTempView("exprbindings")
@@ -97,7 +100,8 @@ class ExpressionsGoldenSpec extends SparkSpecBase {
     assert(one("ROUND(ninf)") == -Double.MaxValue)
   }
 
-  test("testRoundWithInvalidArgument — string rounds to null (sql-compatible); bad scale raises the IAE") {
+  test("testRoundWithInvalidArgument / testRoundWithInvalidSecondArgument — " +
+      "string rounds to null (sql-compatible); bad scale raises the IAE") {
     assert(one("ROUND(s)") == null)
     registered
     val e = intercept[Exception](
@@ -184,7 +188,139 @@ class ExpressionsGoldenSpec extends SparkSpecBase {
     assert(one("IPV4_STRINGIFY('druid.apache.org')") == null)
   }
 
-  test("testHumanReadableBinaryByteFormat / DecimalByteFormat (ExpressionsTest.java)") {
+  private def ts(v: String) = java.sql.Timestamp.valueOf(v)
+  private def millis(exprSql: String): Any = one(s"TIMESTAMP_TO_MILLIS($exprSql)")
+
+  test("testCharacterLength / testStrpos (ExpressionsTest.java)") {
+    assert(one("CHARACTER_LENGTH(s)") == 3)
+    assert(one("STRPOS(s, 'oo')") == 2L)
+    assert(one("STRPOS(s, 'ax')") == 0L)
+    assert(one("STRPOS(CAST(NULL AS STRING), 'ax')") == null)
+  }
+
+  test("testPower / testFloor / testCeil (ExpressionsTest.java; Spark " +
+      "floor/ceil return LONG where Druid keeps the input type — values match)") {
+    assert(one("POWER(a, 2)") == 100.0)
+    assert(one("FLOOR(a)") == 10L)
+    assert(one("FLOOR(x)") == 2L)
+    assert(one("FLOOR(y)") == 3L)
+    assert(one("FLOOR(z)") == -3L)
+    assert(one("CEIL(a)") == 10L)
+    assert(one("CEIL(x)") == 3L)
+    assert(one("CEIL(y)") == 3L)
+    assert(one("CEIL(z)") == -2L)
+  }
+
+  test("testContains / testContainsAsFilter / testRegexpLikeAsFilter " +
+      "(ExpressionsTest.java — CONTAINS_STRING/ICONTAINS_STRING both as " +
+      "expression and as a row filter)") {
+    assert(one("CONTAINS_STRING(spacey, 'there')") == true)
+    assert(one("CONTAINS_STRING(spacey, 'There')") == false)
+    assert(one("ICONTAINS_STRING(spacey, 'There')") == true)
+    assert(one("CONTAINS_STRING(CONCAT('what is', spacey), 'what')") == true)
+    assert(one("CONTAINS_STRING(CONCAT('what is', spacey), 'there')") == true)
+    registered
+    assert(druidSql.sql(
+      "SELECT COUNT(*) FROM exprbindings WHERE CONTAINS_STRING(spacey, 'there')")
+      .head().getLong(0) == 1L)
+    assert(druidSql.sql(
+      "SELECT COUNT(*) FROM exprbindings WHERE CONTAINS_STRING(spacey, 'nope')")
+      .head().getLong(0) == 0L)
+    assert(druidSql.sql(
+      "SELECT COUNT(*) FROM exprbindings WHERE REGEXP_LIKE(spacey, 'hey\\\\s+there')")
+      .head().getLong(0) == 1L)
+  }
+
+  test("testDateTrunc (ExpressionsTest.java:1236)") {
+    assert(one("DATE_TRUNC('hour', TIMESTAMP '2000-02-03 04:05:06')") ==
+      ts("2000-02-03 04:00:00"))
+    assert(one("DATE_TRUNC('DAY', TIMESTAMP '2000-02-03 04:05:06')") ==
+      ts("2000-02-03 00:00:00"))
+  }
+
+  test("testTimeFloor / testOtherTimeFloor / testTimeCeil / testOtherTimeCeil " +
+      "(ExpressionsTest.java:1549-1632; FLOOR/CEIL(t TO unit) spelled " +
+      "DATE_TRUNC / TIME_CEIL here)") {
+    assert(millis("TIME_FLOOR(TIMESTAMP '2000-02-03 04:05:06', 'PT1H')") ==
+      949550400000L)
+    // P1D floor in Los Angeles lands on 2000-02-02T08:00:00Z
+    assert(millis("TIME_FLOOR(t, 'P1D', NULL, 'America/Los_Angeles')") ==
+      949478400000L)
+    assert(millis("DATE_TRUNC('YEAR', t)") == 946684800000L) // FLOOR(t TO YEAR)
+    assert(millis("TIME_CEIL(TIMESTAMP '2000-02-03 04:05:06', 'PT1H')") ==
+      949554000000L)
+    assert(millis("TIME_CEIL(t, 'P1D', NULL, 'America/Los_Angeles')") ==
+      949564800000L) // 2000-02-03T08:00:00Z
+    assert(millis("TIME_CEIL(t, 'P1Y')") == 978307200000L) // CEIL(t TO YEAR) → 2001
+  }
+
+  test("testTimeShift / testTimeExtract / testExtract (ExpressionsTest.java:1633-1854)") {
+    // shift by PT2H × -3 = six hours back
+    assert(millis("TIME_SHIFT(t, 'PT2H', -3)") == 949529106000L)
+    assert(millis("TIME_SHIFT(t, 'PT2H', -3, 'America/Los_Angeles')") == 949529106000L)
+    assert(one("TIME_EXTRACT(t, 'QUARTER')") == 1L)
+    assert(one("TIME_EXTRACT(t, 'DAY', 'America/Los_Angeles')") == 2L)
+    assert(one("EXTRACT(QUARTER FROM t)") == 1L)
+    assert(one("EXTRACT(DAY FROM t)") == 3L)
+  }
+
+  test("testTimePlusDayTimeInterval / testTimePlusYearMonthInterval / " +
+      "testTimeMinusDayTimeInterval / testTimeMinusYearMonthInterval " +
+      "(ExpressionsTest.java:1685-1780)") {
+    // P1DT1H1M = 90060000 ms
+    assert(one("t + INTERVAL '1 01:01' DAY TO MINUTE") == ts("2000-02-04 05:06:06"))
+    assert(one("t - INTERVAL '1 01:01' DAY TO MINUTE") == ts("2000-02-02 03:04:06"))
+    // P1Y1M = 13 months
+    assert(one("t + INTERVAL '1-1' YEAR TO MONTH") == ts("2001-03-03 04:05:06"))
+    assert(one("t - INTERVAL '1-1' YEAR TO MONTH") == ts("1999-01-03 04:05:06"))
+  }
+
+  test("testTimeParse / testTimeFormat (ExpressionsTest.java:1781-1830)") {
+    assert(millis("TIME_PARSE(tstr, 'yyyy-MM-dd HH:mm:ss')") == 949550706000L)
+    // parsed as Los Angeles wall time = +8h in UTC
+    assert(millis("TIME_PARSE(tstr, 'yyyy-MM-dd HH:mm:ss', 'America/Los_Angeles')") ==
+      949579506000L)
+    assert(one("TIME_FORMAT(t, 'yyyy-MM-dd HH:mm:ss')") == "2000-02-03 04:05:06")
+    assert(one("TIME_FORMAT(t, 'yyyy-MM-dd HH:mm:ss', 'America/Los_Angeles')") ==
+      "2000-02-02 20:05:06")
+  }
+
+  test("testCastAsTimestamp / testCastFromTimestamp / testCastAsDate / " +
+      "testCastFromDate (ExpressionsTest.java:1855-2026; Druid casts " +
+      "timestamp→BIGINT as millis, spelled TIMESTAMP_TO_MILLIS here)") {
+    assert(one("CAST(tstr AS TIMESTAMP)") == ts("2000-02-03 04:05:06"))
+    assert(millis("t") == 949550706000L)
+    assert(one("CAST(t AS DATE)") == java.sql.Date.valueOf("2000-02-03"))
+    assert(one("CAST(dstr AS DATE)") == java.sql.Date.valueOf("2000-02-03"))
+    assert(one("CAST(CAST(t AS DATE) AS STRING)") == "2000-02-03")
+    assert(millis("CAST(CAST(t AS DATE) AS TIMESTAMP)") == 949536000000L)
+  }
+
+  test("testTrim (ExpressionsTest.java:1260 — BOTH/LEADING/TRAILING with " +
+      "custom trim characters)") {
+    assert(one("TRIM(BOTH ' ' FROM spacey)") == "hey there")
+    assert(one("TRIM(LEADING ' h' FROM spacey)") == "ey there  ")
+    assert(one("TRIM(TRAILING ' e' FROM spacey)") == "  hey ther")
+  }
+
+  test("testAbnormalReverseWithWrongType / testAbnormalRightWithWrongType / " +
+      "testAbnormalLeftWithWrongType / testAbnormalRepeatWithWrongType " +
+      "(ExpressionsTest.java — SUPERSET: the reference raises IAE on " +
+      "non-string args; Spark's lenient coercion stringifies them)") {
+    assert(one("REVERSE(CAST(a AS STRING))") == "01")
+    assert(one("LEFT(CAST(a AS STRING), 1)") == "1")
+    assert(one("RIGHT(CAST(a AS STRING), 1)") == "0")
+    assert(one("REPEAT(CAST(a AS STRING), 2)") == "1010")
+  }
+
+  // testOperatorConversionsDruidUnaryLongFn / testOperatorConversionsDruidUnaryDoubleFn /
+  // testOperatorConversionsDruidBinaryLongFn exercise the reference's
+  // OperatorConversion plumbing with test-only functions that exist nowhere
+  // in the product surface — N/A here: the extension point they test maps
+  // to GraftSqlFunctions' builder registry, which every named function
+  // above already exercises.
+
+  test("testHumanReadableBinaryByteFormat / testHumanReadableDecimalByteFormat (ExpressionsTest.java)") {
     assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1000)") == "1000 B")
     assert(one("HUMAN_READABLE_BINARY_BYTE_FORMAT(1024)") == "1.00 KiB")
     assert(one(s"HUMAN_READABLE_BINARY_BYTE_FORMAT(${Long.MaxValue})") == "8.00 EiB")
