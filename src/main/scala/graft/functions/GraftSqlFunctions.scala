@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualNullSafe, Expression, IsNotNull, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, CaseWhen, Cast, Concat, CreateArray, EqualNullSafe, Expression, If, IsNotNull, LessThan, Literal, SortArray, StringLocate, Substring, Subtract, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.unsafe.types.UTF8String
@@ -36,6 +37,13 @@ object GraftSqlFunctions {
     if (args.size < 1 || args.size > 2)
       throw new IllegalArgumentException(
         s"Invalid number of arguments to function '$name'. Was expecting 1 arguments")
+  /** HumanReadableBytes precision bound (Function.java SizeFormatFunc:
+    * "given precision[%d] must be in the range of [0,3]"). */
+  private def hrPrecision(v: Int): Int = {
+    if (v < 0 || v > 3) throw new IllegalArgumentException(
+      s"given precision[$v] must be in the range of [0,3]")
+    v
+  }
   private def litDouble(e: Expression, fn: String): Double = e match {
     case Literal(v: Number, _) => v.doubleValue()
     case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble // SQL 0.5 parses as decimal
@@ -135,6 +143,57 @@ object GraftSqlFunctions {
     },
     "notnull" -> { args => IsNotNull(args(0)) },
 
+    // --- math-expr dialect names whose semantics differ from the SQL-layer
+    // functions of the same name (core/.../math/expr/Function.java; the
+    // MathExpr translator renames call sites to these) ---
+    // strpos(haystack, needle[, fromIndex]): 0-based index, -1 when absent
+    // (Function.java StrposFunc — the SQL STRPOS is 1-based)
+    "druid_mx_strpos" -> { args =>
+      val from = if (args.size > 2) args(2) else Literal(0)
+      Cast(Subtract(
+        StringLocate(args(1), args(0), Add(Cast(from, IntegerType), Literal(1))),
+        Literal(1)), LongType)
+    },
+    // substring(str, startIndex0, length): 0-based start, negative length =
+    // rest of the string (Function.java SubstringFunc — SQL SUBSTRING is
+    // 1-based with no negative-length form)
+    "druid_mx_substring" -> { args =>
+      val start = Add(Cast(args(1), IntegerType), Literal(1))
+      If(LessThan(Cast(args(2), IntegerType), Literal(0)),
+        Substring(args(0), start, Literal(Int.MaxValue)),
+        Substring(args(0), start, Cast(args(2), IntegerType)))
+    },
+    // cast(expr, 'TYPE'): function-style cast with Druid type-name strings
+    // (Function.java CastFunc); LONG targets route through DOUBLE first so
+    // decimal-text inputs parse like the reference's numeric coercion
+    "druid_mx_cast" -> { args =>
+      val target = args(1) match {
+        case Literal(s, StringType) => String.valueOf(s).toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"cast type must be a literal string, got $other")
+      }
+      target match {
+        case "LONG" => Cast(Cast(args(0), DoubleType), LongType)
+        case "DOUBLE" => Cast(args(0), DoubleType)
+        case "STRING" => Cast(args(0), StringType)
+        case "LONG_ARRAY" =>
+          Cast(Cast(args(0), ArrayType(DoubleType)), ArrayType(LongType))
+        case "DOUBLE_ARRAY" => Cast(args(0), ArrayType(DoubleType))
+        case "STRING_ARRAY" => Cast(args(0), ArrayType(StringType))
+        case other => throw new IllegalArgumentException(s"cast type: $other")
+      }
+    },
+    // array_set_add / array_set_add_all: sorted-set semantics, nulls first
+    // (Function.java ArraySetAddFunction — sort_array ascending puts null
+    // first like the reference's null-first comparator)
+    "array_set_add" -> { args =>
+      SortArray(ArrayDistinct(Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
+        Literal(true))
+    },
+    "array_set_add_all" -> { args =>
+      SortArray(ArrayDistinct(Concat(Seq(args(0), args(1)))), Literal(true))
+    },
+
     // LOOKUP(expr, 'name'[, replaceMissingValueWith]) (reference: sql/.../
     // builtin/QueryLookupOperatorConversion.java over the registered-lookup
     // map). Resolved per call site from LookupRegistry.global and inlined as
@@ -207,13 +266,16 @@ object GraftSqlFunctions {
     // ROUND with Druid's non-finite handling (Function.java:1449; SQL
     // RoundOperatorConversion): NaN→0, ±Inf→±MAX_VALUE, LONG stays LONG
     "round" -> { args =>
-      val scale = if (args.size < 2) 0 else args(1) match {
-        case Literal(v: Number, t)
+      val scale = if (args.size < 2) Literal(0) else args(1) match {
+        case lit @ Literal(_: Number, t)
             if Seq("int", "bigint", "smallint", "tinyint").contains(t.simpleString) =>
-          v.intValue()
-        case other => throw new IllegalArgumentException(
+          lit
+        case lit: Literal => throw new IllegalArgumentException(
           "The second argument to the function[round] should be integer type but got the type: " +
-            other.dataType.simpleString.toUpperCase)
+            lit.dataType.simpleString.toUpperCase)
+        // a non-literal scale (e.g. round(d, y)) evaluates per row, like the
+        // reference's RoundFunc — type errors surface at evaluation
+        case dyn => dyn
       }
       DruidRound(args(0), scale)
     },
@@ -246,7 +308,7 @@ object GraftSqlFunctions {
         ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), 2))
       else args(1) match {
         case Literal(v: Number, _) =>
-          ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), v.intValue()))
+          ex(DruidFunctions.humanReadableDecimalByteFormat(col(args(0)), hrPrecision(v.intValue())))
         case Literal(_, _) => throw new IllegalArgumentException(
           "human_readable: argument must be an integer literal") // wrong precision TYPE rejects
         case dyn =>
@@ -259,7 +321,7 @@ object GraftSqlFunctions {
         ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), 2))
       else args(1) match {
         case Literal(v: Number, _) =>
-          ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), v.intValue()))
+          ex(DruidFunctions.humanReadableBinaryByteFormat(col(args(0)), hrPrecision(v.intValue())))
         case Literal(_, _) => throw new IllegalArgumentException(
           "human_readable: argument must be an integer literal") // wrong precision TYPE rejects
         case dyn =>
@@ -268,7 +330,7 @@ object GraftSqlFunctions {
     },
     "human_readable_decimal_format" -> { args =>
       humanReadableArity("HUMAN_READABLE_DECIMAL_FORMAT", args)
-      val p = if (args.size > 1) litInt(args(1), "human_readable") else 2
+      val p = if (args.size > 1) hrPrecision(litInt(args(1), "human_readable")) else 2
       ex(DruidFunctions.humanReadableDecimalFormat(col(args(0)), p))
     },
     "bucket" -> { args =>
@@ -593,10 +655,12 @@ object GraftSqlFunctions {
   * argument is null in sql-compatible mode, a non-integer-literal second
   * argument raises the reference's IAE. Spark's builtin ROUND keeps
   * NaN/Infinity — the clamps are the Druid-visible difference. */
-case class DruidRound(child: Expression, scale: Int)
-    extends UnaryExpression
+case class DruidRound(child: Expression, scaleExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
+  override def left: Expression = child
+  override def right: Expression = scaleExpr
   override def dataType: DataType = child.dataType match {
     case LongType | IntegerType | ShortType | ByteType => LongType
     case FloatType => FloatType // Calcite return-type inference keeps FLOAT
@@ -606,6 +670,12 @@ case class DruidRound(child: Expression, scale: Int)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
+    val scale = scaleExpr.eval(input) match {
+      case null => 0
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"The second argument to the function[round] should be integer type but got: $other")
+    }
     def roundDouble(d: Double): Double = {
       val dec =
         if (java.lang.Double.isNaN(d)) java.math.BigDecimal.ZERO
@@ -624,7 +694,8 @@ case class DruidRound(child: Expression, scale: Int)
       case _ => null // sql-compatible mode: a string rounds to null
     }
   }
-  override protected def withNewChildInternal(c: Expression): DruidRound = copy(child = c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DruidRound =
+    copy(child = l, scaleExpr = r)
   override def prettyName: String = "round"
 }
 

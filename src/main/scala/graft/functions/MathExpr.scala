@@ -14,21 +14,45 @@ import org.apache.spark.sql.Column
   *  - logical operators `&&` / `||` / `!` → `AND` / `OR` / `NOT`
   *    (math-expr `||` is OR, Spark's is string concat);
   *  - `^` (math-expr power) has XOR semantics in Spark SQL → rejected
-  *    loudly rather than silently wrong; use `pow(a, b)`.
+  *    loudly rather than silently wrong; use `pow(a, b)`;
+  *  - array literals `[1, 2, 3]` → `array(1, 2, 3)`, typed empties
+  *    `<LONG>[]` / `<DOUBLE>[]` / `<STRING>[]` → typed empty-array casts
+  *    (Parser.java array literal productions);
+  *  - functions whose math-expr semantics differ from the SQL-layer name
+  *    (Function.java vs the SQL operator table) rename to dialect-specific
+  *    registrations: `strpos` (0-based, -1 absent — the SQL STRPOS is
+  *    1-based), `substring` (0-based with negative-length = rest — SQL
+  *    SUBSTRING is 1-based), `cast` (function-style with Druid type-name
+  *    strings), `strlen` (Spark spells it length).
   *
-  * Function names need no rewriting: GraftSqlFunctions registers the Druid
-  * names (timestamp_floor/ceil/shift/extract/parse/format, case_searched,
-  * case_simple, lookup, the MV_ and array families; nvl/if/isnull/notnull/
-  * div are Spark builtins), so a Druid expression string parses as-is after
-  * this lexical pass.
+  * Remaining function names need no rewriting: GraftSqlFunctions registers
+  * the Druid names (timestamp_floor/ceil/shift/extract/parse/format,
+  * case_searched, case_simple, lookup, the MV_ and array families,
+  * array_set_add/array_set_add_all; nvl/if/isnull/notnull/div are Spark
+  * builtins), so a Druid expression string parses as-is after this pass.
   */
 object MathExpr {
+
+  /** math-expr name → this engine's registration, applied only in call
+    * position (identifier directly before a `(`). */
+  private val FnRenames = Map(
+    "strlen" -> "length",
+    "strpos" -> "druid_mx_strpos",
+    "substring" -> "druid_mx_substring",
+    "cast" -> "druid_mx_cast")
+
+  private val TypedEmpty = Map(
+    "<LONG>[]" -> "CAST(array() AS ARRAY<BIGINT>)",
+    "<DOUBLE>[]" -> "CAST(array() AS ARRAY<DOUBLE>)",
+    "<STRING>[]" -> "CAST(array() AS ARRAY<STRING>)")
 
   def toSparkSql(e: String): String = {
     val sb = new StringBuilder(e.length + 16)
     var i = 0
     var inSingle = false
     var inDouble = false
+    def isIdentStart(c: Char) = c.isLetter || c == '_'
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < e.length) {
       val ch = e.charAt(i)
       if (inSingle) {
@@ -45,6 +69,19 @@ object MathExpr {
         case '!' => sb.append(" NOT "); i += 1
         case '^' => throw new IllegalArgumentException(
           "math-expr '^' (power) is XOR in Spark SQL; write pow(a, b) instead")
+        case '<' if TypedEmpty.keys.exists(k => e.regionMatches(i, k, 0, k.length)) =>
+          val k = TypedEmpty.keys.find(k => e.regionMatches(i, k, 0, k.length)).get
+          sb.append(TypedEmpty(k)); i += k.length
+        case '[' => sb.append("array("); i += 1
+        case ']' => sb.append(')'); i += 1
+        case c if isIdentStart(c) =>
+          val start = i
+          while (i < e.length && isIdentChar(e.charAt(i))) i += 1
+          val ident = e.substring(start, i)
+          var j = i
+          while (j < e.length && e.charAt(j) == ' ') j += 1
+          val isCall = j < e.length && e.charAt(j) == '('
+          sb.append(if (isCall) FnRenames.getOrElse(ident, ident) else ident)
         case c => sb.append(c); i += 1
       }
     }
