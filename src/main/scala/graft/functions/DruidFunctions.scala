@@ -92,7 +92,11 @@ object DruidFunctions {
   private val decUnits = Seq("B", "KB", "MB", "GB", "TB", "PB", "EB")
   private val binUnits = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
   private def humanReadable(c: Column, base: Double, units: Seq[String], precision: Int): Column = {
-    val b = c.cast("double")
+    // the BYTE formats long-cast their input first (SizeFormatFunc
+    // value.asLong(): NaN→0 B, ±Inf→±Long extremes→±8 EiB, floats truncate
+    // — FunctionTest.testSizeFormatWithEdgeCases)
+    val lc = c.cast("long")
+    val b = lc.cast("double")
     val mag = when(b === 0, 0).otherwise(floor(log(base, abs(b))).cast("int"))
     val magC = least(greatest(mag, lit(0)), lit(units.size - 1))
     val scaled = b / pow(lit(base), magC.cast("double"))
@@ -101,7 +105,7 @@ object DruidFunctions {
     // precision) and %.Nf above it — no thousands grouping either way
     // (HumanReadableBytes.java:253,272 BinaryFormatter/DecimalFormatter)
     when(c.isNull, lit(null).cast("string"))
-      .when(abs(b) < base, concat(c.cast("long").cast("string"), lit(" "), lit(units.head)))
+      .when(abs(b) < base, concat(lc.cast("string"), lit(" "), lit(units.head)))
       .otherwise(concat(format_string(s"%.${precision}f", scaled), lit(" "), unit))
   }
   /** Precision as a per-row expression (the reference evaluates it per row;

@@ -229,11 +229,30 @@ class MathExprGoldenSpec extends SparkSpecBase {
     }
   }
 
-  test("testMVToArrayWithValidInputs (FunctionTest.java; the *WithConstantLiteral / " +
-      "*WithFunction / *WithMoreArgs / *WithNoArgs error variants are a " +
-      "documented SUPERSET — any string expression converts here, not just " +
-      "identifiers)") {
+  test("testMVToArrayWithValidInputs (FunctionTest.java; " +
+      "testMVToArrayWithConstantLiteral / testMVToArrayWithFunction / " +
+      "testMVToArrayWithMoreArgs / testMVToArrayWithNoArgs error variants " +
+      "are a documented SUPERSET — any string expression converts here, not " +
+      "just identifiers)") {
     assert(meSeq("mv_to_array(a)") == Seq("foo", "bar", "baz", "foobar"))
     assert(meSeq("mv_to_array(x)") == Seq("foo"))
   }
+
+  test("testSizeFormatWithEdgeCases (FunctionTest.java:620-650 — float " +
+      "truncation, NaN→0 B, ±Inf→±8 EiB, zero long/double)") {
+    assert(me("human_readable_binary_byte_format(f)") == "12 B")
+    assert(me("human_readable_binary_byte_format(nan)") == "0 B")
+    assert(me("human_readable_binary_byte_format(inf)") == "8.00 EiB")
+    assert(me("human_readable_binary_byte_format(ninf)") == "-8.00 EiB")
+    assert(me("human_readable_binary_byte_format(o)") == "0 B")
+    assert(me("human_readable_binary_byte_format(od)") == "0 B")
+  }
+
+  // testComplexDecodeNull / testComplexDecodeBaseWrongArgCount /
+  // testComplexDecodeBaseArg0Unknown / testComplexDecodeBaseArg0BadType
+  // exercise complex_decode_base64 over a registered COMPLEX type strategy
+  // (TypeStrategiesTest.NullableLongPair) — N/A: this engine has no complex
+  // type registry; binary payloads are first-class BINARY columns
+  // (multimodal.Multimodal) and sketch blobs decode through their own
+  // typed functions (DruidHllc, QuantileSketchBytes, DruidBloomBytes).
 }
