@@ -248,6 +248,20 @@ class MathExprGoldenSpec extends SparkSpecBase {
     assert(me("human_readable_binary_byte_format(od)") == "0 B")
   }
 
+  test("logical operators over boolean expressions (EvalTest" +
+      ".testLogicalOperators / testBooleanInputs / testBooleanReturn — the " +
+      "predicate forms real filters use; DEVIATION: bare TRUTHY NUMERIC " +
+      "operands like `1 && 1` need explicit comparisons here, Spark's AND " +
+      "is strictly boolean)") {
+    assert(me("(y == 2) && (z > 3)") == true)
+    assert(me("(y == 2) && (z > 4)") == false)
+    assert(me("(y == 3) || (z > 3)") == true)
+    assert(me("(y == 3) || (z > 4)") == false)
+    assert(me("!(y == 3)") == true)
+    assert(me("(1 != 0) && (0 != 0)") == false)
+    assert(me("(1.0 != 0.0) || (0.0 != 0.0)") == true)
+  }
+
   // testComplexDecodeNull / testComplexDecodeBaseWrongArgCount /
   // testComplexDecodeBaseArg0Unknown / testComplexDecodeBaseArg0BadType
   // exercise complex_decode_base64 over a registered COMPLEX type strategy
@@ -255,4 +269,10 @@ class MathExprGoldenSpec extends SparkSpecBase {
   // type registry; binary payloads are first-class BINARY columns
   // (multimodal.Multimodal) and sketch blobs decode through their own
   // typed functions (DruidHllc, QuantileSketchBytes, DruidBloomBytes).
+  //
+  // The rest of core/.../math/expr's EvalTest and ParserTest exercise the
+  // reference parser/evaluator INTERNALS (AST shapes, ExprEval type
+  // dispatch, apply/fold auto-transformation) — architecturally replaced
+  // here by Catalyst's parser/analyzer; the user-observable dialect surface
+  // those internals serve is what this spec and NativeQuerySpec pin.
 }
