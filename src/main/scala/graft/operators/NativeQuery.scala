@@ -133,7 +133,13 @@ object NativeQuery {
             case _ => None
           },
           limit = intOpt(q \ "limit"),
-          offset = intOpt(q \ "offset").getOrElse(0)
+          offset = intOpt(q \ "offset").getOrElse(0),
+          // generalized per-column ordering (ScanQuery.OrderBy JSON:
+          // [{"columnName": c, "order": "ascending"|"descending"}],
+          // ScanQuerySpecTest.java:130-170)
+          orderBy = arr(q \ "orderBy").map { o =>
+            str(o \ "columnName") -> !strOpt(o \ "order").contains("descending")
+          }
         ).run(prepared)
       case "search" =>
         SearchQuery(
@@ -284,8 +290,17 @@ object NativeQuery {
   private def parseIntervals(j: JValue): Seq[(String, String)] = j match {
     case JArray(is) => is.map { i =>
       val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-      (a.replace("T", " "), b.replace("T", " "))
+      // Druid interval endpoints are ISO instants, usually "Z"-suffixed; the
+      // session runs UTC so the explicit UTC designator is dropped before the
+      // timestamp_ntz cast (which rejects zone designators)
+      def norm(s: String) =
+        s.replace("T", " ").stripSuffix("Z").stripSuffix("+00:00").stripSuffix("+0000")
+      (norm(a), norm(b))
     }
+    // QuerySegmentSpec object forms: {"type": "intervals"|"LegacySegmentSpec",
+    // "intervals": [...]} (MultipleIntervalSegmentSpec / LegacySegmentSpec —
+    // ScanQuerySpecTest.java:44-49 posts the object form)
+    case o: JObject => parseIntervals(o \ "intervals")
     case _ => Nil
   }
 

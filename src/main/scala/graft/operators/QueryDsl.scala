@@ -318,7 +318,17 @@ final case class GroupByQuery(
 }
 
 /** scan (reference: query/scan/ScanQuery.java:52): raw rows, projection,
-  * filter, order by time ASC/DESC only, limit+offset. */
+  * filter, order by time ASC/DESC or generalized per-column `orderBy`
+  * (ScanQuery.OrderBy, ScanQuery.java:184,566-591), limit+offset.
+  *
+  * `order` and `orderBy` reconcile exactly like the reference's
+  * verifyAndReconcileOrdering: a lone `orderBy` on `timeColumn` IS the time
+  * order; specifying both with incompatible directions is an error. The
+  * reference's native engine refuses to EXECUTE non-time orderBys
+  * (verifyOrderByForNativeExecution, ScanQuery.java:256-261 — only its SQL
+  * layer sorts them); here Spark's distributed sort runs them directly
+  * (TakeOrderedAndProject when a limit is present), a documented superset.
+  */
 final case class ScanQuery(
     columns: Seq[String] = Nil,
     filter: Column = null,
@@ -326,19 +336,53 @@ final case class ScanQuery(
     order: Option[Boolean] = None, // Some(true)=ASC, Some(false)=DESC, None=no order
     limit: Option[Int] = None,
     offset: Int = 0,
+    // generalized ordering: (columnName, ascending) pairs; wins over `order`
+    orderBy: Seq[(String, Boolean)] = Nil,
     // deterministic pagination: Druid breaks time ties by segment/row order,
     // which has no distributed analog — callers needing stable offset/limit
-    // boundaries pass unique tiebreak columns appended to the time ordering
+    // boundaries pass unique tiebreak columns appended to the ordering
     tiebreakers: Seq[Column] = Nil) {
 
+  /** Effective ordering after reconciling `order` with `orderBy`
+    * (ScanQuery.java:566-591). */
+  private def effectiveOrderBys: Seq[(String, Boolean)] =
+    if (orderBy.nonEmpty) orderBy
+    else order.map(asc => Seq(timeColumn -> asc)).getOrElse(Nil)
+
+  /** ASCENDING/DESCENDING iff the ordering is exactly the time column
+    * (computeTimeOrderFromOrderBys, ScanQuery.java:601-612). */
+  def timeOrder: Option[Boolean] = effectiveOrderBys match {
+    case Seq((c, asc)) if c == timeColumn => Some(asc)
+    case _ => None
+  }
+
   def run(ds: DataFrame): DataFrame = {
+    val obs = effectiveOrderBys
+    // both kinds given and the orderBy is not that exact time order → IAE
+    // (ScanQuery.java:586-589)
+    if (order.isDefined && orderBy.nonEmpty && timeOrder != order)
+      throw new IllegalArgumentException("Cannot provide 'order' incompatible with 'orderBy'")
+    // orderBy columns must be selected (ScanQuery.java:231-244)
+    if (columns.nonEmpty) obs.foreach { case (c, _) =>
+      if (!columns.contains(c)) {
+        if (orderBy.nonEmpty)
+          throw new IllegalArgumentException(
+            s"Column [$c] from 'orderBy' must also appear in 'columns'.")
+        else
+          throw new IllegalArgumentException(
+            "The __time column must be selected if the results are time-ordered.")
+      }
+    }
     val filtered = if (filter == null) ds else ds.filter(filter)
     val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
-    val ordered = order match {
-      case Some(true)  => projected.orderBy(col(timeColumn).asc +: tiebreakers.map(_.asc): _*)
-      case Some(false) => projected.orderBy(col(timeColumn).desc +: tiebreakers.map(_.desc): _*)
-      case None        => projected
-    }
+    val ordered =
+      if (obs.isEmpty) projected
+      else {
+        val lastAsc = obs.last._2
+        val keys = obs.map { case (c, asc) => if (asc) col(c).asc else col(c).desc } ++
+          tiebreakers.map(t => if (lastAsc) t.asc else t.desc)
+        projected.orderBy(keys: _*)
+      }
     val off = if (offset > 0) ordered.offset(offset) else ordered
     limit.fold(off)(off.limit)
   }

@@ -116,6 +116,19 @@ object CoreQueries {
       ).run(Sources.table(s, dir, "orders"))
     }),
 
+    // --- scan: generalized per-column orderBy (ScanQuery.OrderBy,
+    // ScanQuery.java:184, ScanQuerySpecTest.java:130-170) — non-time keys,
+    // mixed directions; unique key last so offset/limit is deterministic ---
+    "scan_orderby" -> ((s, dir) => {
+      ScanQuery(
+        columns = Seq("o_orderpriority", "o_totalprice", "o_orderkey"),
+        filter = col("o_orderstatus") === "O",
+        timeColumn = "o_orderdate",
+        orderBy = Seq("o_orderpriority" -> true, "o_totalprice" -> false, "o_orderkey" -> true),
+        limit = Some(40)
+      ).run(Sources.table(s, dir, "orders"))
+    }),
+
     // --- timeBoundary (TimeBoundaryQuery.java:46) ---
     "time_boundary" -> ((s, dir) => {
       TimeBoundaryQuery(timeColumn = "l_shipdate").run(Sources.table(s, dir, "lineitem"))
@@ -261,6 +274,11 @@ object CoreQueries {
       """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
         |ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 50 OFFSET 10""".stripMargin,
+
+    "scan_orderby" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC LIMIT 40""".stripMargin,
 
     "time_boundary" ->
       "SELECT min(l_shipdate) AS minTime, max(l_shipdate) AS maxTime FROM lineitem",
