@@ -59,28 +59,42 @@ object SpatialFunctions {
   * ordering with plain, codegen-friendly comparisons.
   */
 object StringOrderings {
+  import org.apache.spark.sql.graftbridge.CatalystBridge
 
-  /** numeric ordering: numeric strings by value, non-numeric null-first
-    * (regex guard keeps the cast ANSI-safe). */
-  def numericKey(c: Column): Column =
-    when(c.rlike("^-?\\d+(\\.\\d+)?$"), c.cast("double"))
+  /** numeric ordering (NumericComparator, StringComparators.java:358-404):
+    * null first, then unparseable strings (ordered lexicographically among
+    * themselves), then parseable numbers by value. The parseable gate
+    * mirrors the BigDecimal grammar (sign, digits, optional fraction,
+    * optional exponent — "Infinity"/"NaN" are NOT parseable there); the
+    * value field is a double, a documented precision approximation of the
+    * reference's BigDecimal beyond ~15 significant digits. */
+  def numericKey(c: Column): Column = {
+    val s = c.cast("string")
+    val parseable = s.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$")
+    struct(
+      when(parseable, lit(2)).otherwise(lit(1)),
+      when(parseable, s.cast("double")),
+      when(!parseable, s))
+  }
 
-  /** version ordering ("1.2.10" > "1.2.9"): zero-pad every digit run to 19
-    * chars (full long range — numeric runs longer than the pad width would
-    * compare wrong) so lexicographic compare = numeric-aware compare. */
+  /** version ordering (VersionComparator → maven DefaultArtifactVersion):
+    * order-preserving byte key, see [[OrderingKeys.versionKey]]. */
   def versionKey(c: Column): Column =
-    regexp_replace(regexp_replace(c, "(\\d+)", "0000000000000000000$1"), "0*(\\d{19})", "$1")
+    CatalystBridge.column(VersionOrderKey(CatalystBridge.expression(c.cast("string"))))
 
-  /** alphanumeric ordering ("file9" < "file10"): same digit-run padding. */
-  def alphanumericKey(c: Column): Column = versionKey(c)
+  /** alphanumeric ordering (AlphanumericComparator — the Alphanum
+    * algorithm): order-preserving byte key, see
+    * [[OrderingKeys.alphanumKey]]. */
+  def alphanumericKey(c: Column): Column =
+    CatalystBridge.column(AlphanumOrderKey(CatalystBridge.expression(c.cast("string"))))
 
   /** A named StringComparator as a sort key (StringComparators.java) —
     * orderBy(key(name, c)) reproduces the comparator's ordering. */
   def key(ordering: String, c: Column): Column = ordering match {
     case "lexicographic" => c.cast("string")
-    case "numeric" => c.cast("double")
-    case "alphanumeric" => alphanumericKey(c.cast("string"))
-    case "version" => versionKey(c.cast("string"))
+    case "numeric" => numericKey(c)
+    case "alphanumeric" => alphanumericKey(c)
+    case "version" => versionKey(c)
     // strlen comparator: shorter first, ties lexicographic
     case "strlen" => struct(length(c.cast("string")), c.cast("string"))
     case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")

@@ -327,7 +327,9 @@ object NativeQuery {
     * StringComparators.java) — used by bound-filter orderings, limitSpec
     * dimensionOrder, and the dimension topN metric spec. */
   private def comparatorKey(ordering: String, c: Column): Column =
-    StringOrderings.key(ordering, c)
+    // comparator names resolve case-insensitively ("NuMeRiC" —
+    // StringComparatorsTest.java:217, StringComparator's @JsonCreator)
+    StringOrderings.key(ordering.toLowerCase(java.util.Locale.ENGLISH), c)
 
   // ---- granularity ----
   private val NamedGranularities = Map(
