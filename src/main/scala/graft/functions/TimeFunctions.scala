@@ -265,3 +265,40 @@ object TimeFunctions {
   def millisToTimestamp(c: Column): Column = timestamp_millis(c)
   def timestampToMillis(c: Column): Column = millisOf(c)
 }
+
+/** Locale/zone-aware timestamp rendering for the timeFormat extraction fn
+  * (TimeFormatExtractionFn.java:38-60 — Joda DateTimeFormat.forPattern
+  * .withLocale(..).withZone(..); ISO-8601 millis when the pattern is null).
+  * `date_format` covers the no-locale UTC fast path; this CodegenFallback
+  * expression handles explicit locales/zones, off the aggregation hot path.
+  * Input is epoch millis (LongType).
+  */
+case class LocaleTimeFormat(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    fmt: String, localeTag: String, zoneId: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import java.time.{Instant, ZoneId, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+  import java.util.Locale
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  @transient private lazy val formatter: DateTimeFormatter = {
+    // Joda's ISODateTimeFormat.dateTime() analog: offset rendered as
+    // "+01:00", UTC as "Z" — java.time's XXX
+    val pattern = if (fmt == null) "yyyy-MM-dd'T'HH:mm:ss.SSSXXX" else fmt
+    val base =
+      if (localeTag == null) DateTimeFormatter.ofPattern(pattern)
+      else DateTimeFormatter.ofPattern(pattern, Locale.forLanguageTag(localeTag))
+    base.withZone(if (zoneId == null) ZoneOffset.UTC else ZoneId.of(zoneId))
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      formatter.format(Instant.ofEpochMilli(v.asInstanceOf[Long])))
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): LocaleTimeFormat = copy(child = c)
+  override def prettyName: String = "locale_time_format"
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import graft.functions.{DruidFunctions, MathExpr, StringOrderings, TimeFunctions}
+import graft.functions.{DruidFunctions, LocaleTimeFormat, MathExpr, StringOrderings, TimeFunctions}
 import graft.sources.LookupRegistry
 
 /** JSON native-query API (reference: processing/.../query/Query.java:55-75 —
@@ -372,14 +372,52 @@ object NativeQuery {
   private def extractionFn(j: JValue, c: Column): Column = str(j \ "type") match {
     case "identity" => c
     case "substring" =>
+      // SubstringDimExtractionFn: values at or shorter than the start index
+      // map to null (SubstringDimExtractionFnTest.java:34-42,89-99);
+      // a zero/negative length is a construction-time error (:44-49)
       val idx = intOpt(j \ "index").getOrElse(0)
       val len = intOpt(j \ "length")
-      len.fold(c.substr(lit(idx + 1), length(c)))(l => c.substr(lit(idx + 1), lit(l)))
+      len.foreach(l => require(l > 0, "length must be strictly positive"))
+      val sub = len.fold(c.substr(lit(idx + 1), length(c)))(l => c.substr(lit(idx + 1), lit(l)))
+      when(length(c) > idx, sub)
     case "upper" => upper(c)
     case "lower" => lower(c)
     case "strlen" => length(c).cast("string")
-    case "regex" => regexp_extract(c, str(j \ "expr"), 1)
-    case "timeFormat" => date_format(c, strOpt(j \ "format").getOrElse("yyyy-MM-dd"))
+    case "regex" =>
+      // RegexDimExtractionFn.apply (RegexDimExtractionFn.java:104-117):
+      // find() the pattern, emit the configured group (default 1); on no
+      // match, the ORIGINAL value — or replaceMissingValueWith when
+      // replaceMissingValue is set
+      val expr = str(j \ "expr")
+      val idx = intOpt(j \ "index").getOrElse(1)
+      val onMiss =
+        if (boolOpt(j \ "replaceMissingValue").getOrElse(false))
+          strOpt(j \ "replaceMissingValueWith").map(lit).getOrElse(lit(null).cast("string"))
+        else c
+      when(c.rlike(expr), regexp_extract(c, expr, idx)).otherwise(onMiss)
+    case "timeFormat" =>
+      // TimeFormatExtractionFn: optional granularity truncation, then
+      // Joda-style pattern rendering with locale + zone; a null pattern
+      // renders ISO-8601 millis; asMillis reads the input as epoch millis
+      val tz = strOpt(j \ "timeZone").orNull
+      val localeTag = strOpt(j \ "locale").orNull
+      val t0 =
+        if (boolOpt(j \ "asMillis").getOrElse(false)) timestamp_millis(c.cast("long"))
+        else c.cast("timestamp")
+      val t = (j \ "granularity") match {
+        case JNothing | JNull | JString("none") => t0
+        case g => granularity(g) match {
+          case AllGranularity => t0
+          case pg: PeriodGranularity => pg.bucket(t0).cast("timestamp")
+        }
+      }
+      strOpt(j \ "format") match {
+        case Some(f) if localeTag == null && tz == null => date_format(t, f)
+        case fmt =>
+          val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+          bridge.column(LocaleTimeFormat(
+            bridge.expression(unix_millis(t)), fmt.orNull, localeTag, tz))
+      }
     // time: reparse with timeFormat, re-render with resultFormat
     // (TimeDimExtractionFn)
     case "time" =>
@@ -388,10 +426,17 @@ object NativeQuery {
     // nullHandling NULLSTRING (default) formats null as the string "null"
     case "stringFormat" =>
       val fmt = str(j \ "format")
-      strOpt(j \ "nullHandling").getOrElse("NULLSTRING") match {
+      // empty format is a construction-time error
+      // (StringFormatExtractionFnTest.java:65-69)
+      require(fmt != null && fmt.nonEmpty, "format string should not be empty")
+      // NullHandling.forValue uppercases, unknown values error
+      // (StringFormatExtractionFn.java forValue; Test.java:80-86)
+      strOpt(j \ "nullHandling").getOrElse("NULLSTRING")
+          .toUpperCase(java.util.Locale.ENGLISH) match {
         case "RETURNNULL" => when(c.isNull, lit(null)).otherwise(format_string(fmt, c))
         case "EMPTYSTRING" => format_string(fmt, coalesce(c.cast("string"), lit("")))
-        case _ => format_string(fmt, coalesce(c.cast("string"), lit("null")))
+        case "NULLSTRING" => format_string(fmt, coalesce(c.cast("string"), lit("null")))
+        case o => throw new IllegalArgumentException(s"invalid nullHandling value: $o")
       }
     // partial: value when it matches the regex, else null
     // (MatchingDimExtractionFn)
@@ -414,7 +459,16 @@ object NativeQuery {
       if (boolOpt(j \ "retainMissingValue").getOrElse(false)) coalesce(hit, c)
       else strOpt(j \ "replaceMissingValueWith").fold(hit)(r => coalesce(hit, lit(r)))
     case "bucket" =>
-      DruidFunctions.bucket(c, dblOpt(j \ "size").getOrElse(1.0), dblOpt(j \ "offset").getOrElse(0.0))
+      // BucketExtractionFn.bucket (BucketExtractionFn.java:95-99): string
+      // output, whole values rendered as longs ("2" not "2.0"), unparseable
+      // input → null (the parseable gate covers Double.parseDouble's common
+      // decimal/exponent forms)
+      val size = dblOpt(j \ "size").getOrElse(1.0)
+      val off = dblOpt(j \ "offset").getOrElse(0.0)
+      val s = c.cast("string")
+      val num = when(s.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"), s.cast("double"))
+      val b = floor((num - off) / size) * size + off
+      when(b === b.cast("long"), b.cast("long").cast("string")).otherwise(b.cast("string"))
     case "cascade" =>
       arr(j \ "extractionFns").foldLeft(c)((cc, f) => extractionFn(f, cc))
     case t => throw new IllegalArgumentException(s"extractionFn: $t")
