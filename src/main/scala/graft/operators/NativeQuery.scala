@@ -546,7 +546,16 @@ object NativeQuery {
         }
         (lower ++ upper).reduce(_ && _)
       }
-    case "like" => mvAware(j, schema)(_.like(str(j \ "pattern")))
+    case "like" =>
+      // LikeDimFilter: %/_ pattern with an optional custom escape character
+      // (LikeDimFilter.java `escape`; LikeDimFilterTest.java:38 posts "@")
+      val pattern = str(j \ "pattern")
+      strOpt(j \ "escape") match {
+        case Some(e) =>
+          require(e.length == 1, "Escape must be null or a single character")
+          mvAware(j, schema)(c => like(c, lit(pattern), lit(e)))
+        case None => mvAware(j, schema)(_.like(pattern))
+      }
     case "regex" => mvAware(j, schema)(_.rlike(str(j \ "pattern")))
     case "search" => mvAware(j, schema)(searchMatcher(j \ "query"))
     case "interval" =>
@@ -934,10 +943,24 @@ object NativeQuery {
     case JNothing | JNull => None
     case h => Some(having(h))
   }
+  /** Numeric having threshold, type-preserved: integer JSON values compare
+    * as longs (HavingSpecMetricComparator.java LONG_PAT branch — a double
+    * threshold near Long.MAX_VALUE collapses adjacent longs,
+    * HavingSpecTest.java:102-126 pins the exact compare). */
+  private def havingValue(j: JValue): Column = j match {
+    case JInt(i) => lit(i.longValue)
+    case JLong(l) => lit(l)
+    case JDouble(d) => lit(d)
+    case JDecimal(d) => lit(d.toDouble)
+    case x => lit(jvalueToAny(x))
+  }
   private def having(j: JValue): Column = str(j \ "type") match {
-    case "greaterThan" => col(str(j \ "aggregation")) > dbl(j \ "value")
-    case "lessThan" => col(str(j \ "aggregation")) < dbl(j \ "value")
-    case "equalTo" => col(str(j \ "aggregation")) === dbl(j \ "value")
+    case "greaterThan" => col(str(j \ "aggregation")) > havingValue(j \ "value")
+    case "lessThan" => col(str(j \ "aggregation")) < havingValue(j \ "value")
+    case "equalTo" => col(str(j \ "aggregation")) === havingValue(j \ "value")
+    // AlwaysHavingSpec / NeverHavingSpec
+    case "always" => lit(true)
+    case "never" => lit(false)
     // dimSelector having (DimensionSelectorHavingSpec): filter output rows
     // on a dimension value
     case "dimSelector" => col(str(j \ "dimension")) <=> lit(jvalueToAny(j \ "value"))

@@ -445,4 +445,26 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(df.map(_.getString(0)).toSeq == Seq("hi", "mid"))
     assert(df.head.getLong(1) == 20L)
   }
+
+  test("like filter honors a custom escape character (LikeDimFilter.java, Test.java:38)") {
+    def matches(pattern: String, escape: Option[String]): Set[String] = {
+      val esc = escape.fold("")(e => s""", "escape": "$e"""")
+      run(
+        s"""{
+          "queryType": "scan",
+          "dataSource": {"type": "inline", "columnNames": ["s"],
+            "columnTypes": ["STRING"],
+            "rows": [["50%"], ["50x"], ["bar_baz"], ["barxbaz"]]},
+          "filter": {"type": "like", "dimension": "s", "pattern": "$pattern"$esc}
+        }""").collect().map(_.getString(0)).toSet
+    }
+    // unescaped % and _ are wildcards
+    assert(matches("50%", None) == Set("50%", "50x"))
+    assert(matches("bar_baz", None) == Set("bar_baz", "barxbaz"))
+    // "@"-escaped % and _ match literally
+    assert(matches("50@%", Some("@")) == Set("50%"))
+    assert(matches("bar@_baz", Some("@")) == Set("bar_baz"))
+    // escape must be a single character
+    intercept[IllegalArgumentException](matches("x", Some("@@")))
+  }
 }
