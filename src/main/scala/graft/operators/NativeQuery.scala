@@ -66,20 +66,31 @@ object NativeQuery {
         // metric specs (query/topn/TopNMetricSpec.java): numeric (default
         // descending), dimension (ordered by dimension value under a
         // StringComparator, ascending), inverted (wraps + flips either)
-        def metricSpec(m: JValue): (String, Boolean, Option[Column]) = m match {
-          case JString(name) => (name, false, None)
+        def metricSpec(m: JValue): (String, Boolean, Option[Column], Option[Column]) = m match {
+          case JString(name) => (name, false, None, None)
           case o => str(o \ "type") match {
-            case "numeric" => (str(o \ "metric"), false, None)
-            case "dimension" =>
-              val ord = strOpt(o \ "ordering").getOrElse("lexicographic")
-              (dim.output, true, Some(comparatorKey(ord, col(dim.output))))
+            case "numeric" => (str(o \ "metric"), false, None, None)
+            // "lexicographic"/"alphaNumeric" are the legacy spellings of the
+            // dimension spec with a fixed ordering (LexicographicTopNMetricSpec
+            // / AlphaNumericTopNMetricSpec); all carry "previousStop"
+            // pagination — only values strictly after the stop return
+            case "dimension" | "lexicographic" | "alphaNumeric" =>
+              val ord = (str(o \ "type"), strOpt(o \ "ordering")) match {
+                case ("lexicographic", _) => "lexicographic"
+                case ("alphaNumeric", _) => "alphanumeric"
+                case (_, s) => s.getOrElse("lexicographic")
+              }
+              val key = comparatorKey(ord, col(dim.output))
+              val stop = strOpt(o \ "previousStop")
+                .map(s => key > comparatorKey(ord, lit(s)))
+              (dim.output, true, Some(key), stop)
             case "inverted" =>
-              val (n, asc, k) = metricSpec(o \ "metric")
-              (n, !asc, k)
+              val (n, asc, k, stop) = metricSpec(o \ "metric")
+              (n, !asc, k, stop)
             case t => throw new IllegalArgumentException(s"topN metric spec: $t")
           }
         }
-        val (metricName, asc, sortKey) = metricSpec(q \ "metric")
+        val (metricName, asc, sortKey, stopFilter) = metricSpec(q \ "metric")
         TopNQuery(
           dimension = dim,
           metric = metricName,
@@ -89,6 +100,7 @@ object NativeQuery {
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
           sortKey = sortKey,
+          stopFilter = stopFilter,
           // finalize sketches before the metric sort — ordering raw sketch
           // bytes would not match the reference's estimate comparators
           finalizeFn = finalizeAggs

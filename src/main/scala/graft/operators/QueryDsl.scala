@@ -250,6 +250,11 @@ final case class TopNQuery(
     // alphanumeric / version / numeric via StringOrderings) instead of a
     // metric. When set, `metric` is ignored for ordering.
     sortKey: Option[Column] = None,
+    // previousStop pagination (TopNMetricSpecBuilder.skipTo / the dimension
+    // metric specs' "previousStop"): only dimension values strictly AFTER
+    // the stop under the spec's ordering participate. Applied pre-agg so
+    // skipped pages never aggregate.
+    stopFilter: Option[Column] = None,
     // Finalization (sketch → estimate) applied BEFORE the metric sort: the
     // reference's sketch comparators order on finalized estimates
     // (SketchAggregatorFactory.getComparator), so sorting raw binary sketch
@@ -258,7 +263,8 @@ final case class TopNQuery(
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
-    val (prepared, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
+    val (prepared0, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
+    val prepared = stopFilter.fold(prepared0)(prepared0.filter)
     val aggCols = aggregations.map(_.aliased)
     val agged = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
     val post = finalizeFn(QueryCommon.applyPostAggs(agged, postAggregations))

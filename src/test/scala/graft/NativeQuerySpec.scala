@@ -446,6 +446,29 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(df.head.getLong(1) == 20L)
   }
 
+  test("topN previousStop pagination (LexicographicTopNMetricSpec.java, AlphaNumericTopNMetricSpec.java:41)") {
+    val rows = Seq("a", "b", "c", "d", "e", "f10", "f2").map(v => s"""["$v"]""").mkString(",")
+    def page(metric: String): Seq[String] =
+      run(
+        s"""{
+          "queryType": "topN",
+          "dataSource": {"type": "inline", "columnNames": ["g"],
+            "columnTypes": ["STRING"], "rows": [$rows]},
+          "dimension": "g",
+          "metric": $metric,
+          "threshold": 3,
+          "aggregations": [{"type": "count", "name": "cnt"}]
+        }""").collect().map(_.getString(0)).toSeq
+    // page 1, then resume strictly after the last value of page 1
+    assert(page("""{"type": "lexicographic"}""") == Seq("a", "b", "c"))
+    assert(page("""{"type": "lexicographic", "previousStop": "c"}""") == Seq("d", "e", "f10"))
+    // alphaNumeric spelling ranks f2 < f10 and resumes the same way
+    assert(page("""{"type": "alphaNumeric", "previousStop": "e"}""") == Seq("f2", "f10"))
+    // the dimension spec carries previousStop too
+    assert(page("""{"type": "dimension", "ordering": "lexicographic", "previousStop": "e"}""") ==
+      Seq("f10", "f2"))
+  }
+
   test("like filter honors a custom escape character (LikeDimFilter.java, Test.java:38)") {
     def matches(pattern: String, escape: Option[String]): Set[String] = {
       val esc = escape.fold("")(e => s""", "escape": "$e"""")
