@@ -59,8 +59,20 @@ object TimeFunctions {
   def timeFloor(ts: Column, period: String, origin: Column = null,
       tz: String = null): Column = {
     val fastOrigin = fastMonthOrigin(origin, tz)
+    val parsed = parsePeriod(period)
+    // Sub-day fixed periods under an explicit zone floor on LOCAL fields
+    // with the instant's own offset preserved (joda hourOfDay().roundFloor
+    // semantics) — the wall-clock round trip below cannot distinguish the
+    // two 01:xx hours at a DST fall-back, where the reference produces two
+    // distinct hourly buckets (QueryGranularityTest.testPeriodDaylightSaving)
+    if (tz != null && origin == null && parsed.months == 0 &&
+        parsed.millis < 86400000L && 86400000L % parsed.millis == 0) {
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      return timestamp_millis(bridge.column(ZonedSubDayFloor(
+        bridge.expression(millisOf(ts)), parsed.millis, tz)))
+    }
     zonedRoundTrip(ts, origin, tz) { (t, o) =>
-      val p = parsePeriod(period)
+      val p = parsed
       if (p.months == 0) {
         val om = millisOf(o)
         timestamp_millis(floorDiv(millisOf(t) - om, p.millis) * p.millis + om)
@@ -264,6 +276,39 @@ object TimeFunctions {
     * tz-naive columns are cast first (identity under the UTC session TZ). */
   def millisToTimestamp(c: Column): Column = timestamp_millis(c)
   def timestampToMillis(c: Column): Column = millisOf(c)
+}
+
+/** DST-exact sub-day flooring in an explicit zone: floors the LOCAL
+  * time-of-day to the period and resolves the floored local time with the
+  * instant's own offset preferred — so at a fall-back the repeated local
+  * hour yields two distinct buckets, one per offset, exactly like joda
+  * field rounding under the zone's chronology (PeriodGranularity.truncate;
+  * QueryGranularityTest.testPeriodDaylightSaving's hourly vector).
+  * Input/output epoch millis (LongType); period must divide one day.
+  */
+case class ZonedSubDayFloor(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    periodMillis: Long, zoneId: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import java.time.{Instant, LocalDateTime, LocalTime, ZoneId, ZonedDateTime}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+
+  @transient private lazy val zone = ZoneId.of(zoneId)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val zdt = Instant.ofEpochMilli(v.asInstanceOf[Long]).atZone(zone)
+    val local = zdt.toLocalDateTime
+    val periodNanos = periodMillis * 1000000L
+    val flooredNanos = (local.toLocalTime.toNanoOfDay / periodNanos) * periodNanos
+    val flooredLocal = LocalDateTime.of(local.toLocalDate, LocalTime.ofNanoOfDay(flooredNanos))
+    ZonedDateTime.ofLocal(flooredLocal, zone, zdt.getOffset).toInstant.toEpochMilli
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): ZonedSubDayFloor = copy(child = c)
+  override def prettyName: String = "zoned_subday_floor"
 }
 
 /** Locale/zone-aware timestamp rendering for the timeFormat extraction fn

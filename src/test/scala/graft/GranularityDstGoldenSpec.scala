@@ -1,0 +1,110 @@
+package graft
+
+import java.time.OffsetDateTime
+
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFunctions
+
+/** PeriodGranularity bucketStart parity, porting the reference's
+  * timezone/DST vectors (processing/src/test/java/org/apache/druid/
+  * granularity/QueryGranularityTest.java) against TimeFunctions.timeFloor.
+  * The fall-back hourly vector is the sharp edge: the repeated 01:xx local
+  * hour must produce TWO distinct buckets, one per UTC offset.
+  */
+class GranularityDstGoldenSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def millis(iso: String): Long = OffsetDateTime.parse(iso).toInstant.toEpochMilli
+
+  /** timeFloor applied through the engine; in/out epoch millis. */
+  private def floorAll(in: Seq[Long], period: String, tz: String,
+      origin: Option[String] = None): Seq[Long] =
+    in.toDF("m")
+      .select(unix_millis(TimeFunctions.timeFloor(
+        timestamp_millis(col("m")), period,
+        origin.map(o => timestamp_millis(lit(millis(o)))).orNull, tz).cast("timestamp")))
+      .as[Long].collect().toSeq
+
+  // testPeriodDaylightSaving (QueryGranularityTest.java:316) — the hourly
+  // battery across the 2012-11-04 America/Los_Angeles fall-back
+  test("hourly buckets across a DST fall-back (QueryGranularityTest.java:342-358)") {
+    val in = Seq(
+      "2012-11-04T00:30:00-07:00", "2012-11-04T01:30:00-07:00",
+      "2012-11-04T01:30:00-08:00", "2012-11-04T02:30:00-08:00",
+      "2012-11-04T03:30:00-08:00").map(millis)
+    val expected = Seq(
+      "2012-11-04T00:00:00-07:00", "2012-11-04T01:00:00-07:00",
+      "2012-11-04T01:00:00-08:00", "2012-11-04T02:00:00-08:00",
+      "2012-11-04T03:00:00-08:00").map(millis)
+    assert(floorAll(in, "PT1H", "America/Los_Angeles") == expected)
+  }
+
+  // testPeriodDaylightSaving daily iterable starts (QueryGranularityTest.java:320-328)
+  test("daily buckets across a DST fall-back (QueryGranularityTest.java:320)") {
+    val in = Seq(
+      "2012-11-04T12:00:00-08:00", "2012-11-05T12:00:00-08:00", "2012-11-06T12:00:00-08:00")
+      .map(millis)
+    val expected = Seq(
+      "2012-11-04T00:00:00-07:00", "2012-11-05T00:00:00-08:00", "2012-11-06T00:00:00-08:00")
+      .map(millis)
+    assert(floorAll(in, "P1D", "America/Los_Angeles") == expected)
+  }
+
+  // testPeriodTruncateDays (QueryGranularityTest.java:406)
+  test("P2D truncation with and without origin (QueryGranularityTest.java:406)") {
+    val in = Seq(
+      "2012-01-01T05:00:04.123-08:00", "2012-01-02T07:00:04.123-08:00",
+      "2012-01-04T07:20:04.123-08:00").map(millis)
+    assert(
+      floorAll(in, "P2D", "America/Los_Angeles", Some("2012-01-02T05:00:00.000-08:00")) ==
+        Seq("2011-12-31T05:00:00.000-08:00", "2012-01-02T05:00:00.000-08:00",
+          "2012-01-04T05:00:00.000-08:00").map(millis))
+    assert(
+      floorAll(in, "P2D", "America/Los_Angeles") ==
+        Seq("2012-01-01T00:00:00.000-08:00", "2012-01-01T00:00:00.000-08:00",
+          "2012-01-03T00:00:00.000-08:00").map(millis))
+  }
+
+  // testPeriodTruncateMinutes (QueryGranularityTest.java:450)
+  test("PT15M truncation with and without origin (QueryGranularityTest.java:450)") {
+    val in = Seq(
+      "2012-01-01T05:00:04.123Z", "2012-01-02T07:08:04.123Z", "2012-01-04T00:20:04.123Z")
+      .map(millis)
+    assert(
+      floorAll(in, "PT15M", null, Some("2012-01-02T00:05:00.000Z")) ==
+        Seq("2012-01-01T04:50:00.000Z", "2012-01-02T07:05:00.000Z",
+          "2012-01-04T00:20:00.000Z").map(millis))
+    assert(
+      floorAll(in, "PT15M", null) ==
+        Seq("2012-01-01T05:00:00.000Z", "2012-01-02T07:00:00.000Z",
+          "2012-01-04T00:15:00.000Z").map(millis))
+  }
+
+  // testTruncateKathmandu (QueryGranularityTest.java:882) — +05:45 zone
+  test("year/hour/2-hour truncation in Asia/Kathmandu (QueryGranularityTest.java:882)") {
+    val in = Seq(millis("2011-03-15T21:42:23.898+05:45"))
+    assert(floorAll(in, "P1Y", "Asia/Kathmandu") == Seq(millis("2011-01-01T00:00:00.000+05:45")))
+    assert(floorAll(in, "PT1H", "Asia/Kathmandu") == Seq(millis("2011-03-15T21:00:00.000+05:45")))
+    assert(floorAll(in, "PT2H", "Asia/Kathmandu") == Seq(millis("2011-03-15T20:00:00.000+05:45")))
+  }
+
+  // testTruncateDhaka (QueryGranularityTest.java:910)
+  test("year/hour/2-hour truncation in Asia/Dhaka (QueryGranularityTest.java:910)") {
+    val in = Seq(millis("2011-03-15T21:42:23.898+06:00"))
+    assert(floorAll(in, "P1Y", "Asia/Dhaka") == Seq(millis("2011-01-01T00:00:00.000+06:00")))
+    assert(floorAll(in, "PT1H", "Asia/Dhaka") == Seq(millis("2011-03-15T21:00:00.000+06:00")))
+    assert(floorAll(in, "PT2H", "Asia/Dhaka") == Seq(millis("2011-03-15T20:00:00.000+06:00")))
+  }
+
+  // testIterableMinuteSimple / testIterable15MinuteSimple /
+  // testIterableHourSimple / testIterableDaySimple bucket starts
+  // (QueryGranularityTest.java:70-190, no-tz arithmetic)
+  test("simple UTC bucket starts (QueryGranularityTest.java:70-190)") {
+    val base = millis("2011-01-01T09:38:02.992Z")
+    def exp(s: String) = millis(s)
+    assert(floorAll(Seq(base), "PT1M", null) == Seq(exp("2011-01-01T09:38:00.000Z")))
+    assert(floorAll(Seq(base), "PT15M", null) == Seq(exp("2011-01-01T09:30:00.000Z")))
+    assert(floorAll(Seq(base), "PT1H", null) == Seq(exp("2011-01-01T09:00:00.000Z")))
+    assert(floorAll(Seq(base), "P1D", null) == Seq(exp("2011-01-01T00:00:00.000Z")))
+  }
+}
