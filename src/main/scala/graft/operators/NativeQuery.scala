@@ -430,10 +430,12 @@ object NativeQuery {
           bridge.column(LocaleTimeFormat(
             bridge.expression(unix_millis(t)), fmt.orNull, localeTag, tz))
       }
-    // time: reparse with timeFormat, re-render with resultFormat
-    // (TimeDimExtractionFn)
+    // time: reparse with timeFormat, re-render with resultFormat; values the
+    // input format cannot parse pass through UNCHANGED (TimeDimExtractionFn
+    // .java apply — TimeDimExtractionFnTest.java:46-60 "foo" → "foo")
     case "time" =>
-      date_format(to_timestamp(c, str(j \ "timeFormat")), str(j \ "resultFormat"))
+      val parsed = try_to_timestamp(c, lit(str(j \ "timeFormat")))
+      when(parsed.isNotNull, date_format(parsed, str(j \ "resultFormat"))).otherwise(c)
     // stringFormat: sprintf of the value (StringFormatExtractionFn);
     // nullHandling NULLSTRING (default) formats null as the string "null"
     case "stringFormat" =>

@@ -209,6 +209,17 @@ class ExtractionFnGoldenSpec extends SparkSpecBase {
     assert(extractMillis("""{"type": "strlen"}""", Seq(1L, -1L)) == Set("1", "2"))
   }
 
+  // ---- TimeDimExtractionFnTest ----
+
+  test("time: reformat and pass-through of unparseable values (TimeDimExtractionFnTest.java:46,62)") {
+    // unparseable values survive unchanged; null stays null
+    assert(extract("""{"type": "time", "timeFormat": "MM/dd/yyyy", "resultFormat": "MM/yyyy"}""",
+      Seq(null, "foo")) == Set(null, "foo"))
+    assert(extract("""{"type": "time", "timeFormat": "MM/dd/yyyy", "resultFormat": "MM/yyyy"}""",
+      Seq("01/01/2012", "01/02/2012", "03/03/2012", "03/04/2012", "05/05/2012", "12/21/2012")) ==
+      Set("01/2012", "03/2012", "05/2012", "12/2012"))
+  }
+
   // ---- CascadeExtractionFnTest ----
 
   test("cascade: regex then format then substring (CascadeExtractionFnTest.java:66, adapted)") {
