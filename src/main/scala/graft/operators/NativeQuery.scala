@@ -202,7 +202,11 @@ object NativeQuery {
       str(o \ "type") match {
         case "table" => resolve(str(o \ "name"))
         case "union" =>
-          graft.sources.Sources.union(arr(o \ "dataSources").map {
+          // evolved union: per-source schemas may disagree on a column's
+          // type or presence (SchemaEvolutionTest.java — the reference
+          // queries such segment mixes freely); identical schemas
+          // pass through untouched
+          graft.sources.Sources.unionEvolved(arr(o \ "dataSources").map {
             case JString(n) => resolve(n)
             case d => dataSource(spark, d, resolve, lookups)
           })
@@ -688,6 +692,18 @@ object NativeQuery {
   }
 
   // ---- aggregations (§2.6) ----
+
+  /** Druid's lenient per-value numeric coercion for aggregator inputs
+    * (Rows.objectToNumber — a STRING metric column aggregates by parsing
+    * each value, long first then double with truncation toward zero;
+    * unparseable → null, skipped by the aggregate;
+    * SchemaEvolutionTest.java:258 pins longSum/doubleSum over a string c1).
+    * try_cast keeps proper numeric columns exact and never raises under
+    * ANSI. */
+  private def lenientLong(f: Column): Column =
+    coalesce(f.try_cast("long"), f.try_cast("double").try_cast("long"))
+  private def lenientDouble(f: Column): Column = f.try_cast("double")
+
   private def aggregations(j: JValue, timeCol: String): Seq[Agg] = j match {
     case JNothing | JNull => Seq(Agg("count", count(lit(1))))
     case a => arr(a).map(aggregation(_, timeCol))
@@ -695,16 +711,22 @@ object NativeQuery {
 
   private def aggregation(j: JValue, timeCol: String): Agg = {
     def name = str(j \ "name") // lazy: "filtered" may carry the name on the inner aggregator
-    def f = col(str(j \ "fieldName"))
+    // simple aggregators accept "expression" in place of "fieldName"
+    // (e.g. LongSumAggregatorFactory(name, null, "c1 * 1") —
+    // SchemaEvolutionTest.java:272-273), evaluated in the math-expr dialect
+    def f = (j \ "fieldName") match {
+      case JString(n) => col(n)
+      case _ => MathExpr.expr(str(j \ "expression"))
+    }
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
-      case "longSum" => Agg(name, sum(f.cast("long")))
-      case "doubleSum" | "floatSum" => Agg(name, sum(f.cast("double")))
-      case "longMin" => Agg(name, min(f.cast("long")))
-      case "longMax" => Agg(name, max(f.cast("long")))
-      case "doubleMin" | "floatMin" => Agg(name, min(f.cast("double")))
-      case "doubleMax" | "floatMax" => Agg(name, max(f.cast("double")))
-      case "doubleMean" => Agg(name, avg(f))
+      case "longSum" => Agg(name, sum(lenientLong(f)))
+      case "doubleSum" | "floatSum" => Agg(name, sum(lenientDouble(f)))
+      case "longMin" => Agg(name, min(lenientLong(f)))
+      case "longMax" => Agg(name, max(lenientLong(f)))
+      case "doubleMin" | "floatMin" => Agg(name, min(lenientDouble(f)))
+      case "doubleMax" | "floatMax" => Agg(name, max(lenientDouble(f)))
+      case "doubleMean" => Agg(name, avg(lenientDouble(f)))
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
       // time column so standard Druid JSON first/last aggregators work.
@@ -833,12 +855,12 @@ object NativeQuery {
     val inner = j \ "aggregator"
     val f = when(pred, col(str(inner \ "fieldName")))
     str(inner \ "type") match {
-      case "longSum" => sum(f.cast("long"))
-      case "doubleSum" | "floatSum" => sum(f.cast("double"))
-      case "longMin" => min(f.cast("long"))
-      case "longMax" => max(f.cast("long"))
-      case "doubleMin" | "floatMin" => min(f.cast("double"))
-      case "doubleMax" | "floatMax" => max(f.cast("double"))
+      case "longSum" => sum(lenientLong(f))
+      case "doubleSum" | "floatSum" => sum(lenientDouble(f))
+      case "longMin" => min(lenientLong(f))
+      case "longMax" => max(lenientLong(f))
+      case "doubleMin" | "floatMin" => min(lenientDouble(f))
+      case "doubleMax" | "floatMax" => max(lenientDouble(f))
       // sketch builders take conditional input the same way: a null input
       // never updates the sketch (FilteredAggregatorFactory around any
       // AggregatorFactory in the reference)

@@ -60,6 +60,73 @@ object Sources {
   def union(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Schema-evolved segment union (the reference queries per-segment schemas
+    * freely — a column may be string in one segment, long in the next,
+    * absent in a third; SchemaEvolutionTest.java:135-146 builds exactly that
+    * mix). `unionByName`/parquet mergeSchema refuse conflicting types, so
+    * this aligns columns by name across the inputs and widens each
+    * conflicting column before the union: identical types pass through,
+    * numeric mixes (long/float/double and their decimals) widen to double,
+    * anything else widens to string — matching the per-value coercion the
+    * engine's aggregators apply (Rows.objectToNumber leniency). Missing
+    * columns fill with typed nulls. Column order follows first appearance.
+    */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(dfs.nonEmpty, "unionEvolved needs at least one input")
+    val names = dfs.flatMap(_.schema.fieldNames).distinct
+    def isNumeric(t: DataType): Boolean = t match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val resolved: Seq[(String, DataType)] = names.map { n =>
+      val types = dfs.flatMap(_.schema.fields.find(_.name == n)).map(_.dataType).distinct
+      val t =
+        if (types.size == 1) types.head
+        else if (types.forall(isNumeric)) DoubleType
+        else StringType
+      n -> t
+    }
+    union(dfs.map { df =>
+      df.select(resolved.collect {
+        // try_cast: a widened string→double column keeps ANSI from raising
+        // on unparseable values (they become nulls, as the reference's
+        // lenient coercion does)
+        case (n, t) if df.columns.contains(n) =>
+          val c = col(n)
+          (if (df.schema(n).dataType == t) c else c.try_cast(t)).as(n)
+      }: _*)
+    })
+  }
+
+  /** Read a multi-segment parquet datasource whose segment files may carry
+    * evolved schemas. The fast path is the parquet reader's own mergeSchema
+    * (same-type column unions — one scan relation, full pushdown). When
+    * segments disagree on a column's TYPE, that merge refuses; the fallback
+    * reads per segment file (basePath preserves partition columns) and
+    * aligns through [[unionEvolved]]. The fallback plans one relation per
+    * file — acceptable for the conflicted-datasource repair case it serves;
+    * compaction (BatchIngest.compact) restores the single-relation layout.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    try spark.read.option("mergeSchema", "true").parquet(path)
+    catch {
+      case e: Exception
+          if e.getMessage != null && (e.getMessage.contains("merge incompatible data types")
+            || e.getMessage.contains("Failed to merge")
+            || e.getMessage.contains("Failed merging schema")) =>
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(root, true)
+        val files = scala.collection.mutable.ListBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) files += f.toString
+        }
+        unionEvolved(files.toList.sorted.map(f =>
+          spark.read.option("basePath", path).parquet(f)))
+    }
+
   /** inline datasource (reference: query/InlineDataSource.java:48). */
   def inline(spark: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
