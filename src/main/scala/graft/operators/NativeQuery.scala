@@ -509,6 +509,12 @@ object NativeQuery {
       case "fragment" =>
         val frags = arr(spec \ "values").map { case JString(s) => s; case x => str(x) }
         c => frags.map(f => one(f)(c)).reduce(_ && _)
+      // regex find() over the value (RegexSearchQuerySpec.java:77-84);
+      // nulls never match
+      case "regex" =>
+        val p = str(spec \ "pattern"); c => c.rlike(p)
+      // everything matches, nulls included (AllSearchQuerySpec.java:31-34)
+      case "all" => _ => lit(true)
       case t => throw new IllegalArgumentException(s"search spec: $t")
     }
   }
@@ -542,8 +548,15 @@ object NativeQuery {
         case v => mvAware(j, schema)(_ <=> lit(jvalueToAny(v)))
       }
     case "in" =>
-      val vs = arr(j \ "values").map(jvalueToAny)
-      mvAware(j, schema)(_.isin(vs: _*))
+      // a null in the value list matches null dimension values
+      // (InDimFilter's containsNull handling) — isin alone would return
+      // null for them
+      val vs0 = arr(j \ "values").map(jvalueToAny)
+      val (nulls, vs) = vs0.partition(_ == null)
+      mvAware(j, schema) { c =>
+        val base = if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+        if (nulls.nonEmpty) base <=> lit(true) || c.isNull else base
+      }
     case "bound" =>
       // ordering: lexicographic (reference default) / numeric / alphanumeric
       // / version / strlen — both sides compared through the comparator KEY

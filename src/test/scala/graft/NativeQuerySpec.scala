@@ -446,6 +446,44 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(df.head.getLong(1) == 20L)
   }
 
+  test("in filter with a null value matches null dimensions (InDimFilter containsNull)") {
+    val got = run(
+      """{
+        "queryType": "scan",
+        "dataSource": {"type": "inline", "columnNames": ["s"],
+          "columnTypes": ["STRING"], "rows": [["a"], ["b"], [null]]},
+        "filter": {"type": "in", "dimension": "s", "values": ["a", null]}
+      }""").collect().map(r => Option(r.getString(0))).toSet
+    assert(got == Set(Some("a"), None))
+    val noNull = run(
+      """{
+        "queryType": "scan",
+        "dataSource": {"type": "inline", "columnNames": ["s"],
+          "columnTypes": ["STRING"], "rows": [["a"], ["b"], [null]]},
+        "filter": {"type": "in", "dimension": "s", "values": ["a"]}
+      }""").collect().map(r => r.getString(0)).toSet
+    assert(noNull == Set("a"))
+  }
+
+  test("regex and all search query specs (RegexSearchQuerySpec.java:77, AllSearchQuerySpec.java:31)") {
+    def hits(spec: String): Set[(String, String)] =
+      run(
+        s"""{
+          "queryType": "search",
+          "dataSource": {"type": "inline", "columnNames": ["d1", "d2"],
+            "columnTypes": ["STRING", "STRING"],
+            "rows": [["apple", "x1"], ["banana", "x2"], ["cherry", "y9"]]},
+          "searchDimensions": ["d1", "d2"],
+          "query": $spec
+        }""").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // regex uses find() semantics (substring match)
+    assert(hits("""{"type": "regex", "pattern": "an"}""") == Set("d1" -> "banana"))
+    assert(hits("""{"type": "regex", "pattern": "^x\\d$"}""") ==
+      Set("d2" -> "x1", "d2" -> "x2"))
+    // all matches every value
+    assert(hits("""{"type": "all"}""").size == 6)
+  }
+
   test("topN previousStop pagination (LexicographicTopNMetricSpec.java, AlphaNumericTopNMetricSpec.java:41)") {
     val rows = Seq("a", "b", "c", "d", "e", "f10", "f2").map(v => s"""["$v"]""").mkString(",")
     def page(metric: String): Seq[String] =
