@@ -62,6 +62,20 @@ object CoreQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
+    // --- topN: dimension-ordered page-2 via previousStop
+    // (DimensionTopNMetricSpec previousStop pagination) ---
+    "topn_paged" -> ((s, dir) => {
+      TopNQuery(
+        dimension = Dim("p_brand"),
+        metric = "p_brand",
+        threshold = 5,
+        aggregations = Seq(Agg("cnt", count(lit(1)))),
+        ascending = true,
+        sortKey = Some(col("p_brand")),
+        stopFilter = Some(col("p_brand") > "Brand#22")
+      ).run(Sources.table(s, dir, "part"))
+    }),
+
     // --- groupBy: multi-dim + having + order/limit (GroupByQuery.java:91) ---
     "groupby_flag_status" -> ((s, dir) => {
       GroupByQuery(
@@ -144,6 +158,14 @@ object CoreQueries {
       SearchQuery(
         searchDimensions = Seq("o_orderpriority", "o_orderstatus"),
         matcher = v => v.contains("E")
+      ).run(Sources.table(s, dir, "orders"))
+    }),
+
+    // --- search with a regex spec (RegexSearchQuerySpec.java:77 find()) ---
+    "search_regex" -> ((s, dir) => {
+      SearchQuery(
+        searchDimensions = Seq("o_orderpriority", "o_orderstatus"),
+        matcher = v => v.rlike("^[12]-")
       ).run(Sources.table(s, dir, "orders"))
     }),
 
@@ -252,6 +274,10 @@ object CoreQueries {
         |FROM lineitem GROUP BY 1
         |ORDER BY revenue DESC, l_suppkey ASC LIMIT 10""".stripMargin,
 
+    "topn_paged" ->
+      """SELECT p_brand, count(*) AS cnt FROM part WHERE p_brand > 'Brand#22'
+        |GROUP BY 1 ORDER BY 1 LIMIT 5""".stripMargin,
+
     "groupby_flag_status" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
@@ -293,6 +319,15 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT 'o_orderstatus', o_orderstatus, count(*)
         |  FROM orders WHERE o_orderstatus LIKE '%E%' GROUP BY 2
+        |) ORDER BY dimension, "value"""".stripMargin,
+
+    "search_regex" ->
+      """SELECT dimension, "value", "count" FROM (
+        |  SELECT 'o_orderpriority' AS dimension, o_orderpriority AS "value", count(*) AS "count"
+        |  FROM orders WHERE regexp_matches(o_orderpriority, '^[12]-') GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus, count(*)
+        |  FROM orders WHERE regexp_matches(o_orderstatus, '^[12]-') GROUP BY 2
         |) ORDER BY dimension, "value"""".stripMargin,
 
     "sql_insert_dml" ->
