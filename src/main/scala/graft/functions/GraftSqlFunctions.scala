@@ -548,6 +548,12 @@ object GraftSqlFunctions {
       val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch") else 200
       graft.plans.KllDoublesAgg(args(0), k).toAggregateExpression()
     },
+    // classic DoublesSketch bytes — the reference's quantiles wire format
+    // (write-side interop; the DS_* post-aggs family-dispatch both)
+    "ds_quantiles_sketch_classic" -> { args =>
+      val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch_classic") else 128
+      graft.plans.ClassicDoublesAgg(args(0), k).toAggregateExpression()
+    },
     "ds_get_quantile" -> { args =>
       graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"))
     },

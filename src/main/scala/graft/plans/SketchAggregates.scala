@@ -390,6 +390,47 @@ case class KllDoublesAgg(
   override def prettyName: String = "kll_doubles_sketch"
 }
 
+/** Classic DoublesSketch build+merge aggregate → compact classic bytes
+  * (family id 8). This is the WRITE-side interop for the reference's
+  * quantiles module: its deserializer is `DoublesSketch.wrap(Memory.wrap)`
+  * (extensions-core/datasketches/.../quantiles/DoublesSketchOperations
+  * .java:56), which reads exactly these bytes — so a Druid cluster can
+  * consume quantile columns this engine writes. The KLL aggregate remains
+  * the in-engine default (smaller state, same error class); choose this
+  * one when the output feeds a reference deployment. */
+case class ClassicDoublesAgg(
+    child: Expression,
+    k: Int = 128,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.quantiles.DoublesUnion]
+  with UnaryLike[Expression] {
+  import org.apache.datasketches.quantiles.DoublesUnion
+
+  override def createAggregationBuffer(): DoublesUnion =
+    DoublesUnion.builder().setMaxK(k).build()
+
+  override def update(buf: DoublesUnion, input: InternalRow): DoublesUnion = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Number].doubleValue())
+    buf
+  }
+  override def merge(buf: DoublesUnion, other: DoublesUnion): DoublesUnion = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: DoublesUnion): Any = buf.getResult.toByteArray(true)
+  override def serialize(buf: DoublesUnion): Array[Byte] = buf.getResult.toByteArray(true)
+  override def deserialize(b: Array[Byte]): DoublesUnion =
+    DoublesUnion.heapify(Memory.wrap(b))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ClassicDoublesAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ClassicDoublesAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ClassicDoublesAgg = copy(child = c)
+  override def prettyName: String = "classic_doubles_sketch"
+}
+
 /** KLL post-ops: DS_GET_QUANTILE / DS_RANK / DS_CDF equivalents. */
 case class KllQuantile(child: Expression, q: Double)
   extends UnaryExpression with CodegenFallback {
@@ -559,6 +600,12 @@ object SketchFunctions {
   /** DS_QUANTILES_SKETCH(col, k): KLL doubles sketch. Exact while n ≤ k. */
   def kllSketch(col: Column, k: Int = 200): Column =
     c(KllDoublesAgg(e(col), k).toAggregateExpression())
+
+  /** Classic DoublesSketch bytes (reference wire format — write-side
+    * interop, see [[ClassicDoublesAgg]]); read back through the same
+    * family-dispatching DS_* post-aggs. */
+  def classicQuantilesSketch(col: Column, k: Int = 128): Column =
+    c(ClassicDoublesAgg(e(col), k).toAggregateExpression())
   def kllQuantile(col: Column, q: Double): Column = c(KllQuantile(e(col), q))
   def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
   def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))

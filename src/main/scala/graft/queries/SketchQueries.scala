@@ -56,6 +56,20 @@ object SketchQueries {
           graft.functions.TextFunctions.round4(element_at(kllCdf(col("sk"), Seq(2500.0, 7500.0)), 2)).as("cdf_7500"))
     }),
 
+    // classic DoublesSketch (the reference's quantiles WIRE format — a Druid
+    // cluster reads these bytes via DoublesSketch.wrap,
+    // DoublesSketchOperations.java:56). Exact while n ≤ 2k, so the sf-scale
+    // supplier table pins exact quantiles against the oracle.
+    "sketch_quantiles_classic" -> ((s, dir) => {
+      val sup = Sources.table(s, dir, "supplier")
+      sup.agg(classicQuantilesSketch(col("s_acctbal"), k = 1024).as("sk"), count(lit(1)).as("n"))
+        .select(
+          col("n"),
+          kllQuantile(col("sk"), 0.25).as("q25"),
+          kllQuantile(col("sk"), 0.5).as("q50"),
+          kllQuantile(col("sk"), 0.75).as("q75"))
+    }),
+
     // HLL sketch family (Spark's DataSketches HLL): per-group build →
     // union-merge → estimate. HLL's coupon phase hashes into a 26-bit
     // space, so even "exact mode" birthday-collides with probability
@@ -136,6 +150,13 @@ object SketchQueries {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd_supp,
         |       CAST(round(sum(l_quantity)) AS BIGINT) AS qty_sum, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_quantiles_classic" ->
+      """SELECT count(*) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75
+        |FROM supplier""".stripMargin,
 
     "sketch_quantiles_kll" ->
       """SELECT count(*) AS n,

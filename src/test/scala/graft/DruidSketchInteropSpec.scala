@@ -162,4 +162,41 @@ class DruidSketchInteropSpec extends SparkSpecBase {
     assert(math.abs(row.getDouble(0) - 1.0429189446653817e7) < 1.0)
     assert(math.abs(row.getDouble(1) - 2440618.528853266) < 1e-6)
   }
+
+  // ---- WRITE-side interop: bytes a reference deployment can read ----
+
+  test("classic DoublesSketch write side: family-8 compact bytes readable by the " +
+      "reference's own wrap call (DoublesSketchOperations.java:56)") {
+    import graft.plans.SketchFunctions
+    import spark.implicits._
+    val values = (1 to 1000).map(_.toDouble)
+    val sk = values.toDF("v").repartition(4) // force shuffle-merged partials
+      .agg(SketchFunctions.classicQuantilesSketch(col("v"), 128).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // classic quantiles preamble: family id 8 at byte 2 (DataSketches
+    // Family.QUANTILES — the id the reference's module stores and reads)
+    assert(sk(2) == 8.toByte)
+    // the reference's exact deserialization path
+    val ref = org.apache.datasketches.quantiles.DoublesSketch.wrap(
+      org.apache.datasketches.memory.Memory.wrap(sk))
+    assert(ref.getN == 1000L)
+    assert(math.abs(ref.getQuantile(0.5) - 500.0) < 25.0)
+    assert(ref.getMinItem == 1.0 && ref.getMaxItem == 1000.0)
+    // and the engine's family-dispatching read path consumes its own output
+    assert(math.abs(graft.plans.QuantileSketchBytes.wrap(sk).quantile(0.5) - 500.0) < 25.0)
+  }
+
+  test("theta write side: compact family-3 bytes readable by the reference's " +
+      "SketchHolder deserialize (SketchHolder.java:240-242)") {
+    import graft.plans.SketchFunctions
+    import spark.implicits._
+    val sk = (1 to 500).map(_.toString).toDF("v").repartition(4)
+      .agg(SketchFunctions.thetaSketch(col("v"), 12).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    // compact theta preamble: family id 3 at byte 2 (Family.COMPACT)
+    assert(sk(2) == 3.toByte)
+    val ref = org.apache.datasketches.theta.Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(sk))
+    assert(math.abs(ref.getEstimate - 500.0) < 15.0)
+  }
 }
