@@ -190,7 +190,10 @@ object NativeQuery {
         }
         SegmentMetadataQuery(exact = true, analysisTypes = analyses,
           ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(prepared)
-      case t => throw new IllegalArgumentException(s"unsupported queryType: $t")
+      // surfaces as QueryUnsupportedException — "Unsupported query" at 501
+      // (QueryUnsupportedException.java:39-40, QueryResourceTest
+      // testUnsupportedQueryThrowsException)
+      case t => throw new UnsupportedOperationException(s"unsupported queryType: $t")
     }
   }
 

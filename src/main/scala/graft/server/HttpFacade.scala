@@ -394,7 +394,17 @@ object HttpFacade {
       (200, capacity.run(if (queryId.isEmpty && timeoutMs <= 0L) exec()
       else cancels.run(queryId.getOrElse(
         java.util.UUID.randomUUID().toString), timeoutMs)(exec())))
-    }, onDelete = Some(id => { cancels.cancel(id); 202 })))
+    }, onDelete = Some(id => { cancels.cancel(id); 202 }),
+      // X-Druid-Query-Id on every native response — the context's id when
+      // the client set one, a fresh one otherwise (QueryResource
+      // QUERY_ID_RESPONSE_HEADER; the SQL route stamps its SQL analog)
+      respHeaders = body => {
+        val id = try JsonMethods.parse(body) \ "context" \ "queryId" match {
+          case JString(s) => s
+          case _ => java.util.UUID.randomUUID().toString
+        } catch { case _: Throwable => java.util.UUID.randomUUID().toString }
+        Seq("X-Druid-Query-Id" -> id)
+      }))
 
     // lookup admin CRUD + introspection (LookupCoordinatorResource.java,
     // LookupIntrospectionResource.java) over the registry the lookup
@@ -464,7 +474,8 @@ object HttpFacade {
     * status with an empty body, like the reference's Response.status(...)
     * .build(). */
   private def statusHandler(f: String => (Int, String),
-      onDelete: Option[String => Int] = None): HttpHandler = new HttpHandler {
+      onDelete: Option[String => Int] = None,
+      respHeaders: String => Seq[(String, String)] = _ => Nil): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       if (ex.getRequestMethod == "DELETE" && onDelete.isDefined) {
         val id = ex.getRequestURI.getPath
@@ -480,6 +491,8 @@ object HttpFacade {
             (405, """{"error":"POST only"}""")
           else {
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            try respHeaders(body).foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+            catch { case _: Throwable => }
             f(body)
           }
         } catch { case e: Throwable => queryError(e) }
@@ -579,6 +592,15 @@ object HttpFacade {
           "org.apache.druid.query.QueryCapacityExceededException")
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         (400, "SQL parse failed", "org.apache.calcite.sql.parser.SqlParseException")
+      // malformed native-query JSON → BadJsonQueryException envelope
+      // (BadJsonQueryException.java:28-29, BadQueryException.STATUS_CODE=400;
+      // QueryResourceTest.testBadQuery)
+      case _: com.fasterxml.jackson.core.JsonProcessingException =>
+        (400, "Json parse failed", "com.fasterxml.jackson.core.JsonParseException")
+      // unknown/unsupported query type → QueryUnsupportedException at 501
+      // (QueryUnsupportedException.java:39-40)
+      case _: UnsupportedOperationException =>
+        (501, "Unsupported query", "org.apache.druid.query.QueryUnsupportedException")
       case _: ResourceLimitExceededException =>
         (400, "Resource limit exceeded",
           "org.apache.druid.query.ResourceLimitExceededException")

@@ -664,4 +664,46 @@ class HttpFacadeSpec extends SparkSpecBase {
         assert((json \ "error") == JString("Query cancelled"))
     } finally facade.stop()
   }
+
+  // QueryResourceTest ports: the native endpoint's error taxonomy + query-id
+  // response header (server/src/test/java/org/apache/druid/server/
+  // QueryResourceTest.java)
+  test("native endpoint: query-id header, bad JSON 400, unsupported type 501 " +
+      "(QueryResourceTest.java:242,603,638)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      def postRaw(path: String, body: String): (Int, String, java.net.http.HttpHeaders) = {
+        val client = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${facade.port}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body(), resp.headers())
+      }
+      // testGoodQuery: 200 + X-Druid-Query-Id stamped; explicit queryId echoes
+      val (s1, _, h1) = postRaw("/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "orders",
+           "timeColumn": "o_orderdate", "context": {"queryId": "qrt-good"}}""")
+      assert(s1 == 200)
+      assert(h1.firstValue("X-Druid-Query-Id").orElse("") == "qrt-good")
+      val (s1b, _, h1b) = postRaw("/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "orders",
+           "timeColumn": "o_orderdate"}""")
+      assert(s1b == 200 && h1b.firstValue("X-Druid-Query-Id").isPresent)
+      // testBadQuery: malformed JSON → BadJsonQueryException envelope at 400
+      val (s2, b2, _) = postRaw("/druid/v2", """{"queryType": "timeBoundary", "dataSource":""")
+      assert(s2 == 400)
+      val j2 = JsonMethods.parse(b2)
+      assert((j2 \ "error") == JString("Json parse failed"))
+      assert((j2 \ "errorClass") == JString("com.fasterxml.jackson.core.JsonParseException"))
+      // testUnsupportedQueryThrowsException: unknown query type → 501
+      val (s3, b3, _) = postRaw("/druid/v2",
+        """{"queryType": "totallyNotAQuery", "dataSource": "orders"}""")
+      assert(s3 == 501)
+      val j3 = JsonMethods.parse(b3)
+      assert((j3 \ "error") == JString("Unsupported query"))
+      assert((j3 \ "errorClass") ==
+        JString("org.apache.druid.query.QueryUnsupportedException"))
+    } finally facade.stop()
+  }
 }

@@ -109,7 +109,9 @@ class NativeQuerySpec extends SparkSpecBase {
   }
 
   test("unsupported query type raises a clear error") {
-    assertThrows[IllegalArgumentException](run("""{"queryType": "nope", "dataSource": "orders"}"""))
+    // surfaces as QueryUnsupportedException (501) on the HTTP facade
+    assertThrows[UnsupportedOperationException](
+      run("""{"queryType": "nope", "dataSource": "orders"}"""))
   }
 
   test("typed inline datasource: declared types and inferred types") {
