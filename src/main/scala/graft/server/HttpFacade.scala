@@ -85,10 +85,18 @@ object HttpFacade {
     * "Query capacity exceeded", HTTP 429 (QueryCapacityExceededException
     * .java:41-47, the QueryScheduler's laning guard;
     * SqlResourceTest.testTooManyRequests). */
-  private[server] final class QueryCapacityException(capacity: Int)
-    extends RuntimeException(
+  private[server] final class QueryCapacityException private (msg: String)
+    extends RuntimeException(msg)
+  private[server] object QueryCapacityException {
+    // TOTAL_ERROR_MESSAGE_TEMPLATE / LANE_ERROR_MESSAGE_TEMPLATE
+    // (QueryCapacityExceededException.java:41-44)
+    def total(capacity: Int): QueryCapacityException = new QueryCapacityException(
       s"Too many concurrent queries, total query capacity of $capacity exceeded. " +
         "Please try your query again later.")
+    def lane(lane: String, capacity: Int): QueryCapacityException = new QueryCapacityException(
+      s"Too many concurrent queries for lane '$lane', query capacity of $capacity exceeded. " +
+        "Please try your query again later.")
+  }
 
   /** Guards the session-level conf toggles the SQL entry points apply
     * around each query (ANSI off for Druid's lenient-cast semantics, the
@@ -151,14 +159,39 @@ object HttpFacade {
     * usually single-tenant; a shared broker sets a limit sized to its
     * executor slots so queued queries fail fast instead of piling onto the
     * scheduler). */
-  private[server] final class CapacityGuard(limit: Int) {
+  /** Total + per-lane concurrency guard — the QueryScheduler analog. The
+    * "low" lane follows HiLoQueryLaningStrategy: a query lands there when
+    * its context names the lane or carries a negative priority
+    * (HiLoQueryLaningStrategy.java:76-85), and the lane's capacity is
+    * ceil(total × maxLowPercent / 100) (QueryLaningStrategy.java:57-60).
+    * A full lane rejects with the lane-flavored capacity message; the lane
+    * permit holds while the total permit is acquired so the two compose. */
+  private[server] final class CapacityGuard(limit: Int, maxLowPercent: Int = 0) {
     private val sem =
       if (limit > 0) Some(new java.util.concurrent.Semaphore(limit)) else None
-    def run[A](body: => A): A = sem match {
-      case None => body
-      case Some(s) =>
-        if (!s.tryAcquire()) throw new QueryCapacityException(limit)
-        try body finally s.release()
+    private val lowLimit =
+      if (limit > 0 && maxLowPercent > 0) math.ceil(limit * maxLowPercent / 100.0).toInt
+      else 0
+    private val lowSem =
+      if (lowLimit > 0) Some(new java.util.concurrent.Semaphore(lowLimit)) else None
+
+    def run[A](body: => A): A = run(None, None)(body)
+
+    def run[A](lane: Option[String], priority: Option[Int])(body: => A): A = {
+      val effectiveLane =
+        lane.orElse(if (priority.exists(_ < 0)) Some("low") else None)
+      val lowHeld = (effectiveLane, lowSem) match {
+        case (Some("low"), Some(ls)) =>
+          if (!ls.tryAcquire()) throw QueryCapacityException.lane("low", lowLimit)
+          true
+        case _ => false
+      }
+      try sem match {
+        case None => body
+        case Some(s) =>
+          if (!s.tryAcquire()) throw QueryCapacityException.total(limit)
+          try body finally s.release()
+      } finally if (lowHeld) lowSem.get.release()
     }
   }
 
@@ -247,7 +280,8 @@ object HttpFacade {
 
   def start(spark: SparkSession, resolve: NativeQuery.Resolver,
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
-      maxResultRows: Int = 100000, maxConcurrentQueries: Int = 0): Facade = {
+      maxResultRows: Int = 100000, maxConcurrentQueries: Int = 0,
+      maxLowPercent: Int = 0): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // a request pool (vs the default single dispatcher thread) so a DELETE
     // cancellation can be served while a POST query is still executing —
@@ -264,7 +298,7 @@ object HttpFacade {
     server.createContext("/druid/v2/sql/avatica", statusHandler(avatica.handle))
 
     val cancels = new CancelRegistry(spark.sparkContext)
-    val capacity = new CapacityGuard(maxConcurrentQueries)
+    val capacity = new CapacityGuard(maxConcurrentQueries, maxLowPercent)
 
     server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
@@ -391,7 +425,13 @@ object HttpFacade {
       }
       def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
         maxResultRows)
-      (200, capacity.run(if (queryId.isEmpty && timeoutMs <= 0L) exec()
+      val lane = (q \ "context" \ "lane") match {
+        case JString(l) => Some(l); case _ => None
+      }
+      val priority = (q \ "context" \ "priority") match {
+        case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
+      }
+      (200, capacity.run(lane, priority)(if (queryId.isEmpty && timeoutMs <= 0L) exec()
       else cancels.run(queryId.getOrElse(
         java.util.UUID.randomUUID().toString), timeoutMs)(exec())))
     }, onDelete = Some(id => { cancels.cancel(id); 202 }),
@@ -540,6 +580,14 @@ object HttpFacade {
       val timeoutMs = parsed.map(o => (o \ "context" \ "timeout") match {
         case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
       }).getOrElse(0L)
+      // lane assignment: context.lane, or the low lane on negative priority
+      // (HiLoQueryLaningStrategy.java:76-85)
+      val lane = parsed.flatMap(o => (o \ "context" \ "lane") match {
+        case JString(l) => Some(l); case _ => None
+      })
+      val priority = parsed.flatMap(o => (o \ "context" \ "priority") match {
+        case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
+      })
       val (status, payload, contentType) =
         try {
           if (ex.getRequestMethod != "POST")
@@ -547,7 +595,7 @@ object HttpFacade {
           // registered for the request's full lifecycle — parse, plan,
           // execute — like SqlLifecycleManager.add at doPost entry, so a
           // cancel landing between plan and execute still voids the request
-          else (200, capacity.run(cancels.run(sqlQueryId, timeoutMs)(f(body))),
+          else (200, capacity.run(lane, priority)(cancels.run(sqlQueryId, timeoutMs)(f(body))),
             format match {
             case "objectLines" | "arrayLines" => "text/plain"
             case "csv" => "text/csv"

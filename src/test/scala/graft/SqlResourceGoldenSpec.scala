@@ -459,6 +459,43 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("testTooManyQueryInLane (QueryResourceTest.java:1115) — the low lane " +
+      "fills before total capacity; negative priority routes there implicitly " +
+      "(HiLoQueryLaningStrategy.java:76-85)") {
+    foo.createOrReplaceTempView("foo")
+    // total 2, maxLowPercent 50 → the low lane holds exactly 1
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      maxConcurrentQueries = 2, maxLowPercent = 50)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slowLow = """{"query":
+        "SELECT COUNT(*) AS cnt FROM foo CROSS JOIN range(40000000)",
+        "context": {"lane": "low"}}"""
+      val slowNegPriority = """{"query":
+        "SELECT COUNT(*) AS cnt FROM foo CROSS JOIN range(40000000)",
+        "context": {"priority": -1}}"""
+      val fast = """{"query": "SELECT COUNT(*) AS cnt FROM foo"}"""
+      // two low-lane queries race for the single low permit — whether lane
+      // is explicit or implied by negative priority — while a default-lane
+      // query still fits in the remaining total capacity
+      val futures = Seq(slowLow, slowNegPriority).map(q => Future(post(facade.port, q)))
+      Thread.sleep(300)
+      val (fastStatus, _, _) = post(facade.port, fast)
+      val results = Await.result(Future.sequence(futures), 180.seconds)
+      val statuses = results.map(_._1)
+      assert(fastStatus == 200)
+      assert(statuses.contains(429))
+      results.filter(_._1 == 429).foreach { case (_, body, _) =>
+        val e = JsonMethods.parse(body)
+        assert((e \ "error") == JString("Query capacity exceeded"))
+        assert((e \ "errorMessage").asInstanceOf[JString].s.startsWith(
+          "Too many concurrent queries for lane 'low', query capacity of 1 exceeded"))
+      }
+    } finally facade.stop()
+  }
+
   test("runtime failure mid-result → clean QueryException envelope " +
       "(testObjectResultFormatWithErrorAfterFirstRow :582 family, DEVIATION: " +
       "results materialize at the broker before streaming, so no truncated " +
