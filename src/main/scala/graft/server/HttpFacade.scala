@@ -369,6 +369,11 @@ object HttpFacade {
       val sqlZone = (context \ "sqlTimeZone") match {
         case JString(z) => Some(java.time.ZoneId.of(z)); case _ => None
       }
+      // PlannerContext.CTX_SQL_OUTER_LIMIT: cap the outermost result —
+      // consoles set it to bound ad-hoc queries without editing the SQL
+      val outerLimit = (context \ "sqlOuterLimit") match {
+        case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
+      }
       graft.functions.GraftSqlFunctions.register(spark)
       // metadata queries see the live catalog without a manual re-register
       SystemSchema.refreshIfMetadataQuery(spark, sqlText)
@@ -395,7 +400,8 @@ object HttpFacade {
                 Seq(ColMeta("inserted", Some("LONG"), "BIGINT")),
                 format, header, typesHeader, sqlTypesHeader)
             case None =>
-              val df = spark.sql(sqlText)
+              val df0 = spark.sql(sqlText)
+              val df = outerLimit.fold(df0)(df0.limit)
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
               maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))

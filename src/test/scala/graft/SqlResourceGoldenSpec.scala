@@ -459,6 +459,22 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("sqlOuterLimit context caps the outermost result (PlannerContext.CTX_SQL_OUTER_LIMIT)") {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val (s1, b1, _) = post(facade.port,
+        """{"query": "SELECT dim1 FROM foo ORDER BY dim1",
+            "context": {"sqlOuterLimit": 2}}""")
+      assert(s1 == 200)
+      assert(JsonMethods.parse(b1).asInstanceOf[JArray].arr.size == 2)
+      // without the context the full 6 rows return
+      val (s2, b2, _) = post(facade.port, """{"query": "SELECT dim1 FROM foo"}""")
+      assert(s2 == 200)
+      assert(JsonMethods.parse(b2).asInstanceOf[JArray].arr.size == 6)
+    } finally facade.stop()
+  }
+
   test("testTooManyQueryInLane (QueryResourceTest.java:1115) — the low lane " +
       "fills before total capacity; negative priority routes there implicitly " +
       "(HiLoQueryLaningStrategy.java:76-85)") {
