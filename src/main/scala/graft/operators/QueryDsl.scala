@@ -481,25 +481,34 @@ final case class SegmentMetadataQuery(exact: Boolean = false,
     // ingest spec that produced the table (BatchIngest.specOf)
     ingestSpec: Option[graft.sources.BatchIngest.IngestSpec] = None) {
   def run(ds: DataFrame): DataFrame = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    val perCol = ds.schema.fields.map { f =>
+    // One aggregate per column, unioned — NOT one aggregate with N exact
+    // distincts: multiple count_distinct in one Aggregate makes Catalyst
+    // Expand the input N× (one replica per distinct), an N-fold row blowup
+    // at scale. Per-column branches read the same total bytes (each scan
+    // prunes to its own column) and each runs a plain two-phase distinct
+    // aggregate; the single-value numRows aggregate broadcasts onto every
+    // branch row.
+    val numRows = ds.groupBy().agg(count(lit(1)).as("numRows"))
+    val branches = ds.schema.fields.toSeq.map { f =>
       val c = col(f.name)
       val card = if (exact) count_distinct(c) else approx_count_distinct(c)
       val base = Seq(
-        lit(f.name).as("column"),
-        lit(f.dataType.simpleString).as("type"),
         card.as("cardinality"),
         sum(when(c.isNull, 1L).otherwise(0L)).as("nullCount"))
       val mm = if (analysisTypes("minmax"))
         Seq(min(c).cast("string").as("minValue"), max(c).cast("string").as("maxValue")) else Nil
       val sz = if (analysisTypes("size"))
         Seq(sum(length(c.cast("string")).cast("long")).as("size_bytes")) else Nil
-      struct(base ++ mm ++ sz: _*)
+      val aggs = base ++ mm ++ sz
+      val names = Seq("cardinality", "nullCount") ++
+        (if (analysisTypes("minmax")) Seq("minValue", "maxValue") else Nil) ++
+        (if (analysisTypes("size")) Seq("size_bytes") else Nil)
+      ds.select(c).agg(aggs.head, aggs.tail: _*)
+        .select(lit(f.name).as("column") +:
+          lit(f.dataType.simpleString).as("type") +: names.map(col): _*)
     }
-    val row = ds.agg(count(lit(1)).as("numRows"), array(perCol.map(s => s): _*).as("columns"))
-    val cols = row.select(col("numRows"), explode(col("columns")).as("c"))
-      .select($"c.*", $"numRows")
+    val cols = branches.reduce(_.unionByName(_))
+      .crossJoin(broadcast(numRows))
       .orderBy("column")
     // table-level spec analyses repeat on every row (the reference reports
     // them once per segment alongside the per-column map)
