@@ -142,4 +142,27 @@ object PlannerChecks {
       // but coverage tracking only needs the derived-id set to grow
       (childUncovered, childTime ++ aliased)
   }
+
+  /** `useApproximateCountDistinct` (PlannerConfig.java — the reference's
+    * broker plans COUNT(DISTINCT x) to APPROX_COUNT_DISTINCT under this
+    * context): rewrite every distinct Count in the analyzed plan to
+    * HyperLogLogPlusPlus, preserving each aggregate's result id so
+    * downstream references stay bound. The distinct-free plan drops the
+    * Expand/double-shuffle Catalyst needs for exact distincts — the
+    * approximation IS the scale lever, exactly as in the reference. The
+    * engine's default stays exact (a deliberate deviation from the
+    * reference's default-true: exactness is the safer default when the
+    * engine can afford it). */
+  def approximateCountDistinct(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Count, HyperLogLogPlusPlus}
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val plan = CatalystBridge.analyzed(df)
+    val rewritten = plan.transformAllExpressions {
+      case ae @ AggregateExpression(Count(Seq(child)), mode, true, filter, resultId) =>
+        AggregateExpression(HyperLogLogPlusPlus(child), mode, isDistinct = false,
+          filter, resultId)
+    }
+    CatalystBridge.ofRows(df.sparkSession, rewritten)
+  }
 }

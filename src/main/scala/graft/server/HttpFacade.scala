@@ -374,6 +374,11 @@ object HttpFacade {
       val outerLimit = (context \ "sqlOuterLimit") match {
         case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
       }
+      // PlannerConfig.useApproximateCountDistinct — COUNT(DISTINCT) plans to
+      // an HLL++ estimate (opt-in here; the engine's default stays exact)
+      val approxCountDistinct = (context \ "useApproximateCountDistinct") match {
+        case JBool(b) => b; case _ => false
+      }
       graft.functions.GraftSqlFunctions.register(spark)
       // metadata queries see the live catalog without a manual re-register
       SystemSchema.refreshIfMetadataQuery(spark, sqlText)
@@ -400,7 +405,10 @@ object HttpFacade {
                 Seq(ColMeta("inserted", Some("LONG"), "BIGINT")),
                 format, header, typesHeader, sqlTypesHeader)
             case None =>
-              val df0 = spark.sql(sqlText)
+              val df1 = spark.sql(sqlText)
+              val df0 =
+                if (approxCountDistinct) graft.plans.PlannerChecks.approximateCountDistinct(df1)
+                else df1
               val df = outerLimit.fold(df0)(df0.limit)
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)

@@ -459,6 +459,26 @@ class SqlResourceGoldenSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("useApproximateCountDistinct context plans COUNT(DISTINCT) approximately " +
+      "(PlannerConfig.useApproximateCountDistinct)") {
+    foo.createOrReplaceTempView("foo")
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val q = """SELECT COUNT(DISTINCT dim1) AS cnt FROM foo"""
+      // exact by default
+      val (s1, b1, _) = post(facade.port, s"""{"query": "$q"}""")
+      assert(s1 == 200 && b1 == "[{\"cnt\":6}]\n")
+      // approximate on request: HLL++ is exact at this tiny cardinality,
+      // and the plan no longer carries a distinct aggregate
+      val (s2, b2, _) = post(facade.port,
+        s"""{"query": "$q", "context": {"useApproximateCountDistinct": true}}""")
+      assert(s2 == 200 && b2 == "[{\"cnt\":6}]\n")
+      val plan = graft.plans.PlannerChecks.approximateCountDistinct(
+        spark.sql(q)).queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand") && plan.contains("approx_count_distinct"))
+    } finally facade.stop()
+  }
+
   test("sqlOuterLimit context caps the outermost result (PlannerContext.CTX_SQL_OUTER_LIMIT)") {
     foo.createOrReplaceTempView("foo")
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
