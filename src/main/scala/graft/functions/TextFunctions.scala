@@ -159,6 +159,22 @@ object TextFunctions {
       * 10000.0 + 0.5).cast("long")
   }
 
+  /** Duplicate word-n-gram fraction WITHIN a document, basis points — the
+    * Gopher repetition-removal family ("fraction of duplicate n-grams",
+    * Rae et al. 2021 §A1.1). Unlike the dedup shingles, the n-gram list
+    * here keeps duplicates: repetition is the signal. Pure array builtins,
+    * whole-stage codegen'd. */
+  def dupNgramBp(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    val sh = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    when(size(sh) > 0,
+      floor((size(sh) - size(array_distinct(sh))).cast("double") / size(sh) * 10000.0 + 0.5)
+        .cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** Fraction of lines starting with a bullet marker, in basis points
     * (Gopher drops docs with >90% bullet lines). */
   def bulletLineBp(c: Column): Column = {

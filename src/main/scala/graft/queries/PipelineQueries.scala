@@ -135,6 +135,15 @@ object PipelineQueries {
           TF.meanWordLenX100(col("text")).as("mwl_x100"))
     }),
 
+    // within-document repetition: duplicate 3-gram fraction (the Gopher
+    // repetition filters) — top-200 docs, exact basis points
+    "text_repetition" -> ((s, dir) => {
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(200)
+        .select(col("doc_id"), TF.dupNgramBp(col("text"), 3).as("dup3_bp"))
+    }),
+
     // corpus gate: documents passing the Gopher keep-thresholds, per source
     // (dup lines < 30%, bullets < 90%, ellipses < 30%, mean word length in
     // [3,10] — the published cutoffs)
@@ -269,6 +278,17 @@ object PipelineQueries {
            |  CAST(floor((CAST(len($NormSql) AS DOUBLE) - (CAST($NTokSql AS DOUBLE) - 1)) / $ntokD * 100.0 + 0.5) AS BIGINT) AS mwl_x100
            |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin
       },
+
+      "text_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents ORDER BY doc_id LIMIT 200),
+           |s AS (SELECT doc_id, CASE WHEN len(t) >= 3
+           |  THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           |  ELSE [] END AS sgl FROM base)
+           |SELECT doc_id, CASE WHEN len(sgl) > 0
+           |  THEN CAST(floor(CAST(len(sgl) - len(list_distinct(sgl)) AS DOUBLE)
+           |       / len(sgl) * 10000.0 + 0.5) AS BIGINT)
+           |  ELSE 0 END AS dup3_bp
+           |FROM s ORDER BY doc_id""".stripMargin,
 
       "text_gopher_gate" -> {
         val l = "string_split(text, chr(10))"
