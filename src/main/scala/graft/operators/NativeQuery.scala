@@ -1014,8 +1014,9 @@ object NativeQuery {
     case "always" => lit(true)
     case "never" => lit(false)
     // dimSelector having (DimensionSelectorHavingSpec): filter output rows
-    // on a dimension value
-    case "dimSelector" => col(str(j \ "dimension")) <=> lit(jvalueToAny(j \ "value"))
+    // on a dimension value, through an optional extraction fn
+    // (DimensionSelectorHavingSpecTest's extractionFn cases)
+    case "dimSelector" => dimWithExtraction(j) <=> lit(jvalueToAny(j \ "value"))
     case "and" => arr(j \ "havingSpecs").map(having).reduce(_ && _)
     case "or" => arr(j \ "havingSpecs").map(having).reduce(_ || _)
     case "not" => !having(j \ "havingSpec")

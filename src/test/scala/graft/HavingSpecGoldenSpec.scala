@@ -98,6 +98,23 @@ class HavingSpecGoldenSpec extends SparkSpecBase {
     assert(surviving("""{"type": "never"}""", rows) == Set.empty[Int])
   }
 
+  // DimensionSelectorHavingSpecTest — dimension-value having with an
+  // extraction fn applied before the compare
+  test("dimSelector having with extraction fn (DimensionSelectorHavingSpecTest)") {
+    val df = NativeQuery.run(spark,
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline", "columnNames": ["d", "m"],
+          "columnTypes": ["STRING", "LONG"],
+          "rows": [["apple", 1], ["banana", 2], ["avocado", 3]]},
+        "dimensions": ["d"],
+        "aggregations": [{"type": "longSum", "name": "s", "fieldName": "m"}],
+        "having": {"type": "dimSelector", "dimension": "d", "value": "a",
+                   "extractionFn": {"type": "substring", "index": 0, "length": 1}}
+      }""", name => spark.read.parquet(s"${sf()}/$name.parquet"))
+    assert(df.select("d").as[String].collect().toSet == Set("apple", "avocado"))
+  }
+
   // testTypeTypo (HavingSpecTest.java:89) — unknown type is an error
   test("unknown having type rejected (HavingSpecTest.java:89)") {
     intercept[IllegalArgumentException] {
