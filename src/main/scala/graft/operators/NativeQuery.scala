@@ -107,25 +107,34 @@ object NativeQuery {
         ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
+        val dims = arr(q \ "dimensions").map(dimSpec)
+        val dimOutputs = dims.map(_.output).toSet
         GroupByQuery(
-          dimensions = arr(q \ "dimensions").map(dimSpec),
+          dimensions = dims,
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
           aggregations = aggregations(q \ "aggregations", timeCol),
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
-            orderBy = arr(ls \ "columns").map {
-              case JString(c) => col(c).asc
-              case o =>
-                val base = col(str(o \ "dimension"))
-                // OrderByColumnSpec.dimensionOrder: a StringComparator name
-                // (string or {"type": ...}); absent → natural column order
-                val keyed = ((o \ "dimensionOrder") match {
-                  case JString(n) => Some(n)
-                  case obj: JObject => strOpt(obj \ "type")
-                  case _ => None
-                }).fold(base)(n => comparatorKey(n, base))
-                if (strOpt(o \ "direction").contains("descending")) keyed.desc else keyed.asc
+            orderBy = arr(ls \ "columns").map { o =>
+              val name = o match { case JString(c) => c; case _ => str(o \ "dimension") }
+              val base = col(name)
+              // OrderByColumnSpec.dimensionOrder: a StringComparator name
+              // (string or {"type": ...}). Absent, a DIMENSION column takes
+              // the spec's lexicographic DEFAULT — numbers sort like strings
+              // (DefaultLimitSpecTest.testSortDimensionDescending pins it) —
+              // while a metric keeps its aggregator's natural comparator
+              val explicit = (o \ "dimensionOrder") match {
+                case JString(n) => Some(n)
+                case obj: JObject => strOpt(obj \ "type")
+                case _ => None
+              }
+              val keyed = explicit match {
+                case Some(n) => comparatorKey(n, base)
+                case None if dimOutputs(name) => comparatorKey("lexicographic", base)
+                case None => base
+              }
+              if (strOpt(o \ "direction").contains("descending")) keyed.desc else keyed.asc
             },
             limit = intOpt(ls \ "limit"),
             offset = intOpt(ls \ "offset").getOrElse(0)),

@@ -448,6 +448,25 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(df.head.getLong(1) == 20L)
   }
 
+  test("limitSpec default comparator sorts numeric dimensions like strings " +
+      "(DefaultLimitSpecTest.testSortDimensionDescending)") {
+    def sorted(withOrder: String): Seq[Double] =
+      run(
+        s"""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "inline", "columnNames": ["k1"],
+            "columnTypes": ["DOUBLE"], "rows": [[9.0], [10.0], [2.0]]},
+          "dimensions": ["k1"],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "limit": 3,
+            "columns": [{"dimension": "k1", "direction": "descending"$withOrder}]}
+        }""").collect().map(_.getDouble(0)).toSeq
+    // the spec's lexicographic default: "9.0" > "2.0" > "10.0"
+    assert(sorted("") == Seq(9.0, 2.0, 10.0))
+    // an explicit numeric dimensionOrder restores value order
+    assert(sorted(""", "dimensionOrder": "numeric"""") == Seq(10.0, 9.0, 2.0))
+  }
+
   test("in filter with a null value matches null dimensions (InDimFilter containsNull)") {
     val got = run(
       """{
