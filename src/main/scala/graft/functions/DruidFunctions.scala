@@ -157,15 +157,32 @@ object DruidFunctions {
       ((v / 256L).cast("long") % 256).cast("string"),
       (v % 256).cast("string"))
   }
-  /** ipv4_match(addr, 'cidr/len'): addr (string or long) inside subnet. */
-  def ipv4Match(addr: Column, cidr: String): Column = {
+  /** ipv4_match(addr, 'cidr/len'): addr (string or long) inside subnet.
+    * Reference semantics (IPv4AddressMatchExprMacro +
+    * IPv4AddressMatchExprMacroTest): a STRING argument matches only as a
+    * dotted-quad — an unsigned-int string, an IPv6 form, or any other text
+    * is FALSE (not null, :84-146,160-170); a LONG argument matches by
+    * value. The SQL registration dispatches on the resolved input type. */
+  def ipv4Match(addr: Column, cidr: String): Column =
+    ipv4MatchOn(when(addr.cast("string").rlike("^\\d+\\.\\d+"), ipv4Parse(addr.cast("string")))
+      .otherwise(addr.cast("long")), cidr)
+
+  /** String-typed input: dotted-quad only. */
+  def ipv4MatchString(addr: Column, cidr: String): Column =
+    ipv4MatchOn(ipv4Parse(addr), cidr)
+
+  /** Numeric input: the long value is the address. */
+  def ipv4MatchLong(addr: Column, cidr: String): Column =
+    ipv4MatchOn(addr.cast("long"), cidr)
+
+  private def ipv4MatchOn(addrLong: Column, cidr: String): Column = {
     val Array(base, len) = cidr.split("/")
     val baseLong = base.split("\\.").map(_.toLong).reduce(_ * 256 + _)
     val bits = len.toInt
     val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
-    val addrLong = when(addr.cast("string").rlike("^\\d+\\.\\d+"), ipv4Parse(addr.cast("string")))
-      .otherwise(addr.cast("long"))
-    addrLong.bitwiseAND(mask) === (baseLong & mask)
+    // unparseable/null input evaluates FALSE like the reference macro's
+    // ofLongBoolean(false), never null
+    coalesce(addrLong.bitwiseAND(mask) === (baseLong & mask), lit(false))
   }
 
   // --- parse_long with radix (sql PARSE_LONG) ---

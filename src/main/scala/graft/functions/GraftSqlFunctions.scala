@@ -365,7 +365,7 @@ object GraftSqlFunctions {
     "ipv4_parse" -> { args => Ipv4TypeDispatch(args(0), stringify = false) },
     "ipv4_stringify" -> { args => Ipv4TypeDispatch(args(0), stringify = true) },
     "ipv4_match" -> { args =>
-      ex(DruidFunctions.ipv4Match(col(args(0)), litStr(args(1), "ipv4_match")))
+      Ipv4Match(args(0), litStr(args(1), "ipv4_match"))
     },
 
     // TIME_IN_INTERVAL(ts, 'start/end') (TimeInIntervalConversion)
@@ -832,6 +832,51 @@ case class Ipv4TypeDispatch(child: Expression, stringify: Boolean)
   override protected def withNewChildInternal(newChild: Expression): Ipv4TypeDispatch =
     copy(child = newChild)
   override def prettyName: String = if (stringify) "ipv4_stringify" else "ipv4_parse"
+}
+
+/** IPV4_MATCH(addr, 'cidr') with the reference's value-typed dispatch
+  * (IPv4AddressMatchExprMacro + its test): a STRING address matches only as
+  * a dotted-quad (an unsigned-int string, IPv6 form, or other text is
+  * false); a LONG matches by value; null/unparseable evaluates FALSE —
+  * the macro's ofLongBoolean(false) — never null. */
+case class Ipv4Match(child: Expression, cidr: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  private val Dotted = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
+  private def parseDotted(s: String): Option[Long] = s match {
+    case Dotted(a, b, c, d) =>
+      val parts = Seq(a, b, c, d).map(_.toLong)
+      if (parts.forall(_ <= 255)) Some(parts.reduce(_ * 256 + _)) else None
+    case _ => None
+  }
+  @transient private lazy val (baseMasked: Long, mask: Long) = {
+    val Array(base, len) = cidr.split("/")
+    val baseLong = parseDotted(base).getOrElse(
+      throw new IllegalArgumentException(s"subnet is not a valid CIDR: $cidr"))
+    val bits = len.toInt
+    val m = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+    (baseLong & m, m)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val asLong: Option[Long] = v match {
+      case null => None
+      case s: UTF8String => parseDotted(s.toString)
+      case n: Number =>
+        val l = n.longValue()
+        if (l >= 0L && l <= 0xFFFFFFFFL) Some(l) else None
+      case _ => None
+    }
+    asLong.exists(l => (l & mask) == baseMasked)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Ipv4Match =
+    copy(child = newChild)
+  override def prettyName: String = "ipv4_match"
 }
 
 case class MvToArray(child: Expression)

@@ -38,6 +38,26 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(one[Any]("IPV4_PARSE('999.1.1.1')") == null)
   }
 
+  test("ipv4_match value-typed dispatch (IPv4AddressMatchExprMacroTest.java:84-178)") {
+    // string dotted-quad matches; long value matches
+    assert(one[Boolean]("IPV4_MATCH('192.168.0.1', '192.168.0.0/16')"))
+    assert(one[Boolean]("IPV4_MATCH(3232235521, '192.168.0.0/16')"))
+    // an unsigned-int STRING is not an address (testMatchingStringArgUnsignedInt)
+    assert(!one[Boolean]("IPV4_MATCH('3232235521', '192.168.0.0/16')"))
+    // IPv6 mapped/compatible forms and other text are false, never null
+    assert(!one[Boolean]("IPV4_MATCH('::ffff:192.168.0.1', '192.168.0.0/16')"))
+    assert(!one[Boolean]("IPV4_MATCH('::192.168.0.1', '192.168.0.0/16')"))
+    assert(!one[Boolean]("IPV4_MATCH('druid.apache.org', '192.168.0.0/16')"))
+    // null input evaluates false (testNullStringArg / testNullLongArg)
+    assert(!one[Boolean]("IPV4_MATCH(CAST(NULL AS STRING), '192.168.0.0/16')"))
+    assert(!one[Boolean]("IPV4_MATCH(CAST(NULL AS BIGINT), '192.168.0.0/16')"))
+    // subnet boundaries inclusive: network and broadcast both match (testInclusive)
+    assert(one[Boolean]("IPV4_MATCH('192.168.0.0', '192.168.0.0/16')"))
+    assert(one[Boolean]("IPV4_MATCH('192.168.255.255', '192.168.0.0/16')"))
+    // an invalid subnet literal is a construction-time error (testSubnetArgInvalid)
+    intercept[Exception](one[Boolean]("IPV4_MATCH('1.2.3.4', 'druid.apache.org/16')"))
+  }
+
   test("mv functions via SQL") {
     assert(one[Int]("MV_LENGTH(STRING_TO_MV('a,b,c', ','))") == 3)
     assert(one[String]("MV_TO_STRING(ARRAY('x','y'), '|')") == "x|y")
