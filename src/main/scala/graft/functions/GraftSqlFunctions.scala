@@ -52,6 +52,19 @@ object GraftSqlFunctions {
   /** String-literal varargs, unwrapping ARRAY('b','c') literal arguments —
     * Calcite spells list-valued args as ARRAY['b','c'] (e.g.
     * MV_FILTER_ONLY), the expression dialect as bare varargs. */
+  private def containsExpr(fn: String, args: Seq[Expression],
+      f: (Column, String) => Column): Column = {
+    if (args.size != 2)
+      throw new IllegalArgumentException(s"Function[$fn] must have 2 arguments")
+    val needle = args(1) match {
+      case Literal(s: UTF8String, _) => s.toString
+      case Literal(s: String, _) => s
+      case _ =>
+        throw new IllegalArgumentException(s"Function[$fn] substring must be a string literal")
+    }
+    coalesce(f(col(args(0)), needle), lit(false))
+  }
+
   private def litStrSeq(args: Seq[Expression], fn: String): Seq[String] =
     args.flatMap {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
@@ -215,11 +228,14 @@ object GraftSqlFunctions {
     // math-expr variant stays available as DruidFunctions.strpos for the
     // virtual-column / Column-API surface.
     "strpos" -> { args => ex(DruidFunctions.strpos(col(args(0)), col(args(1))) + lit(1)) },
+    // ContainsExprMacro contract (ContainsExprMacroTest): exactly two args,
+    // the substring a non-null string literal, a null haystack evaluates
+    // false (ofLongBoolean), never null
     "contains_string" -> { args =>
-      ex(DruidFunctions.containsString(col(args(0)), litStr(args(1), "contains_string")))
+      ex(containsExpr("contains_string", args, DruidFunctions.containsString))
     },
     "icontains_string" -> { args =>
-      ex(DruidFunctions.iContainsString(col(args(0)), litStr(args(1), "icontains_string")))
+      ex(containsExpr("icontains_string", args, DruidFunctions.iContainsString))
     },
     // REGEXP_EXTRACT(expr, pattern[, group]) (RegexpExtractOperatorConversion):
     // Druid returns NULL when the pattern does not match (RegexDimExtractionFn

@@ -38,6 +38,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(one[Any]("IPV4_PARSE('999.1.1.1')") == null)
   }
 
+  test("contains_string contract (ContainsExprMacroTest.java:37-143)") {
+    assert(one[Boolean]("CONTAINS_STRING('foobar', 'oba')"))
+    assert(!one[Boolean]("CONTAINS_STRING('foo', 'bar')"))
+    // empty search matches everything non-null; a null haystack is false
+    assert(one[Boolean]("CONTAINS_STRING('foo', '')"))
+    assert(one[Boolean]("CONTAINS_STRING('', '')"))
+    assert(!one[Boolean]("CONTAINS_STRING(CAST(NULL AS STRING), '')"))
+    // a null substring is a build-time error in sql-compatible mode
+    val e1 = intercept[Exception](one[Boolean]("CONTAINS_STRING('foo', NULL)"))
+    assert(e1.getMessage.contains("substring must be a string literal"))
+    // exactly two arguments
+    val e2 = intercept[Exception](one[Boolean]("CONTAINS_STRING('a', 'b', 'c')"))
+    assert(e2.getMessage.contains("must have 2 arguments"))
+  }
+
   test("ipv4_match value-typed dispatch (IPv4AddressMatchExprMacroTest.java:84-178)") {
     // string dotted-quad matches; long value matches
     assert(one[Boolean]("IPV4_MATCH('192.168.0.1', '192.168.0.0/16')"))
