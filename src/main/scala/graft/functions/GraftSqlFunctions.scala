@@ -620,6 +620,11 @@ object GraftSqlFunctions {
     },
     "hyper_unique_add" -> { args => graft.plans.HllAddExpr(args(0), args(1)) },
     "hyper_unique_estimate" -> { args => graft.plans.HllEstimateExpr(args(0)) },
+    // LONG Math.round of the estimate (HyperUniqueExpressions.HllEstimateExprMacro
+    // round variant; HyperUniqueExpressionsTest.testEstimateRound)
+    "hyper_unique_round_estimate" -> { args =>
+      ex(round(CatalystBridge.column(graft.plans.HllEstimateExpr(args(0)))).cast("long"))
+    },
 
     // KLL quantile-sketch post-ops needed by JSON post-aggs and SQL alike
     "ds_quantiles_n" -> { args => graft.plans.KllN(args(0)) }

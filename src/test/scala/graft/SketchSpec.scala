@@ -107,6 +107,18 @@ class SketchSpec extends SparkSpecBase {
     assert(n.isNullAt(0))
   }
 
+  test("hyper_unique_round_estimate returns the rounded LONG " +
+      "(HyperUniqueExpressionsTest.java:189)") {
+    graft.functions.GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hyper_unique_round_estimate(
+        |         hyper_unique_add(1.234D, hyper_unique())) AS n,
+        |       hyper_unique_estimate(
+        |         hyper_unique_add(1.234D, hyper_unique())) AS d""".stripMargin).head()
+    assert(r.getLong(0) == 1L)
+    assert(math.abs(r.getDouble(1) - 1.0) < 0.01)
+  }
+
   test("hll round=false finalization is the fractional DataSketches estimate") {
     // beyond the coupon-exact range the estimate is non-integral; Spark's
     // hll_sketch_estimate (BIGINT) cast to double would stay integral
