@@ -79,6 +79,22 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming deduplication at ingest: drop repeat deliveries/content by
+    * key inside the watermark horizon — `withWatermark` +
+    * `dropDuplicates(keys)`, the Structured Streaming construction whose
+    * per-key state is GARBAGE-COLLECTED as the watermark passes, so state
+    * stays bounded at any stream length (the unbounded-state trap of a bare
+    * dropDuplicates). The keys are typically a content hash
+    * (TextFunctions.contentFingerprint) or an event id; pair with the
+    * exactly-once sink for end-to-end dedup from an at-least-once source
+    * (the reference reaches the same outcome via kafka-offset idempotence +
+    * rollup of identical rows). Key-only dedup — a re-delivery with a
+    * different timestamp still drops — via dropDuplicatesWithinWatermark. */
+  def dedup(stream: DataFrame, timeColumn: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(timeColumn, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   private[graft] def periodToInterval(period: String): String = {
     val p = graft.functions.TimeFunctions.parsePeriod(period)
     if (p.months > 0) s"${p.months * 30} days" // window() needs fixed length

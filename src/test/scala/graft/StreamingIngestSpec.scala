@@ -90,4 +90,29 @@ class StreamingIngestSpec extends SparkSpecBase {
     assert(StreamingIngest.periodToInterval("PT5M") == "300 seconds")
     assert(StreamingIngest.periodToInterval("P1D") == "86400 seconds")
   }
+
+  test("streaming dedup drops key repeats within the watermark, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = StreamingIngest.dedup(mem.toDF(), "ts", "10 minutes", Seq("user"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(t("2024-01-01 00:01:00"), "alice", 1.0),
+        Ev(t("2024-01-01 00:02:00"), "alice", 2.0), // key repeat, later ts → dropped
+        Ev(t("2024-01-01 00:03:00"), "bob", 3.0))
+      q.processAllAvailable()
+      val first = spark.table("dedup_out").select("user").as[String].collect()
+      assert(first.sorted.toSeq == Seq("alice", "bob"))
+      // far past the watermark horizon the key's state is gone — the same
+      // key is admitted again (state eviction, not corpus-forever dedup)
+      mem.addData(Ev(t("2024-01-01 02:00:00"), "carol", 4.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(Ev(t("2024-01-01 02:01:00"), "alice", 5.0))
+      q.processAllAvailable()
+      val users = spark.table("dedup_out").select("user").as[String].collect()
+      assert(users.count(_ == "alice") == 2)
+    } finally q.stop()
+  }
 }
