@@ -56,7 +56,14 @@ object BatchIngest {
   def read(spark: SparkSession, spec: IngestSpec): DataFrame = {
     val r = spark.read.options(spec.formatOptions)
     spec.inputFormat match {
-      case "csv"     => r.option("header", spec.formatOptions.getOrElse("header", "true")).csv(spec.inputPath)
+      case "csv" =>
+        // CsvInputFormat's explicit `columns` names a headerless file's
+        // columns (vs findColumnsFromHeader ≈ header=true)
+        val explicit = spec.formatOptions.get("columns").map(_.split(",").map(_.trim).toSeq)
+        val header = spec.formatOptions.getOrElse("header",
+          if (explicit.isDefined) "false" else "true")
+        val base = r.option("header", header).csv(spec.inputPath)
+        explicit.fold(base)(cs => base.toDF(cs: _*))
       case "json"    => r.json(spec.inputPath)
       case "parquet" => r.parquet(spec.inputPath)
       case "orc"     => r.orc(spec.inputPath)

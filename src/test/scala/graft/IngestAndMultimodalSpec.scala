@@ -72,6 +72,19 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(out.schema("__time").dataType.typeName.startsWith("timestamp"))
   }
 
+  test("batch ingest reads headerless csv with explicit columns (CsvInputFormat `columns`)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_cols").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.csv"),
+      java.util.Arrays.asList("1,2024-01-01 10:00:00,a", "2,2024-01-02 11:00:00,b"))
+    val spec = IngestSpec(inputPath = s"$dir/data.csv", inputFormat = "csv",
+      formatOptions = Map("columns" -> "id,ts,tag"),
+      timeColumn = "__time", timeParseExpr = to_timestamp(col("ts")))
+    val out = BatchIngest.run(spark, spec, s"$dir/out")
+    assert(out.count() == 2)
+    assert(Set("id", "ts", "tag").subsetOf(out.columns.toSet))
+    assert(out.select("tag").as[String].collect().toSet == Set("a", "b"))
+  }
+
   test("batch ingest reads regex-parsed lines (RegexInputFormat.java round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_regex").toString
     // an access-log-ish line format: ts level tag|tag message
