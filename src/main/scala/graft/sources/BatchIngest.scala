@@ -53,6 +53,30 @@ object BatchIngest {
   def specOf(name: String): Option[IngestSpec] = specs.get(name)
 
   /** Read per inputFormat (InputSource × InputFormat). */
+  /** TimestampSpec's named formats as a parse Column
+    * (core/.../parsers/TimestampParser.java:43-110): `auto` (all-digits →
+    * epoch millis, otherwise ISO-ish), `iso`, `posix` (epoch seconds),
+    * `millis`, `micro`, `nano`, or any date-time pattern. Use as
+    * `IngestSpec(timeParseExpr = BatchIngest.timestampSpec("ts", "posix"))`.
+    */
+  def timestampSpec(column: String, format: String = "auto"): Column = {
+    val c = col(column)
+    format.toLowerCase(java.util.Locale.ENGLISH) match {
+      case "auto" =>
+        when(c.cast("string").rlike("^\\d+$"),
+          timestamp_millis(c.cast("string").cast("long")))
+          .otherwise(to_timestamp(regexp_replace(c.cast("string"), "^\"|\"$", "")))
+      case "iso" => to_timestamp(c.cast("string"))
+      case "posix" => timestamp_seconds(c.cast("long"))
+      case "millis" => timestamp_millis(c.cast("long"))
+      case "micro" => timestamp_micros(c.cast("long"))
+      case "nano" => timestamp_micros((c.cast("long") / 1000L).cast("long"))
+      // the pattern branch keeps the caller's original casing (date-time
+      // pattern letters are case-significant)
+      case _ => to_timestamp(c.cast("string"), format)
+    }
+  }
+
   def read(spark: SparkSession, spec: IngestSpec): DataFrame = {
     val r = spark.read.options(spec.formatOptions)
     spec.inputFormat match {

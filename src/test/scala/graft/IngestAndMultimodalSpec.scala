@@ -85,6 +85,26 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(out.select("tag").as[String].collect().toSet == Set("a", "b"))
   }
 
+  test("timestampSpec named formats (TimestampParser.java:43-110)") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 10:00:00")
+    val millis = base.getTime
+    val df = Seq((millis.toString, "2024-01-01T10:00:00", millis / 1000,
+        millis, millis * 1000, millis * 1000000, "01/01/2024 10:00:00"))
+      .toDF("autoMillis", "iso", "posix", "ms", "us", "ns", "custom")
+    def parsed(c: org.apache.spark.sql.Column) =
+      df.select(c.cast("timestamp").as("t")).head().getTimestamp(0)
+    // auto: all-digits → epoch millis; otherwise ISO
+    assert(parsed(BatchIngest.timestampSpec("autoMillis")) == base)
+    assert(parsed(BatchIngest.timestampSpec("iso", "auto")) == base)
+    assert(parsed(BatchIngest.timestampSpec("iso", "iso")) == base)
+    assert(parsed(BatchIngest.timestampSpec("posix", "posix")) == base)
+    assert(parsed(BatchIngest.timestampSpec("ms", "millis")) == base)
+    assert(parsed(BatchIngest.timestampSpec("us", "micro")) == base)
+    assert(parsed(BatchIngest.timestampSpec("ns", "nano")) == base)
+    assert(parsed(BatchIngest.timestampSpec("custom", "MM/dd/yyyy HH:mm:ss")) == base)
+  }
+
   test("batch ingest reads regex-parsed lines (RegexInputFormat.java round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_regex").toString
     // an access-log-ish line format: ts level tag|tag message
