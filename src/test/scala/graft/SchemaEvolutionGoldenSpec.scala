@@ -129,6 +129,25 @@ class SchemaEvolutionGoldenSpec extends SparkSpecBase {
     assert(evolved.schema("c1").dataType == StringType)
   }
 
+  // SegmentMetadataUnionQueryTest's merged analysis: one SegmentAnalysis
+  // over all union members — row counts sum, per-column analyses widen
+  test("segmentMetadata over a union datasource merges across segments " +
+      "(SegmentMetadataUnionQueryTest.java)") {
+    val df = NativeQuery.run(spark,
+      """{
+        "queryType": "segmentMetadata",
+        "dataSource": {"type": "union", "dataSources": ["idx2", "idx3"]},
+        "analysisTypes": ["minmax"]
+      }""", segments(_))
+    val rows = df.collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(rows("c1").getAs[Long]("numRows") == 12L)
+    // long + double widened to double across the union
+    assert(rows("c1").getAs[String]("type") == "double")
+    assert(rows("c1").getAs[String]("minValue").toDouble == 1.0)
+    assert(rows("c1").getAs[String]("maxValue").toDouble == 10.1)
+    assert(rows("c1").getAs[Long]("nullCount") == 0L)
+  }
+
   // testNumericEvolutionFiltering (SchemaEvolutionTest.java:335)
   test("numeric bound filter over evolving c1 types (SchemaEvolutionTest.java:335)") {
     val bound =
