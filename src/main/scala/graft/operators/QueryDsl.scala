@@ -436,6 +436,45 @@ object Timewarp {
         .cast(ds.schema(timeColumn).dataType))
     query(shiftedInput)
   }
+
+  /** The reference's periodic offset (TimewarpOperator.computeOffset,
+    * TimewarpOperator.java:151-169): map instant `t` into the LAST whole
+    * `periodMillis` period ending inside the data interval, phase-aligned to
+    * `originMillis` (e.g. a Monday for week periods), with a DST correction
+    * so wall-clock alignment survives an offset change between t and its
+    * warped image. Returns the millis to ADD to t. */
+  def computeOffset(t: Long, dataIntervalEndMillis: Long, periodMillis: Long,
+      originMillis: Long, tz: java.time.ZoneId): Long = {
+    var start = dataIntervalEndMillis - periodMillis
+    var startOffset = start % periodMillis - originMillis % periodMillis
+    if (startOffset < 0) startOffset += periodMillis
+    start -= startOffset
+    var tOffset = t % periodMillis - originMillis % periodMillis
+    if (tOffset < 0) tOffset += periodMillis
+    tOffset += start
+    val rules = tz.getRules
+    def zoneOff(x: Long): Long =
+      rules.getOffset(java.time.Instant.ofEpochMilli(x)).getTotalSeconds * 1000L
+    tOffset - t - (zoneOff(tOffset) - zoneOff(t))
+  }
+
+  /** Periodic overlay: replay the aligned past period as if it were the
+    * present — input timestamps shift forward by the inverse of
+    * computeOffset(now), so present-frame filters and result timestamps
+    * apply unchanged (the reference's postProcess maps the query interval
+    * into the past and result timestamps back; shifting the DATA forward is
+    * the same composition on one relation). */
+  def overlay(ds: DataFrame, timeColumn: String, dataIntervalEndMillis: Long,
+      periodMillis: Long, originMillis: Long, nowMillis: Long,
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC)(
+      query: DataFrame => DataFrame): DataFrame = {
+    val offset = computeOffset(nowMillis, dataIntervalEndMillis, periodMillis,
+      originMillis, tz)
+    val shifted = ds.withColumn(timeColumn,
+      timestamp_millis(unix_millis(col(timeColumn).cast("timestamp")) - offset)
+        .cast(ds.schema(timeColumn).dataType))
+    query(shifted)
+  }
 }
 
 /** timeBoundary (reference: query/timeboundary/TimeBoundaryQuery.java:46). */

@@ -21,6 +21,40 @@ class TimewarpAndLookupSpec extends SparkSpecBase {
     }
   }
 
+  test("computeOffset periodic alignment vectors (TimewarpOperatorTest.java:52-77)") {
+    import java.time.{Instant, ZoneId, ZoneOffset}
+    // the reference's test operator: dataInterval 2014-01-01/2014-01-15,
+    // P1W, origin 2014-01-06 (a Monday)
+    val end = Instant.parse("2014-01-15T00:00:00Z").toEpochMilli
+    val week = 7L * 86400000L
+    val origin = Instant.parse("2014-01-06T00:00:00Z").toEpochMilli
+    def warped(tIso: String, tz: ZoneId): Instant = {
+      val t = Instant.parse(tIso).toEpochMilli
+      Instant.ofEpochMilli(t + Timewarp.computeOffset(t, end, week, origin, tz))
+    }
+    assert(warped("2014-01-23T00:00:00Z", ZoneOffset.UTC) ==
+      Instant.parse("2014-01-09T00:00:00Z"))
+    assert(warped("2014-08-02T00:00:00Z", ZoneOffset.UTC) ==
+      Instant.parse("2014-01-11T00:00:00Z"))
+    // DST correction: -07 summer wall time maps to the -08 winter wall time
+    assert(warped("2014-08-02T00:00:00-07:00", ZoneId.of("America/Los_Angeles")) ==
+      Instant.parse("2014-01-11T00:00:00-08:00"))
+  }
+
+  test("overlay replays the aligned past week in the present frame") {
+    import java.time.Instant
+    val end = Instant.parse("2014-01-15T00:00:00Z").toEpochMilli
+    val week = 7L * 86400000L
+    val origin = Instant.parse("2014-01-06T00:00:00Z").toEpochMilli
+    val now = Instant.parse("2014-08-02T00:00:00Z").toEpochMilli // warps to 01-11
+    val data = Seq("2014-01-09 00:00:00", "2014-01-11 00:00:00")
+      .map(java.sql.Timestamp.valueOf).toDF("t")
+    val out = Timewarp.overlay(data, "t", end, week, origin, now)(df => df)
+      .as[java.sql.Timestamp].collect().map(_.toString).sorted
+    // 01-09 (Thu of the data week) surfaces as 07-31 (Thu of the now week)
+    assert(out.toSeq == Seq("2014-07-31 00:00:00.0", "2014-08-02 00:00:00.0"))
+  }
+
   test("file-backed lookup refresh replaces the mapping") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lookup").toString
     Seq(("F", "closed"), ("O", "open")).toDF("k", "v")
