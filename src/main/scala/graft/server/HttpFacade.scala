@@ -278,10 +278,31 @@ object HttpFacade {
     }
   }
 
+  /** Server-level default query context (DefaultQueryConfig.java — the
+    * `druid.query.default.context.*` runtime properties): each entry is
+    * merged under the request's own `context`, and a key the request
+    * already sets always wins (QueryResourceTest
+    * .testGoodQueryWithQueryConfigOverrideDefault /
+    * testGoodQueryWithQueryConfigDoesNotOverrideQueryContext — the
+    * lifecycle's initialize() only copies default keys absent from the
+    * query's context). Applies to both the native and SQL routes, like the
+    * reference's QueryLifecycle/SqlLifecycle sharing one supplier. */
+  private def withDefaultContext(body: String, defaults: JObject): String =
+    if (defaults.obj.isEmpty) body
+    else JsonMethods.parseOpt(body) match {
+      case Some(o: JObject) =>
+        val reqCtx = (o \ "context") match { case c: JObject => c; case _ => JObject() }
+        val merged = JObject(
+          defaults.obj.filterNot(kv => reqCtx.obj.exists(_._1 == kv._1)) ++ reqCtx.obj)
+        JsonMethods.compact(JsonMethods.render(
+          JObject(o.obj.filterNot(_._1 == "context") :+ ("context" -> (merged: JValue)))))
+      case _ => body
+    }
+
   def start(spark: SparkSession, resolve: NativeQuery.Resolver,
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
       maxResultRows: Int = 100000, maxConcurrentQueries: Int = 0,
-      maxLowPercent: Int = 0): Facade = {
+      maxLowPercent: Int = 0, defaultContext: JObject = JObject()): Facade = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // a request pool (vs the default single dispatcher thread) so a DELETE
     // cancellation can be served while a POST query is still executing —
@@ -300,7 +321,7 @@ object HttpFacade {
     val cancels = new CancelRegistry(spark.sparkContext)
     val capacity = new CapacityGuard(maxConcurrentQueries, maxLowPercent)
 
-    server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity) { body =>
+    server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity, defaultContext) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
         JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
@@ -429,7 +450,12 @@ object HttpFacade {
     // (QueryResource.java:142-166 cancelQuery): the reference answers 202
     // even for an id the scheduler never registered (it only warns), so the
     // status is ACCEPTED either way
-    server.createContext("/druid/v2", statusHandler(body => {
+    server.createContext("/druid/v2", statusHandler(rawBody => {
+      // server-level context defaults merge under the request's context
+      // (request keys win), and the merged body is what executes — so a
+      // default like skipEmptyBuckets/priority reaches the query exactly as
+      // if the client had set it (QueryLifecycle.initialize)
+      val body = withDefaultContext(rawBody, defaultContext)
       val q = JsonMethods.parse(body)
       val queryId = (q \ "context" \ "queryId") match {
         case JString(id) => Some(id); case _ => None
@@ -565,7 +591,8 @@ object HttpFacade {
     * format's content type (ResultFormat.java:38-96 — array/object JSON,
     * the Lines formats text/plain, csv text/csv), and renders failures as
     * the reference's QueryException envelope. */
-  private def sqlHandler(cancels: CancelRegistry, capacity: CapacityGuard)(
+  private def sqlHandler(cancels: CancelRegistry, capacity: CapacityGuard,
+      defaultContext: JObject = JObject())(
       f: String => String): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // DELETE /druid/v2/sql/{id}: 202 when the id names a registered
@@ -581,7 +608,9 @@ object HttpFacade {
       }
       val body =
         if (ex.getRequestMethod == "POST")
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          withDefaultContext(
+            new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8),
+            defaultContext)
         else ""
       val parsed = JsonMethods.parseOpt(body)
       val sqlQueryId = parsed.flatMap(o => (o \ "context" \ "sqlQueryId") match {

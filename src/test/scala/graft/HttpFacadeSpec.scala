@@ -706,4 +706,58 @@ class HttpFacadeSpec extends SparkSpecBase {
         JString("org.apache.druid.query.QueryUnsupportedException"))
     } finally facade.stop()
   }
+
+  // QueryResourceTest.testGoodQueryWithQueryConfigOverrideDefault /
+  // testGoodQueryWithQueryConfigDoesNotOverrideQueryContext: a server-level
+  // default query context (DefaultQueryConfig) merges under each request's
+  // context, and a key the request sets itself always wins.
+  test("server default query context applies when the query sets none and " +
+      "never overrides an explicit query context (QueryResourceTest.java:255,325)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name),
+      defaultContext = JObject("skipEmptyBuckets" -> JBool(true),
+        "sqlQueryId" -> JString("cfg-default-id")))
+    try {
+      def postRaw(path: String, body: String): (Int, String, java.net.http.HttpHeaders) = {
+        val client = HttpClient.newHttpClient()
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${facade.port}$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), resp.body(), resp.headers())
+      }
+      // months 2001-10..2002-05 over lineitem (data ends 2001-11): zero-fill
+      // would emit all 8 buckets; the configured skipEmptyBuckets default
+      // drops the empty tail when the query carries no context of its own
+      def tsBody(context: String): String =
+        s"""{
+          "queryType": "timeseries",
+          "dataSource": "lineitem",
+          "timeColumn": "l_shipdate",
+          "granularity": "month",
+          "intervals": ["2001-10-01T00:00:00/2002-06-01T00:00:00"],
+          "aggregations": [{"type": "count", "name": "cnt"}]$context
+        }"""
+      val (s1, b1, _) = postRaw("/druid/v2", tsBody(""))
+      assert(s1 == 200)
+      val rows1 = JsonMethods.parse(b1).asInstanceOf[JArray].arr
+      assert(rows1.length < 8, s"default skipEmptyBuckets must drop empty months, got ${rows1.length}")
+      rows1.foreach(r => assert((r \ "result" \ "cnt") != JInt(0)))
+      // the query's explicit skipEmptyBuckets=false wins over the default:
+      // all 8 months come back zero-filled
+      val (s2, b2, _) = postRaw("/druid/v2",
+        tsBody(""", "context": {"skipEmptyBuckets": false}"""))
+      assert(s2 == 200)
+      assert(JsonMethods.parse(b2).asInstanceOf[JArray].arr.length == 8)
+      // the SQL route shares the defaults: the configured sqlQueryId stamps
+      // the response header when the request sets none...
+      val (s3, _, h3) = postRaw("/druid/v2/sql", """{"query": "SELECT 1 AS one"}""")
+      assert(s3 == 200)
+      assert(h3.firstValue("X-Druid-SQL-Query-Id").orElse("") == "cfg-default-id")
+      // ...and the request's own sqlQueryId wins over the default
+      val (s4, _, h4) = postRaw("/druid/v2/sql",
+        """{"query": "SELECT 1 AS one", "context": {"sqlQueryId": "mine"}}""")
+      assert(s4 == 200)
+      assert(h4.firstValue("X-Druid-SQL-Query-Id").orElse("") == "mine")
+    } finally facade.stop()
+  }
 }
