@@ -690,6 +690,24 @@ class HttpFacadeSpec extends SparkSpecBase {
         """{"queryType": "timeBoundary", "dataSource": "orders",
            "timeColumn": "o_orderdate"}""")
       assert(s1b == 200 && h1b.firstValue("X-Druid-Query-Id").isPresent)
+      // testGoodQueryWithNullAcceptHeader / testGoodQueryWithEmptyAcceptHeader:
+      // with no (or an empty) Accept header the response content type follows
+      // the request's JSON content type (QueryResource.java:402 — the
+      // reference only switches to smile when Accept asks for it; smile is
+      // environment-limited here, JSON is the sole native content type)
+      assert(h1b.firstValue("Content-Type").orElse("").startsWith("application/json"))
+      val emptyAcceptReq = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${facade.port}/druid/v2"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"queryType": "timeBoundary", "dataSource": "orders",
+             "timeColumn": "o_orderdate"}"""))
+        .header("Content-Type", "application/json")
+        .header("Accept", "").build()
+      val emptyAcceptResp = HttpClient.newHttpClient()
+        .send(emptyAcceptReq, HttpResponse.BodyHandlers.ofString())
+      assert(emptyAcceptResp.statusCode() == 200)
+      assert(emptyAcceptResp.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/json"))
       // testBadQuery: malformed JSON → BadJsonQueryException envelope at 400
       val (s2, b2, _) = postRaw("/druid/v2", """{"queryType": "timeBoundary", "dataSource":""")
       assert(s2 == 400)
