@@ -30,6 +30,13 @@ import graft.sources.LookupRegistry
   * [[graft.functions.MathExpr]]; `timeColumn` (an extension) names the
   * event-time column when it is not `__time`.
   */
+/** Raised for an unknown/unsupported native queryType — a dedicated type so
+  * the HTTP façade's 501 mapping can't swallow an incidental
+  * UnsupportedOperationException thrown by Spark or library code
+  * (QueryUnsupportedException.java:39-40). */
+final class QueryUnsupportedException(msg: String)
+  extends UnsupportedOperationException(msg)
+
 object NativeQuery {
 
   type Resolver = String => DataFrame
@@ -73,7 +80,10 @@ object NativeQuery {
             // "lexicographic"/"alphaNumeric" are the legacy spellings of the
             // dimension spec with a fixed ordering (LexicographicTopNMetricSpec
             // / AlphaNumericTopNMetricSpec); all carry "previousStop"
-            // pagination — only values strictly after the stop return
+            // pagination — only values strictly past the stop in the SORT
+            // direction return (the result builder compares with the spec's
+            // own comparator, which inverted reverses — BaseTopNAlgorithm
+            // .makeResultBuilder hands the reversed comparator to shouldAdd)
             case "dimension" | "lexicographic" | "alphaNumeric" =>
               val ord = (str(o \ "type"), strOpt(o \ "ordering")) match {
                 case ("lexicographic", _) => "lexicographic"
@@ -81,16 +91,22 @@ object NativeQuery {
                 case (_, s) => s.getOrElse("lexicographic")
               }
               val key = comparatorKey(ord, col(dim.output))
-              val stop = strOpt(o \ "previousStop")
-                .map(s => key > comparatorKey(ord, lit(s)))
-              (dim.output, true, Some(key), stop)
+              val stopKey = strOpt(o \ "previousStop")
+                .map(s => comparatorKey(ord, lit(s)))
+              (dim.output, true, Some(key), stopKey)
             case "inverted" =>
-              val (n, asc, k, stop) = metricSpec(o \ "metric")
-              (n, !asc, k, stop)
+              val (n, asc, k, stopKey) = metricSpec(o \ "metric")
+              (n, !asc, k, stopKey)
             case t => throw new IllegalArgumentException(s"topN metric spec: $t")
           }
         }
-        val (metricName, asc, sortKey, stopFilter) = metricSpec(q \ "metric")
+        val (metricName, asc, sortKey, stopKeyOpt) = metricSpec(q \ "metric")
+        // build the stop predicate AFTER inversion is resolved: ascending
+        // pages keep key > stop, inverted (descending) pages keep key < stop
+        val stopFilter = (sortKey, stopKeyOpt) match {
+          case (Some(k), Some(s)) => Some(if (asc) k > s else k < s)
+          case _ => None
+        }
         TopNQuery(
           dimension = dim,
           metric = metricName,
@@ -202,7 +218,7 @@ object NativeQuery {
       // surfaces as QueryUnsupportedException — "Unsupported query" at 501
       // (QueryUnsupportedException.java:39-40, QueryResourceTest
       // testUnsupportedQueryThrowsException)
-      case t => throw new UnsupportedOperationException(s"unsupported queryType: $t")
+      case t => throw new QueryUnsupportedException(s"unsupported queryType: $t")
     }
   }
 
@@ -314,16 +330,42 @@ object NativeQuery {
     case x => x.toString
   }
 
+  // Druid interval endpoints are ISO instants with an optional zone offset
+  // (Joda accepts Z, ±hh:mm, ±hhmm, ±hh). The session runs UTC, so offset
+  // endpoints convert to UTC wall time before the timestamp_ntz cast (which
+  // rejects zone designators); unparseable endpoints fail loudly instead of
+  // becoming null bounds that silently filter every row under ANSI-off.
+  private val OffsetEndpointFormats: Seq[java.time.format.DateTimeFormatter] = {
+    import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+    def withOffset(pattern: String) = new DateTimeFormatterBuilder()
+      .append(DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      .appendOffset(pattern, "Z").toFormatter
+    Seq(DateTimeFormatter.ISO_OFFSET_DATE_TIME, withOffset("+HHmm"), withOffset("+HH"))
+  }
+
+  private def normEndpoint(s: String): String = {
+    val t = s.trim
+    val parsed = OffsetEndpointFormats.view.flatMap { f =>
+      try Some(java.time.OffsetDateTime.parse(t, f))
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }.headOption
+    parsed match {
+      case Some(o) =>
+        o.withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      case None =>
+        // no offset designator: bare dates / local datetimes are UTC already
+        if (t.matches("""\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?"""))
+          t.replace("T", " ")
+        else throw new IllegalArgumentException(s"Unparseable interval endpoint: $s")
+    }
+  }
+
   // ---- intervals / virtual columns ----
   private def parseIntervals(j: JValue): Seq[(String, String)] = j match {
     case JArray(is) => is.map { i =>
       val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-      // Druid interval endpoints are ISO instants, usually "Z"-suffixed; the
-      // session runs UTC so the explicit UTC designator is dropped before the
-      // timestamp_ntz cast (which rejects zone designators)
-      def norm(s: String) =
-        s.replace("T", " ").stripSuffix("Z").stripSuffix("+00:00").stripSuffix("+0000")
-      (norm(a), norm(b))
+      (normEndpoint(a), normEndpoint(b))
     }
     // QuerySegmentSpec object forms: {"type": "intervals"|"LegacySegmentSpec",
     // "intervals": [...]} (MultipleIntervalSegmentSpec / LegacySegmentSpec —

@@ -450,6 +450,12 @@ object HttpFacade {
     // (QueryResource.java:142-166 cancelQuery): the reference answers 202
     // even for an id the scheduler never registered (it only warns), so the
     // status is ACCEPTED either way
+    // the id assigned to the in-flight native request: generated ONCE per
+    // request (in respHeaders, which runs first on the same handler thread)
+    // and reused for cancel registration, so the X-Druid-Query-Id a client
+    // reads back is always the id DELETE /druid/v2/{id} can cancel — the
+    // reference assigns the id in QueryLifecycle.initialize before both
+    val nativeAssignedId = new ThreadLocal[String]
     server.createContext("/druid/v2", statusHandler(rawBody => {
       // server-level context defaults merge under the request's context
       // (request keys win), and the merged body is what executes — so a
@@ -457,9 +463,8 @@ object HttpFacade {
       // if the client had set it (QueryLifecycle.initialize)
       val body = withDefaultContext(rawBody, defaultContext)
       val q = JsonMethods.parse(body)
-      val queryId = (q \ "context" \ "queryId") match {
-        case JString(id) => Some(id); case _ => None
-      }
+      val queryId = Option(nativeAssignedId.get)
+        .getOrElse(java.util.UUID.randomUUID().toString)
       val timeoutMs = (q \ "context" \ "timeout") match {
         case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
       }
@@ -471,9 +476,10 @@ object HttpFacade {
       val priority = (q \ "context" \ "priority") match {
         case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
       }
-      (200, capacity.run(lane, priority)(if (queryId.isEmpty && timeoutMs <= 0L) exec()
-      else cancels.run(queryId.getOrElse(
-        java.util.UUID.randomUUID().toString), timeoutMs)(exec())))
+      // every query is cancel-registered under its assigned id (the
+      // reference's QueryScheduler registers unconditionally), so a DELETE
+      // with the returned header id works even without a client queryId
+      (200, capacity.run(lane, priority)(cancels.run(queryId, timeoutMs)(exec())))
     }, onDelete = Some(id => { cancels.cancel(id); 202 }),
       // X-Druid-Query-Id on every native response — the context's id when
       // the client set one, a fresh one otherwise (QueryResource
@@ -483,6 +489,7 @@ object HttpFacade {
           case JString(s) => s
           case _ => java.util.UUID.randomUUID().toString
         } catch { case _: Throwable => java.util.UUID.randomUUID().toString }
+        nativeAssignedId.set(id)
         Seq("X-Druid-Query-Id" -> id)
       }))
 
@@ -689,8 +696,10 @@ object HttpFacade {
       case _: com.fasterxml.jackson.core.JsonProcessingException =>
         (400, "Json parse failed", "com.fasterxml.jackson.core.JsonParseException")
       // unknown/unsupported query type → QueryUnsupportedException at 501
-      // (QueryUnsupportedException.java:39-40)
-      case _: UnsupportedOperationException =>
+      // (QueryUnsupportedException.java:39-40). Matched on the dedicated
+      // type, not UnsupportedOperationException broadly — an incidental UOE
+      // from Spark/library code is an internal error, not a 501
+      case _: graft.operators.QueryUnsupportedException =>
         (501, "Unsupported query", "org.apache.druid.query.QueryUnsupportedException")
       case _: ResourceLimitExceededException =>
         (400, "Resource limit exceeded",

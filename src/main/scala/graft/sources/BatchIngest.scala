@@ -70,7 +70,11 @@ object BatchIngest {
       case "posix" => timestamp_seconds(c.cast("long"))
       case "millis" => timestamp_millis(c.cast("long"))
       case "micro" => timestamp_micros(c.cast("long"))
-      case "nano" => timestamp_micros((c.cast("long") / 1000L).cast("long"))
+      // integral `div`, not Column `/` (double division loses precision at
+      // epoch-nano magnitudes ~1.7e18 > double's 53-bit mantissa); truncation
+      // toward zero matches TimeUnit.NANOSECONDS semantics
+      // (TimestampParser.java:111)
+      case "nano" => timestamp_micros(expr(s"cast(`$column` as long) div 1000"))
       // the pattern branch keeps the caller's original casing (date-time
       // pattern letters are case-significant)
       case _ => to_timestamp(c.cast("string"), format)

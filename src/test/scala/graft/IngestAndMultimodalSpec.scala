@@ -103,6 +103,15 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(parsed(BatchIngest.timestampSpec("us", "micro")) == base)
     assert(parsed(BatchIngest.timestampSpec("ns", "nano")) == base)
     assert(parsed(BatchIngest.timestampSpec("custom", "MM/dd/yyyy HH:mm:ss")) == base)
+    // nano stays exact at full epoch-nano magnitude: ~1.7e18 exceeds
+    // double's 53-bit mantissa, so Column `/` (double division) would drift
+    // by ~1µs — the integral-div path must not (ADVICE r8)
+    val bigNanos = 1700000000123456789L // 2023-11-14T22:13:20.123456789Z UTC
+    val one = Seq(bigNanos).toDF("ns")
+    val got = one.select(BatchIngest.timestampSpec("ns", "nano").as("t")).head()
+      .getTimestamp(0)
+    assert(got.getTime == bigNanos / 1000000L)
+    assert(got.getNanos == ((bigNanos / 1000L) % 1000000L).toInt * 1000)
   }
 
   test("batch ingest reads regex-parsed lines (RegexInputFormat.java round-trip)") {

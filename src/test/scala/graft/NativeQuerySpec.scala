@@ -526,6 +526,38 @@ class NativeQuerySpec extends SparkSpecBase {
     // the dimension spec carries previousStop too
     assert(page("""{"type": "dimension", "ordering": "lexicographic", "previousStop": "e"}""") ==
       Seq("f10", "f2"))
+    // inverted + previousStop: the result builder compares with the spec's
+    // own comparator, which inverted REVERSES (BaseTopNAlgorithm
+    // .makeResultBuilder), so descending pages resume strictly BELOW the
+    // stop in base order
+    assert(page("""{"type": "inverted", "metric": {"type": "lexicographic"}}""") ==
+      Seq("f2", "f10", "e"))
+    assert(page(
+      """{"type": "inverted", "metric": {"type": "lexicographic", "previousStop": "e"}}""") ==
+      Seq("d", "c", "b"))
+  }
+
+  test("interval endpoints with non-UTC offsets convert to UTC (ADVICE r8)") {
+    def cnt(interval: String): Long =
+      run(
+        s"""{
+          "queryType": "timeseries",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": "all",
+          "intervals": ["$interval"],
+          "aggregations": [{"type": "count", "name": "cnt"}]
+        }""").select("cnt").head().getLong(0)
+    val z = cnt("1996-01-01T00:00:00Z/1997-01-01T00:00:00Z")
+    assert(z > 0)
+    // -08:00 endpoints are 8h later in UTC wall time; shifting both ends by
+    // the offset and expressing them zoned must land on the same instant
+    assert(cnt("1995-12-31T16:00:00-08:00/1996-12-31T16:00:00-08:00") == z)
+    // +0000 / +00 spellings (Joda accepts the colon-less forms)
+    assert(cnt("1996-01-01T00:00:00+0000/1997-01-01T00:00:00+0000") == z)
+    assert(cnt("1996-01-01T00:00:00+00/1997-01-01T00:00:00+00") == z)
+    // unparseable endpoints fail loudly instead of silently matching nothing
+    intercept[Exception](cnt("not-a-date/also-not"))
   }
 
   test("like filter honors a custom escape character (LikeDimFilter.java, Test.java:38)") {
