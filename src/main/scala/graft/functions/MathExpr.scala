@@ -111,9 +111,12 @@ object MathExpr {
   * the fold monoid the reference requires of this aggregator.
   */
 object ExpressionLambda {
+  import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, Expression}
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.graftbridge.CatalystBridge
+  import org.apache.spark.sql.types.{DataType, StructType}
 
   private def substitute(template: Column, binds: Map[String, Column]): Column =
     CatalystBridge.column(CatalystBridge.expression(template).transformUp {
@@ -131,7 +134,100 @@ object ExpressionLambda {
     else MathExpr.expr(t)
   }
 
-  def fold(fields: Seq[String], accumulatorId: String, initialValue: String,
+  /** Compile the factory to the BOUNDED incremental aggregator
+    * ([[ExprLambdaFoldAgg]]): the fold body runs once per input row against
+    * a scalar accumulator, partials merge via `combine`, and the buffer is
+    * capped at `maxSizeBytes` — the reference lifecycle
+    * (ExpressionLambdaAggregatorFactory.java:103-125, buffer cap :68,193).
+    * Falls back to the collected-fold compilation only when the bounded
+    * form can't be built (our lenient superset: multiple fields with no
+    * combine, or a fold whose accumulator type doesn't settle).
+    *
+    * `name` is the aggregator's output name — the identifier `combine`
+    * uses for the right-hand partial (the reference binds
+    * combine(accumulatorId → lhs, name → rhs),
+    * ExpressionLambdaAggregatorFactory.java:332-344). */
+  def fold(spark: SparkSession, schema: StructType, fields: Seq[String],
+      accumulatorId: String, initialValue: String, foldExpr: String,
+      combineExpr: Option[String], finalizeExpr: Option[String],
+      name: String, maxSizeBytes: Int = 1024): Column = {
+    require(fields.nonEmpty, "expression lambda aggregator needs at least one field")
+    try bounded(spark, schema, fields, accumulatorId, initialValue, foldExpr,
+      combineExpr, finalizeExpr, name, maxSizeBytes)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        foldCollected(fields, accumulatorId, initialValue, foldExpr, finalizeExpr)
+    }
+  }
+
+  private def bounded(spark: SparkSession, schema: StructType, fields: Seq[String],
+      accId: String, initialValue: String, foldStr: String,
+      combineStr: Option[String], finalizeStr: Option[String],
+      name: String, maxSizeBytes: Int): Column = {
+    val fieldTypes = fields.map(f => schema(f).dataType) // throws on a missing field → fallback
+    val init0 = CatalystBridge.resolveAgainst(spark, initColumn(initialValue), Nil)
+
+    // the accumulator type is the fixpoint of the fold's output type
+    // starting from the initial value's (type coercion may widen, e.g.
+    // LONG init + DOUBLE field → DOUBLE accumulator)
+    var accT: DataType = init0.dataType
+    var foldAttrs: Seq[AttributeReference] = Nil
+    var foldResolved: Expression = null
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 3) {
+      foldAttrs = AttributeReference(accId, accT)() +:
+        fields.zip(fieldTypes).map { case (f, t) => AttributeReference(f, t)() }
+      foldResolved = CatalystBridge.resolveAgainst(spark, MathExpr.expr(foldStr), foldAttrs)
+      if (foldResolved.dataType == accT) converged = true
+      else { accT = foldResolved.dataType; iters += 1 }
+    }
+    require(converged, s"fold accumulator type did not converge (last: $accT)")
+
+    val initResolved =
+      if (init0.dataType == accT) init0
+      else CatalystBridge.resolveAgainst(spark, CatalystBridge.column(init0).cast(accT), Nil)
+
+    // combine(lhs, rhs): accumulatorId binds lhs, the aggregator NAME binds
+    // rhs; absent combine requires a single field and reuses the fold with
+    // that field standing in for the rhs partial
+    // (ExpressionLambdaAggregatorFactory.java:135-145,332-344)
+    val (combineResolved, combineAttrs) = combineStr match {
+      case Some(c) =>
+        val attrs = Seq(AttributeReference(accId, accT)(), AttributeReference(name, accT)())
+        (CatalystBridge.resolveAgainst(spark, MathExpr.expr(c), attrs), attrs)
+      case None =>
+        require(fields.size == 1,
+          "Must have a single input field if no combine expression is supplied")
+        val attrs = Seq(AttributeReference(accId, accT)(), AttributeReference(fields.head, accT)())
+        (CatalystBridge.resolveAgainst(spark, MathExpr.expr(foldStr), attrs), attrs)
+    }
+    require(combineResolved.dataType == accT,
+      s"combine type ${combineResolved.dataType} != accumulator type $accT")
+
+    // finalize references the accumulator as `o` (FINALIZE_IDENTIFIER)
+    val finAttrs = Seq(AttributeReference("o", accT)())
+    val finResolved = finalizeStr.map(f =>
+      CatalystBridge.resolveAgainst(spark, MathExpr.expr(f), finAttrs))
+
+    val agg = ExprLambdaFoldAgg(
+      fields = fields.map(f => CatalystBridge.expression(org.apache.spark.sql.functions.col(f))),
+      accType = accT,
+      initExpr = initResolved,
+      foldExpr = BindReferences.bindReference(foldResolved, foldAttrs.map(a => a: org.apache.spark.sql.catalyst.expressions.Attribute)),
+      combineExpr = BindReferences.bindReference(combineResolved, combineAttrs.map(a => a: org.apache.spark.sql.catalyst.expressions.Attribute)),
+      finalizeExpr = finResolved.map(f => BindReferences.bindReference(f, finAttrs.map(a => a: org.apache.spark.sql.catalyst.expressions.Attribute))),
+      resultType = finResolved.map(_.dataType).getOrElse(accT),
+      maxSizeBytes = maxSizeBytes)
+    CatalystBridge.column(agg.toAggregateExpression())
+  }
+
+  /** The pre-r9 collected compilation — fold over
+    * `collect_list(struct(fields))` — kept ONLY as the lenient-superset
+    * fallback for factories the bounded form rejects (multi-field folds
+    * with no combine). Unbounded state: every raw field value of a group
+    * crosses the shuffle. */
+  def foldCollected(fields: Seq[String], accumulatorId: String, initialValue: String,
       foldExpr: String, finalizeExpr: Option[String]): Column = {
     require(fields.nonEmpty, "expression lambda aggregator needs at least one field")
     val rows = collect_list(struct(fields.map(f => org.apache.spark.sql.functions.col(f).as(f)): _*))

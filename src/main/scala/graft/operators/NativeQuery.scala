@@ -58,7 +58,7 @@ object NativeQuery {
           timeColumn = timeCol,
           granularity = granularity(q \ "granularity"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol),
+          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
           postAggregations = postAggs(q \ "postAggregations"),
           descending = boolOpt(q \ "descending").getOrElse(false),
           grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
@@ -112,7 +112,7 @@ object NativeQuery {
           metric = metricName,
           threshold = int(q \ "threshold"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol),
+          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
           sortKey = sortKey,
@@ -128,7 +128,7 @@ object NativeQuery {
         GroupByQuery(
           dimensions = dims,
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol),
+          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
@@ -771,12 +771,12 @@ object NativeQuery {
     coalesce(f.try_cast("long"), f.try_cast("double").try_cast("long"))
   private def lenientDouble(f: Column): Column = f.try_cast("double")
 
-  private def aggregations(j: JValue, timeCol: String): Seq[Agg] = j match {
+  private def aggregations(j: JValue, timeCol: String, input: DataFrame): Seq[Agg] = j match {
     case JNothing | JNull => Seq(Agg("count", count(lit(1))))
-    case a => arr(a).map(aggregation(_, timeCol))
+    case a => arr(a).map(aggregation(_, timeCol, input))
   }
 
-  private def aggregation(j: JValue, timeCol: String): Agg = {
+  private def aggregation(j: JValue, timeCol: String, input: DataFrame): Agg = {
     def name = str(j \ "name") // lazy: "filtered" may carry the name on the inner aggregator
     // simple aggregators accept "expression" in place of "fieldName"
     // (e.g. LongSumAggregatorFactory(name, null, "c1 * 1") —
@@ -907,14 +907,45 @@ object NativeQuery {
         case JNothing | JNull => Agg(name, MathExpr.expr(str(j \ "expression")))
         case foldJ =>
           val fields = arr(j \ "fields").map { case JString(s) => s; case x => str(x) }
+          // maxSizeBytes accepts a number or a HumanReadableBytes string
+          // ("1KiB" — HumanReadableBytes.parse); default 1 KiB
+          // (ExpressionLambdaAggregatorFactory.java:68)
+          val maxSize = (j \ "maxSizeBytes") match {
+            case JInt(n) => n.toInt
+            case JLong(n) => n.toInt
+            case JString(s) => parseHumanReadableBytes(s)
+            case _ => 1024
+          }
           Agg(name, graft.functions.ExpressionLambda.fold(
+            input.sparkSession, input.schema,
             fields,
             strOpt(j \ "accumulatorIdentifier").getOrElse("__acc"),
             str(j \ "initialValue"),
             str(foldJ),
-            strOpt(j \ "finalize")))
+            strOpt(j \ "combine"),
+            strOpt(j \ "finalize"),
+            name,
+            maxSize))
       }
       case t => throw new IllegalArgumentException(s"aggregator type: $t")
+    }
+  }
+
+  /** HumanReadableBytes string forms (core/.../HumanReadableBytes.java:
+    * parse): plain number or K/M/G(i)B suffixes, binary multiples. */
+  private def parseHumanReadableBytes(s: String): Int = {
+    val t = s.trim.toLowerCase(java.util.Locale.ENGLISH)
+    val m = "^(\\d+)\\s*(kib|mib|gib|k|m|g|kb|mb|gb)?$".r
+    t match {
+      case m(n, null) => n.toInt
+      case m(n, suffix) =>
+        val mult = suffix.charAt(0) match {
+          case 'k' => 1L << 10
+          case 'm' => 1L << 20
+          case 'g' => 1L << 30
+        }
+        math.min(n.toLong * mult, Int.MaxValue.toLong).toInt
+      case _ => throw new IllegalArgumentException(s"Invalid byte size: $s")
     }
   }
 

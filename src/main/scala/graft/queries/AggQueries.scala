@@ -227,17 +227,21 @@ object AggQueries {
     }),
 
     // expression lambda aggregator (ExpressionLambdaAggregatorFactory):
-    // init/fold/combine as a higher-order fold over the collected values
+    // the BOUNDED incremental lifecycle — fold each row into a scalar
+    // accumulator, merge partials via combine (never collect_list: the
+    // accumulator alone crosses the shuffle)
     "agg_expression_fold" -> ((s, dir) => {
+      val t = Sources.table(s, dir, "lineitem")
       GroupByQuery(
         dimensions = Seq(Dim("l_returnflag")),
         aggregations = Seq(
-          Agg("folded_linenumbers",
-            aggregate(sort_array(collect_list(col("l_linenumber").cast("long"))),
-              lit(0L), (acc, x) => acc + x)),
+          Agg("folded_linenumbers", graft.functions.ExpressionLambda.fold(
+            s, t.schema, Seq("l_linenumber"), "__acc", "0",
+            "__acc + l_linenumber", Some("__acc + folded_linenumbers"), None,
+            "folded_linenumbers")),
           Agg("cnt", count(lit(1)))),
         limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
-      ).run(Sources.table(s, dir, "lineitem"))
+      ).run(t)
     }),
 
     // post-aggregators: arithmetic / fieldAccess / constant / greatest-least

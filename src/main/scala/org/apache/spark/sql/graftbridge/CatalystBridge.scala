@@ -37,4 +37,22 @@ object CatalystBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Resolve a Column's expression against a synthetic row schema (the
+    * given attributes), running the session analyzer — function lookup and
+    * type coercion included. Returns the fully-resolved expression, which
+    * still references the caller's AttributeReference instances (bindable
+    * with BindReferences against the same seq). Used by the bounded
+    * expression-lambda aggregator to compile fold/combine/finalize bodies
+    * once at plan time. */
+  def resolveAgainst(spark: org.apache.spark.sql.SparkSession, c: Column,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.AttributeReference]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = Project(Seq(Alias(expression(c), "__resolved")()), LocalRelation(attrs))
+    val qe = cs.sessionState.executePlan(plan)
+    qe.assertAnalyzed()
+    qe.analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+  }
 }
