@@ -46,6 +46,165 @@ object MathExpr {
     "<DOUBLE>[]" -> "CAST(array() AS ARRAY<DOUBLE>)",
     "<STRING>[]" -> "CAST(array() AS ARRAY<STRING>)")
 
+  /** The apply (lambda) functions of the dialect
+    * (core/.../math/expr/ApplyFunction.java:156-591): Druid spells them
+    * lambda-FIRST with its own name set — `map((x) -> x+1, arr)` — while
+    * Spark's higher-order builtins are array-first (`transform(arr,
+    * x -> x+1)`); fold lambdas bind `(element, accumulator)` where Spark's
+    * `aggregate` merge lambda binds `(accumulator, element)`. Rewritten only
+    * when the first argument IS a lambda, so Spark-spelled `filter(arr,
+    * x -> p)` still passes through untouched. */
+  private val ApplyFns = Set(
+    "map", "cartesian_map", "fold", "cartesian_fold", "filter", "any", "all")
+
+  /** Split a balanced `(...)` argument list starting at `open` (must be the
+    * '(' index): returns the raw top-level argument substrings and the index
+    * just past the closing ')'. Respects nested parens/brackets and quotes. */
+  private def balancedArgs(e: String, open: Int): (Seq[String], Int) = {
+    val args = Seq.newBuilder[String]
+    var depth = 0
+    var i = open
+    var argStart = open + 1
+    var inSingle = false
+    var inDouble = false
+    var nArgs = 0
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else if (inDouble) { if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '"' => inDouble = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' =>
+          depth -= 1
+          if (depth == 0) {
+            val a = e.substring(argStart, i).trim
+            if (a.nonEmpty || nArgs > 0) { args += a; nArgs += 1 }
+            return (args.result(), i + 1)
+          }
+        case ',' if depth == 1 =>
+          args += e.substring(argStart, i).trim; nArgs += 1; argStart = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in expression: $e")
+  }
+
+  /** Parse `x -> body` / `(x, y) -> body` / `() -> body` at the top level of
+    * `arg`; None when the argument is not a lambda. */
+  private def parseLambda(arg: String): Option[(Seq[String], String)] = {
+    // find a top-level "->"
+    var depth = 0; var i = 0; var inS = false; var inD = false; var arrow = -1
+    while (i < arg.length - 1 && arrow < 0) {
+      val c = arg.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case '-' if depth == 0 && arg.charAt(i + 1) == '>' => arrow = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (arrow < 0) return None
+    val head = arg.substring(0, arrow).trim
+    val body = arg.substring(arrow + 2).trim
+    val params =
+      if (head.startsWith("(") && head.endsWith(")")) {
+        val inner = head.substring(1, head.length - 1).trim
+        if (inner.isEmpty) Nil else inner.split(",").map(_.trim).toSeq
+      } else Seq(head)
+    if (params.forall(p => p.nonEmpty && p.forall(ch => ch.isLetterOrDigit || ch == '_')) &&
+        params.forall(p => p.isEmpty || !p.head.isDigit))
+      Some((params, body))
+    else None
+  }
+
+  /** Type a fold's initial accumulator like the dialect does: a bare
+    * integral literal is a LONG, a decimal literal a DOUBLE — and widen it
+    * to the array's element type when that is wider (Druid's ExprEval
+    * adapts the accumulator type dynamically; Spark's `aggregate` requires
+    * the zero to match the merge lambda's output type exactly, so an INT
+    * `0` zero against a BIGINT/DOUBLE array would fail analysis). The
+    * widening term is a null-safe zero of the element type. Non-literal
+    * inits (strings, typed empty arrays, expressions) pass through. */
+  private def foldInit(init: String, arrays: Seq[String]): String = {
+    val t = init.trim
+    val widen = arrays.map(a => s"coalesce(element_at($a, 1) * 0, 0)").mkString(" + ")
+    if (t.matches("-?\\d+")) s"(CAST($t AS BIGINT) + $widen)"
+    else if (t.matches("-?\\d*\\.\\d+([eE]-?\\d+)?")) s"(CAST($t AS DOUBLE) + $widen)"
+    else init
+  }
+
+  /** Translate one Druid apply-fn call to the Spark higher-order spelling;
+    * None when the first argument is not a lambda (leave the call alone). */
+  private def applyFnRewrite(name: String, rawArgs: Seq[String]): Option[String] = {
+    if (rawArgs.isEmpty) return None
+    parseLambda(rawArgs.head).map { case (params0, bodyRaw) =>
+      val body = toSparkSql(bodyRaw)
+      val rest = rawArgs.tail.map(toSparkSql)
+      def requireCount(n: Int): Unit =
+        if (params0.size != n) throw new IllegalArgumentException(
+          s"lambda expression argument count does not match $name argument count")
+      // Spark lambdas need >= 1 parameter; a Druid zero-arg lambda
+      // (`map(() -> 1, arr)`) gets ignored fresh names
+      def padded(n: Int): Seq[String] =
+        if (params0.nonEmpty) params0 else (0 until n).map(i => s"__ignored$i")
+      name match {
+        case "map" =>
+          val p = padded(1)
+          s"transform(${rest(0)}, ${p(0)} -> $body)"
+        case "filter" =>
+          requireCount(1)
+          s"filter(${rest(0)}, ${params0(0)} -> $body)"
+        case "any" =>
+          requireCount(1)
+          s"exists(${rest(0)}, ${params0(0)} -> $body)"
+        case "all" =>
+          requireCount(1)
+          s"forall(${rest(0)}, ${params0(0)} -> $body)"
+        case "fold" =>
+          // fold((x, acc) -> f, arr, init): lambda ids are (element,
+          // accumulator) — ApplyFunction.java FoldLambdaBinding:839-843 —
+          // while aggregate's merge lambda is (accumulator, element)
+          requireCount(2)
+          val Seq(x, acc) = params0
+          s"aggregate(${rest(0)}, ${foldInit(rest(1), Seq(rest(0)))}, ($acc, $x) -> $body)"
+        case "cartesian_map" =>
+          // n arrays, n-identifier lambda; product order = first array
+          // varies slowest (CartesianList.create), which is exactly nested
+          // transforms flattened outside-in
+          val p = padded(rest.size)
+          if (p.size != rest.size) throw new IllegalArgumentException(
+            s"lambda expression argument count does not match $name argument count")
+          def nest(idx: Int): String =
+            if (idx == p.size - 1) s"transform(${rest(idx)}, ${p(idx)} -> $body)"
+            else s"flatten(transform(${rest(idx)}, ${p(idx)} -> ${nest(idx + 1)}))"
+          nest(0)
+        case "cartesian_fold" =>
+          // cartesian_fold((x, y, acc) -> f, xs, ys, init): fold over the
+          // product, first array slowest → nested aggregates with fresh
+          // intermediate accumulator names (the lambda's own accumulator id
+          // binds only the innermost level, where the body runs)
+          requireCount(rest.size)
+          val arrays = rest.dropRight(1)
+          val init = foldInit(rest.last, arrays)
+          val acc = params0.last
+          def nest(idx: Int, accIn: String): String =
+            if (idx == arrays.size - 1)
+              s"aggregate(${arrays(idx)}, $accIn, ($acc, ${params0(idx)}) -> $body)"
+            else
+              s"aggregate(${arrays(idx)}, $accIn, (__cf$idx, ${params0(idx)}) -> ${nest(idx + 1, s"__cf$idx")})"
+          nest(0, init)
+      }
+    }
+  }
+
   def toSparkSql(e: String): String = {
     val sb = new StringBuilder(e.length + 16)
     var i = 0
@@ -72,7 +231,14 @@ object MathExpr {
         case '<' if TypedEmpty.keys.exists(k => e.regionMatches(i, k, 0, k.length)) =>
           val k = TypedEmpty.keys.find(k => e.regionMatches(i, k, 0, k.length)).get
           sb.append(TypedEmpty(k)); i += k.length
-        case '[' => sb.append("array("); i += 1
+        case '[' =>
+          // a bare empty array literal is a STRING array in the dialect
+          // (ExprEval.ofStringArray — ApplyFunctionTest's `fold(..., a, [])`)
+          var j = i + 1
+          while (j < e.length && e.charAt(j) == ' ') j += 1
+          if (j < e.length && e.charAt(j) == ']') {
+            sb.append("CAST(array() AS ARRAY<STRING>)"); i = j + 1
+          } else { sb.append("array("); i += 1 }
         case ']' => sb.append(')'); i += 1
         case c if isIdentStart(c) =>
           val start = i
@@ -81,7 +247,13 @@ object MathExpr {
           var j = i
           while (j < e.length && e.charAt(j) == ' ') j += 1
           val isCall = j < e.length && e.charAt(j) == '('
-          sb.append(if (isCall) FnRenames.getOrElse(ident, ident) else ident)
+          if (isCall && ApplyFns.contains(ident)) {
+            val (rawArgs, end) = balancedArgs(e, j)
+            applyFnRewrite(ident, rawArgs) match {
+              case Some(text) => sb.append(text); i = end
+              case None => sb.append(ident) // Spark-spelled call; args translate in place
+            }
+          } else sb.append(if (isCall) FnRenames.getOrElse(ident, ident) else ident)
         case c => sb.append(c); i += 1
       }
     }

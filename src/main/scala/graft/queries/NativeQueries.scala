@@ -471,6 +471,32 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // the apply/lambda functions of the math-expr dialect
+    // (ApplyFunction.java:156-591): map/filter/fold inside a virtualColumn
+    // and any() as an expression filter, all in Druid's lambda-first
+    // spelling with (element, accumulator) fold binding — exact long
+    // arithmetic so the oracle hash matches
+    "native_apply_fns" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "lineitem",
+          "virtualColumns": [
+            {"type": "expression", "name": "arr",
+             "expression": "[\"l_linenumber\", \"l_orderkey\" % 10, 3]"},
+            {"type": "expression", "name": "folded",
+             "expression": "fold((x, acc) -> acc + x, map((x) -> x * 2, filter((x) -> x > 2, arr)), 0)"}
+          ],
+          "filter": {"type": "expression", "expression": "any((x) -> x > 4, arr)"},
+          "dimensions": [{"type": "default", "dimension": "l_returnflag"}],
+          "aggregations": [
+            {"type": "longSum", "name": "folded_sum", "fieldName": "folded"},
+            {"type": "count", "name": "cnt"}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "l_returnflag"}]}
+        }""", res(s, dir))
+    }),
+
     // interval filter on a LONG millis column (IntervalDimFilter.java —
     // bounds compile to a long range, not a timestamp compare): the virtual
     // column materializes epoch millis, the filter must hit the long branch
@@ -630,6 +656,17 @@ object NativeQueries {
     "native_lambda_hll" ->
       """SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS DOUBLE) AS nd_nation
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "native_apply_fns" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(
+        |    (CASE WHEN l_linenumber > 2 THEN 2 * l_linenumber ELSE 0 END) +
+        |    (CASE WHEN l_orderkey % 10 > 2 THEN 2 * (l_orderkey % 10) ELSE 0 END) +
+        |    6) AS BIGINT) AS folded_sum,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_linenumber > 4 OR l_orderkey % 10 > 4
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "native_interval_long" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS y, count(*) AS cnt
