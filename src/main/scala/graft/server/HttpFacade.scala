@@ -61,9 +61,16 @@ import graft.sources.LookupRegistry
   */
 object HttpFacade {
 
-  final class Facade(server: HttpServer) {
+  final class Facade(server: HttpServer, val requestLog: RequestLog) {
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
+  }
+
+  // the requesting client's address, set per-exchange by the handlers so
+  // the request log can record it (the reference passes remoteAddr through
+  // RequestLogLine.forNative/forSql)
+  private val currentRemoteAddr = new ThreadLocal[String] {
+    override def initialValue(): String = ""
   }
 
   /** Raised when a request's query was cancelled through the DELETE
@@ -320,8 +327,9 @@ object HttpFacade {
 
     val cancels = new CancelRegistry(spark.sparkContext)
     val capacity = new CapacityGuard(maxConcurrentQueries, maxLowPercent)
+    val requestLog = new RequestLog()
 
-    server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity, defaultContext) { body =>
+    server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity, requestLog, defaultContext) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
         JsonMethods.parseOpt(body) match {
         case Some(o: JObject) =>
@@ -457,29 +465,42 @@ object HttpFacade {
     // reference assigns the id in QueryLifecycle.initialize before both
     val nativeAssignedId = new ThreadLocal[String]
     server.createContext("/druid/v2", statusHandler(rawBody => {
+      // one request-log line per query — success or failure — matching
+      // QueryLifecycle.emitLogsAndMetrics feeding the RequestLogger
+      val startNs = System.nanoTime()
+      def elapsedMs() = (System.nanoTime() - startNs) / 1000000L
       // server-level context defaults merge under the request's context
       // (request keys win), and the merged body is what executes — so a
       // default like skipEmptyBuckets/priority reaches the query exactly as
       // if the client had set it (QueryLifecycle.initialize)
       val body = withDefaultContext(rawBody, defaultContext)
-      val q = JsonMethods.parse(body)
-      val queryId = Option(nativeAssignedId.get)
-        .getOrElse(java.util.UUID.randomUUID().toString)
-      val timeoutMs = (q \ "context" \ "timeout") match {
-        case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+      try {
+        val q = JsonMethods.parse(body)
+        val queryId = Option(nativeAssignedId.get)
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        val timeoutMs = (q \ "context" \ "timeout") match {
+          case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+        }
+        def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
+          maxResultRows)
+        val lane = (q \ "context" \ "lane") match {
+          case JString(l) => Some(l); case _ => None
+        }
+        val priority = (q \ "context" \ "priority") match {
+          case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
+        }
+        // every query is cancel-registered under its assigned id (the
+        // reference's QueryScheduler registers unconditionally), so a DELETE
+        // with the returned header id works even without a client queryId
+        val payload =
+          capacity.run(lane, priority)(cancels.run(queryId, timeoutMs)(exec()))
+        requestLog.logNative(currentRemoteAddr.get, body, elapsedMs(),
+          payload.getBytes(StandardCharsets.UTF_8).length.toLong, None)
+        (200, payload)
+      } catch { case e: Throwable =>
+        requestLog.logNative(currentRemoteAddr.get, body, elapsedMs(), 0L, Some(e))
+        throw e
       }
-      def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
-        maxResultRows)
-      val lane = (q \ "context" \ "lane") match {
-        case JString(l) => Some(l); case _ => None
-      }
-      val priority = (q \ "context" \ "priority") match {
-        case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
-      }
-      // every query is cancel-registered under its assigned id (the
-      // reference's QueryScheduler registers unconditionally), so a DELETE
-      // with the returned header id works even without a client queryId
-      (200, capacity.run(lane, priority)(cancels.run(queryId, timeoutMs)(exec())))
     }, onDelete = Some(id => { cancels.cancel(id); 202 }),
       // X-Druid-Query-Id on every native response — the context's id when
       // the client set one, a fresh one otherwise (QueryResource
@@ -523,7 +544,7 @@ object HttpFacade {
       (method, sub, _) => ClusterResource.overlord(spark, method, sub)))
 
     server.start()
-    new Facade(server)
+    new Facade(server, requestLog)
   }
 
   /** Method-and-path routing handler for the REST-ish admin resources:
@@ -577,6 +598,8 @@ object HttpFacade {
           if (ex.getRequestMethod != "POST")
             (405, """{"error":"POST only"}""")
           else {
+            currentRemoteAddr.set(Option(ex.getRemoteAddress)
+              .map(_.getAddress.getHostAddress).getOrElse(""))
             val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             try respHeaders(body).foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
             catch { case _: Throwable => }
@@ -599,7 +622,7 @@ object HttpFacade {
     * the Lines formats text/plain, csv text/csv), and renders failures as
     * the reference's QueryException envelope. */
   private def sqlHandler(cancels: CancelRegistry, capacity: CapacityGuard,
-      defaultContext: JObject = JObject())(
+      requestLog: RequestLog, defaultContext: JObject = JObject())(
       f: String => String): HttpHandler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // DELETE /druid/v2/sql/{id}: 202 when the id names a registered
@@ -638,6 +661,14 @@ object HttpFacade {
       val priority = parsed.flatMap(o => (o \ "context" \ "priority") match {
         case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
       })
+      val startNs = System.nanoTime()
+      def elapsedMs() = (System.nanoTime() - startNs) / 1000000L
+      val remoteAddr = Option(ex.getRemoteAddress)
+        .map(_.getAddress.getHostAddress).getOrElse("")
+      val sqlText = parsed.flatMap(o => (o \ "query") match {
+        case JString(s) => Some(s); case _ => None
+      }).getOrElse("")
+      val sqlContext = parsed.map(o => o \ "context").getOrElse(JNothing)
       val (status, payload, contentType) =
         try {
           if (ex.getRequestMethod != "POST")
@@ -645,13 +676,18 @@ object HttpFacade {
           // registered for the request's full lifecycle — parse, plan,
           // execute — like SqlLifecycleManager.add at doPost entry, so a
           // cancel landing between plan and execute still voids the request
-          else (200, capacity.run(lane, priority)(cancels.run(sqlQueryId, timeoutMs)(f(body))),
-            format match {
-            case "objectLines" | "arrayLines" => "text/plain"
-            case "csv" => "text/csv"
-            case _ => "application/json"
-          })
+          else {
+            val out = capacity.run(lane, priority)(cancels.run(sqlQueryId, timeoutMs)(f(body)))
+            requestLog.logSql(remoteAddr, sqlText, sqlContext, elapsedMs(),
+              out.getBytes(StandardCharsets.UTF_8).length.toLong, None)
+            (200, out, format match {
+              case "objectLines" | "arrayLines" => "text/plain"
+              case "csv" => "text/csv"
+              case _ => "application/json"
+            })
+          }
         } catch { case e: Throwable =>
+          requestLog.logSql(remoteAddr, sqlText, sqlContext, elapsedMs(), 0L, Some(e))
           val (s, p) = queryError(e); (s, p, "application/json")
         }
       val bytes = payload.getBytes(StandardCharsets.UTF_8)

@@ -778,4 +778,59 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert(h4.firstValue("X-Druid-SQL-Query-Id").orElse("") == "mine")
     } finally facade.stop()
   }
+
+  test("request log: one line per native/SQL query with time/bytes/success, " +
+      "exception on failure, interrupted+reason on cancel " +
+      "(LoggingRequestLogger.java, QueryLifecycle.java:290-355)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      // native success + native failure (unsupported query type)
+      post(facade.port, "/druid/v2", graft.queries.NativeQueries.TimeseriesGateJson)
+      post(facade.port, "/druid/v2", """{"queryType": "nope", "dataSource": "lineitem"}""")
+      // SQL success + SQL failure (parse error)
+      post(facade.port, "/druid/v2/sql", """{"query": "SELECT 1 + 1 AS two"}""")
+      post(facade.port, "/druid/v2/sql", """{"query": "SELECT FROM WHERE"}""")
+      // SQL cancellation → interrupted entry
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val slow = """{"query":
+        "SELECT SUM(a.id * b.id) AS s FROM range(1000000) a CROSS JOIN range(1000000) b",
+        "context": {"sqlQueryId": "logCancel"}}"""
+      val pending = Future(post(facade.port, "/druid/v2/sql", slow))
+      var status = 404
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (status == 404 && System.nanoTime < deadline) {
+        Thread.sleep(50)
+        status = delete(facade.port, "/druid/v2/sql/logCancel")
+      }
+      assert(status == 202)
+      Await.result(pending, 60.seconds)
+
+      val entries = facade.requestLog.recent
+      // native success: query JSON in column 3, stats with time/bytes/success
+      val nativeOk = entries.find(e => e.queryJson.contains("timeseries") && e.success)
+      assert(nativeOk.isDefined)
+      assert(nativeOk.get.statsJson.contains("\"query/time\":"))
+      assert(nativeOk.get.statsJson.contains("\"query/bytes\":"))
+      assert(nativeOk.get.line.split("\t").length == 4)
+      assert(nativeOk.get.remoteAddr.nonEmpty)
+      // native failure: success false + exception recorded
+      val nativeBad = entries.find(_.queryJson.contains("nope"))
+      assert(nativeBad.exists(e => !e.success && e.statsJson.contains("\"exception\":")))
+      // SQL success: 5-column line, {query, context} in the SQL column
+      val sqlOk = entries.find(_.sqlJson.exists(_.contains("1 + 1")))
+      assert(sqlOk.exists(_.success))
+      assert(sqlOk.get.line.split("\t").length == 5)
+      assert(sqlOk.get.queryJson == "")
+      // SQL failure
+      assert(entries.exists(e =>
+        e.sqlJson.exists(_.contains("SELECT FROM WHERE")) && !e.success))
+      // cancelled: interrupted + reason (QueryLifecycle.java:337-341)
+      val cancelled = entries.find(_.sqlJson.exists(_.contains("logCancel")))
+      assert(cancelled.exists(e => !e.success &&
+        e.statsJson.contains("\"interrupted\":true") &&
+        e.statsJson.contains("\"reason\":")))
+    } finally facade.stop()
+  }
 }
