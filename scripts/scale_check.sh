@@ -20,19 +20,28 @@ cd "$(dirname "$0")/.."
 SRC=${SRC:-/root/testdata/sf0.1}
 WORK=${WORK:-/tmp/graft_scale}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,embed_lsh_neardup,embed_knn_int8,text_gopher_gate
+# similarity/curation family + the bread-and-butter OLAP shapes (round-8
+# mandate: a semantics round must not silently regress core operators'
+# scaling either)
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full
 
 mkdir -p "$WORK"
 
-if [[ "${KEEP:-0}" != "1" || ! -d "$WORK/sf10/documents.parquet" ]]; then
-  echo "[scale_check] generating sf10 documents/embeddings under $WORK/sf10"
-  sbt -batch "runMain graft.tools.ScaleGen $SRC $WORK/sf10 100 documents,embeddings"
+if [[ "${KEEP:-0}" != "1" || ! -d "$WORK/sf10/lineitem.parquet" ]]; then
+  echo "[scale_check] generating sf10 tables under $WORK/sf10"
+  sbt -batch "runMain graft.tools.ScaleGen $SRC $WORK/sf10 100 documents,embeddings,lineitem,orders,part,supplier"
 fi
 
 run_family() { # $1 = sf dir, $2 = output json
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_ONLY="$FAMILY" sbt -batch "runMain graft.Bench" \
     | grep -o '{"metric".*}' | tail -1 > "$2"
 }
+
+echo "[scale_check] LSH candidate volume (within-bucket quadratic term, SCALE.md section 9)"
+sbt -batch "runMain graft.tools.LshCandidateVolume $SRC" | grep lsh_candidate_volume \
+  | sed 's/^/[scale_check] sf0.1  /'
+sbt -batch "runMain graft.tools.LshCandidateVolume $WORK/sf10" | grep lsh_candidate_volume \
+  | sed 's/^/[scale_check] sf10   /'
 
 echo "[scale_check] family run at sf0.1 (baseline)"
 run_family "$SRC" "$WORK/bench_sf01.json"
@@ -48,7 +57,11 @@ sf10 = json.load(open(sys.argv[2]))["queries"]
 # (single-file layout; fixed LSH plane count, 342 s) blow through them.
 budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 100,
           "dedup_ngram_jaccard": 140, "dedup_clusters": 90, "embed_lsh_neardup": 120,
-          "embed_knn_int8": 25, "text_gopher_gate": 15}
+          "embed_knn_int8": 25, "text_gopher_gate": 15,
+          # OLAP shapes at 100x lineitem/orders/part (~60M-row fact): ~2x
+          # quiet-box measurements, same headroom policy as above
+          "native_groupby": 30, "timeseries_month": 20,
+          "topn_supplier_revenue": 20, "segment_metadata_full": 20}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():

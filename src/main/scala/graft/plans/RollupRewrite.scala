@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -50,10 +50,11 @@ object RollupRewrite {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
-        catalog.all.collectFirst {
-          case rd if matchesBase(child, rd.basePath) && rewritable(groups, aggExprs, rd) =>
-            rewrite(agg, rd)
-        }.getOrElse(agg)
+        catalog.all.view.flatMap { rd =>
+          unwrap(child, rd).collect {
+            case filters if rewritable(groups, aggExprs, rd) => rewrite(agg, rd, filters)
+          }
+        }.headOption.getOrElse(agg)
     }
 
     // compare normalized full paths (scheme-stripped), not a suffix match —
@@ -62,14 +63,28 @@ object RollupRewrite {
     private def normPath(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
 
-    private def matchesBase(plan: LogicalPlan, basePath: String): Boolean = plan match {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.exists(p => normPath(p.toString) == normPath(basePath))
-      // look through column pruning (attribute-only projections)
-      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        matchesBase(child, basePath)
-      case _ => false
-    }
+    /** Peel attribute-only Projects and DIMENSION-only Filters off the
+      * aggregate's child down to the registered base scan, collecting the
+      * filter predicates to re-apply over the rollup. A `WHERE dim = x` (or
+      * a range on the rollup's truncated time dimension) is the common
+      * rollup query shape — the reference answers filtered queries from
+      * rolled-up segments as a matter of course (GroupByStrategyV2); a
+      * predicate touching any non-dimension column (raw time, metrics)
+      * disqualifies the rewrite, since rollup rows can't answer it. */
+    private def unwrap(plan: LogicalPlan, rd: RollupDef): Option[Seq[Expression]] =
+      plan match {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if fs.location.rootPaths.exists(p => normPath(p.toString) == normPath(rd.basePath)) =>
+          Some(Nil)
+        // look through column pruning (attribute-only projections)
+        case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          unwrap(child, rd)
+        case Filter(cond, child)
+            if cond.deterministic &&
+              cond.references.forall(a => rd.dimensions.contains(a.name)) =>
+          unwrap(child, rd).map(cond +: _)
+        case _ => None
+      }
 
     private def rewritable(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
         rd: RollupDef): Boolean = {
@@ -91,7 +106,8 @@ object RollupRewrite {
       groupsOk && aggsOk
     }
 
-    private def rewrite(agg: Aggregate, rd: RollupDef): LogicalPlan = {
+    private def rewrite(agg: Aggregate, rd: RollupDef,
+        filters: Seq[Expression]): LogicalPlan = {
       val rollupPlan = rd.rollup.queryExecution.analyzed
       def rollupAttr(name: String): AttributeReference =
         rollupPlan.output.collectFirst {
@@ -100,6 +116,13 @@ object RollupRewrite {
 
       def aggExpr(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false)
+
+      // dimension filters re-apply verbatim over the rollup (one rollup row
+      // per (time-bucket, dims) group, dims stored as ingested), remapped to
+      // the rollup plan's attributes
+      val newChild = filters.foldRight(rollupPlan: LogicalPlan) { (cond, p) =>
+        Filter(cond.transform { case a: AttributeReference => rollupAttr(a.name) }, p)
+      }
 
       val newGroups = agg.groupingExpressions.map {
         case a: AttributeReference => rollupAttr(a.name)
@@ -122,7 +145,7 @@ object RollupRewrite {
           Alias(repl, name)(exprId = al.exprId)
         case e => e
       }
-      val rewritten = Aggregate(newGroups, newAggs.map(stripOuterAliasKeepId), rollupPlan)
+      val rewritten = Aggregate(newGroups, newAggs.map(stripOuterAliasKeepId), newChild)
       // pin output schema: count(*) over rollup becomes sum(cnt) of LongType —
       // cast back where the rewritten type widened (sum(long) → long is fine;
       // sum over the count col stays long) via a no-op Project with old names

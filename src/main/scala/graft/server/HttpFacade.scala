@@ -61,9 +61,63 @@ import graft.sources.LookupRegistry
   */
 object HttpFacade {
 
-  final class Facade(server: HttpServer, val requestLog: RequestLog) {
+  final class Facade(server: HttpServer, val requestLog: RequestLog,
+      val planCache: PlanCache) {
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
+  }
+
+  /** Small LRU of compiled native-query DataFrames (What's-wrong r8 #2: the
+    * tiny-query latency floor is plan construction + analysis + codegen of
+    * large comparator expression trees, constant at any data scale — a
+    * repeated JSON shape should not pay it twice). Results are NOT cached —
+    * execution always runs; only the compiled plan is reused, and Spark's
+    * codegen cache then reuses the generated classes. Keys include the
+    * lookup registry's generation and the ingest layer's data generation,
+    * so a lookup update or an in-process write/compaction invalidates every
+    * cached plan (the reference's CachingClusteredClient keys on segment
+    * identifiers the same way); execution-irrelevant context keys (queryId,
+    * timeout, priority, lane) are stripped from the key so per-request ids
+    * don't defeat the cache. */
+  private[server] final class PlanCache(lookups: LookupRegistry, capacity: Int = 64) {
+    private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val map =
+      new java.util.LinkedHashMap[(String, Long, Long), DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), DataFrame]): Boolean =
+          size() > capacity
+      }
+
+    private def normalize(body: String): String =
+      JsonMethods.parseOpt(body) match {
+        case Some(o: JObject) =>
+          val ctx = (o \ "context") match {
+            case c: JObject => JObject(c.obj.filterNot(kv =>
+              Set("queryId", "timeout", "priority", "lane").contains(kv._1)))
+            case _ => JObject()
+          }
+          JsonMethods.compact(JsonMethods.render(
+            JObject(o.obj.filterNot(_._1 == "context") ++
+              (if (ctx.obj.nonEmpty) List("context" -> (ctx: JValue)) else Nil))))
+        case _ => body
+      }
+
+    def get(body: String)(build: => DataFrame): DataFrame = {
+      val key = (normalize(body), lookups.generation,
+        graft.sources.BatchIngest.dataGeneration)
+      map.synchronized(Option(map.get(key))) match {
+        case Some(df) => hitCount.incrementAndGet(); df
+        case None =>
+          val df = build
+          map.synchronized(map.put(key, df))
+          missCount.incrementAndGet()
+          df
+      }
+    }
+
+    def hits: Long = hitCount.get()
+    def misses: Long = missCount.get()
   }
 
   // the requesting client's address, set per-exchange by the handlers so
@@ -328,6 +382,7 @@ object HttpFacade {
     val cancels = new CancelRegistry(spark.sparkContext)
     val capacity = new CapacityGuard(maxConcurrentQueries, maxLowPercent)
     val requestLog = new RequestLog()
+    val planCache = new PlanCache(lookups)
 
     server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity, requestLog, defaultContext) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
@@ -481,7 +536,8 @@ object HttpFacade {
         val timeoutMs = (q \ "context" \ "timeout") match {
           case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
         }
-        def exec(): String = envelope(q, NativeQuery.run(spark, body, resolve, lookups),
+        def exec(): String = envelope(q,
+          planCache.get(body)(NativeQuery.run(spark, body, resolve, lookups)),
           maxResultRows)
         val lane = (q \ "context" \ "lane") match {
           case JString(l) => Some(l); case _ => None
@@ -544,7 +600,7 @@ object HttpFacade {
       (method, sub, _) => ClusterResource.overlord(spark, method, sub)))
 
     server.start()
-    new Facade(server, requestLog)
+    new Facade(server, requestLog, planCache)
   }
 
   /** Method-and-path routing handler for the REST-ish admin resources:

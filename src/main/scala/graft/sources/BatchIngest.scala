@@ -49,7 +49,10 @@ object BatchIngest {
     * metadata, SegmentMetadataQuery.java:50; here the spec that produced a
     * table is registered at ingest and served from this catalog). */
   private val specs = scala.collection.concurrent.TrieMap.empty[String, IngestSpec]
-  def registerSpec(name: String, spec: IngestSpec): Unit = specs.put(name, spec)
+  def registerSpec(name: String, spec: IngestSpec): Unit = {
+    specs.put(name, spec)
+    dataGen.incrementAndGet() // spec-describing analyses read this catalog
+  }
   def specOf(name: String): Option[IngestSpec] = specs.get(name)
 
   /** Read per inputFormat (InputSource × InputFormat). */
@@ -187,6 +190,12 @@ object BatchIngest {
     * segmentGranularity "ALL" puts everything in one eternity chunk (the
     * reference's ALL-granularity segment); `mode` Append adds new segments
     * to an existing datasource, the INSERT DML path. */
+  /** Monotonic data-change counter: every in-process ingest write or
+    * compaction bumps it, so the façade's native plan cache (keyed on it)
+    * never serves a plan whose file-listing snapshot predates a rewrite. */
+  private val dataGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  def dataGeneration: Long = dataGen.get()
+
   def write(df: DataFrame, spec: IngestSpec, outPath: String,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val chunked =
@@ -201,6 +210,7 @@ object BatchIngest {
       case RangePartitions(n, dims)   => chunked.repartitionByRange(n, dims.map(col): _*)
     }
     arranged.write.mode(mode).partitionBy("__chunk").parquet(outPath)
+    dataGen.incrementAndGet() // after completion: invalidates cached plans
   }
 
   def run(spark: SparkSession, spec: IngestSpec, outPath: String): DataFrame = {

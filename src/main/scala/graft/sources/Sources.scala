@@ -163,10 +163,15 @@ final class LookupRegistry {
   // LookupExtractorFactoryMapContainer.version); programmatic registrations
   // without a version read back null, like a v1 container
   private val versions = scala.collection.concurrent.TrieMap.empty[String, String]
+  // monotonic change counter: any register/remove bumps it, so plan caches
+  // keyed on it never serve a query compiled against stale lookup contents
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+  def generation: Long = gen.get()
 
   def register(name: String, kv: DataFrame): Unit = {
     require(kv.columns.length >= 2, "lookup needs (key, value) columns")
     lookups.put(name, kv)
+    gen.incrementAndGet()
   }
   def register(name: String, kv: DataFrame, version: String): Unit = {
     register(name, kv)
@@ -176,6 +181,7 @@ final class LookupRegistry {
   def contains(name: String): Boolean = lookups.contains(name)
   def remove(name: String): Boolean = {
     versions.remove(name)
+    gen.incrementAndGet()
     lookups.remove(name).isDefined
   }
   def registerMap(spark: SparkSession, name: String, m: Map[String, String]): Unit = {

@@ -833,4 +833,39 @@ class HttpFacadeSpec extends SparkSpecBase {
         e.statsJson.contains("\"reason\":")))
     } finally facade.stop()
   }
+
+  test("native plan cache: a repeated JSON shape reuses the compiled plan " +
+      "(differing queryIds share one entry), and a lookup update invalidates") {
+    import spark.implicits._
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      def body(ctxId: String) =
+        s"""{"queryType": "timeBoundary", "dataSource": "orders",
+            "timeColumn": "o_orderdate", "context": {"queryId": "$ctxId"}}"""
+      def timed(b: String): (Long, (Int, JValue)) = {
+        val t0 = System.nanoTime()
+        val r = post(facade.port, "/druid/v2", b)
+        ((System.nanoTime() - t0) / 1000000L, r)
+      }
+      val (t1, (s1, r1)) = timed(body("a"))
+      val missesAfterFirst = facade.planCache.misses
+      // same shape, different queryId — execution-irrelevant keys are
+      // stripped from the cache key
+      val (t2, (s2, r2)) = timed(body("b"))
+      assert(s1 == 200 && s2 == 200 && r1 == r2)
+      assert(facade.planCache.hits >= 1, "repeat POST must hit the plan cache")
+      assert(facade.planCache.misses == missesAfterFirst)
+      info(s"cold POST ${t1}ms, cached POST ${t2}ms")
+      // a lookup registration bumps the registry generation → invalidation
+      graft.sources.LookupRegistry.global.register("pc_inval",
+        Seq(("1", "x")).toDF("k", "v"))
+      val (s3, r3) = post(facade.port, "/druid/v2", body("c"))
+      assert(s3 == 200 && r3 == r1)
+      assert(facade.planCache.misses == missesAfterFirst + 1,
+        "lookup update must invalidate cached plans")
+    } finally {
+      graft.sources.LookupRegistry.global.remove("pc_inval")
+      facade.stop()
+    }
+  }
 }

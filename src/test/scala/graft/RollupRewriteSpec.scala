@@ -102,4 +102,58 @@ class RollupRewriteSpec extends SparkSpecBase {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("a filter on rollup dimensions redirects to a filtered rollup scan — " +
+      "the common rollup query shape (GroupByStrategyV2)") {
+    val basePath = sf() + "/lineitem.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_f").toString
+    spark.read.parquet(basePath)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum($"l_quantity").as("sum_qty"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set("l_returnflag", "l_linestatus"),
+      Map("l_quantity" -> ("sum", "sum_qty")), "cnt"))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // WHERE on a dimension: redirected, with the predicate applied to the
+      // rollup scan
+      val q = spark.read.parquet(basePath)
+        .filter($"l_returnflag" === "A" && $"l_linestatus" =!= "X")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("s"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("sum_qty"), s"filtered agg still scans base: $scanned")
+      val expected = spark.read.parquet(basePath)
+        .filter($"l_returnflag" === "A")
+        .groupBy($"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("s"))
+        .collect().map(_.toString).sorted
+      assert(q.collect().map(_.toString).sorted.sameElements(expected))
+
+      // IN-list predicate redirects too
+      val q2 = spark.read.parquet(basePath)
+        .filter($"l_returnflag".isin("A", "R"))
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val scanned2 = q2.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned2.contains("sum_qty") || scanned2.contains("cnt"),
+        s"IN-filtered agg still scans base: $scanned2")
+
+      // a predicate on a NON-dimension column must NOT redirect (rollup
+      // rows cannot answer it)
+      val q3 = spark.read.parquet(basePath)
+        .filter($"l_quantity" > 10)
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      val scanned3 = q3.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scanned3.contains("sum_qty"),
+        s"metric-filtered agg wrongly redirected: $scanned3")
+      // and still answers correctly from the base
+      val expect3 = spark.read.parquet(basePath).filter($"l_quantity" > 10)
+        .groupBy($"l_returnflag").agg(count(lit(1))).collect().map(_.toString).sorted
+      assert(q3.collect().map(_.toString).sorted.sameElements(expect3))
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
 }
