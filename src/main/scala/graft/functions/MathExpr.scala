@@ -39,7 +39,22 @@ object MathExpr {
     "strlen" -> "length",
     "strpos" -> "druid_mx_strpos",
     "substring" -> "druid_mx_substring",
-    "cast" -> "druid_mx_cast")
+    "cast" -> "druid_mx_cast",
+    // math-expr spells the bitwise family camelCase (Function.java:874-1050);
+    // the engine registers the SQL layer's snake_case names
+    "bitwiseAnd" -> "bitwise_and",
+    "bitwiseOr" -> "bitwise_or",
+    "bitwiseXor" -> "bitwise_xor",
+    "bitwiseComplement" -> "bitwise_complement",
+    "bitwiseShiftLeft" -> "bitwise_shift_left",
+    "bitwiseShiftRight" -> "bitwise_shift_right",
+    "bitwiseConvertDoubleToLongBits" -> "bitwise_convert_double_to_long_bits",
+    "bitwiseConvertLongBitsToDouble" -> "bitwise_convert_long_bits_to_double")
+
+  // the grammar's special DOUBLE literals (Expr.g4:63: 'NaN' | 'Infinity')
+  private val LiteralIdents = Map(
+    "NaN" -> "CAST('NaN' AS DOUBLE)",
+    "Infinity" -> "CAST('Infinity' AS DOUBLE)")
 
   private val TypedEmpty = Map(
     "<LONG>[]" -> "CAST(array() AS ARRAY<BIGINT>)",
@@ -240,6 +255,29 @@ object MathExpr {
             sb.append("CAST(array() AS ARRAY<STRING>)"); i = j + 1
           } else { sb.append("array("); i += 1 }
         case ']' => sb.append(')'); i += 1
+        // numeric literals: the grammar types anything with a '.' or
+        // exponent as DOUBLE (Expr.g4:63) — Spark would parse `4.5` as
+        // DECIMAL(2,1), so decimal/exponent literals get the D suffix
+        case c if c.isDigit =>
+          val start = i
+          while (i < e.length && e.charAt(i).isDigit) i += 1
+          var isDouble = false
+          if (i < e.length && e.charAt(i) == '.') {
+            isDouble = true; i += 1
+            while (i < e.length && e.charAt(i).isDigit) i += 1
+          }
+          if (i < e.length && (e.charAt(i) == 'e' || e.charAt(i) == 'E')) {
+            var j = i + 1
+            if (j < e.length && (e.charAt(j) == '+' || e.charAt(j) == '-')) j += 1
+            if (j < e.length && e.charAt(j).isDigit) {
+              isDouble = true
+              i = j
+              while (i < e.length && e.charAt(i).isDigit) i += 1
+            }
+          }
+          val lit = e.substring(start, i)
+          sb.append(if (lit.endsWith(".")) lit + "0" else lit)
+          if (isDouble) sb.append('D')
         case c if isIdentStart(c) =>
           val start = i
           while (i < e.length && isIdentChar(e.charAt(i))) i += 1
@@ -253,7 +291,9 @@ object MathExpr {
               case Some(text) => sb.append(text); i = end
               case None => sb.append(ident) // Spark-spelled call; args translate in place
             }
-          } else sb.append(if (isCall) FnRenames.getOrElse(ident, ident) else ident)
+          } else sb.append(
+            if (isCall) FnRenames.getOrElse(ident, ident)
+            else LiteralIdents.getOrElse(ident, ident))
         case c => sb.append(c); i += 1
       }
     }
