@@ -95,7 +95,11 @@ object BatchIngest {
           if (explicit.isDefined) "false" else "true")
         val base = r.option("header", header).csv(spec.inputPath)
         explicit.fold(base)(cs => base.toDF(cs: _*))
-      case "json"    => r.json(spec.inputPath)
+      case "json" =>
+        spec.formatOptions.get("flattenSpec") match {
+          case Some(fs) => readJsonFlattened(spark, spec, fs)
+          case None => r.json(spec.inputPath)
+        }
       case "parquet" => r.parquet(spec.inputPath)
       case "orc"     => r.orc(spec.inputPath)
       case "avro"    => r.format("avro").load(spec.inputPath)
@@ -103,6 +107,85 @@ object BatchIngest {
       case "protobuf" => readProtobuf(spark, spec)
       case f         => throw new IllegalArgumentException(s"unknown inputFormat: $f")
     }
+  }
+
+  /** JsonInputFormat's `flattenSpec` (core/.../data/input/impl/
+    * JsonInputFormat.java + parsers/JSONPathSpec.java): `useFieldDiscovery`
+    * (default true) auto-discovers ROOT-level fields whose values are
+    * primitives or arrays of primitives — nested objects are ignored unless
+    * explicitly listed (JSONFlattenerMaker.discoverRootFields) — and
+    * `fields` adds named extractions:
+    *   {"type": "root", "name": n[, "expr": e]}  — a top-level field
+    *   {"type": "path", "name": n, "expr": "$.a.b[0]"} — a JsonPath
+    *   {"type": "jq", ...} — NOT supported (jackson-jq is not on the
+    *     classpath in this environment; JsonPath covers the same
+    *     extractions), fails loudly.
+    *
+    * Spark-first: one schema-inference pass defines the parsed struct; path
+    * extractions compile to `get_json_object` (codegen'd, distributed with
+    * the scan — the per-row flattener never runs on the driver). Path
+    * results are STRING columns, like the reference's dimension-coerced
+    * values; TransformSpec casts refine them. */
+  private def readJsonFlattened(spark: SparkSession, spec: IngestSpec,
+      flattenSpecJson: String): DataFrame = {
+    import org.json4s._
+    import org.apache.spark.sql.types._
+    val fsj = org.json4s.jackson.JsonMethods.parse(flattenSpecJson)
+    val useDiscovery = (fsj \ "useFieldDiscovery") match {
+      case JBool(b) => b
+      case _ => true
+    }
+    val fields: Seq[(String, String, String)] = (fsj \ "fields") match {
+      case JArray(fs) => fs.map { f =>
+        val tpe = (f \ "type") match { case JString(t) => t.toLowerCase; case _ => "root" }
+        val name = (f \ "name") match {
+          case JString(n) => n
+          case _ => throw new IllegalArgumentException("Missing 'name' in field spec")
+        }
+        val expr = (f \ "expr") match {
+          case JString(e) => e
+          case _ if tpe == "root" => name // JSONPathFieldSpec: root defaults expr to name
+          case _ => throw new IllegalArgumentException(s"Missing 'expr' for field[$name]")
+        }
+        (tpe, name, expr)
+      }
+      case _ => Nil
+    }
+    fields.collectFirst { case ("jq", n, _) => n }.foreach { n =>
+      throw new IllegalArgumentException(
+        s"flattenSpec jq field '$n' unsupported (no jackson-jq in this environment); " +
+          "use a 'path' JsonPath expression")
+    }
+
+    // schema inference pass (plan-time only), then parse each raw line once
+    val inferred = spark.read.options(spec.formatOptions - "flattenSpec")
+      .json(spec.inputPath).schema
+    val raw = spark.read.text(spec.inputPath)
+    val parsed = raw.select(col("value"), from_json(col("value"), inferred).as("__j"))
+
+    def isDiscoverable(dt: DataType): Boolean = dt match {
+      case _: StructType | _: MapType => false
+      case ArrayType(et, _) => !et.isInstanceOf[StructType] && !et.isInstanceOf[MapType]
+      case _ => true
+    }
+    val explicitNames = fields.map(_._2).toSet
+    val discovered: Seq[Column] =
+      if (!useDiscovery) Nil
+      else inferred.fields.toSeq.collect {
+        case f if isDiscoverable(f.dataType) && !explicitNames.contains(f.name) =>
+          col(s"__j.`${f.name}`").as(f.name)
+      }
+    val extracted: Seq[Column] = fields.map {
+      // a root field absent from every input row (not in the inferred
+      // schema) reads as null, like the reference's empty dimension
+      case ("root", name, expr) =>
+        if (inferred.fieldNames.contains(expr)) col(s"__j.`$expr`").as(name)
+        else lit(null).cast("string").as(name)
+      case ("path", name, expr) => get_json_object(col("value"), expr).as(name)
+      case (t, name, _) =>
+        throw new IllegalArgumentException(s"flattenSpec field type '$t' (field $name)")
+    }
+    parsed.select((discovered ++ extracted): _*)
   }
 
   /** `protobuf` InputFormat (extensions-core/protobuf-extensions

@@ -114,6 +114,42 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(got.getNanos == ((bigNanos / 1000L) % 1000000L).toInt * 1000)
   }
 
+  test("json flattenSpec: field discovery skips nested objects, root + " +
+      "JsonPath extractions, absent fields null, jq rejected " +
+      "(JsonLineReaderTest.testParseRow, JSONPathSpec.java)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flatten").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.json"),
+      java.util.Arrays.asList(
+        """{"timestamp":"2019-01-01","bar":null,"foo":"x","baz":4,"o":{"mg":1}}"""))
+    val spec = IngestSpec(inputPath = s"$dir/rows.json", inputFormat = "json",
+      formatOptions = Map("flattenSpec" ->
+        """{"useFieldDiscovery": true, "fields": [
+          {"type": "root", "name": "root_baz", "expr": "baz"},
+          {"type": "root", "name": "root_baz2", "expr": "baz2"},
+          {"type": "path", "name": "path_omg", "expr": "$.o.mg"},
+          {"type": "path", "name": "path_omg2", "expr": "$.o.mg2"}
+        ]}"""),
+      timeColumn = "timestamp")
+    val df = BatchIngest.read(spark, spec)
+    // discovery finds the root primitives but NOT the nested object `o`
+    // (JSONFlattenerMaker.discoverRootFields); explicit fields append
+    assert(df.columns.toSet == Set("timestamp", "bar", "foo", "baz",
+      "root_baz", "root_baz2", "path_omg", "path_omg2"))
+    val row = df.head()
+    assert(row.getAs[String]("foo") == "x")
+    assert(String.valueOf(row.getAs[Any]("baz")) == "4")
+    assert(String.valueOf(row.getAs[Any]("root_baz")) == "4")
+    assert(row.getAs[String]("path_omg") == "1")
+    assert(row.getAs[Any]("root_baz2") == null)
+    assert(row.getAs[Any]("path_omg2") == null)
+    // a jq field fails loudly (no jackson-jq in this environment)
+    val e = intercept[IllegalArgumentException] {
+      BatchIngest.read(spark, spec.copy(formatOptions = Map("flattenSpec" ->
+        """{"fields": [{"type": "jq", "name": "jq_omg", "expr": ".o.mg"}]}""")))
+    }
+    assert(e.getMessage.contains("jq"))
+  }
+
   test("batch ingest reads regex-parsed lines (RegexInputFormat.java round-trip)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_regex").toString
     // an access-log-ish line format: ts level tag|tag message
