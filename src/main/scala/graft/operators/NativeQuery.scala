@@ -37,6 +37,14 @@ import graft.sources.LookupRegistry
 final class QueryUnsupportedException(msg: String)
   extends UnsupportedOperationException(msg)
 
+/** Raised when a subquery datasource produces more rows than the query's
+  * `maxSubqueryRows` context allows (ClientQuerySegmentWalker.java:166-336 —
+  * the broker inlines subqueries under a row-limit accumulator and fails
+  * with ResourceLimitExceededException past it). */
+final class SubqueryRowLimitExceededException(max: Int)
+  extends RuntimeException(
+    s"Subquery generated results beyond maximum[$max]")
+
 object NativeQuery {
 
   type Resolver = String => DataFrame
@@ -48,7 +56,12 @@ object NativeQuery {
       lookups: LookupRegistry): DataFrame = {
     graft.functions.GraftSqlFunctions.register(spark)
     val q = JsonMethods.parse(json)
-    val ds = dataSource(spark, q \ "dataSource", resolve, lookups)
+    // maxSubqueryRows (QueryContexts.getMaxSubqueryRows): caps every inlined
+    // subquery datasource of this query; unlimited when absent
+    val maxSubqueryRows = (q \ "context" \ "maxSubqueryRows") match {
+      case JInt(n) => Some(n.toInt); case JLong(n) => Some(n.toInt); case _ => None
+    }
+    val ds = dataSource(spark, q \ "dataSource", resolve, lookups, maxSubqueryRows)
     val timeCol = strOpt(q \ "timeColumn").getOrElse("__time")
     val prepared = applyVirtualColumns(applyIntervals(ds, q \ "intervals", timeCol), q \ "virtualColumns")
     val finalizeAggs = aggFinalizers(q \ "aggregations")
@@ -224,7 +237,7 @@ object NativeQuery {
 
   // ---- datasource (§2.2) ----
   private def dataSource(spark: SparkSession, j: JValue, resolve: Resolver,
-      lookups: LookupRegistry): DataFrame = j match {
+      lookups: LookupRegistry, maxSubqueryRows: Option[Int] = None): DataFrame = j match {
     case JString(name) => resolve(name)
     case o =>
       str(o \ "type") match {
@@ -236,10 +249,19 @@ object NativeQuery {
           // pass through untouched
           graft.sources.Sources.unionEvolved(arr(o \ "dataSources").map {
             case JString(n) => resolve(n)
-            case d => dataSource(spark, d, resolve, lookups)
+            case d => dataSource(spark, d, resolve, lookups, maxSubqueryRows)
           })
         case "query" =>
-          run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
+          val sub = run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
+          maxSubqueryRows match {
+            case Some(max) =>
+              // limit(max+1).count() bounds the probe itself: the subquery
+              // never materializes more than max+1 rows to decide
+              if (sub.limit(max + 1).count() > max)
+                throw new SubqueryRowLimitExceededException(max)
+              sub
+            case None => sub
+          }
         case "globalTable" => broadcast(resolve(str(o \ "name")))
         // lookup datasource (reference: query/LookupDataSource.java:41 —
         // joinable, always broadcast, fixed string schema (k, v))
@@ -250,8 +272,8 @@ object NativeQuery {
             col(s"`$k`").cast("string").as("k"),
             col(s"`$v`").cast("string").as("v")))
         case "join" =>
-          val left = dataSource(spark, o \ "left", resolve, lookups)
-          val right = dataSource(spark, o \ "right", resolve, lookups)
+          val left = dataSource(spark, o \ "left", resolve, lookups, maxSubqueryRows)
+          val right = dataSource(spark, o \ "right", resolve, lookups, maxSubqueryRows)
           val prefix = strOpt(o \ "rightPrefix").getOrElse("r.")
           val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, prefix + c))
           // condition: conjunction of equi-conditions "a == b && c == d"
@@ -407,13 +429,42 @@ object NativeQuery {
     "thirty_minute" -> "PT30M", "hour" -> "PT1H", "day" -> "P1D",
     "week" -> "P1W", "month" -> "P1M", "quarter" -> "P3M", "year" -> "P1Y")
 
+  /** An origin/timestamp JSON value as UTC epoch millis: a number, or an
+    * ISO instant (offset endpoints convert like interval endpoints). */
+  private def epochMillis(j: JValue): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case JString(s) =>
+      val norm = normEndpoint(s)
+      val padded =
+        if (norm.length == 10) norm + " 00:00:00"
+        else if (norm.length == 16) norm + ":00"
+        else norm
+      java.time.LocalDateTime
+        .parse(padded.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case x => throw new IllegalArgumentException(s"timestamp: $x")
+  }
+
   private def granularity(j: JValue): Granularity = j match {
     case JString("all") => AllGranularity
+    case JString("none") => NoneGranularity
     case JString(name) => PeriodGranularity(NamedGranularities.getOrElse(name, name))
     case o if strOpt(o \ "type").contains("period") =>
       PeriodGranularity(str(o \ "period"),
         strOpt(o \ "origin").map(_.replace("T", " ")).orNull,
         strOpt(o \ "timeZone").orNull)
+    // {"type": "duration", "duration": millis[, "origin": ...]}
+    // (DurationGranularity.java:41-47)
+    case o if strOpt(o \ "type").contains("duration") =>
+      DurationGranularity(
+        (o \ "duration") match {
+          case JInt(n) => n.toLong; case JLong(n) => n
+          case x => throw new IllegalArgumentException(s"duration: $x")
+        },
+        (o \ "origin") match { case JNothing | JNull => 0L; case x => epochMillis(x) })
+    case o if strOpt(o \ "type").contains("all") => AllGranularity
+    case o if strOpt(o \ "type").contains("none") => NoneGranularity
     case JNothing | JNull => AllGranularity
     case x => throw new IllegalArgumentException(s"granularity: $x")
   }
@@ -477,8 +528,9 @@ object NativeQuery {
       val t = (j \ "granularity") match {
         case JNothing | JNull | JString("none") => t0
         case g => granularity(g) match {
-          case AllGranularity => t0
+          case AllGranularity | NoneGranularity => t0
           case pg: PeriodGranularity => pg.bucket(t0).cast("timestamp")
+          case dg: DurationGranularity => dg.bucket(t0).cast("timestamp")
         }
       }
       strOpt(j \ "format") match {

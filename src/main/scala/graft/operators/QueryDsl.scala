@@ -109,6 +109,10 @@ object FirstLast {
   * (reference: PeriodGranularity). `All` = single bucket. */
 sealed trait Granularity
 case object AllGranularity extends Granularity
+/** `none`: no truncation — every distinct timestamp is its own bucket
+  * (NoneGranularity.java). Zero-fill never applies (the reference docs warn
+  * against none+timeseries for exactly the millisecond-spine reason). */
+case object NoneGranularity extends Granularity
 final case class PeriodGranularity(period: String, origin: String = null,
     timeZone: String = null) extends Granularity {
   def bucket(ts: Column): Column = {
@@ -118,6 +122,21 @@ final case class PeriodGranularity(period: String, origin: String = null,
     // timeZone (PeriodGranularity.java `timeZone`) computes bucket
     // boundaries on that zone's wall clock.
     TimeFunctions.timeFloor(ts, period, o, timeZone).cast("timestamp_ntz")
+  }
+}
+/** Fixed-millisecond bucketing (DurationGranularity.java:49-95): origin is
+  * stored mod duration, bucketStart(t) = t - ((t % duration - origin) mod+
+  * duration) — the exact reference arithmetic, negative dividends included.
+  */
+final case class DurationGranularity(durationMs: Long, originMs: Long = 0L)
+    extends Granularity {
+  require(durationMs > 0, "duration should be greater than 0!")
+  private val originMod = originMs % durationMs // Java-% semantics, like the reference
+  def bucket(ts: Column): Column = {
+    val t = unix_millis(ts.cast("timestamp"))
+    val off0 = t % durationMs - lit(originMod)
+    val off = when(off0 < 0, off0 + durationMs).otherwise(off0)
+    timestamp_millis(t - off).cast("timestamp_ntz")
   }
 }
 
@@ -174,17 +193,14 @@ final case class TimeseriesQuery(
     * bounds come from an aggregate over the (already small) grouped result —
     * Catalyst reuses the aggregation exchange, so the input is scanned once.
     */
-  private def zeroFill(grouped: DataFrame, g: PeriodGranularity): DataFrame = {
-    val p = TimeFunctions.parsePeriod(g.period)
-    val step =
-      if (p.months == 0) make_dt_interval(lit(0), lit(0), lit(0), lit(p.millis / 1000.0))
-      else make_ym_interval(lit(0), lit(p.months))
+  private def zeroFill(grouped: DataFrame, bucketFn: Column => Column,
+      step: Column): DataFrame = {
     val spine =
       if (fillIntervals.nonEmpty) {
         val seqs = fillIntervals.map { case (a, b) =>
-          val lo = g.bucket(lit(a).cast("timestamp"))
+          val lo = bucketFn(lit(a).cast("timestamp"))
           // buckets covering [a, b): floor(b - 1ms) is the last bucket
-          val hi = g.bucket(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
+          val hi = bucketFn(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
             .cast("timestamp"))
           sequence(lo, hi, step)
         }
@@ -205,16 +221,16 @@ final case class TimeseriesQuery(
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
     val aggCols = aggregations.map(_.aliased)
-    granularity match {
-      case AllGranularity =>
-        val out = QueryCommon.applyPostAggs(
-          filtered.agg(aggCols.head, aggCols.tail: _*), postAggregations)
-        limit.fold(out)(out.limit)
-      case g: PeriodGranularity =>
-        val bucketed = filtered.withColumn("__bucket", g.bucket(col(timeColumn)))
+    // bucket fn + zero-fill step per granularity kind; `none` buckets every
+    // distinct timestamp and never zero-fills (a millisecond spine)
+    def bucketedRun(bucketFn: Column => Column, step: Option[Column]): DataFrame = {
+        val bucketed = filtered.withColumn("__bucket", bucketFn(col(timeColumn)))
         val grouped0 = bucketed.groupBy(col("__bucket").as(timeColumn))
           .agg(aggCols.head, aggCols.tail: _*)
-        val grouped = if (skipEmptyBuckets) grouped0 else zeroFill(grouped0, g)
+        val grouped = step match {
+          case Some(s) if !skipEmptyBuckets => zeroFill(grouped0, bucketFn, s)
+          case _ => grouped0
+        }
         val withTotal = if (grandTotal) {
           // Druid emits one extra grand-total row (TimeseriesQuery.java:54 ctx key).
           val total = filtered.agg(aggCols.head, aggCols.tail: _*)
@@ -227,6 +243,24 @@ final case class TimeseriesQuery(
                       else withTotal.orderBy(col(timeColumn).asc_nulls_last)
         val out = QueryCommon.applyPostAggs(ordered, postAggregations)
         limit.fold(out)(out.limit)
+    }
+
+    granularity match {
+      case AllGranularity =>
+        val out = QueryCommon.applyPostAggs(
+          filtered.agg(aggCols.head, aggCols.tail: _*), postAggregations)
+        limit.fold(out)(out.limit)
+      case g: PeriodGranularity =>
+        val p = TimeFunctions.parsePeriod(g.period)
+        val step =
+          if (p.months == 0) make_dt_interval(lit(0), lit(0), lit(0), lit(p.millis / 1000.0))
+          else make_ym_interval(lit(0), lit(p.months))
+        bucketedRun(g.bucket, Some(step))
+      case g: DurationGranularity =>
+        bucketedRun(g.bucket,
+          Some(make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0))))
+      case NoneGranularity =>
+        bucketedRun(ts => ts.cast("timestamp_ntz"), None)
     }
   }
 }

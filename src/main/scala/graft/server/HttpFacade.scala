@@ -796,6 +796,12 @@ object HttpFacade {
       case _: ResourceLimitExceededException =>
         (400, "Resource limit exceeded",
           "org.apache.druid.query.ResourceLimitExceededException")
+      // subquery inlining past maxSubqueryRows — same envelope as the
+      // broker's ResourceLimitExceededException
+      // (ClientQuerySegmentWalker.java:166-336)
+      case _: graft.operators.SubqueryRowLimitExceededException =>
+        (400, "Resource limit exceeded",
+          "org.apache.druid.query.ResourceLimitExceededException")
       case _: org.apache.spark.sql.AnalysisException =>
         (400, "Plan validation failed", "org.apache.calcite.tools.ValidationException")
       case _: IllegalArgumentException =>

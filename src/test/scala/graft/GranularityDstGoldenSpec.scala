@@ -107,4 +107,27 @@ class GranularityDstGoldenSpec extends SparkSpecBase {
     assert(floorAll(Seq(base), "PT1H", null) == Seq(exp("2011-01-01T09:00:00.000Z")))
     assert(floorAll(Seq(base), "P1D", null) == Seq(exp("2011-01-01T00:00:00.000Z")))
   }
+
+  test("testDurationBucketStart (QueryGranularityTest.java:585-627) — fixed-" +
+      "millis buckets with a non-aligned origin, exact reference arithmetic") {
+    import graft.operators.DurationGranularity
+    // PT12H5M = 43,500,000 ms; origin 2012-01-02T05:00:00-08:00
+    val g = DurationGranularity(43500000L, millis("2012-01-02T05:00:00.000-08:00"))
+    val vectors = Seq(
+      "2012-01-01T05:00:04.123-08:00" -> "2012-01-01T04:50:00.000-08:00",
+      "2012-01-02T07:00:04.123-08:00" -> "2012-01-02T05:00:00.000-08:00",
+      "2012-01-03T00:20:04.123-08:00" -> "2012-01-02T17:05:00.000-08:00",
+      "2012-02-03T22:25:00.000-08:00" -> "2012-02-03T22:25:00.000-08:00")
+    val got = vectors.map(_._1).map(millis).toDF("m")
+      .select(unix_millis(g.bucket(timestamp_millis(col("m"))).cast("timestamp")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == vectors.map(v => millis(v._2)))
+    // negative origin mod (pre-1970 origin) keeps Java % semantics
+    val g2 = DurationGranularity(3600000L, -1L)
+    val got2 = Seq(millis("2012-01-01T05:30:00.000Z")).toDF("m")
+      .select(unix_millis(g2.bucket(timestamp_millis(col("m"))).cast("timestamp")))
+      .head().getLong(0)
+    // reference: origin = -1 % 3600000 = -1; bucketStart lands on :59:59.999
+    assert(got2 == millis("2012-01-01T04:59:59.999Z"))
+  }
 }

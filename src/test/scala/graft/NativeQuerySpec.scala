@@ -537,6 +537,57 @@ class NativeQuerySpec extends SparkSpecBase {
       Seq("d", "c", "b"))
   }
 
+  test("maxSubqueryRows caps inlined subquery datasources " +
+      "(ClientQuerySegmentWalker.java:166-336)") {
+    def q(ctx: String) =
+      s"""{
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": {
+          "queryType": "scan", "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "columns": ["o_orderstatus", "o_totalprice"]
+        }},
+        "timeColumn": "o_orderdate",
+        "dimensions": ["o_orderstatus"],
+        "aggregations": [{"type": "count", "name": "cnt"}]$ctx
+      }"""
+    // generous cap: query runs
+    assert(run(q(""", "context": {"maxSubqueryRows": 1000000}""")).count() > 0)
+    // tiny cap: the subquery blows the limit with the reference's message
+    val e = intercept[graft.operators.SubqueryRowLimitExceededException](
+      run(q(""", "context": {"maxSubqueryRows": 10}""")).count())
+    assert(e.getMessage == "Subquery generated results beyond maximum[10]")
+    // absent: unlimited
+    assert(run(q("")).count() > 0)
+  }
+
+  test("duration and none granularities (DurationGranularity.java, " +
+      "NoneGranularity.java) in the JSON surface") {
+    // 2-day fixed buckets from a Jan-1 origin: rows at Jan 1..5 land in
+    // [Jan1,Jan3)=2, [Jan3,Jan5)=2, [Jan5,Jan7)=1
+    val rows = (1 to 5).map(d => s"""["2024-01-0${d}T12:00:00", $d]""").mkString(",")
+    // inline rows carry STRING time; materialize a timestamp via virtualColumn
+    def qv(gran: String) = run(
+      s"""{
+        "queryType": "timeseries",
+        "dataSource": {"type": "inline", "columnNames": ["t", "v"],
+          "columnTypes": ["STRING", "LONG"], "rows": [$rows]},
+        "timeColumn": "t2",
+        "virtualColumns": [{"type": "expression", "name": "t2",
+          "expression": "timestamp_parse(\\"t\\")"}],
+        "granularity": $gran,
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").collect()
+    val dur = qv("""{"type": "duration", "duration": 172800000,
+      "origin": "2024-01-01T00:00:00Z"}""")
+    assert(dur.length == 3)
+    assert(dur.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L))
+    // none: every distinct timestamp is its own bucket, no zero-fill
+    val none = qv("\"none\"")
+    assert(none.length == 5)
+    assert(none.forall(_.getLong(1) == 1L))
+  }
+
   test("interval endpoints with non-UTC offsets convert to UTC (ADVICE r8)") {
     def cnt(interval: String): Long =
       run(
