@@ -213,6 +213,52 @@ object DruidFunctions {
   }
 }
 
+/** The math-expr `^` power operator (BinaryMathOperatorExpr.java BinPowExpr
+  * :204-226): LONG ^ LONG evaluates in INTEGER space — LongMath.pow wraps
+  * mod 2^64 via repeated squaring, so `3037000499 ^ 2` is the exact long
+  * 9223372030926249001, which double pow cannot represent — anything else
+  * evaluates Math.pow as DOUBLE. Negative long exponents throw like guava's
+  * precondition. */
+case class MxPowExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  // lazy: children resolve after construction in FunctionRegistry builders
+  private lazy val longPow: Boolean = integral(left.dataType) && integral(right.dataType)
+  override def dataType: DataType = if (longPow) LongType else DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (longPow) {
+      var base = a.asInstanceOf[Number].longValue()
+      var k = b.asInstanceOf[Number].longValue()
+      require(k >= 0, s"exponent ($k) must be >= 0")
+      // overflow-wrapping repeated squaring (guava LongMath.pow semantics)
+      var acc = 1L
+      while (k > 0) {
+        if ((k & 1L) == 1L) acc *= base
+        base *= base
+        k >>= 1
+      }
+      acc
+    } else {
+      def num(v: Any): Double = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toDouble
+        case n: Number => n.doubleValue()
+        case x => x.toString.toDouble
+      }
+      math.pow(num(a), num(b))
+    }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): MxPowExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "druid_mx_pow"
+}
+
 /** BITWISE_CONVERT_DOUBLE_TO_LONG_BITS (Function.java BitwiseConvertDoubleToLongBits):
   * IEEE-754 bit pattern of the double as a long — no Spark builtin. */
 case class DoubleToLongBits(child: org.apache.spark.sql.catalyst.expressions.Expression)

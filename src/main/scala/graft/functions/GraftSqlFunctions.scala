@@ -222,6 +222,9 @@ object GraftSqlFunctions {
 
     // --- scalar misc ---
     "safe_divide" -> { args => ex(DruidFunctions.safeDivide(col(args(0)), col(args(1)))) },
+    // math-expr `^` (BinPowExpr): long^long in integer space, else double —
+    // MathExpr rewrites the operator to this call
+    "druid_mx_pow" -> { args => MxPowExpr(args(0), args(1)) },
     "textcat" -> { args => ex(DruidFunctions.textcat(col(args(0)), col(args(1)))) },
     // Druid SQL STRPOS is 1-based, 0 when absent (StrposOperatorConversion
     // wraps the native 0-based call in "(strpos(...)+1)"); the 0-based

@@ -13,8 +13,9 @@ import org.apache.spark.sql.Column
   *    double quotes as string literals);
   *  - logical operators `&&` / `||` / `!` → `AND` / `OR` / `NOT`
   *    (math-expr `||` is OR, Spark's is string concat);
-  *  - `^` (math-expr power) has XOR semantics in Spark SQL → rejected
-  *    loudly rather than silently wrong; use `pow(a, b)`;
+  *  - `^` (math-expr power, right-assoc — XOR in Spark SQL) rewrites to
+  *    `druid_mx_pow(a, b)` at the operand level, long^long in integer
+  *    space like BinPowExpr;
   *  - array literals `[1, 2, 3]` → `array(1, 2, 3)`, typed empties
   *    `<LONG>[]` / `<DOUBLE>[]` / `<STRING>[]` → typed empty-array casts
   *    (Parser.java array literal productions);
@@ -220,7 +221,115 @@ object MathExpr {
     }
   }
 
-  def toSparkSql(e: String): String = {
+  /** Rewrite the `^` power operator (grammar: right-assoc, binds tighter
+    * than '*' and looser only than unary — Expr.g4:20-23) into
+    * `druid_mx_pow(L, R)` calls. Spark SQL's `^` is XOR, so a textual
+    * operand-level rewrite runs BEFORE the main translation: the rightmost
+    * `^` rewrites first, which makes chains right-associative
+    * (a^b^c → pow(a, pow(b, c))); operands are primaries — identifiers,
+    * numbers, quoted identifiers, calls, parenthesized groups — exactly the
+    * binding the grammar gives the operator (`-2^2` = -(2^2),
+    * `a*b^c` = a*(b^c)). */
+  private def rewritePow(e: String): String = {
+    // rightmost '^' outside quotes
+    var i = 0; var inS = false; var inD = false; var caret = -1
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '^' => caret = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (caret < 0) return e
+
+    // LEFT primary: scan backwards
+    var l = caret - 1
+    while (l >= 0 && e.charAt(l) == ' ') l -= 1
+    val lEnd = l + 1
+    if (l < 0) throw new IllegalArgumentException(s"dangling '^' in expression: $e")
+    e.charAt(l) match {
+      case ')' | ']' =>
+        var depth = 0
+        while (l >= 0 && depth >= 0) {
+          e.charAt(l) match {
+            case ')' | ']' => depth += 1
+            case '(' | '[' => depth -= 1
+            case _ =>
+          }
+          if (depth == 0) {
+            // include a call's function name
+            var j = l - 1
+            while (j >= 0 && (e.charAt(j).isLetterOrDigit || e.charAt(j) == '_')) j -= 1
+            l = j + 1
+            depth = -1
+          } else l -= 1
+        }
+        if (l < 0) l = 0
+      case '"' =>
+        l -= 1
+        while (l >= 0 && e.charAt(l) != '"') l -= 1
+      case _ =>
+        while (l >= 0 && (e.charAt(l).isLetterOrDigit || e.charAt(l) == '_' || e.charAt(l) == '.')) l -= 1
+        l += 1
+    }
+    val lStart = l
+
+    // RIGHT primary: scan forward (unary prefixes bind tighter here —
+    // the grammar's right operand of '^' is a full expr only through
+    // recursion; textual form keeps the primary, matching 2^-1 shapes)
+    var r = caret + 1
+    while (r < e.length && e.charAt(r) == ' ') r += 1
+    val rStart = r
+    if (r < e.length && (e.charAt(r) == '-' || e.charAt(r) == '!')) r += 1
+    if (r < e.length) e.charAt(r) match {
+      case '(' | '[' =>
+        var depth = 0
+        var done = false
+        while (r < e.length && !done) {
+          e.charAt(r) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1; if (depth == 0) { r += 1; done = true }
+            case _ =>
+          }
+          if (!done) r += 1
+        }
+      case '"' =>
+        r += 1
+        while (r < e.length && e.charAt(r) != '"') r += 1
+        r += 1
+      case _ =>
+        while (r < e.length && (e.charAt(r).isLetterOrDigit || e.charAt(r) == '_' || e.charAt(r) == '.')) r += 1
+        // a call: include its balanced argument list
+        var j = r
+        while (j < e.length && e.charAt(j) == ' ') j += 1
+        if (j < e.length && e.charAt(j) == '(') {
+          var depth = 0
+          r = j
+          var done = false
+          while (r < e.length && !done) {
+            e.charAt(r) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) { r += 1; done = true }
+              case _ =>
+            }
+            if (!done) r += 1
+          }
+        }
+    }
+    val rEnd = r
+    val rewritten = e.substring(0, lStart) +
+      s"druid_mx_pow(${e.substring(lStart, lEnd)}, ${e.substring(rStart, rEnd)})" +
+      e.substring(rEnd)
+    rewritePow(rewritten)
+  }
+
+  def toSparkSql(e0: String): String = {
+    val e = if (e0.indexOf('^') >= 0) rewritePow(e0) else e0
     val sb = new StringBuilder(e.length + 16)
     var i = 0
     var inSingle = false
@@ -241,8 +350,8 @@ object MathExpr {
         case '|' if i + 1 < e.length && e.charAt(i + 1) == '|' => sb.append(" OR "); i += 2
         case '!' if i + 1 < e.length && e.charAt(i + 1) == '=' => sb.append("!="); i += 2
         case '!' => sb.append(" NOT "); i += 1
-        case '^' => throw new IllegalArgumentException(
-          "math-expr '^' (power) is XOR in Spark SQL; write pow(a, b) instead")
+        case '^' => throw new IllegalStateException(
+          s"internal: '^' should have been rewritten by rewritePow: $e")
         case '<' if TypedEmpty.keys.exists(k => e.regionMatches(i, k, 0, k.length)) =>
           val k = TypedEmpty.keys.find(k => e.regionMatches(i, k, 0, k.length)).get
           sb.append(TypedEmpty(k)); i += k.length

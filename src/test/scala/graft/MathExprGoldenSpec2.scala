@@ -184,6 +184,21 @@ class MathExprGoldenSpec2 extends SparkSpecBase {
     assert(me("repeat(null, 10)") == null)
   }
 
+  test("the '^' power operator (EvalTest.java:132,174; Expr.g4:22 — " +
+      "right-assoc, long^long in INTEGER space, binds tighter than '*' " +
+      "and looser than unary minus)") {
+    assert(me("2.0 ^ 3.0") == 8.0)
+    // LongMath.pow wraps in long space: double pow cannot represent this
+    assert(me("3037000499 ^ 2") == 9223372030926249001L)
+    assert(me("2 ^ 3 ^ 2") == 512L) // right-assoc: 2^(3^2)
+    assert(me("-2 ^ 2") == -4L) // unary minus binds looser
+    assert(me("2 * 3 ^ 2") == 18L) // tighter than '*'
+    assert(me("(1 + 1) ^ 3") == 8L)
+    assert(me("y ^ 2") == 4L) // bound long column
+    assert(me("sqrt(4.0) ^ 2") == 4.0) // call operand
+    assert(me("abs(-2) ^ \"y\"") == 4L) // quoted-identifier operand
+  }
+
   test("NaN / Infinity grammar literals (Expr.g4:63)") {
     assert(me("isnull(safe_divide(NaN, 0.0))") == true)
     assert(me("Infinity > 1e308") == true)
