@@ -213,6 +213,28 @@ object DruidFunctions {
   }
 }
 
+/** Math-expr truthiness in predicate position (Evals.java:60-73, 0.23
+  * default mode): numerics are true when > 0, strings via
+  * Boolean.parseBoolean, booleans pass through. RuntimeReplaceable: the
+  * coercion resolves to plain comparisons once the operand type is known,
+  * so boolean expressions stay exactly as they were (full codegen, no
+  * wrapper at execution). */
+case class DruidTruthyExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  override lazy val replacement: Expression = child.dataType match {
+    case BooleanType => child
+    case _: NumericType => GreaterThan(child, Literal.default(child.dataType))
+    case StringType => EqualTo(Lower(child), Literal("true"))
+    case _ => Literal(false)
+  }
+  override protected def withNewChildInternal(c: Expression): DruidTruthyExpr =
+    copy(child = c)
+  override def prettyName: String = "druid_truthy"
+}
+
 /** The math-expr `^` power operator (BinaryMathOperatorExpr.java BinPowExpr
   * :204-226): LONG ^ LONG evaluates in INTEGER space — LongMath.pow wraps
   * mod 2^64 via repeated squaring, so `3037000499 ^ 2` is the exact long

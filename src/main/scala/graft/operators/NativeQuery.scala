@@ -756,7 +756,14 @@ object NativeQuery {
         graft.plans.BloomFunctions.druidBloomTest(lit(bytes), dimWithExtraction(j))
       else
         graft.plans.BloomFunctions.mightContain(lit(bytes), dimWithExtraction(j))
-    case "expression" => MathExpr.expr(str(j \ "expression"))
+    // predicate-position truthiness: a numeric/string-valued expression is
+    // true when > 0 / parses "true" (Evals.java:60-73) — boolean
+    // expressions resolve through untouched (RuntimeReplaceable)
+    case "expression" =>
+      org.apache.spark.sql.graftbridge.CatalystBridge.column(
+        graft.functions.DruidTruthyExpr(
+          org.apache.spark.sql.graftbridge.CatalystBridge.expression(
+            MathExpr.expr(str(j \ "expression")))))
     case "true" => lit(true)
     case "false" => lit(false)
     case t => throw new IllegalArgumentException(s"filter type: $t")

@@ -395,13 +395,14 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(hv.length == 1 && hv.head.getString(0) == "1-URGENT")
   }
 
-  test("math-expr translation: quoting, logical ops, power rejection") {
+  test("math-expr translation: quoting, logical ops, power rewrite") {
     import graft.functions.MathExpr
     assert(MathExpr.toSparkSql("\"a\" == 'x' && \"b\" != 1 || !\"c\"") ==
       "`a` == 'x'  AND  `b` != 1  OR   NOT `c`")
     assert(MathExpr.toSparkSql("concat('a \"quoted\" str', \"col\")") ==
       "concat('a \"quoted\" str', `col`)")
-    assertThrows[IllegalArgumentException](MathExpr.toSparkSql("\"a\" ^ 2"))
+    // '^' (power) rewrites to druid_mx_pow — Spark's '^' is XOR
+    assert(MathExpr.toSparkSql("\"a\" ^ 2") == "druid_mx_pow(`a`, 2)")
   }
 
   test("cardinality byRow distinguishes null position and field boundaries") {
@@ -535,6 +536,26 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(page(
       """{"type": "inverted", "metric": {"type": "lexicographic", "previousStop": "e"}}""") ==
       Seq("d", "c", "b"))
+  }
+
+  test("expression filter truthiness: numeric > 0 and string 'true' are " +
+      "truthy in predicate position (Evals.java:60-73)") {
+    def cnt(expr: String): Long = run(
+      s"""{
+        "queryType": "timeseries",
+        "dataSource": {"type": "inline", "columnNames": ["g", "n", "s"],
+          "columnTypes": ["STRING", "LONG", "STRING"],
+          "rows": [["a", 1, "true"], ["b", 0, "false"], ["c", -1, "TRUE"],
+                   ["d", 2, "x"]]},
+        "timeColumn": "g",
+        "granularity": "all",
+        "filter": {"type": "expression", "expression": "$expr"},
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").select("cnt").head().getLong(0)
+    assert(cnt("n") == 2)           // 1 and 2 are > 0; 0 and -1 are falsy
+    assert(cnt("n - 1") == 1)       // only n=2 survives
+    assert(cnt("s") == 2)           // parseBoolean: 'true'/'TRUE'
+    assert(cnt("n > 0") == 2)       // boolean expressions pass through
   }
 
   test("maxSubqueryRows caps inlined subquery datasources " +
