@@ -411,7 +411,24 @@ object NativeQuery {
   // that use neither double-quoted identifiers nor &&/||.
   private def applyVirtualColumns(df: DataFrame, j: JValue): DataFrame = j match {
     case JArray(vcs) =>
-      vcs.foldLeft(df)((d, vc) => d.withColumn(str(vc \ "name"), MathExpr.expr(str(vc \ "expression"))))
+      vcs.foldLeft(df) { (d, vc) =>
+        val raw = MathExpr.expr(str(vc \ "expression"))
+        // ExpressionVirtualColumn.outputType casts the result (STRING/LONG/
+        // DOUBLE/FLOAT and the ARRAY<> forms; ColumnType.java:30-41)
+        val typed = strOpt(vc \ "outputType").fold(raw) { t =>
+          t.toUpperCase(java.util.Locale.ENGLISH) match {
+            case "STRING" => raw.cast("string")
+            case "LONG" => raw.cast("long")
+            case "DOUBLE" => raw.cast("double")
+            case "FLOAT" => raw.cast("float")
+            case "STRING_ARRAY" | "ARRAY<STRING>" => raw.cast("array<string>")
+            case "LONG_ARRAY" | "ARRAY<LONG>" => raw.cast("array<bigint>")
+            case "DOUBLE_ARRAY" | "ARRAY<DOUBLE>" => raw.cast("array<double>")
+            case x => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
+          }
+        }
+        d.withColumn(str(vc \ "name"), typed)
+      }
     case _ => df
   }
 

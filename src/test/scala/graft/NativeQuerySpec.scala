@@ -538,6 +538,32 @@ class NativeQuerySpec extends SparkSpecBase {
       Seq("d", "c", "b"))
   }
 
+  test("virtualColumn outputType casts the expression result " +
+      "(ExpressionVirtualColumn, ColumnType.java:30-41)") {
+    val df = run(
+      """{
+        "queryType": "scan",
+        "dataSource": {"type": "inline", "columnNames": ["g", "n"],
+          "columnTypes": ["STRING", "LONG"], "rows": [["a", 7]]},
+        "timeColumn": "g",
+        "virtualColumns": [
+          {"type": "expression", "name": "half", "expression": "n / 2",
+           "outputType": "LONG"},
+          {"type": "expression", "name": "as_str", "expression": "n * 10",
+           "outputType": "STRING"},
+          {"type": "expression", "name": "arr", "expression": "array(n, 1)",
+           "outputType": "DOUBLE_ARRAY"}
+        ],
+        "columns": ["half", "as_str", "arr"]
+      }""")
+    assert(df.schema("half").dataType.typeName == "long")
+    assert(df.schema("as_str").dataType.typeName == "string")
+    assert(df.schema("arr").dataType.simpleString == "array<double>")
+    val r = df.head()
+    assert(r.getLong(0) == 3L && r.getString(1) == "70")
+    assert(r.getSeq[Double](2) == Seq(7.0, 1.0))
+  }
+
   test("expression filter truthiness: numeric > 0 and string 'true' are " +
       "truthy in predicate position (Evals.java:60-73)") {
     def cnt(expr: String): Long = run(
