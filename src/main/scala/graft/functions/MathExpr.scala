@@ -413,8 +413,28 @@ object MathExpr {
 
   /** Compile a Druid math-expr string to a Column. The session must have
     * GraftSqlFunctions registered for the Druid-named functions to resolve.
-    */
-  def expr(e: String): Column = org.apache.spark.sql.functions.expr(toSparkSql(e))
+    *
+    * Logical operands get the dialect's truthiness (Evals.java:60-73:
+    * numerics true when > 0, strings via parseBoolean) by wrapping every
+    * And/Or/Not operand in [[graft.functions.DruidTruthyExpr]] — a
+    * RuntimeReplaceable that resolves to a no-op for boolean operands, so
+    * `a > 0 && b < 2` compiles exactly as before while `1 && 1` and
+    * `!2.0` evaluate like the reference. */
+  def expr(e: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Not, Or}
+    import org.apache.spark.sql.graftbridge.CatalystBridge
+    val parsed = org.apache.spark.sql.functions.expr(toSparkSql(e))
+    def truthy(x: Expression): Expression = x match {
+      case t: graft.functions.DruidTruthyExpr => t
+      case other => graft.functions.DruidTruthyExpr(other)
+    }
+    val wrapped = CatalystBridge.expression(parsed).transformUp {
+      case And(l, r) => And(truthy(l), truthy(r))
+      case Or(l, r) => Or(truthy(l), truthy(r))
+      case Not(c) => Not(truthy(c))
+    }
+    CatalystBridge.column(wrapped)
+  }
 }
 
 /** ExpressionLambdaAggregatorFactory lifecycle (reference: processing/.../

@@ -250,9 +250,7 @@ class MathExprGoldenSpec extends SparkSpecBase {
 
   test("logical operators over boolean expressions (EvalTest" +
       ".testLogicalOperators / testBooleanInputs / testBooleanReturn — the " +
-      "predicate forms real filters use; DEVIATION: bare TRUTHY NUMERIC " +
-      "operands like `1 && 1` need explicit comparisons here, Spark's AND " +
-      "is strictly boolean)") {
+      "predicate forms real filters use)") {
     assert(me("(y == 2) && (z > 3)") == true)
     assert(me("(y == 2) && (z > 4)") == false)
     assert(me("(y == 3) || (z > 3)") == true)
@@ -260,6 +258,30 @@ class MathExprGoldenSpec extends SparkSpecBase {
     assert(me("!(y == 3)") == true)
     assert(me("(1 != 0) && (0 != 0)") == false)
     assert(me("(1.0 != 0.0) || (0.0 != 0.0)") == true)
+  }
+
+  test("logical operators with bare TRUTHY operands (EvalTest.testLongEval:" +
+      "154-161, testDoubleEval:125 — Evals.asBoolean: numerics true when " +
+      "> 0, strings via parseBoolean; via MathExpr.expr's operand wrap)") {
+    registered
+    def mx(e: String): Any =
+      druidSql.table("mxbindings")
+        .select(graft.functions.MathExpr.expr(e).as("r")).head().get(0)
+    assert(mx("9223372036854775807 && 0") == false)
+    assert(mx("9223372036854775807 && 9223372036854775806") == true)
+    assert(mx("9223372036854775807 || 0") == true)
+    assert(mx("-9223372036854775807 || -9223372036854775807") == false)
+    assert(mx("-9223372036854775807 || 9223372036854775807") == true)
+    assert(mx("0 || 0") == false)
+    assert(mx("1 && 1") == true)
+    assert(mx("!2.0") == false)
+    assert(mx("!0") == true)
+    assert(mx("!-9223372036854775807") == true)
+    // boolean operands pass through the RuntimeReplaceable untouched
+    assert(mx("(y == 2) && 1") == true)
+    // string truthiness: parseBoolean
+    assert(mx("'true' && 1") == true)
+    assert(mx("'yes' && 1") == false)
   }
 
   // testComplexDecodeNull / testComplexDecodeBaseWrongArgCount /
