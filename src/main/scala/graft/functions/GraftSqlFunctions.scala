@@ -144,9 +144,18 @@ object GraftSqlFunctions {
       ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "timestamp_format")))
     },
     // case_searched(c1, r1, c2, r2, ..., [else]) (Function.java:2089)
+    // conditions take dialect truthiness — if(1.0, a, b) picks a
+    // (Evals.asBoolean; EvalTest.java:138-139); DruidTruthyExpr is a no-op
+    // for boolean conditions
     "case_searched" -> { args =>
       val (pairs, elseV) = if (args.size % 2 == 1) (args.init, Some(args.last)) else (args, None)
-      CaseWhen(pairs.grouped(2).map(p => (p(0), p(1))).toSeq, elseV)
+      CaseWhen(pairs.grouped(2).map(p => (DruidTruthyExpr(p(0)), p(1))).toSeq, elseV)
+    },
+    // math-expr `if` (Function.java ConditionFunc): truthy condition — the
+    // Spark builtin requires a strict boolean
+    "if" -> { args =>
+      org.apache.spark.sql.catalyst.expressions.If(
+        DruidTruthyExpr(args(0)), args(1), args(2))
     },
     // case_simple(x, v1, r1, v2, r2, ..., [else])
     "case_simple" -> { args =>

@@ -282,6 +282,12 @@ class MathExprGoldenSpec extends SparkSpecBase {
     // string truthiness: parseBoolean
     assert(mx("'true' && 1") == true)
     assert(mx("'yes' && 1") == false)
+    // if/case_searched conditions take the same truthiness
+    // (EvalTest.java:138-139: if(1.0, 2.0, 3.0) = 2.0)
+    assert(mx("if(1.0, 2.0, 3.0)") == 2.0)
+    assert(mx("if(0.0, 2.0, 3.0)") == 3.0)
+    assert(mx("case_searched(y, 'pos', 'nonpos')") == "pos")
+    assert(mx("case_searched(y - 2, 'pos', 'nonpos')") == "nonpos")
   }
 
   // testComplexDecodeNull / testComplexDecodeBaseWrongArgCount /
