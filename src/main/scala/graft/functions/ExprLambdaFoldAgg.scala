@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Mutable accumulator holder for [[ExprLambdaFoldAgg]]. A wrapper class (vs
   * the raw value) so a null accumulator is distinguishable from an absent
   * buffer and the fold can replace the value in place. */
-final class LambdaAcc(var value: Any)
+final class LambdaAcc(var value: Any, var hasValue: Boolean)
 
 /** Bounded expression-lambda aggregator (reference: processing/.../
   * aggregation/ExpressionLambdaAggregatorFactory.java): folds each input row
@@ -39,6 +39,12 @@ case class ExprLambdaFoldAgg(
     finalizeExpr: Option[Expression],
     resultType: DataType,
     maxSizeBytes: Int,
+    // ExpressionLambdaAggregatorFactory.java:77-131 null-handling knobs:
+    // skip rows with any null input; skip null partials at combine; result
+    // null unless at least one row aggregated (sql-compatible default)
+    aggregateNullInputs: Boolean = true,
+    combineNullInputs: Boolean = true,
+    nullUnlessAggregated: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LambdaAcc] {
@@ -48,7 +54,10 @@ case class ExprLambdaFoldAgg(
   override def nullable: Boolean = true
 
   override def createAggregationBuffer(): LambdaAcc =
-    new LambdaAcc(initExpr.eval(InternalRow.empty))
+    // hasValue starts false under isNullUnlessAggregated
+    // (ExpressionLambdaAggregator.java:45) and flips on the first
+    // aggregated row
+    new LambdaAcc(initExpr.eval(InternalRow.empty), !nullUnlessAggregated)
 
   // an input value may point into the scan's reused row buffer (UTF8String /
   // UnsafeArrayData over UnsafeRow memory); anything that may outlive this
@@ -89,37 +98,51 @@ case class ExprLambdaFoldAgg(
     foldRow.update(0, buf.value)
     var i = 0
     while (i < fields.length) {
-      foldRow.update(i + 1, copyOf(fields(i).eval(input)))
+      val v = copyOf(fields(i).eval(input))
+      // shouldAggregateNullInputs=false: a row with ANY null input is
+      // skipped before the fold runs (ExpressionLambdaAggregator.java:54-59)
+      if (v == null && !aggregateNullInputs) return buf
+      foldRow.update(i + 1, v)
       i += 1
     }
     buf.value = guard(copyOf(foldExpr.eval(foldRow)))
+    buf.hasValue = true
     buf
   }
 
   @transient private lazy val combineRow = new GenericInternalRow(2)
   override def merge(buf: LambdaAcc, other: LambdaAcc): LambdaAcc = {
+    // a partial that never aggregated IS the null partial; skipped when
+    // shouldCombineAggregateNullInputs=false, else combined as null
+    val rhs = if (other.hasValue) other.value else null
+    if (rhs == null && !combineNullInputs) return buf
     combineRow.update(0, buf.value)
-    combineRow.update(1, other.value)
+    combineRow.update(1, rhs)
     buf.value = guard(copyOf(combineExpr.eval(combineRow)))
+    buf.hasValue = buf.hasValue || other.hasValue
     buf
   }
 
   @transient private lazy val finalRow = new GenericInternalRow(1)
-  override def eval(buf: LambdaAcc): Any = finalizeExpr match {
-    case Some(fin) => finalRow.update(0, buf.value); fin.eval(finalRow)
-    case None => buf.value
-  }
+  override def eval(buf: LambdaAcc): Any =
+    if (!buf.hasValue) null // isNullUnlessAggregated (:79)
+    else finalizeExpr match {
+      case Some(fin) => finalRow.update(0, buf.value); fin.eval(finalRow)
+      case None => buf.value
+    }
 
-  @transient private lazy val serProj = UnsafeProjection.create(Array(accType))
-  @transient private lazy val serRow = new GenericInternalRow(1)
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array(accType, org.apache.spark.sql.types.BooleanType))
+  @transient private lazy val serRow = new GenericInternalRow(2)
   override def serialize(buf: LambdaAcc): Array[Byte] = {
     serRow.update(0, buf.value)
+    serRow.update(1, buf.hasValue)
     serProj(serRow).copy().getBytes
   }
   override def deserialize(bytes: Array[Byte]): LambdaAcc = {
-    val row = new UnsafeRow(1)
+    val row = new UnsafeRow(2)
     row.pointTo(bytes, bytes.length)
-    new LambdaAcc(copyOf(row.get(0, accType)))
+    new LambdaAcc(copyOf(row.get(0, accType)), row.getBoolean(1))
   }
 
   override def withNewMutableAggBufferOffset(o: Int): ExprLambdaFoldAgg =

@@ -491,10 +491,14 @@ object ExpressionLambda {
   def fold(spark: SparkSession, schema: StructType, fields: Seq[String],
       accumulatorId: String, initialValue: String, foldExpr: String,
       combineExpr: Option[String], finalizeExpr: Option[String],
-      name: String, maxSizeBytes: Int = 1024): Column = {
+      name: String, maxSizeBytes: Int = 1024,
+      aggregateNullInputs: Boolean = true,
+      combineNullInputs: Boolean = true,
+      nullUnlessAggregated: Boolean = true): Column = {
     require(fields.nonEmpty, "expression lambda aggregator needs at least one field")
     try bounded(spark, schema, fields, accumulatorId, initialValue, foldExpr,
-      combineExpr, finalizeExpr, name, maxSizeBytes)
+      combineExpr, finalizeExpr, name, maxSizeBytes,
+      aggregateNullInputs, combineNullInputs, nullUnlessAggregated)
     catch {
       case scala.util.control.NonFatal(_) =>
         foldCollected(fields, accumulatorId, initialValue, foldExpr, finalizeExpr)
@@ -504,7 +508,9 @@ object ExpressionLambda {
   private def bounded(spark: SparkSession, schema: StructType, fields: Seq[String],
       accId: String, initialValue: String, foldStr: String,
       combineStr: Option[String], finalizeStr: Option[String],
-      name: String, maxSizeBytes: Int): Column = {
+      name: String, maxSizeBytes: Int,
+      aggregateNullInputs: Boolean, combineNullInputs: Boolean,
+      nullUnlessAggregated: Boolean): Column = {
     val fieldTypes = fields.map(f => schema(f).dataType) // throws on a missing field → fallback
     val init0 = CatalystBridge.resolveAgainst(spark, initColumn(initialValue), Nil)
 
@@ -559,7 +565,10 @@ object ExpressionLambda {
       combineExpr = BindReferences.bindReference(combineResolved, combineAttrs.map(a => a: org.apache.spark.sql.catalyst.expressions.Attribute)),
       finalizeExpr = finResolved.map(f => BindReferences.bindReference(f, finAttrs.map(a => a: org.apache.spark.sql.catalyst.expressions.Attribute))),
       resultType = finResolved.map(_.dataType).getOrElse(accT),
-      maxSizeBytes = maxSizeBytes)
+      maxSizeBytes = maxSizeBytes,
+      aggregateNullInputs = aggregateNullInputs,
+      combineNullInputs = combineNullInputs,
+      nullUnlessAggregated = nullUnlessAggregated)
     CatalystBridge.column(agg.toAggregateExpression())
   }
 

@@ -992,6 +992,14 @@ object NativeQuery {
             case JString(s) => parseHumanReadableBytes(s)
             case _ => 1024
           }
+          def boolDefault(v: JValue, default: Boolean): Boolean = v match {
+            case JBool(b) => b; case _ => default
+          }
+          // null-handling knobs (ExpressionLambdaAggregatorFactory.java:
+          // 108-131): shouldCombineAggregateNullInputs defaults to
+          // shouldAggregateNullInputs; isNullUnlessAggregated defaults to
+          // sql-compatible (true)
+          val aggNulls = boolDefault(j \ "shouldAggregateNullInputs", true)
           Agg(name, graft.functions.ExpressionLambda.fold(
             input.sparkSession, input.schema,
             fields,
@@ -1001,7 +1009,10 @@ object NativeQuery {
             strOpt(j \ "combine"),
             strOpt(j \ "finalize"),
             name,
-            maxSize))
+            maxSize,
+            aggregateNullInputs = aggNulls,
+            combineNullInputs = boolDefault(j \ "shouldCombineAggregateNullInputs", aggNulls),
+            nullUnlessAggregated = boolDefault(j \ "isNullUnlessAggregated", true)))
       }
       case t => throw new IllegalArgumentException(s"aggregator type: $t")
     }

@@ -53,6 +53,22 @@ object CatalystBridge {
     val plan = Project(Seq(Alias(expression(c), "__resolved")()), LocalRelation(attrs))
     val qe = cs.sessionState.executePlan(plan)
     qe.assertAnalyzed()
-    qe.analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+    val resolved =
+      qe.analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+    // RuntimeReplaceable nodes (nvl/coalesce sugar, truthiness wrappers…)
+    // only is replaced by the optimizer during physical planning; a
+    // directly-eval'd expression must run the replacement here (fixpoint:
+    // replacements can nest more replaceables)
+    var cur = resolved
+    var changed = true
+    while (changed) {
+      val next = cur.transformUp {
+        case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+          rr.replacement
+      }
+      changed = !next.fastEquals(cur)
+      cur = next
+    }
+    cur
   }
 }

@@ -201,6 +201,43 @@ class ExprLambdaBoundedSpec extends SparkSpecBase {
     assert(df.head().getDouble(1) == 4.0)
   }
 
+  test("null-handling knobs: shouldAggregateNullInputs skips null rows, " +
+      "isNullUnlessAggregated nulls never-fed groups " +
+      "(ExpressionLambdaAggregatorFactory.java:108-131, " +
+      "ExpressionLambdaAggregator.java:45-79)") {
+    val src = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)),
+      ("b", None)).toDF("g", "v")
+    src.createOrReplaceTempView("lambda_nulls_src")
+    def agg(knobs: String): Map[String, Any] =
+      NativeQuery.run(spark,
+        s"""{
+          "queryType": "groupBy",
+          "dataSource": "lambda_nulls_src",
+          "dimensions": ["g"],
+          "aggregations": [
+            {"type": "expression", "name": "total",
+             "fields": ["v"],
+             "initialValue": "0",
+             "fold": "__acc + nvl(v, 100)",
+             "combine": "__acc + total"$knobs}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "g"}]}
+        }""", name => spark.table(name))
+        .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    // default: null inputs aggregate (nvl sees them), every group has a value
+    val all = agg("")
+    assert(all("a") == 103L && all("b") == 100L)
+    // shouldAggregateNullInputs=false: null rows skipped BEFORE the fold —
+    // group b never aggregates and isNullUnlessAggregated nulls it
+    val skip = agg(""", "shouldAggregateNullInputs": false""")
+    assert(skip("a") == 3L)
+    assert(skip("b") == null)
+    // isNullUnlessAggregated=false: a never-fed group keeps the folded init
+    val keep = agg(
+      """, "shouldAggregateNullInputs": false, "isNullUnlessAggregated": false""")
+    assert(keep("a") == 3L && keep("b") == 0L)
+  }
+
   test("array accumulator: array_set_add builds a bounded distinct set") {
     val src = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")).toDF("g", "s")
     src.createOrReplaceTempView("lambda_arr_src")
