@@ -42,7 +42,9 @@ object BatchIngest {
       segmentGranularity: String = "P1D",       // time-chunk directory layout
       partitionsSpec: PartitionsSpec = DynamicPartitions,
       rollup: Option[RollupSpec] = None,
-      dataSource: Option[String] = None)        // logical datasource name for the spec catalog
+      dataSource: Option[String] = None,        // logical datasource name for the spec catalog
+      inlineData: Option[String] = None,        // InlineInputSource.java: data carried in the spec
+      delegates: Seq[IngestSpec] = Nil)         // CombiningInputSource.java: concatenated sources
 
   /** Datasource → IngestSpec catalog (reference: the coordinator serves
     * AGGREGATORS/ROLLUP/TIMESTAMPSPEC segmentMetadata analyses from segment
@@ -85,6 +87,31 @@ object BatchIngest {
   }
 
   def read(spark: SparkSession, spec: IngestSpec): DataFrame = {
+    // CombiningInputSource (core/.../data/input/impl/CombiningInputSource
+    // .java): delegates read independently and concatenate; schemas may
+    // differ per delegate (schema-light), so the union aligns by name
+    if (spec.delegates.nonEmpty)
+      return spec.delegates.map(read(spark, _))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    // InlineInputSource (InlineInputSource.java:36-51): the data string in
+    // the spec body, parsed by the regular InputFormat machinery — csv /
+    // delimited / json parse from an in-memory dataset of lines
+    spec.inlineData.foreach { data =>
+      import spark.implicits._
+      val lines = spark.createDataset(data.split("\n").toIndexedSeq.filter(_.nonEmpty))
+      val rd = spark.read.options(spec.formatOptions)
+      return spec.inputFormat match {
+        case "csv" =>
+          val explicit = spec.formatOptions.get("columns").map(_.split(",").map(_.trim).toSeq)
+          val header = spec.formatOptions.getOrElse("header",
+            if (explicit.isDefined) "false" else "true")
+          val base = rd.option("header", header).csv(lines)
+          explicit.fold(base)(cs => base.toDF(cs: _*))
+        case "json" => rd.json(lines)
+        case f => throw new IllegalArgumentException(
+          s"inline data supports csv/json input formats, not: $f")
+      }
+    }
     val r = spark.read.options(spec.formatOptions)
     spec.inputFormat match {
       case "csv" =>

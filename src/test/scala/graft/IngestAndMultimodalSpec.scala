@@ -114,6 +114,31 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(got.getNanos == ((bigNanos / 1000L) % 1000000L).toInt * 1000)
   }
 
+  test("inline and combining input sources (InlineInputSource.java:36-51, " +
+      "CombiningInputSource.java:46-56)") {
+    // inline CSV: data carried in the spec, parsed by the csv InputFormat
+    val csvSpec = IngestSpec(inputPath = "",
+      inputFormat = "csv",
+      formatOptions = Map("columns" -> "id,tag"),
+      inlineData = Some("1,a\n2,b\n3,c"))
+    val csv = BatchIngest.read(spark, csvSpec)
+    assert(csv.count() == 3)
+    assert(csv.select("tag").as[String].collect().toSet == Set("a", "b", "c"))
+    // inline JSON
+    val jsonSpec = IngestSpec(inputPath = "", inputFormat = "json",
+      inlineData = Some("""{"id": 1, "tag": "x"}""" + "\n" + """{"id": 2, "tag": "y"}"""))
+    assert(BatchIngest.read(spark, jsonSpec).count() == 2)
+    // combining: delegates concatenate, schemas align by name
+    // (schema-light: the json delegate carries an extra column)
+    val extra = IngestSpec(inputPath = "", inputFormat = "json",
+      inlineData = Some("""{"id": 9, "tag": "z", "note": "n"}"""))
+    val combined = BatchIngest.read(spark,
+      IngestSpec(inputPath = "", delegates = Seq(csvSpec, extra)))
+    assert(combined.count() == 4)
+    assert(combined.columns.toSet == Set("id", "tag", "note"))
+    assert(combined.filter($"note".isNotNull).count() == 1)
+  }
+
   test("json flattenSpec: field discovery skips nested objects, root + " +
       "JsonPath extractions, absent fields null, jq rejected " +
       "(JsonLineReaderTest.testParseRow, JSONPathSpec.java)") {
