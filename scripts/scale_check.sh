@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full
 
 mkdir -p "$WORK"
 
@@ -57,6 +57,7 @@ sf10 = json.load(open(sys.argv[2]))["queries"]
 # (single-file layout; fixed LSH plane count, 342 s) blow through them.
 budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 100,
           "dedup_ngram_jaccard": 140, "dedup_clusters": 90, "embed_lsh_neardup": 120,
+          "dedup_decontaminate": 40,
           "embed_knn_int8": 25, "text_gopher_gate": 15,
           # OLAP shapes at 100x lineitem/orders/part (~60M-row fact): ~2x
           # quiet-box measurements, same headroom policy as above

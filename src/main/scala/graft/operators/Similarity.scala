@@ -126,6 +126,36 @@ object Similarity {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minOverlap`
+    * DISTINCT word-shingles with any benchmark (eval-set) document — the
+    * standard test-set-overlap removal step of a training-data pipeline.
+    * Returns (id_a = corpus doc, bench_id, overlap) per contaminated pair.
+    *
+    * Scale shape: the benchmark side is small (eval sets are 10²–10⁵ docs)
+    * and its distinct shingle hashes BROADCAST; the corpus side streams in
+    * one scan through a broadcast hash join — no corpus shuffle until the
+    * (doc, bench) partial-aggregated match counts, whose volume is bounded
+    * by actual contamination, not corpus size. Shingles travel as compact
+    * 60-bit hashes (same md5-derived hashing as the n-gram Jaccard path, so
+    * the DuckDB oracle reproduces them bit-exactly). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 8, minOverlap: Int = 1): DataFrame = {
+    def shingles(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).as(outId), TF.tokens(col(textCol)).as("__toks"))
+      .select(col(outId),
+        explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
+      .select(col(outId), TF.hexLong60(col("shingle")).as("sh"))
+    // bench side dedupes pre-broadcast (small); the CORPUS side dedupes
+    // AFTER the broadcast join — only matching shingles (bounded by actual
+    // contamination) ever shuffle, the corpus itself streams one pass
+    val benchSh = broadcast(shingles(benchmark, "bench_id").distinct())
+    shingles(corpus, "id_a").join(benchSh, "sh")
+      .select("id_a", "bench_id", "sh").distinct() // DISTINCT shared shingles
+      .groupBy("id_a", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** 64-bit simhash per document, row-based: explode tokens, hash each once
     * inside the codegen'd scan pipeline, then take the 64 bit-votes as 64
     * conditional-sum aggregates in a single HashAggregate (map-side

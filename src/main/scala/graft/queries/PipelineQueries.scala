@@ -223,6 +223,20 @@ object PipelineQueries {
       Similarity.simhashPairs(Sources.parallelized(Sources.table(s, dir, "documents")), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // benchmark decontamination (test-set overlap removal): corpus docs
+    // sharing >= 2 distinct 5-gram shingles with any "benchmark" doc (a
+    // deterministic doc_id slice standing in for an eval set). Benchmark
+    // shingles broadcast; the corpus streams one scan — only matching
+    // shingles ever shuffle
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = Sources.parallelized(Sources.table(s, dir, "documents"))
+      Similarity.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", shingleSize = 5, minOverlap = 2)
+        .orderBy(col("id_a"), col("bench_id"))
     })
   )
 
@@ -346,6 +360,17 @@ object PipelineQueries {
            |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_decontaminate" ->
+        s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest($ShinglesSql) AS s FROM base WHERE len(t) >= 5),
+           |shh AS (SELECT DISTINCT doc_id, ${hex60("s")} AS sh FROM sh),
+           |bench AS (SELECT doc_id AS bench_id, sh FROM shh WHERE doc_id % 37 = 0),
+           |corpus AS (SELECT doc_id AS id_a, sh FROM shh WHERE doc_id % 37 <> 0)
+           |SELECT id_a, bench_id, count(*) AS overlap
+           |FROM corpus JOIN bench USING (sh)
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY id_a, bench_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH base AS (SELECT doc_id, $ToksSql AS t FROM documents),

@@ -128,4 +128,30 @@ class SimilaritySpec extends SparkSpecBase {
     val hs = docs.select(TF.hexLong32(col("text")).as("h")).as[Long].collect()
     assert(hs.forall(h => h >= 0 && h <= 0xFFFFFFFFL))
   }
+
+  test("decontaminate flags planted benchmark overlap, counts DISTINCT " +
+      "shingles, broadcasts the benchmark side") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely unrelated benchmark question about physics")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the bench-100 5-gram run twice (repeat must not double-count)
+      (1L, "prefix the quick brown fox jumps over the lazy dog tonight and " +
+        "again the quick brown fox jumps over the lazy dog tonight suffix"),
+      // shares fewer than minOverlap shingles
+      (2L, "the quick brown fox sleeps through every single afternoon"),
+      (3L, "nothing in common with any benchmark document at all here"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Similarity
+      .decontaminate(corpus, bench, "doc_id", "text", shingleSize = 5, minOverlap = 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 100L)))
+    // doc 1 contains all 6 shingles of bench-100's 10-token text, counted
+    // once each despite appearing twice
+    assert(rows.head._3 == 6L)
+    // benchmark side is broadcast in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$plan")
+  }
 }
