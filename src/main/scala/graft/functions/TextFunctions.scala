@@ -206,6 +206,29 @@ object TextFunctions {
       * 100.0 + 0.5).cast("long")
   }
 
+  // --- PII redaction (training-data scrub: emails, NANP-style phones,
+  // IPv4s). Patterns are RE2-compatible (no backrefs/lookaround), so the
+  // DuckDB oracle reproduces matches exactly; Java and RE2 agree on \b and
+  // \d here. Redaction order: emails first (an IP inside an email's domain
+  // must redact as part of the email), then IPs, then phones. ---
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The text with PII spans replaced by [EMAIL]/[IP]/[PHONE] tokens. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-kind PII match counts over the ORIGINAL text (overlaps count in
+    * each kind, like independent scanners). */
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRe))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRe))
+  def ipv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Re))
+
   private def rawQuality(c: Column): Column = {
     val n = normalizeWs(c)
     val nchars = length(n).cast("double")

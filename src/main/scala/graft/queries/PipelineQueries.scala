@@ -105,6 +105,29 @@ object PipelineQueries {
 
     // content fingerprints: whitespace/case-robust hash + rolling minhash
     // (normalized text hoisted ahead of the char-gram lambda — 5× at sf0.1)
+    // PII redaction (training-data scrub): the synthetic corpus carries no
+    // PII, so both sides synthesize it deterministically from doc_id —
+    // email + NANP phone + IPv4, plus a second email on every third doc —
+    // then redact and count. RE2-compatible patterns so DuckDB's regex
+    // engine matches Java's span-for-span.
+    "text_pii_redact" -> ((s, dir) => {
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or call 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".77"),
+        when(col("doc_id") % 3 === 0, lit(" cc second.contact@ex.org")).otherwise(lit("")))
+      Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(200)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TF.emailCount(col("aug")).cast("long").as("emails"),
+          TF.phoneCount(col("aug")).cast("long").as("phones"),
+          TF.ipv4Count(col("aug")).cast("long").as("ips"),
+          TF.redactPii(col("aug")).as("redacted"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       // same top-k-then-project shape as text_analysis: hash 200 docs, not
       // the corpus (corpus-wide fingerprinting is benched by dedup_exact /
@@ -270,6 +293,28 @@ object PipelineQueries {
            |  floor(CAST(sum($QualityBpSql) AS DOUBLE) / count(*) + 0.5) / 10000.0 AS avg_quality,
            |  CAST(sum(CASE WHEN ($LangSql) = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_id_hits
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "text_pii_redact" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        s"""WITH aug AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+           |    '@mail.example.com or call 555-123-' ||
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77' ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' cc second.contact@ex.org' ELSE '' END AS a
+           |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200))
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(a, '$email')) AS BIGINT) AS emails,
+           |  CAST(len(regexp_extract_all(a, '$phone')) AS BIGINT) AS phones,
+           |  CAST(len(regexp_extract_all(a, '$ip')) AS BIGINT) AS ips,
+           |  regexp_replace(regexp_replace(regexp_replace(a,
+           |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+           |    '$phone', '[PHONE]', 'g') AS redacted
+           |FROM aug ORDER BY doc_id""".stripMargin
+      },
 
       "text_fingerprint" ->
         s"""SELECT doc_id, ${hex60(s"lower($NormSql)")} AS fp,
