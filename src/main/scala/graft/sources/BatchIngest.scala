@@ -44,7 +44,15 @@ object BatchIngest {
       rollup: Option[RollupSpec] = None,
       dataSource: Option[String] = None,        // logical datasource name for the spec catalog
       inlineData: Option[String] = None,        // InlineInputSource.java: data carried in the spec
-      delegates: Seq[IngestSpec] = Nil)         // CombiningInputSource.java: concatenated sources
+      delegates: Seq[IngestSpec] = Nil,         // CombiningInputSource.java: concatenated sources
+      // DimensionsSpec (core/.../data/input/impl/DimensionsSpec.java):
+      // an explicit dimension list keeps ONLY those (+ time/metrics);
+      // exclusions drop named columns from discovery
+      includeDimensions: Seq[String] = Nil,
+      excludeDimensions: Seq[String] = Nil,
+      // TimestampSpec.missingValue (TimestampSpec.java:52-72): the constant
+      // timestamp for rows whose time parses null/absent
+      timeMissingValue: Option[String] = None)
 
   /** Datasource → IngestSpec catalog (reference: the coordinator serves
     * AGGREGATORS/ROLLUP/TIMESTAMPSPEC segmentMetadata analyses from segment
@@ -281,10 +289,32 @@ object BatchIngest {
 
   /** TransformSpec + rollup, producing the rows to publish. */
   def prepare(df: DataFrame, spec: IngestSpec): DataFrame = {
-    val timed = if (spec.timeParseExpr == null) df
-                else df.withColumn(spec.timeColumn, spec.timeParseExpr)
+    val timed0 = if (spec.timeParseExpr == null) df
+                 else df.withColumn(spec.timeColumn, spec.timeParseExpr)
+    // missingValue backstops a null/unparseable time (TimestampSpec.java:70)
+    val timed = spec.timeMissingValue match {
+      case Some(mv) if timed0.columns.contains(spec.timeColumn) =>
+        timed0.withColumn(spec.timeColumn,
+          coalesce(col(spec.timeColumn), lit(mv).cast("timestamp")))
+      case Some(mv) =>
+        timed0.withColumn(spec.timeColumn, lit(mv).cast("timestamp"))
+      case None => timed0
+    }
     val withCols = spec.transforms.foldLeft(timed) { case (d, (n, c)) => d.withColumn(n, c) }
-    val filtered = if (spec.filter == null) withCols else withCols.filter(spec.filter)
+    val filtered0 = if (spec.filter == null) withCols else withCols.filter(spec.filter)
+    // DimensionsSpec: explicit inclusion keeps time + the listed dims +
+    // transform outputs; exclusions drop discovered columns
+    val filtered = {
+      val afterInclude =
+        if (spec.includeDimensions.isEmpty) filtered0
+        else {
+          val keep = (spec.timeColumn +: (spec.includeDimensions ++ spec.transforms.map(_._1)))
+            .distinct.filter(filtered0.columns.contains)
+          filtered0.select(keep.map(col): _*)
+        }
+      if (spec.excludeDimensions.isEmpty) afterInclude
+      else afterInclude.drop(spec.excludeDimensions.filterNot(_ == spec.timeColumn): _*)
+    }
     spec.rollup match {
       case None => filtered
       case Some(r) =>

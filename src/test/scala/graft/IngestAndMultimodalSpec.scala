@@ -114,6 +114,29 @@ class IngestAndMultimodalSpec extends SparkSpecBase {
     assert(got.getNanos == ((bigNanos / 1000L) % 1000000L).toInt * 1000)
   }
 
+  test("DimensionsSpec include/exclude and timestampSpec missingValue " +
+      "(DimensionsSpec.java, TimestampSpec.java:52-72)") {
+    val spec0 = IngestSpec(inputPath = "", inputFormat = "json",
+      timeColumn = "__time",
+      timeParseExpr = BatchIngest.timestampSpec("ts", "iso"),
+      inlineData = Some(
+        """{"ts": "2024-01-01T10:00:00", "a": 1, "b": "x", "c": "keep"}""" + "\n" +
+        """{"ts": null, "a": 2, "b": "y", "c": "keep2"}"""))
+    // missingValue backstops the null timestamp
+    val withMissing = BatchIngest.prepare(BatchIngest.read(spark, spec0),
+      spec0.copy(timeMissingValue = Some("1970-01-01 00:00:00")))
+    assert(withMissing.filter($"__time".isNull).count() == 0)
+    assert(withMissing.filter($"__time" === "1970-01-01 00:00:00").count() == 1)
+    // explicit inclusion keeps time + the listed dims only
+    val included = BatchIngest.prepare(BatchIngest.read(spark, spec0),
+      spec0.copy(includeDimensions = Seq("a", "c")))
+    assert(included.columns.toSet == Set("__time", "a", "c"))
+    // exclusion drops named discovered columns
+    val excluded = BatchIngest.prepare(BatchIngest.read(spark, spec0),
+      spec0.copy(excludeDimensions = Seq("b")))
+    assert(!excluded.columns.contains("b") && excluded.columns.contains("c"))
+  }
+
   test("inline and combining input sources (InlineInputSource.java:36-51, " +
       "CombiningInputSource.java:46-56)") {
     // inline CSV: data carried in the spec, parsed by the csv InputFormat
