@@ -198,7 +198,8 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
-  test("EXPLAIN PLAN FOR INSERT from EXTERN (CalciteInsertDmlTest.java:564)") {
+  test("testExplainInsertFromExternal (CalciteInsertDmlTest.java:564) — " +
+      "EXPLAIN PLAN FOR INSERT from EXTERN") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
       val extern =
