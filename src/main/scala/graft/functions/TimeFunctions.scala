@@ -45,6 +45,25 @@ object TimeFunctions {
     case _ => throw new IllegalArgumentException(s"bad ISO period: $p")
   }
 
+  /** COMPOUND split — (months, days, sub-day millis) with weeks folded into
+    * days — for the month+day mixes (P1M2D) the single-field IsoPeriod
+    * rejects. Joda PeriodGranularity handles these with calendar arithmetic
+    * (QueryGranularityTest.testCompoundPeriodTruncate). */
+  final case class PeriodParts(months: Int, days: Int, millis: Long)
+  def periodParts(p: String): PeriodParts = p.trim.toUpperCase match {
+    case PeriodRe(y, mo, w, d, h, mi, s) =>
+      def l(x: String): Long = if (x == null) 0L else x.toLong
+      val months = (l(y) * 12 + l(mo)).toInt
+      val days = (l(w) * 7 + l(d)).toInt
+      val ms = l(h) * 3600000L + l(mi) * 60000L + l(s) * 1000L
+      if (months == 0 && days == 0 && ms == 0)
+        throw new IllegalArgumentException(s"empty period: $p")
+      PeriodParts(months, days, ms)
+    case _ => throw new IllegalArgumentException(s"bad ISO period: $p")
+  }
+  private def isCompound(parts: PeriodParts): Boolean =
+    parts.months > 0 && (parts.days > 0 || parts.millis > 0)
+
   /** Druid `timestamp_floor(ts, period[, origin])`.
     *
     * Fixed-width path: floor((millis - origin) / width) * width + origin —
@@ -58,6 +77,24 @@ object TimeFunctions {
 
   def timeFloor(ts: Column, period: String, origin: Column = null,
       tz: String = null): Column = {
+    // compound month+day/sub-day periods (P1M2D) bucket by CALENDAR
+    // arithmetic from the origin — boundary(k) = origin +k months +k·days
+    // +k·millis in the zone, exactly Joda's multiplied-period addition
+    // (PeriodGranularity.truncate; QueryGranularityTest
+    // .testCompoundPeriodTruncate) — via a per-row java.time search
+    val partsEarly = periodParts(period)
+    if (isCompound(partsEarly)) {
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      val originExpr =
+        if (origin == null)
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            null, org.apache.spark.sql.types.LongType)
+        else bridge.expression(millisOf(origin))
+      return timestamp_millis(bridge.column(CompoundPeriodFloor(
+        bridge.expression(millisOf(ts)), originExpr,
+        partsEarly.months, partsEarly.days, partsEarly.millis,
+        if (tz == null) "UTC" else tz)))
+    }
     val fastOrigin = fastMonthOrigin(origin, tz)
     val parsed = parsePeriod(period)
     // Sub-day fixed periods under an explicit zone floor on LOCAL fields
@@ -276,6 +313,85 @@ object TimeFunctions {
     * tz-naive columns are cast first (identity under the UTC session TZ). */
   def millisToTimestamp(c: Column): Column = timestamp_millis(c)
   def timestampToMillis(c: Column): Column = millisOf(c)
+}
+
+/** Compound-period flooring (months + days + sub-day millis mixed):
+  * boundaries are generated by ITERATED single-period calendar addition
+  * from the origin — current = add(period, current, ±1) — exactly
+  * PeriodGranularity.truncateCompoundPeriod (:402-418); iteration matters
+  * because month-end clamping compounds (Jan 31 +1M = Feb 28, then +1M from
+  * THERE), so multiplied addition diverges. bucketStart(t) is the greatest
+  * boundary ≤ t. Boundaries memoize per expression instance (one java.time
+  * walk amortized across the task's rows, then binary search). Origin
+  * null → 1970-01-01T00:00 LOCAL wall time in the zone, the reference
+  * default. Input/output epoch millis. CodegenFallback: compound
+  * granularities are rare.
+  */
+case class CompoundPeriodFloor(
+    ts: org.apache.spark.sql.catalyst.expressions.Expression,
+    originTs: org.apache.spark.sql.catalyst.expressions.Expression,
+    months: Int, days: Int, millisPart: Long, zoneId: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import java.time.{Instant, LocalDateTime, ZoneId}
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = ts
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = originTs
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+
+  @transient private lazy val zone = ZoneId.of(zoneId)
+  @transient private lazy val defaultOriginMs =
+    LocalDateTime.of(1970, 1, 1, 0, 0).atZone(zone).toInstant.toEpochMilli
+  // null ORIGIN means "default", not "null result" — evaluate by hand
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = ts.eval(input)
+    if (t == null) return null
+    val o = originTs.eval(input)
+    val originMs = if (o == null) defaultOriginMs else o.asInstanceOf[Long]
+    floor(t.asInstanceOf[Long], originMs)
+  }
+
+  // boundary memo: fwd ascending from origin (inclusive), bwd strictly
+  // descending below it; rebuilt if a dynamic origin changes
+  @transient private lazy val fwd = scala.collection.mutable.ArrayBuffer.empty[Long]
+  @transient private lazy val bwd = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  private def step(ms: Long, dir: Int): Long =
+    Instant.ofEpochMilli(ms).atZone(zone)
+      .plusMonths(dir.toLong * months).plusDays(dir.toLong * days)
+      .plus(dir.toLong * millisPart, java.time.temporal.ChronoUnit.MILLIS)
+      .toInstant.toEpochMilli
+
+  private def floor(t: Long, originMs: Long): Long = {
+    if (fwd.isEmpty || fwd.head != originMs) { fwd.clear(); bwd.clear(); fwd += originMs }
+    if (t >= originMs) {
+      while (fwd.last <= t) fwd += step(fwd.last, 1)
+      // greatest boundary <= t (rightmost, fwd ascending)
+      var lo = 0; var hi = fwd.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (fwd(mid) <= t) lo = mid else hi = mid - 1
+      }
+      fwd(lo)
+    } else {
+      while (bwd.isEmpty || bwd.last > t)
+        bwd += step(if (bwd.isEmpty) originMs else bwd.last, -1)
+      // first boundary <= t (bwd strictly descending)
+      var lo = 0; var hi = bwd.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bwd(mid) <= t) hi = mid else lo = mid + 1
+      }
+      bwd(lo)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): CompoundPeriodFloor =
+    copy(ts = l, originTs = r)
+  override def prettyName: String = "compound_period_floor"
 }
 
 /** DST-exact sub-day flooring in an explicit zone: floors the LOCAL

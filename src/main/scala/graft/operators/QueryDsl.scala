@@ -251,10 +251,16 @@ final case class TimeseriesQuery(
           filtered.agg(aggCols.head, aggCols.tail: _*), postAggregations)
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
-        val p = TimeFunctions.parsePeriod(g.period)
+        val p = TimeFunctions.periodParts(g.period)
         val step =
-          if (p.months == 0) make_dt_interval(lit(0), lit(0), lit(0), lit(p.millis / 1000.0))
-          else make_ym_interval(lit(0), lit(p.months))
+          if (p.months == 0)
+            make_dt_interval(lit(0), lit(0), lit(0),
+              lit((p.days * 86400000L + p.millis) / 1000.0))
+          else if (p.days == 0 && p.millis == 0)
+            make_ym_interval(lit(0), lit(p.months))
+          else // compound month+day period: calendar-interval step
+            make_interval(lit(0), lit(p.months), lit(0), lit(p.days),
+              lit(0), lit(0), lit(java.math.BigDecimal.valueOf(p.millis / 1000.0)))
         bucketedRun(g.bucket, Some(step))
       case g: DurationGranularity =>
         bucketedRun(g.bucket,

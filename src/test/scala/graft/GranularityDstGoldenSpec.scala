@@ -130,4 +130,29 @@ class GranularityDstGoldenSpec extends SparkSpecBase {
     // reference: origin = -1 % 3600000 = -1; bucketStart lands on :59:59.999
     assert(got2 == millis("2012-01-01T04:59:59.999Z"))
   }
+
+  test("testCompoundPeriodTruncate (QueryGranularityTest.java:485-530) — " +
+      "P1M2D calendar buckets from an origin, LA zone, origin-less default") {
+    // boundary(k) = origin +k months +2k days in the zone (Joda
+    // multiplied-period addition)
+    val withOrigin = floorAll(
+      Seq("2012-01-01T05:00:04.123-08:00", "2012-01-02T07:00:04.123-08:00",
+          "2012-03-01T07:20:04.123-08:00", "2012-02-04T05:00:00.000-08:00").map(millis),
+      "P1M2D", "America/Los_Angeles", Some("2012-01-02T05:00:00.000-08:00"))
+    assert(withOrigin == Seq(
+      millis("2011-11-30T05:00:00.000-08:00"),
+      millis("2012-01-02T05:00:00.000-08:00"),
+      millis("2012-02-04T05:00:00.000-08:00"),
+      millis("2012-02-04T05:00:00.000-08:00")))
+    // no origin: epoch LOCAL wall time in the zone anchors the grid
+    val noOrigin = floorAll(
+      Seq("1970-01-01T05:02:04.123-08:00", "2012-01-01T05:02:04.123-08:00",
+          "2012-01-15T07:01:04.123-08:00", "2012-02-16T00:00:00.000-08:00").map(millis),
+      "P1M2D", "America/Los_Angeles", None)
+    assert(noOrigin == Seq(
+      millis("1970-01-01T00:00:00.000-08:00"),
+      millis("2011-12-12T00:00:00.000-08:00"),
+      millis("2012-01-14T00:00:00.000-08:00"),
+      millis("2012-02-16T00:00:00.000-08:00")))
+  }
 }
