@@ -226,6 +226,15 @@ object TimeFunctions {
   /** Druid `timestamp_ceil`. */
   def timeCeil(ts: Column, period: String, origin: Column = null,
       tz: String = null): Column = {
+    // compound period: ceil = floor unless t is off-boundary, then the
+    // NEXT iterated boundary (TimestampCeilExprMacro over the same
+    // granularity increment)
+    val partsEarly = periodParts(period)
+    if (isCompound(partsEarly)) {
+      val flo = timeFloor(ts, period, origin, tz).cast("timestamp")
+      return when(flo === ts.cast("timestamp"), flo)
+        .otherwise(timeShift(flo, period, 1, tz))
+    }
     val fastOrigin = fastMonthOrigin(origin, tz)
     zonedRoundTrip(ts, origin, tz) { (t, o) =>
       val p = parsePeriod(period)
@@ -255,6 +264,15 @@ object TimeFunctions {
   /** Druid `timestamp_shift(ts, period, step)` — preserves time-of-day for
     * month shifts (add_months would truncate to DATE). */
   def timeShift(ts: Column, period: String, step: Int, tz: String = null): Column = {
+    val parts = periodParts(period)
+    if (isCompound(parts))
+      // TimestampShiftExprMacro: chronology.add(period, t, step) multiplies
+      // the period's fields once — calendar month+day+millis interval
+      return zonedRoundTrip(ts, defaultOrigin, tz) { (t, _) =>
+        t + make_interval(lit(0), lit(parts.months * step), lit(0),
+          lit(parts.days * step), lit(0), lit(0),
+          lit(java.math.BigDecimal.valueOf(parts.millis * step / 1000.0)))
+      }
     val p = parsePeriod(period)
     if (p.months == 0) timestamp_millis(millisOf(ts) + p.millis * step)
     else zonedRoundTrip(ts, defaultOrigin, tz) { (t, _) =>

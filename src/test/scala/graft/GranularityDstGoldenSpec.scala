@@ -155,4 +155,26 @@ class GranularityDstGoldenSpec extends SparkSpecBase {
       millis("2012-01-14T00:00:00.000-08:00"),
       millis("2012-02-16T00:00:00.000-08:00")))
   }
+
+  test("compound-period ceil and shift (TimestampCeilExprMacro / " +
+      "TimestampShiftExprMacro over P1M2D)") {
+    import graft.functions.TimeFunctions
+    val in = Seq(millis("2012-01-05T00:00:00.000Z")).toDF("m")
+    // floor lands 2012-01-03 (epoch-anchored iterated grid: ...; boundary
+    // just below Jan 5), ceil = next boundary; on-boundary ceil = identity
+    val flo = in.select(unix_millis(TimeFunctions.timeFloor(
+      timestamp_millis(col("m")), "P1M2D").cast("timestamp"))).head().getLong(0)
+    val ceil = in.select(unix_millis(TimeFunctions.timeCeil(
+      timestamp_millis(col("m")), "P1M2D").cast("timestamp"))).head().getLong(0)
+    assert(flo < millis("2012-01-05T00:00:00.000Z") && ceil > flo)
+    val onB = Seq(flo).toDF("m").select(unix_millis(TimeFunctions.timeCeil(
+      timestamp_millis(col("m")), "P1M2D").cast("timestamp"))).head().getLong(0)
+    assert(onB == flo)
+    // shift multiplies the period fields once: +2 steps = +2 months +4 days
+    val shifted = Seq(millis("2012-01-31T12:00:00.000Z")).toDF("m")
+      .select(unix_millis(TimeFunctions.timeShift(
+        timestamp_millis(col("m")), "P1M2D", 2).cast("timestamp"))).head().getLong(0)
+    // 2012-01-31 +2 months = 2012-03-31, +4 days = 2012-04-04 (12:00 kept)
+    assert(shifted == millis("2012-04-04T12:00:00.000Z"))
+  }
 }
