@@ -564,6 +564,29 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(r.getSeq[Double](2) == Seq(7.0, 1.0))
   }
 
+  test("compound-period granularity (P1M2D) through the JSON surface with " +
+      "zero-fill (PeriodGranularity.truncateCompoundPeriod)") {
+    val df = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "orders",
+        "timeColumn": "o_orderdate",
+        "granularity": {"type": "period", "period": "P1M2D",
+                        "origin": "1996-01-01T00:00:00"},
+        "intervals": ["1996-01-01T00:00:00/1996-05-01T00:00:00"],
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").collect()
+    // iterated boundaries: Jan 1, Feb 3, Mar 5, Apr 7 — 4 buckets cover
+    // [Jan 1, May 1)
+    assert(df.length == 4)
+    val buckets = df.map(_.get(0).toString.substring(0, 10)).toSeq
+    assert(buckets == Seq("1996-01-01", "1996-02-03", "1996-03-05", "1996-04-07"))
+    // bucket counts sum to the interval's row count
+    val direct = spark.read.parquet(s"${sf()}/orders.parquet")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-05-01").count()
+    assert(df.map(_.getLong(1)).sum == direct)
+  }
+
   test("expression filter truthiness: numeric > 0 and string 'true' are " +
       "truthy in predicate position (Evals.java:60-73)") {
     def cnt(expr: String): Long = run(
