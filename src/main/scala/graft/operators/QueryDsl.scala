@@ -194,7 +194,21 @@ final case class TimeseriesQuery(
     * Catalyst reuses the aggregation exchange, so the input is scanned once.
     */
   private def zeroFill(grouped: DataFrame, bucketFn: Column => Column,
-      step: Column): DataFrame = {
+      step: Column, tz: Option[String]): DataFrame = {
+    // Under an explicit zone, bucket boundaries shift with DST (a
+    // fixed-interval UTC sequence would drift an hour past a transition:
+    // LA month buckets are ...-07:00 then ...-08:00 — QueryGranularityTest
+    // .testIterableMonth), so the spine steps in the zone's WALL CLOCK and
+    // converts each bucket back; a mismatched spine would not just misfill,
+    // it would DROP the real buckets on the join below.
+    def bucketSeq(lo: Column, hi: Column): Column = tz match {
+      case None => sequence(lo, hi, step)
+      case Some(z) =>
+        transform(
+          sequence(from_utc_timestamp(lo.cast("timestamp"), z),
+            from_utc_timestamp(hi.cast("timestamp"), z), step),
+          x => to_utc_timestamp(x, z).cast("timestamp_ntz"))
+    }
     val spine =
       if (fillIntervals.nonEmpty) {
         val seqs = fillIntervals.map { case (a, b) =>
@@ -202,14 +216,14 @@ final case class TimeseriesQuery(
           // buckets covering [a, b): floor(b - 1ms) is the last bucket
           val hi = bucketFn(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
             .cast("timestamp"))
-          sequence(lo, hi, step)
+          bucketSeq(lo, hi)
         }
         grouped.sparkSession.range(1)
           .select(explode(flatten(array(seqs: _*))).as(timeColumn)).distinct()
       } else
         grouped.agg(min(col(timeColumn)).as("lo"), max(col(timeColumn)).as("hi"))
           .where(col("lo").isNotNull) // empty input → nothing to fill
-          .select(explode(sequence(col("lo"), col("hi"), step)).as(timeColumn))
+          .select(explode(bucketSeq(col("lo"), col("hi"))).as(timeColumn))
     val fills = aggregations.map { a =>
       if (QueryCommon.isCountAgg(a.column)) coalesce(col(a.name), lit(0L)).as(a.name)
       else col(a.name)
@@ -223,12 +237,13 @@ final case class TimeseriesQuery(
     val aggCols = aggregations.map(_.aliased)
     // bucket fn + zero-fill step per granularity kind; `none` buckets every
     // distinct timestamp and never zero-fills (a millisecond spine)
-    def bucketedRun(bucketFn: Column => Column, step: Option[Column]): DataFrame = {
+    def bucketedRun(bucketFn: Column => Column,
+        step: Option[(Column, Option[String])]): DataFrame = {
         val bucketed = filtered.withColumn("__bucket", bucketFn(col(timeColumn)))
         val grouped0 = bucketed.groupBy(col("__bucket").as(timeColumn))
           .agg(aggCols.head, aggCols.tail: _*)
         val grouped = step match {
-          case Some(s) if !skipEmptyBuckets => zeroFill(grouped0, bucketFn, s)
+          case Some((s, tz)) if !skipEmptyBuckets => zeroFill(grouped0, bucketFn, s, tz)
           case _ => grouped0
         }
         val withTotal = if (grandTotal) {
@@ -252,6 +267,9 @@ final case class TimeseriesQuery(
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
         val p = TimeFunctions.periodParts(g.period)
+        // day+ periods under an explicit zone step the spine on the zone's
+        // wall clock (sub-day fixed periods are DST-agnostic in UTC terms
+        // only when no zone shifts the boundary — keep the zone there too)
         val step =
           if (p.months == 0)
             make_dt_interval(lit(0), lit(0), lit(0),
@@ -261,10 +279,10 @@ final case class TimeseriesQuery(
           else // compound month+day period: calendar-interval step
             make_interval(lit(0), lit(p.months), lit(0), lit(p.days),
               lit(0), lit(0), lit(java.math.BigDecimal.valueOf(p.millis / 1000.0)))
-        bucketedRun(g.bucket, Some(step))
+        bucketedRun(g.bucket, Some((step, Option(g.timeZone))))
       case g: DurationGranularity =>
         bucketedRun(g.bucket,
-          Some(make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0))))
+          Some((make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0)), None)))
       case NoneGranularity =>
         bucketedRun(ts => ts.cast("timestamp_ntz"), None)
     }

@@ -177,4 +177,34 @@ class GranularityDstGoldenSpec extends SparkSpecBase {
     // 2012-01-31 +2 months = 2012-03-31, +4 days = 2012-04-04 (12:00 kept)
     assert(shifted == millis("2012-04-04T12:00:00.000Z"))
   }
+
+  test("testIterableMonth (QueryGranularityTest.java:362-376) — the zero-fill " +
+      "spine follows the zone's DST-shifted month boundaries; a UTC-stepped " +
+      "spine would DROP the post-transition buckets on the fill join") {
+    import graft.operators.{Agg, PeriodGranularity, TimeseriesQuery}
+    // one row per month Oct 2012..Jan 2013 (spans the Nov 4 LA fall-back)
+    val df = Seq("2012-10-15 12:00:00", "2012-11-15 12:00:00",
+      "2012-12-15 12:00:00", "2013-01-15 12:00:00")
+      .toDF("s").select(col("s").cast("timestamp_ntz").as("__time"), lit(1L).as("v"))
+    val out = TimeseriesQuery(
+      granularity = PeriodGranularity("P1M", null, "America/Los_Angeles"),
+      aggregations = Seq(Agg("cnt", count(lit(1))))
+    ).run(df).collect()
+    // boundaries: -07:00 before the transition, -08:00 after
+    // (testIterableMonth's 2012-11-01T00:00-07:00 / 2012-12-01T00:00-08:00)
+    assert(out.map(_.get(0).toString).toSeq == Seq(
+      "2012-10-01T07:00", "2012-11-01T07:00", "2012-12-01T08:00", "2013-01-01T08:00"))
+    // no bucket lost its rows to a spine mismatch
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L))
+    // and an EMPTY bucket inside the span zero-fills on the shifted boundary
+    val sparse = Seq("2012-10-15 12:00:00", "2013-01-15 12:00:00")
+      .toDF("s").select(col("s").cast("timestamp_ntz").as("__time"), lit(1L).as("v"))
+    val filled = TimeseriesQuery(
+      granularity = PeriodGranularity("P1M", null, "America/Los_Angeles"),
+      aggregations = Seq(Agg("cnt", count(lit(1))))
+    ).run(sparse).collect()
+    assert(filled.length == 4)
+    assert(filled.map(_.getLong(1)).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(filled.map(_.get(0).toString).toSeq.contains("2012-12-01T08:00"))
+  }
 }
