@@ -267,9 +267,12 @@ final case class TimeseriesQuery(
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
         val p = TimeFunctions.periodParts(g.period)
-        // day+ periods under an explicit zone step the spine on the zone's
-        // wall clock (sub-day fixed periods are DST-agnostic in UTC terms
-        // only when no zone shifts the boundary — keep the zone there too)
+        // Zone-stepped spine ONLY for day-and-coarser periods: their
+        // boundaries anchor to the zone's wall clock and shift at DST. Pure
+        // SUB-DAY periods must keep the fixed UTC step — bucket instants
+        // stay exactly period-spaced through a transition, and the
+        // fall-back's REPEATED local hour yields two distinct buckets that
+        // wall-clock stepping would visit only once.
         val step =
           if (p.months == 0)
             make_dt_interval(lit(0), lit(0), lit(0),
@@ -279,7 +282,9 @@ final case class TimeseriesQuery(
           else // compound month+day period: calendar-interval step
             make_interval(lit(0), lit(p.months), lit(0), lit(p.days),
               lit(0), lit(0), lit(java.math.BigDecimal.valueOf(p.millis / 1000.0)))
-        bucketedRun(g.bucket, Some((step, Option(g.timeZone))))
+        val zoneStep =
+          if (p.months > 0 || (p.days > 0 && p.millis == 0)) Option(g.timeZone) else None
+        bucketedRun(g.bucket, Some((step, zoneStep)))
       case g: DurationGranularity =>
         bucketedRun(g.bucket,
           Some((make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0)), None)))

@@ -207,4 +207,39 @@ class GranularityDstGoldenSpec extends SparkSpecBase {
     assert(filled.map(_.getLong(1)).toSeq == Seq(1L, 0L, 0L, 1L))
     assert(filled.map(_.get(0).toString).toSeq.contains("2012-12-01T08:00"))
   }
+
+  test("hourly zero-fill keeps BOTH fall-back buckets (the repeated 01:xx " +
+      "local hour is two distinct buckets, UTC-stepped spine) and daily " +
+      "zero-fill crosses the 25h day (zone-stepped spine)") {
+    import graft.operators.{Agg, PeriodGranularity, TimeseriesQuery}
+    // rows at 00:30-07:00, 01:30-07:00, 01:30-08:00, 02:30-08:00 around the
+    // 2012-11-04 LA fall-back; hourly LA buckets = 4 distinct
+    val hrs = Seq("2012-11-04T00:30:00-07:00", "2012-11-04T01:30:00-07:00",
+      "2012-11-04T01:30:00-08:00", "2012-11-04T02:30:00-08:00")
+    val df = hrs.map(h => java.time.OffsetDateTime.parse(h).toInstant.toEpochMilli)
+      .toDF("m").select(timestamp_millis(col("m")).cast("timestamp_ntz").as("__time"),
+        lit(1L).as("v"))
+    val out = TimeseriesQuery(
+      granularity = PeriodGranularity("PT1H", null, "America/Los_Angeles"),
+      aggregations = Seq(Agg("cnt", count(lit(1))))
+    ).run(df).collect()
+    assert(out.length == 4, s"expected 4 hourly buckets, got ${out.toSeq}")
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 1L))
+    // daily buckets across the same transition: Nov 3 + Nov 4 (25h) + Nov 5,
+    // with the middle day EMPTY — the spine lands on local midnights
+    val days = Seq("2012-11-03T12:00:00-07:00", "2012-11-05T12:00:00-08:00")
+    val df2 = days.map(h => java.time.OffsetDateTime.parse(h).toInstant.toEpochMilli)
+      .toDF("m").select(timestamp_millis(col("m")).cast("timestamp_ntz").as("__time"),
+        lit(1L).as("v"))
+    val out2 = TimeseriesQuery(
+      granularity = PeriodGranularity("P1D", null, "America/Los_Angeles"),
+      aggregations = Seq(Agg("cnt", count(lit(1))))
+    ).run(df2).collect()
+    assert(out2.length == 3)
+    assert(out2.map(_.getLong(1)).toSeq == Seq(1L, 0L, 1L))
+    // Nov 5 local midnight is 08:00Z (PST) — a fixed 24h UTC step from Nov 4
+    // midnight (07:00Z, PDT) would have produced 07:00Z and dropped the row
+    assert(out2.map(_.get(0).toString).toSeq == Seq(
+      "2012-11-03T07:00", "2012-11-04T07:00", "2012-11-05T08:00"))
+  }
 }
