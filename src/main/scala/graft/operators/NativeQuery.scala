@@ -82,7 +82,7 @@ object NativeQuery {
           fillIntervals = parseIntervals(q \ "intervals")
         ).run(prepared).transform(finalizeAggs)
       case "topN" =>
-        val dim = dimSpec(q \ "dimension")
+        val dim = dimSpec(q \ "dimension", prepared.schema)
         // metric specs (query/topn/TopNMetricSpec.java): numeric (default
         // descending), dimension (ordered by dimension value under a
         // StringComparator, ascending), inverted (wraps + flips either)
@@ -136,7 +136,7 @@ object NativeQuery {
         ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
-        val dims = arr(q \ "dimensions").map(dimSpec)
+        val dims = arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
         val dimOutputs = dims.map(_.output).toSet
         GroupByQuery(
           dimensions = dims,
@@ -487,13 +487,26 @@ object NativeQuery {
   }
 
   // ---- dimension specs (§2.7) ----
-  private def dimSpec(j: JValue): DimSpec = j match {
-    case JString(d) => Dim(d)
+  /** Schema-aware: a default/extraction spec over a MULTI-VALUE (ArrayType)
+    * column explodes — one group per element (SURVEY §1.4,
+    * GroupByQueryEngineV2.java:603), with extraction fns applied per
+    * element like the reference's per-value dimension selector. Call sites
+    * without a schema (cardinality field specs, bloom field) keep the
+    * scalar behavior. */
+  private def dimSpec(j: JValue, schema: org.apache.spark.sql.types.StructType = null): DimSpec = {
+    def isArrayCol(name: String): Boolean = schema != null &&
+      schema.fields.exists(f => f.name == name &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    j match {
+    case JString(d) => if (isArrayCol(d)) MvDim(col(d), d) else Dim(d)
     case o =>
       val dim = str(o \ "dimension")
       val out = strOpt(o \ "outputName").getOrElse(dim)
       str(o \ "type") match {
-        case "default" => Dim(dim, out)
+        case "default" =>
+          if (isArrayCol(dim)) MvDim(col(dim), out) else Dim(dim, out)
+        case "extraction" if isArrayCol(dim) =>
+          MvDim(transform(col(dim), x => extractionFn(o \ "extractionFn", x)), out)
         case "extraction" =>
           ExprDim(extractionFn(o \ "extractionFn", col(dim)), out)
         case "listFiltered" =>
@@ -505,6 +518,7 @@ object NativeQuery {
           PrefixFilteredDim(col(dim), str(o \ "prefix"), out)
         case t => throw new IllegalArgumentException(s"dimension spec: $t")
       }
+    }
   }
 
   private def extractionFn(j: JValue, c: Column): Column = str(j \ "type") match {

@@ -564,6 +564,48 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(r.getSeq[Double](2) == Seq(7.0, 1.0))
   }
 
+  test("groupBy and topN over a MULTI-VALUE dimension explode per element " +
+      "in the JSON path (SURVEY §1.4, GroupByQueryEngineV2.java:603)") {
+    val src = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b")), (3L, Seq("a", "c")), (4L, Seq[String]()))
+      .toDF("id", "tags")
+    src.createOrReplaceTempView("mv_src")
+    val gb = NativeQuery.run(spark,
+      """{
+        "queryType": "groupBy",
+        "dataSource": "mv_src",
+        "dimensions": [{"type": "default", "dimension": "tags"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": [{"dimension": "tags"}]}
+      }""", name => spark.table(name))
+    val got = gb.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // per-element groups: a=2, b=2, c=1, null (empty cell) = 1
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, (null: String) -> 1L))
+    // topN ranks elements, not arrays
+    val tn = NativeQuery.run(spark,
+      """{
+        "queryType": "topN",
+        "dataSource": "mv_src",
+        "dimension": "tags",
+        "metric": "cnt",
+        "threshold": 2,
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""", name => spark.table(name))
+    assert(tn.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // extraction spec applies per element
+    val ex = NativeQuery.run(spark,
+      """{
+        "queryType": "groupBy",
+        "dataSource": "mv_src",
+        "dimensions": [{"type": "extraction", "dimension": "tags",
+          "outputName": "u",
+          "extractionFn": {"type": "upper"}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": [{"dimension": "u"}]}
+      }""", name => spark.table(name))
+    assert(ex.collect().map(_.getString(0)).toSeq.filter(_ != null) == Seq("A", "B", "C"))
+  }
+
   test("compound-period granularity (P1M2D) through the JSON surface with " +
       "zero-fill (PeriodGranularity.truncateCompoundPeriod)") {
     val df = run(
