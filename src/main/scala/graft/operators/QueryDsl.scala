@@ -474,8 +474,17 @@ final case class SearchQuery(
 
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
-    val pairs = searchDimensions.flatMap(d => Seq(lit(d), col(d).cast("string")))
-    val unpivoted = filtered.select(explode(map(pairs: _*)).as(Seq("dimension", "value")))
+    // a multi-value dimension searches per ELEMENT (the reference's search
+    // cursors iterate each row value — SURVEY §1.4); scalars cast to string
+    def values(d: String): Column = ds.schema(d).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        transform(col(d), _.cast("string"))
+      case _ => array(col(d).cast("string"))
+    }
+    val pairs = searchDimensions.flatMap(d => Seq(lit(d), values(d)))
+    val unpivoted = filtered
+      .select(explode(map(pairs: _*)).as(Seq("dimension", "values")))
+      .select(col("dimension"), explode(col("values")).as("value"))
     val matched = unpivoted.filter(matcher(col("value")))
     val counted = matched.groupBy("dimension", "value").agg(count(lit(1)).as("count"))
       .orderBy(graft.functions.StringOrderings.key(sort, col("value")), col("dimension"))

@@ -606,6 +606,22 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(ex.collect().map(_.getString(0)).toSeq.filter(_ != null) == Seq("A", "B", "C"))
   }
 
+  test("search over a multi-value dimension matches per element") {
+    val src = Seq((1L, Seq("alpha", "beta")), (2L, Seq("beta", "gamma")))
+      .toDF("id", "tags")
+    src.createOrReplaceTempView("mv_search_src")
+    val hits = NativeQuery.run(spark,
+      """{
+        "queryType": "search",
+        "dataSource": "mv_search_src",
+        "searchDimensions": ["tags"],
+        "query": {"type": "contains", "value": "a", "caseSensitive": false}
+      }""", name => spark.table(name))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    // per-element hits: alpha×1, beta×2, gamma×1
+    assert(hits == Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
   test("compound-period granularity (P1M2D) through the JSON surface with " +
       "zero-fill (PeriodGranularity.truncateCompoundPeriod)") {
     val df = run(
