@@ -50,6 +50,16 @@ case class ThetaSketchAgg(
       case DoubleType | FloatType => buf.update(v.asInstanceOf[Number].doubleValue())
       case StringType => buf.update(v.asInstanceOf[UTF8String].toString)
       case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
+      // a MULTI-VALUE dimension updates once per element — the reference's
+      // CardinalityAggregator/theta build iterate the row's values
+      // (SURVEY §1.4; cardinality/CardinalityAggregator.java)
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          if (!arr.isNullAt(i)) buf.update(arr.getUTF8String(i).toString)
+          i += 1
+        }
       case dt => throw new IllegalArgumentException(s"theta_sketch: unsupported type $dt")
     }
     buf

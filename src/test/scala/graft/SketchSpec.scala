@@ -128,4 +128,15 @@ class SketchSpec extends SparkSpecBase {
     assert(est != math.floor(est), s"expected fractional estimate, got $est")
     assert(math.abs(est - 20000) < 600)
   }
+
+  test("theta build over a multi-value dimension updates per element " +
+      "(cardinality/CardinalityAggregator.java MV iteration)") {
+    import graft.plans.SketchFunctions
+    val src = Seq(Seq("a", "b"), Seq("b", "c"), Seq[String]())
+      .toDF("tags")
+    val est = src.agg(
+      SketchFunctions.thetaEstimate(SketchFunctions.thetaSketch(col("tags"))).as("nd"))
+      .head().getDouble(0)
+    assert(est == 3.0) // a, b, c — exact at this cardinality
+  }
 }
