@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // first/last/any fold aggregates (FirstLastFoldAgg) plan as
+      // ObjectHashAggregate; raise the 128-key sort-based fallback so
+      // high-cardinality groups stay hashed (accumulators are ~50 B)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // scan-rate harness: read columnar files through the vectorized
       // parquet reader (the codegen'd analog of Druid's mmap'd segment
       // scan), and push COUNT/MIN/MAX down to footer statistics — the

@@ -15,6 +15,10 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
       // read as long and normalize in Sources.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // first/last/any fold aggregates (FirstLastFoldAgg) plan as
+      // ObjectHashAggregate; raise the 128-key sort-based fallback so
+      // high-cardinality groups stay hashed (accumulators are ~50 B)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

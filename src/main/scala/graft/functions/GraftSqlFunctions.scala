@@ -524,10 +524,28 @@ object GraftSqlFunctions {
     // SUM0 (SumZeroSqlAggregator): sum that yields 0, not null, on empty
     // (coalesce type-coerces the zero literal during analysis)
     "sum0" -> { args => ex(coalesce(sum(col(args(0))), lit(0))) },
-    "earliest" -> { args => ex(min_by(col(args(0)), col(args(1)))) },
-    "latest" -> { args => ex(max_by(col(args(0)), col(args(1)))) },
-    "earliest_by" -> { args => ex(min_by(col(args(0)), col(args(1)))) },
-    "latest_by" -> { args => ex(max_by(col(args(0)), col(args(1)))) },
+    // EARLIEST/LATEST/ANY_VALUE compile to the incremental pair/first-seen
+    // folds (FirstLastFoldAgg/AnyFoldAgg) so they plan as
+    // ObjectHashAggregate — min_by/max_by/any_value are immutable-buffer
+    // declarative aggregates that force SortAggregate (reference lifecycle:
+    // query/aggregation/first/LongFirstAggregator.java)
+    // NOTE: these return the BARE AggregateFunction (not
+    // .toAggregateExpression()) so the analyzer can attach DISTINCT/FILTER
+    // clauses itself — a pre-wrapped AggregateExpression rejects
+    // `EARLIEST(x, t) FILTER (WHERE ...)` with FUNCTION_WITH_UNSUPPORTED_SYNTAX
+    "earliest" -> { args => FirstLastFoldAgg(args(1), args(0), latest = false) },
+    "latest" -> { args => FirstLastFoldAgg(args(1), args(0), latest = true) },
+    "earliest_by" -> { args => FirstLastFoldAgg(args(1), args(0), latest = false) },
+    "latest_by" -> { args => FirstLastFoldAgg(args(1), args(0), latest = true) },
+    // ANY_VALUE(expr[, ignoreNulls]) — overrides Spark's SortAggregate
+    // spelling with the hash-plannable first-seen fold
+    "any_value" -> { args =>
+      val ignoreNulls = args.size > 1 && (args(1) match {
+        case Literal(b: Boolean, _) => b
+        case _ => false
+      })
+      AnyFoldAgg(args(0), ignoreNulls)
+    },
     // APPROX_QUANTILE(col, p[, k]) (extensions-core/histogram SQL fn) →
     // percentile_approx with accuracy from k
     "approx_quantile" -> { args =>

@@ -222,14 +222,14 @@ object MathExpr {
   }
 
   /** Rewrite the `^` power operator (grammar: right-assoc, binds tighter
-    * than '*' and looser only than unary — Expr.g4:20-23) into
-    * `druid_mx_pow(L, R)` calls. Spark SQL's `^` is XOR, so a textual
-    * operand-level rewrite runs BEFORE the main translation: the rightmost
-    * `^` rewrites first, which makes chains right-associative
-    * (a^b^c → pow(a, pow(b, c))); operands are primaries — identifiers,
-    * numbers, quoted identifiers, calls, parenthesized groups — exactly the
-    * binding the grammar gives the operator (`-2^2` = -(2^2),
-    * `a*b^c` = a*(b^c)). */
+    * than '*' but LOOSER than unary '-'/'!' — Expr.g4:21-23 lists
+    * unaryOpExpr above powOpExpr) into `druid_mx_pow(L, R)` calls. Spark
+    * SQL's `^` is XOR, so a textual operand-level rewrite runs BEFORE the
+    * main translation: the rightmost `^` rewrites first, which makes chains
+    * right-associative (a^b^c → pow(a, pow(b, c))); operands are primaries —
+    * identifiers, numbers, quoted identifiers, calls, parenthesized
+    * groups — plus any immediately preceding unary prefix on the left
+    * (`-2^2` = (-2)^2 = 4, `a*b^c` = a*(b^c)). */
   private def rewritePow(e: String): String = {
     // rightmost '^' outside quotes
     var i = 0; var inS = false; var inD = false; var caret = -1
@@ -277,7 +277,26 @@ object MathExpr {
         while (l >= 0 && (e.charAt(l).isLetterOrDigit || e.charAt(l) == '_' || e.charAt(l) == '.')) l -= 1
         l += 1
     }
-    val lStart = l
+    // unary '-'/'!' bind TIGHTER than '^' (unaryOpExpr precedes powOpExpr
+    // in Expr.g4:21-22), so an immediately preceding unary prefix joins the
+    // left primary: -2^2 = (-2)^2 = 4, not -(2^2). A prefix is unary (not
+    // the binary '-'/'!' of a larger expression) when what precedes it —
+    // skipping spaces — is another operator, an opening bracket, a comma,
+    // or the start of the string.
+    var lStart = l
+    locally {
+      var scan = lStart - 1
+      var done = false
+      while (!done) {
+        while (scan >= 0 && e.charAt(scan) == ' ') scan -= 1
+        if (scan >= 0 && (e.charAt(scan) == '-' || e.charAt(scan) == '!')) {
+          var j = scan - 1
+          while (j >= 0 && e.charAt(j) == ' ') j -= 1
+          val unary = j < 0 || "([,+-*/%<>=!&|^".indexOf(e.charAt(j)) >= 0
+          if (unary) { lStart = scan; scan = j } else done = true
+        } else done = true
+      }
+    }
 
     // RIGHT primary: scan forward (unary prefixes bind tighter here —
     // the grammar's right operand of '^' is a full expr only through

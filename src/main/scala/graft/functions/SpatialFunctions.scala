@@ -61,20 +61,45 @@ object SpatialFunctions {
 object StringOrderings {
   import org.apache.spark.sql.graftbridge.CatalystBridge
 
+  /** The BigDecimal-grammar parseable gate of the numeric comparator (sign,
+    * digits, optional fraction, optional exponent — "Infinity"/"NaN" are NOT
+    * parseable there). */
+  private val NumericGrammar = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$"
+
   /** numeric ordering (NumericComparator, StringComparators.java:358-404):
     * null first, then unparseable strings (ordered lexicographically among
-    * themselves), then parseable numbers by value. The parseable gate
-    * mirrors the BigDecimal grammar (sign, digits, optional fraction,
-    * optional exponent — "Infinity"/"NaN" are NOT parseable there); the
-    * value field is a double, a documented precision approximation of the
-    * reference's BigDecimal beyond ~15 significant digits. */
+    * themselves), then parseable numbers by value. The value field is a
+    * double, a documented precision approximation of the reference's
+    * BigDecimal beyond ~15 significant digits. */
   def numericKey(c: Column): Column = {
     val s = c.cast("string")
-    val parseable = s.rlike("^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?$")
+    val parseable = s.rlike(NumericGrammar)
     struct(
-      when(parseable, lit(2)).otherwise(lit(1)),
-      when(parseable, s.cast("double")),
-      when(!parseable, s))
+      when(parseable, lit(2)).otherwise(lit(1)).as("cls"),
+      when(parseable, s.cast("double")).as("num"),
+      when(!parseable, s).as("str"))
+  }
+
+  /** numericKey fast path for a column whose type is ALREADY numeric: every
+    * value is parseable by construction, so the per-row
+    * cast-to-string + BigDecimal-grammar RLIKE (up to 3 evaluations per row
+    * in the bound-filter hot path) collapses to a plain double cast. Same
+    * struct shape and ordering as [[numericKey]], so the two sides of a
+    * comparison may mix (a numeric column against a string literal key). */
+  def numericKeyNumericInput(c: Column): Column =
+    struct(lit(2).as("cls"), c.cast("double").as("num"),
+      lit(null).cast("string").as("str"))
+
+  /** numericKey of a driver-known string literal: parseability is decided at
+    * plan-build time, no runtime regex at all. */
+  def numericKeyLiteral(s: String): Column = {
+    val parseable = s != null && s.matches(NumericGrammar)
+    if (parseable)
+      struct(lit(2).as("cls"), lit(s.toDouble).as("num"),
+        lit(null).cast("string").as("str"))
+    else
+      struct(lit(1).as("cls"), lit(null).cast("double").as("num"),
+        lit(s).as("str"))
   }
 
   /** version ordering (VersionComparator → maven DefaultArtifactVersion):
@@ -89,14 +114,22 @@ object StringOrderings {
     CatalystBridge.column(AlphanumOrderKey(CatalystBridge.expression(c.cast("string"))))
 
   /** A named StringComparator as a sort key (StringComparators.java) —
-    * orderBy(key(name, c)) reproduces the comparator's ordering. */
-  def key(ordering: String, c: Column): Column = ordering match {
-    case "lexicographic" => c.cast("string")
-    case "numeric" => numericKey(c)
-    case "alphanumeric" => alphanumericKey(c)
-    case "version" => versionKey(c)
-    // strlen comparator: shorter first, ties lexicographic
-    case "strlen" => struct(length(c.cast("string")), c.cast("string"))
-    case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")
-  }
+    * orderBy(key(name, c)) reproduces the comparator's ordering.
+    * `inputType` (when the caller knows the column's schema type) enables
+    * the numeric fast path: a LONG/DOUBLE column never needs the
+    * parseability regex. */
+  def key(ordering: String, c: Column,
+      inputType: Option[org.apache.spark.sql.types.DataType] = None): Column =
+    ordering match {
+      case "lexicographic" => c.cast("string")
+      case "numeric" => inputType match {
+        case Some(_: org.apache.spark.sql.types.NumericType) => numericKeyNumericInput(c)
+        case _ => numericKey(c)
+      }
+      case "alphanumeric" => alphanumericKey(c)
+      case "version" => versionKey(c)
+      // strlen comparator: shorter first, ties lexicographic
+      case "strlen" => struct(length(c.cast("string")), c.cast("string"))
+      case o => throw new IllegalArgumentException(s"unsupported string comparator: $o")
+    }
 }

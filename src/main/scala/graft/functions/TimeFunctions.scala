@@ -412,6 +412,54 @@ case class CompoundPeriodFloor(
   override def prettyName: String = "compound_period_floor"
 }
 
+/** Bucket boundaries of a compound-period walk from `lo` to `hi` (epoch
+  * millis, both inclusive; `lo` must itself be a boundary — e.g. a
+  * [[CompoundPeriodFloor]] result). Boundaries advance by ITERATED
+  * single-period stepping — `plusMonths(m).plusDays(d).plus(millis)` from
+  * the PREVIOUS boundary — exactly like CompoundPeriodFloor's internal walk,
+  * so a zero-fill spine built from this expression can never diverge from
+  * the floor function (Spark's `sequence(lo, hi, interval)` computes
+  * boundary k as lo + k·step, i.e. MULTIPLIED calendar addition, which
+  * drifts from the iterated walk once month-end clamping compounds —
+  * P1M15D diverges at the 3rd boundary). Returns ARRAY<LONG>; boundary
+  * count is bounded by interval-width / (28·months + days) so the array
+  * stays small for any compound (≥ month-wide) period. */
+case class CompoundPeriodSpine(
+    lo: org.apache.spark.sql.catalyst.expressions.Expression,
+    hi: org.apache.spark.sql.catalyst.expressions.Expression,
+    months: Int, days: Int, millisPart: Long, zoneId: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import java.time.{Instant, ZoneId}
+
+  override def left: org.apache.spark.sql.catalyst.expressions.Expression = lo
+  override def right: org.apache.spark.sql.catalyst.expressions.Expression = hi
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+
+  @transient private lazy val zone = ZoneId.of(zoneId)
+  private def step(ms: Long): Long =
+    Instant.ofEpochMilli(ms).atZone(zone)
+      .plusMonths(months.toLong).plusDays(days.toLong)
+      .plus(millisPart, java.time.temporal.ChronoUnit.MILLIS)
+      .toInstant.toEpochMilli
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val loMs = a.asInstanceOf[Long]
+    val hiMs = b.asInstanceOf[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = loMs
+    while (cur <= hiMs) { out += cur; cur = step(cur) }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): CompoundPeriodSpine =
+    copy(lo = l, hi = r)
+  override def prettyName: String = "compound_period_spine"
+}
+
 /** DST-exact sub-day flooring in an explicit zone: floors the LOCAL
   * time-of-day to the period and resolves the floored local time with the
   * instant's own offset preferred — so at a fall-back the repeated local

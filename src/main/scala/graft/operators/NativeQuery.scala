@@ -103,9 +103,17 @@ object NativeQuery {
                 case ("alphaNumeric", _) => "alphanumeric"
                 case (_, s) => s.getOrElse("lexicographic")
               }
-              val key = comparatorKey(ord, col(dim.output))
+              // a plain dimension column's schema type enables the numeric
+              // comparator's no-regex fast path
+              val dimType = dim match {
+                case Dim(name, _) => prepared.schema.fields.collectFirst {
+                  case f if f.name == name => f.dataType
+                }
+                case _ => None
+              }
+              val key = comparatorKey(ord, col(dim.output), dimType)
               val stopKey = strOpt(o \ "previousStop")
-                .map(s => comparatorKey(ord, lit(s)))
+                .map(s => comparatorKeyLit(ord, s))
               (dim.output, true, Some(key), stopKey)
             case "inverted" =>
               val (n, asc, k, stopKey) = metricSpec(o \ "metric")
@@ -299,12 +307,21 @@ object NativeQuery {
   private def inlineDataSource(spark: SparkSession, o: JValue): DataFrame = {
     import org.apache.spark.sql.types._
     val names = arr(o \ "columnNames").map { case JString(s) => s; case x => str(x) }
-    val rows = arr(o \ "rows").map(r => arr(r).map(jvalueToAny))
+    // JSON array cells survive as Seq[Any] for ARRAY<> columns (ColumnType
+    // array forms, ColumnType.java:30-41 — InlineDataSource rows may carry
+    // MV/array values)
+    val rows = arr(o \ "rows").map(r => arr(r).map {
+      case JArray(vs) => vs.map(jvalueToAny)
+      case v => jvalueToAny(v)
+    })
     def sparkType(t: String): DataType = t.toUpperCase match {
       case "STRING" => StringType
       case "LONG" => LongType
       case "DOUBLE" => DoubleType
       case "FLOAT" => FloatType
+      case "ARRAY<STRING>" | "STRING_ARRAY" => ArrayType(StringType)
+      case "ARRAY<LONG>" | "LONG_ARRAY" => ArrayType(LongType)
+      case "ARRAY<DOUBLE>" | "DOUBLE_ARRAY" => ArrayType(DoubleType)
       case x => throw new IllegalArgumentException(s"inline columnType: $x")
     }
     val declared = arr(o \ "columnTypes").map { case JString(s) => s; case x => str(x) }
@@ -315,6 +332,13 @@ object NativeQuery {
         if (vs.isEmpty) StringType
         else if (vs.forall(_.isInstanceOf[Long])) LongType
         else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+        else if (vs.forall(_.isInstanceOf[Seq[_]])) {
+          val es = vs.flatMap(_.asInstanceOf[Seq[Any]]).filter(_ != null)
+          if (es.nonEmpty && es.forall(_.isInstanceOf[Long])) ArrayType(LongType)
+          else if (es.nonEmpty && es.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+            ArrayType(DoubleType)
+          else ArrayType(StringType)
+        }
         else StringType
       }
     val coerced = rows.map { r =>
@@ -334,6 +358,23 @@ object NativeQuery {
           case n: Long => n.toFloat
           case n: Double => n.toFloat
           case s => s.toString.toFloat
+        }
+        case (v, ArrayType(et, _)) => v match {
+          case vs: Seq[_] => vs.map {
+            case null => null
+            case e => et match {
+              case LongType => e match {
+                case n: Long => n; case n: Double => n.toLong
+                case s => s.toString.toLong
+              }
+              case DoubleType => e match {
+                case n: Long => n.toDouble; case n: Double => n
+                case s => s.toString.toDouble
+              }
+              case _ => e.toString
+            }
+          }
+          case s => Seq(s.toString) // scalar in an MV cell: single-element wrap
         }
         case (v, _) => v.toString
       })
@@ -412,33 +453,89 @@ object NativeQuery {
   private def applyVirtualColumns(df: DataFrame, j: JValue): DataFrame = j match {
     case JArray(vcs) =>
       vcs.foldLeft(df) { (d, vc) =>
-        val raw = MathExpr.expr(str(vc \ "expression"))
-        // ExpressionVirtualColumn.outputType casts the result (STRING/LONG/
-        // DOUBLE/FLOAT and the ARRAY<> forms; ColumnType.java:30-41)
-        val typed = strOpt(vc \ "outputType").fold(raw) { t =>
-          t.toUpperCase(java.util.Locale.ENGLISH) match {
-            case "STRING" => raw.cast("string")
-            case "LONG" => raw.cast("long")
-            case "DOUBLE" => raw.cast("double")
-            case "FLOAT" => raw.cast("float")
-            case "STRING_ARRAY" | "ARRAY<STRING>" => raw.cast("array<string>")
-            case "LONG_ARRAY" | "ARRAY<LONG>" => raw.cast("array<bigint>")
-            case "DOUBLE_ARRAY" | "ARRAY<DOUBLE>" => raw.cast("array<double>")
-            case x => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
-          }
+        // the reference registers TWO virtual column subtypes
+        // (VirtualColumn.java:50-53): "expression" (the default spelling)
+        // and "mv-filtered" (ListFilteredVirtualColumn)
+        strOpt(vc \ "type").getOrElse("expression") match {
+          case "expression" =>
+            val raw = MathExpr.expr(str(vc \ "expression"))
+            // ExpressionVirtualColumn.outputType casts the result (STRING/LONG/
+            // DOUBLE/FLOAT and the ARRAY<> forms; ColumnType.java:30-41)
+            val typed = strOpt(vc \ "outputType").fold(raw) { t =>
+              t.toUpperCase(java.util.Locale.ENGLISH) match {
+                case "STRING" => raw.cast("string")
+                case "LONG" => raw.cast("long")
+                case "DOUBLE" => raw.cast("double")
+                case "FLOAT" => raw.cast("float")
+                case "STRING_ARRAY" | "ARRAY<STRING>" => raw.cast("array<string>")
+                case "LONG_ARRAY" | "ARRAY<LONG>" => raw.cast("array<bigint>")
+                case "DOUBLE_ARRAY" | "ARRAY<DOUBLE>" => raw.cast("array<double>")
+                case x => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
+              }
+            }
+            d.withColumn(str(vc \ "name"), typed)
+          case "mv-filtered" =>
+            // ListFilteredVirtualColumn.java:66-77: delegate (a DimensionSpec),
+            // values, isAllowList (default true). The selector yields NULL —
+            // not an empty cell — when nothing survives the list, which
+            // mvFilterOnly/None already reproduce.
+            val delegate: Column = (vc \ "delegate") match {
+              case JString(dim) => col(dim)
+              case o => str(o \ "type") match {
+                case "default" => col(str(o \ "dimension"))
+                case "extraction" =>
+                  transform(col(str(o \ "dimension")),
+                    x => extractionFn(o \ "extractionFn", x))
+                case t => throw new IllegalArgumentException(s"mv-filtered delegate spec: $t")
+              }
+            }
+            val values = arr(vc \ "values").map { case JString(s) => s; case x => str(x) }
+            val filtered =
+              if (boolOpt(vc \ "isAllowList").getOrElse(true))
+                DruidFunctions.mvFilterOnly(delegate, values)
+              else DruidFunctions.mvFilterNone(delegate, values)
+            d.withColumn(str(vc \ "name"), filtered)
+          case t => throw new IllegalArgumentException(s"virtualColumn type: $t")
         }
-        d.withColumn(str(vc \ "name"), typed)
       }
     case _ => df
   }
 
   /** StringComparators as sort/compare KEYS (reference: query/ordering/
     * StringComparators.java) — used by bound-filter orderings, limitSpec
-    * dimensionOrder, and the dimension topN metric spec. */
-  private def comparatorKey(ordering: String, c: Column): Column =
+    * dimensionOrder, and the dimension topN metric spec. `inputType` (when
+    * the caller can resolve the column's schema type) short-circuits the
+    * numeric comparator's per-row parseability regex for columns that are
+    * already numeric. */
+  private def comparatorKey(ordering: String, c: Column,
+      inputType: Option[org.apache.spark.sql.types.DataType] = None): Column =
     // comparator names resolve case-insensitively ("NuMeRiC" —
     // StringComparatorsTest.java:217, StringComparator's @JsonCreator)
-    StringOrderings.key(ordering.toLowerCase(java.util.Locale.ENGLISH), c)
+    StringOrderings.key(ordering.toLowerCase(java.util.Locale.ENGLISH), c, inputType)
+
+  /** Comparator key of a plan-time string literal — parseability for the
+    * numeric comparator is decided on the driver, no runtime regex. */
+  private def comparatorKeyLit(ordering: String, s: String): Column =
+    ordering.toLowerCase(java.util.Locale.ENGLISH) match {
+      case "numeric" => StringOrderings.numericKeyLiteral(s)
+      case o => StringOrderings.key(o, lit(s))
+    }
+
+  /** The schema type a value filter's per-value predicate sees for
+    * `dimension`: the element type for an (MV) array column, the column
+    * type otherwise; None when an extractionFn intervenes (its output is a
+    * string) or the schema is unknown. */
+  private def dimValueType(j: JValue,
+      schema: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.DataType] = {
+    if (schema == null || (j \ "extractionFn") != JNothing) return None
+    val name = str(j \ "dimension")
+    schema.fields.collectFirst {
+      case f if f.name == name => f.dataType match {
+        case a: org.apache.spark.sql.types.ArrayType => a.elementType
+        case t => t
+      }
+    }
+  }
 
   // ---- granularity ----
   private val NamedGranularities = Map(
@@ -701,9 +798,10 @@ object NativeQuery {
       // ordering puts "1.2.10" above "1.2.9" instead of silently comparing
       // lexicographically
       val ordering = strOpt(j \ "ordering").getOrElse("lexicographic")
-      def boundLit(v: JValue) = comparatorKey(ordering, lit(jvalueToAny(v).toString))
+      def boundLit(v: JValue) = comparatorKeyLit(ordering, jvalueToAny(v).toString)
+      val inputType = dimValueType(j, schema)
       mvAware(j, schema) { c0 =>
-        val c = comparatorKey(ordering, c0)
+        val c = comparatorKey(ordering, c0, inputType)
         val lower = (j \ "lower") match {
           case JNothing | JNull => None
           case v => Some(if (boolOpt(j \ "lowerStrict").getOrElse(false)) c > boundLit(v) else c >= boundLit(v))
@@ -887,22 +985,30 @@ object NativeQuery {
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
       // time column so standard Druid JSON first/last aggregators work.
+      // first/last/any compile to the hash-plannable pair folds
+      // (graft.functions.FirstLastFoldAgg/AnyFoldAgg — the reference's
+      // incremental first/last lifecycle, ObjectHashAggregate-eligible)
       case "longFirst" | "doubleFirst" | "floatFirst" =>
-        Agg(name, min_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+        Agg(name, graft.functions.FirstLastAgg.earliest(
+          f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longLast" | "doubleLast" | "floatLast" =>
-        Agg(name, max_by(f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+        Agg(name, graft.functions.FirstLastAgg.latest(
+          f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       // stringFirst/Last truncate the stored value to maxStringBytes
       // (StringFirstAggregatorFactory.java, default 1024; chars ≈ bytes for
       // the ASCII dimensions this targets)
       case "stringFirst" =>
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
-        Agg(name, min_by(substring(f.cast("string"), 1, n),
+        Agg(name, graft.functions.FirstLastAgg.earliest(
+          substring(f.cast("string"), 1, n),
           col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "stringLast" =>
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
-        Agg(name, max_by(substring(f.cast("string"), 1, n),
+        Agg(name, graft.functions.FirstLastAgg.latest(
+          substring(f.cast("string"), 1, n),
           col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
-      case "longAny" | "doubleAny" | "floatAny" | "stringAny" => Agg(name, any_value(f))
+      case "longAny" | "doubleAny" | "floatAny" | "stringAny" =>
+        Agg(name, graft.functions.FirstLastAgg.anyValue(f))
       // cardinality (CardinalityAggregatorFactory.java:110-128): byRow=false
       // (the default, "byValue") counts distinct over the UNION of the
       // fields' values; byRow=true counts distinct value tuples. Both ride

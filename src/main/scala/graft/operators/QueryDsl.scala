@@ -94,13 +94,17 @@ final case class PostAgg(name: String, column: Column)
   * time resolve deterministically — required for exact oracle compares.
   */
 object FirstLast {
+  import graft.functions.FirstLastAgg
+  // Hash-plannable pair folds (FirstLastFoldAgg → ObjectHashAggregateExec);
+  // the earlier min_by/max_by spellings were immutable-buffer declarative
+  // aggregates that forced SortAggregate on both shuffle sides.
   def firstPair(value: Column, time: Column): Column =
-    min_by(struct(time.as("t"), value.as("v")), struct(time, value))
+    FirstLastAgg.earliest(struct(time.as("t"), value.as("v")), struct(time, value))
   def lastPair(value: Column, time: Column): Column =
-    max_by(struct(time.as("t"), value.as("v")), struct(time, value))
+    FirstLastAgg.latest(struct(time.as("t"), value.as("v")), struct(time, value))
   /** Re-fold pair states from a rollup table (struct ordering = time-then-value). */
-  def refoldFirst(pair: Column): Column = min_by(pair, pair)
-  def refoldLast(pair: Column): Column = max_by(pair, pair)
+  def refoldFirst(pair: Column): Column = FirstLastAgg.earliest(pair, pair)
+  def refoldLast(pair: Column): Column = FirstLastAgg.latest(pair, pair)
   def firstValue(pair: Column): Column = refoldFirst(pair).getField("v")
   def lastValue(pair: Column): Column = refoldLast(pair).getField("v")
 }
@@ -189,37 +193,54 @@ final case class TimeseriesQuery(
     fillIntervals: Seq[(String, String)] = Nil) {
 
   /** The bucket spine for zero-fill: one row per granularity bucket. From
-    * explicit intervals it is generated driver-free via sequence(); otherwise
-    * bounds come from an aggregate over the (already small) grouped result —
-    * Catalyst reuses the aggregation exchange, so the input is scanned once.
+    * explicit intervals it is generated driver-free via the granularity's
+    * `bucketSeq`; otherwise bounds come from an aggregate over the (already
+    * small) grouped result — Catalyst reuses the aggregation exchange, so
+    * the input is scanned once.
+    *
+    * `fixedStepMs` (set only for fixed-width UTC steps) enables the
+    * fold guard: a long spine over LITERAL endpoints would constant-fold
+    * `sequence(lit, lit)` into a plan-embedded literal array (PT1M × 3y ≈
+    * 1.6M instants materialized on the driver), so past
+    * [[TimeseriesQuery.SpineFoldThreshold]] buckets the spine is built from
+    * `range()` arithmetic — rows, not plan literals.
     */
   private def zeroFill(grouped: DataFrame, bucketFn: Column => Column,
-      step: Column, tz: Option[String]): DataFrame = {
-    // Under an explicit zone, bucket boundaries shift with DST (a
-    // fixed-interval UTC sequence would drift an hour past a transition:
-    // LA month buckets are ...-07:00 then ...-08:00 — QueryGranularityTest
-    // .testIterableMonth), so the spine steps in the zone's WALL CLOCK and
-    // converts each bucket back; a mismatched spine would not just misfill,
-    // it would DROP the real buckets on the join below.
-    def bucketSeq(lo: Column, hi: Column): Column = tz match {
-      case None => sequence(lo, hi, step)
-      case Some(z) =>
-        transform(
-          sequence(from_utc_timestamp(lo.cast("timestamp"), z),
-            from_utc_timestamp(hi.cast("timestamp"), z), step),
-          x => to_utc_timestamp(x, z).cast("timestamp_ntz"))
-    }
+      bucketSeq: (Column, Column) => Column, fixedStepMs: Option[Long]): DataFrame = {
     val spine =
       if (fillIntervals.nonEmpty) {
-        val seqs = fillIntervals.map { case (a, b) =>
-          val lo = bucketFn(lit(a).cast("timestamp"))
-          // buckets covering [a, b): floor(b - 1ms) is the last bucket
-          val hi = bucketFn(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
-            .cast("timestamp"))
-          bucketSeq(lo, hi)
+        val rangeStep = fixedStepMs.filter { stepMs =>
+          fillIntervals.exists { case (a, b) =>
+            (for (am <- parseUtcMs(a); bm <- parseUtcMs(b))
+              yield (bm - am) / stepMs > TimeseriesQuery.SpineFoldThreshold)
+              .getOrElse(false)
+          }
         }
-        grouped.sparkSession.range(1)
-          .select(explode(flatten(array(seqs: _*))).as(timeColumn)).distinct()
+        rangeStep match {
+          case Some(stepMs) =>
+            fillIntervals.map { case (a, b) =>
+              val aMs = parseUtcMs(a).get
+              val bMs = parseUtcMs(b).get
+              // floor(a) + k*step enumerates the fixed-width buckets; +2
+              // covers the floor slack, the filter trims past floor(b-1ms)
+              val n = (bMs - 1 - aMs) / stepMs + 2
+              val lastBucket = bucketFn(timestamp_millis(lit(bMs - 1)).cast("timestamp"))
+              grouped.sparkSession.range(n)
+                .select(bucketFn(timestamp_millis(lit(aMs) + col("id") * stepMs)
+                  .cast("timestamp")).as(timeColumn))
+                .where(col(timeColumn) <= lastBucket)
+            }.reduce(_ union _).distinct()
+          case None =>
+            val seqs = fillIntervals.map { case (a, b) =>
+              val lo = bucketFn(lit(a).cast("timestamp"))
+              // buckets covering [a, b): floor(b - 1ms) is the last bucket
+              val hi = bucketFn(timestamp_millis(unix_millis(lit(b).cast("timestamp")) - 1)
+                .cast("timestamp"))
+              bucketSeq(lo, hi)
+            }
+            grouped.sparkSession.range(1)
+              .select(explode(flatten(array(seqs: _*))).as(timeColumn)).distinct()
+        }
       } else
         grouped.agg(min(col(timeColumn)).as("lo"), max(col(timeColumn)).as("hi"))
           .where(col("lo").isNotNull) // empty input → nothing to fill
@@ -232,18 +253,34 @@ final case class TimeseriesQuery(
       .select(col(timeColumn) +: fills: _*)
   }
 
+  /** An interval endpoint string as UTC epoch millis, when driver-parseable
+    * (NativeQuery normalizes endpoints to `yyyy-MM-dd[ HH:mm[:ss[.SSS]]]`
+    * UTC; DSL callers may pass anything `cast("timestamp")` accepts, in
+    * which case the guard simply stays off). */
+  private def parseUtcMs(s: String): Option[Long] =
+    try {
+      val t = s.trim.replace("T", " ")
+      val padded =
+        if (t.length == 10) t + " 00:00:00"
+        else if (t.length == 16) t + ":00"
+        else t
+      Some(java.time.LocalDateTime.parse(padded.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def run(ds: DataFrame): DataFrame = {
     val filtered = if (filter == null) ds else ds.filter(filter)
     val aggCols = aggregations.map(_.aliased)
     // bucket fn + zero-fill step per granularity kind; `none` buckets every
     // distinct timestamp and never zero-fills (a millisecond spine)
     def bucketedRun(bucketFn: Column => Column,
-        step: Option[(Column, Option[String])]): DataFrame = {
+        spine: Option[((Column, Column) => Column, Option[Long])]): DataFrame = {
         val bucketed = filtered.withColumn("__bucket", bucketFn(col(timeColumn)))
         val grouped0 = bucketed.groupBy(col("__bucket").as(timeColumn))
           .agg(aggCols.head, aggCols.tail: _*)
-        val grouped = step match {
-          case Some((s, tz)) if !skipEmptyBuckets => zeroFill(grouped0, bucketFn, s, tz)
+        val grouped = spine match {
+          case Some((seqFn, fixedStepMs)) if !skipEmptyBuckets =>
+            zeroFill(grouped0, bucketFn, seqFn, fixedStepMs)
           case _ => grouped0
         }
         val withTotal = if (grandTotal) {
@@ -267,31 +304,72 @@ final case class TimeseriesQuery(
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
         val p = TimeFunctions.periodParts(g.period)
-        // Zone-stepped spine ONLY for day-and-coarser periods: their
-        // boundaries anchor to the zone's wall clock and shift at DST. Pure
-        // SUB-DAY periods must keep the fixed UTC step — bucket instants
-        // stay exactly period-spaced through a transition, and the
-        // fall-back's REPEATED local hour yields two distinct buckets that
-        // wall-clock stepping would visit only once.
-        val step =
-          if (p.months == 0)
-            make_dt_interval(lit(0), lit(0), lit(0),
-              lit((p.days * 86400000L + p.millis) / 1000.0))
-          else if (p.days == 0 && p.millis == 0)
-            make_ym_interval(lit(0), lit(p.months))
-          else // compound month+day period: calendar-interval step
-            make_interval(lit(0), lit(p.months), lit(0), lit(p.days),
-              lit(0), lit(0), lit(java.math.BigDecimal.valueOf(p.millis / 1000.0)))
-        val zoneStep =
-          if (p.months > 0 || (p.days > 0 && p.millis == 0)) Option(g.timeZone) else None
-        bucketedRun(g.bucket, Some((step, zoneStep)))
+        if (p.months > 0 && (p.days > 0 || p.millis > 0)) {
+          // COMPOUND periods (P1M2D): the spine must step ITERATIVELY from
+          // each boundary — exactly CompoundPeriodFloor's walk — because
+          // sequence() computes boundary k as lo + k·step (multiplied
+          // calendar addition), which drifts once month-end clamping
+          // compounds (P1M15D diverges at the 3rd boundary); a drifted
+          // spine would DROP real buckets on the zero-fill join.
+          val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+          val zid = if (g.timeZone == null) "UTC" else g.timeZone
+          val seqFn: (Column, Column) => Column = (lo, hi) =>
+            transform(
+              bridge.column(graft.functions.CompoundPeriodSpine(
+                bridge.expression(unix_millis(lo.cast("timestamp"))),
+                bridge.expression(unix_millis(hi.cast("timestamp"))),
+                p.months, p.days, p.millis, zid)),
+              ms => timestamp_millis(ms).cast("timestamp_ntz"))
+          bucketedRun(g.bucket, Some((seqFn, None)))
+        } else {
+          // Zone-stepped spine ONLY for day-and-coarser periods: their
+          // boundaries anchor to the zone's wall clock and shift at DST. Pure
+          // SUB-DAY periods must keep the fixed UTC step — bucket instants
+          // stay exactly period-spaced through a transition, and the
+          // fall-back's REPEATED local hour yields two distinct buckets that
+          // wall-clock stepping would visit only once.
+          val step =
+            if (p.months == 0)
+              make_dt_interval(lit(0), lit(0), lit(0),
+                lit((p.days * 86400000L + p.millis) / 1000.0))
+            else
+              make_ym_interval(lit(0), lit(p.months))
+          val zoneStep =
+            if (p.months > 0 || (p.days > 0 && p.millis == 0)) Option(g.timeZone) else None
+          val seqFn: (Column, Column) => Column = zoneStep match {
+            case None => (lo, hi) => sequence(lo, hi, step)
+            case Some(z) => (lo, hi) =>
+              // Under an explicit zone, bucket boundaries shift with DST (a
+              // fixed-interval UTC sequence would drift an hour past a
+              // transition: LA month buckets are ...-07:00 then ...-08:00 —
+              // QueryGranularityTest.testIterableMonth), so the spine steps
+              // in the zone's WALL CLOCK and converts each bucket back.
+              transform(
+                sequence(from_utc_timestamp(lo.cast("timestamp"), z),
+                  from_utc_timestamp(hi.cast("timestamp"), z), step),
+                x => to_utc_timestamp(x, z).cast("timestamp_ntz"))
+          }
+          val fixedStepMs =
+            if (p.months == 0 && zoneStep.isEmpty)
+              Some(p.days * 86400000L + p.millis)
+            else None
+          bucketedRun(g.bucket, Some((seqFn, fixedStepMs)))
+        }
       case g: DurationGranularity =>
+        val step = make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0))
         bucketedRun(g.bucket,
-          Some((make_dt_interval(lit(0), lit(0), lit(0), lit(g.durationMs / 1000.0)), None)))
+          Some(((lo: Column, hi: Column) => sequence(lo, hi, step), Some(g.durationMs))))
       case NoneGranularity =>
         bucketedRun(ts => ts.cast("timestamp_ntz"), None)
     }
   }
+}
+
+object TimeseriesQuery {
+  /** Explicit-interval spines larger than this build from `range()` rows
+    * instead of a (constant-foldable) `sequence(lit, lit)` — past it the
+    * folded literal array bloats the plan on the driver. */
+  val SpineFoldThreshold: Long = 8192L
 }
 
 /** topN (reference: query/topn/TopNQuery.java:50). Exact semantics: Druid's

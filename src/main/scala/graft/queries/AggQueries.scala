@@ -40,13 +40,17 @@ object AggQueries {
 
     // longFirst/Last ≈ EARLIEST/LATEST: time-ordered first/last with unique
     // tiebreak (reference: query/aggregation/first & last — state is a
-    // (timestamp, value) pair; min_by/max_by over a struct reproduces it)
+    // (timestamp, value) pair; FirstLastFoldAgg folds it incrementally and
+    // plans as ObjectHashAggregate, not the min_by SortAggregate spelling)
     "agg_first_last" -> ((s, dir) => {
+      import graft.functions.FirstLastAgg
       GroupByQuery(
         dimensions = Seq(Dim("o_orderpriority")),
         aggregations = Seq(
-          Agg("earliest_price", min_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))),
-          Agg("latest_price", max_by(col("o_totalprice"), struct(col("o_orderdate"), col("o_orderkey")))),
+          Agg("earliest_price", FirstLastAgg.earliest(col("o_totalprice"),
+            struct(col("o_orderdate"), col("o_orderkey")))),
+          Agg("latest_price", FirstLastAgg.latest(col("o_totalprice"),
+            struct(col("o_orderdate"), col("o_orderkey")))),
           Agg("cnt", count(lit(1)))),
         limitSpec = LimitSpec(orderBy = Seq(col("o_orderpriority").asc))
       ).run(Sources.table(s, dir, "orders"))
@@ -59,7 +63,7 @@ object AggQueries {
       val c = Sources.table(s, dir, "customer")
       c.join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_nationkey"))
-        .agg(any_value(col("n_name")).as("nation_name"),
+        .agg(graft.functions.FirstLastAgg.anyValue(col("n_name")).as("nation_name"),
              count(lit(1)).as("cnt"))
         .orderBy(col("c_nationkey"))
     }),

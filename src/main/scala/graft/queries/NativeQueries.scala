@@ -231,6 +231,29 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // the SECOND registered virtual column subtype: "mv-filtered"
+    // (ListFilteredVirtualColumn.java:66-77 — delegate DimensionSpec,
+    // values, isAllowList default true; the selector yields NULL, not an
+    // empty cell, when nothing survives). Chained after an expression VC
+    // so the delegate resolves against the derived array column; grouping
+    // on it explodes per surviving element.
+    "native_mv_filtered_vc" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "part",
+          "virtualColumns": [
+            {"type": "expression", "name": "toks",
+             "expression": "string_to_mv(\"p_name\", ' ')"},
+            {"type": "mv-filtered", "name": "toks_f", "delegate": "toks",
+             "values": ["small", "red", "blue", "hot"], "isAllowList": true}
+          ],
+          "dimensions": [{"type": "default", "dimension": "toks_f", "outputName": "token"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "token"}]}
+        }""", res(s, dir))
+    }),
+
     // zero-fill over the queried interval: reference default emits one row
     // per day in [1995-01-01, 1995-07-01) even when the filter matches
     // nothing that day (count=0, other aggs null). doubleMax (not sum) keeps
@@ -582,6 +605,15 @@ object NativeQueries {
       """SELECT p_brand, count(*) AS cnt FROM part
         |WHERE list_contains(string_split(p_name, ' '), 'widget')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // empty filtered cells become a NULL group (ListFilteredVirtualColumn
+    // null-cell semantics)
+    "native_mv_filtered_vc" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(CASE WHEN len(f) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE f END) AS token
+        |  FROM (SELECT list_filter(string_split(p_name, ' '),
+        |        t -> t IN ('small','red','blue','hot')) AS f FROM part))
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "native_timeseries_zerofill" ->
       """WITH agg AS (

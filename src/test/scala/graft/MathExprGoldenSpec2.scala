@@ -186,12 +186,16 @@ class MathExprGoldenSpec2 extends SparkSpecBase {
 
   test("the '^' power operator (EvalTest.java:132,174; Expr.g4:22 — " +
       "right-assoc, long^long in INTEGER space, binds tighter than '*' " +
-      "and looser than unary minus)") {
+      "but looser than unary minus — unaryOpExpr precedes powOpExpr)") {
     assert(me("2.0 ^ 3.0") == 8.0)
     // LongMath.pow wraps in long space: double pow cannot represent this
     assert(me("3037000499 ^ 2") == 9223372030926249001L)
     assert(me("2 ^ 3 ^ 2") == 512L) // right-assoc: 2^(3^2)
-    assert(me("-2 ^ 2") == -4L) // unary minus binds looser
+    // unary binds TIGHTER (Expr.g4 lists unaryOpExpr above powOpExpr):
+    // (-2)^2, not -(2^2)
+    assert(me("-2 ^ 2") == 4L)
+    assert(me("1 - 2 ^ 2") == -3L) // binary '-' stays binary: 1 - (2^2)
+    assert(me("3 * -2 ^ 2") == 12L) // 3 * ((-2)^2)
     assert(me("2 * 3 ^ 2") == 18L) // tighter than '*'
     assert(me("(1 + 1) ^ 3") == 8L)
     assert(me("y ^ 2") == 4L) // bound long column

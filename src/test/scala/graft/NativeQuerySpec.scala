@@ -760,4 +760,50 @@ class NativeQuerySpec extends SparkSpecBase {
     // escape must be a single character
     intercept[IllegalArgumentException](matches("x", Some("@@")))
   }
+
+  test("mv-filtered virtual column (ListFilteredVirtualColumn JSON surface)") {
+    // allow-list over an inline MV datasource; empty cells nullify
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline", "columnNames": ["id", "tags"],
+          "columnTypes": ["LONG", "ARRAY<STRING>"],
+          "rows": [[1, ["a", "b"]], [2, ["b", "c"]], [3, ["x"]]]},
+        "virtualColumns": [
+          {"type": "mv-filtered", "name": "tf", "delegate": "tags",
+           "values": ["a", "b"], "isAllowList": true}],
+        "dimensions": [{"type": "default", "dimension": "tf", "outputName": "tag"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": [{"dimension": "tag"}]}
+      }""").collect()
+    val m = rows.map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    // a: row1; b: rows 1+2; row3 survives nothing -> NULL group
+    assert(m == Map("NULL" -> 1L, "a" -> 1L, "b" -> 2L), s"got $m")
+
+    // deny-list flips the survivors
+    val deny = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": {"type": "inline", "columnNames": ["id", "tags"],
+          "columnTypes": ["LONG", "ARRAY<STRING>"],
+          "rows": [[1, ["a", "b"]], [2, ["b", "c"]], [3, ["x"]]]},
+        "virtualColumns": [
+          {"type": "mv-filtered", "name": "tf", "delegate": "tags",
+           "values": ["a", "b"], "isAllowList": false}],
+        "dimensions": [{"type": "default", "dimension": "tf", "outputName": "tag"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "columns": [{"dimension": "tag"}]}
+      }""").collect()
+    val dm = deny.map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(dm == Map("NULL" -> 1L, "c" -> 1L, "x" -> 1L), s"got $dm")
+
+    // an unknown virtual column type still fails loudly
+    intercept[IllegalArgumentException](run(
+      """{
+        "queryType": "timeseries", "dataSource": "orders",
+        "timeColumn": "o_orderdate", "granularity": "all",
+        "virtualColumns": [{"type": "nope", "name": "x"}],
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }"""))
+  }
 }

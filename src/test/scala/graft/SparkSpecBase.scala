@@ -19,6 +19,8 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep first/last/any fold aggregates hash-planned past 128 groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
