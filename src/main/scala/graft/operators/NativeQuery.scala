@@ -261,14 +261,23 @@ object NativeQuery {
           })
         case "query" =>
           val sub = run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
-          maxSubqueryRows match {
-            case Some(max) =>
-              // limit(max+1).count() bounds the probe itself: the subquery
-              // never materializes more than max+1 rows to decide
-              if (sub.limit(max + 1).count() > max)
-                throw new SubqueryRowLimitExceededException(max)
-              sub
-            case None => sub
+          // The broker-side inlining semantics (ClientQuerySegmentWalker):
+          // materialize the subquery ONCE, bounded at maxSubqueryRows + 1,
+          // and serve the outer query from the inlined rows — a probe
+          // count() followed by re-execution would run the subquery twice
+          // and could return different rows for nondeterministic inputs.
+          // The context key overrides the server-level default
+          // (QueryContexts.DEFAULT_MAX_SUBQUERY_ROWS = 100000), configurable
+          // via spark.graft.maxSubqueryRows; <= 0 disables inlining (the
+          // subquery stays a lazy distributed plan, unbounded).
+          val max = maxSubqueryRows.getOrElse(
+            spark.conf.get("spark.graft.maxSubqueryRows", "100000").toInt)
+          if (max <= 0) sub
+          else {
+            val rows = sub.limit(max + 1).collect()
+            if (rows.length > max) throw new SubqueryRowLimitExceededException(max)
+            spark.createDataFrame(
+              java.util.Arrays.asList(rows: _*), sub.schema)
           }
         case "globalTable" => broadcast(resolve(str(o \ "name")))
         // lookup datasource (reference: query/LookupDataSource.java:41 —

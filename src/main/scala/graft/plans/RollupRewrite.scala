@@ -6,6 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
+import graft.operators.{DurationGranularity, Granularity, PeriodGranularity}
+import graft.functions.TimeFunctions
 
 /** Rollup-aware aggregate rewrite — the one genuinely custom optimizer piece
   * (SURVEY §4.1): Druid ingests with rollup=true so queries aggregate
@@ -15,10 +18,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *
   * Eligibility: the aggregate reads the registered base table directly (no
   * intervening filter/project that the rollup can't answer), groups only by
-  * rollup dimensions, and every aggregate is derivable from rollup metrics:
-  *   count(*)         → sum(countMetric)
-  *   sum(x)           → sum(sum_x)
-  *   min(x) / max(x)  → min(min_x) / max(max_x)
+  * rollup dimensions — or by a COARSER date_trunc of the declared time
+  * bucket (re-bucketing pre-aggregated rows, the core rollup win;
+  * GroupByStrategyV2 does this as a matter of course) — and every aggregate
+  * is derivable from rollup metrics:
+  *   count(*)                    → sum(countMetric)
+  *   sum(x)                      → sum(sum_x)
+  *   min(x) / max(x)             → min(min_x) / max(max_x)
+  *   EARLIEST/LATEST(x, t)       → refold of the stored (t, v) pair column
+  *                                 (the reference's first/last rollup pair,
+  *                                 SerializablePairLongString.java)
+  *   approx_count_distinct(x)    → hll_sketch_estimate(hll_union_agg(sk_x))
+  *                                 over a stored hll_sketch_agg column
   *
   * The rewrite preserves the original output attribute ids (a Project of
   * aliases pinned to the old exprIds), so parent operators are untouched.
@@ -29,14 +40,33 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object RollupRewrite {
 
-  /** metric name on the base table → (op, rollup column). op ∈ sum|min|max.
-    * countColumn: rollup column holding the per-group row count. */
+  /** metric name on the base table → (op, rollup column).
+    * op ∈ sum | min | max | first | last | hll:
+    *   - sum/min/max: rollup column holds the partial aggregate
+    *   - first/last: rollup column holds the (t, v) struct pair built by
+    *     FirstLast.firstPair/lastPair
+    *   - hll: rollup column holds a DataSketches HLL binary built by
+    *     hll_sketch_agg(x)
+    * countColumn: rollup column holding the per-group row count.
+    *
+    * CONTRACT: `dimensions` must be VALUE-IDENTICAL between base and rollup
+    * (grouping passes them through unchanged) — filters on them re-apply
+    * verbatim. The rollup's TRUNCATED time column must NOT be listed there:
+    * its values differ from the base's raw time (a misaligned range filter
+    * re-applied over truncated values silently changes results — e.g.
+    * `time >= 00:30` excludes the whole 00:00 bucket). Declare it via
+    * `timeColumn` + `granularity` instead; filters on it then rewrite only
+    * when every endpoint is verifiably bucket-aligned, and GROUP BY
+    * date_trunc over it rewrites only when the unit is an exact multiple of
+    * the stored granularity. */
   final case class RollupDef(
       basePath: String,
       rollup: DataFrame,
       dimensions: Set[String],
       metricMap: Map[String, (String, String)],
-      countColumn: String)
+      countColumn: String,
+      timeColumn: Option[String] = None,
+      granularity: Option[Granularity] = None)
 
   /** Session-level registry (Druid: the coordinator knows which datasources
     * are rollup-materialized). */
@@ -49,13 +79,28 @@ object RollupRewrite {
   final class RewriteRule(catalog: Catalog) extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case agg @ Aggregate(groups, aggExprs, child, _) =>
+      case agg @ Aggregate(_, _, child, _) =>
         catalog.all.view.flatMap { rd =>
           unwrap(child, rd).collect {
-            case filters if rewritable(groups, aggExprs, rd) => rewrite(agg, rd, filters)
+            case (filters, subs)
+                if rewritable(agg.groupingExpressions.map(substitute(_, subs)),
+                  agg.aggregateExpressions.map(substitute(_, subs).asInstanceOf[NamedExpression]),
+                  rd) =>
+              rewrite(agg, rd, filters, subs)
           }
         }.headOption.getOrElse(agg)
     }
+
+    /** Inline expressions that intermediate Projects computed (the
+      * optimizer's PullOutGroupingExpressions moves a `date_trunc(...)`
+      * grouping into a Project below the Aggregate as
+      * `_groupingexpression#N`); eligibility and the rewrite both work on
+      * the inlined form. */
+    private def substitute(e: Expression, subs: Map[ExprId, Expression]): Expression =
+      if (subs.isEmpty) e
+      else e.transformUp {
+        case a: AttributeReference if subs.contains(a.exprId) => subs(a.exprId)
+      }
 
     // compare normalized full paths (scheme-stripped), not a suffix match —
     // an unrelated table whose path shares the registered suffix must not
@@ -63,35 +108,180 @@ object RollupRewrite {
     private def normPath(s: String): String =
       new org.apache.hadoop.fs.Path(s).toUri.getPath.stripSuffix("/")
 
-    /** Peel attribute-only Projects and DIMENSION-only Filters off the
+    private def stripCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripCast(c)
+      case x => x
+    }
+
+    /** Is `e` (a filter conjunct / comparison operand) the declared time
+      * column (possibly under a cast)? */
+    private def isTimeAttr(e: Expression, rd: RollupDef): Boolean =
+      stripCast(e) match {
+        case a: AttributeReference => rd.timeColumn.contains(a.name)
+        case _ => false
+      }
+
+    /** Epoch millis of a timestamp literal (micros-backed), when it is one. */
+    private def literalMs(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, TimestampNTZType | TimestampType) => Some(Math.floorDiv(v, 1000L))
+      case Cast(inner, TimestampNTZType | TimestampType, _, _) => literalMs(inner)
+      case _ => None
+    }
+
+    /** Driver-side bucket alignment: is `ms` exactly a bucket boundary of
+      * the stored granularity? Mirrors the granularities' own bucket()
+      * arithmetic (fixed widths anchor at the epoch default origin; month
+      * periods at first-of-month midnights with month-index multiples).
+      * Conservative: zones, origins, and compound periods return false —
+      * the filter then simply doesn't rewrite. */
+    private def alignedMs(ms: Long, g: Granularity): Boolean = g match {
+      case DurationGranularity(w, o) => Math.floorMod(ms - o, w) == 0L
+      case PeriodGranularity(p, null, null) =>
+        val parts = TimeFunctions.periodParts(p)
+        if (parts.months > 0 && (parts.days > 0 || parts.millis > 0)) false
+        else if (parts.months > 0) {
+          val ldt = java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+          ldt.getDayOfMonth == 1 && ldt.toLocalTime == java.time.LocalTime.MIDNIGHT &&
+            Math.floorMod((ldt.getYear - 1970) * 12 + ldt.getMonthValue - 1, parts.months) == 0
+        } else {
+          val w = parts.days * 86400000L + parts.millis
+          Math.floorMod(ms, w) == 0L
+        }
+      case _ => false
+    }
+
+    /** A conjunct on the declared (truncated) time column is re-applicable
+      * over the rollup only in the shapes where raw-time and bucket-time
+      * semantics provably coincide: `t >= X` and `t < X` with X exactly a
+      * bucket boundary (raw rows with t >= X are exactly the rows of
+      * buckets >= X). Strict `>`/`<=`/`=` select partial buckets and never
+      * rewrite. */
+    private def timeConjunctSafe(cond: Expression, rd: RollupDef): Boolean = {
+      val g = rd.granularity
+      def aligned(e: Expression): Boolean =
+        g.exists(gr => literalMs(e).exists(ms => alignedMs(ms, gr)))
+      cond match {
+        case GreaterThanOrEqual(l, r) if isTimeAttr(l, rd) => aligned(r)
+        case LessThan(l, r) if isTimeAttr(l, rd) => aligned(r)
+        case LessThanOrEqual(l, r) if isTimeAttr(r, rd) => aligned(l) // X <= t
+        case GreaterThan(l, r) if isTimeAttr(r, rd) => aligned(l) // X > t
+        // raw time is null iff its bucket is null — the optimizer's
+        // InferFiltersFromConstraints adds these around any time bound
+        case IsNotNull(e) if isTimeAttr(e, rd) => true
+        case _ => false
+      }
+    }
+
+    /** Peel attribute-only Projects and answerable Filters off the
       * aggregate's child down to the registered base scan, collecting the
-      * filter predicates to re-apply over the rollup. A `WHERE dim = x` (or
-      * a range on the rollup's truncated time dimension) is the common
-      * rollup query shape — the reference answers filtered queries from
-      * rolled-up segments as a matter of course (GroupByStrategyV2); a
-      * predicate touching any non-dimension column (raw time, metrics)
-      * disqualifies the rewrite, since rollup rows can't answer it. */
-    private def unwrap(plan: LogicalPlan, rd: RollupDef): Option[Seq[Expression]] =
+      * filter predicates to re-apply over the rollup. Conjuncts on declared
+      * VALUE-IDENTICAL dimensions re-apply verbatim; conjuncts on the
+      * declared time-bucket column re-apply only when bucket-aligned
+      * (timeConjunctSafe); anything else (raw metrics, unknown columns,
+      * misaligned time ranges) disqualifies the rewrite. */
+    private def unwrap(plan: LogicalPlan,
+        rd: RollupDef): Option[(Seq[Expression], Map[ExprId, Expression])] =
       plan match {
         case LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
             if fs.location.rootPaths.exists(p => normPath(p.toString) == normPath(rd.basePath)) =>
-          Some(Nil)
-        // look through column pruning (attribute-only projections)
-        case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-          unwrap(child, rd)
-        case Filter(cond, child)
-            if cond.deterministic &&
-              cond.references.forall(a => rd.dimensions.contains(a.name)) =>
-          unwrap(child, rd).map(cond +: _)
+          Some((Nil, Map.empty))
+        // look through column pruning and pulled-out grouping expressions
+        // (attribute-only entries pass through; deterministic Alias entries
+        // record a substitution for the layers above)
+        case Project(projList, child) if projList.forall {
+              case _: AttributeReference => true
+              case a: Alias => a.child.deterministic
+              case _ => false
+            } =>
+          unwrap(child, rd).map { case (fs, subs) =>
+            val mySubs = projList.collect {
+              case a: Alias => a.exprId -> substitute(a.child, subs)
+            }
+            (fs, subs ++ mySubs)
+          }
+        case Filter(cond, child) if cond.deterministic =>
+          unwrap(child, rd).flatMap { case (fs, subs) =>
+            val inlined = substitute(cond, subs)
+            val allSafe = splitConjuncts(inlined).forall { c =>
+              val refs = c.references.map(_.name).toSet
+              if (rd.timeColumn.exists(refs.contains)) timeConjunctSafe(c, rd)
+              else refs.forall(rd.dimensions.contains)
+            }
+            if (allSafe) Some((inlined +: fs, subs)) else None
+          }
         case _ => None
       }
 
-    private def rewritable(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
-        rd: RollupDef): Boolean = {
-      val groupsOk = groups.forall {
-        case a: AttributeReference => rd.dimensions.contains(a.name)
+    private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+      case x => Seq(x)
+    }
+
+    /** Months spanned by a date_trunc unit (calendar units), or None. */
+    private val TruncMonths = Map(
+      "year" -> 12, "yyyy" -> 12, "yy" -> 12,
+      "quarter" -> 3, "month" -> 1, "mon" -> 1, "mm" -> 1)
+    /** Fixed width in millis of a date_trunc unit, or None. `week` is
+      * special-cased (Monday midnights are day boundaries, not epoch-anchored
+      * week multiples). */
+    private val TruncWidth = Map(
+      "day" -> 86400000L, "dd" -> 86400000L,
+      "hour" -> 3600000L, "minute" -> 60000L, "second" -> 1000L)
+
+    /** Can `date_trunc(unit, rawTime)` be answered by truncating the stored
+      * buckets instead? True iff every stored bucket lies entirely inside
+      * one unit-bucket, i.e. unit boundaries ⊆ stored boundaries. */
+    private def truncCompatible(unit: String, g: Granularity): Boolean = {
+      val u = unit.toLowerCase(java.util.Locale.ENGLISH)
+      def fixedOk(w0: Long): Boolean =
+        TruncMonths.get(u).map(_ => 86400000L % w0 == 0) // month starts = midnights
+          .orElse(if (u == "week") Some(86400000L % w0 == 0) else None)
+          .orElse(TruncWidth.get(u).map(w1 => w1 % w0 == 0))
+          .getOrElse(false)
+      g match {
+        case PeriodGranularity(p, null, null) =>
+          val parts = TimeFunctions.periodParts(p)
+          if (parts.months > 0 && (parts.days > 0 || parts.millis > 0)) false
+          else if (parts.months > 0) TruncMonths.get(u).exists(m1 => m1 % parts.months == 0)
+          else fixedOk(parts.days * 86400000L + parts.millis)
+        case DurationGranularity(w0, 0L) => fixedOk(w0)
         case _ => false
       }
+    }
+
+    /** A grouping expression is answerable when it is a plain
+      * value-identical dimension attribute, or a compatible date_trunc of
+      * the declared time-bucket column. */
+    private def groupOk(e: Expression, rd: RollupDef): Boolean = e match {
+      case a: AttributeReference => rd.dimensions.contains(a.name)
+      case TruncTimestamp(Literal(fmt, _), ts, _) =>
+        isTimeAttr(ts, rd) && rd.granularity.exists(g =>
+          truncCompatible(fmt.toString, g))
+      case _ => false
+    }
+
+    private def pairValueField(pairType: org.apache.spark.sql.types.DataType): Option[Int] =
+      pairType match {
+        case st: StructType =>
+          val i = st.fieldNames.indexOf("v")
+          if (i >= 0) Some(i) else None
+        case _ => None
+      }
+
+    /** first/last refold eligibility: the query's ordering key must carry
+      * the same semantics as the stored pair's (t, then v) ordering — the
+      * bare time column (ties nondeterministic in both engines), the (t, v)
+      * struct, or the pair shape FirstLast.firstPair builds. */
+    private def firstLastKeyOk(key: Expression, out: Expression, rd: RollupDef): Boolean = {
+      val keyAttrs = key.references.map(_.name).toSet
+      val outAttrs = out.references.map(_.name).toSet
+      rd.timeColumn.exists(t => keyAttrs.subsetOf(outAttrs + t))
+    }
+
+    private def rewritable(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+        rd: RollupDef): Boolean = {
+      val groupsOk = groups.forall(groupOk(_, rd))
       val aggsOk = aggExprs.forall {
         case a: AttributeReference => rd.dimensions.contains(a.name)
         case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
@@ -99,15 +289,29 @@ object RollupRewrite {
           case Sum(a: AttributeReference, _) => rd.metricMap.get(a.name).exists(_._1 == "sum")
           case Min(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "min")
           case Max(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "max")
+          case fl: graft.functions.FirstLastFoldAgg => fl.out match {
+            case a: AttributeReference =>
+              val op = if (fl.latest) "last" else "first"
+              rd.metricMap.get(a.name).exists(_._1 == op) &&
+                firstLastKeyOk(fl.key, fl.out, rd)
+            case _ => false
+          }
+          case hll: HyperLogLogPlusPlus => hll.child match {
+            case a: AttributeReference => rd.metricMap.get(a.name).exists(_._1 == "hll")
+            case _ => false
+          }
           case _ => false
         }
+        // a grouping expression echoed in the output (e.g. the aliased
+        // date_trunc bucket)
+        case Alias(e, _) => groupOk(e, rd)
         case _ => false
       }
       groupsOk && aggsOk
     }
 
     private def rewrite(agg: Aggregate, rd: RollupDef,
-        filters: Seq[Expression]): LogicalPlan = {
+        filters: Seq[Expression], subs: Map[ExprId, Expression]): LogicalPlan = {
       val rollupPlan = rd.rollup.queryExecution.analyzed
       def rollupAttr(name: String): AttributeReference =
         rollupPlan.output.collectFirst {
@@ -117,35 +321,61 @@ object RollupRewrite {
       def aggExpr(f: AggregateFunction): AggregateExpression =
         AggregateExpression(f, Complete, isDistinct = false)
 
-      // dimension filters re-apply verbatim over the rollup (one rollup row
-      // per (time-bucket, dims) group, dims stored as ingested), remapped to
-      // the rollup plan's attributes
-      val newChild = filters.foldRight(rollupPlan: LogicalPlan) { (cond, p) =>
-        Filter(cond.transform { case a: AttributeReference => rollupAttr(a.name) }, p)
+      // inline pulled-out grouping expressions, then remap base attrs by
+      // NAME onto the rollup plan (the truncated time column shares its
+      // base name; date_trunc group exprs carry over)
+      def remap(e: Expression): Expression = substitute(e, subs).transform {
+        case a: AttributeReference => rollupAttr(a.name)
       }
 
-      val newGroups = agg.groupingExpressions.map {
-        case a: AttributeReference => rollupAttr(a.name)
-        case e => e
+      // dimension filters re-apply verbatim over the rollup (one rollup row
+      // per (time-bucket, dims) group, dims stored as ingested); verified
+      // bucket-aligned time bounds select exactly whole buckets
+      val newChild = filters.foldRight(rollupPlan: LogicalPlan) { (cond, p) =>
+        Filter(remap(cond), p)
       }
-      val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-        case a: AttributeReference =>
-          Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
-        case al @ Alias(AggregateExpression(f, _, _, _, _), name) =>
-          val repl: Expression = f match {
-            // count(*) is never NULL: a global (no GROUP BY) aggregate over
-            // an empty rollup table must yield 0, but sum(cnt) yields NULL
-            case Count(Seq(Literal(1, _))) =>
-              Coalesce(Seq(aggExpr(Sum(rollupAttr(rd.countColumn))), Literal(0L)))
-            case Sum(a: AttributeReference, _) => aggExpr(Sum(rollupAttr(rd.metricMap(a.name)._2)))
-            case Min(a: AttributeReference) => aggExpr(Min(rollupAttr(rd.metricMap(a.name)._2)))
-            case Max(a: AttributeReference) => aggExpr(Max(rollupAttr(rd.metricMap(a.name)._2)))
-            case other => throw new IllegalStateException(s"unexpected agg $other")
-          }
-          Alias(repl, name)(exprId = al.exprId)
-        case e => e
+
+      val newGroups = agg.groupingExpressions.map(remap)
+
+      def replaceAgg(f: AggregateFunction): Expression = f match {
+        // count(*) is never NULL: a global (no GROUP BY) aggregate over
+        // an empty rollup table must yield 0, but sum(cnt) yields NULL
+        case Count(Seq(Literal(1, _))) =>
+          Coalesce(Seq(aggExpr(Sum(rollupAttr(rd.countColumn))), Literal(0L)))
+        case Sum(a: AttributeReference, _) => aggExpr(Sum(rollupAttr(rd.metricMap(a.name)._2)))
+        case Min(a: AttributeReference) => aggExpr(Min(rollupAttr(rd.metricMap(a.name)._2)))
+        case Max(a: AttributeReference) => aggExpr(Max(rollupAttr(rd.metricMap(a.name)._2)))
+        // EARLIEST/LATEST → refold the stored (t, v) pair (the reference's
+        // first/last rollup lifecycle: fold pairs by time, emit the value)
+        case fl: graft.functions.FirstLastFoldAgg =>
+          val a = fl.out.asInstanceOf[AttributeReference]
+          val pairAttr = rollupAttr(rd.metricMap(a.name)._2)
+          val idx = pairValueField(pairAttr.dataType).getOrElse(
+            throw new IllegalStateException(
+              s"rollup pair column ${pairAttr.name} lacks a 'v' field"))
+          val refolded = aggExpr(
+            graft.functions.FirstLastFoldAgg(pairAttr, pairAttr, fl.latest))
+          GetStructField(refolded, idx, Some("v"))
+        // approx_count_distinct → merge the stored DataSketches HLL column
+        case hll: HyperLogLogPlusPlus =>
+          val a = hll.child.asInstanceOf[AttributeReference]
+          val skAttr = rollupAttr(rd.metricMap(a.name)._2)
+          HllSketchEstimate(aggExpr(HllUnionAgg(skAttr, Literal(true))))
+        case other => throw new IllegalStateException(s"unexpected agg $other")
       }
-      val rewritten = Aggregate(newGroups, newAggs.map(stripOuterAliasKeepId), newChild)
+
+      val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+        substitute(ne, subs) match {
+          case a: AttributeReference =>
+            Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
+          case al @ Alias(AggregateExpression(f, _, _, _, _), name) =>
+            Alias(replaceAgg(f), name)(exprId = al.exprId)
+          case al @ Alias(e, name) => // echoed grouping expression
+            Alias(remap(e), name)(exprId = al.exprId)
+          case e => e.asInstanceOf[NamedExpression]
+        }
+      }
+      val rewritten = Aggregate(newGroups, newAggs, newChild)
       // pin output schema: count(*) over rollup becomes sum(cnt) of LongType —
       // cast back where the rewritten type widened (sum(long) → long is fine;
       // sum over the count col stays long) via a no-op Project with old names
@@ -154,8 +384,6 @@ object RollupRewrite {
         else Alias(Cast(n, o.dataType), o.name)(exprId = o.exprId)
       }, rewritten)
     }
-
-    private def stripOuterAliasKeepId(e: NamedExpression): NamedExpression = e
   }
 
   /** Use with SparkSession.builder().withExtensions(...) for new sessions. */

@@ -103,8 +103,17 @@ object HttpFacade {
         case _ => body
       }
 
-    def get(body: String)(build: => DataFrame): DataFrame = {
-      val key = (normalize(body), lookups.generation,
+    def get(body: String)(build: => DataFrame): DataFrame =
+      getKeyed("native:" + normalize(body))(build)
+
+    /** SQL-route plans cache under the BOUND statement text (positional
+      * parameters are already inlined, so the key carries the parameter
+      * signature) plus every execution-relevant planner knob. */
+    def getSql(boundSql: String, knobs: String)(build: => DataFrame): DataFrame =
+      getKeyed("sql:" + knobs + ":" + boundSql)(build)
+
+    private def getKeyed(norm: String)(build: => DataFrame): DataFrame = {
+      val key = (norm, lookups.generation,
         graft.sources.BatchIngest.dataGeneration)
       map.synchronized(Option(map.get(key))) match {
         case Some(df) => hitCount.incrementAndGet(); df
@@ -115,6 +124,13 @@ object HttpFacade {
           df
       }
     }
+
+    /** Drop every cached plan. The generation keys only see IN-PROCESS
+      * writes (BatchIngest.write/registerSpec, lookup updates) — data
+      * rewritten by an external writer (a direct spark write to the same
+      * path, another process) is invisible to them, so operators must POST
+      * the invalidation endpoint after out-of-band changes. */
+    def invalidateAll(): Unit = map.synchronized(map.clear())
 
     def hits: Long = hitCount.get()
     def misses: Long = missCount.get()
@@ -489,11 +505,34 @@ object HttpFacade {
                 Seq(ColMeta("inserted", Some("LONG"), "BIGINT")),
                 format, header, typesHeader, sqlTypesHeader)
             case None =>
-              val df1 = spark.sql(sqlText)
-              val df0 =
-                if (approxCountDistinct) graft.plans.PlannerChecks.approximateCountDistinct(df1)
-                else df1
-              val df = outerLimit.fold(df0)(df0.limit)
+              def build(): DataFrame = {
+                val df1 = spark.sql(sqlText)
+                val df0 =
+                  if (approxCountDistinct) graft.plans.PlannerChecks.approximateCountDistinct(df1)
+                  else df1
+                outerLimit.fold(df0)(df0.limit)
+              }
+              // repeated dashboard SQL pays the same constant
+              // plan-construction floor as native JSON, so the compiled
+              // DataFrame caches under the BOUND text (parameters already
+              // inlined) + planner knobs + zone. Skipped for metadata
+              // queries (the plan would snapshot catalog temp views) and
+              // statements with evaluation-time "now" functions
+              // (ComputeCurrentTime would freeze them into the cached plan).
+              val lower = sqlText.toLowerCase(java.util.Locale.ROOT)
+              val trimmed = lower.trim
+              // only plain read statements: DDL/SET execute eagerly inside
+              // spark.sql and must never be skipped by a cache hit
+              val cacheable =
+                (trimmed.startsWith("select") || trimmed.startsWith("with") ||
+                  trimmed.startsWith("values")) &&
+                !lower.contains("information_schema.") &&
+                !lower.contains("sys.") && !lower.contains("current_") &&
+                !lower.contains("now()") && !lower.contains("localtimestamp")
+              val knobs = s"$approxCountDistinct:$outerLimit:" +
+                sqlZone.map(_.getId).getOrElse("UTC")
+              val df = if (cacheable) planCache.getSql(sqlText, knobs)(build())
+                       else build()
               if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
               if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
               maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
@@ -598,6 +637,22 @@ object HttpFacade {
       (method, sub, _) => ClusterResource.coordinator(spark, selfAddress, method, sub)))
     server.createContext("/druid/indexer/v1", restHandler(
       (method, sub, _) => ClusterResource.overlord(spark, method, sub)))
+
+    // plan-cache admin: DELETE (or POST …/invalidate) drops every cached
+    // plan. The cache's generation keys only observe IN-PROCESS writes
+    // (BatchIngest / lookup registry); data rewritten out-of-band — an
+    // external writer, a direct spark write to a served path — is invisible
+    // to them, so operators hit this endpoint after such changes (the
+    // reference's broker exposes the same per-cache admin surface).
+    server.createContext("/druid/admin/planCache", restHandler(
+      (method, sub, _) => method match {
+        case "DELETE" => planCache.invalidateAll(); (200, """{"invalidated":true}""")
+        case "POST" if sub.stripPrefix("/") == "invalidate" =>
+          planCache.invalidateAll(); (200, """{"invalidated":true}""")
+        case "GET" =>
+          (200, s"""{"hits":${planCache.hits},"misses":${planCache.misses}}""")
+        case _ => (405, "")
+      }))
 
     server.start()
     new Facade(server, requestLog, planCache)

@@ -869,4 +869,41 @@ class HttpFacadeSpec extends SparkSpecBase {
       facade.stop()
     }
   }
+
+  test("SQL plan cache: repeated dashboard SQL reuses the compiled plan; " +
+      "DDL/metadata/now() statements bypass; admin endpoint invalidates") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      Sources.table(spark, sf(), "orders").createOrReplaceTempView("orders")
+      def sqlBody(q: String) = s"""{"query": "$q"}"""
+      val q = "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1"
+      val (s1, r1) = post(facade.port, "/druid/v2/sql", sqlBody(q))
+      val missesAfterFirst = facade.planCache.misses
+      val (s2, r2) = post(facade.port, "/druid/v2/sql", sqlBody(q))
+      assert(s1 == 200 && s2 == 200 && r1 == r2)
+      assert(facade.planCache.hits >= 1, "repeat SQL POST must hit the plan cache")
+      assert(facade.planCache.misses == missesAfterFirst)
+
+      // a now()-style statement must NOT cache (the plan would freeze the clock)
+      val hitsBefore = facade.planCache.hits
+      post(facade.port, "/druid/v2/sql", sqlBody("SELECT CURRENT_TIMESTAMP AS t"))
+      post(facade.port, "/druid/v2/sql", sqlBody("SELECT CURRENT_TIMESTAMP AS t"))
+      assert(facade.planCache.hits == hitsBefore, "CURRENT_TIMESTAMP must bypass the cache")
+
+      // metadata queries bypass too (their plans snapshot catalog views)
+      val missesBefore = facade.planCache.misses
+      post(facade.port, "/druid/v2/sql",
+        sqlBody("SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES LIMIT 1"))
+      assert(facade.planCache.misses == missesBefore, "metadata SQL must bypass the cache")
+
+      // DELETE invalidates; the next repeat re-misses
+      val delStatus = delete(facade.port, "/druid/admin/planCache")
+      assert(delStatus == 200)
+      val missesAfterInval = facade.planCache.misses
+      val (s3, r3) = post(facade.port, "/druid/v2/sql", sqlBody(q))
+      assert(s3 == 200 && r3 == r1)
+      assert(facade.planCache.misses == missesAfterInval + 1,
+        "invalidation must drop cached SQL plans")
+    } finally facade.stop()
+  }
 }

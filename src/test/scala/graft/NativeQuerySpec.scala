@@ -679,14 +679,24 @@ class NativeQuerySpec extends SparkSpecBase {
         "dimensions": ["o_orderstatus"],
         "aggregations": [{"type": "count", "name": "cnt"}]$ctx
       }"""
-    // generous cap: query runs
-    assert(run(q(""", "context": {"maxSubqueryRows": 1000000}""")).count() > 0)
+    // generous cap: query runs, and the subquery materializes ONCE as an
+    // inlined local relation (broker semantics — no double execution)
+    val capped = run(q(""", "context": {"maxSubqueryRows": 1000000}"""))
+    assert(capped.count() > 0)
+    assert(capped.queryExecution.optimizedPlan.collectLeaves()
+      .exists(_.getClass.getSimpleName.contains("LocalRelation")),
+      "subquery should inline as a local relation")
     // tiny cap: the subquery blows the limit with the reference's message
     val e = intercept[graft.operators.SubqueryRowLimitExceededException](
       run(q(""", "context": {"maxSubqueryRows": 10}""")).count())
     assert(e.getMessage == "Subquery generated results beyond maximum[10]")
-    // absent: unlimited
+    // absent: the server-level default applies
+    // (QueryContexts.DEFAULT_MAX_SUBQUERY_ROWS, spark.graft.maxSubqueryRows)
     assert(run(q("")).count() > 0)
+    spark.conf.set("spark.graft.maxSubqueryRows", "10")
+    try intercept[graft.operators.SubqueryRowLimitExceededException](
+      run(q("")).count())
+    finally spark.conf.unset("spark.graft.maxSubqueryRows")
   }
 
   test("duration and none granularities (DurationGranularity.java, " +

@@ -156,4 +156,191 @@ class RollupRewriteSpec extends SparkSpecBase {
       spark.experimental.extraOptimizations = Nil
     }
   }
+
+  test("GROUP BY date_trunc coarsening: a P1D rollup answers month/quarter queries") {
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_g").toString
+    val g = graft.operators.PeriodGranularity("P1D")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"), $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("sum_price"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set("o_orderpriority"), Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // month coarsening (P1M is a multiple of the stored P1D): rewritten
+      val q = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", $"o_orderdate").as("m"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("s"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("sum_price"), s"month coarsening not rewritten: $scanned")
+      // counts compare exactly; the double sum re-associates (partial sums
+      // per day, then across days) so it compares within FP tolerance
+      val got = q.collect()
+        .map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      spark.experimental.extraOptimizations = Nil
+      val exp = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", $"o_orderdate").as("m"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("s"))
+        .collect()
+        .map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      RollupRewrite.enable(spark, catalog)
+      assert(got.keySet == exp.keySet, s"group keys differ")
+      got.foreach { case (k, (n, sm)) =>
+        val (en, es) = exp(k)
+        assert(n == en, s"count mismatch at $k: $n vs $en")
+        assert(math.abs(sm - es) <= math.abs(es) * 1e-9, s"sum mismatch at $k: $sm vs $es")
+      }
+
+      // grouping by the BARE raw time column must NOT rewrite (raw values
+      // differ from the stored buckets)
+      val qBare = spark.read.parquet(basePath)
+        .groupBy($"o_orderdate").agg(count(lit(1)).as("n"))
+      val scannedBare = qBare.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedBare.contains("sum_price"),
+        s"bare raw-time group wrongly rewritten: $scannedBare")
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("a non-multiple granularity is NOT rewritten (quarter rollup, month query)") {
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_q").toString
+    val g = graft.operators.PeriodGranularity("P3M")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"))
+      .agg(count(lit(1)).as("cnt")).write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set.empty, Map.empty, "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // month is FINER than the stored quarter: cannot re-bucket
+      val q = spark.read.parquet(basePath)
+        .groupBy(date_trunc("month", $"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scanned.contains("cnt"), s"month-over-quarter wrongly rewritten: $scanned")
+      // but year IS a multiple of the stored quarter: rewritten
+      val qy = spark.read.parquet(basePath)
+        .groupBy(date_trunc("year", $"o_orderdate").as("y"))
+        .agg(count(lit(1)).as("n"))
+      val scannedY = qy.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scannedY.contains("cnt"), s"year-over-quarter not rewritten: $scannedY")
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("time filters rewrite only when bucket-aligned (ADVICE: misaligned " +
+      "ranges evaluate differently against truncated values)") {
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_t").toString
+    val g = graft.operators.PeriodGranularity("P1D")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"))
+      .agg(count(lit(1)).as("cnt")).write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set.empty, Map.empty, "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // aligned [day-boundary, day-boundary): rewrites, counts match
+      val q = spark.read.parquet(basePath)
+        .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
+                $"o_orderdate" < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("cnt"), s"aligned time range not rewritten: $scanned")
+      spark.experimental.extraOptimizations = Nil
+      val exp = spark.read.parquet(basePath)
+        .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
+                $"o_orderdate" < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        .count()
+      RollupRewrite.enable(spark, catalog)
+      assert(q.head().getLong(0) == exp)
+
+      // misaligned lower bound (00:30 into a P1D bucket): must NOT rewrite
+      val qm = spark.read.parquet(basePath)
+        .filter($"o_orderdate" >= lit("1995-01-01 00:30:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n"))
+      val scannedM = qm.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedM.contains("cnt"), s"misaligned range wrongly rewritten: $scannedM")
+
+      // strict '>' selects a partial bucket even when aligned: no rewrite
+      val qs = spark.read.parquet(basePath)
+        .filter($"o_orderdate" > lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        .agg(count(lit(1)).as("n"))
+      val scannedS = qs.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedS.contains("cnt"), s"strict bound wrongly rewritten: $scannedS")
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("EARLIEST/LATEST refold from stored pair columns; approx-distinct " +
+      "merges a stored HLL sketch column") {
+    import graft.functions.FirstLastAgg
+    import graft.operators.FirstLast
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_fl").toString
+    val g = graft.operators.PeriodGranularity("P1D")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"), $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        FirstLast.firstPair($"o_totalprice", $"o_orderdate").as("first_price_pair"),
+        FirstLast.lastPair($"o_totalprice", $"o_orderdate").as("last_price_pair"),
+        hll_sketch_agg($"o_custkey").as("cust_hll"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set("o_orderpriority"),
+      Map("o_totalprice" -> ("first", "first_price_pair"),
+          "o_custkey" -> ("hll", "cust_hll")),
+      "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      val q = spark.read.parquet(basePath)
+        .groupBy($"o_orderpriority")
+        .agg(FirstLastAgg.earliest($"o_totalprice",
+          struct($"o_orderdate", $"o_totalprice")).as("first_price"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("first_price_pair"), s"first not refolded: $scanned")
+      spark.experimental.extraOptimizations = Nil
+      val exp = spark.read.parquet(basePath)
+        .groupBy($"o_orderpriority")
+        .agg(FirstLastAgg.earliest($"o_totalprice",
+          struct($"o_orderdate", $"o_totalprice")).as("first_price"))
+        .collect().map(_.toString).sorted
+      RollupRewrite.enable(spark, catalog)
+      assert(q.collect().map(_.toString).sorted.sameElements(exp))
+
+      // approx_count_distinct → stored-sketch union (estimate, ±5% of exact)
+      val qd = spark.read.parquet(basePath)
+        .groupBy($"o_orderpriority")
+        .agg(approx_count_distinct($"o_custkey").as("nd"))
+      val scannedD = qd.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scannedD.contains("cust_hll"), s"approx-distinct not sketch-merged: $scannedD")
+      spark.experimental.extraOptimizations = Nil
+      val exact = spark.read.parquet(basePath).groupBy($"o_orderpriority")
+        .agg(count_distinct($"o_custkey").as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      RollupRewrite.enable(spark, catalog)
+      qd.collect().foreach { r =>
+        val est = r.getLong(1).toDouble
+        val ex = exact(r.getString(0)).toDouble
+        assert(math.abs(est - ex) / ex < 0.05, s"estimate $est vs exact $ex")
+      }
+
+      // a LATEST query without a declared "last" metric must NOT rewrite
+      val qNo = spark.read.parquet(basePath)
+        .groupBy($"o_orderpriority")
+        .agg(FirstLastAgg.latest($"o_totalprice",
+          struct($"o_orderdate", $"o_totalprice")).as("last_price"))
+      val scannedNo = qNo.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedNo.contains("last_price_pair"),
+        s"undeclared LATEST wrongly rewritten: $scannedNo")
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
 }
