@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold
 
 mkdir -p "$WORK"
 
@@ -62,7 +62,10 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # OLAP shapes at 100x lineitem/orders/part (~60M-row fact): ~2x
           # quiet-box measurements, same headroom policy as above
           "native_groupby": 30, "timeseries_month": 20,
-          "topn_supplier_revenue": 20, "segment_metadata_full": 20}
+          "topn_supplier_revenue": 20, "segment_metadata_full": 20,
+          # round-10 additions: the hash-planned first/last pair refold and
+          # the bounded expression-lambda fold, both over the 60M-row fact
+          "agg_first_last_rollup": 20, "native_lambda_fold": 10}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():

@@ -299,6 +299,49 @@ object Similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** Same-bucket cosine pairs with HOT-BUCKET SALTING — the scale guard for
+    * skewed LSH buckets (SCALE.md watch item: sf10 max bucket 694 vs mean
+    * ~150; the within-bucket term is quadratic in the HOTTEST bucket, so
+    * residual skew concentrates the whole join's tail latency in one task).
+    *
+    * Members of a bucket with m > saltCap rows get a deterministic salt
+    * s ∈ [0, g), g = ceil(m / saltCap), and the self-join enumerates salt
+    * BLOCK pairs — `sa < sb`, plus the `sa == sb` diagonal ordered by id —
+    * a triangle join whose largest single block is ~saltCap² comparisons
+    * regardless of bucket size. The output is IDENTICAL to the plain
+    * same-bucket self-join: each unordered pair appears exactly once
+    * (same-salt blocks dedup by id order; cross-salt blocks by salt order,
+    * re-normalized to id order in the result), verified pairwise in
+    * SimilaritySpec with a forced 1-row cap.
+    *
+    * Input columns: idCol, vecCol (ARRAY<DOUBLE>), normCol (precomputed L2
+    * norm), bucketCol. Output: (id_a < id_b, bucket, cosine >= minCosine).
+    */
+  def saltedBucketPairs(all: DataFrame, idCol: String, vecCol: String,
+      normCol: String, bucketCol: String, minCosine: Double,
+      saltCap: Int = 256): DataFrame = {
+    // per-bucket group count; the join on bucketCol shares the partitioning
+    // of the pair join below (counts are tiny: one row per bucket)
+    val counts = all.groupBy(col(bucketCol)).agg(count(lit(1)).as("__m"))
+    val salted = all.join(counts, Seq(bucketCol))
+      .withColumn("__g",
+        greatest(lit(1L), ceil(col("__m").cast("double") / saltCap)).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+    val a = salted.select(col(bucketCol).as("__bkt"), col("__salt").as("__sa"),
+      col(idCol).as("__ida"), col(vecCol).as("__va"), col(normCol).as("__na"))
+    val b = salted.select(col(bucketCol).as("__bkt_b"), col("__salt").as("__sb"),
+      col(idCol).as("__idb"), col(vecCol).as("__vb"), col(normCol).as("__nb"))
+    a.join(b, col("__bkt") === col("__bkt_b") &&
+        (col("__sa") < col("__sb") ||
+          (col("__sa") === col("__sb") && col("__ida") < col("__idb"))))
+      .withColumn("cosine",
+        round(SF.dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        col("__bkt").as("bucket"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN (scale path): random-hyperplane bucket per vector,
     * then exact cosine only within the query's bucket. At 100 TB the corpus
     * is pre-bucketed and bucket-partitioned, so a query touches one

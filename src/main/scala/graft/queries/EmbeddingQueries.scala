@@ -101,14 +101,11 @@ object EmbeddingQueries {
       val all = base.unionByName(copies).select(col("vec_id"), col("v"),
         SF.hyperplaneBucket(col("v"), planes, 64).as("bucket"),
         SF.l2Norm(col("v")).as("nrm"))
-      val a = all.select(col("bucket"), col("vec_id").as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = all.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-        .withColumn("cosine",
-          round(SF.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cosine") >= 0.8)
+      // hot buckets salt-split past 256 members (triangle join): residual
+      // skew after adaptive planes (sf10 max 694 vs mean ~150) stays
+      // bounded per task; output identical to the plain same-bucket join
+      Similarity.saltedBucketPairs(all, "vec_id", "v", "nrm", "bucket",
+          minCosine = 0.8, saltCap = 256)
         .select(col("id_a"), col("id_b"), col("bucket"), col("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -40,13 +40,31 @@ object LshCandidateVolume {
         .select(graft.functions.SimilarityFunctions
           .hyperplaneBucket(vd, planes, 64).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("sz"))
+      // post-salt view: buckets past saltCap split into g = ceil(sz/cap)
+      // groups (Similarity.saltedBucketPairs), so the largest single
+      // join BLOCK — the unit of per-task work — is bounded by ~cap²
+      // while total candidate pairs are unchanged (exact triangle join)
+      val saltCap = 256L
+      val g = greatest(lit(1L), ceil(col("sz").cast("double") / saltCap).cast("long"))
+      val blockStats = buckets
+        .withColumn("g", g)
+        .withColumn("max_block",
+          // largest block of a bucket: the sa==sb diagonal has C(sz/g, 2)
+          // pairs, a cross block (sz/g)² — the cross term dominates
+          (col("sz") / col("g")) * (col("sz") / col("g")))
+        .agg(max(col("max_block")).cast("long").as("max_block"),
+          max(when(col("sz") > saltCap, col("g")).otherwise(lit(1L))).as("max_salt_groups"))
+        .head()
       val row = buckets.agg(
         count(lit(1)).as("buckets"),
         max(col("sz")).as("max_bucket"),
         sum(col("sz") * (col("sz") - lit(1L)) / lit(2L)).as("pairs")).head()
       println(s"""{"metric":"lsh_candidate_volume","rows":$n,"planes":$planes,""" +
         s""""buckets":${row.getLong(0)},"max_bucket":${row.getLong(1)},""" +
-        s""""candidate_pairs":${row.getAs[Number]("pairs").longValue()}}""")
+        s""""candidate_pairs":${row.getAs[Number]("pairs").longValue()},""" +
+        s""""salt_cap":$saltCap,""" +
+        s""""max_salt_groups":${blockStats.getAs[Number]("max_salt_groups").longValue()},""" +
+        s""""max_block_pairs_post_salt":${blockStats.getAs[Number]("max_block").longValue()}}""")
     } finally spark.stop()
   }
 }

@@ -154,4 +154,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side must broadcast:\n$plan")
   }
+
+  test("salted bucket pairs are EXACTLY the plain same-bucket pairs " +
+      "(forced 2-row salt cap splits every bucket)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{SimilarityFunctions => SF}
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("bucket", SF.hyperplaneBucket(col("v"), 4, 64)) // few planes → big buckets
+      .withColumn("nrm", SF.l2Norm(col("v")))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("id_a", "id_b", "bucket", "cosine").collect().map(_.toString).sorted.toSeq
+    // plain same-bucket self-join (the unsalted reference implementation)
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val plain = a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", round(SF.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.2)
+      .select("id_a", "id_b", "bucket", "cosine")
+    // salted with cap=2: every bucket splits into many salt groups
+    val salted = graft.operators.Similarity.saltedBucketPairs(
+      e, "vec_id", "v", "nrm", "bucket", minCosine = 0.2, saltCap = 2)
+    val ps = canon(plain)
+    assert(ps.nonEmpty, "test needs at least one same-bucket pair")
+    assert(canon(salted) == ps, "salting changed the pair set")
+    // large cap (no splitting) is also identical
+    val unsplit = graft.operators.Similarity.saltedBucketPairs(
+      e, "vec_id", "v", "nrm", "bucket", minCosine = 0.2, saltCap = 1000000)
+    assert(canon(unsplit) == ps)
+  }
 }
