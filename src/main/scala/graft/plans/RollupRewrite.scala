@@ -251,14 +251,105 @@ object RollupRewrite {
     }
 
     /** A grouping expression is answerable when it is a plain
-      * value-identical dimension attribute, or a compatible date_trunc of
-      * the declared time-bucket column. */
+      * value-identical dimension attribute, a compatible date_trunc of the
+      * declared time-bucket column, or a TIME_FLOOR/granularity-bucket
+      * expression matching a compatible period's template. */
     private def groupOk(e: Expression, rd: RollupDef): Boolean = e match {
       case a: AttributeReference => rd.dimensions.contains(a.name)
       case TruncTimestamp(Literal(fmt, _), ts, _) =>
         isTimeAttr(ts, rd) && rd.granularity.exists(g =>
           truncCompatible(fmt.toString, g))
-      case _ => false
+      case other => timeFloorGroupOk(other, rd)
+    }
+
+    /** Named ISO periods the SQL surface commonly floors by; the template
+      * matcher tests each compatible one. */
+    private val NamedFloorPeriods = Seq(
+      "PT1S", "PT1M", "PT5M", "PT15M", "PT30M", "PT1H", "PT6H", "PT12H",
+      "P1D", "P1W", "P1M", "P3M", "P1Y")
+
+    private def fixedWidthMs(p: TimeFunctions.PeriodParts): Long =
+      p.days * 86400000L + p.millis
+
+    /** Is flooring by `period` (timeFloor semantics: fixed widths — P1W
+      * included — anchor at the epoch default origin; month periods at
+      * month starts) answerable over buckets stored at granularity `g`?
+      * True iff every period boundary is also a stored-bucket boundary. */
+    private def floorPeriodCompatible(period: String, g: Granularity): Boolean = {
+      val p = TimeFunctions.periodParts(period)
+      def overFixed(w0: Long): Boolean =
+        if (p.months > 0) 86400000L % w0 == 0 // month starts are midnights
+        else { val w1 = fixedWidthMs(p); w1 > 0 && w1 % w0 == 0 }
+      g match {
+        case PeriodGranularity(p0, null, null) =>
+          val s = TimeFunctions.periodParts(p0)
+          if (s.months > 0 && (s.days > 0 || s.millis > 0)) false
+          else if (s.months > 0)
+            p.months > 0 && fixedWidthMs(p) == 0 && p.months % s.months == 0
+          else overFixed(fixedWidthMs(s))
+        case DurationGranularity(w0, 0L) => overFixed(w0)
+        case _ => false
+      }
+    }
+
+    /** Approximate the optimizer's ConstantFolding so a freshly-resolved
+      * template compares against an already-optimized candidate. */
+    private def foldConstants(e: Expression): Expression = e.transformUp {
+      case f if f.foldable && !f.isInstanceOf[Literal] =>
+        Literal.create(f.eval(org.apache.spark.sql.catalyst.InternalRow.empty), f.dataType)
+    }
+
+    private def stripOuterCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripOuterCast(c)
+      case x => x
+    }
+
+    /** Normalize add/subtract-zero on BOTH comparison sides — the optimizer
+      * elides `x + 0` in the candidate while the fresh template keeps it
+      * (and neither elides `x - 0`). */
+    private def normalizeArith(e: Expression): Expression = {
+      def isZero(l: Expression): Boolean = l match {
+        case Literal(0L, _) => true
+        case Literal(0, _) => true
+        case _ => false
+      }
+      e.transformUp {
+        case Add(x, z, _) if isZero(z) => x
+        case Add(z, x, _) if isZero(z) => x
+        case Subtract(x, z, _) if isZero(z) => x
+      }
+    }
+
+    /** TIME_FLOOR / QueryDsl-granularity-bucket group expressions match by
+      * SEMANTIC EQUALITY against a freshly-resolved `TimeFunctions
+      * .timeFloor` template over the same attribute — robust to the exact
+      * arithmetic spelling the floor compiles to (the fixed-width path is a
+      * floorDiv CaseWhen tree, not date_trunc). A template that fails to
+      * match is SAFE: the aggregate just stays on the base scan. */
+    private def timeFloorGroupOk(e: Expression, rd: RollupDef): Boolean = {
+      val spark = SparkSession.getActiveSession.orNull
+      if (spark == null) return false
+      (rd.timeColumn, rd.granularity) match {
+        case (Some(tc), Some(g)) =>
+          e.references.toSeq match {
+            case Seq(a: AttributeReference) if a.name == tc =>
+              val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+              val cand = stripOuterCast(e)
+              NamedFloorPeriods.exists { p =>
+                floorPeriodCompatible(p, g) && {
+                  try {
+                    val tmpl = normalizeArith(foldConstants(bridge.resolveAgainst(spark,
+                      TimeFunctions.timeFloor(bridge.column(a), p), Seq(a))))
+                    val c = normalizeArith(cand)
+                    c.semanticEquals(tmpl) ||
+                      stripOuterCast(c).semanticEquals(stripOuterCast(tmpl))
+                  } catch { case scala.util.control.NonFatal(_) => false }
+                }
+              }
+            case _ => false
+          }
+        case _ => false
+      }
     }
 
     private def pairValueField(pairType: org.apache.spark.sql.types.DataType): Option[Int] =

@@ -343,4 +343,57 @@ class RollupRewriteSpec extends SparkSpecBase {
         s"undeclared LATEST wrongly rewritten: $scannedNo")
     } finally { spark.experimental.extraOptimizations = Nil }
   }
+
+  test("TIME_FLOOR group expressions (the fixed-width floorDiv spelling, " +
+      "not date_trunc) rewrite via the semantic template matcher; a whole " +
+      "DSL TimeseriesQuery over the base redirects") {
+    import graft.functions.{TimeFunctions => TF}
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_tf").toString
+    val g = graft.operators.PeriodGranularity("PT6H")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"))
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("sum_price"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set.empty, Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // P1D is a fixed-width (NOT date_trunc) floor in this engine; over a
+      // PT6H rollup it must rewrite via the template matcher
+      val q = spark.read.parquet(basePath)
+        .groupBy(TF.timeFloor($"o_orderdate", "P1D").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("sum_price"), s"TIME_FLOOR P1D group not rewritten: $scanned")
+      spark.experimental.extraOptimizations = Nil
+      val exp = spark.read.parquet(basePath)
+        .groupBy(TF.timeFloor($"o_orderdate", "P1D").as("d"))
+        .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted
+      RollupRewrite.enable(spark, catalog)
+      assert(q.collect().map(_.toString).sorted.sameElements(exp))
+
+      // PT1H is FINER than the stored PT6H: no rewrite
+      val qf = spark.read.parquet(basePath)
+        .groupBy(TF.timeFloor($"o_orderdate", "PT1H").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val scannedF = qf.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedF.contains("sum_price"), s"finer TIME_FLOOR wrongly rewritten: $scannedF")
+
+      // an entire DSL TimeseriesQuery (bucket alias + agg) redirects too
+      val ts = graft.operators.TimeseriesQuery(
+        timeColumn = "o_orderdate",
+        granularity = graft.operators.PeriodGranularity("P1D"),
+        aggregations = Seq(graft.operators.Agg("cnt", count(lit(1))),
+          graft.operators.Agg("total", sum($"o_totalprice"))),
+        skipEmptyBuckets = true
+      ).run(spark.read.parquet(basePath))
+      val scannedTs = ts.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scannedTs.contains("sum_price"),
+        s"DSL timeseries over the base did not redirect: $scannedTs")
+      assert(ts.count() > 0)
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
 }
