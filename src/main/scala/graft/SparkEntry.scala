@@ -33,6 +33,7 @@ object SparkEntry {
     graft.queries.MultimodalQueries.queries ++
     graft.queries.SketchQueries.queries ++
     graft.queries.NativeQueries.queries ++
+    graft.queries.RollupQueries.queries ++
     graft.queries.SupersetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
     graft.queries.MultimodalQueries.oracle ++
     graft.queries.SketchQueries.oracle ++
     graft.queries.NativeQueries.oracle ++
+    graft.queries.RollupQueries.oracle ++
     graft.queries.SupersetQueries.oracle
 }

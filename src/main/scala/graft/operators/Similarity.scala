@@ -69,10 +69,14 @@ object Similarity {
       .localCheckpoint(true)
     val a = banded.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // candidate dedup across bands: groupBy + the hash-plannable any-fold
+    // (a dropDuplicates here compiles to first() = SortAggregate; the sig
+    // columns are functionally determined by the ids, so any-value is exact)
     val candidates = a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(graft.functions.FirstLastAgg.anyValue(col("sig_a")).as("sig_a"),
+        graft.functions.FirstLastAgg.anyValue(col("sig_b")).as("sig_b"))
     val est = candidates.withColumn("est_jaccard",
       aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
@@ -197,11 +201,16 @@ object Similarity {
       explode(array((0 until 4).map(b => SF.simhashBandKey(col("simhash"), b)): _*)).as("band_key"))
     val a = banded.select(col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    // cross-band dedup via groupBy + min: hamming is functionally
+    // determined by the pair, and min over ints keeps the aggregate in
+    // HashAggregate (a dropDuplicates would compile to first() =
+    // SortAggregate on both shuffle sides)
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), SF.hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** Duplicate-cluster assignment: connected components over a candidate-pair

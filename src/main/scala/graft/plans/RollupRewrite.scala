@@ -84,8 +84,7 @@ object RollupRewrite {
           unwrap(child, rd).collect {
             case (filters, subs)
                 if rewritable(agg.groupingExpressions.map(substitute(_, subs)),
-                  agg.aggregateExpressions.map(substitute(_, subs).asInstanceOf[NamedExpression]),
-                  rd) =>
+                  agg.aggregateExpressions.map(substitute(_, subs)), rd) =>
               rewrite(agg, rd, filters, subs)
           }
         }.headOption.getOrElse(agg)
@@ -370,7 +369,7 @@ object RollupRewrite {
       rd.timeColumn.exists(t => keyAttrs.subsetOf(outAttrs + t))
     }
 
-    private def rewritable(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+    private def rewritable(groups: Seq[Expression], aggExprs: Seq[Expression],
         rd: RollupDef): Boolean = {
       val groupsOk = groups.forall(groupOk(_, rd))
       val aggsOk = aggExprs.forall {
@@ -394,9 +393,10 @@ object RollupRewrite {
           case _ => false
         }
         // a grouping expression echoed in the output (e.g. the aliased
-        // date_trunc bucket)
+        // date_trunc bucket — possibly denamed by the substitution when the
+        // output referenced the pulled-out _groupingexpression directly)
         case Alias(e, _) => groupOk(e, rd)
-        case _ => false
+        case e => groupOk(e, rd)
       }
       groupsOk && aggsOk
     }
@@ -463,7 +463,10 @@ object RollupRewrite {
             Alias(replaceAgg(f), name)(exprId = al.exprId)
           case al @ Alias(e, name) => // echoed grouping expression
             Alias(remap(e), name)(exprId = al.exprId)
-          case e => e.asInstanceOf[NamedExpression]
+          case named: NamedExpression => named
+          // the substitution denamed a direct _groupingexpression reference:
+          // re-alias under the ORIGINAL name and id
+          case e => Alias(remap(e), ne.name)(exprId = ne.exprId)
         }
       }
       val rewritten = Aggregate(newGroups, newAggs, newChild)

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{FirstLast, PeriodGranularity}
+import graft.plans.RollupRewrite
+import graft.plans.RollupRewrite.{Catalog, RollupDef}
+
+/** Oracle-gated end-to-end exercise of the rollup-aware optimizer rewrite
+  * (plans.RollupRewrite, SURVEY §4.1): materialize a P1D rollup of
+  * `orders`, register it, and run a MONTH query over the BASE table — the
+  * rule redirects the aggregate to the rollup (granularity coarsening +
+  * count/min/max derivation + EARLIEST pair refold), and the DuckDB oracle
+  * checks the VALUES against the raw table, so a rewrite that changed any
+  * result would go red in the driver's correctness gate.
+  *
+  * Every aggregate here is EXACT under re-association (count/min/max and
+  * the deterministic (date, price)-keyed earliest) — no double sums, per
+  * the engine's cross-engine hash-compare discipline.
+  */
+object RollupQueries {
+
+  // one registration per (JVM, sf dir); the rule stays attached for the
+  // session (it no-ops for non-matching scans, and every other gate query
+  // keeps passing its own oracle — the 126-query run IS the blast-radius
+  // check for misfires)
+  private val catalogs = scala.collection.mutable.Map[String, Catalog]()
+
+  private def ensureRollup(s: SparkSession, dir: String): Unit = catalogs.synchronized {
+    val catalog = catalogs.getOrElseUpdate(dir, {
+      val basePath = s"$dir/orders.parquet"
+      val g = PeriodGranularity("P1D")
+      val rollupPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_rollup_gate_${Integer.toHexString(dir.hashCode)}"
+      s.read.parquet(basePath)
+        .groupBy(g.bucket(col("o_orderdate")).as("o_orderdate"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          FirstLast.firstPair(col("o_totalprice"), col("o_orderdate")).as("first_pair"))
+        .write.mode("overwrite").parquet(rollupPath)
+      val c = new Catalog
+      c.register(RollupDef(
+        basePath = basePath,
+        rollup = s.read.parquet(rollupPath),
+        dimensions = Set("o_orderstatus"),
+        metricMap = Map("o_totalprice" -> ("first", "first_pair")),
+        countColumn = "cnt",
+        timeColumn = Some("o_orderdate"),
+        granularity = Some(g)))
+      c
+    })
+    // always (re-)attach: a test may have cleared extraOptimizations; a
+    // no-op when a RewriteRule is already present
+    RollupRewrite.enable(s, catalog)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // month-over-P1D coarsening + count derivation + EARLIEST pair refold,
+    // answered from the rollup scan (RollupRewriteSpec asserts the plan;
+    // this entry asserts the VALUES against DuckDB over the raw table)
+    "rollup_rewrite_coarse" -> ((s, dir) => {
+      ensureRollup(s, dir)
+      val base = s.read.parquet(s"$dir/orders.parquet")
+      base
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.FirstLastAgg.earliest(col("o_totalprice"),
+            struct(col("o_orderdate"), col("o_totalprice"))).as("first_price"))
+        .select(col("m").cast("timestamp_ntz").as("m"), col("o_orderstatus"),
+          col("cnt"), col("first_price"))
+        .orderBy(col("m"), col("o_orderstatus"))
+    }),
+
+    // verifiably bucket-aligned time range + dimension filter over the
+    // rollup (misaligned bounds would fall back to the base scan — either
+    // way the oracle values must hold)
+    "rollup_rewrite_filtered" -> ((s, dir) => {
+      ensureRollup(s, dir)
+      val base = s.read.parquet(s"$dir/orders.parquet")
+      base
+        .filter(col("o_orderdate") >= lit("1994-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("o_orderstatus") =!= "P")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "rollup_rewrite_coarse" ->
+      """WITH first_rows AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |         o_orderstatus, o_totalprice AS first_price
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY date_trunc('month', o_orderdate), o_orderstatus
+        |                             ORDER BY o_orderdate ASC, o_totalprice ASC) = 1)
+        |SELECT g.m, g.o_orderstatus, g.cnt, f.first_price
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |             o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM orders GROUP BY 1, 2) g
+        |JOIN first_rows f ON g.m = f.m AND g.o_orderstatus = f.o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rollup_rewrite_filtered" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND o_orderstatus <> 'P'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -24,6 +24,7 @@ class RollupRewriteSpec extends SparkSpecBase {
       dimensions = Set("l_returnflag", "l_linestatus"),
       metricMap = Map("l_quantity" -> ("sum", "sum_qty")),
       countColumn = "cnt"))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       val q = spark.read.parquet(basePath)
@@ -52,6 +53,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     val catalog = new Catalog
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set("l_returnflag"), Map.empty, "cnt"))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       val row = spark.read.parquet(basePath).agg(count(lit(1)).as("n")).head()
@@ -73,6 +75,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     val catalog = new Catalog
     catalog.register(RollupDef("t.parquet", spark.read.parquet(rollupDir),
       Set("k"), Map.empty, "cnt"))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // suffix-registered path must not hijack either table (exact match only)
@@ -88,6 +91,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath,
       spark.read.parquet(basePath).limit(1), // bogus rollup; must never be hit
       Set("l_returnflag"), Map.empty, "cnt"))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // avg is not derivable → no rewrite
@@ -115,6 +119,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set("l_returnflag", "l_linestatus"),
       Map("l_quantity" -> ("sum", "sum_qty")), "cnt"))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // WHERE on a dimension: redirected, with the predicate applied to the
@@ -169,6 +174,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set("o_orderpriority"), Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // month coarsening (P1M is a multiple of the stored P1D): rewritten
@@ -187,7 +193,8 @@ class RollupRewriteSpec extends SparkSpecBase {
         .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("s"))
         .collect()
         .map(r => (r.get(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-      RollupRewrite.enable(spark, catalog)
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
       assert(got.keySet == exp.keySet, s"group keys differ")
       got.foreach { case (k, (n, sm)) =>
         val (en, es) = exp(k)
@@ -216,6 +223,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set.empty, Map.empty, "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // month is FINER than the stored quarter: cannot re-bucket
@@ -245,6 +253,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set.empty, Map.empty, "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // aligned [day-boundary, day-boundary): rewrites, counts match
@@ -259,7 +268,8 @@ class RollupRewriteSpec extends SparkSpecBase {
         .filter($"o_orderdate" >= lit("1995-01-01 00:00:00").cast("timestamp_ntz") &&
                 $"o_orderdate" < lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         .count()
-      RollupRewrite.enable(spark, catalog)
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
       assert(q.head().getLong(0) == exp)
 
       // misaligned lower bound (00:30 into a P1D bucket): must NOT rewrite
@@ -299,6 +309,7 @@ class RollupRewriteSpec extends SparkSpecBase {
           "o_custkey" -> ("hll", "cust_hll")),
       "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       val q = spark.read.parquet(basePath)
@@ -313,7 +324,8 @@ class RollupRewriteSpec extends SparkSpecBase {
         .agg(FirstLastAgg.earliest($"o_totalprice",
           struct($"o_orderdate", $"o_totalprice")).as("first_price"))
         .collect().map(_.toString).sorted
-      RollupRewrite.enable(spark, catalog)
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
       assert(q.collect().map(_.toString).sorted.sameElements(exp))
 
       // approx_count_distinct → stored-sketch union (estimate, ±5% of exact)
@@ -326,7 +338,8 @@ class RollupRewriteSpec extends SparkSpecBase {
       val exact = spark.read.parquet(basePath).groupBy($"o_orderpriority")
         .agg(count_distinct($"o_custkey").as("nd"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      RollupRewrite.enable(spark, catalog)
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
       qd.collect().foreach { r =>
         val est = r.getLong(1).toDouble
         val ex = exact(r.getString(0)).toDouble
@@ -359,6 +372,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set.empty, Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
       // P1D is a fixed-width (NOT date_trunc) floor in this engine; over a
@@ -372,7 +386,8 @@ class RollupRewriteSpec extends SparkSpecBase {
       val exp = spark.read.parquet(basePath)
         .groupBy(TF.timeFloor($"o_orderdate", "P1D").as("d"))
         .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted
-      RollupRewrite.enable(spark, catalog)
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
       assert(q.collect().map(_.toString).sorted.sameElements(exp))
 
       // PT1H is FINER than the stored PT6H: no rewrite
@@ -395,5 +410,21 @@ class RollupRewriteSpec extends SparkSpecBase {
         s"DSL timeseries over the base did not redirect: $scannedTs")
       assert(ts.count() > 0)
     } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("the oracle-gated rollup queries (SparkEntry registry) redirect — plan-asserted") {
+    spark.experimental.extraOptimizations = Nil // start from a clean session
+    try {
+      val q = graft.queries.RollupQueries.queries("rollup_rewrite_coarse")(spark, sf())
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("first_pair"),
+        s"rollup_rewrite_coarse did not redirect to the rollup scan: $scanned")
+      assert(q.count() > 0)
+      val q2 = graft.queries.RollupQueries.queries("rollup_rewrite_filtered")(spark, sf())
+      val scanned2 = q2.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned2.contains("cnt"),
+        s"rollup_rewrite_filtered did not redirect: $scanned2")
+      assert(q2.count() > 0)
+    } finally spark.experimental.extraOptimizations = Nil
   }
 }
