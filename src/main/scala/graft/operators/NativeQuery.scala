@@ -55,6 +55,10 @@ object NativeQuery {
   def run(spark: SparkSession, json: String, resolve: Resolver,
       lookups: LookupRegistry): DataFrame = {
     graft.functions.GraftSqlFunctions.register(spark)
+    // math-expr apply-fn chains over literal arrays unroll to codegen-able
+    // scalars (plans.HofUnroll) — the interpreted-lambda tax is the native
+    // dialect's dominant per-row cost
+    graft.plans.HofUnroll.enable(spark)
     val q = JsonMethods.parse(json)
     // maxSubqueryRows (QueryContexts.getMaxSubqueryRows): caps every inlined
     // subquery datasource of this query; unlimited when absent
