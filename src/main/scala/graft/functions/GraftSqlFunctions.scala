@@ -524,6 +524,12 @@ object GraftSqlFunctions {
     // SUM0 (SumZeroSqlAggregator): sum that yields 0, not null, on empty
     // (coalesce type-coerces the zero literal during analysis)
     "sum0" -> { args => ex(coalesce(sum(col(args(0))), lit(0))) },
+    // ARRAY_CONCAT_AGG(arr[, maxBytes]) (ArrayConcatSqlAggregator.java):
+    // concatenate array values across rows; null arrays skip (collect_list
+    // null-skip), cross-row order is unspecified in both engines. The
+    // optional maxBytes is the reference's per-buffer cap — ignored here
+    // (Spark manages aggregate state memory itself).
+    "array_concat_agg" -> { args => ex(flatten(collect_list(col(args(0))))) },
     // EARLIEST/LATEST/ANY_VALUE compile to the incremental pair/first-seen
     // folds (FirstLastFoldAgg/AnyFoldAgg) so they plan as
     // ObjectHashAggregate — min_by/max_by/any_value are immutable-buffer

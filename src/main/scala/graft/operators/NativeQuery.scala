@@ -574,9 +574,18 @@ object NativeQuery {
   }
 
   private def granularity(j: JValue): Granularity = j match {
-    case JString("all") => AllGranularity
-    case JString("none") => NoneGranularity
-    case JString(name) => PeriodGranularity(NamedGranularities.getOrElse(name, name))
+    // named granularities resolve case-insensitively ("ALL"/"DAY" — the
+    // reference's Granularity.fromString upper-cases before valueOf; its
+    // own test resources post "granularity": "ALL")
+    case JString(name0) if NamedGranularities.contains(
+        name0.toLowerCase(java.util.Locale.ENGLISH)) ||
+        name0.equalsIgnoreCase("all") || name0.equalsIgnoreCase("none") =>
+      name0.toLowerCase(java.util.Locale.ENGLISH) match {
+        case "all" => AllGranularity
+        case "none" => NoneGranularity
+        case name => PeriodGranularity(NamedGranularities(name))
+      }
+    case JString(name) => PeriodGranularity(name)
     case o if strOpt(o \ "type").contains("period") =>
       PeriodGranularity(str(o \ "period"),
         strOpt(o \ "origin").map(_.replace("T", " ")).orNull,
@@ -983,7 +992,13 @@ object NativeQuery {
     // (e.g. LongSumAggregatorFactory(name, null, "c1 * 1") —
     // SchemaEvolutionTest.java:272-273), evaluated in the math-expr dialect
     def f = (j \ "fieldName") match {
-      case JString(n) => col(n)
+      case JString(n) =>
+        // a column ABSENT from the datasource aggregates as all-NULL —
+        // Druid's schema-on-read missing column (SketchAggregationTest's
+        // non_existing_col_validation expects an empty sketch's 0.0, not an
+        // analysis error)
+        if (input == null || input.columns.contains(n)) col(n)
+        else lit(null).cast("string")
       case _ => MathExpr.expr(str(j \ "expression"))
     }
     str(j \ "type") match {

@@ -150,4 +150,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val q = one[Double]("QUALITY_SCORE('the quick brown fox jumps over the lazy dog')")
     assert(q > 0 && q <= 1.0)
   }
+
+  test("ARRAY_CONCAT_AGG via SQL (ArrayConcatSqlAggregator.java — " +
+      "cross-row array concatenation, null arrays skipped)") {
+    graft.functions.GraftSqlFunctions.register(spark)
+    spark.sql("""
+      SELECT sort_array(array_concat_agg(a)) AS r FROM VALUES
+        (array(1, 2)), (array(3)), (CAST(NULL AS ARRAY<INT>)), (array(2))
+      AS t(a)""").collect() match {
+      case Array(row) =>
+        assert(row.getSeq[Int](0) == Seq(1, 2, 2, 3))
+    }
+  }
 }
