@@ -1069,9 +1069,24 @@ object NativeQuery {
       case "quantilesDoublesSketch" | "quantilesDoublesSketchMerge" =>
         Agg(name, graft.plans.SketchFunctions.kllSketch(f, intOpt(j \ "k").getOrElse(128)))
       // HLL sketches (HllSketchModule.java:49-50) over Spark's DataSketches-
-      // backed HLL functions; Merge unions pre-built sketch bytes
+      // backed HLL functions; Merge unions pre-built sketch bytes. A
+      // MULTI-VALUE (array) column updates once per ELEMENT (the reference's
+      // multi-value dimension selector; HllSketchAggregatorTest
+      // .buildSketchesAtQueryTimeMultiValue counts 14 distinct elements):
+      // each row folds its elements into a per-row DataSketches HLL via the
+      // hyper_unique expression macros, and rows union with hll_union_agg.
       case "HLLSketchBuild" =>
-        Agg(name, hll_sketch_agg(f, intOpt(j \ "lgK").getOrElse(12)))
+        val lgK = intOpt(j \ "lgK").getOrElse(12)
+        val isArray = (j \ "fieldName") match {
+          case JString(n) => input != null && input.schema.fields.exists(fld =>
+            fld.name == n && fld.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          case _ => false
+        }
+        if (isArray)
+          Agg(name, hll_union_agg(
+            aggregate(f, graft.plans.SketchFunctions.hyperUnique(lgK),
+              (acc, x) => graft.plans.SketchFunctions.hyperUniqueAdd(x, acc)), lit(true)))
+        else Agg(name, hll_sketch_agg(f, lgK))
       case "HLLSketchMerge" =>
         Agg(name, hll_union_agg(f, true))
       // variance (extensions-core/stats VarianceAggregatorFactory.java:77-89:
@@ -1271,7 +1286,14 @@ object NativeQuery {
         intOpt(j \ "numStdDevs").getOrElse(1))
     case "arrayOfDoublesSketchSetOp" =>
       import graft.plans.SketchFunctions.{tupleUnion, tupleIntersect, tupleNot}
-      val op: (Column, Column) => Column = str(j \ "func").toUpperCase match {
+      // the documented property is "operation"
+      // (ArrayOfDoublesSketchSetOpPostAggregator.java:53 @JsonProperty);
+      // "func" tolerated for symmetry with thetaSketchSetOp
+      val op: (Column, Column) => Column =
+        (strOpt(j \ "operation") orElse strOpt(j \ "func"))
+          .getOrElse(throw new IllegalArgumentException(
+            "arrayOfDoublesSketchSetOp requires \"operation\""))
+          .toUpperCase match {
         case "UNION" => tupleUnion
         case "INTERSECT" => tupleIntersect
         case "NOT" => tupleNot
