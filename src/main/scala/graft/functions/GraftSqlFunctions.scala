@@ -390,10 +390,30 @@ object GraftSqlFunctions {
     // type-dispatched (IPv4Address*ExpressionTest): a LONG in unsigned-32
     // range parses to itself / stringifies to dotted-quad; a STRING parses
     // only from the dotted-quad form / stringifies to itself when valid
-    "ipv4_parse" -> { args => Ipv4TypeDispatch(args(0), stringify = false) },
-    "ipv4_stringify" -> { args => Ipv4TypeDispatch(args(0), stringify = true) },
+    // arity + literal-subnet errors use the reference's messages
+    // (IPv4Address{Parse,Stringify,Match}ExprMacro.java — IAE "Function[x]
+    // must have N argument(s)"; the match macro additionally demands a
+    // literal subnet and validates its CIDR shape at construction)
+    "ipv4_parse" -> { args =>
+      if (args.size != 1) throw new IllegalArgumentException(
+        "Function[ipv4_parse] must have 1 argument")
+      Ipv4TypeDispatch(args(0), stringify = false)
+    },
+    "ipv4_stringify" -> { args =>
+      if (args.size != 1) throw new IllegalArgumentException(
+        "Function[ipv4_stringify] must have 1 argument")
+      Ipv4TypeDispatch(args(0), stringify = true)
+    },
     "ipv4_match" -> { args =>
-      Ipv4Match(args(0), litStr(args(1), "ipv4_match"))
+      if (args.size != 2) throw new IllegalArgumentException(
+        "Function[ipv4_match] must have 2 arguments")
+      val subnet = args(1) match {
+        case Literal(s: UTF8String, _) => s.toString
+        case Literal(s: String, _) => s
+        case _ => throw new IllegalArgumentException(
+          "Function[ipv4_match] subnet arg must be a literal")
+      }
+      Ipv4Match(args(0), subnet)
     },
 
     // TIME_IN_INTERVAL(ts, 'start/end') (TimeInIntervalConversion)
@@ -849,17 +869,25 @@ case class DruidStringFormat(children: Seq[Expression])
 }
 
 /** IPV4_PARSE / IPV4_STRINGIFY dispatch on the ARGUMENT TYPE
-  * (query/expression/IPv4AddressParseExprMacro.java + StringifyExprMacro:
-  * behavioral vectors IPv4AddressParseExpressionTest /
-  * IPv4AddressStringifyExpressionTest): a string parses only from the
-  * dotted-quad form ("3232235521" → null), a long is valid iff it fits
-  * unsigned 32 bits; stringify is the mirror image. */
+  * (query/expression/IPv4AddressParseExprMacro.java:81-88 switches on the
+  * evaluated type — STRING parses, LONG range-checks, and any OTHER type
+  * (double/float included) is null, per IPv4AddressParseExpressionTest
+  * testInvalidArgType; StringifyExprMacro mirrors it): a string parses only
+  * from the dotted-quad form ("3232235521" → null), a long is valid iff it
+  * fits unsigned 32 bits. */
 case class Ipv4TypeDispatch(child: Expression, stringify: Boolean)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
   override def dataType: DataType = if (stringify) StringType else LongType
   override def nullable: Boolean = true
+
+  // the reference's STRING/LONG switch, resolved at plan time: only an
+  // integral input takes the numeric path — a float/double is NOT truncated
+  private lazy val integralInput: Boolean = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   private val Dotted = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
   private def parseDotted(s: String): Option[Long] = s match {
@@ -874,7 +902,7 @@ case class Ipv4TypeDispatch(child: Expression, stringify: Boolean)
   override protected def nullSafeEval(v: Any): Any = {
     val asLong: Option[Long] = v match {
       case s: UTF8String => parseDotted(s.toString)
-      case n: Number =>
+      case n: Number if integralInput =>
         val l = n.longValue()
         if (l >= 0L && l <= 0xFFFFFFFFL) Some(l) else None
       case _ => None
@@ -891,17 +919,23 @@ case class Ipv4TypeDispatch(child: Expression, stringify: Boolean)
   override def prettyName: String = if (stringify) "ipv4_stringify" else "ipv4_parse"
 }
 
-/** IPV4_MATCH(addr, 'cidr') with the reference's value-typed dispatch
-  * (IPv4AddressMatchExprMacro + its test): a STRING address matches only as
-  * a dotted-quad (an unsigned-int string, IPv6 form, or other text is
-  * false); a LONG matches by value; null/unparseable evaluates FALSE —
-  * the macro's ofLongBoolean(false) — never null. */
+/** IPV4_MATCH(addr, 'cidr') with the reference's type-switched dispatch
+  * (IPv4AddressMatchExprMacro.java:92-99 + its test): a STRING address
+  * matches only as a dotted-quad (an unsigned-int string, IPv6 form, or
+  * other text is false); a LONG matches by value; any OTHER input type —
+  * float/double included — and null/unparseable values evaluate FALSE,
+  * the macro's ofLongBoolean(false), never null. */
 case class Ipv4Match(child: Expression, cidr: String)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.types._
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
+
+  private lazy val integralInput: Boolean = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   private val Dotted = "^(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})$".r
   private def parseDotted(s: String): Option[Long] = s match {
@@ -910,10 +944,22 @@ case class Ipv4Match(child: Expression, cidr: String)
       if (parts.forall(_ <= 255)) Some(parts.reduce(_ * 256 + _)) else None
     case _ => None
   }
+  // construction-time CIDR validation — the reference macro's
+  // getSubnetInfo throws at PLAN time ("subnet arg has an invalid
+  // format"), not per row (IPv4AddressMatchExprMacro.java)
+  locally {
+    val ok = cidr.split("/") match {
+      case Array(base, len) => parseDotted(base).isDefined &&
+        scala.util.Try(len.toInt).toOption.exists(b => b >= 0 && b <= 32)
+      case _ => false
+    }
+    if (!ok) throw new IllegalArgumentException(
+      s"Function[ipv4_match] subnet arg has an invalid format: $cidr")
+  }
+
   @transient private lazy val (baseMasked: Long, mask: Long) = {
     val Array(base, len) = cidr.split("/")
-    val baseLong = parseDotted(base).getOrElse(
-      throw new IllegalArgumentException(s"subnet is not a valid CIDR: $cidr"))
+    val baseLong = parseDotted(base).get
     val bits = len.toInt
     val m = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
     (baseLong & m, m)
@@ -924,7 +970,7 @@ case class Ipv4Match(child: Expression, cidr: String)
     val asLong: Option[Long] = v match {
       case null => None
       case s: UTF8String => parseDotted(s.toString)
-      case n: Number =>
+      case n: Number if integralInput =>
         val l = n.longValue()
         if (l >= 0L && l <= 0xFFFFFFFFL) Some(l) else None
       case _ => None
