@@ -87,7 +87,13 @@ object StringOrderings {
     * struct shape and ordering as [[numericKey]], so the two sides of a
     * comparison may mix (a numeric column against a string literal key). */
   def numericKeyNumericInput(c: Column): Column =
-    struct(lit(2).as("cls"), c.cast("double").as("num"),
+    // cls mirrors the slow path EXACTLY, null input included: numericKey's
+    // `when(parseable, 2).otherwise(1)` routes NULL through the otherwise
+    // branch to cls=1 (nulls group before unparseable strings and both
+    // precede every number) — a plain lit(2) here would flip which side of
+    // an upper bound a null row lands on
+    struct(when(c.isNotNull, lit(2)).otherwise(lit(1)).as("cls"),
+      c.cast("double").as("num"),
       lit(null).cast("string").as("str"))
 
   /** numericKey of a driver-known string literal: parseability is decided at

@@ -80,8 +80,16 @@ object HofUnroll {
       }
       if (!changed) return None
       // CollapseProject-style inline of every remaining lower alias the
-      // rewritten upper still references, then drop the lower Project
+      // rewritten upper still references, then drop the lower Project (the
+      // substituted CreateArray references CHILD columns, so the lower
+      // Project cannot simply stay). Inlining a NONDETERMINISTIC alias
+      // would re-evaluate it once per upper reference — bail instead (the
+      // HOF stays interpreted, which is only a performance loss).
       val aliasMap = lower.collect { case al: Alias => al.exprId -> al.child }.toMap
+      val stillReferenced = newUpper.flatMap(_.collect {
+        case a: AttributeReference if aliasMap.contains(a.exprId) => a.exprId
+      })
+      if (stillReferenced.exists(id => !aliasMap(id).deterministic)) return None
       val mergedUpper = newUpper.map(_.transformUp {
         case a: AttributeReference if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
       }.asInstanceOf[NamedExpression])

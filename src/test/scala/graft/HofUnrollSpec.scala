@@ -91,4 +91,24 @@ class HofUnrollSpec extends SparkSpecBase {
       s"native_apply_fns still interpreted:\n${df.queryExecution.optimizedPlan.toString.take(2000)}")
     assert(df.count() > 0)
   }
+
+  test("stacked-Project merge bails when a nondeterministic lower alias is still referenced") {
+    // lower Project: [array alias, rand() alias]; upper references the HOF
+    // over the array AND the rand twice — inlining would evaluate rand()
+    // twice with different values, so the merge must NOT fire. Correctness
+    // probe: both rand references must agree row-by-row.
+    val base = spark.range(8).select(($"id" + 1).as("a"), ($"id" % 4).as("b"))
+      .select(array($"a", $"b", lit(3L)).as("arr"), rand().as("r"), $"a")
+    HofUnroll.enable(spark)
+    try {
+      val q = base.selectExpr(
+        "aggregate(arr, 0L, (acc, x) -> acc + x) AS s", "r AS r1", "r AS r2")
+      val rows = q.collect()
+      assert(rows.forall(r => r.getDouble(1) == r.getDouble(2)),
+        "nondeterministic lower alias was duplicated by the unroll merge")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[HofUnroll.UnrollRule])
+    }
+  }
 }

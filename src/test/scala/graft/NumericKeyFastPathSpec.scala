@@ -60,6 +60,32 @@ class NumericKeyFastPathSpec extends SparkSpecBase {
     assert(dims.forall(_ > 3), s"previousStop=3 not applied: $dims")
   }
 
+  test("null numeric values key identically on both paths (cls=1, nulls before strings before numbers)") {
+    import graft.functions.StringOrderings
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(
+        org.apache.spark.sql.Row(java.lang.Double.valueOf(3.5)),
+        org.apache.spark.sql.Row(null.asInstanceOf[java.lang.Double]))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+    def keys(fast: Boolean) = df.select(
+      StringOrderings.key("numeric", col("v"),
+        if (fast) Some(org.apache.spark.sql.types.DoubleType) else None).as("k"))
+      .collect().map(_.getStruct(0)).map(s => (s.get(0), s.get(1), s.get(2))).toSeq
+    assert(keys(fast = true) == keys(fast = false),
+      "fast-path key diverges from the slow path (null handling)")
+    // a null value sorts BELOW an upper bound's key only through cls=1 —
+    // the pre-fast-path behavior an upper-only bound filter relies on
+    val nullIncluded = df.filter(
+      StringOrderings.key("numeric", col("v"), Some(org.apache.spark.sql.types.DoubleType)) <=
+        StringOrderings.numericKeyLiteral("10")).count()
+    val nullIncludedSlow = df.filter(
+      StringOrderings.key("numeric", col("v").cast("string")) <=
+        StringOrderings.numericKeyLiteral("10")).count()
+    assert(nullIncluded == nullIncludedSlow)
+  }
+
   test("unparseable literal still classes below numbers (slow-path semantics kept)") {
     import graft.functions.StringOrderings
     val li = resolve("lineitem").limit(10)
