@@ -157,7 +157,31 @@ object NativeQuery {
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
-            orderBy = arr(ls \ "columns").map { o =>
+            orderBy = {
+              val explicitCols = arr(ls \ "columns")
+              // a limit/offset WITHOUT ordering columns still truncates a
+              // DIM-SORTED stream in the reference (groupBy v2's merge
+              // emits rows ordered by dimensions; DefaultLimitSpec only
+              // adds to that) — reproduce by defaulting the ordering to
+              // the dimension outputs, lexicographic ascending
+              if (explicitCols.isEmpty &&
+                  (intOpt(ls \ "limit").nonEmpty || intOpt(ls \ "offset").exists(_ > 0)))
+                dims.map(d => comparatorKey("lexicographic", col(d.output)).asc)
+              else {
+                // explicit columns sort a stream the engine already emits
+                // dim-ordered, and the reference's sort is STABLE — ties on
+                // the explicit columns keep dimension order. Reproduce by
+                // appending the dimension outputs as tie-breakers when a
+                // limit/offset makes the order significant.
+                val explicitNames = explicitCols.map {
+                  case JString(c) => c; case o => str(o \ "dimension")
+                }.toSet
+                val tieBreak =
+                  if (intOpt(ls \ "limit").nonEmpty || intOpt(ls \ "offset").exists(_ > 0))
+                    dims.filterNot(d => explicitNames(d.output))
+                      .map(d => comparatorKey("lexicographic", col(d.output)).asc)
+                  else Nil
+                (explicitCols.map { o =>
               val name = o match { case JString(c) => c; case _ => str(o \ "dimension") }
               val base = col(name)
               // OrderByColumnSpec.dimensionOrder: a StringComparator name
@@ -176,6 +200,8 @@ object NativeQuery {
                 case None => base
               }
               if (strOpt(o \ "direction").contains("descending")) keyed.desc else keyed.asc
+              }) ++ tieBreak
+              }
             },
             limit = intOpt(ls \ "limit"),
             offset = intOpt(ls \ "offset").getOrElse(0)),
@@ -471,19 +497,46 @@ object NativeQuery {
         // and "mv-filtered" (ListFilteredVirtualColumn)
         strOpt(vc \ "type").getOrElse("expression") match {
           case "expression" =>
-            val raw = MathExpr.expr(str(vc \ "expression"))
+            // Druid auto-applies scalar functions over multi-value
+            // identifiers (Parser.applyUnappliedBindings) — lift against
+            // THIS datasource's array columns before resolution
+            val arrayCols = d.schema.fields.collect {
+              case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+            }.toSet
+            val c0 = MathExpr.expr(str(vc \ "expression"))
+            val raw = if (arrayCols.isEmpty) c0 else {
+              val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+              val t = bridge.expression(c0)
+              val lifted = graft.functions.MvAutoApply.lift(t, arrayCols)
+              if (lifted eq t) c0 else bridge.column(lifted)
+            }
             // ExpressionVirtualColumn.outputType casts the result (STRING/LONG/
-            // DOUBLE/FLOAT and the ARRAY<> forms; ColumnType.java:30-41)
+            // DOUBLE/FLOAT and the ARRAY<> forms; ColumnType.java:30-41).
+            // A SCALAR outputType over an expression that actually evaluates
+            // to an ARRAY keeps the array (element-cast only): Druid treats
+            // outputType as a HINT and the selector still presents the
+            // multi-value — `map(x -> ..., tags)` declared STRING is the
+            // documented MV idiom (MultiValuedDimensionTest
+            // testGroupByExpression; ExpressionVirtualColumn.java
+            // capabilities stay multi-value). Casting the array to a scalar
+            // string here would collapse the MV into "[a, b]" junk.
+            val isArray = d.select(raw).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType]
             val typed = strOpt(vc \ "outputType").fold(raw) { t =>
-              t.toUpperCase(java.util.Locale.ENGLISH) match {
-                case "STRING" => raw.cast("string")
-                case "LONG" => raw.cast("long")
-                case "DOUBLE" => raw.cast("double")
-                case "FLOAT" => raw.cast("float")
-                case "STRING_ARRAY" | "ARRAY<STRING>" => raw.cast("array<string>")
-                case "LONG_ARRAY" | "ARRAY<LONG>" => raw.cast("array<bigint>")
-                case "DOUBLE_ARRAY" | "ARRAY<DOUBLE>" => raw.cast("array<double>")
-                case x => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
+              val u = t.toUpperCase(java.util.Locale.ENGLISH)
+              (u, isArray) match {
+                case ("STRING", true) => raw.cast("array<string>")
+                case ("LONG", true) => raw.cast("array<bigint>")
+                case ("DOUBLE", true) => raw.cast("array<double>")
+                case ("FLOAT", true) => raw.cast("array<float>")
+                case ("STRING", _) => raw.cast("string")
+                case ("LONG", _) => raw.cast("long")
+                case ("DOUBLE", _) => raw.cast("double")
+                case ("FLOAT", _) => raw.cast("float")
+                case ("STRING_ARRAY" | "ARRAY<STRING>", _) => raw.cast("array<string>")
+                case ("LONG_ARRAY" | "ARRAY<LONG>", _) => raw.cast("array<bigint>")
+                case ("DOUBLE_ARRAY" | "ARRAY<DOUBLE>", _) => raw.cast("array<double>")
+                case (x, _) => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
               }
             }
             d.withColumn(str(vc \ "name"), typed)
@@ -911,10 +964,24 @@ object NativeQuery {
     // true when > 0 / parses "true" (Evals.java:60-73) — boolean
     // expressions resolve through untouched (RuntimeReplaceable)
     case "expression" =>
-      org.apache.spark.sql.graftbridge.CatalystBridge.column(
-        graft.functions.DruidTruthyExpr(
-          org.apache.spark.sql.graftbridge.CatalystBridge.expression(
-            MathExpr.expr(str(j \ "expression")))))
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      val t0 = bridge.expression(MathExpr.expr(str(j \ "expression")))
+      val arrayCols: Set[String] =
+        if (schema == null) Set.empty
+        else schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+        }.toSet
+      val t = if (arrayCols.isEmpty) t0 else graft.functions.MvAutoApply.lift(t0, arrayCols)
+      if (t eq t0) bridge.column(graft.functions.DruidTruthyExpr(t0))
+      else
+        // the auto-apply lifted a scalar predicate over an MV column to an
+        // ARRAY — ExpressionFilter.makeMatcher then matches when ANY
+        // non-null element is truthy, and a null array matches nothing
+        // (ExpressionFilter.java matches() isArray branch)
+        coalesce(
+          org.apache.spark.sql.functions.exists(bridge.column(t),
+            x => bridge.column(graft.functions.DruidTruthyExpr(bridge.expression(x)))),
+          lit(false))
     case "true" => lit(true)
     case "false" => lit(false)
     case t => throw new IllegalArgumentException(s"filter type: $t")
