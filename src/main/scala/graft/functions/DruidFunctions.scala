@@ -235,6 +235,34 @@ case class DruidTruthyExpr(child: org.apache.spark.sql.catalyst.expressions.Expr
   override def prettyName: String = "druid_truthy"
 }
 
+/** Timestamp coercion for the time family's inputs: the math-expr dialect
+  * carries time as epoch-MILLIS longs (every timestamp_* macro does
+  * `expr.eval(...).asLong()` millis — TimestampFloorExprMacro etc.), while
+  * this engine's native columns are TIMESTAMP. A LONG/INT input therefore
+  * reads as MILLIS — Spark's bare long→timestamp cast would read SECONDS
+  * and be off by 1000×. Timestamps, dates and parseable strings cast
+  * through normally. */
+case class DruidTimeInput(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  // Casts carry an explicit session zone: a RuntimeReplaceable's
+  // replacement must be fully resolved, and ResolveTimeZone does not look
+  // inside it
+  private def tzCast(e: Expression, to: DataType): Expression =
+    Cast(e, to, Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  override lazy val replacement: Expression = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => MillisToTimestamp(child)
+    case _: DecimalType | DoubleType | FloatType =>
+      MillisToTimestamp(tzCast(child, LongType))
+    case _ => tzCast(child, TimestampType)
+  }
+  override protected def withNewChildInternal(c: Expression): DruidTimeInput =
+    copy(child = c)
+  override def prettyName: String = "druid_time_input"
+}
+
 /** The math-expr `^` power operator (BinaryMathOperatorExpr.java BinPowExpr
   * :204-226): LONG ^ LONG evaluates in INTEGER space — LongMath.pow wraps
   * mod 2^64 via repeated squaring, so `3037000499 ^ 2` is the exact long

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, CaseWhen, Cast, Concat, CreateArray, EqualNullSafe, Expression, If, IsNotNull, LessThan, Literal, SortArray, StringLocate, Substring, Subtract, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayDistinct, CaseWhen, Cast, Coalesce, Concat, CreateArray, EqualNullSafe, Expression, If, IsNotNull, LessThan, Literal, SortArray, StringLocate, Substring, Subtract, UnaryExpression}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -28,6 +28,13 @@ object GraftSqlFunctions {
   private def litStrOrNull(e: Expression, fn: String): String = e match {
     case Literal(null, _) => null
     case other => litStr(other, fn)
+  }
+  /** Optional trailing timezone arg: an EMPTY string means the default
+    * zone like the reference's TimeZone.getTimeZone("") → GMT fallback
+    * (ExprMacroTest testTimestampShift's `timestamp_shift(t,'P1D',2,'')`). */
+  private def tzArg(e: Expression, fn: String): String = {
+    val s = litStrOrNull(e, fn)
+    if (s == null || s.isEmpty) null else s
   }
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Number, _) => v.intValue()
@@ -79,61 +86,67 @@ object GraftSqlFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // --- time family (TimestampFloorExprMacro et al.) ---
     // TIME_* accept Druid's optional trailing IANA timezone (and a NULL
-    // origin placeholder: TIME_FLOOR(t, p, CAST(NULL AS TIMESTAMP), tz))
+    // origin placeholder: TIME_FLOOR(t, p, CAST(NULL AS TIMESTAMP), tz)).
+    // Inputs coerce through DruidTimeInput: a LONG is epoch MILLIS like
+    // every reference macro's asLong(), never Spark's seconds cast.
     "time_floor" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStrOrNull(args(3), "time_floor") else null
-      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "time_floor"), origin, tz))
+      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+      val tz = if (args.size > 3) tzArg(args(3), "time_floor") else null
+      ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "time_floor"), origin, tz))
     },
     "time_ceil" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStrOrNull(args(3), "time_ceil") else null
-      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "time_ceil"), origin, tz))
+      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+      val tz = if (args.size > 3) tzArg(args(3), "time_ceil") else null
+      ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "time_ceil"), origin, tz))
     },
     "time_shift" -> { args =>
-      val tz = if (args.size > 3) litStrOrNull(args(3), "time_shift") else null
-      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "time_shift"),
-        litInt(args(2), "time_shift"), tz))
+      val tz = if (args.size > 3) tzArg(args(3), "time_shift") else null
+      ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "time_shift"),
+        col(args(2)), tz))
     },
     "time_extract" -> { args =>
-      val tz = if (args.size > 2) litStrOrNull(args(2), "time_extract") else null
-      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "time_extract"), tz))
+      val tz = if (args.size > 2) tzArg(args(2), "time_extract") else null
+      ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "time_extract"), tz))
     },
     "time_parse" -> { args =>
       // format may be an explicit NULL placeholder: TIME_PARSE(s, NULL, tz)
       // falls back to the default parser (TimestampParseExprMacro)
       val fmt = if (args.size > 1) litStrOrNull(args(1), "time_parse") else null
-      val tz = if (args.size > 2) litStrOrNull(args(2), "time_parse") else null
+      val tz = if (args.size > 2) tzArg(args(2), "time_parse") else null
       ex(TimeFunctions.timeParse(col(args(0)), fmt, tz))
     },
     "time_format" -> { args =>
-      val tz = if (args.size > 2) litStrOrNull(args(2), "time_format") else null
-      ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "time_format"), tz))
+      val tz = if (args.size > 2) tzArg(args(2), "time_format") else null
+      val fmt = if (args.size > 1) litStrOrNull(args(1), "time_format") else null
+      ex(TimeFunctions.timeFormat(col(DruidTimeInput(args(0))), fmt, tz))
     },
     "millis_to_timestamp" -> { args => ex(TimeFunctions.millisToTimestamp(col(args(0)))) },
-    "timestamp_to_millis" -> { args => ex(TimeFunctions.timestampToMillis(col(args(0)))) },
+    "timestamp_to_millis" -> { args =>
+      ex(TimeFunctions.timestampToMillis(col(DruidTimeInput(args(0))))) },
 
     // --- math-expr dialect names (core/.../math/expr/Function.java and the
     // timestamp_* macros in query/expression/) so JSON virtualColumns /
     // expression filters written in Druid syntax compile verbatim ---
     "timestamp_floor" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_floor") else null
-      ex(TimeFunctions.timeFloor(col(args(0)), litStr(args(1), "timestamp_floor"), origin, tz))
+      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+      val tz = if (args.size > 3) tzArg(args(3), "timestamp_floor") else null
+      ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_floor"), origin, tz))
     },
     "timestamp_ceil" -> { args =>
-      val origin = if (args.size > 2) col(args(2)) else null
-      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_ceil") else null
-      ex(TimeFunctions.timeCeil(col(args(0)), litStr(args(1), "timestamp_ceil"), origin, tz))
+      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+      val tz = if (args.size > 3) tzArg(args(3), "timestamp_ceil") else null
+      ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_ceil"), origin, tz))
     },
+    // step may be any expression (TimestampShiftDynamicExpr — non-literal
+    // steps bind per row, TimestampShiftMacroTest.testDynamicExpression)
     "timestamp_shift" -> { args =>
-      val tz = if (args.size > 3) litStrOrNull(args(3), "timestamp_shift") else null
-      ex(TimeFunctions.timeShift(col(args(0)), litStr(args(1), "timestamp_shift"),
-        litInt(args(2), "timestamp_shift"), tz))
+      val tz = if (args.size > 3) tzArg(args(3), "timestamp_shift") else null
+      ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_shift"),
+        col(args(2)), tz))
     },
     "timestamp_extract" -> { args =>
-      val tz = if (args.size > 2) litStrOrNull(args(2), "timestamp_extract") else null
-      ex(TimeFunctions.timeExtract(col(args(0)), litStr(args(1), "timestamp_extract"), tz))
+      val tz = if (args.size > 2) tzArg(args(2), "timestamp_extract") else null
+      ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_extract"), tz))
     },
     "timestamp_parse" -> { args =>
       val fmt = if (args.size > 1) litStrOrNull(args(1), "timestamp_parse") else null
@@ -141,7 +154,9 @@ object GraftSqlFunctions {
       ex(TimeFunctions.timeParse(col(args(0)), fmt, tz))
     },
     "timestamp_format" -> { args =>
-      ex(TimeFunctions.timeFormat(col(args(0)), litStr(args(1), "timestamp_format")))
+      val fmt = if (args.size > 1) litStrOrNull(args(1), "timestamp_format") else null
+      val tz = if (args.size > 2) tzArg(args(2), "timestamp_format") else null
+      ex(TimeFunctions.timeFormat(col(DruidTimeInput(args(0))), fmt, tz))
     },
     // case_searched(c1, r1, c2, r2, ..., [else]) (Function.java:2089)
     // conditions take dialect truthiness — if(1.0, a, b) picks a
@@ -264,6 +279,25 @@ object GraftSqlFunctions {
         org.apache.spark.sql.catalyst.expressions.RLike(args(0), pat),
         org.apache.spark.sql.catalyst.expressions.RegExpExtract(args(0), pat,
           Literal(grp)))), None)
+    },
+    // REGEXP_LIKE(expr, pattern) (RegexpLikeExprMacro): pattern must be a
+    // string LITERAL (plan-time IAE), and a NULL input evaluates FALSE —
+    // ofLongBoolean(false), never null — unlike Spark's rlike
+    // (RegexpLikeExprMacroTest: testNullPattern errors,
+    // testEmptyStringPatternOnNull is false in sql-compatible mode)
+    "regexp_like" -> { args =>
+      if (args.size != 2) throw new IllegalArgumentException(
+        "Function[regexp_like] must have 2 arguments")
+      val pat = args(1) match {
+        case Literal(s: UTF8String, _) => s.toString
+        case Literal(s: String, _) => s
+        case _ => throw new IllegalArgumentException(
+          "Function[regexp_like] pattern must be a string literal")
+      }
+      Coalesce(Seq(
+        org.apache.spark.sql.catalyst.expressions.RLike(args(0),
+          Literal(UTF8String.fromString(pat), org.apache.spark.sql.types.StringType)),
+        Literal(false)))
     },
     // LEFT/RIGHT (Function.java Left/Right): a negative length is the
     // reference's plan-time IAE, not Spark's empty string
@@ -525,6 +559,12 @@ object GraftSqlFunctions {
     "ltrim" -> { args =>
       if (args.size == 1) org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args(0))
       else org.apache.spark.sql.catalyst.expressions.StringTrimLeft(args(0), args(1))
+    },
+    // two-arg TRIM likewise (TrimExprMacro.BothTrimExprMacro — chars may be
+    // a non-literal expression, ExprMacroTest.testTrim trim(spacey, spacey))
+    "trim" -> { args =>
+      if (args.size == 1) org.apache.spark.sql.catalyst.expressions.StringTrim(args(0))
+      else org.apache.spark.sql.catalyst.expressions.StringTrim(args(0), args(1))
     },
     "rtrim" -> { args =>
       if (args.size == 1) org.apache.spark.sql.catalyst.expressions.StringTrimRight(args(0))

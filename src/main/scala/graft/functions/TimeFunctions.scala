@@ -263,20 +263,27 @@ object TimeFunctions {
 
   /** Druid `timestamp_shift(ts, period, step)` — preserves time-of-day for
     * month shifts (add_months would truncate to DATE). */
-  def timeShift(ts: Column, period: String, step: Int, tz: String = null): Column = {
+  def timeShift(ts: Column, period: String, step: Int, tz: String = null): Column =
+    timeShiftBy(ts, period, lit(step), tz)
+
+  /** Column-stepped variant — the macro's step argument may be a
+    * non-literal expression (TimestampShiftMacroTest.testDynamicExpression,
+    * TimestampShiftExprMacro.TimestampShiftDynamicExpr). */
+  def timeShiftBy(ts: Column, period: String, step0: Column, tz: String = null): Column = {
+    val step = step0.cast("int")
     val parts = periodParts(period)
     if (isCompound(parts))
       // TimestampShiftExprMacro: chronology.add(period, t, step) multiplies
       // the period's fields once — calendar month+day+millis interval
       return zonedRoundTrip(ts, defaultOrigin, tz) { (t, _) =>
-        t + make_interval(lit(0), lit(parts.months * step), lit(0),
-          lit(parts.days * step), lit(0), lit(0),
-          lit(java.math.BigDecimal.valueOf(parts.millis * step / 1000.0)))
+        t + make_interval(lit(0), lit(parts.months) * step, lit(0),
+          lit(parts.days) * step, lit(0), lit(0),
+          lit(java.math.BigDecimal.valueOf(parts.millis / 1000.0)) * step)
       }
     val p = parsePeriod(period)
-    if (p.months == 0) timestamp_millis(millisOf(ts) + p.millis * step)
+    if (p.months == 0) timestamp_millis(millisOf(ts) + lit(p.millis) * step)
     else zonedRoundTrip(ts, defaultOrigin, tz) { (t, _) =>
-      t + make_interval(lit(0), lit(p.months * step), lit(0), lit(0), lit(0), lit(0), lit(0))
+      t + make_interval(lit(0), lit(p.months) * step, lit(0), lit(0), lit(0), lit(0), lit(0))
     }
   }
 
@@ -321,11 +328,26 @@ object TimeFunctions {
     * parser (TimestampParseExprMacro: ISO-or-SQL timestamp forms — Spark's
     * bare to_timestamp accepts the same). */
   def timeParse(s: Column, fmt: String, tz: String = null): Column = {
-    val parsed = if (fmt == null) to_timestamp(s) else to_timestamp(s, fmt)
+    // default parse accepts partial ISO forms down to a bare year
+    // (TimestampParseExprMacro → DateTimes.ISO_DATE_OPTIONAL_TIME:
+    // "2000-02" is Feb 1, "2000" is Jan 1; garbage is null)
+    // try_to_timestamp: malformed input is NULL in any ANSI mode, the
+    // macro's parse-failure contract
+    val parsed =
+      if (fmt == null) coalesce(try_to_timestamp(s),
+        try_to_timestamp(s, lit("yyyy-MM-dd")), try_to_timestamp(s, lit("yyyy-MM")),
+        try_to_timestamp(s, lit("yyyy")))
+      else try_to_timestamp(s, lit(fmt))
     if (tz == null) parsed else to_utc_timestamp(parsed, tz)
   }
+  /** fmt null = the reference's default ISO8601-with-millis printer
+    * (TimestampFormatExprMacro's ISODateTimeFormat.dateTime():
+    * `2000-02-03T04:05:06.000Z`). */
   def timeFormat(ts: Column, fmt: String, tz: String = null): Column =
-    date_format(wallClock(ts, tz), fmt)
+    if (fmt == null)
+      concat(date_format(wallClock(ts, tz), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+        lit(if (tz == null) "Z" else ""))
+    else date_format(wallClock(ts, tz), fmt)
 
   /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin).
     * tz-naive columns are cast first (identity under the UTC session TZ). */

@@ -94,15 +94,16 @@ class CalciteExpressionsGoldenSpec extends SparkSpecBase {
     assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("ab", 1L, 325323L)))
   }
 
-  test("testValidationErrorNullLiteralIllegal / NonLiteral — SUPERSET: REGEXP_LIKE " +
-      "accepts null and non-literal patterns (:12396, :12408)") {
+  test("testValidationErrorNullLiteralIllegal / NonLiteral — REGEXP_LIKE " +
+      "rejects null and non-literal patterns like the reference (:12396, :12408)") {
     // the reference's validator REJECTS a NULL or non-literal pattern
-    // ("Argument to function 'REGEXP_LIKE' must be a literal"); Spark's
-    // built-in evaluates them — null pattern yields null, and per-row
-    // patterns work (a superset the reference's bitmap-index planning
-    // cannot offer)
-    assert(single("SELECT REGEXP_LIKE('x', NULL)").isNullAt(0))
-    assert(sql("SELECT REGEXP_LIKE(dim1, dim1) FROM foo WHERE dim1 <> ''")
-      .forall(_.getBoolean(0)))
+    // (RegexpLikeOperatorConversion / the macro's "pattern must be a string
+    // literal") — the Druid-contract registration reproduces the rejection
+    // rather than Spark's lenient per-row evaluation
+    val e1 = intercept[Exception](single("SELECT REGEXP_LIKE('x', NULL)"))
+    assert(e1.getMessage.contains("pattern must be a string literal"))
+    val e2 = intercept[Exception](
+      sql("SELECT REGEXP_LIKE(dim1, dim1) FROM foo WHERE dim1 <> ''"))
+    assert(e2.getMessage.contains("pattern must be a string literal"))
   }
 }

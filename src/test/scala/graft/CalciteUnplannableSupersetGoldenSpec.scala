@@ -80,17 +80,15 @@ class CalciteUnplannableSupersetGoldenSpec extends SparkSpecBase {
         |WHERE __time >= 'z2000-01-01 00:00:00' AND __time < '2001-01-01 00:00:00'""".stripMargin))
   }
 
-  test("testValidationErrorNonLiteralIllegal — SUPERSET: per-row regex pattern") {
-    // the reference requires a literal pattern; the empty-string dim1 row's
-    // pattern matches anything, the rest match nothing
-    assert(single("SELECT COUNT(*) FROM foo WHERE REGEXP_LIKE('x', dim1)").getLong(0) == 1L)
+  test("testValidationErrorNonLiteralIllegal — non-literal regex pattern rejects like the reference") {
+    val e = intercept[Exception](
+      single("SELECT COUNT(*) FROM foo WHERE REGEXP_LIKE('x', dim1)"))
+    assert(e.getMessage.contains("pattern must be a string literal"))
   }
 
-  test("testValidationErrorWrongTypeLiteral — numeric pattern coerces (lenient), no match") {
-    // the reference rejects the INT pattern; this engine coerces it to the
-    // string regex '1', which matches nothing in 'x'
-    val r = single("SELECT REGEXP_LIKE('x', 1)")
-    assert(r.isNullAt(0) || !r.getBoolean(0))
+  test("testValidationErrorWrongTypeLiteral — numeric pattern rejects like the reference") {
+    val e = intercept[Exception](single("SELECT REGEXP_LIKE('x', 1)"))
+    assert(e.getMessage.contains("pattern must be a string literal"))
   }
 
   test("testHumanReadableFormatFunctionException — wrong precision type and arity reject") {
