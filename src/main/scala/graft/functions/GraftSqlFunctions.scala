@@ -36,6 +36,48 @@ object GraftSqlFunctions {
     val s = litStrOrNull(e, fn)
     if (s == null || s.isEmpty) null else s
   }
+
+  /** Non-literal timezone argument → the per-row dynamic path
+    * (DynamicZonedTime; the reference's TimestampFloor/Ceil/ShiftExprMacro
+    * dynamic variants build a PeriodGranularity per row). `periodOrFmt` is
+    * the literal period / extract unit / format pattern; `originE` the
+    * optional literal origin. Returns a TIMESTAMP column for floor/ceil/
+    * shift, matching the literal path's type. */
+  private def dynZoned(op: String, tsE: Expression, tzE: Expression,
+      periodOrFmt: String, originE: Option[Expression] = None,
+      stepE: Option[Expression] = None): Expression = {
+    val originMillis: java.lang.Long = originE match {
+      case None => null
+      case Some(Literal(null, _)) => null
+      case Some(Literal(v: Long, org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType)) =>
+        java.lang.Long.valueOf(Math.floorDiv(v, 1000L)) // micros → millis
+      case Some(Literal(v: Number, _: org.apache.spark.sql.types.NumericType)) =>
+        java.lang.Long.valueOf(v.longValue()) // dialect longs are millis
+      case Some(Literal(s: UTF8String, StringType)) =>
+        // tolerant partial-ISO origin ("1970-01-01T01")
+        val t = s.toString.replace(" ", "T").stripSuffix("Z")
+        val padded = t.length match {
+          case 4 => t + "-01-01T00:00:00"; case 7 => t + "-01T00:00:00"
+          case 10 => t + "T00:00:00"; case 13 => t + ":00:00"
+          case 16 => t + ":00"; case _ => t
+        }
+        java.lang.Long.valueOf(java.time.LocalDateTime.parse(padded)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      case Some(other) => throw new IllegalArgumentException(
+        s"$op: origin must be a literal when the timezone is dynamic, got $other")
+    }
+    val tsMs = ex(unix_millis(col(DruidTimeInput(tsE))))
+    val zoneStr = ex(col(tzE).cast("string"))
+    val stepLong = stepE.map(s => ex(col(s).cast("long")))
+      .getOrElse(Literal(0L))
+    val dyn = DynamicZonedTime(op, tsMs, zoneStr, stepLong, periodOrFmt, originMillis)
+    op match {
+      case "floor" | "ceil" | "shift" => ex(timestamp_millis(col(dyn)))
+      case _ => dyn
+    }
+  }
+  private def notLit(e: Expression): Boolean = !e.isInstanceOf[Literal]
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Number, _) => v.intValue()
     case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
@@ -90,23 +132,42 @@ object GraftSqlFunctions {
     // Inputs coerce through DruidTimeInput: a LONG is epoch MILLIS like
     // every reference macro's asLong(), never Spark's seconds cast.
     "time_floor" -> { args =>
-      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
-      val tz = if (args.size > 3) tzArg(args(3), "time_floor") else null
-      ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "time_floor"), origin, tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("floor", args(0), args(3), litStr(args(1), "time_floor"),
+          originE = Some(args(2)))
+      else {
+        val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+        val tz = if (args.size > 3) tzArg(args(3), "time_floor") else null
+        ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "time_floor"), origin, tz))
+      }
     },
     "time_ceil" -> { args =>
-      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
-      val tz = if (args.size > 3) tzArg(args(3), "time_ceil") else null
-      ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "time_ceil"), origin, tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("ceil", args(0), args(3), litStr(args(1), "time_ceil"),
+          originE = Some(args(2)))
+      else {
+        val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+        val tz = if (args.size > 3) tzArg(args(3), "time_ceil") else null
+        ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "time_ceil"), origin, tz))
+      }
     },
     "time_shift" -> { args =>
-      val tz = if (args.size > 3) tzArg(args(3), "time_shift") else null
-      ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "time_shift"),
-        col(args(2)), tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("shift", args(0), args(3), litStr(args(1), "time_shift"),
+          stepE = Some(args(2)))
+      else {
+        val tz = if (args.size > 3) tzArg(args(3), "time_shift") else null
+        ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "time_shift"),
+          col(args(2)), tz))
+      }
     },
     "time_extract" -> { args =>
-      val tz = if (args.size > 2) tzArg(args(2), "time_extract") else null
-      ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "time_extract"), tz))
+      if (args.size > 2 && notLit(args(2)))
+        dynZoned("extract", args(0), args(2), litStr(args(1), "time_extract"))
+      else {
+        val tz = if (args.size > 2) tzArg(args(2), "time_extract") else null
+        ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "time_extract"), tz))
+      }
     },
     "time_parse" -> { args =>
       // format may be an explicit NULL placeholder: TIME_PARSE(s, NULL, tz)
@@ -128,25 +189,44 @@ object GraftSqlFunctions {
     // timestamp_* macros in query/expression/) so JSON virtualColumns /
     // expression filters written in Druid syntax compile verbatim ---
     "timestamp_floor" -> { args =>
-      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
-      val tz = if (args.size > 3) tzArg(args(3), "timestamp_floor") else null
-      ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_floor"), origin, tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("floor", args(0), args(3), litStr(args(1), "timestamp_floor"),
+          originE = Some(args(2)))
+      else {
+        val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+        val tz = if (args.size > 3) tzArg(args(3), "timestamp_floor") else null
+        ex(TimeFunctions.timeFloor(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_floor"), origin, tz))
+      }
     },
     "timestamp_ceil" -> { args =>
-      val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
-      val tz = if (args.size > 3) tzArg(args(3), "timestamp_ceil") else null
-      ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_ceil"), origin, tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("ceil", args(0), args(3), litStr(args(1), "timestamp_ceil"),
+          originE = Some(args(2)))
+      else {
+        val origin = if (args.size > 2) col(DruidTimeInput(args(2))) else null
+        val tz = if (args.size > 3) tzArg(args(3), "timestamp_ceil") else null
+        ex(TimeFunctions.timeCeil(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_ceil"), origin, tz))
+      }
     },
     // step may be any expression (TimestampShiftDynamicExpr — non-literal
     // steps bind per row, TimestampShiftMacroTest.testDynamicExpression)
     "timestamp_shift" -> { args =>
-      val tz = if (args.size > 3) tzArg(args(3), "timestamp_shift") else null
-      ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_shift"),
-        col(args(2)), tz))
+      if (args.size > 3 && notLit(args(3)))
+        dynZoned("shift", args(0), args(3), litStr(args(1), "timestamp_shift"),
+          stepE = Some(args(2)))
+      else {
+        val tz = if (args.size > 3) tzArg(args(3), "timestamp_shift") else null
+        ex(TimeFunctions.timeShiftBy(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_shift"),
+          col(args(2)), tz))
+      }
     },
     "timestamp_extract" -> { args =>
-      val tz = if (args.size > 2) tzArg(args(2), "timestamp_extract") else null
-      ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_extract"), tz))
+      if (args.size > 2 && notLit(args(2)))
+        dynZoned("extract", args(0), args(2), litStr(args(1), "timestamp_extract"))
+      else {
+        val tz = if (args.size > 2) tzArg(args(2), "timestamp_extract") else null
+        ex(TimeFunctions.timeExtract(col(DruidTimeInput(args(0))), litStr(args(1), "timestamp_extract"), tz))
+      }
     },
     "timestamp_parse" -> { args =>
       val fmt = if (args.size > 1) litStrOrNull(args(1), "timestamp_parse") else null

@@ -88,8 +88,9 @@ class ExprMacroGoldenSpec extends SparkSpecBase {
     assert(one("timestamp_ceil(null, 'P1M')") == null)
     assert(one("timestamp_ceil(t, 'P1M')") == ms("2000-03-01T00:00:00Z"))
     assert(one("timestamp_ceil(t, 'P1D',null,'America/Los_Angeles')") == ms("2000-02-03T08:00:00Z"))
-    // (the CityOfAngels DYNAMIC-timezone vector is out of scope: timezone
-    // arguments resolve at plan time here, a documented literal-only bound)
+    // DYNAMIC timezone: CityOfAngels is a COLUMN (the macro's per-row
+    // PeriodGranularity path)
+    assert(one("timestamp_ceil(t, 'P1D',null,CityOfAngels)") == ms("2000-02-03T08:00:00Z"))
     assert(one("timestamp_ceil(t, 'P1D','1970-01-01T01','Etc/UTC')") == ms("2000-02-04T01:00:00Z"))
     // an exact boundary ceils to ITSELF
     assert(one("timestamp_ceil(t1, 'P1D')") == ms("2000-02-03T00:00:00Z"))
@@ -99,12 +100,14 @@ class ExprMacroGoldenSpec extends SparkSpecBase {
     assert(one("timestamp_floor(null, 'P1M')") == null)
     assert(one("timestamp_floor(t, 'P1M')") == ms("2000-02-01T00:00:00Z"))
     assert(one("timestamp_floor(t, 'P1D',null,'America/Los_Angeles')") == ms("2000-02-02T08:00:00Z"))
+    assert(one("timestamp_floor(t, 'P1D',null,CityOfAngels)") == ms("2000-02-02T08:00:00Z"))
     assert(one("timestamp_floor(t, 'P1D','1970-01-01T01','Etc/UTC')") == ms("2000-02-03T01:00:00Z"))
   }
 
   test("testTimestampShift (ExprMacroTest.java:107) — zones leave a fixed-day shift alone") {
     assert(one("timestamp_shift(t, 'P1D', 2)") == ms("2000-02-05T04:05:06Z"))
     assert(one("timestamp_shift(t, 'P1D', 2, 'America/Los_Angeles')") == ms("2000-02-05T04:05:06Z"))
+    assert(one("timestamp_shift(t, 'P1D', 2, CityOfAngels)") == ms("2000-02-05T04:05:06Z"))
     assert(one("timestamp_shift(t, 'P1D', 2, '-08:00')") == ms("2000-02-05T04:05:06Z"))
   }
 
@@ -131,6 +134,9 @@ class ExprMacroGoldenSpec extends SparkSpecBase {
     assert(one("timestamp_extract(t, 'HOUR')") == 4L)
     assert(one("timestamp_extract(t, 'DAY', 'America/Los_Angeles')") == 2L)
     assert(one("timestamp_extract(t, 'HOUR', 'America/Los_Angeles')") == 20L)
+    // dynamic zone column
+    assert(one("timestamp_extract(t, 'DAY', CityOfAngels)") == 2L)
+    assert(one("timestamp_extract(t, 'HOUR', CityOfAngels)") == 20L)
   }
 
   test("testTimestampParse (ExprMacroTest.java:126) — auto formats, patterns, null on garbage") {
