@@ -119,11 +119,17 @@ object SimilarityFunctions {
   def simhashBandKey(simhash: Column, band: Int): Column =
     lit(band.toLong * 65536L) + shiftright(simhash, band * 16).bitwiseAND(lit(65535L))
 
-  /** Dot product of two float-array columns, accumulated in double in array
-    * order (deterministic). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two numeric-array columns, accumulated in double in
+    * array order (deterministic — bit-identical to the previous
+    * `aggregate(zip_with(...))` spelling, which allocated a 64-element
+    * intermediate array and ran two interpreted lambdas PER PAIR; the
+    * LSH candidate joins evaluate this tens of millions of times, so the
+    * tight primitive loop in [[VectorDot]] is the embedding family's
+    * single hottest win). */
+  def dotProduct(a: Column, b: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    bridge.column(VectorDot(bridge.expression(a), bridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
@@ -171,10 +177,65 @@ object SimilarityFunctions {
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
     val w = hyperplaneWeights(planes, dim)
     (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(w(j)), (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dotProduct(vec, typedLit(w(j)))
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+}
+
+/** Sequential-fold dot product over two numeric arrays as ONE primitive
+  * loop. Semantics are exactly the `aggregate(zip_with(a, b, (x, y) ->
+  * double(x) * double(y)), 0.0, (acc, v) -> acc + v)` spelling it
+  * replaces: left-to-right double accumulation (bit-identical to the
+  * DuckDB oracle's list fold), a null array or any null ELEMENT nulls the
+  * result (null product poisons the running sum), and arrays of unequal
+  * length null it too (zip_with pads the shorter side with nulls). The
+  * interpreted-HOF spelling allocated an intermediate array and evaluated
+  * two lambdas per element; candidate joins run this tens of millions of
+  * times per query. */
+case class VectorDot(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def reader(t: DataType): (ArrayData, Int) => Double = t match {
+    case DoubleType => (a, i) => a.getDouble(i)
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case ShortType => (a, i) => a.getShort(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
+    case other => throw new IllegalArgumentException(s"vector_dot element type: $other")
+  }
+  @transient private lazy val readL =
+    reader(left.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val readR =
+    reader(right.dataType.asInstanceOf[ArrayType].elementType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += readL(x, i) * readR(y, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): VectorDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vector_dot"
 }
