@@ -239,3 +239,53 @@ case class VectorDot(
     copy(left = l, right = r)
   override def prettyName: String = "vector_dot"
 }
+
+/** Position-wise equality count over two arrays as one primitive loop —
+  * the minhash signature-agreement estimator's hot inner step
+  * (`aggregate(zip_with(a, b, (x, y) -> if(x==y, 1, 0)), 0, +)` evaluated
+  * once per CANDIDATE PAIR). Matches the zip_with spelling exactly: a
+  * null element compares unequal (the `otherwise 0` branch), the shorter
+  * array zero-pads (zip_with's null padding never equals), and a null
+  * ARRAY nulls the count. */
+case class VectorMatchCount(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val (lt, rt) = (
+    left.dataType.asInstanceOf[ArrayType].elementType,
+    right.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val bothLong = lt == LongType && rt == LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    if (bothLong) {
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) c += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.get(i, lt) == y.get(i, rt)) c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): VectorMatchCount =
+    copy(left = l, right = r)
+  override def prettyName: String = "vector_match_count"
+}

@@ -77,10 +77,14 @@ object Similarity {
       .groupBy(col("id_a"), col("id_b"))
       .agg(graft.functions.FirstLastAgg.anyValue(col("sig_a")).as("sig_a"),
         graft.functions.FirstLastAgg.anyValue(col("sig_b")).as("sig_b"))
+    // signature agreement as ONE primitive loop per candidate pair
+    // (SimilarityFunctions.VectorMatchCount — the interpreted zip_with
+    // spelling allocated an array and two lambda evals per position)
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
     val est = candidates.withColumn("est_jaccard",
-      aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / sigLen)
+      bridge.column(graft.functions.VectorMatchCount(
+        bridge.expression(col("sig_a")), bridge.expression(col("sig_b"))))
+        .cast("double") / sigLen)
     est.filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
