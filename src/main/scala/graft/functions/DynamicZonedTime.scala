@@ -130,7 +130,11 @@ case class DynamicZonedTime(
       val s = zv.asInstanceOf[UTF8String].toString
       if (s.isEmpty) "UTC" else s
     }
-    val z = ZoneId.of(zStr, ZoneId.SHORT_IDS)
+    // unknown zone ids fall back to GMT like the reference's
+    // DateTimes.inferTzFromString → TimeZone.getTimeZone (DateTimes.java:86)
+    val z =
+      try ZoneId.of(zStr, ZoneId.SHORT_IDS)
+      catch { case _: java.time.DateTimeException => ZoneOffset.UTC }
     val t = tv.asInstanceOf[Long]
     op match {
       case "floor" => floorMs(t, z)

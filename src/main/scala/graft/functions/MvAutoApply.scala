@@ -88,7 +88,7 @@ object MvAutoApply {
     case _ => None
   }
 
-  private var counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def fresh(): String = s"__mv${counter.incrementAndGet()}"
 
   /** Entry point: returns the input tree unchanged (eq) when no lift is
