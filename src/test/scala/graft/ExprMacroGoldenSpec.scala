@@ -137,6 +137,13 @@ class ExprMacroGoldenSpec extends SparkSpecBase {
     // dynamic zone column
     assert(one("timestamp_extract(t, 'DAY', CityOfAngels)") == 2L)
     assert(one("timestamp_extract(t, 'HOUR', CityOfAngels)") == 20L)
+    // TimestampExtractExprMacroTest: string timestamps parse, PostgreSQL
+    // decade/century/millennium arithmetic (:53-101)
+    assert(one("timestamp_extract('2001-02-16', 'DECADE')") == 200L)
+    assert(one("timestamp_extract('2000-12-16', 'CENTURY')") == 20L)
+    assert(one("timestamp_extract('2001-02-16', 'CENTURY')") == 21L)
+    assert(one("timestamp_extract('2000-12-16', 'MILLENNIUM')") == 2L)
+    assert(one("timestamp_extract('2001-02-16', 'MILLENNIUM')") == 3L)
   }
 
   test("testTimestampParse (ExprMacroTest.java:126) — auto formats, patterns, null on garbage") {
