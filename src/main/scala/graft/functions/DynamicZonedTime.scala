@@ -36,7 +36,8 @@ case class DynamicZonedTime(
     zone: Expression,
     step: Expression,
     period: String,
-    originMs: java.lang.Long)
+    originMs: java.lang.Long,
+    originLocal: String = null)
   extends Expression with CodegenFallback {
   import java.time._
 
@@ -53,12 +54,24 @@ case class DynamicZonedTime(
     if (op == "floor" || op == "ceil" || op == "shift") TimeFunctions.periodParts(period)
     else null
 
+  /** An offset-less string origin is interpreted in the PER-ROW zone's
+    * chronology, exactly like the reference's dynamic path
+    * (ExprUtils.toPeriodGranularity: `new DateTime(value,
+    * ISOChronology.getInstance(timeZone))`) — `originLocal` carries the
+    * parsed local datetime; `originMs` carries a fixed instant (numeric or
+    * explicit-offset origins). */
+  @transient private lazy val originLocalDt: LocalDateTime =
+    if (originLocal == null) null else LocalDateTime.parse(originLocal)
+
+  private def originFor(z: ZoneId): Long =
+    if (originMs != null) originMs.longValue()
+    else if (originLocalDt != null) originLocalDt.atZone(z).toInstant.toEpochMilli
+    else LocalDateTime.of(1970, 1, 1, 0, 0).atZone(z).toInstant.toEpochMilli
+
   /** Iterated-boundary walker, one per zone (CompoundPeriodFloor's fwd/bwd
     * memo generalized to a dynamic zone). */
   private final class Walker(z: ZoneId) {
-    private val origin: Long =
-      if (originMs != null) originMs.longValue()
-      else LocalDateTime.of(1970, 1, 1, 0, 0).atZone(z).toInstant.toEpochMilli
+    private val origin: Long = originFor(z)
     private val fwd = scala.collection.mutable.ArrayBuffer(origin)
     private val bwd = scala.collection.mutable.ArrayBuffer.empty[Long]
     private def stepFrom(ms: Long, dir: Int): Long =
@@ -90,6 +103,16 @@ case class DynamicZonedTime(
 
   @transient private lazy val walkers =
     scala.collection.mutable.HashMap.empty[String, Walker]
+  @transient private lazy val originMemo =
+    scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** Pure-millis periods (months==0, days==0) floor with O(1) fixed-width
+    * arithmetic from the zone-resolved origin — the reference's
+    * PeriodGranularity takes the same non-calendar shortcut
+    * (truncateMillisPeriod); the iterated Walker is reserved for
+    * calendar-bearing periods, where boundary spacing genuinely varies. */
+  private def isPureMillis: Boolean =
+    parts.months == 0 && parts.days == 0 && parts.millis > 0
 
   private def subDayWidth: Long = {
     val w = parts.days * 86400000L + parts.millis
@@ -112,8 +135,11 @@ case class DynamicZonedTime(
 
   private def floorMs(t: Long, z: ZoneId): Long = {
     val w = subDayWidth
-    if (w > 0 && originMs == null) localFloor(t, z, w)
-    else walkers.getOrElseUpdate(z.getId, new Walker(z)).floor(t)
+    if (w > 0 && originMs == null && originLocal == null) localFloor(t, z, w)
+    else if (isPureMillis) {
+      val o = originMemo.getOrElseUpdate(z.getId, originFor(z))
+      o + Math.floorDiv(t - o, parts.millis) * parts.millis
+    } else walkers.getOrElseUpdate(z.getId, new Walker(z)).floor(t)
   }
 
   @transient private lazy val formatter: java.time.format.DateTimeFormatter =
@@ -143,10 +169,11 @@ case class DynamicZonedTime(
         if (f == t) t
         else {
           val w = subDayWidth
-          if (w > 0 && originMs == null) {
+          if (w > 0 && originMs == null && originLocal == null) {
             val zdt = Instant.ofEpochMilli(f).atZone(z)
             zdt.plus(w, java.time.temporal.ChronoUnit.MILLIS).toInstant.toEpochMilli
-          } else walkers.getOrElseUpdate(z.getId, new Walker(z)).next(f)
+          } else if (isPureMillis) f + parts.millis
+          else walkers.getOrElseUpdate(z.getId, new Walker(z)).next(f)
         }
       case "shift" =>
         val sv = step.eval(input)
@@ -158,7 +185,9 @@ case class DynamicZonedTime(
           .toInstant.toEpochMilli
       case "extract" =>
         val u = period.toUpperCase(java.util.Locale.ENGLISH)
-        if (u == "EPOCH") return Math.floorDiv(t, 1000L)
+        // reference computes dateTime.getMillis() / 1000 — Java truncation
+        // TOWARD ZERO, not floor (TimestampExtractExprMacro.java:113)
+        if (u == "EPOCH") return t / 1000L
         if (u == "MILLIS") return t
         if (u == "MICROSECOND") return t / 1000L / 1000L // double trunc-toward-zero
         val dt = Instant.ofEpochMilli(t).atZone(z)

@@ -46,32 +46,49 @@ object GraftSqlFunctions {
   private def dynZoned(op: String, tsE: Expression, tzE: Expression,
       periodOrFmt: String, originE: Option[Expression] = None,
       stepE: Option[Expression] = None): Expression = {
-    val originMillis: java.lang.Long = originE match {
-      case None => null
-      case Some(Literal(null, _)) => null
+    // (fixed-instant millis, deferred local datetime) — exactly one is set
+    // when an origin is present. An offset-LESS string origin resolves in
+    // the PER-ROW zone's chronology like the reference
+    // (ExprUtils.toPeriodGranularity: new DateTime(value,
+    // ISOChronology.getInstance(timeZone))); explicit offsets and numeric
+    // origins are fixed instants.
+    val originPair: (java.lang.Long, String) = originE match {
+      case None => (null, null)
+      case Some(Literal(null, _)) => (null, null)
       case Some(Literal(v: Long, org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.TimestampNTZType)) =>
-        java.lang.Long.valueOf(Math.floorDiv(v, 1000L)) // micros → millis
+        (java.lang.Long.valueOf(Math.floorDiv(v, 1000L)), null) // micros → millis
       case Some(Literal(v: Number, _: org.apache.spark.sql.types.NumericType)) =>
-        java.lang.Long.valueOf(v.longValue()) // dialect longs are millis
+        (java.lang.Long.valueOf(v.longValue()), null) // dialect longs are millis
       case Some(Literal(s: UTF8String, StringType)) =>
+        val raw = s.toString.replace(" ", "T")
+        val hasZ = raw.endsWith("Z")
+        val t = raw.stripSuffix("Z")
+        val offsetRe = ".*T.*[+-]\\d{2}:?\\d{2}$"
         // tolerant partial-ISO origin ("1970-01-01T01")
-        val t = s.toString.replace(" ", "T").stripSuffix("Z")
-        val padded = t.length match {
-          case 4 => t + "-01-01T00:00:00"; case 7 => t + "-01T00:00:00"
-          case 10 => t + "T00:00:00"; case 13 => t + ":00:00"
-          case 16 => t + ":00"; case _ => t
+        def pad(v: String): String = v.length match {
+          case 4 => v + "-01-01T00:00:00"; case 7 => v + "-01T00:00:00"
+          case 10 => v + "T00:00:00"; case 13 => v + ":00:00"
+          case 16 => v + ":00"; case _ => v
         }
-        java.lang.Long.valueOf(java.time.LocalDateTime.parse(padded)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        if (hasZ)
+          (java.lang.Long.valueOf(java.time.LocalDateTime.parse(pad(t))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli), null)
+        else if (t.matches(offsetRe))
+          (java.lang.Long.valueOf(
+            java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli), null)
+        else (null, java.time.LocalDateTime.parse(pad(t)).toString)
       case Some(other) => throw new IllegalArgumentException(
         s"$op: origin must be a literal when the timezone is dynamic, got $other")
     }
+    val originMillis = originPair._1
+    val originLocal = originPair._2
     val tsMs = ex(unix_millis(col(DruidTimeInput(tsE))))
     val zoneStr = ex(col(tzE).cast("string"))
     val stepLong = stepE.map(s => ex(col(s).cast("long")))
       .getOrElse(Literal(0L))
-    val dyn = DynamicZonedTime(op, tsMs, zoneStr, stepLong, periodOrFmt, originMillis)
+    val dyn = DynamicZonedTime(op, tsMs, zoneStr, stepLong, periodOrFmt,
+      originMillis, originLocal)
     op match {
       case "floor" | "ceil" | "shift" => ex(timestamp_millis(col(dyn)))
       case _ => dyn
@@ -235,8 +252,12 @@ object GraftSqlFunctions {
     },
     "timestamp_format" -> { args =>
       val fmt = if (args.size > 1) litStrOrNull(args(1), "timestamp_format") else null
-      val tz = if (args.size > 2) tzArg(args(2), "timestamp_format") else null
-      ex(TimeFunctions.timeFormat(col(DruidTimeInput(args(0))), fmt, tz))
+      if (args.size > 2 && notLit(args(2)))
+        dynZoned("format", args(0), args(2), fmt)
+      else {
+        val tz = if (args.size > 2) tzArg(args(2), "timestamp_format") else null
+        ex(TimeFunctions.timeFormat(col(DruidTimeInput(args(0))), fmt, tz))
+      }
     },
     // case_searched(c1, r1, c2, r2, ..., [else]) (Function.java:2089)
     // conditions take dialect truthiness — if(1.0, a, b) picks a

@@ -296,7 +296,9 @@ object TimeFunctions {
     val ts = if (Set("EPOCH", "MILLIS", "MICROSECOND")(unit.toUpperCase)) ts0
              else wallClock(ts0, tz)
     unit.toUpperCase match {
-    case "EPOCH"   => unix_timestamp(ts)
+    // getMillis()/1000 in Java truncates TOWARD ZERO (TimestampExtract
+    // ExprMacro.java:113) — unix_timestamp would floor pre-1970 instants
+    case "EPOCH"   => truncDiv(unix_millis(ts), 1000L)
     case "MILLIS"  => unix_millis(ts)
     // the reference truncates toward zero TWICE (TimestampExtractExprMacro
     // .java:118-119: getMillis()/1000 then /1000 in Java long division) —
@@ -341,12 +343,20 @@ object TimeFunctions {
     if (tz == null) parsed else to_utc_timestamp(parsed, tz)
   }
   /** fmt null = the reference's default ISO8601-with-millis printer
-    * (TimestampFormatExprMacro's ISODateTimeFormat.dateTime():
-    * `2000-02-03T04:05:06.000Z`). */
+    * (TimestampFormatExprMacro's ISODateTimeFormat.dateTime().withZone(tz):
+    * the zone OFFSET always renders — `2000-02-03T04:05:06.000Z` in UTC,
+    * `...-08:00` under an explicit zone). The UTC default keeps the
+    * codegen'd concat; an explicit zone routes through the zone-aware
+    * SSSXXX formatter so the offset (DST-dependent per instant) prints. */
   def timeFormat(ts: Column, fmt: String, tz: String = null): Column =
-    if (fmt == null)
-      concat(date_format(wallClock(ts, tz), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
-        lit(if (tz == null) "Z" else ""))
+    if (fmt == null && tz == null)
+      concat(date_format(ts.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
+    else if (fmt == null) {
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(DynamicZonedTime("format", bridge.expression(millisOf(ts)),
+        bridge.expression(lit(tz)),
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), null, null))
+    }
     else date_format(wallClock(ts, tz), fmt)
 
   /** MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS (sql/.../expression/builtin).

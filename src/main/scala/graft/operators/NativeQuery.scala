@@ -159,14 +159,30 @@ object NativeQuery {
           limitSpec = LimitSpec(
             orderBy = {
               val explicitCols = arr(ls \ "columns")
+              // the implicit merge order compares dims by their TYPED
+              // natural comparator (RowBasedGrouperHelper.compareDimsInRows:
+              // LONG/DOUBLE dims numerically, naturalNullsFirst); the
+              // lexicographic key is only for string-typed dims — a numeric
+              // dim sorted lexicographically would return DIFFERENT rows
+              // under a limit (1,10,100,... instead of 1,2,3,...)
+              def naturalDimKey(d: DimSpec): Column = {
+                val numeric = d match {
+                  case Dim(name, _) => prepared.schema.fields.collectFirst {
+                    case f if f.name == name => f.dataType
+                  }.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+                  case _ => false
+                }
+                if (numeric) col(d.output)
+                else comparatorKey("lexicographic", col(d.output))
+              }
               // a limit/offset WITHOUT ordering columns still truncates a
               // DIM-SORTED stream in the reference (groupBy v2's merge
               // emits rows ordered by dimensions; DefaultLimitSpec only
               // adds to that) — reproduce by defaulting the ordering to
-              // the dimension outputs, lexicographic ascending
+              // the dimension outputs in natural ascending order
               if (explicitCols.isEmpty &&
                   (intOpt(ls \ "limit").nonEmpty || intOpt(ls \ "offset").exists(_ > 0)))
-                dims.map(d => comparatorKey("lexicographic", col(d.output)).asc)
+                dims.map(d => naturalDimKey(d).asc)
               else {
                 // explicit columns sort a stream the engine already emits
                 // dim-ordered, and the reference's sort is STABLE — ties on
@@ -179,7 +195,7 @@ object NativeQuery {
                 val tieBreak =
                   if (intOpt(ls \ "limit").nonEmpty || intOpt(ls \ "offset").exists(_ > 0))
                     dims.filterNot(d => explicitNames(d.output))
-                      .map(d => comparatorKey("lexicographic", col(d.output)).asc)
+                      .map(d => naturalDimKey(d).asc)
                   else Nil
                 (explicitCols.map { o =>
               val name = o match { case JString(c) => c; case _ => str(o \ "dimension") }

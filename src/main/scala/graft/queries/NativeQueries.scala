@@ -95,6 +95,23 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // implicit limit ordering on a NUMERIC dimension: the merge order is
+    // TYPED natural comparison (RowBasedGrouperHelper.compareDimsInRows —
+    // LONG dims numerically), so a limit with no orderBy columns returns
+    // the numerically-first custkeys, not the lexicographically-first
+    "native_groupby_numeric_limit" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "dimensions": [{"type": "default", "dimension": "o_custkey",
+                          "outputName": "custkey"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "limit": 7}
+        }""", res(s, dir))
+    }),
+
     // StringComparators in the JSON surface: a version-ordered bound filter
     // ("1.2.9" excluded, "1.10.0" included — lexicographic would invert
     // both) + version dimensionOrder in the limitSpec, over a TYPED inline
@@ -563,6 +580,10 @@ object NativeQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 HAVING count(*) > 100
         |ORDER BY cnt DESC, brand ASC LIMIT 10""".stripMargin,
+
+    "native_groupby_numeric_limit" ->
+      """SELECT o_custkey AS custkey, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY custkey LIMIT 7""".stripMargin,
 
     // hand-computed golden rows (reference-style expected-result test): the
     // version comparator admits exactly {1.2.10×2, 1.10.0, 2.0.0} and orders

@@ -164,6 +164,56 @@ class ExprMacroGoldenSpec extends SparkSpecBase {
       "2000-02-02 20:05:06")
   }
 
+  test("null-format timestamp_format renders the zone OFFSET like " +
+      "ISODateTimeFormat.dateTime().withZone (TimestampFormatExprMacro)") {
+    // literal zone: offset prints (-08:00 in Feb PST), and an EXPLICIT
+    // 'UTC' zone still prints 'Z' — the literal and dynamic paths agree
+    assert(one("timestamp_format(t,null,'America/Los_Angeles')") ==
+      "2000-02-02T20:05:06.000-08:00")
+    assert(one("timestamp_format(t,null,'UTC')") == "2000-02-03T04:05:06.000Z")
+    // dynamic zone column (CityOfAngels) takes the same formatter
+    assert(one("timestamp_format(t,null,CityOfAngels)") ==
+      "2000-02-02T20:05:06.000-08:00")
+  }
+
+  test("dynamic-zone pure-millis floors are O(1) fixed-width arithmetic, " +
+      "not an iterated walk (PeriodGranularity.truncateMillisPeriod)") {
+    // origin 0 + PT1M over a 2000 instant: the old Walker would memoize
+    // ~15.8M boundaries per zone; the fixed-width path is instant
+    assert(one("timestamp_floor(t, 'PT1M', 0, CityOfAngels)") ==
+      ms("2000-02-03T04:05:00Z"))
+    assert(one("timestamp_ceil(t, 'PT1M', 0, CityOfAngels)") ==
+      ms("2000-02-03T04:06:00Z"))
+    // sub-second grid with a nonzero origin: boundary = origin + k·width
+    assert(one("timestamp_floor(t, 'PT1S', 1, CityOfAngels)") ==
+      ms("2000-02-03T04:05:06Z") - 999L)
+    // an exact boundary ceils to itself on the fixed-width path too
+    assert(one("timestamp_ceil(t, 'PT1M', null, CityOfAngels)") ==
+      ms("2000-02-03T04:05:06Z") + 54000L)
+  }
+
+  test("offset-less string origins resolve in the PER-ROW zone's chronology " +
+      "(ExprUtils.toPeriodGranularity: new DateTime(value, ISOChronology.getInstance(tz)))") {
+    // '1970-01-01T01' read as 01:00 LA wall time → daily boundaries at
+    // 01:00 local; t = 2000-02-02T20:05:06 LA floors to 02-02T01:00 PST
+    assert(one("timestamp_floor(t, 'P1D', '1970-01-01T01', CityOfAngels)") ==
+      ms("2000-02-02T09:00:00Z"))
+    // an EXPLICIT offset pins the instant instead: origin 01:00Z is
+    // 1969-12-31T17:00 LA wall, so daily boundaries sit at 17:00 PST
+    assert(one("timestamp_floor(t, 'P1D', '1970-01-01T01:00:00Z', CityOfAngels)") ==
+      ms("2000-02-03T01:00:00Z"))
+  }
+
+  test("dynamic EPOCH truncates toward zero like getMillis()/1000 " +
+      "(TimestampExtractExprMacro.java:113)") {
+    assert(one("timestamp_extract(-500, 'EPOCH', CityOfAngels)") == 0L)
+    assert(one("timestamp_extract(-1500, 'EPOCH', CityOfAngels)") == -1L)
+    assert(one("timestamp_extract(1500, 'EPOCH', CityOfAngels)") == 1L)
+    // literal path agrees
+    assert(one("timestamp_extract(-500, 'EPOCH')") == 0L)
+    assert(one("timestamp_extract(-1500, 'EPOCH')") == -1L)
+  }
+
   test("testTrim / testLTrim / testRTrim (ExprMacroTest.java:155-190) — dynamic char sets") {
     assert(one("trim('')") == "")
     assert(one("trim(concat(' ',x,' '))") == "foo")

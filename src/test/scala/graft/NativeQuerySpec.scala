@@ -468,6 +468,30 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(sorted(""", "dimensionOrder": "numeric"""") == Seq(10.0, 9.0, 2.0))
   }
 
+  test("implicit limit ordering compares numeric dims by TYPED natural order " +
+      "(RowBasedGrouperHelper.compareDimsInRows: LONG/DOUBLE numeric, naturalNullsFirst)") {
+    def dims(limitSpec: String, dimType: String, rows: String): Seq[Any] =
+      run(
+        s"""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "inline", "columnNames": ["k1"],
+            "columnTypes": ["$dimType"], "rows": [$rows]},
+          "dimensions": ["k1"],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": $limitSpec
+        }""").collect().map(_.get(0)).toSeq
+    // limit WITHOUT columns: the merge emits LONG dims numerically — the
+    // first 3 groups are 1,2,3, not the lexicographically-first 1,10,100
+    assert(dims("""{"type": "default", "limit": 3}""", "LONG",
+      "[1],[10],[100],[2],[3],[20]") == Seq(1L, 2L, 3L))
+    // string dims keep the lexicographic merge order
+    assert(dims("""{"type": "default", "limit": 3}""", "STRING",
+      """["1"],["10"],["100"],["2"],["3"],["20"]""") == Seq("1", "10", "100"))
+    // offset pages through the numeric order too
+    assert(dims("""{"type": "default", "limit": 2, "offset": 2}""", "LONG",
+      "[1],[10],[100],[2],[3],[20]") == Seq(3L, 10L))
+  }
+
   test("in filter with a null value matches null dimensions (InDimFilter containsNull)") {
     val got = run(
       """{
