@@ -10,17 +10,15 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
       // read as long and normalize in Sources.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // first/last/any fold aggregates (FirstLastFoldAgg) plan as
-      // ObjectHashAggregate; raise the 128-key sort-based fallback so
-      // high-cardinality groups stay hashed (accumulators are ~50 B)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // UTC, hash-agg fallback threshold, parquet agg pushdown: the engine's
+    // own session defaults (GraftSession), not launcher-special config
+    GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -54,6 +54,9 @@ object NativeQuery {
 
   def run(spark: SparkSession, json: String, resolve: Resolver,
       lookups: LookupRegistry): DataFrame = {
+    // engine session defaults (hash-agg fallback threshold, parquet agg
+    // pushdown, UTC) hold wherever a query enters — not just the launchers
+    graft.GraftSession.configure(spark)
     graft.functions.GraftSqlFunctions.register(spark)
     // math-expr apply-fn chains over literal arrays unroll to codegen-able
     // scalars (plans.HofUnroll) — the interpreted-lambda tax is the native

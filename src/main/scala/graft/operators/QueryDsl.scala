@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.GraftSession
 import graft.functions.TimeFunctions
 
 /** Typed Scala DSL mirroring the reference's native query types
@@ -269,6 +270,7 @@ final case class TimeseriesQuery(
     } catch { case scala.util.control.NonFatal(_) => None }
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
     val aggCols = aggregations.map(_.aliased)
     // bucket fn + zero-fill step per granularity kind; `none` buckets every
@@ -403,6 +405,7 @@ final case class TopNQuery(
     finalizeFn: DataFrame => DataFrame = identity) {
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
     val (prepared0, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
     val prepared = stopFilter.fold(prepared0)(prepared0.filter)
@@ -434,6 +437,7 @@ final case class GroupByQuery(
     subtotalsSpec: Seq[Seq[String]] = null) {
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
     val (prepared, dimCols) = QueryCommon.prepareDims(filtered, dimensions)
     // aggregator-less groupBy is legal (the reference's SQL planner emits
@@ -504,6 +508,7 @@ final case class ScanQuery(
   }
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val obs = effectiveOrderBys
     // both kinds given and the orderBy is not that exact time order → IAE
     // (ScanQuery.java:586-589)
@@ -551,6 +556,7 @@ final case class SearchQuery(
     sort: String = "lexicographic") {
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
     // a multi-value dimension searches per ELEMENT (the reference's search
     // cursors iterate each row value — SURVEY §1.4); scalars cast to string
@@ -634,6 +640,7 @@ final case class TimeBoundaryQuery(
     bound: Option[String] = None) { // Some("minTime")/Some("maxTime")
 
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
     bound match {
       case Some("minTime") => filtered.agg(min(col(timeColumn)).as("minTime"))
@@ -645,8 +652,10 @@ final case class TimeBoundaryQuery(
 
 /** dataSourceMetadata (reference: query/datasourcemetadata/DataSourceMetadataQuery.java:43). */
 final case class DataSourceMetadataQuery(timeColumn: String = "__time") {
-  def run(ds: DataFrame): DataFrame =
+  def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     ds.agg(max(col(timeColumn)).as("maxIngestedEventTime"))
+  }
 }
 
 /** segmentMetadata (reference: query/metadata/metadata/SegmentMetadataQuery.java:46):
@@ -670,6 +679,7 @@ final case class SegmentMetadataQuery(exact: Boolean = false,
     // ingest spec that produced the table (BatchIngest.specOf)
     ingestSpec: Option[graft.sources.BatchIngest.IngestSpec] = None) {
   def run(ds: DataFrame): DataFrame = {
+    GraftSession.configure(ds.sparkSession)
     // One aggregate per column, unioned — NOT one aggregate with N exact
     // distincts: multiple count_distinct in one Aggregate makes Catalyst
     // Expand the input N× (one replica per distinct), an N-fold row blowup

@@ -35,6 +35,10 @@ final class AvaticaEndpoint(spark: SparkSession, serverAddress: String,
     maxRowsPerFrame: Int = 5000, minRowsPerFrame: Int = 100,
     maxResultRows: Int = 100000) {
 
+  // standalone-embedding path (Avatica without the HTTP facade): the
+  // engine's session defaults still apply
+  graft.GraftSession.configure(spark)
+
   /** DruidMeta.getEffectiveMaxRowsPerFrame: client/server maxima of -1 mean
     * unlimited; the result is coerced up to the server's minimum fetch size
     * (itself capped by the maximum — AvaticaServerConfig.getMinRowsPerFrame,

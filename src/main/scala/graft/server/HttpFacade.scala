@@ -380,6 +380,10 @@ object HttpFacade {
       lookups: LookupRegistry = LookupRegistry.global, port: Int = 0,
       maxResultRows: Int = 100000, maxConcurrentQueries: Int = 0,
       maxLowPercent: Int = 0, defaultContext: JObject = JObject()): Facade = {
+    // the embedder's session may ride Spark defaults (128-key hash-agg
+    // fallback, JVM timezone); the engine's plan guarantees are a library
+    // concern — apply them here, never clobbering explicit settings
+    graft.GraftSession.configure(spark)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // a request pool (vs the default single dispatcher thread) so a DELETE
     // cancellation can be served while a POST query is still executing —

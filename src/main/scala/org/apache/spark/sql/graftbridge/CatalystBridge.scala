@@ -19,6 +19,15 @@ object CatalystBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Whether a SQL conf key is explicitly SET on this session (present in
+    * the session-level settings map — builder options and sparkContext-conf
+    * SQL entries are copied there at session creation) as opposed to riding
+    * its registered default. RuntimeConfig.getOption cannot distinguish the
+    * two for keys that have defaults. */
+  def confIsSet(spark: org.apache.spark.sql.SparkSession, key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
+
   /** Session FunctionRegistry (private[sql] on the classic session). */
   def functionRegistry(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =

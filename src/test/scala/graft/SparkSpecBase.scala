@@ -16,13 +16,13 @@ object SparkSpecBase {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // keep first/last/any fold aggregates hash-planned past 128 groups
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // UTC + hash-agg fallback threshold come from the engine's own session
+    // defaults — the suites run the same path an embedder gets
+    graft.GraftSession.configure(s)
     s
   }
 }
