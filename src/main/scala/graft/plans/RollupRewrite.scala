@@ -40,13 +40,26 @@ import graft.functions.TimeFunctions
   */
 object RollupRewrite {
 
-  /** metric name on the base table → (op, rollup column).
-    * op ∈ sum | min | max | first | last | hll:
+  /** metric name on the base table → list of (op, rollup column) — one base
+    * column can back several rollup metrics (a theta sketch AND a sum, say).
+    * op ∈ sum | min | max | first | last | hll | theta | kll | tuple:<cols>:
     *   - sum/min/max: rollup column holds the partial aggregate
     *   - first/last: rollup column holds the (t, v) struct pair built by
     *     FirstLast.firstPair/lastPair
     *   - hll: rollup column holds a DataSketches HLL binary built by
     *     hll_sketch_agg(x)
+    *   - theta: rollup column holds a serialized theta sketch built by
+    *     SketchFunctions.thetaSketch(x); query-side ThetaSketchAgg refolds
+    *     via ThetaUnionAgg (the reference's SketchMergeAggregatorFactory —
+    *     getCombiningFactory over a COMPLEX metric column)
+    *   - kll: rollup column holds a serialized KLL doubles sketch
+    *     (kllSketch(x)); KllDoublesAgg refolds via KllMergeAgg
+    *     (DoublesSketchMergeAggregatorFactory)
+    *   - "tuple:v1,v2": rollup column holds an ArrayOfDoubles tuple sketch
+    *     keyed on the base column with value columns v1,v2 — a query's
+    *     TupleSketchAgg refolds via TupleUnionAgg only when its value
+    *     expressions spell the SAME signature
+    *     (ArrayOfDoublesSketchMergeAggregatorFactory)
     * countColumn: rollup column holding the per-group row count.
     *
     * CONTRACT: `dimensions` must be VALUE-IDENTICAL between base and rollup
@@ -63,7 +76,7 @@ object RollupRewrite {
       basePath: String,
       rollup: DataFrame,
       dimensions: Set[String],
-      metricMap: Map[String, (String, String)],
+      metricMap: Map[String, Seq[(String, String)]],
       countColumn: String,
       timeColumn: Option[String] = None,
       granularity: Option[Granularity] = None)
@@ -80,14 +93,34 @@ object RollupRewrite {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
-        catalog.all.view.flatMap { rd =>
+        val candidates = catalog.all.flatMap { rd =>
           unwrap(child, rd).collect {
             case (filters, subs)
                 if rewritable(agg.groupingExpressions.map(substitute(_, subs)),
                   agg.aggregateExpressions.map(substitute(_, subs)), rd) =>
-              rewrite(agg, rd, filters, subs)
+              (rd, filters, subs)
           }
-        }.headOption.getOrElse(agg)
+        }
+        if (candidates.isEmpty) agg
+        else {
+          // materialized-view SELECTION: several rollups of one base may be
+          // registered (P1D and P1M, say); among the eligible ones take the
+          // COARSEST granularity — it has the fewest rows to scan (a P1Y
+          // query reads ~1/30th the rows from the P1M table vs the P1D one)
+          val (rd, filters, subs) =
+            candidates.maxBy(c => granWidthApproxMs(c._1.granularity))
+          rewrite(agg, rd, filters, subs)
+        }
+    }
+
+    /** Approximate bucket width for rollup selection ONLY (eligibility was
+      * already verified exactly per candidate; this just ranks them). */
+    private def granWidthApproxMs(g: Option[Granularity]): Long = g match {
+      case Some(DurationGranularity(w, _)) => w
+      case Some(PeriodGranularity(p, _, _)) =>
+        val parts = TimeFunctions.periodParts(p)
+        parts.months * 2629800000L + parts.days * 86400000L + parts.millis
+      case _ => 0L
     }
 
     /** Inline expressions that intermediate Projects computed (the
@@ -369,29 +402,75 @@ object RollupRewrite {
       rd.timeColumn.exists(t => keyAttrs.subsetOf(outAttrs + t))
     }
 
+    private def hasMetric(rd: RollupDef, base: String, op: String): Boolean =
+      rd.metricMap.get(base).exists(_.exists(_._1 == op))
+    private def metricCol(rd: RollupDef, base: String, op: String): String =
+      rd.metricMap(base).find(_._1 == op).get._2
+
+    /** The (base key column, op signature) of a tuple sketch aggregate:
+      * value expressions must be plain columns or double literals so the
+      * signature is comparable with a stored rollup sketch's. */
+    private def tupleSig(tu: graft.plans.TupleSketchAgg): Option[(String, String)] = tu.key match {
+      case a: AttributeReference =>
+        val vs = tu.values.map {
+          case v: AttributeReference => Some(v.name)
+          case Literal(d: Double, _) => Some(d.toString)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined))
+          Some((a.name, "tuple:" + vs.flatten.mkString(","))) else None
+      case _ => None
+    }
+
+    private def aggFunOk(f: AggregateFunction, rd: RollupDef): Boolean = f match {
+      case Count(Seq(Literal(1, _))) => true
+      case Sum(a: AttributeReference, _) => hasMetric(rd, a.name, "sum")
+      case Min(a: AttributeReference) => hasMetric(rd, a.name, "min")
+      case Max(a: AttributeReference) => hasMetric(rd, a.name, "max")
+      case fl: graft.functions.FirstLastFoldAgg => fl.out match {
+        case a: AttributeReference =>
+          val op = if (fl.latest) "last" else "first"
+          hasMetric(rd, a.name, op) && firstLastKeyOk(fl.key, fl.out, rd)
+        case _ => false
+      }
+      case hll: HyperLogLogPlusPlus => hll.child match {
+        case a: AttributeReference => hasMetric(rd, a.name, "hll")
+        case _ => false
+      }
+      // sketch re-aggregation from stored COMPLEX columns — the reference
+      // does this for ANY complex metric (AggregatorFactory
+      // .getCombiningFactory; datasketches merge factories)
+      case th: graft.plans.ThetaSketchAgg => th.child match {
+        case a: AttributeReference => hasMetric(rd, a.name, "theta")
+        case _ => false
+      }
+      case kll: graft.plans.KllDoublesAgg => kll.child match {
+        case a: AttributeReference => hasMetric(rd, a.name, "kll")
+        case _ => false
+      }
+      case tu: graft.plans.TupleSketchAgg =>
+        tupleSig(tu).exists { case (k, sig) => hasMetric(rd, k, sig) }
+      case _ => false
+    }
+
     private def rewritable(groups: Seq[Expression], aggExprs: Seq[Expression],
         rd: RollupDef): Boolean = {
       val groupsOk = groups.forall(groupOk(_, rd))
       val aggsOk = aggExprs.forall {
         case a: AttributeReference => rd.dimensions.contains(a.name)
-        case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
-          case Count(Seq(Literal(1, _))) => true
-          case Sum(a: AttributeReference, _) => rd.metricMap.get(a.name).exists(_._1 == "sum")
-          case Min(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "min")
-          case Max(a: AttributeReference) => rd.metricMap.get(a.name).exists(_._1 == "max")
-          case fl: graft.functions.FirstLastFoldAgg => fl.out match {
-            case a: AttributeReference =>
-              val op = if (fl.latest) "last" else "first"
-              rd.metricMap.get(a.name).exists(_._1 == op) &&
-                firstLastKeyOk(fl.key, fl.out, rd)
+        // any expression over aggregates (a bare agg, or scalar post-work
+        // like theta_sketch_estimate(theta_sketch(x)) / round / casts):
+        // every nested aggregate must be derivable, and whatever reads a
+        // column OUTSIDE an aggregate must be a dimension
+        case Alias(e, _) if e.exists(_.isInstanceOf[AggregateExpression]) =>
+          val aggs = e.collect { case ae: AggregateExpression => ae }
+          aggs.forall {
+            case AggregateExpression(f, Complete, false, None, _) => aggFunOk(f, rd)
             case _ => false
+          } && {
+            val residual = e.transform { case _: AggregateExpression => Literal(1L) }
+            residual.references.forall(a => rd.dimensions.contains(a.name))
           }
-          case hll: HyperLogLogPlusPlus => hll.child match {
-            case a: AttributeReference => rd.metricMap.get(a.name).exists(_._1 == "hll")
-            case _ => false
-          }
-          case _ => false
-        }
         // a grouping expression echoed in the output (e.g. the aliased
         // date_trunc bucket — possibly denamed by the substitution when the
         // output referenced the pulled-out _groupingexpression directly)
@@ -433,14 +512,18 @@ object RollupRewrite {
         // an empty rollup table must yield 0, but sum(cnt) yields NULL
         case Count(Seq(Literal(1, _))) =>
           Coalesce(Seq(aggExpr(Sum(rollupAttr(rd.countColumn))), Literal(0L)))
-        case Sum(a: AttributeReference, _) => aggExpr(Sum(rollupAttr(rd.metricMap(a.name)._2)))
-        case Min(a: AttributeReference) => aggExpr(Min(rollupAttr(rd.metricMap(a.name)._2)))
-        case Max(a: AttributeReference) => aggExpr(Max(rollupAttr(rd.metricMap(a.name)._2)))
+        case Sum(a: AttributeReference, _) =>
+          aggExpr(Sum(rollupAttr(metricCol(rd, a.name, "sum"))))
+        case Min(a: AttributeReference) =>
+          aggExpr(Min(rollupAttr(metricCol(rd, a.name, "min"))))
+        case Max(a: AttributeReference) =>
+          aggExpr(Max(rollupAttr(metricCol(rd, a.name, "max"))))
         // EARLIEST/LATEST → refold the stored (t, v) pair (the reference's
         // first/last rollup lifecycle: fold pairs by time, emit the value)
         case fl: graft.functions.FirstLastFoldAgg =>
           val a = fl.out.asInstanceOf[AttributeReference]
-          val pairAttr = rollupAttr(rd.metricMap(a.name)._2)
+          val op = if (fl.latest) "last" else "first"
+          val pairAttr = rollupAttr(metricCol(rd, a.name, op))
           val idx = pairValueField(pairAttr.dataType).getOrElse(
             throw new IllegalStateException(
               s"rollup pair column ${pairAttr.name} lacks a 'v' field"))
@@ -450,17 +533,43 @@ object RollupRewrite {
         // approx_count_distinct → merge the stored DataSketches HLL column
         case hll: HyperLogLogPlusPlus =>
           val a = hll.child.asInstanceOf[AttributeReference]
-          val skAttr = rollupAttr(rd.metricMap(a.name)._2)
+          val skAttr = rollupAttr(metricCol(rd, a.name, "hll"))
           HllSketchEstimate(aggExpr(HllUnionAgg(skAttr, Literal(true))))
+        // theta/kll/tuple build → UNION of the stored serialized sketches
+        // (SketchMergeAggregatorFactory / DoublesSketchMergeAggregatorFactory
+        // / ArrayOfDoublesSketchMergeAggregatorFactory); any scalar post-op
+        // around the aggregate (estimate, quantile, rank) carries over
+        // unchanged because it reads the merged sketch bytes
+        case th: graft.plans.ThetaSketchAgg =>
+          val a = th.child.asInstanceOf[AttributeReference]
+          aggExpr(graft.plans.ThetaUnionAgg(rollupAttr(metricCol(rd, a.name, "theta")), th.lgK))
+        case kll: graft.plans.KllDoublesAgg =>
+          val a = kll.child.asInstanceOf[AttributeReference]
+          aggExpr(graft.plans.KllMergeAgg(rollupAttr(metricCol(rd, a.name, "kll")), kll.k))
+        case tu: graft.plans.TupleSketchAgg =>
+          val (k, sig) = tupleSig(tu).getOrElse(
+            throw new IllegalStateException(s"ineligible tuple agg $tu"))
+          aggExpr(graft.plans.TupleUnionAgg(rollupAttr(metricCol(rd, k, sig)),
+            tu.values.size, tu.lgK))
         case other => throw new IllegalStateException(s"unexpected agg $other")
+      }
+
+      // replace every nested AggregateExpression (a bare agg or one under
+      // scalar post-work like estimate/round) and remap the residual
+      // dimension references; hand-recursive so the REPLACEMENT's own new
+      // aggregate nodes are not re-visited
+      def replaceTree(ex: Expression): Expression = ex match {
+        case AggregateExpression(f, _, _, _, _) => replaceAgg(f)
+        case a: AttributeReference => rollupAttr(a.name)
+        case other => other.withNewChildren(other.children.map(replaceTree))
       }
 
       val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
         substitute(ne, subs) match {
           case a: AttributeReference =>
             Alias(rollupAttr(a.name), a.name)(exprId = a.exprId)
-          case al @ Alias(AggregateExpression(f, _, _, _, _), name) =>
-            Alias(replaceAgg(f), name)(exprId = al.exprId)
+          case al @ Alias(e, name) if e.exists(_.isInstanceOf[AggregateExpression]) =>
+            Alias(replaceTree(e), name)(exprId = al.exprId)
           case al @ Alias(e, name) => // echoed grouping expression
             Alias(remap(e), name)(exprId = al.exprId)
           case named: NamedExpression => named

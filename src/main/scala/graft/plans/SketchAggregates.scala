@@ -120,6 +120,117 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
   override def prettyName: String = s"theta_sketch_$op"
 }
 
+/** Union of SERIALIZED theta sketches across rows — the combining side of
+  * the reference's SketchMergeAggregatorFactory (isInputThetaSketch=true:
+  * re-aggregating a rollup segment's COMPLEX theta column,
+  * SketchAggregatorFactory.getCombiningFactory). Distinct from
+  * [[ThetaSketchAgg]], whose BinaryType update hashes the bytes as an ITEM. */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaUnionAgg = copy(child = c)
+  override def prettyName: String = "theta_sketch_union_agg"
+}
+
+/** Merge of SERIALIZED KLL doubles sketches across rows — the combining
+  * side of the reference's quantiles merge factory
+  * (DoublesSketchMergeAggregatorFactory). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(b))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllMergeAgg = copy(child = c)
+  override def prettyName: String = "kll_doubles_merge_agg"
+}
+
+/** Union of SERIALIZED ArrayOfDoubles tuple sketches across rows — the
+  * combining side of ArrayOfDoublesSketchMergeAggregatorFactory. */
+case class TupleUnionAgg(
+    child: Expression,
+    numValues: Int = 1,
+    lgK: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TupleSketchBuf] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): TupleSketchBuf =
+    new TupleSketchBuf(numValues, 1 << lgK)
+
+  override def update(buf: TupleSketchBuf, input: InternalRow): TupleSketchBuf = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.mergeIn(ArrayOfDoublesSketches.wrapSketch(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])).compact())
+    buf
+  }
+  override def merge(buf: TupleSketchBuf, other: TupleSketchBuf): TupleSketchBuf = {
+    buf.mergeIn(other); buf
+  }
+  override def eval(buf: TupleSketchBuf): Any = buf.result().toByteArray
+  override def serialize(buf: TupleSketchBuf): Array[Byte] = buf.result().toByteArray
+  override def deserialize(bytes: Array[Byte]): TupleSketchBuf = {
+    val b = createAggregationBuffer()
+    b.mergeIn(ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bytes)).compact())
+    b
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): TupleUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TupleUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TupleUnionAgg = copy(child = c)
+  override def prettyName: String = "ds_tuple_union_agg"
+}
+
 /** Mutable buffer for the tuple sketch aggregate: rows accumulate into an
   * updatable sketch; merges fold compacted sketches into a union. flush()
   * is idempotent, so result()/serialize() can be called safely at any
@@ -603,6 +714,15 @@ object SketchFunctions {
   def thetaSketch(col: Column, lgK: Int = 12): Column =
     c(ThetaSketchAgg(e(col), lgK).toAggregateExpression())
   def thetaEstimate(col: Column): Column = c(ThetaEstimate(e(col)))
+  /** Union a column OF serialized theta sketches (rollup re-aggregation). */
+  def thetaUnionAgg(col: Column, lgK: Int = 12): Column =
+    c(ThetaUnionAgg(e(col), lgK).toAggregateExpression())
+  /** Merge a column OF serialized KLL sketches (rollup re-aggregation). */
+  def kllMerge(col: Column, k: Int = 200): Column =
+    c(KllMergeAgg(e(col), k).toAggregateExpression())
+  /** Union a column OF serialized tuple sketches (rollup re-aggregation). */
+  def tupleUnionAgg(col: Column, numValues: Int = 1, lgK: Int = 12): Column =
+    c(TupleUnionAgg(e(col), numValues, lgK).toAggregateExpression())
   def thetaUnion(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "union"))
   def thetaIntersect(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "intersect"))
   def thetaNot(a: Column, b: Column): Column = c(ThetaSetOp(e(a), e(b), "not"))

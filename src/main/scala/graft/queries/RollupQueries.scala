@@ -32,19 +32,28 @@ object RollupQueries {
       val g = PeriodGranularity("P1D")
       val rollupPath =
         s"${System.getProperty("java.io.tmpdir")}/graft_rollup_gate_${Integer.toHexString(dir.hashCode)}"
+      import graft.plans.SketchFunctions.{thetaSketch, kllSketch, tupleSketch}
       s.read.parquet(basePath)
         .groupBy(g.bucket(col("o_orderdate")).as("o_orderdate"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          FirstLast.firstPair(col("o_totalprice"), col("o_orderdate")).as("first_pair"))
+          FirstLast.firstPair(col("o_totalprice"), col("o_orderdate")).as("first_pair"),
+          // COMPLEX metric columns: serialized sketches, re-aggregated by
+          // the rewrite's union refolds (the reference stores and re-merges
+          // these as a matter of course — getCombiningFactory)
+          thetaSketch(col("o_custkey")).as("theta_cust"),
+          kllSketch(col("o_totalprice"), k = 8192).as("kll_price"),
+          tupleSketch(col("o_custkey"), Seq(lit(1.0))).as("tuple_cust"))
         .write.mode("overwrite").parquet(rollupPath)
       val c = new Catalog
       c.register(RollupDef(
         basePath = basePath,
         rollup = s.read.parquet(rollupPath),
         dimensions = Set("o_orderstatus"),
-        metricMap = Map("o_totalprice" -> ("first", "first_pair")),
+        metricMap = Map(
+          "o_totalprice" -> Seq("first" -> "first_pair", "kll" -> "kll_price"),
+          "o_custkey" -> Seq("theta" -> "theta_cust", "tuple:1.0" -> "tuple_cust")),
         countColumn = "cnt",
         timeColumn = Some("o_orderdate"),
         granularity = Some(g)))
@@ -70,6 +79,25 @@ object RollupQueries {
         .select(col("m").cast("timestamp_ntz").as("m"), col("o_orderstatus"),
           col("cnt"), col("first_price"))
         .orderBy(col("m"), col("o_orderstatus"))
+    }),
+
+    // theta/kll/tuple sketch aggregates over the BASE table answered by
+    // UNION-refolding the rollup's stored sketch columns (plan-asserted in
+    // RollupRewriteSpec); every output is EXACT at the gate's scale (theta
+    // and tuple below nominal entries, KLL below k), so the DuckDB oracle
+    // over the raw table pins the values
+    "rollup_rewrite_sketch" -> ((s, dir) => {
+      ensureRollup(s, dir)
+      import graft.plans.SketchFunctions._
+      val base = s.read.parquet(s"$dir/orders.parquet")
+      base.groupBy(col("o_orderstatus"))
+        .agg(
+          round(thetaEstimate(thetaSketch(col("o_custkey")))).cast("long").as("nd_theta"),
+          kllQuantile(kllSketch(col("o_totalprice"), k = 8192), 0.5).as("q50_price"),
+          graft.functions.TextFunctions.round4(
+            kllRank(kllSketch(col("o_totalprice"), k = 8192), 150000.0)).as("rank_150k"),
+          tupleNumEntries(tupleSketch(col("o_custkey"), Seq(lit(1.0)))).as("nd_tuple"))
+        .orderBy(col("o_orderstatus"))
     }),
 
     // verifiably bucket-aligned time range + dimension filter over the
@@ -102,6 +130,15 @@ object RollupQueries {
         |      FROM orders GROUP BY 1, 2) g
         |JOIN first_rows f ON g.m = f.m AND g.o_orderstatus = f.o_orderstatus
         |ORDER BY 1, 2""".stripMargin,
+
+    "rollup_rewrite_sketch" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_theta,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS q50_price,
+        |  floor(CAST(sum(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*) * 10000.0 + 0.5) / 10000.0 AS rank_150k,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_tuple
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rollup_rewrite_filtered" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders

@@ -22,7 +22,7 @@ class RollupRewriteSpec extends SparkSpecBase {
       basePath = basePath,
       rollup = spark.read.parquet(rollupDir),
       dimensions = Set("l_returnflag", "l_linestatus"),
-      metricMap = Map("l_quantity" -> ("sum", "sum_qty")),
+      metricMap = Map("l_quantity" -> Seq("sum" -> "sum_qty")),
       countColumn = "cnt"))
     spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
@@ -118,7 +118,7 @@ class RollupRewriteSpec extends SparkSpecBase {
     val catalog = new Catalog
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set("l_returnflag", "l_linestatus"),
-      Map("l_quantity" -> ("sum", "sum_qty")), "cnt"))
+      Map("l_quantity" -> Seq("sum" -> "sum_qty")), "cnt"))
     spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
     try {
@@ -172,7 +172,7 @@ class RollupRewriteSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(rollupDir)
     val catalog = new Catalog
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
-      Set("o_orderpriority"), Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
+      Set("o_orderpriority"), Map("o_totalprice" -> Seq("sum" -> "sum_price")), "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
     spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
@@ -305,8 +305,8 @@ class RollupRewriteSpec extends SparkSpecBase {
     val catalog = new Catalog
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
       Set("o_orderpriority"),
-      Map("o_totalprice" -> ("first", "first_price_pair"),
-          "o_custkey" -> ("hll", "cust_hll")),
+      Map("o_totalprice" -> Seq("first" -> "first_price_pair"),
+          "o_custkey" -> Seq("hll" -> "cust_hll")),
       "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
     spark.experimental.extraOptimizations = Nil // clear any leaked rule
@@ -370,7 +370,7 @@ class RollupRewriteSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(rollupDir)
     val catalog = new Catalog
     catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
-      Set.empty, Map("o_totalprice" -> ("sum", "sum_price")), "cnt",
+      Set.empty, Map("o_totalprice" -> Seq("sum" -> "sum_price")), "cnt",
       timeColumn = Some("o_orderdate"), granularity = Some(g)))
     spark.experimental.extraOptimizations = Nil // clear any leaked rule
     RollupRewrite.enable(spark, catalog)
@@ -412,6 +412,112 @@ class RollupRewriteSpec extends SparkSpecBase {
     } finally { spark.experimental.extraOptimizations = Nil }
   }
 
+  test("theta/kll/tuple sketch aggregates refold stored COMPLEX sketch columns " +
+      "(SketchMergeAggregatorFactory / DoublesSketchMergeAggregatorFactory / " +
+      "ArrayOfDoublesSketchMergeAggregatorFactory)") {
+    import graft.plans.SketchFunctions._
+    val basePath = sf() + "/orders.parquet"
+    val rollupDir = java.nio.file.Files.createTempDirectory("graft_rollup_sk").toString
+    val g = graft.operators.PeriodGranularity("P1D")
+    spark.read.parquet(basePath)
+      .groupBy(g.bucket($"o_orderdate").as("o_orderdate"), $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        thetaSketch($"o_custkey").as("theta_cust"),
+        kllSketch($"o_totalprice", k = 8192).as("kll_price"),
+        tupleSketch($"o_custkey", Seq(lit(1.0))).as("tuple_cust"))
+      .write.mode("overwrite").parquet(rollupDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(rollupDir),
+      Set("o_orderpriority"),
+      Map("o_custkey" -> Seq("theta" -> "theta_cust", "tuple:1.0" -> "tuple_cust"),
+          "o_totalprice" -> Seq("kll" -> "kll_price")),
+      "cnt", timeColumn = Some("o_orderdate"), granularity = Some(g)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
+    try {
+      def query() = spark.read.parquet(basePath)
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(thetaEstimate(thetaSketch($"o_custkey"))).cast("long").as("nd_theta"),
+          kllQuantile(kllSketch($"o_totalprice", k = 8192), 0.5).as("q50"),
+          tupleNumEntries(tupleSketch($"o_custkey", Seq(lit(1.0)))).as("nd_tuple"))
+      val q = query()
+      val scanned = q.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("theta_cust") && scanned.contains("kll_price") &&
+        scanned.contains("tuple_cust"), s"sketch aggs not refolded: $scanned")
+      val got = q.collect().map(_.toString).sorted
+      spark.experimental.extraOptimizations = Nil
+      // below nominal/k everything is exact → base-scan values match exactly
+      val exp = query().collect().map(_.toString).sorted
+      spark.experimental.extraOptimizations = Nil // clear any leaked rule
+      RollupRewrite.enable(spark, catalog)
+      assert(got.sameElements(exp), s"refolded sketch values differ:\n${got.mkString("\n")}\nvs\n${exp.mkString("\n")}")
+
+      // a theta over an UNDECLARED column must NOT rewrite
+      val qNo = spark.read.parquet(basePath).groupBy($"o_orderpriority")
+        .agg(round(thetaEstimate(thetaSketch($"o_orderkey"))).as("nd"))
+      val scannedNo = qNo.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedNo.contains("theta_cust"),
+        s"undeclared theta wrongly rewritten: $scannedNo")
+
+      // a tuple sketch with a DIFFERENT value signature must NOT rewrite
+      val qSig = spark.read.parquet(basePath).groupBy($"o_orderpriority")
+        .agg(tupleNumEntries(tupleSketch($"o_custkey", Seq($"o_totalprice"))).as("nd"))
+      val scannedSig = qSig.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedSig.contains("tuple_cust"),
+        s"different-signature tuple wrongly rewritten: $scannedSig")
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
+  test("with P1D and P1M rollups registered the rule picks the COARSEST " +
+      "eligible one (materialized-view selection)") {
+    val basePath = sf() + "/orders.parquet"
+    val dayDir = java.nio.file.Files.createTempDirectory("graft_ru_day").toString
+    val monthDir = java.nio.file.Files.createTempDirectory("graft_ru_month").toString
+    val gD = graft.operators.PeriodGranularity("P1D")
+    val gM = graft.operators.PeriodGranularity("P1M")
+    spark.read.parquet(basePath)
+      .groupBy(gD.bucket($"o_orderdate").as("o_orderdate"))
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("sum_price_day"))
+      .write.mode("overwrite").parquet(dayDir)
+    spark.read.parquet(basePath)
+      .groupBy(gM.bucket($"o_orderdate").as("o_orderdate"))
+      .agg(count(lit(1)).as("cnt"), sum($"o_totalprice").as("sum_price_month"))
+      .write.mode("overwrite").parquet(monthDir)
+    val catalog = new Catalog
+    catalog.register(RollupDef(basePath, spark.read.parquet(dayDir),
+      Set.empty, Map("o_totalprice" -> Seq("sum" -> "sum_price_day")), "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(gD)))
+    catalog.register(RollupDef(basePath, spark.read.parquet(monthDir),
+      Set.empty, Map("o_totalprice" -> Seq("sum" -> "sum_price_month")), "cnt",
+      timeColumn = Some("o_orderdate"), granularity = Some(gM)))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
+    try {
+      // a YEAR query: both eligible, the P1M table wins (≈1/30th the rows)
+      val qy = spark.read.parquet(basePath)
+        .groupBy(date_trunc("year", $"o_orderdate").as("y"))
+        .agg(count(lit(1)).as("n"))
+      val scannedY = qy.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scannedY.contains("sum_price_month"),
+        s"year query did not pick the coarser P1M rollup: $scannedY")
+      // a DAY query: only the P1D table qualifies
+      val qd = spark.read.parquet(basePath)
+        .groupBy(date_trunc("day", $"o_orderdate").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val scannedD = qd.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scannedD.contains("sum_price_day"),
+        s"day query did not pick the P1D rollup: $scannedD")
+      // values from the coarser table still match the base scan
+      val got = qy.collect().map(_.toString).sorted
+      spark.experimental.extraOptimizations = Nil
+      val exp = spark.read.parquet(basePath)
+        .groupBy(date_trunc("year", $"o_orderdate").as("y"))
+        .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted
+      assert(got.sameElements(exp))
+    } finally { spark.experimental.extraOptimizations = Nil }
+  }
+
   test("the oracle-gated rollup queries (SparkEntry registry) redirect — plan-asserted") {
     spark.experimental.extraOptimizations = Nil // start from a clean session
     try {
@@ -425,6 +531,12 @@ class RollupRewriteSpec extends SparkSpecBase {
       assert(scanned2.contains("cnt"),
         s"rollup_rewrite_filtered did not redirect: $scanned2")
       assert(q2.count() > 0)
+      val q3 = graft.queries.RollupQueries.queries("rollup_rewrite_sketch")(spark, sf())
+      val scanned3 = q3.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned3.contains("theta_cust") && scanned3.contains("kll_price") &&
+        scanned3.contains("tuple_cust"),
+        s"rollup_rewrite_sketch did not refold the stored sketches: $scanned3")
+      assert(q3.count() > 0)
     } finally spark.experimental.extraOptimizations = Nil
   }
 }
