@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base
 
 mkdir -p "$WORK"
 
@@ -65,7 +65,12 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           "topn_supplier_revenue": 20, "segment_metadata_full": 20,
           # round-10 additions: the hash-planned first/last pair refold and
           # the bounded expression-lambda fold, both over the 60M-row fact
-          "agg_first_last_rollup": 20, "native_lambda_fold": 10}
+          "agg_first_last_rollup": 20, "native_lambda_fold": 10,
+          # round-11: the rollup rewrite's win measured, not assumed — the
+          # rewritten query scans the (tiny) P1D rollup and must stay
+          # near-flat at 100x, while its base-pinned twin (same aggregation,
+          # rewrite disqualified by a metric predicate) scans 100x orders
+          "rollup_rewrite_coarse": 15, "rollup_rewrite_base": 40}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():
@@ -78,6 +83,9 @@ for q, b in budget.items():
     print(f"{q:26s} {t0:8.1f} {t1:8.1f} {ratio:8.1f} {b:8d}  {'OK' if ok else 'OVER BUDGET'}")
     if not ok:
         fail.append(f"{q}: {t1:.1f}s > {b}s budget")
+rc, rb = sf10.get("rollup_rewrite_coarse"), sf10.get("rollup_rewrite_base")
+if rc and rb:
+    print(f"[scale_check] rollup rewrite win at sf10: base {rb:.1f}s / rewritten {rc:.1f}s = {rb/rc:.1f}x")
 if fail:
     print("SCALE REGRESSION:\n  " + "\n  ".join(fail))
     sys.exit(1)

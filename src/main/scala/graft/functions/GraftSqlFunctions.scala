@@ -95,6 +95,12 @@ object GraftSqlFunctions {
     }
   }
   private def notLit(e: Expression): Boolean = !e.isInstanceOf[Literal]
+  /** Is the (resolved) argument a BINARY column — i.e. a stored serialized
+    * sketch the DS_* aggregates should MERGE rather than update as items?
+    * Unresolvable inputs default to the build path. */
+  private def inputIsBinary(e: Expression): Boolean =
+    try e.resolved && e.dataType == org.apache.spark.sql.types.BinaryType
+    catch { case _: Throwable => false }
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Number, _) => v.intValue()
     case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
@@ -739,7 +745,13 @@ object GraftSqlFunctions {
     // --- sketches (DS_* family) ---
     "theta_sketch" -> { args =>
       val lgK = if (args.size > 1) litInt(args(1), "theta_sketch") else 12
-      graft.plans.ThetaSketchAgg(args(0), lgK).toAggregateExpression()
+      // over a BINARY column the input is pre-built sketches and the
+      // aggregate UNIONS them — Druid's APPROX_COUNT_DISTINCT_DS_THETA /
+      // DS_THETA over a stored COMPLEX metric column resolves to the merge
+      // factory the same way (ThetaSketchApproxCountDistinctSqlAggregator:
+      // complex input → SketchMergeAggregatorFactory)
+      (if (inputIsBinary(args(0))) graft.plans.ThetaUnionAgg(args(0), lgK)
+       else graft.plans.ThetaSketchAgg(args(0), lgK)).toAggregateExpression()
     },
     "theta_sketch_estimate" -> { args => graft.plans.ThetaEstimate(args(0)) },
     // Druid HyperLogLogCollector BINARY interop (read path; SURVEY §7.3):
@@ -759,7 +771,10 @@ object GraftSqlFunctions {
     "theta_sketch_not" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "not") },
     "ds_quantiles_sketch" -> { args =>
       val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch") else 200
-      graft.plans.KllDoublesAgg(args(0), k).toAggregateExpression()
+      // BINARY input = stored sketch column → MERGE (DoublesSketchSql
+      // Aggregator over a COMPLEX column picks the merge factory)
+      (if (inputIsBinary(args(0))) graft.plans.KllMergeAgg(args(0), k)
+       else graft.plans.KllDoublesAgg(args(0), k)).toAggregateExpression()
     },
     // classic DoublesSketch bytes — the reference's quantiles wire format
     // (write-side interop; the DS_* post-aggs family-dispatch both)

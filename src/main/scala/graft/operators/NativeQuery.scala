@@ -1031,9 +1031,13 @@ object NativeQuery {
         strOpt(a \ "type") match {
           case Some("thetaSketch") if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.thetaEstimate(c)))
-          case Some("arrayOfDoublesSketch") =>
+          // shouldFinalize=false keeps the serialized bytes — the shape a
+          // re-aggregating outer query (or a rollup sink) consumes
+          case Some("arrayOfDoublesSketch")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.tupleEstimate(c)))
-          case Some("quantilesDoublesSketch" | "quantilesDoublesSketchMerge") =>
+          case Some("quantilesDoublesSketch" | "quantilesDoublesSketchMerge")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.kllN(c)))
           case Some("HLLSketchBuild" | "HLLSketchMerge") =>
             val doRound = boolOpt(a \ "round").getOrElse(false)
@@ -1071,6 +1075,16 @@ object NativeQuery {
     case JNothing | JNull => Seq(Agg("count", count(lit(1))))
     case a => arr(a).map(aggregation(_, timeCol, input))
   }
+
+  /** Does the aggregator's fieldName resolve to a BINARY column of the
+    * datasource? The signal the sketch factories use to pick MERGE over
+    * BUILD for stored COMPLEX metric columns. */
+  private def fieldIsBinary(j: JValue, input: DataFrame): Boolean =
+    (j \ "fieldName") match {
+      case JString(n) => input != null && input.schema.fields.exists(fld =>
+        fld.name == n && fld.dataType == org.apache.spark.sql.types.BinaryType)
+      case _ => false
+    }
 
   private def aggregation(j: JValue, timeCol: String, input: DataFrame): Agg = {
     def name = str(j \ "name") // lazy: "filtered" may carry the name on the inner aggregator
@@ -1149,11 +1163,28 @@ object NativeQuery {
       case "thetaSketch" =>
         val lgK = intOpt(j \ "size")
           .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
-        Agg(name, graft.plans.SketchFunctions.thetaSketch(f, lgK))
+        // SketchMergeAggregatorFactory: pre-built sketch inputs UNION
+        // instead of updating as items — forced by isInputThetaSketch,
+        // auto-detected for BINARY columns (a stored COMPLEX theta metric,
+        // e.g. a rollup segment re-aggregated at query time;
+        // SketchAggregatorFactory.java isInputThetaSketch + factorize)
+        val sketchInput = boolOpt(j \ "isInputThetaSketch")
+          .getOrElse(fieldIsBinary(j, input))
+        Agg(name,
+          if (sketchInput) graft.plans.SketchFunctions.thetaUnionAgg(f, lgK)
+          else graft.plans.SketchFunctions.thetaSketch(f, lgK))
       // quantiles sketch (DoublesSketchModule.java:46 "quantilesDoublesSketch";
-      // the KLL family is this engine's quantile sketch — exact while n ≤ k)
+      // the KLL family is this engine's quantile sketch — exact while n ≤ k).
+      // The Merge spelling — and a BINARY input column on the build spelling
+      // (DoublesSketchAggregatorFactory over a COMPLEX stored metric) —
+      // MERGES serialized sketches instead of updating values.
       case "quantilesDoublesSketch" | "quantilesDoublesSketchMerge" =>
-        Agg(name, graft.plans.SketchFunctions.kllSketch(f, intOpt(j \ "k").getOrElse(128)))
+        val k = intOpt(j \ "k").getOrElse(128)
+        val merge = str(j \ "type") == "quantilesDoublesSketchMerge" ||
+          fieldIsBinary(j, input)
+        Agg(name,
+          if (merge) graft.plans.SketchFunctions.kllMerge(f, k)
+          else graft.plans.SketchFunctions.kllSketch(f, k))
       // HLL sketches (HllSketchModule.java:49-50) over Spark's DataSketches-
       // backed HLL functions; Merge unions pre-built sketch bytes. A
       // MULTI-VALUE (array) column updates once per ELEMENT (the reference's
@@ -1210,12 +1241,19 @@ object NativeQuery {
         val maxN = intOpt(j \ "maxNumEntries").getOrElse(1500)
         Agg(name, base64(graft.plans.BloomFunctions.druidBloomAgg(fieldCol, maxN.toLong)))
       // ArrayOfDoublesSketchAggregatorFactory: fieldName is the key,
-      // metricColumns the carried double metrics, nominalEntries the size
+      // metricColumns the carried double metrics, nominalEntries the size.
+      // With NO metricColumns the input is pre-built sketches and the
+      // aggregate UNIONS them (the factory's documented merge mode —
+      // "metricColumns should be omitted when the input is sketches")
       case "arrayOfDoublesSketch" =>
         val metrics = arr(j \ "metricColumns").map { case JString(s) => col(s); case x => col(str(x)) }
         val lgK = intOpt(j \ "nominalEntries")
           .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
-        Agg(name, graft.plans.SketchFunctions.tupleSketch(f, metrics, lgK))
+        Agg(name,
+          if (metrics.isEmpty)
+            graft.plans.SketchFunctions.tupleUnionAgg(f,
+              intOpt(j \ "numberOfValues").getOrElse(1), lgK)
+          else graft.plans.SketchFunctions.tupleSketch(f, metrics, lgK))
       case "filtered" =>
         // FILTER(WHERE) via conditional input (FilteredAggregatorFactory)
         val pred = filter(j \ "filter")

@@ -250,6 +250,15 @@ object Similarity {
     // every round (measured 10.8 s → 1.9 s at sf0.1 from this alone).
     val p = math.max(1L, math.min(edges0.sparkSession.sparkContext.defaultParallelism.toLong,
       edges0.count() / 500000L + 1L)).toInt
+    // Pin the ITERATION's shuffle width to p as well: the session default
+    // (sized for corpus-scale scans) would schedule that many near-empty
+    // tasks per join/groupBy stage, per round — pure scheduling floor on a
+    // graph this small. Restored in the finally; the loop is the only query
+    // running on this thread's planning window.
+    val spark0 = edges0.sparkSession
+    val prevShuffle = spark0.conf.get("spark.sql.shuffle.partitions")
+    spark0.conf.set("spark.sql.shuffle.partitions", p.toString)
+    try {
     val edges = edges0.repartition(p, col("dst")).localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -264,31 +273,44 @@ object Similarity {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // one min-propagation + pointer-jump iteration (label := label of
+    // label — path compression keeps rounds at O(log diameter); labels
+    // only decrease, and the label node's own label is always ≤ it)
+    def step(in: DataFrame): DataFrame = {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .join(in.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
-      val nbrMin = labels.unionByName(viaNeighbor)
+      val nbrMin = in.unionByName(viaNeighbor)
         .groupBy("id").agg(min("label").as("label"))
-      // pointer jumping (label := label of label): path compression halves
-      // the rounds to O(log diameter) — labels only decrease, and the label
-      // node's own label is always ≤ it
-      val jumped = nbrMin.as("c")
+      nbrMin.as("c")
         .join(nbrMin.select(col("id").as("label"), col("label").as("label2")).as("p"),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-      // re-alias above the checkpoint: fresh expression ids per round, so
-      // next round's self-referencing union (labels ∪ f(labels)) never
+    }
+    while (!converged && iter < maxIter) {
+      // TWO iterations per checkpoint+probe cycle: the per-cycle fixed cost
+      // (an eager materialization plus one driver-side aggregate) dominates
+      // on the small post-banding graph, so halving the number of cycles
+      // cuts the driver round-trips that made this the slowest gate query;
+      // the un-checkpointed intermediate only doubles plan depth per cycle.
+      // re-alias above the checkpoint: fresh expression ids per cycle, so
+      // the next cycle's self-referencing union (labels ∪ f(labels)) never
       // carries duplicate attribute ids into Union constraint rewriting
       // (key-not-found analysis failure otherwise)
-      labels = jumped.localCheckpoint(true)
+      val t0 = System.nanoTime()
+      labels = step(step(labels)).localCheckpoint(true)
         .select(col("id").as("id"), col("label").as("label"))
+      val t1 = System.nanoTime()
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      iter += 1
+      iter += 2
+      System.err.println(f"[graft-cc] rounds=$iter cycle=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
     }
+    // labels is already checkpointed — the projection on top replans
+    // nothing, so restoring the session conf here is safe
     labels.select(col("id"), col("label").as("cluster_id"))
+    } finally spark0.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Brute-force cosine top-k: exact baseline for ANN. Queries broadcast;

@@ -86,6 +86,14 @@ object RollupRewrite {
   final class Catalog {
     private val defs = scala.collection.mutable.ArrayBuffer.empty[RollupDef]
     def register(d: RollupDef): Unit = defs synchronized { defs += d }
+    /** Replace any def for the same (basePath, granularity) — streamed
+      * rollups re-snapshot their parquet DataFrame per micro-batch commit
+      * (StreamingIngest.handoffToCatalog). */
+    def replace(d: RollupDef): Unit = defs synchronized {
+      defs.filterInPlace(x =>
+        !(x.basePath == d.basePath && x.granularity == d.granularity))
+      defs += d
+    }
     def all: Seq[RollupDef] = defs synchronized { defs.toList }
   }
 

@@ -95,6 +95,33 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // sketch MERGE factories end-to-end: the inner query BUILDS per-group
+    // theta sketches (shouldFinalize=false keeps the serialized bytes), the
+    // outer re-aggregates them with isInputThetaSketch — the reference's
+    // rollup-segment re-aggregation shape (SketchMergeAggregatorFactory).
+    // Exact below nominal entries, so the DuckDB oracle pins the value.
+    "native_sketch_merge" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "dataSource": "orders",
+            "timeColumn": "o_orderdate",
+            "dimensions": ["o_orderstatus"],
+            "aggregations": [
+              {"type": "thetaSketch", "name": "sk_cust", "fieldName": "o_custkey",
+               "shouldFinalize": false}
+            ]
+          }},
+          "dimensions": [],
+          "aggregations": [
+            {"type": "thetaSketch", "name": "nd_cust", "fieldName": "sk_cust",
+             "isInputThetaSketch": true}
+          ]
+        }""", res(s, dir))
+    }),
+
     // implicit limit ordering on a NUMERIC dimension: the merge order is
     // TYPED natural comparison (RowBasedGrouperHelper.compareDimsInRows —
     // LONG dims numerically), so a limit with no orderBy columns returns
@@ -584,6 +611,10 @@ object NativeQueries {
     "native_groupby_numeric_limit" ->
       """SELECT o_custkey AS custkey, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY custkey LIMIT 7""".stripMargin,
+
+    // theta estimates are exact (integral doubles) below nominal capacity
+    "native_sketch_merge" ->
+      "SELECT CAST(count(DISTINCT o_custkey) AS DOUBLE) AS nd_cust FROM orders",
 
     // hand-computed golden rows (reference-style expected-result test): the
     // version comparator admits exactly {1.2.10×2, 1.10.0, 2.0.0} and orders

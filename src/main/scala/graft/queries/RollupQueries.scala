@@ -33,7 +33,15 @@ object RollupQueries {
       val rollupPath =
         s"${System.getProperty("java.io.tmpdir")}/graft_rollup_gate_${Integer.toHexString(dir.hashCode)}"
       import graft.plans.SketchFunctions.{thetaSketch, kllSketch, tupleSketch}
+      // Shuffle by the GROUP KEY before aggregating: the k=8192 KLL buffer
+      // preallocates ~64 KB per group, and a map-side partial would hold
+      // one buffer for EVERY group present in the input partition (all of
+      // them, on randomly-ordered input) — ~460 MB per task at 100×. After
+      // the repartition each partition holds only its own groups, the
+      // aggregate recognizes the partitioning and adds no second shuffle,
+      // and per-task sketch memory is bounded by groups/partitions.
       s.read.parquet(basePath)
+        .repartition(g.bucket(col("o_orderdate")), col("o_orderstatus"))
         .groupBy(g.bucket(col("o_orderdate")).as("o_orderdate"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
           min(col("o_totalprice")).as("min_price"),
@@ -72,6 +80,26 @@ object RollupQueries {
       ensureRollup(s, dir)
       val base = s.read.parquet(s"$dir/orders.parquet")
       base
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.FirstLastAgg.earliest(col("o_totalprice"),
+            struct(col("o_orderdate"), col("o_totalprice"))).as("first_price"))
+        .select(col("m").cast("timestamp_ntz").as("m"), col("o_orderstatus"),
+          col("cnt"), col("first_price"))
+        .orderBy(col("m"), col("o_orderstatus"))
+    }),
+
+    // the SAME aggregation as rollup_rewrite_coarse pinned to the BASE scan
+    // (a predicate on a metric column disqualifies the rewrite BY DESIGN —
+    // rollup rows cannot answer it; o_totalprice is never null or negative
+    // so the values are identical). The scale gate runs both at sf10 and
+    // prints them side by side, so the rewrite's win is measured, not
+    // assumed.
+    "rollup_rewrite_base" -> ((s, dir) => {
+      ensureRollup(s, dir)
+      val base = s.read.parquet(s"$dir/orders.parquet")
+      base
+        .filter(col("o_totalprice") >= 0)
         .groupBy(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"),
           graft.functions.FirstLastAgg.earliest(col("o_totalprice"),
@@ -128,6 +156,20 @@ object RollupQueries {
         |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
         |             o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
         |      FROM orders GROUP BY 1, 2) g
+        |JOIN first_rows f ON g.m = f.m AND g.o_orderstatus = f.o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rollup_rewrite_base" ->
+      """WITH first_rows AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |         o_orderstatus, o_totalprice AS first_price
+        |  FROM orders WHERE o_totalprice >= 0
+        |  QUALIFY row_number() OVER (PARTITION BY date_trunc('month', o_orderdate), o_orderstatus
+        |                             ORDER BY o_orderdate ASC, o_totalprice ASC) = 1)
+        |SELECT g.m, g.o_orderstatus, g.cnt, f.first_price
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+        |             o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM orders WHERE o_totalprice >= 0 GROUP BY 1, 2) g
         |JOIN first_rows f ON g.m = f.m AND g.o_orderstatus = f.o_orderstatus
         |ORDER BY 1, 2""".stripMargin,
 

@@ -113,6 +113,38 @@ object StreamingIngest {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerInterval))
 
+  /** Streamed-rollup HANDOFF to the query path: register the parquet rollup
+    * a streaming query writes into a [[graft.plans.RollupRewrite.Catalog]],
+    * re-snapshotting after every committed micro-batch — a parquet DataFrame
+    * pins its file listing at creation, so each commit re-reads the path to
+    * expose the new files. Aggregates over `mkDef`'s base table are then
+    * answered from the streamed rollup, exactly the reference's
+    * realtime-segment story (in-flight segments are queryable through the
+    * same toolchest merge as historical ones; SeekableStreamIndexTask's
+    * incremental handoff).
+    *
+    * Returns the refresh thunk: the streaming listener calls it after every
+    * progress event (async); callers that need a deterministic handoff
+    * point (tests, a synchronous publish step) can invoke it directly after
+    * `processAllAvailable()`.
+    */
+  def handoffToCatalog(spark: SparkSession, query: StreamingQuery,
+      catalog: graft.plans.RollupRewrite.Catalog, rollupPath: String,
+      mkDef: DataFrame => graft.plans.RollupRewrite.RollupDef): () => Unit = {
+    def refresh(): Unit =
+      try catalog.replace(mkDef(spark.read.parquet(rollupPath)))
+      catch { case scala.util.control.NonFatal(_) => () } // no files committed yet
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.id == query.id) refresh()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
+    refresh()
+    refresh _
+  }
+
   /** End-to-end convenience: Kafka → transform → exactly-once parquet.
     * Registers as a `sys.supervisors` entry (the reference's kafka
     * supervisor ≈ one Structured Streaming query). */

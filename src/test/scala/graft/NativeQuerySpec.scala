@@ -468,6 +468,79 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(sorted(""", "dimensionOrder": "numeric"""") == Seq(10.0, 9.0, 2.0))
   }
 
+  test("sketch MERGE factories on the JSON surface: isInputThetaSketch, " +
+      "binary auto-detect, quantilesDoublesSketchMerge, and metricColumns-less " +
+      "arrayOfDoublesSketch union pre-built sketches " +
+      "(SketchMergeAggregatorFactory / DoublesSketchMergeAggregatorFactory)") {
+    // inner query builds per-group sketches (shouldFinalize=false keeps the
+    // serialized bytes); the outer re-aggregates them — the rollup-segment
+    // re-aggregation shape
+    def outer(aggJson: String, post: String = ""): DataFrame = run(
+      s"""{
+        "queryType": "timeseries",
+        "granularity": "all",
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "dimensions": ["o_orderstatus"],
+          "aggregations": [
+            {"type": "thetaSketch", "name": "sk_cust", "fieldName": "o_custkey",
+             "shouldFinalize": false},
+            {"type": "quantilesDoublesSketch", "name": "sk_price",
+             "fieldName": "o_totalprice", "k": 4096, "shouldFinalize": false},
+            {"type": "arrayOfDoublesSketch", "name": "sk_tuple",
+             "fieldName": "o_custkey", "metricColumns": ["o_totalprice"],
+             "shouldFinalize": false}
+          ]
+        }},
+        "aggregations": [$aggJson],
+        "postAggregations": [$post]
+      }""")
+
+    val exactNd = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_custkey").distinct().count()
+
+    // explicit isInputThetaSketch=true → union of the stored sketches
+    val viaFlag = outer(
+      """{"type": "thetaSketch", "name": "nd", "fieldName": "sk_cust",
+         "isInputThetaSketch": true}""").head()
+    assert(math.round(viaFlag.getDouble(viaFlag.length - 1)) == exactNd)
+
+    // no flag: the BINARY schema of the inner result auto-detects merge —
+    // an item-update over bytes would instead count 3 "distinct" blobs
+    val autod = outer(
+      """{"type": "thetaSketch", "name": "nd", "fieldName": "sk_cust"}""").head()
+    assert(math.round(autod.getDouble(autod.length - 1)) == exactNd)
+
+    // quantilesDoublesSketchMerge: merged KLL equals a direct build (exact
+    // below k) — checked via the median post-agg
+    val med = outer(
+      """{"type": "quantilesDoublesSketchMerge", "name": "sk", "fieldName": "sk_price", "k": 4096}""",
+      """{"type": "quantilesDoublesSketchToQuantile", "name": "q50",
+          "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.5}""")
+    val direct = run(
+      """{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": "orders", "timeColumn": "o_orderdate",
+        "aggregations": [{"type": "quantilesDoublesSketch", "name": "sk",
+                          "fieldName": "o_totalprice", "k": 4096}],
+        "postAggregations": [{"type": "quantilesDoublesSketchToQuantile", "name": "q50",
+          "field": {"type": "fieldAccess", "fieldName": "sk"}, "fraction": 0.5}]
+      }""")
+    assert(med.head().getDouble(med.head().length - 1) ==
+      direct.head().getDouble(direct.head().length - 1))
+
+    // arrayOfDoublesSketch with NO metricColumns = union of pre-built
+    // tuple sketches; distinct-key estimate equals the exact count
+    val tup = outer(
+      """{"type": "arrayOfDoublesSketch", "name": "sk", "fieldName": "sk_tuple",
+         "numberOfValues": 1}""",
+      """{"type": "arrayOfDoublesSketchToEstimate", "name": "nd",
+          "field": {"type": "fieldAccess", "fieldName": "sk"}}""")
+    assert(math.round(tup.head().getDouble(tup.head().length - 1)) == exactNd)
+  }
+
   test("implicit limit ordering compares numeric dims by TYPED natural order " +
       "(RowBasedGrouperHelper.compareDimsInRows: LONG/DOUBLE numeric, naturalNullsFirst)") {
     def dims(limitSpec: String, dimType: String, rows: String): Seq[Any] =

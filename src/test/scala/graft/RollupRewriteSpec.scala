@@ -531,6 +531,12 @@ class RollupRewriteSpec extends SparkSpecBase {
       assert(scanned2.contains("cnt"),
         s"rollup_rewrite_filtered did not redirect: $scanned2")
       assert(q2.count() > 0)
+      // the base-pinned twin must NOT redirect (its metric predicate
+      // disqualifies the rewrite by design — it measures the base scan)
+      val qb = graft.queries.RollupQueries.queries("rollup_rewrite_base")(spark, sf())
+      val scannedB = qb.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(!scannedB.contains("first_pair"),
+        s"rollup_rewrite_base wrongly redirected: $scannedB")
       val q3 = graft.queries.RollupQueries.queries("rollup_rewrite_sketch")(spark, sf())
       val scanned3 = q3.queryExecution.optimizedPlan.collectLeaves().mkString
       assert(scanned3.contains("theta_cust") && scanned3.contains("kll_price") &&

@@ -86,6 +86,77 @@ class StreamingIngestSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamed rollup (pair + sketch metrics) hands off to the rewrite " +
+      "catalog: a query over the BASE is answered from the streamed rollup " +
+      "after a micro-batch commit (realtime-segment handoff analog)") {
+    import graft.plans.RollupRewrite
+    import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate}
+    import graft.operators.FirstLast
+    import graft.functions.FirstLastAgg
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ru").toString
+    // the finalized events — the batch "base table" a user would query
+    val finalized = Seq(
+      Ev(t("2024-01-01 00:01:00"), "alice", 5.0),
+      Ev(t("2024-01-01 00:02:30"), "alice", 2.0),
+      Ev(t("2024-01-01 00:07:00"), "alice", 9.0),
+      Ev(t("2024-01-01 00:03:00"), "bob", 7.0),
+      Ev(t("2024-01-01 00:08:00"), "bob", 1.0))
+    val basePath = s"$dir/events_base.parquet"
+    finalized.map(e => (e.ts, e.user, e.value)).toDF("ts", "user", "value")
+      .write.mode("overwrite").parquet(basePath)
+
+    val mem = MemoryStream[Ev]
+    val spec = StreamIngestSpec(
+      timeColumn = "ts",
+      lateMessageRejectionPeriod = "1 minutes",
+      rollup = Some(RollupSpec(PeriodGranularity("PT5M"), Seq("user"), Seq(
+        Agg("cnt", count(lit(1))),
+        Agg("first_pair", FirstLast.firstPair(col("value"), col("ts"))),
+        Agg("theta_v", thetaSketch(col("value")))))))
+    val rollupPath = s"$dir/rollup"
+    val q = StreamingIngest.sink(StreamingIngest.transform(mem.toDF(), spec),
+      rollupPath, s"$dir/ckpt", "1 seconds").start()
+    val catalog = new RollupRewrite.Catalog
+    val refresh = StreamingIngest.handoffToCatalog(spark, q, catalog, rollupPath,
+      rollup => RollupRewrite.RollupDef(
+        basePath = basePath,
+        rollup = rollup,
+        dimensions = Set("user"),
+        metricMap = Map("value" -> Seq("first" -> "first_pair", "theta" -> "theta_v")),
+        countColumn = "cnt",
+        timeColumn = Some("ts"),
+        granularity = Some(PeriodGranularity("PT5M"))))
+    spark.experimental.extraOptimizations = Nil // clear any leaked rule
+    RollupRewrite.enable(spark, catalog)
+    try {
+      mem.addData(finalized: _*)
+      q.processAllAvailable()
+      // flush event far ahead: advances the watermark so the real windows
+      // close and commit (its own window stays open, and it is not in the
+      // base table either)
+      mem.addData(Ev(t("2024-01-01 06:00:00"), "flush", 0.0))
+      q.processAllAvailable()
+      refresh() // deterministic handoff point (the listener path is async)
+
+      val query = spark.read.parquet(basePath)
+        .groupBy($"user")
+        .agg(count(lit(1)).as("n"),
+          FirstLastAgg.earliest($"value", struct($"ts", $"value")).as("first_v"),
+          round(thetaEstimate(thetaSketch($"value"))).cast("long").as("nd_v"))
+      val scanned = query.queryExecution.optimizedPlan.collectLeaves().mkString
+      assert(scanned.contains("first_pair") && scanned.contains("theta_v"),
+        s"base query not answered from the streamed rollup: $scanned")
+      val rows = query.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(rows == Set(("alice", 3L, 5.0, 3L), ("bob", 2L, 7.0, 2L)),
+        s"streamed-rollup answers differ: $rows")
+    } finally {
+      q.stop()
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("periodToInterval translates ISO periods") {
     assert(StreamingIngest.periodToInterval("PT5M") == "300 seconds")
     assert(StreamingIngest.periodToInterval("P1D") == "86400 seconds")
