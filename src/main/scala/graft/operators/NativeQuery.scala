@@ -151,7 +151,18 @@ object NativeQuery {
         ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
-        val dims = arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
+        // a non-ALL granularity buckets __time into an implicit LEADING
+        // dimension (GroupByQuery's ResultRow carries the bucket timestamp
+        // first; the merge orders by it before the dims) — `none` keeps
+        // every distinct timestamp (NoneGranularity)
+        val granDims: Seq[DimSpec] = granularity(q \ "granularity") match {
+          case AllGranularity => Nil
+          case NoneGranularity =>
+            Seq(ExprDim(col(timeCol).cast("timestamp_ntz"), timeCol))
+          case g: PeriodGranularity => Seq(ExprDim(g.bucket(col(timeCol)), timeCol))
+          case g: DurationGranularity => Seq(ExprDim(g.bucket(col(timeCol)), timeCol))
+        }
+        val dims = granDims ++ arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
         val dimOutputs = dims.map(_.output).toSet
         GroupByQuery(
           dimensions = dims,
@@ -225,7 +236,10 @@ object NativeQuery {
             limit = intOpt(ls \ "limit"),
             offset = intOpt(ls \ "offset").getOrElse(0)),
           subtotalsSpec = q \ "subtotalsSpec" match {
-            case JArray(sets) => sets.map(s => arr(s).map { case JString(d) => d; case x => str(x) })
+            // the bucket timestamp survives every subtotal set (the
+            // reference keeps ResultRow timestamps across subtotal rows)
+            case JArray(sets) => sets.map(s => granDims.map(_.output) ++
+              arr(s).map { case JString(d) => d; case x => str(x) })
             case _ => null
           }
         ).run(prepared).transform(finalizeAggs)
@@ -1143,6 +1157,15 @@ object NativeQuery {
       // exactness-tunable theta sketches (values hashed as strings, like the
       // reference's String-based CardinalityAggregator); `round` finalizes
       // to a long, else the estimate stays a double per the reference.
+      case "hyperUnique" if fieldIsBinary(j, input) =>
+        // a stored COMPLEX hyperUnique column (per-row HyperLogLogCollector
+        // bytes, e.g. TestIndex's quality_uniques) UNIONS collectors and
+        // estimates with the HLLC estimator — byte-exact with the
+        // reference's HyperUniquesAggregatorFactory (the classic
+        // UNIQUES_9 = 9.019833517963864); `round` → Math.round to long
+        val est = graft.plans.SketchFunctions.hllcUnionEstimate(f)
+        Agg(name, if (boolOpt(j \ "round").getOrElse(false))
+          round(est).cast("long") else est)
       case "cardinality" | "hyperUnique" =>
         import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate, thetaUnion}
         val fields = (j \ "fields") match {

@@ -159,6 +159,20 @@ object QueryCommon {
       case _ => false
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Sketch-estimate aggregations (hyperUnique/cardinality/HLL estimates)
+    * zero-fill to 0: the reference fills empty buckets with each
+    * aggregator's nil, and an EMPTY sketch estimates 0.0 — unlike sums,
+    * whose nil is null in sql-compatible mode. */
+  def isSketchEstimateAgg(c: Column): Boolean =
+    try org.apache.spark.sql.graftbridge.CatalystBridge.expression(c).exists {
+      case _: graft.plans.ThetaEstimate => true
+      case _: graft.plans.HllcUnionEstimate => true
+      case _: graft.plans.HllEstimateExpr => true
+      case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        uf.nameParts.last.equalsIgnoreCase("hll_sketch_estimate")
+      case _ => false
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Explode MV dims (if any), then return (prepared df, groupable columns). */
   def prepareDims(df: DataFrame, dims: Seq[DimSpec]): (DataFrame, Seq[Column]) = {
     val withCols = dims.foldLeft(df) { (d, spec) =>
@@ -206,9 +220,10 @@ final case class TimeseriesQuery(
     * [[TimeseriesQuery.SpineFoldThreshold]] buckets the spine is built from
     * `range()` arithmetic — rows, not plan literals.
     */
-  private def zeroFill(grouped: DataFrame, bucketFn: Column => Column,
+  private def zeroFill(grouped: DataFrame, source: DataFrame,
+      bucketFn: Column => Column,
       bucketSeq: (Column, Column) => Column, fixedStepMs: Option[Long]): DataFrame = {
-    val spine =
+    val spine0 =
       if (fillIntervals.nonEmpty) {
         val rangeStep = fixedStepMs.filter { stepMs =>
           fillIntervals.exists { case (a, b) =>
@@ -246,8 +261,30 @@ final case class TimeseriesQuery(
         grouped.agg(min(col(timeColumn)).as("lo"), max(col(timeColumn)).as("hi"))
           .where(col("lo").isNotNull) // empty input → nothing to fill
           .select(explode(bucketSeq(col("lo"), col("hi"))).as(timeColumn))
+    // Interval spines clip to the UNFILTERED datasource's time bounds:
+    // the reference zero-fills the query intervals only where SEGMENTS
+    // exist (a 1970-2020 full-on interval over a 3-month table emits
+    // 3 months of buckets — TimeseriesQueryRunnerTest.testFullOnTimeseries),
+    // while a query FILTER does not shrink segment coverage, so sparse
+    // filtered data still fills the whole covered interval. min/max over
+    // the raw time column ride parquet footer stats (aggregatePushdown).
+    val spine =
+      if (fillIntervals.isEmpty) spine0
+      else {
+        val bounds = source
+          .agg(bucketFn(min(col(timeColumn))).as("__fill_lo"),
+            bucketFn(max(col(timeColumn))).as("__fill_hi"))
+        spine0.crossJoin(broadcast(bounds))
+          .where(col(timeColumn).between(col("__fill_lo"), col("__fill_hi")))
+          .select(col(timeColumn))
+      }
     val fills = aggregations.map { a =>
       if (QueryCommon.isCountAgg(a.column)) coalesce(col(a.name), lit(0L)).as(a.name)
+      else if (QueryCommon.isSketchEstimateAgg(a.column))
+        // the aggregator's nil is an EMPTY sketch whose estimate is 0.0
+        // (hyperUnique/cardinality/HLL on the reference's zero-filled
+        // buckets), unlike sums/min/max which are null-filled
+        coalesce(col(a.name), lit(0).cast(grouped.schema(a.name).dataType)).as(a.name)
       else col(a.name)
     }
     spine.join(grouped, Seq(timeColumn), "left")
@@ -282,7 +319,7 @@ final case class TimeseriesQuery(
           .agg(aggCols.head, aggCols.tail: _*)
         val grouped = spine match {
           case Some((seqFn, fixedStepMs)) if !skipEmptyBuckets =>
-            zeroFill(grouped0, bucketFn, seqFn, fixedStepMs)
+            zeroFill(grouped0, ds, bucketFn, seqFn, fixedStepMs)
           case _ => grouped0
         }
         val withTotal = if (grandTotal) {

@@ -398,6 +398,25 @@ case class HllcBuild(
   override def prettyName: String = "hllc_build"
 }
 
+/** Per-row SINGLE-VALUE HyperLogLogCollector bytes (V1) — the ingest-time
+  * complex-column representation of a hyperUnique metric when rollup does
+  * not merge rows (HyperUniquesSerde's extractor builds a one-value
+  * collector per input row; TestIndex's quality_uniques column is exactly
+  * this). Query-time hyperUnique aggregation unions these. */
+case class HllcOf(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override protected def nullSafeEval(v: Any): Any = {
+    val st = new DruidHllcBuild.State
+    DruidHllcBuild.addHashed(st, DruidHllcBuild.hashValue(v match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }))
+    DruidHllcBuild.toBytes(st)
+  }
+  override protected def withNewChildInternal(c: Expression): HllcOf = copy(child = c)
+  override def prettyName: String = "hllc_of"
+}
+
 /** HLLC_ESTIMATE(druid_hllc_bytes) → double: estimate one stored
   * hyperUnique column value. */
 case class HllcEstimate(child: Expression) extends UnaryExpression with CodegenFallback {

@@ -771,6 +771,8 @@ object SketchFunctions {
     * write (build reference-format V1 bytes a Druid cluster can consume). */
   def hllcBuild(col: Column): Column =
     c(HllcBuild(e(col)).toAggregateExpression())
+  /** Per-row single-value collector bytes (ingest-time complex column). */
+  def hllcOf(col: Column): Column = c(HllcOf(e(col)))
   def hllcEstimate(col: Column): Column = c(HllcEstimate(e(col)))
   def hllcUnionEstimate(col: Column): Column =
     c(HllcUnionEstimate(e(col)).toAggregateExpression())

@@ -744,29 +744,49 @@ class HttpFacadeSpec extends SparkSpecBase {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         (resp.statusCode(), resp.body(), resp.headers())
       }
-      // months 2001-10..2002-05 over lineitem (data ends 2001-11): zero-fill
-      // would emit all 8 buckets; the configured skipEmptyBuckets default
-      // drops the empty tail when the query carries no context of its own
+      // daily buckets over lineitem's sparse tail (zero-fill clips to the
+      // datasource's own coverage, so the discriminator is the EMPTY DAYS
+      // INSIDE it): the configured skipEmptyBuckets default drops them when
+      // the query carries no context of its own
       def tsBody(context: String): String =
         s"""{
           "queryType": "timeseries",
           "dataSource": "lineitem",
           "timeColumn": "l_shipdate",
-          "granularity": "month",
-          "intervals": ["2001-10-01T00:00:00/2002-06-01T00:00:00"],
+          "granularity": "day",
+          "intervals": ["2001-06-01T00:00:00/2002-06-01T00:00:00"],
           "aggregations": [{"type": "count", "name": "cnt"}]$context
         }"""
+      // expected bucket counts derived from the table itself
+      val li = Sources.table(spark, sf(), "lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_shipdate") >= "2001-06-01" &&
+          org.apache.spark.sql.functions.col("l_shipdate") < "2002-06-01")
+        .select(org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("l_shipdate")).as("d"))
+      val nonEmptyDays = li.distinct().count()
+      val spanDays = {
+        val r = li.agg(org.apache.spark.sql.functions.min("d"),
+          org.apache.spark.sql.functions.max("d")).head()
+        def ms(i: Int): Long = r.get(i) match {
+          case t: java.sql.Timestamp => t.getTime
+          case t: java.time.LocalDateTime =>
+            t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        (ms(1) - ms(0)) / 86400000L + 1
+      }
+      assert(spanDays > nonEmptyDays, "fixture must have empty days inside coverage")
       val (s1, b1, _) = postRaw("/druid/v2", tsBody(""))
       assert(s1 == 200)
       val rows1 = JsonMethods.parse(b1).asInstanceOf[JArray].arr
-      assert(rows1.length < 8, s"default skipEmptyBuckets must drop empty months, got ${rows1.length}")
+      assert(rows1.length == nonEmptyDays,
+        s"default skipEmptyBuckets must drop empty days, got ${rows1.length} vs $nonEmptyDays")
       rows1.foreach(r => assert((r \ "result" \ "cnt") != JInt(0)))
       // the query's explicit skipEmptyBuckets=false wins over the default:
-      // all 8 months come back zero-filled
+      // every day inside coverage comes back zero-filled
       val (s2, b2, _) = postRaw("/druid/v2",
         tsBody(""", "context": {"skipEmptyBuckets": false}"""))
       assert(s2 == 200)
-      assert(JsonMethods.parse(b2).asInstanceOf[JArray].arr.length == 8)
+      assert(JsonMethods.parse(b2).asInstanceOf[JArray].arr.length == spanDays)
       // the SQL route shares the defaults: the configured sqlQueryId stamps
       // the response header when the request sets none...
       val (s3, _, h3) = postRaw("/druid/v2/sql", """{"query": "SELECT 1 AS one"}""")

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.NativeQuery
+
+/** Ported vectors from the reference's query-runner corpora over the
+  * canonical TestIndex fixture — the 1209-row druid.sample.numeric.tsv that
+  * backs TimeseriesQueryRunnerTest / TopNQueryRunnerTest /
+  * GroupByQueryRunnerTest (processing/src/test/java/org/apache/druid/
+  * segment/TestIndex.java:70-130, QueryRunnerTestHelper.java:229-266).
+  *
+  * The fixture TSV is read from the reference tree AT TEST TIME as data
+  * (never copied); the metric columns reproduce the reference segment:
+  *  - `index` stored as FLOAT32 — every expected value carries the classic
+  *    float-storage artifacts (e.g. minIndex 792.3260498046875), so the
+  *    fixture must too;
+  *  - `quality_uniques` as per-row HyperLogLogCollector bytes (TestIndex's
+  *    HyperUniquesAggregatorFactory("quality_uniques", "quality")), so the
+  *    query-time hyperUnique union reproduces the reference's constants
+  *    EXACTLY: UNIQUES_9 = 9.019833517963864, UNIQUES_2 = 2.000977198748901
+  *    (byte-level collector parity);
+  *  - `placementish` split on the  list delimiter (multi-value).
+  *
+  * Double sums assert with the reference's own 1e-6 relative tolerance
+  * (TimeseriesQueryRunnerTest.java:253-263); rows counts and HLLC
+  * estimates assert exactly. The reference's FloatSum aggregators are NOT
+  * ported: Spark's sum(FLOAT) accumulates in double by design, a deliberate
+  * engine difference with better precision.
+  */
+class QueryRunnerGoldenSpec extends SparkSpecBase {
+
+  private val TsvPath =
+    "/root/reference/processing/src/test/resources/druid.sample.numeric.tsv"
+
+  private lazy val testIndex: DataFrame = {
+    import graft.plans.SketchFunctions
+    val schema = "ts STRING, market STRING, quality STRING, qualityLong LONG, " +
+      "qualityFloat FLOAT, qualityDouble DOUBLE, qualityNumericString STRING, " +
+      "longNumericNull LONG, floatNumericNull FLOAT, doubleNumericNull DOUBLE, " +
+      "placement STRING, placementish STRING, indexRaw STRING"
+    spark.read.option("sep", "\t").schema(schema).csv(TsvPath)
+      .select(
+        to_timestamp(col("ts")).cast("timestamp_ntz").as("__time"),
+        col("market"), col("quality"), col("qualityLong"), col("qualityFloat"),
+        col("qualityDouble"), col("qualityNumericString"), col("longNumericNull"),
+        col("floatNumericNull"), col("doubleNumericNull"), col("placement"),
+        split(col("placementish"), "").as("placementish"),
+        col("indexRaw").cast("float").as("index"),
+        SketchFunctions.hllcOf(col("quality")).as("quality_uniques"))
+      .cache()
+  }
+
+  private def run(json: String): DataFrame =
+    NativeQuery.run(spark, json, _ => testIndex)
+
+  private val Uniques9 = 9.019833517963864
+  private val Uniques2 = 2.000977198748901
+
+  private def relEq(got: Double, exp: Double, tol: Double = 1e-6): Boolean =
+    math.abs(got - exp) <= math.abs(exp) * tol
+
+  // QueryRunnerTestHelper.EXPECTED_FULL_ON_INDEX_VALUES (:233-253) — one
+  // per day 2011-01-12..2011-04-15; the "0.0" is the SKIPPED_DAY
+  // (2011-01-21) placeholder the reference skips over
+  private val ExpectedFullOnIndex: Seq[Double] = Seq(
+    "4500.0", "6077.949111938477", "4922.488838195801", "5726.140853881836", "4698.468170166016",
+    "4651.030891418457", "4398.145851135254", "4596.068244934082", "4434.630561828613", "0.0",
+    "6162.801361083984", "5590.292701721191", "4994.298484802246", "5179.679672241211", "6288.556800842285",
+    "6025.663551330566", "5772.855537414551", "5346.517524719238", "5497.331253051758", "5909.684387207031",
+    "5862.711364746094", "5958.373008728027", "5224.882194519043", "5456.789611816406", "5456.095397949219",
+    "4642.481948852539", "5023.572692871094", "5155.821723937988", "5350.3723220825195", "5236.997489929199",
+    "4910.097717285156", "4507.608840942383", "4659.80500793457", "5354.878845214844", "4945.796455383301",
+    "6459.080368041992", "4390.493583679199", "6545.758262634277", "6922.801231384277", "6023.452911376953",
+    "6812.107475280762", "6368.713348388672", "6381.748748779297", "5631.245086669922", "4976.192253112793",
+    "6541.463027954102", "5983.8513107299805", "5967.189498901367", "5567.139289855957", "4863.5944747924805",
+    "4681.164360046387", "6122.321441650391", "5410.308860778809", "4846.676376342773", "5333.872688293457",
+    "5013.053741455078", "4836.85563659668", "5264.486434936523", "4581.821243286133", "4680.233596801758",
+    "4771.363662719727", "5038.354717254639", "4816.808464050293", "4684.095504760742", "5023.663467407227",
+    "5889.72257232666", "4984.973915100098", "5664.220512390137", "5572.653915405273", "5537.123138427734",
+    "5980.422874450684", "6243.834693908691", "5372.147285461426", "5690.728981018066", "5827.796455383301",
+    "6141.0769119262695", "6082.3237228393555", "5678.771339416504", "6814.467971801758", "6626.151596069336",
+    "5833.2095947265625", "4679.222328186035", "5367.9403076171875", "5410.445640563965", "5689.197135925293",
+    "5240.5018310546875", "4790.912239074707", "4992.670921325684", "4796.888023376465", "5479.439590454102",
+    "5506.567192077637", "4743.144546508789", "4913.282669067383", "4723.869743347168").map(_.toDouble)
+
+  test("testFullOnTimeseries (TimeseriesQueryRunnerTest.java:206-270): 94 day " +
+      "buckets, rows=13 (0 on the skipped day), the full-on index vector, " +
+      "addRowsIndexConstant, and uniques = UNIQUES_9 exactly") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    assert(rows.length == 94, s"expected 94 day buckets, got ${rows.length}")
+    val skippedDay = java.time.LocalDateTime.parse("2011-01-21T00:00")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val ts = r.getAs[java.time.LocalDateTime]("__time")
+      val isSkipped = ts == skippedDay
+      assert(r.getAs[Long]("rows") == (if (isSkipped) 0L else 13L),
+        s"rows at $ts")
+      if (!isSkipped) {
+        val idx = r.getAs[Double]("index")
+        assert(relEq(idx, ExpectedFullOnIndex(i)), s"index at $ts: $idx vs ${ExpectedFullOnIndex(i)}")
+        assert(relEq(r.getAs[Double]("addRowsIndexConstant"), ExpectedFullOnIndex(i) + 14.0),
+          s"addRowsIndexConstant at $ts")
+        assert(r.getAs[Double]("uniques") == Uniques9, s"uniques at $ts: ${r.getAs[Double]("uniques")}")
+      } else {
+        // zero-filled bucket: the hyperUnique nil is an EMPTY collector → 0.0
+        assert(r.getAs[Double]("uniques") == 0.0)
+      }
+    }
+  }
+
+  test("testFullOnTimeseriesMaxMin (TimeseriesQueryRunnerTest.java:345-377): " +
+      "all-granularity max 1870.061029 / min 59.021022") {
+    val r = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+        ]
+      }""").head()
+    assert(relEq(r.getAs[Double]("maxIndex"), 1870.061029))
+    assert(relEq(r.getAs[Double]("minIndex"), 59.021022))
+  }
+
+  test("testFullOnTopN (TopNQueryRunnerTest.java:311-370): market by index, " +
+      "exact rows + UNIQUES_9/UNIQUES_2 + max/min float-storage values") {
+    val rows = run(
+      """{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": "market",
+        "metric": "index",
+        "threshold": 4,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"},
+          {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    // expected: (market, rows, index, addRowsIndexConstant, uniques, maxIndex, minIndex)
+    val expected = Seq(
+      ("total_market", 186L, 215679.82879638672, 215866.82879638672, Uniques2, 1743.92175, 792.3260498046875),
+      ("upfront", 186L, 192046.1060180664, 192233.1060180664, Uniques2, 1870.061029, 545.9906005859375),
+      ("spot", 837L, 95606.57232284546, 96444.57232284546, Uniques9, 277.273533, 59.02102279663086))
+    assert(rows.length == 3)
+    rows.zip(expected).foreach { case (r, (mkt, n, idx, aric, uniq, mx, mn)) =>
+      assert(r.getAs[String]("market") == mkt)
+      assert(r.getAs[Long]("rows") == n, s"rows for $mkt")
+      assert(relEq(r.getAs[Double]("index"), idx), s"index for $mkt: ${r.getAs[Double]("index")}")
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), aric), s"aric for $mkt")
+      assert(r.getAs[Double]("uniques") == uniq,
+        s"uniques for $mkt: ${r.getAs[Double]("uniques")} vs $uniq")
+      assert(relEq(r.getAs[Double]("maxIndex"), mx), s"maxIndex for $mkt")
+      assert(relEq(r.getAs[Double]("minIndex"), mn), s"minIndex for $mkt")
+    }
+  }
+
+  test("testGroupBy (GroupByQueryRunnerTest.java:484-760): DAY granularity + " +
+      "quality dim over 2011-04-01/03 — rows, truncating longSum, doubleSum") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"},
+          {"type": "doubleSum", "name": "idxDouble", "fieldName": "index"}
+        ]
+      }""").collect()
+        .map(r => (r.getAs[java.time.LocalDateTime]("__time").toLocalDate.toString,
+          r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx"),
+          r.getAs[Double]("idxDouble")))
+        .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      ("2011-04-01", "automotive", 1L, 135L, 135.88510131835938),
+      ("2011-04-01", "business", 1L, 118L, 118.57034301757812),
+      ("2011-04-01", "entertainment", 1L, 158L, 158.74722290039062),
+      ("2011-04-01", "health", 1L, 120L, 120.13470458984375),
+      ("2011-04-01", "mezzanine", 3L, 2870L, 2871.8866900000003),
+      ("2011-04-01", "news", 1L, 121L, 121.58358001708984),
+      ("2011-04-01", "premium", 3L, 2900L, 2900.798647),
+      ("2011-04-01", "technology", 1L, 78L, 78.62254333496094),
+      ("2011-04-01", "travel", 1L, 119L, 119.92274475097656),
+      ("2011-04-02", "automotive", 1L, 147L, 147.42593383789062),
+      ("2011-04-02", "business", 1L, 112L, 112.98702697753906),
+      ("2011-04-02", "entertainment", 1L, 166L, 166.01605224609375),
+      ("2011-04-02", "health", 1L, 113L, 113.44600677490234),
+      ("2011-04-02", "mezzanine", 3L, 2447L, 2448.830613),
+      ("2011-04-02", "news", 1L, 114L, 114.29014587402344),
+      ("2011-04-02", "premium", 3L, 2505L, 2506.415148),
+      ("2011-04-02", "technology", 1L, 97L, 97.38743591308594),
+      ("2011-04-02", "travel", 1L, 126L, 126.41136169433594))
+    assert(rows.length == expected.length,
+      s"row count ${rows.length} vs ${expected.length}:\n${rows.mkString("\n")}")
+    rows.zip(expected).foreach { case (got, exp) =>
+      assert(got._1 == exp._1 && got._2 == exp._2, s"group $got vs $exp")
+      assert(got._3 == exp._3, s"rows at $exp: $got")
+      assert(got._4 == exp._4, s"idx (truncating longSum) at $exp: $got")
+      assert(relEq(got._5, exp._5), s"idxDouble at $exp: $got")
+    }
+  }
+}
