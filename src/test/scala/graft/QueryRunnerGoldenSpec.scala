@@ -232,4 +232,118 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       assert(relEq(got._5, exp._5), s"idxDouble at $exp: $got")
     }
   }
+
+  test("testTimeseries (TimeseriesQueryRunnerTest.java:473-517): truncating " +
+      "longSum, longMin, floatMax and UNIQUES_9 over FIRST_TO_THIRD") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"},
+          {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+          {"type": "floatMax", "name": "floatMaxIndex", "fieldName": "index"}
+        ]
+      }""").collect()
+    assert(rows.length == 2)
+    val expected = Seq(
+      ("2011-04-01T00:00", 13L, 6619L, 78L, 1522.043701171875),
+      ("2011-04-02T00:00", 13L, 5827L, 97L, 1321.375))
+    rows.zip(expected).foreach { case (r, (d, n, idx, mn, mx)) =>
+      assert(r.getAs[java.time.LocalDateTime]("__time").toString == d)
+      assert(r.getAs[Long]("rows") == n)
+      assert(r.getAs[Long]("idx") == idx, s"idx at $d: ${r.getAs[Long]("idx")}")
+      assert(r.getAs[Double]("uniques") == Uniques9)
+      assert(r.getAs[Long]("longMinIndex") == mn)
+      assert(relEq(r.getAs[Double]("floatMaxIndex"), mx))
+    }
+  }
+
+  test("testTimeseriesWithMultiDimFilter (TimeseriesQueryRunnerTest.java:1391): " +
+      "AND of selectors, UNIQUES_1 = 1.0002442201269182 exactly") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "filter": {"type": "and", "fields": [
+          {"type": "selector", "dimension": "market", "value": "spot"},
+          {"type": "selector", "dimension": "quality", "value": "automotive"}]},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    val uniques1 = 1.0002442201269182
+    val expected = Seq((1L, 135.885094f.toDouble, 137.885094f.toDouble),
+      (1L, 147.425935f.toDouble, 149.425935f.toDouble))
+    assert(rows.length == 2)
+    rows.zip(expected).foreach { case (r, (n, idx, aric)) =>
+      assert(r.getAs[Long]("rows") == n)
+      assert(relEq(r.getAs[Double]("index"), idx))
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), aric))
+      assert(r.getAs[Double]("uniques") == uniques1)
+    }
+  }
+
+  test("testTimeseriesWithMultiValueDimFilter1/2 (TimeseriesQueryRunnerTest" +
+      ".java:2058-2118): a selector on the MV placementish matches PER " +
+      "ELEMENT — 'preferred' ≡ unfiltered, 'a' ≡ quality=automotive") {
+    def ts(filter: String): Seq[String] = run(
+      s"""{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        $filter
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"}
+        ]
+      }""").collect().map(_.toString).toSeq
+    assert(ts(""""filter": {"type": "selector", "dimension": "placementish", "value": "preferred"},""")
+      == ts(""))
+    assert(ts(""""filter": {"type": "selector", "dimension": "placementish", "value": "a"},""")
+      == ts(""""filter": {"type": "selector", "dimension": "quality", "value": "automotive"},"""))
+  }
+
+  test("testTopNOverHyperUniqueFinalizingPostAggregator (TopNQueryRunnerTest" +
+      ".java:671-714): market topN BY the uniques estimate") {
+    val rows = run(
+      """{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": "market",
+        "metric": "hyperUniqueFinalizingPostAggMetric",
+        "threshold": 3,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ],
+        "postAggregations": [
+          {"type": "hyperUniqueCardinality", "name": "hyperUniqueFinalizingPostAggMetric",
+           "fieldName": "uniques"}
+        ]
+      }""").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[String]("market") == "spot")
+    assert(rows.head.getAs[Double]("uniques") == Uniques9)
+    // total_market and upfront tie at UNIQUES_2 — assert as a set
+    val tied = rows.tail.map(r =>
+      (r.getAs[String]("market"), r.getAs[Double]("uniques"))).toSet
+    assert(tied == Set(("total_market", Uniques2), ("upfront", Uniques2)), s"$tied")
+  }
 }
