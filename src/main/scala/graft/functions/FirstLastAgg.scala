@@ -69,9 +69,14 @@ case class FirstLastFoldAgg(
 
   override def createAggregationBuffer(): FirstLastAcc = new FirstLastAcc(null, null, false)
 
-  /** true when candidate key `a` should replace current key `b`. */
+  /** true when candidate key `a` should replace current key `b`. On EQUAL
+    * keys `latest` replaces (LongLastAggregator.java folds on
+    * `time >= lastTime` — the LAST occurrence at the max time wins, in
+    * encounter order) while `earliest` keeps the incumbent
+    * (LongFirstAggregator: strict `time < firstTime` — the FIRST occurrence
+    * at the min time wins). */
   private def replaces(a: Any, b: Any): Boolean =
-    if (latest) ordering.compare(a, b) > 0 else ordering.compare(a, b) < 0
+    if (latest) ordering.compare(a, b) >= 0 else ordering.compare(a, b) < 0
 
   override def update(buf: FirstLastAcc, input: InternalRow): FirstLastAcc = {
     val k = key.eval(input)

@@ -154,13 +154,19 @@ object NativeQuery {
         // a non-ALL granularity buckets __time into an implicit LEADING
         // dimension (GroupByQuery's ResultRow carries the bucket timestamp
         // first; the merge orders by it before the dims) — `none` keeps
-        // every distinct timestamp (NoneGranularity)
+        // every distinct timestamp (NoneGranularity). The bucket computes
+        // under an INTERNAL output name so the raw time column stays
+        // readable by aggregators (first/last keys, filtered aggs) and is
+        // renamed back to the time column on the result.
+        val granBucketName = "__gran_bucket"
         val granDims: Seq[DimSpec] = granularity(q \ "granularity") match {
           case AllGranularity => Nil
           case NoneGranularity =>
-            Seq(ExprDim(col(timeCol).cast("timestamp_ntz"), timeCol))
-          case g: PeriodGranularity => Seq(ExprDim(g.bucket(col(timeCol)), timeCol))
-          case g: DurationGranularity => Seq(ExprDim(g.bucket(col(timeCol)), timeCol))
+            Seq(ExprDim(col(timeCol).cast("timestamp_ntz"), granBucketName))
+          case g: PeriodGranularity =>
+            Seq(ExprDim(g.bucket(col(timeCol)), granBucketName))
+          case g: DurationGranularity =>
+            Seq(ExprDim(g.bucket(col(timeCol)), granBucketName))
         }
         val dims = granDims ++ arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
         val dimOutputs = dims.map(_.output).toSet
@@ -243,6 +249,7 @@ object NativeQuery {
             case _ => null
           }
         ).run(prepared).transform(finalizeAggs)
+          .withColumnRenamed(granBucketName, timeCol)
       case "scan" =>
         ScanQuery(
           columns = arr(q \ "columns").map { case JString(c) => c; case x => str(x) },
@@ -1131,11 +1138,23 @@ object NativeQuery {
       // (graft.functions.FirstLastFoldAgg/AnyFoldAgg — the reference's
       // incremental first/last lifecycle, ObjectHashAggregate-eligible)
       case "longFirst" | "doubleFirst" | "floatFirst" =>
+        // the typed factories COERCE the stored value (LongFirstAggregator
+        // stores selector.getLong() — truncating; float stores float32)
+        val vFirst = str(j \ "type") match {
+          case "longFirst" => lenientLong(f)
+          case "floatFirst" => lenientDouble(f).cast("float")
+          case _ => f
+        }
         Agg(name, graft.functions.FirstLastAgg.earliest(
-          f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          vFirst, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longLast" | "doubleLast" | "floatLast" =>
+        val vLast = str(j \ "type") match {
+          case "longLast" => lenientLong(f)
+          case "floatLast" => lenientDouble(f).cast("float")
+          case _ => f
+        }
         Agg(name, graft.functions.FirstLastAgg.latest(
-          f, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          vLast, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       // stringFirst/Last truncate the stored value to maxStringBytes
       // (StringFirstAggregatorFactory.java, default 1024; chars ≈ bytes for
       // the ASCII dimensions this targets)
@@ -1362,7 +1381,11 @@ object NativeQuery {
       case "thetaSketch" =>
         val lgK = intOpt(inner \ "size")
           .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
-        graft.plans.SketchFunctions.thetaSketch(f, lgK)
+        // filtered MERGE over a stored sketch column (explicit flag — the
+        // filtered wrapper has no schema to auto-detect from)
+        if (boolOpt(inner \ "isInputThetaSketch").getOrElse(false))
+          graft.plans.SketchFunctions.thetaUnionAgg(f, lgK)
+        else graft.plans.SketchFunctions.thetaSketch(f, lgK)
       case "HLLSketchBuild" =>
         hll_sketch_agg(f, intOpt(inner \ "lgK").getOrElse(12))
       case "quantilesDoublesSketch" =>

@@ -346,4 +346,61 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       (r.getAs[String]("market"), r.getAs[Double]("uniques"))).toSet
     assert(tied == Set(("total_market", Uniques2), ("upfront", Uniques2)), s"$tied")
   }
+
+  test("testGroupByWithCardinality (GroupByQueryRunnerTest.java:3413): rows " +
+      "exact; the cardinality estimate rounds to the exact 9 (this engine " +
+      "rides exactness-tunable theta below capacity where the reference's " +
+      "HLLC carries ~2% error — a documented accuracy upgrade, so the " +
+      "assert is the reference's own rounded contract, not bit parity)") {
+    val r = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "cardinality", "name": "cardinality", "fields": ["quality"]}
+        ]
+      }""").head()
+    assert(r.getAs[Long]("rows") == 26L)
+    assert(math.round(r.getAs[Double]("cardinality")) == 9L)
+  }
+
+  test("testGroupByWithFirstLast (GroupByQueryRunnerTest.java:3438-3528): " +
+      "MONTH granularity, longFirst/longLast per market — 12 rows") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "month",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "market"}],
+        "aggregations": [
+          {"type": "longFirst", "name": "first", "fieldName": "index"},
+          {"type": "longLast", "name": "last", "fieldName": "index"}
+        ]
+      }""").collect()
+        .map(r => (r.getAs[java.time.LocalDateTime]("__time").toLocalDate.toString,
+          r.getAs[String]("market"), r.getAs[Long]("first"), r.getAs[Long]("last")))
+        .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      ("2011-01-01", "spot", 100L, 155L),
+      ("2011-01-01", "total_market", 1000L, 1127L),
+      ("2011-01-01", "upfront", 800L, 943L),
+      ("2011-02-01", "spot", 132L, 114L),
+      ("2011-02-01", "total_market", 1203L, 1292L),
+      ("2011-02-01", "upfront", 1667L, 1101L),
+      ("2011-03-01", "spot", 153L, 125L),
+      ("2011-03-01", "total_market", 1124L, 1366L),
+      ("2011-03-01", "upfront", 1166L, 1063L),
+      ("2011-04-01", "spot", 135L, 120L),
+      ("2011-04-01", "total_market", 1314L, 1029L),
+      ("2011-04-01", "upfront", 1447L, 780L))
+    assert(rows.length == 12, s"${rows.mkString("\n")}")
+    rows.zip(expected).foreach { case (got, exp) =>
+      assert(got == exp, s"first/last mismatch: $got vs $exp")
+    }
+  }
 }
