@@ -122,12 +122,16 @@ object RollupRewrite {
     }
 
     /** Approximate bucket width for rollup selection ONLY (eligibility was
-      * already verified exactly per candidate; this just ranks them). */
+      * already verified exactly per candidate; this just ranks them). A def
+      * with NO granularity aggregates across all time — when it qualifies
+      * at all (the query needed no time bucket) it is the coarsest table
+      * available, so it ranks highest. */
     private def granWidthApproxMs(g: Option[Granularity]): Long = g match {
       case Some(DurationGranularity(w, _)) => w
       case Some(PeriodGranularity(p, _, _)) =>
         val parts = TimeFunctions.periodParts(p)
         parts.months * 2629800000L + parts.days * 86400000L + parts.millis
+      case None => Long.MaxValue
       case _ => 0L
     }
 

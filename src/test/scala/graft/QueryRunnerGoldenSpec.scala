@@ -403,4 +403,54 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       assert(got == exp, s"first/last mismatch: $got vs $exp")
     }
   }
+
+  test("testTopNLexicographic (TopNQueryRunnerTest.java:1957) and " +
+      "testTopNDimExtraction (:2355): dimension-ordered topN and a regex " +
+      "extraction dimension, exact rows/index/uniques") {
+    // (market-or-extraction, rows, index, addRowsIndexConstant, uniques)
+    val expected = Seq(
+      (18L, 2231.876812, 2250.876812, Uniques9),
+      (4L, 5351.814783, 5356.814783, Uniques2),
+      (4L, 4875.669692, 4880.669692, Uniques2))
+    def check(rows: Array[org.apache.spark.sql.Row], markets: Seq[String]): Unit = {
+      assert(rows.length == 3)
+      rows.zip(markets.zip(expected)).foreach { case (r, (mkt, (n, idx, aric, uniq))) =>
+        assert(r.getAs[String]("market") == mkt, s"${r.getAs[String]("market")} vs $mkt")
+        assert(r.getAs[Long]("rows") == n)
+        assert(relEq(r.getAs[Double]("index"), idx))
+        assert(relEq(r.getAs[Double]("addRowsIndexConstant"), aric))
+        assert(r.getAs[Double]("uniques") == uniq)
+      }
+    }
+    def q(dimension: String, metric: String): Array[org.apache.spark.sql.Row] = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": $dimension,
+        "metric": $metric,
+        "threshold": 4,
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    // DimensionTopNMetricSpec lexicographic: ordered by the dim itself
+    check(q("\"market\"",
+      """{"type": "dimension", "ordering": "lexicographic", "previousStop": ""}"""),
+      Seq("spot", "total_market", "upfront"))
+    // regex extraction "(.)" takes each market's first letter; same groups
+    check(q("""{"type": "extraction", "dimension": "market", "outputName": "market",
+        "extractionFn": {"type": "regex", "expr": "(.)"}}""",
+      "\"rows\""),
+      Seq("s", "t", "u"))
+  }
 }
