@@ -453,4 +453,54 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       "\"rows\""),
       Seq("s", "t", "u"))
   }
+
+  test("testTimeseriesWithTimeZone (TimeseriesQueryRunnerTest.java:726): " +
+      "LA-day buckets over offset-designated intervals") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "intervals": ["2011-03-31T00:00:00-07:00/2011-04-02T00:00:00-07:00"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ]
+      }""").collect()
+    // bucket starts are LA midnights = 07:00Z in PDT
+    val expected = Seq(("2011-03-31T07:00", 13L, 6619L), ("2011-04-01T07:00", 13L, 5827L))
+    assert(rows.length == 2, rows.mkString(" | "))
+    rows.zip(expected).foreach { case (r, (ts, n, idx)) =>
+      assert(r.getAs[java.time.LocalDateTime]("__time").toString == ts,
+        s"${r.getAs[java.time.LocalDateTime]("__time")} vs $ts")
+      assert(r.getAs[Long]("rows") == n)
+      assert(r.getAs[Long]("idx") == idx)
+    }
+  }
+
+  test("testTimeseriesWithVaryingGran (TimeseriesQueryRunnerTest.java:772): " +
+      "a month bucket answers a one-day interval; DAY over the same interval") {
+    def q(gran: String) = run(
+      s"""{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": $gran,
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ]
+      }""").collect()
+    val m = q("""{"type": "period", "period": "P1M"}""")
+    assert(m.length == 1)
+    assert(m.head.getAs[java.time.LocalDateTime]("__time").toString == "2011-04-01T00:00")
+    assert(m.head.getAs[Long]("rows") == 13L && m.head.getAs[Long]("idx") == 5827L)
+    assert(m.head.getAs[Double]("uniques") == Uniques9)
+    val d = q("\"DAY\"") // named granularities resolve case-insensitively
+    assert(d.length == 1)
+    assert(d.head.getAs[java.time.LocalDateTime]("__time").toString == "2011-04-02T00:00")
+    assert(d.head.getAs[Long]("rows") == 13L && d.head.getAs[Long]("idx") == 5827L)
+  }
 }
