@@ -134,13 +134,18 @@ object StreamingIngest {
     def refresh(): Unit =
       try catalog.replace(mkDef(spark.read.parquet(rollupPath)))
       catch { case scala.util.control.NonFatal(_) => () } // no files committed yet
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit =
         if (e.progress.id == query.id) refresh()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-    })
+      // self-unregister when the stream ends — the catalog keeps the last
+      // committed snapshot (a terminated realtime task's published segments
+      // stay queryable)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) spark.streams.removeListener(this)
+    }
+    spark.streams.addListener(listener)
     refresh()
     refresh _
   }

@@ -38,7 +38,7 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
     val schema = "ts STRING, market STRING, quality STRING, qualityLong LONG, " +
       "qualityFloat FLOAT, qualityDouble DOUBLE, qualityNumericString STRING, " +
       "longNumericNull LONG, floatNumericNull FLOAT, doubleNumericNull DOUBLE, " +
-      "placement STRING, placementish STRING, indexRaw STRING"
+      "placement STRING, placementish STRING, indexRaw STRING, partial_null_column STRING"
     spark.read.option("sep", "\t").schema(schema).csv(TsvPath)
       .select(
         to_timestamp(col("ts")).cast("timestamp_ntz").as("__time"),
@@ -47,6 +47,7 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
         col("floatNumericNull"), col("doubleNumericNull"), col("placement"),
         split(col("placementish"), "").as("placementish"),
         col("indexRaw").cast("float").as("index"),
+        col("partial_null_column"),
         SketchFunctions.hllcOf(col("quality")).as("quality_uniques"))
       .cache()
   }
@@ -502,5 +503,30 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
     assert(d.length == 1)
     assert(d.head.getAs[java.time.LocalDateTime]("__time").toString == "2011-04-02T00:00")
     assert(d.head.getAs[Long]("rows") == 13L && d.head.getAs[Long]("idx") == 5827L)
+  }
+
+  test("testSearch (SearchQueryRunnerTest.java:129-149): 'a' across all " +
+      "dimensions — per-element MV hits and the partial-null column") {
+    val got = run(
+      """{
+        "queryType": "search",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "searchDimensions": ["quality", "market", "placement", "placementish",
+                             "partial_null_column"],
+        "query": {"type": "insensitive_contains", "value": "a"}
+      }""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val expected = Set(
+      ("quality", "automotive", 93L),
+      ("quality", "mezzanine", 279L),
+      ("quality", "travel", 93L),
+      ("quality", "health", 93L),
+      ("quality", "entertainment", 93L),
+      ("market", "total_market", 186L),
+      ("placementish", "a", 93L),
+      ("partial_null_column", "value", 186L))
+    assert(got == expected, s"search hits differ:\n$got\nvs\n$expected")
   }
 }
