@@ -1411,7 +1411,10 @@ object NativeQuery {
 
   private def postAggExpr(j: JValue): Column = str(j \ "type") match {
     case "arithmetic" =>
-      val fields = arr(j \ "fields").map(postAggExpr)
+      // ArithmeticPostAggregator computes in DOUBLE regardless of the
+      // operand types (compute() folds over doubles) — long+long stays
+      // double-typed in the result row
+      val fields = arr(j \ "fields").map(f => postAggExpr(f).cast("double"))
       str(j \ "fn") match {
         case "+" => fields.reduce(_ + _)
         case "-" => fields.reduce(_ - _)

@@ -529,4 +529,47 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       ("partial_null_column", "value", 186L))
     assert(got == expected, s"search hits differ:\n$got\nvs\n$expected")
   }
+
+  test("testTimeseriesGrandTotal (TimeseriesQueryRunnerTest.java:519-612): " +
+      "two day rows plus the null-timestamped grand-total row, exact values") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "context": {"grandTotal": true},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "index", "fieldName": "index"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"},
+          {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+          {"type": "doubleMax", "name": "doubleMaxIndex", "fieldName": "index"},
+          {"type": "floatMin", "name": "floatMinIndex", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    assert(rows.length == 3, rows.mkString(" | "))
+    // (ts-or-null, rows, index longSum, aric, longMin, doubleMax, floatMin)
+    val expected = Seq(
+      (Some("2011-04-01T00:00"), 13L, 6619L, 6633.0, 78L, 1522.043733, 78.62254333496094),
+      (Some("2011-04-02T00:00"), 13L, 5827L, 5841.0, 97L, 1321.375057, 97.38743591308594),
+      (None, 26L, 12446L, 12473.0, 78L, 1522.043733, 78.62254333496094))
+    rows.zip(expected).foreach { case (r, (ts, n, idx, aric, mn, dmx, fmn)) =>
+      assert(Option(r.getAs[java.time.LocalDateTime]("__time")).map(_.toString) == ts,
+        s"ts ${r.getAs[java.time.LocalDateTime]("__time")} vs $ts")
+      assert(r.getAs[Long]("rows") == n)
+      assert(r.getAs[Long]("index") == idx)
+      assert(r.getAs[Double]("uniques") == Uniques9)
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), aric))
+      assert(r.getAs[Long]("longMinIndex") == mn)
+      assert(relEq(r.getAs[Double]("doubleMaxIndex"), dmx))
+      assert(relEq(r.getAs[Double]("floatMinIndex"), fmn))
+    }
+  }
 }
