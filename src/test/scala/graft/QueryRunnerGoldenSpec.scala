@@ -572,4 +572,28 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       assert(relEq(r.getAs[Double]("floatMinIndex"), fmn))
     }
   }
+
+  test("testTimeseriesIntervalOutOfRanges (TimeseriesQueryRunnerTest.java:614): " +
+      "all-granularity over an interval past the data — one row, rows=0, " +
+      "null metrics (sql-compatible null mode)") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "intervals": ["2020-04-02T00:00:00.000Z/2020-04-03T00:00:00.000Z"],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "index", "fieldName": "index"},
+          {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+          {"type": "doubleMax", "name": "doubleMaxIndex", "fieldName": "index"}
+        ]
+      }""").collect()
+    assert(rows.length == 1, rows.mkString(" | "))
+    val r = rows.head
+    assert(r.getAs[Long]("rows") == 0L)
+    assert(r.isNullAt(r.fieldIndex("index")))
+    assert(r.isNullAt(r.fieldIndex("longMinIndex")))
+    assert(r.isNullAt(r.fieldIndex("doubleMaxIndex")))
+  }
 }
