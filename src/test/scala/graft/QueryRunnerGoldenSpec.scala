@@ -596,4 +596,30 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
     assert(r.isNullAt(r.fieldIndex("longMinIndex")))
     assert(r.isNullAt(r.fieldIndex("doubleMaxIndex")))
   }
+
+  test("testTimeseriesWithVirtualColumn (TimeseriesQueryRunnerTest.java:680): " +
+      "an expression virtual column feeds the truncating longSum") {
+    val rows = run(
+      """{
+        "queryType": "timeseries",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "virtualColumns": [{"type": "expression", "name": "expr",
+                            "expression": "index", "outputType": "FLOAT"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "expr"},
+          {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}
+        ]
+      }""").collect()
+    assert(rows.length == 2)
+    val expected = Seq(("2011-04-01T00:00", 13L, 6619L), ("2011-04-02T00:00", 13L, 5827L))
+    rows.zip(expected).foreach { case (r, (ts, n, idx)) =>
+      assert(r.getAs[java.time.LocalDateTime]("__time").toString == ts)
+      assert(r.getAs[Long]("rows") == n)
+      assert(r.getAs[Long]("idx") == idx)
+      assert(r.getAs[Double]("uniques") == Uniques9)
+    }
+  }
 }
