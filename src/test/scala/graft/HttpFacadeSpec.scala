@@ -89,6 +89,28 @@ class HttpFacadeSpec extends SparkSpecBase {
         assert((r \ "event" \ "cnt") == JInt(1))
         assert((r \ "event" \ "r_name").isInstanceOf[JString])
       }
+
+      // groupBy with a non-ALL GRANULARITY: the bucket renders as the
+      // envelope's "timestamp" (ISO millis) and never leaks into event
+      val (s3, gby2) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": "year",
+          "dimensions": ["o_orderstatus"],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "limitSpec": {"type": "default", "limit": 5}
+        }""")
+      assert(s3 == 200)
+      val rows2 = gby2.asInstanceOf[JArray].arr
+      assert(rows2.size == 5)
+      rows2.foreach { r =>
+        val ts = (r \ "timestamp").asInstanceOf[JString].s
+        assert(ts.matches("""\d{4}-01-01T00:00:00\.000Z"""), s"year bucket: $ts")
+        assert((r \ "event" \ "o_orderdate") == JNothing) // no leak into event
+        assert((r \ "event" \ "o_orderstatus").isInstanceOf[JString])
+      }
     } finally facade.stop()
   }
 
