@@ -33,23 +33,33 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // min-of-k per query: an n=1 suite on a shared box has a ±3× noise
     // floor for sub-second queries, which manufactures phantom round-over-
-    // round regressions. Two runs with the min reported keeps the total
-    // under the driver budget (SPARK_GRAFT_REPS to override).
+    // round regressions. The k reps are run as k FULL PASSES over the
+    // suite (pass 1 of every query, then pass 2 of every query), not
+    // back-to-back per query: back-to-back reps share the same noisy
+    // window, so a contention spike inflates BOTH samples and the min
+    // inherits it. Interleaving decorrelates the windows at the same
+    // total budget (SPARK_GRAFT_REPS to override the pass count).
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
-    val results = selected.map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // materialize through a noop sink, not count(): under count Catalyst
-        // prunes scan projections, which flatters scan-type queries
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => }
-        val t = (System.nanoTime() - t0) / 1e9
-        // drop cache/checkpoint blocks a query left behind (.cache in the
-        // similarity family) so later queries aren't timed under the earlier
-        // queries' memory pressure — each run is measured independently
-        spark.catalog.clearCache()
-        t
-      }.min
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // materialize through a noop sink, not count(): under count Catalyst
+      // prunes scan projections, which flatters scan-type queries
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop cache/checkpoint blocks a query left behind (.cache in the
+      // similarity family) so later queries aren't timed under the earlier
+      // queries' memory pressure — each run is measured independently
+      spark.catalog.clearCache()
+      t
+    }
+    val passes = (1 to reps).map { p =>
+      val times = selected.map { case (name, fn) => name -> runOnce(name, fn) }
+      System.err.println(s"[bench] pass $p/$reps done (${times.map(_._2).sum.formatted("%.1f")} s)")
+      times.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      val dt = passes.map(_(name)).min
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }

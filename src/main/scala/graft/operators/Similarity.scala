@@ -222,95 +222,111 @@ object Similarity {
     * in a real dedup pipeline: near-dup PAIRS must become CLUSTERS so one
     * survivor per cluster can be kept).
     *
-    * Hash-min label propagation: every node starts labeled with its own id;
-    * each round every node takes the min label among itself and its
-    * neighbors; converges in O(max component diameter) rounds — near-dup
-    * clusters are shallow (dup rings around a survivor), so typically 2-4
-    * rounds even at corpus scale. Each round is one equi-join + one
-    * groupBy-min on (id, label) longs only; `localCheckpoint` truncates the
-    * growing lineage (the single-JVM analog of checkpointing iteration
-    * state to storage on a cluster). The driver-side loop is iteration
-    * control, not data movement — per round it moves exactly one boolean
-    * (the convergence check).
+    * Alternating small-star / large-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires the
+    * edge set toward a star forest whose centers are the component minima.
+    *   large-star: every node attaches its strictly-LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   small-star: every node attaches its smaller-or-equal neighbors (and
+    *     itself) to that minimum.
+    * The alternation converges in O(log^2 n) rounds REGARDLESS of component
+    * diameter (min-label propagation is O(diameter) — a pathological chain
+    * of near-dups would stall it), and each half-round is one window-min
+    * over a hash-partition of the edge list: no join, no adjacency
+    * materialization beyond the edges themselves. `localCheckpoint`
+    * truncates the growing lineage each round (the single-JVM analog of
+    * checkpointing iteration state to storage on a cluster); the driver
+    * loop moves only a 3-number convergence probe per round.
+    *
+    * Concurrency: the iteration runs on a CLONED SparkSession (same
+    * SparkContext, isolated SQLConf) with the shuffle width pinned to the
+    * graph size, so a concurrent query planned on the caller's session —
+    * e.g. a facade request arriving mid-loop — never observes the pinned
+    * width. Input edges and the final labels cross the session boundary as
+    * materialized RDDs (both ends are checkpointed anyway).
     *
     * Returns (id, cluster_id) for every node that appears in a pair;
     * cluster_id = min id in the component. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    // materialize the pair-finder ONCE — the bidirectional union would
-    // otherwise evaluate the (expensive) upstream plan per branch
-    val pc = pairs.select(col(idA), col(idB)).localCheckpoint(true)
-    val edges0 = pc.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pc.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
+    // materialize the pair-finder ONCE — everything downstream re-reads the
+    // checkpointed blocks, never the (expensive) upstream plan
+    val spark0 = pairs.sparkSession
+    val pc = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .localCheckpoint(true)
     // Partition count scales with the edge count, not the session default:
     // iterative shuffles on a candidate-pair graph orders of magnitude
     // smaller than the corpus would otherwise pay a fixed per-task floor
     // every round (measured 10.8 s → 1.9 s at sf0.1 from this alone).
-    val p = math.max(1L, math.min(edges0.sparkSession.sparkContext.defaultParallelism.toLong,
-      edges0.count() / 500000L + 1L)).toInt
-    // Pin the ITERATION's shuffle width to p as well: the session default
-    // (sized for corpus-scale scans) would schedule that many near-empty
-    // tasks per join/groupBy stage, per round — pure scheduling floor on a
-    // graph this small. Restored in the finally; the loop is the only query
-    // running on this thread's planning window.
-    val spark0 = edges0.sparkSession
-    val prevShuffle = spark0.conf.get("spark.sql.shuffle.partitions")
-    spark0.conf.set("spark.sql.shuffle.partitions", p.toString)
-    try {
-    val edges = edges0.repartition(p, col("dst")).localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    // Convergence probe: labels only ever DECREASE (min of self, neighbors
-    // and the jump target), so the exact sum of labels strictly decreases
-    // until fixpoint — comparing one decimal aggregate per round replaces
-    // the old-vs-new join + isEmpty scan (two fewer operators per round;
-    // decimal(38) so a corpus-scale sum of 64-bit ids cannot overflow).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
+    val p = math.max(1L, math.min(spark0.sparkContext.defaultParallelism.toLong,
+      pc.count() / 500000L + 1L)).toInt
+    // Clone the session and pin the ITERATION's shuffle width there: the
+    // caller's session conf is never touched, so a query planned on it
+    // mid-loop (shared facade session) keeps its corpus-scale width.
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+    // lift the checkpointed pairs into the cloned session (RDD blocks are
+    // context-scoped, so this re-binds the plan without re-reading data)
+    val pc2 = spark.createDataFrame(pc.rdd, pc.schema)
+    val nodes = pc2.select(col("a").as("id")).union(pc2.select(col("b").as("id")))
+      .distinct().localCheckpoint(true)
+    // orient every edge larger→smaller and drop self-pairs; the iteration
+    // maintains this invariant (every rewrite targets a neighborhood min)
+    var edges = pc2.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    // m = min of the closed neighborhood of the window's partition key —
+    // one shuffle+sort per half-round, computed over (long, long) rows only
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val m = least(min(col("b")).over(Window.partitionBy(col("a"))), col("a"))
+      // attach strictly-larger neighbors to m; each undirected edge passes
+      // the b>a gate from exactly one direction, so no distinct needed here
+      adj.withColumn("m", m).where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input oriented a>b, so the closed-neighborhood min of a is min(b)
+      val withM = e.withColumn("m", min(col("b")).over(Window.partitionBy(col("a"))))
+      withM.select(col("b").as("a"), col("m").as("b"))
+        .unionByName(withM.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+    // Convergence probe: at the star-forest fixpoint both steps are
+    // identity, so the (count, sum a, sum b) triple stops changing — one
+    // driver-side aggregate per round instead of a set-difference join
+    // (decimal(38) so a corpus-scale sum of 64-bit ids cannot overflow).
+    def probe(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)), sum(col("a").cast("decimal(38,0)")),
+        sum(col("b").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var prev = probe(edges)
+    var converged = prev._1 == 0L // empty graph (all pairs were self-pairs)
     var iter = 0
-    // one min-propagation + pointer-jump iteration (label := label of
-    // label — path compression keeps rounds at O(log diameter); labels
-    // only decrease, and the label node's own label is always ≤ it)
-    def step(in: DataFrame): DataFrame = {
-      val viaNeighbor = edges
-        .join(in.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("label"))
-      val nbrMin = in.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-      nbrMin.as("c")
-        .join(nbrMin.select(col("id").as("label"), col("label").as("label2")).as("p"),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("label2"), col("label")).as("label"))
-    }
     while (!converged && iter < maxIter) {
-      // TWO iterations per checkpoint+probe cycle: the per-cycle fixed cost
-      // (an eager materialization plus one driver-side aggregate) dominates
-      // on the small post-banding graph, so halving the number of cycles
-      // cuts the driver round-trips that made this the slowest gate query;
-      // the un-checkpointed intermediate only doubles plan depth per cycle.
-      // re-alias above the checkpoint: fresh expression ids per cycle, so
-      // the next cycle's self-referencing union (labels ∪ f(labels)) never
-      // carries duplicate attribute ids into Union constraint rewriting
-      // (key-not-found analysis failure otherwise)
       val t0 = System.nanoTime()
-      labels = step(step(labels)).localCheckpoint(true)
-        .select(col("id").as("id"), col("label").as("label"))
+      // one alternation per checkpoint+probe cycle; the un-checkpointed
+      // large-star intermediate only doubles plan depth within the cycle
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+        .select(col("a").as("a"), col("b").as("b")) // fresh attr ids per cycle
       val t1 = System.nanoTime()
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      iter += 2
-      System.err.println(f"[graft-cc] rounds=$iter cycle=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
+      val s = probe(edges)
+      converged = s == prev
+      prev = s
+      iter += 1
+      System.err.println(f"[graft-cc] round=$iter edges=${s._1} cycle=${(t1 - t0) / 1e9}%.2fs probe=${(System.nanoTime() - t1) / 1e9}%.2fs converged=$converged")
     }
-    // labels is already checkpointed — the projection on top replans
-    // nothing, so restoring the session conf here is safe
-    labels.select(col("id"), col("label").as("cluster_id"))
-    } finally spark0.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // at fixpoint the edges ARE the label map (child → component min);
+    // component minima and self-paired-only nodes label themselves
+    val labels = nodes.join(edges, col("id") === col("a"), "left")
+      .groupBy(col("id"))
+      .agg(coalesce(min(col("b")), min(col("id"))).as("cluster_id"))
+      .localCheckpoint(true)
+    // hand the (checkpointed, small) result back on the CALLER's session so
+    // downstream composition never mixes sessions
+    spark0.createDataFrame(labels.rdd, labels.schema)
   }
 
   /** Brute-force cosine top-k: exact baseline for ANN. Queries broadcast;

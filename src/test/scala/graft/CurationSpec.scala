@@ -18,6 +18,46 @@ class CurationSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents: long chain converges within the O(log^2 n) round budget") {
+    // a 300-node chain has diameter 299 — min-label propagation would need
+    // ~150 two-step cycles; the small-star/large-star alternation must
+    // collapse it within the default maxIter=20
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Similarity.connectedComponents(pairs).collect()
+    assert(got.length == 300 && got.forall(_.getLong(1) == 1L))
+  }
+
+  test("connectedComponents: self-pairs and isolated nodes label themselves") {
+    val pairs = Seq((5L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Similarity.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("connectedComponents: caller session's shuffle width is never mutated mid-loop") {
+    // the iteration pins its own width on a CLONED session; a query planned
+    // on the caller's session while the loop runs must keep the session
+    // width (the facade-concurrency hazard from the round-11 audit)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fut = Future(Similarity.connectedComponents(pairs).collect())
+    var samples = 0
+    while (!fut.isCompleted) {
+      // every observation of the shared session, including one mid-plan
+      // groupBy, must see the original width
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+      assert(spark.range(30).groupBy((col("id") % 3).as("k")).count().count() == 3L)
+      samples += 1
+    }
+    val got = Await.result(fut, 180.seconds)
+    assert(got.length == 2000 && got.forall(_.getLong(1) == 1L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    assert(samples > 0, "CC finished before any concurrent observation — lengthen the chain")
+  }
+
   test("packGreedy: capacity respected, oversized doc gets its own bin") {
     val df = Seq(
       ("s", 1L, 400L), ("s", 2L, 500L), ("s", 3L, 200L), // bin 0 = 1100 > budget? no: 400+500=900, +200 would be 1100 > 1000 → bin 1
