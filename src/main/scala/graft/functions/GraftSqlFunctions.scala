@@ -754,6 +754,22 @@ object GraftSqlFunctions {
        else graft.plans.ThetaSketchAgg(args(0), lgK)).toAggregateExpression()
     },
     "theta_sketch_estimate" -> { args => graft.plans.ThetaEstimate(args(0)) },
+    // THETA_SKETCH_ESTIMATE_WITH_ERROR_BOUNDS(sketch, stdDevs) → struct
+    // (theta/sql/ThetaSketchEstimateWithErrorBoundsOperatorConversion)
+    "theta_sketch_estimate_with_error_bounds" -> { args =>
+      graft.plans.ThetaEstimateBounds(args(0),
+        if (args.size > 1) litInt(args(1), "theta_sketch_estimate_with_error_bounds") else 1)
+    },
+    // HLL_SKETCH_ESTIMATE_WITH_ERROR_BOUNDS / HLL_SKETCH_TO_STRING /
+    // DS_QUANTILE_SUMMARY (hll/sql/*OperatorConversion,
+    // quantiles/sql/DoublesSketchSummaryOperatorConversion)
+    "hll_sketch_estimate_with_error_bounds" -> { args =>
+      graft.plans.HllEstimateWithBounds(args(0),
+        if (args.size > 1) litInt(args(1), "hll_sketch_estimate_with_error_bounds") else 1)
+    },
+    "hll_sketch_to_string" -> { args => graft.plans.SketchSummary(args(0), "hll") },
+    "theta_sketch_to_string" -> { args => graft.plans.SketchSummary(args(0), "theta") },
+    "ds_quantile_summary" -> { args => graft.plans.SketchSummary(args(0), "quantiles") },
     // Druid HyperLogLogCollector BINARY interop (read path; SURVEY §7.3):
     // estimate / union-estimate stored hyperUnique sketch columns from an
     // existing Druid cluster (hll/.../HyperLogLogCollector.java:53)

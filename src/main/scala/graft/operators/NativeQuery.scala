@@ -1429,7 +1429,15 @@ object NativeQuery {
     case "doubleGreatest" | "longGreatest" => greatest(arr(j \ "fields").map(postAggExpr): _*)
     case "doubleLeast" | "longLeast" => least(arr(j \ "fields").map(postAggExpr): _*)
     case "hyperUniqueCardinality" => col(str(j \ "fieldName"))
-    case "thetaSketchEstimate" => graft.plans.SketchFunctions.thetaEstimate(postAggExpr(j \ "field"))
+    // with errorBoundsStdDev the reference returns {estimate, highBound,
+    // lowBound, numStdDev} instead of a double
+    // (theta/SketchEstimatePostAggregator.java:88-96)
+    case "thetaSketchEstimate" => intOpt(j \ "errorBoundsStdDev") match {
+      case Some(n) => graft.plans.SketchFunctions.thetaEstimateBounds(postAggExpr(j \ "field"), n)
+      case None => graft.plans.SketchFunctions.thetaEstimate(postAggExpr(j \ "field"))
+    }
+    case "thetaSketchToString" =>
+      graft.plans.SketchFunctions.thetaSummary(postAggExpr(j \ "field"))
     // theta set-op post-agg (theta/SketchSetPostAggregator.java:48-56:
     // func UNION | INTERSECT | NOT over ≥2 sketch fields)
     case "thetaSketchSetOp" =>
@@ -1443,7 +1451,9 @@ object NativeQuery {
       arr(j \ "fields").map(postAggExpr).reduce(op)
     // ArrayOfDoubles tuple-sketch post-aggs (tuple/ArrayOfDoublesSketchModule
     // .java:64-105). TTest is a declared non-goal (needs commons-math's
-    // t-distribution CDF, not in the sandbox); toString is Scala-API only.
+    // t-distribution CDF, not in the sandbox).
+    case "arrayOfDoublesSketchToString" =>
+      graft.plans.SketchFunctions.tupleSummary(postAggExpr(j \ "field"))
     case "arrayOfDoublesSketchToEstimate" =>
       graft.plans.SketchFunctions.tupleEstimate(postAggExpr(j \ "field"))
     case "arrayOfDoublesSketchToMetricsSumEstimate" =>
@@ -1499,6 +1509,15 @@ object NativeQuery {
       else graft.plans.SketchFunctions.hyperUniqueEstimate(postAggExpr(j \ "field"))
     case "HLLSketchUnion" =>
       arr(j \ "fields").map(postAggExpr).reduce((a, b) => hll_union(a, b, true))
+    // [estimate, lower, upper] at numStdDev
+    // (hll/HllSketchToEstimateWithBoundsPostAggregator.java:104-108)
+    case "HLLSketchEstimateWithBounds" =>
+      graft.plans.SketchFunctions.hllEstimateWithBounds(postAggExpr(j \ "field"),
+        intOpt(j \ "numStdDev").getOrElse(1))
+    case "HLLSketchToString" =>
+      graft.plans.SketchFunctions.hllSummary(postAggExpr(j \ "field"))
+    case "quantilesDoublesSketchToString" =>
+      graft.plans.SketchFunctions.quantilesSummary(postAggExpr(j \ "field"))
     case t => throw new IllegalArgumentException(s"postAggregator: $t")
   }
 

@@ -704,6 +704,73 @@ case class HllEstimateExpr(child: Expression) extends UnaryExpression with Codeg
   override def prettyName: String = "hyper_unique_estimate"
 }
 
+/** thetaSketchEstimate with errorBoundsStdDev set → the reference returns a
+  * SketchEstimateWithErrorBounds object rather than a bare double
+  * (theta/SketchEstimatePostAggregator.java:88-96; field names and order
+  * from SketchEstimateWithErrorBounds.java:44-47). Rendered as a STRUCT so
+  * the server's JSON layer serializes the same {estimate, highBound,
+  * lowBound, numStdDev} shape. */
+case class ThetaEstimateBounds(child: Expression, numStdDevs: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("highBound", DoubleType, nullable = false),
+    StructField("lowBound", DoubleType, nullable = false),
+    StructField("numStdDev", IntegerType, nullable = false)))
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    InternalRow(sk.getEstimate, sk.getUpperBound(numStdDevs),
+      sk.getLowerBound(numStdDevs), numStdDevs)
+  }
+  override protected def withNewChildInternal(c: Expression): ThetaEstimateBounds =
+    copy(child = c)
+  override def prettyName: String = "theta_sketch_estimate_bounds"
+}
+
+/** HLLSketchEstimateWithBounds → [estimate, lower, upper] at numStdDev
+  * (hll/HllSketchToEstimateWithBoundsPostAggregator.java:104-108). */
+case class HllEstimateWithBounds(child: Expression, numStdDevs: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any = {
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(v.asInstanceOf[Array[Byte]]))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(sk.getEstimate, sk.getLowerBound(numStdDevs), sk.getUpperBound(numStdDevs)))
+  }
+  override protected def withNewChildInternal(c: Expression): HllEstimateWithBounds =
+    copy(child = c)
+  override def prettyName: String = "hll_estimate_with_bounds"
+}
+
+/** Sketch summary (the *ToString post-agg family: thetaSketchToString,
+  * HLLSketchToString, quantilesDoublesSketchToString — each returns the
+  * sketch's human-readable diagnostic summary, reference
+  * theta/SketchToStringPostAggregator.java:70-74 etc.). `kind` picks the
+  * deserializer; "quantiles" tries KLL first (our storage form) and falls
+  * back to the classic DoublesSketch layout (binary interop columns). */
+case class SketchSummary(child: Expression, kind: String)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val mem = Memory.wrap(v.asInstanceOf[Array[Byte]])
+    val s = kind match {
+      case "theta" => Sketches.wrapSketch(mem).toString
+      case "hll" => org.apache.datasketches.hll.HllSketch.heapify(mem).toString
+      case "tuple" => ArrayOfDoublesSketches.wrapSketch(mem).toString
+      case "quantiles" =>
+        try KllDoublesSketch.heapify(mem).toString
+        catch { case _: Exception =>
+          org.apache.datasketches.quantiles.DoublesSketch.heapify(mem).toString }
+      case k => throw new IllegalArgumentException(s"sketch summary kind: $k")
+    }
+    UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): SketchSummary =
+    copy(child = c)
+  override def prettyName: String = s"${kind}_sketch_to_string"
+}
+
 /** Column-level API for the sketch family (plus HLL aliases over Spark's
   * built-in DataSketches HLL functions). */
 object SketchFunctions {
@@ -714,6 +781,14 @@ object SketchFunctions {
   def thetaSketch(col: Column, lgK: Int = 12): Column =
     c(ThetaSketchAgg(e(col), lgK).toAggregateExpression())
   def thetaEstimate(col: Column): Column = c(ThetaEstimate(e(col)))
+  def thetaEstimateBounds(col: Column, numStdDevs: Int = 1): Column =
+    c(ThetaEstimateBounds(e(col), numStdDevs))
+  def thetaSummary(col: Column): Column = c(SketchSummary(e(col), "theta"))
+  def hllEstimateWithBounds(col: Column, numStdDevs: Int = 1): Column =
+    c(HllEstimateWithBounds(e(col), numStdDevs))
+  def hllSummary(col: Column): Column = c(SketchSummary(e(col), "hll"))
+  def quantilesSummary(col: Column): Column = c(SketchSummary(e(col), "quantiles"))
+  def tupleSummary(col: Column): Column = c(SketchSummary(e(col), "tuple"))
   /** Union a column OF serialized theta sketches (rollup re-aggregation). */
   def thetaUnionAgg(col: Column, lgK: Int = 12): Column =
     c(ThetaUnionAgg(e(col), lgK).toAggregateExpression())

@@ -119,10 +119,32 @@ object SketchQueries {
           round(element_at(tupleMetricsSum(col("sk")), 1)).cast("long").as("qty_sum"),
           col("cnt"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // estimate-with-error-bounds leaves (theta SketchEstimatePostAggregator
+    // with errorBoundsStdDev; HllSketchToEstimateWithBoundsPostAggregator):
+    // theta is exact below nominal, so all three struct fields equal the
+    // exact distinct count; the HLL bounds must bracket its estimate
+    "sketch_bounds" -> ((s, dir) => {
+      val o = Sources.table(s, dir, "orders")
+      o.agg(thetaEstimateBounds(thetaSketch(col("o_custkey")), 2).as("b"),
+            hllEstimateWithBounds(hllSketch(col("o_custkey")), 2).as("hb"))
+        .select(
+          round(col("b.estimate")).cast("long").as("nd_est"),
+          round(col("b.highBound")).cast("long").as("nd_high"),
+          round(col("b.lowBound")).cast("long").as("nd_low"),
+          (element_at(col("hb"), 2) <= element_at(col("hb"), 1) &&
+           element_at(col("hb"), 1) <= element_at(col("hb"), 3)).cast("bigint").as("hll_brackets"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "sketch_bounds" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_est,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_high,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_low,
+        |       CAST(1 AS BIGINT) AS hll_brackets
+        |FROM orders""".stripMargin,
     "sketch_theta_setops" ->
       """WITH a AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
         |r AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')

@@ -913,4 +913,56 @@ class NativeQuerySpec extends SparkSpecBase {
         "aggregations": [{"type": "count", "name": "cnt"}]
       }"""))
   }
+
+  test("sketch post-agg leaves: thetaSketchEstimate with errorBoundsStdDev, " +
+      "HLLSketchEstimateWithBounds, and the *ToString family " +
+      "(SketchEstimatePostAggregator.compute:88-96, " +
+      "HllSketchToEstimateWithBoundsPostAggregator.compute:104-108)") {
+    val r = run(
+      """{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": "orders", "timeColumn": "o_orderdate",
+        "aggregations": [
+          {"type": "thetaSketch", "name": "t", "fieldName": "o_custkey"},
+          {"type": "HLLSketchBuild", "name": "h", "fieldName": "o_custkey"},
+          {"type": "quantilesDoublesSketch", "name": "q",
+           "fieldName": "o_totalprice", "k": 128},
+          {"type": "arrayOfDoublesSketch", "name": "tu",
+           "fieldName": "o_custkey", "metricColumns": ["o_totalprice"]}
+        ],
+        "postAggregations": [
+          {"type": "thetaSketchEstimate", "name": "est_bounds", "errorBoundsStdDev": 2,
+           "field": {"type": "fieldAccess", "fieldName": "t"}},
+          {"type": "HLLSketchEstimateWithBounds", "name": "hll_bounds", "numStdDev": 2,
+           "field": {"type": "fieldAccess", "fieldName": "h"}},
+          {"type": "thetaSketchToString", "name": "t_str",
+           "field": {"type": "fieldAccess", "fieldName": "t"}},
+          {"type": "HLLSketchToString", "name": "h_str",
+           "field": {"type": "fieldAccess", "fieldName": "h"}},
+          {"type": "quantilesDoublesSketchToString", "name": "q_str",
+           "field": {"type": "fieldAccess", "fieldName": "q"}},
+          {"type": "arrayOfDoublesSketchToString", "name": "tu_str",
+           "field": {"type": "fieldAccess", "fieldName": "tu"}}
+        ]
+      }""").head()
+    val exactNd = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_custkey").distinct().count().toDouble
+
+    // errorBoundsStdDev → {estimate, highBound, lowBound, numStdDev}; the
+    // sketch is exact below nominal here, so the bounds collapse
+    val b = r.getStruct(r.fieldIndex("est_bounds"))
+    assert(b.getDouble(0) == exactNd && b.getDouble(1) == exactNd &&
+      b.getDouble(2) == exactNd && b.getInt(3) == 2)
+
+    // HLL bounds bracket an estimate near the exact count
+    val hb = r.getSeq[Double](r.fieldIndex("hll_bounds"))
+    assert(hb.length == 3 && hb(1) <= hb(0) && hb(0) <= hb(2))
+    assert(math.abs(hb(0) - exactNd) / exactNd < 0.05)
+
+    // every toString leaf returns the library's diagnostic summary
+    Seq("t_str", "h_str", "q_str", "tu_str").foreach { c =>
+      val s = r.getString(r.fieldIndex(c))
+      assert(s != null && s.toUpperCase.contains("SUMMARY"), s"$c -> $s")
+    }
+  }
 }

@@ -16,6 +16,23 @@ class SketchSpec extends SparkSpecBase {
     assert(perGroup.length == 7 && perGroup.forall(_ > 0))
   }
 
+  test("estimate-with-bounds and toString leaves: exact theta collapses, hll brackets") {
+    val df = (1 to 400).map(i => i % 200).toDF("v").repartition(4)
+    val r = df.agg(
+      thetaEstimateBounds(thetaSketch(col("v")), 2).as("tb"),
+      hllEstimateWithBounds(hllSketch(col("v")), 2).as("hb"),
+      thetaSummary(thetaSketch(col("v"))).as("ts"),
+      hllSummary(hllSketch(col("v"))).as("hs"),
+      quantilesSummary(kllSketch(col("v").cast("double"))).as("qs")).head()
+    val tb = r.getStruct(0) // exact below nominal → bounds collapse onto the estimate
+    assert(tb.getDouble(0) == 200.0 && tb.getDouble(1) == 200.0 &&
+      tb.getDouble(2) == 200.0 && tb.getInt(3) == 2)
+    val hb = r.getSeq[Double](1)
+    assert(hb(1) <= hb(0) && hb(0) <= hb(2) && math.abs(hb(0) - 200.0) < 10.0)
+    Seq(2, 3, 4).foreach(i =>
+      assert(r.getString(i).toUpperCase.contains("SUMMARY"), s"col $i -> ${r.getString(i)}"))
+  }
+
   test("theta set ops match exact set algebra") {
     val df = Seq.tabulate(300)(i => (if (i < 200) "a" else "z", i % 150)).toDF("side", "v")
     val sk = df.agg(
