@@ -95,9 +95,16 @@ object RollupRewrite {
       defs += d
     }
     def all: Seq[RollupDef] = defs synchronized { defs.toList }
+    /** Drop every def materializing `basePath`; returns how many were
+      * removed (HTTP admin DELETE). */
+    def unregister(basePath: String): Int = defs synchronized {
+      val n = defs.count(_.basePath == basePath)
+      defs.filterInPlace(_.basePath != basePath)
+      n
+    }
   }
 
-  final class RewriteRule(catalog: Catalog) extends Rule[LogicalPlan] {
+  final class RewriteRule(val catalog: Catalog) extends Rule[LogicalPlan] {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
@@ -611,10 +618,17 @@ object RollupRewrite {
     * constructed by Spark, so the catalog must be reachable statically). */
   lazy val globalCatalog = new Catalog
 
-  /** Attach to an already-running session via experimental optimizations. */
+  /** Attach to an already-running session via experimental optimizations.
+    * Per-CATALOG idempotent: a session can carry rules for several catalogs
+    * (the gate queries' per-sf catalog and the facade's global one), and
+    * attaching one must not suppress the other. */
   def enable(spark: SparkSession, catalog: Catalog = globalCatalog): Unit = {
     val experimental = spark.experimental
-    if (!experimental.extraOptimizations.exists(_.isInstanceOf[RewriteRule]))
+    val attached = experimental.extraOptimizations.exists {
+      case r: RewriteRule => r.catalog eq catalog
+      case _ => false
+    }
+    if (!attached)
       experimental.extraOptimizations =
         experimental.extraOptimizations :+ new RewriteRule(catalog)
   }

@@ -634,6 +634,20 @@ object HttpFacade {
     // overlord supervisor admin over the sys.supervisors registry
     server.createContext("/druid/indexer/v1/supervisor", restHandler(
       (method, sub, body) => SupervisorResource.handle(method, sub, body)))
+    // rollup-catalog admin: register/list/drop rollup materializations so a
+    // facade-only embedder gets the RollupRewrite redirect; streamed-rollup
+    // handoffs into the global catalog surface in GET. A successful
+    // register/drop invalidates the plan cache — cached plans compiled
+    // against the previous catalog would otherwise keep serving the old
+    // scan (the reference's broker drops cached per-segment results on
+    // datasource change the same way)
+    server.createContext("/druid/coordinator/v1/rollups", restHandler(
+      (method, sub, body) => {
+        val r = RollupResource.handle(spark,
+          graft.plans.RollupRewrite.globalCatalog, method, sub, body)
+        if (method != "GET" && r._1 == 200) planCache.invalidateAll()
+        r
+      }))
     // cluster reads: leader/isLeader/loadstatus/servers + overlord tasks
     // (the longer lookups/datasources/supervisor contexts win over these)
     val selfAddress = s"127.0.0.1:${server.getAddress.getPort}"

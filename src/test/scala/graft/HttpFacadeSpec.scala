@@ -23,6 +23,15 @@ class HttpFacadeSpec extends SparkSpecBase {
     (resp.statusCode(), JsonMethods.parse(resp.body()))
   }
 
+  private def request(port: Int, method: String, path: String): (Int, JValue) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, HttpRequest.BodyPublishers.noBody())
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), JsonMethods.parse(resp.body()))
+  }
+
   test("POST /druid/v2 runs the native timeseries gate JSON verbatim, with the " +
       "{timestamp, result} envelope (docs/querying/timeseriesquery.md)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
@@ -947,5 +956,86 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert(facade.planCache.misses == missesAfterInval + 1,
         "invalidation must drop cached SQL plans")
     } finally facade.stop()
+  }
+
+  test("rollup-catalog admin: POST register redirects subsequent SQL to the " +
+      "rollup scan, GET lists the def, DELETE restores the base scan " +
+      "(facade-only embedder path for plans.RollupRewrite)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    val basePath = s"${sf()}/orders.parquet"
+    val rollupPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_rollup_http_${System.nanoTime()}"
+    try {
+      import org.apache.spark.sql.functions._
+      // expected values computed BEFORE any registration (no rewrite active)
+      Sources.table(spark, sf(), "orders").createOrReplaceTempView("orders")
+      val exact = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_totalprice) AS mn " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // materialize a P1D rollup out-of-band (the operator's job)
+      spark.read.parquet(basePath)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("o_orderdate"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .write.mode("overwrite").parquet(rollupPath)
+
+      // register over HTTP
+      val (rs, rj) = post(facade.port, "/druid/coordinator/v1/rollups",
+        s"""{
+          "basePath": "$basePath",
+          "rollupPath": "$rollupPath",
+          "dimensions": ["o_orderstatus"],
+          "metricMap": {"o_totalprice": [{"op": "min", "column": "min_price"},
+                                         {"op": "max", "column": "max_price"}]},
+          "countColumn": "cnt",
+          "timeColumn": "o_orderdate",
+          "granularity": "P1D"
+        }""")
+      assert(rs == 200 && (rj \ "registered") == JString(basePath), s"got $rj")
+
+      // GET lists the registered def with its metadata
+      val (gs, gj) = request(facade.port, "GET", "/druid/coordinator/v1/rollups")
+      assert(gs == 200)
+      val listed = gj.asInstanceOf[JArray].arr
+        .find(d => (d \ "basePath") == JString(basePath))
+      assert(listed.isDefined, s"def not listed: $gj")
+      assert((listed.get \ "granularity" \ "period") == JString("P1D"))
+      assert((listed.get \ "countColumn") == JString("cnt"))
+
+      // the subsequent SQL's executed plan scans the ROLLUP table
+      val explainBody =
+        """{"query": "EXPLAIN PLAN FOR SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_totalprice) AS mn FROM orders GROUP BY o_orderstatus"}"""
+      val (es, ej) = post(facade.port, "/druid/v2/sql", explainBody)
+      assert(es == 200)
+      val plan = (ej.asInstanceOf[JArray].arr.head \ "PLAN").asInstanceOf[JString].s
+      assert(plan.contains("graft_rollup_http"),
+        s"SQL plan must scan the rollup after HTTP registration:\n$plan")
+
+      // and the values still match the pre-registration base computation
+      val (vs, vj) = post(facade.port, "/druid/v2/sql",
+        """{"query": "SELECT o_orderstatus, COUNT(*) AS cnt, MIN(o_totalprice) AS mn FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"}""")
+      assert(vs == 200)
+      val got = vj.asInstanceOf[JArray].arr.map { r =>
+        ((r \ "o_orderstatus").asInstanceOf[JString].s,
+          (r \ "cnt") match { case JInt(n) => n.toLong; case JLong(n) => n; case x => fail(s"cnt $x") },
+          (r \ "mn") match { case JDouble(d) => d; case JDecimal(d) => d.toDouble; case x => fail(s"mn $x") })
+      }
+      assert(got == exact.toList, s"rollup-served values diverged: $got vs ${exact.toList}")
+
+      // DELETE unregisters and the plan returns to the base scan
+      val (ds, dj) = request(facade.port, "DELETE",
+        s"/druid/coordinator/v1/rollups?basePath=${java.net.URLEncoder.encode(basePath, "UTF-8")}")
+      assert(ds == 200 && (dj \ "removed") == JInt(1), s"got $dj")
+      val (es2, ej2) = post(facade.port, "/druid/v2/sql", explainBody)
+      assert(es2 == 200)
+      val plan2 = (ej2.asInstanceOf[JArray].arr.head \ "PLAN").asInstanceOf[JString].s
+      assert(!plan2.contains("graft_rollup_http"),
+        s"plan must stop scanning the rollup after DELETE:\n$plan2")
+    } finally {
+      graft.plans.RollupRewrite.globalCatalog.unregister(basePath)
+      facade.stop()
+    }
   }
 }
