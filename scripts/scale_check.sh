@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild
 
 mkdir -p "$WORK"
 
@@ -70,7 +70,12 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # rewritten query scans the (tiny) P1D rollup and must stay
           # near-flat at 100x, while its base-pinned twin (same aggregation,
           # rewrite disqualified by a metric predicate) scans 100x orders
-          "rollup_rewrite_coarse": 15, "rollup_rewrite_base": 40}
+          "rollup_rewrite_coarse": 15, "rollup_rewrite_base": 40,
+          # round-12: merging STORED sketch columns is the 100 TB
+          # distinct-count path — near-flat (work ~ rollup rows), while the
+          # raw build scans the 100x fact; both measured so the win is a
+          # printed ratio like the rollup rewrite's
+          "sketch_merge_stored": 10, "sketch_merge_rawbuild": 40}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():
@@ -86,6 +91,9 @@ for q, b in budget.items():
 rc, rb = sf10.get("rollup_rewrite_coarse"), sf10.get("rollup_rewrite_base")
 if rc and rb:
     print(f"[scale_check] rollup rewrite win at sf10: base {rb:.1f}s / rewritten {rc:.1f}s = {rb/rc:.1f}x")
+ms, mr = sf10.get("sketch_merge_stored"), sf10.get("sketch_merge_rawbuild")
+if ms and mr:
+    print(f"[scale_check] stored-sketch merge win at sf10: raw build {mr:.1f}s / stored merge {ms:.1f}s = {mr/ms:.1f}x")
 if fail:
     print("SCALE REGRESSION:\n  " + "\n  ".join(fail))
     sys.exit(1)

@@ -212,12 +212,27 @@ object NativeQuery {
                 val explicitNames = explicitCols.map {
                   case JString(c) => c; case o => str(o \ "dimension")
                 }.toSet
+                // non-ALL granularity: the bucket timestamp wraps the user
+                // ordering — PREPENDED by default, appended under the
+                // sortByDimsFirst context (DefaultLimitSpec.makeComparator:
+                // timeOrdering.compound(ordering) vs ordering.compound(
+                // timeOrdering); GroupByQueryRunnerTest
+                // .testGroupByWithSubtotalsSpecWithOrderLimit pins the
+                // time-major default)
+                val sortByDimsFirst = (q \ "context" \ "sortByDimsFirst") match {
+                  case JBool(b) => b; case _ => false
+                }
+                val timeKey =
+                  if (granDims.nonEmpty && !explicitNames(granBucketName))
+                    Seq(col(granBucketName).asc)
+                  else Nil
                 val tieBreak =
                   if (intOpt(ls \ "limit").nonEmpty || intOpt(ls \ "offset").exists(_ > 0))
-                    dims.filterNot(d => explicitNames(d.output))
+                    dims.filterNot(d => explicitNames(d.output) ||
+                        (!sortByDimsFirst && d.output == granBucketName))
                       .map(d => naturalDimKey(d).asc)
                   else Nil
-                (explicitCols.map { o =>
+                val userOrder = (explicitCols.map { o =>
               val name = o match { case JString(c) => c; case _ => str(o \ "dimension") }
               val base = col(name)
               // OrderByColumnSpec.dimensionOrder: a StringComparator name
@@ -237,6 +252,7 @@ object NativeQuery {
               }
               if (strOpt(o \ "direction").contains("descending")) keyed.desc else keyed.asc
               }) ++ tieBreak
+                if (sortByDimsFirst) userOrder ++ timeKey else timeKey ++ userOrder
               }
             },
             limit = intOpt(ls \ "limit"),
@@ -714,9 +730,23 @@ object NativeQuery {
     case o =>
       val dim = str(o \ "dimension")
       val out = strOpt(o \ "outputName").getOrElse(dim)
+      // DefaultDimensionSpec outputType coerces the dimension value
+      // (DimensionHandlerUtils.convertObjectTo*: numeric parse of strings,
+      // null on unparseable — Spark's cast has the same contract)
+      def coerce(t: String): Option[String] = t.toUpperCase match {
+        case "STRING" => Some("string")
+        case "LONG" => Some("long")
+        case "FLOAT" => Some("float")
+        case "DOUBLE" => Some("double")
+        case _ => None
+      }
       str(o \ "type") match {
         case "default" =>
-          if (isArrayCol(dim)) MvDim(col(dim), out) else Dim(dim, out)
+          if (isArrayCol(dim)) MvDim(col(dim), out)
+          else strOpt(o \ "outputType").flatMap(coerce) match {
+            case Some(t) => ExprDim(col(dim).cast(t), out)
+            case None => Dim(dim, out)
+          }
         case "extraction" if isArrayCol(dim) =>
           MvDim(transform(col(dim), x => extractionFn(o \ "extractionFn", x)), out)
         case "extraction" =>
@@ -777,7 +807,11 @@ object NativeQuery {
         }
       }
       strOpt(j \ "format") match {
-        case Some(f) if localeTag == null && tz == null => date_format(t, f)
+        // Spark's pattern dialect caps day-of-week text at E..EEE; full
+        // names (Joda "EEEE", TimeFormatExtractionFn's dialect) render
+        // through the java.time formatter instead
+        case Some(f) if localeTag == null && tz == null && !f.matches(".*E{4,}.*") =>
+          date_format(t, f)
         case fmt =>
           val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
           bridge.column(LocaleTimeFormat(
@@ -1181,10 +1215,17 @@ object NativeQuery {
         // bytes, e.g. TestIndex's quality_uniques) UNIONS collectors and
         // estimates with the HLLC estimator — byte-exact with the
         // reference's HyperUniquesAggregatorFactory (the classic
-        // UNIQUES_9 = 9.019833517963864); `round` → Math.round to long
-        val est = graft.plans.SketchFunctions.hllcUnionEstimate(f)
-        Agg(name, if (boolOpt(j \ "round").getOrElse(false))
-          round(est).cast("long") else est)
+        // UNIQUES_9 = 9.019833517963864); `round` → Math.round to long.
+        // shouldFinalize=false keeps the merged collector's V1 BYTES so an
+        // outer query (or rollup sink) can re-union them
+        // (testSubqueryWithHyperUniques)
+        if (!boolOpt(j \ "shouldFinalize").getOrElse(true))
+          Agg(name, graft.plans.SketchFunctions.hllcUnion(f))
+        else {
+          val est = graft.plans.SketchFunctions.hllcUnionEstimate(f)
+          Agg(name, if (boolOpt(j \ "round").getOrElse(false))
+            round(est).cast("long") else est)
+        }
       case "cardinality" | "hyperUnique" =>
         import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate, thetaUnion}
         val fields = (j \ "fields") match {

@@ -496,8 +496,11 @@ final case class GroupByQuery(
         prepared.groupingSets(sets, dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
       }
     val agged = if (dummyAgg) agged0.drop("__graft_dummy_agg") else agged0
-    val havinged = if (having == null) agged else agged.filter(having)
-    val post = QueryCommon.applyPostAggs(havinged, postAggregations)
+    // having evaluates AFTER post-aggregation — a having spec can name a
+    // post-aggregated column (GroupByQueryQueryToolChest post-processing
+    // order; GroupByQueryRunnerTest.testPostAggHavingSpec pins it)
+    val post0 = QueryCommon.applyPostAggs(agged, postAggregations)
+    val post = if (having == null) post0 else post0.filter(having)
     val ordered = if (limitSpec.orderBy.nonEmpty) post.orderBy(limitSpec.orderBy: _*) else post
     val offsetted = if (limitSpec.offset > 0) ordered.offset(limitSpec.offset) else ordered
     limitSpec.limit.fold(offsetted)(offsetted.limit)

@@ -288,6 +288,17 @@ object DruidHllcBuild {
     if (b.overflowValue > 0) add(a, b.overflowBucket, b.overflowValue)
   }
 
+  /** Fold a bucket array of EFFECTIVE register values through the add
+    * ladder into collector state — the value-space equivalent of folding a
+    * stored collector into an empty one (reference fold()). Used to emit a
+    * merged collector's bytes from union register state. */
+  def fromRegisters(regs: Array[Int]): State = {
+    val st = new State
+    var i = 0
+    while (i < regs.length) { if (regs(i) > 0) add(st, i, regs(i)); i += 1 }
+    st
+  }
+
   /** Emit reference V1 bytes (toByteArray): sparse below DENSE_THRESHOLD
     * nonzero registers, dense otherwise. */
   def toBytes(st: State): Array[Byte] = {
@@ -473,4 +484,55 @@ case class HllcUnionEstimate(
   override def withNewInputAggBufferOffset(o: Int): HllcUnionEstimate = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): HllcUnionEstimate = copy(child = c)
   override def prettyName: String = "hllc_union_estimate"
+}
+
+/** HLLC_UNION(druid_hllc_bytes) → binary: union a column of stored
+  * hyperUnique collectors and emit the MERGED collector's V1 bytes — the
+  * hyperUnique aggregator's shouldFinalize=false shape, consumed by a
+  * re-aggregating outer query or a rollup sink
+  * (HyperUniquesAggregatorFactory.getCombiningFactory with
+  * finalizeComputation bypassed; GroupByQueryRunnerTest
+  * .testSubqueryWithHyperUniques exercises exactly this hop). */
+case class HllcUnionBytes(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](DruidHllc.NumBuckets)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) DruidHllc.mergeInto(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any =
+    DruidHllcBuild.toBytes(DruidHllcBuild.fromRegisters(buf))
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(DruidHllc.NumBuckets)
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { bb.put(buf(i).toByte); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val buf = new Array[Int](DruidHllc.NumBuckets)
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { buf(i) = bytes(i) & 0xff; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): HllcUnionBytes = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllcUnionBytes = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllcUnionBytes = copy(child = c)
+  override def prettyName: String = "hllc_union"
 }

@@ -849,6 +849,8 @@ object SketchFunctions {
   /** Per-row single-value collector bytes (ingest-time complex column). */
   def hllcOf(col: Column): Column = c(HllcOf(e(col)))
   def hllcEstimate(col: Column): Column = c(HllcEstimate(e(col)))
+  def hllcUnion(col: Column): Column =
+    c(HllcUnionBytes(e(col)).toAggregateExpression())
   def hllcUnionEstimate(col: Column): Column =
     c(HllcUnionEstimate(e(col)).toAggregateExpression())
 

@@ -26,12 +26,14 @@ object RollupQueries {
   // check for misfires)
   private val catalogs = scala.collection.mutable.Map[String, Catalog]()
 
+  private def rollupPathFor(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rollup_gate_${Integer.toHexString(dir.hashCode)}"
+
   private def ensureRollup(s: SparkSession, dir: String): Unit = catalogs.synchronized {
     val catalog = catalogs.getOrElseUpdate(dir, {
       val basePath = s"$dir/orders.parquet"
       val g = PeriodGranularity("P1D")
-      val rollupPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_rollup_gate_${Integer.toHexString(dir.hashCode)}"
+      val rollupPath = rollupPathFor(dir)
       import graft.plans.SketchFunctions.{thetaSketch, kllSketch, tupleSketch}
       // Shuffle by the GROUP KEY before aggregating: the k=8192 KLL buffer
       // preallocates ~64 KB per group, and a map-side partial would hold
@@ -141,10 +143,41 @@ object RollupQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // THE 100 TB distinct-count path, measured directly (not via the
+    // optimizer rewrite): union-merge the rollup's STORED theta columns —
+    // work proportional to rollup rows (~7.2k), flat as the base grows.
+    // Exact below the sketch nominal, so the raw-table oracle pins values.
+    "sketch_merge_stored" -> ((s, dir) => {
+      ensureRollup(s, dir)
+      import graft.plans.SketchFunctions._
+      s.read.parquet(rollupPathFor(dir))
+        .groupBy(col("o_orderstatus"))
+        .agg(round(thetaEstimate(thetaUnionAgg(col("theta_cust")))).cast("long").as("nd_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // the same distinct count BUILT from the raw table — the scale gate
+    // prints both so the stored-merge win is measured, like the rollup
+    // rewrite's (SCALE.md §9)
+    "sketch_merge_rawbuild" -> ((s, dir) => {
+      import graft.plans.SketchFunctions._
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(thetaEstimate(thetaSketch(col("o_custkey")))).cast("long").as("nd_cust"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "sketch_merge_stored" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sketch_merge_rawbuild" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "rollup_rewrite_coarse" ->
       """WITH first_rows AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,

@@ -30,27 +30,8 @@ import graft.operators.NativeQuery
   */
 class QueryRunnerGoldenSpec extends SparkSpecBase {
 
-  private val TsvPath =
-    "/root/reference/processing/src/test/resources/druid.sample.numeric.tsv"
-
-  private lazy val testIndex: DataFrame = {
-    import graft.plans.SketchFunctions
-    val schema = "ts STRING, market STRING, quality STRING, qualityLong LONG, " +
-      "qualityFloat FLOAT, qualityDouble DOUBLE, qualityNumericString STRING, " +
-      "longNumericNull LONG, floatNumericNull FLOAT, doubleNumericNull DOUBLE, " +
-      "placement STRING, placementish STRING, indexRaw STRING, partial_null_column STRING"
-    spark.read.option("sep", "\t").schema(schema).csv(TsvPath)
-      .select(
-        to_timestamp(col("ts")).cast("timestamp_ntz").as("__time"),
-        col("market"), col("quality"), col("qualityLong"), col("qualityFloat"),
-        col("qualityDouble"), col("qualityNumericString"), col("longNumericNull"),
-        col("floatNumericNull"), col("doubleNumericNull"), col("placement"),
-        split(col("placementish"), "").as("placementish"),
-        col("indexRaw").cast("float").as("index"),
-        col("partial_null_column"),
-        SketchFunctions.hllcOf(col("quality")).as("quality_uniques"))
-      .cache()
-  }
+  // fixture shared with QueryRunnerGoldenSpec2 (tranche 2)
+  private lazy val testIndex: DataFrame = TestIndexFixture.testIndex(spark)
 
   private def run(json: String): DataFrame =
     NativeQuery.run(spark, json, _ => testIndex)

@@ -1,0 +1,631 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.operators.NativeQuery
+
+/** Runner-golden tranche 2 over the shared TestIndex fixture
+  * ([[TestIndexFixture]]): the highest-risk corners the round-11 verdict
+  * named — nested groupBy (query datasource), extraction-fn / typed topN
+  * over numeric dimension columns, having + order-limit combinations, and
+  * subtotals under non-ALL granularity with order-limit — each test cites
+  * its reference method in GroupByQueryRunnerTest.java /
+  * TopNQueryRunnerTest.java and asserts the reference's published result
+  * vectors (longs/strings exact, doubles at the reference's own 1e-6
+  * relative tolerance, HLLC estimates exact).
+  *
+  * JavaScript pieces of the originals are expressed with the engine's
+  * equivalents and noted per test: an identity JS dim filter is dropped
+  * (semantically a no-op), and the "super-" JS string-concat extraction is
+  * the stringFormat extraction fn ("super-%s" —
+  * StringFormatExtractionFn covers JS concat exactly); javascript itself is
+  * a declared non-goal.
+  */
+class QueryRunnerGoldenSpec2 extends SparkSpecBase {
+
+  private lazy val testIndex: DataFrame = TestIndexFixture.testIndex(spark)
+
+  private def run(json: String): DataFrame =
+    NativeQuery.run(spark, json, _ => testIndex)
+
+  private def relEq(got: Double, exp: Double, tol: Double = 1e-6): Boolean =
+    math.abs(got - exp) <= math.abs(exp) * tol
+
+  private def day(r: Row): String =
+    r.getAs[java.time.LocalDateTime]("__time").toLocalDate.toString
+
+  // the reference's commonAggregators (QueryRunnerTestHelper.java:214-218)
+  private val CommonAggs =
+    """{"type": "count", "name": "rows"},
+       {"type": "doubleSum", "name": "index", "fieldName": "index"},
+       {"type": "hyperUnique", "name": "uniques", "fieldName": "quality_uniques"}"""
+
+  // ---------------------------------------------------------------- nested
+
+  test("testIdenticalSubquery (GroupByQueryRunnerTest.java:5541): inner and " +
+      "outer group the same dimension at DAY granularity; longSums re-sum " +
+      "exactly (identity JS dim filter dropped — javascript non-goal)") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+          "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "idx", "fieldName": "index"},
+            {"type": "longSum", "name": "indexMaxPlusTen", "fieldName": "indexMaxPlusTen"}
+          ]
+        }},
+        "dimensions": [{"type": "default", "dimension": "alias", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "longSum", "name": "rows", "fieldName": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "idx"}
+        ]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(t => (t._1, t._2))
+    val expected = Seq(
+      ("2011-04-01", "automotive", 1L, 135L), ("2011-04-01", "business", 1L, 118L),
+      ("2011-04-01", "entertainment", 1L, 158L), ("2011-04-01", "health", 1L, 120L),
+      ("2011-04-01", "mezzanine", 3L, 2870L), ("2011-04-01", "news", 1L, 121L),
+      ("2011-04-01", "premium", 3L, 2900L), ("2011-04-01", "technology", 1L, 78L),
+      ("2011-04-01", "travel", 1L, 119L),
+      ("2011-04-02", "automotive", 1L, 147L), ("2011-04-02", "business", 1L, 112L),
+      ("2011-04-02", "entertainment", 1L, 166L), ("2011-04-02", "health", 1L, 113L),
+      ("2011-04-02", "mezzanine", 3L, 2447L), ("2011-04-02", "news", 1L, 114L),
+      ("2011-04-02", "premium", 3L, 2505L), ("2011-04-02", "technology", 1L, 97L),
+      ("2011-04-02", "travel", 1L, 126L))
+    assert(rows.toSeq == expected, s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testSubqueryWithExtractionFnInOuterQuery (GroupByQueryRunnerTest" +
+      ".java:5660): regex extraction '(a).*' with replaceMissingValue over " +
+      "the inner alias collapses everything to 'a'") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+          "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "idx", "fieldName": "index"}
+          ]
+        }},
+        "dimensions": [{"type": "extraction", "dimension": "alias", "outputName": "alias",
+          "extractionFn": {"type": "regex", "expr": "(a).*",
+            "replaceMissingValue": true, "replaceMissingValueWith": "a"}}],
+        "aggregations": [
+          {"type": "longSum", "name": "rows", "fieldName": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "idx"}
+        ]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2011-04-01", "a", 13L, 6619L),
+      ("2011-04-02", "a", 13L, 5827L)), s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testDifferentGroupingSubquery (GroupByQueryRunnerTest.java:5707): " +
+      "outer doubleMax over the inner's per-quality longSums, incl. the " +
+      "variant where the inner sums a FLOAT virtual column '-index + 100'") {
+    def outer(innerAggs: String, innerVcs: String = ""): Seq[(String, Long, Double, Double)] =
+      run(
+        s"""{
+          "queryType": "groupBy",
+          "granularity": "day",
+          "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+          "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "dataSource": "testIndex",
+            "granularity": "day",
+            "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+            $innerVcs
+            "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+            "aggregations": [$innerAggs]
+          }},
+          "dimensions": [],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "doubleMax", "name": "idx", "fieldName": "idx"},
+            {"type": "doubleMax", "name": "indexMaxPlusTen", "fieldName": "indexMaxPlusTen"}
+          ]
+        }""").collect()
+        .map(r => (day(r), r.getAs[Long]("rows"), r.getAs[Double]("idx"),
+          r.getAs[Double]("indexMaxPlusTen")))
+        .sortBy(_._1).toSeq
+
+    val base = outer(
+      """{"type": "count", "name": "rows"},
+         {"type": "longSum", "name": "idx", "fieldName": "index"},
+         {"type": "longSum", "name": "indexMaxPlusTen", "fieldName": "indexMaxPlusTen"}""")
+    assert(base == Seq(
+      ("2011-04-01", 9L, 2900.0, 2930.0),
+      ("2011-04-02", 9L, 2505.0, 2535.0)), s"got $base")
+
+    // variant: inner idx = longSum over expression virtual column
+    // "-index + 100" (FLOAT) — truncation per row, then max of group sums
+    val vc = outer(
+      """{"type": "count", "name": "rows"},
+         {"type": "longSum", "name": "idx", "fieldName": "expr"},
+         {"type": "longSum", "name": "indexMaxPlusTen", "fieldName": "indexMaxPlusTen"}""",
+      """"virtualColumns": [{"type": "expression", "name": "expr",
+          "expression": "-index + 100", "outputType": "FLOAT"}],""")
+    assert(vc == Seq(
+      ("2011-04-01", 9L, 21.0, 2930.0),
+      ("2011-04-02", 9L, 2.0, 2535.0)), s"got $vc")
+  }
+
+  test("testSubqueryWithOuterFilterAggregator (GroupByQueryRunnerTest" +
+      ".java:6732): filtered count over the inner (market, quality) day " +
+      "groups = 837 spot groups") {
+    val r = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "all",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+          "dimensions": ["market", "quality"],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "index", "fieldName": "index"}
+          ]
+        }},
+        "dimensions": [],
+        "aggregations": [
+          {"type": "filtered",
+           "filter": {"type": "selector", "dimension": "market", "value": "spot"},
+           "aggregator": {"type": "count", "name": "rows"}}
+        ]
+      }""").head()
+    assert(r.getAs[Long]("rows") == 837L)
+  }
+
+  test("testSubqueryWithOuterTimeFilter (GroupByQueryRunnerTest.java:6759): " +
+      "timeFormat-extraction filters on __time — 'd' in {1,2,3} dimFilter, " +
+      "'EEEE' == Friday inside a filtered aggregator") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "day",
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+          "dimensions": ["market", "quality"],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "index", "fieldName": "index"}
+          ]
+        }},
+        "dimensions": [],
+        "filter": {"type": "in", "dimension": "__time", "values": ["1", "2", "3"],
+          "extractionFn": {"type": "timeFormat", "format": "d"}},
+        "aggregations": [
+          {"type": "filtered",
+           "filter": {"type": "selector", "dimension": "__time", "value": "Friday",
+             "extractionFn": {"type": "timeFormat", "format": "EEEE"}},
+           "aggregator": {"type": "count", "name": "rows"}}
+        ]
+      }""").collect()
+      .map(r => (day(r), r.getAs[Long]("rows"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("2011-02-01", 0L), ("2011-02-02", 0L), ("2011-02-03", 0L),
+      ("2011-03-01", 0L), ("2011-03-02", 0L), ("2011-03-03", 0L),
+      ("2011-04-01", 13L), ("2011-04-02", 0L), ("2011-04-03", 0L)),
+      s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testSubqueryWithOuterCountAggregator (GroupByQueryRunnerTest" +
+      ".java:6884): outer count of inner day×quality groups in " +
+      "FIRST_TO_THIRD = 18 (inner carries an order-only limitSpec)") {
+    val r = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "all",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+          "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+          "aggregations": [],
+          "limitSpec": {"type": "default",
+            "columns": [{"dimension": "alias", "direction": "ascending"}]}
+        }},
+        "dimensions": [],
+        "aggregations": [{"type": "count", "name": "count"}]
+      }""").head()
+    assert(r.getAs[Long]("count") == 18L)
+  }
+
+  // --------------------------------------------- having + order-limit
+
+  test("testGroupByOrderLimit (GroupByQueryRunnerTest.java:4267): P1M " +
+      "bucket, orderBy rows asc + alias desc, then limit 5; plus the " +
+      "expression-aggregator and expression-virtual-column variants") {
+    def q(aggs: String, vcs: String = "", limit: String = ""): Seq[Row] = run(
+      s"""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        $vcs
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [$aggs],
+        "limitSpec": {"type": "default", $limit
+          "columns": [{"dimension": "rows", "direction": "ascending"},
+                      {"dimension": "alias", "direction": "descending"}]}
+      }""").collect().toSeq
+
+    val longAggs =
+      """{"type": "count", "name": "rows"},
+         {"type": "longSum", "name": "idx", "fieldName": "index"}"""
+    val expectedLong = Seq(
+      ("travel", 2L, 243L), ("technology", 2L, 177L), ("news", 2L, 221L),
+      ("health", 2L, 216L), ("entertainment", 2L, 319L), ("business", 2L, 217L),
+      ("automotive", 2L, 269L), ("premium", 6L, 4416L), ("mezzanine", 6L, 4420L))
+    val got = q(longAggs).map(r =>
+      (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(got == expectedLong, s"got:\n${got.mkString("\n")}")
+    assert(q(longAggs).forall(r => day(r) == "2011-04-01"), "all rows in the P1M bucket")
+    val limited = q(longAggs, limit = """"limit": 5,""").map(r =>
+      (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(limited == expectedLong.take(5), s"got:\n${limited.mkString("\n")}")
+
+    // expression-based aggregator: doubleSum over "index / 2 + indexMin"
+    val exprAggs =
+      """{"type": "count", "name": "rows"},
+         {"type": "doubleSum", "name": "idx", "expression": "index / 2 + indexMin"}"""
+    val expectedExpr = Seq(
+      ("travel", 2L, 365.4876403808594), ("technology", 2L, 267.3737487792969),
+      ("news", 2L, 333.3147277832031), ("health", 2L, 325.467529296875),
+      ("entertainment", 2L, 479.916015625), ("business", 2L, 328.083740234375),
+      ("automotive", 2L, 405.5966796875), ("premium", 6L, 6627.927734375),
+      ("mezzanine", 6L, 6635.47998046875))
+    def checkExpr(rows: Seq[Row], exp: Seq[(String, Long, Double)]): Unit = {
+      val got = rows.map(r =>
+        (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Double]("idx")))
+      assert(got.map(t => (t._1, t._2)) == exp.map(t => (t._1, t._2)), s"got:\n${got.mkString("\n")}")
+      got.zip(exp).foreach { case (g, e) => assert(relEq(g._3, e._3), s"idx for ${g._1}: ${g._3}") }
+    }
+    checkExpr(q(exprAggs), expectedExpr)
+    checkExpr(q(exprAggs, limit = """"limit": 5,"""), expectedExpr.take(5))
+
+    // the same expression as a FLOAT virtual column feeding a plain doubleSum
+    val vcAggs =
+      """{"type": "count", "name": "rows"},
+         {"type": "doubleSum", "name": "idx", "fieldName": "expr"}"""
+    val vcs = """"virtualColumns": [{"type": "expression", "name": "expr",
+      "expression": "index / 2 + indexMin", "outputType": "FLOAT"}],"""
+    checkExpr(q(vcAggs, vcs), expectedExpr)
+    checkExpr(q(vcAggs, vcs, """"limit": 5,"""), expectedExpr.take(5))
+  }
+
+  test("testHavingSpec (GroupByQueryRunnerTest.java:5131): or(greaterThan " +
+      "rows 2, equalTo idx 217) over P1M buckets") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "having": {"type": "or", "havingSpecs": [
+          {"type": "greaterThan", "aggregation": "rows", "value": 2},
+          {"type": "equalTo", "aggregation": "idx", "value": 217}
+        ]}
+      }""").collect()
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("business", 2L, 217L), ("mezzanine", 6L, 4420L), ("premium", 6L, 4416L)),
+      s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testPostAggHavingSpec (GroupByQueryRunnerTest.java:5076): having on " +
+      "a POST-aggregated column (addRowsIndexConstant > 1000)") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "index", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ],
+        "having": {"type": "or", "havingSpecs": [
+          {"type": "greaterThan", "aggregation": "addRowsIndexConstant", "value": 1000}
+        ]}
+      }""").collect()
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("index"),
+        r.getAs[Double]("addRowsIndexConstant")))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("mezzanine", 6L, 4420L, 4427.0), ("premium", 6L, 4416L, 4423.0)),
+      s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testGroupByWithOrderLimitHavingSpec (GroupByQueryRunnerTest" +
+      ".java:5024): greaterThan having + ascending order limit 5, with the " +
+      "full long/double/float min-max aggregator family") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "intervals": ["2011-01-25T00:00:00.000Z/2011-01-28T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "doubleSum", "name": "index", "fieldName": "index"},
+          {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+          {"type": "longMax", "name": "longMaxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "doubleMinIndex", "fieldName": "index"},
+          {"type": "doubleMax", "name": "doubleMaxIndex", "fieldName": "index"},
+          {"type": "floatMin", "name": "floatMinIndex", "fieldName": "index"},
+          {"type": "floatMax", "name": "floatMaxIndex", "fieldName": "index"}
+        ],
+        "having": {"type": "greaterThan", "aggregation": "index", "value": 310},
+        "limitSpec": {"type": "default", "limit": 5,
+          "columns": [{"dimension": "index", "direction": "ascending"}]}
+      }""").collect()
+    // (alias, rows, index, longMin, longMax, doubleMin, doubleMax)
+    val expected = Seq(
+      ("business", 3L, 312.38165283203125, 101L, 105L, 101.624789, 105.873942),
+      ("news", 3L, 312.7834167480469, 102L, 105L, 102.907866, 105.266058),
+      ("technology", 3L, 324.6412353515625, 102L, 116L, 102.044542, 116.979005),
+      ("travel", 3L, 393.36322021484375, 122L, 149L, 122.077247, 149.125271),
+      ("health", 3L, 511.2996826171875, 159L, 180L, 159.988606, 180.575246))
+    assert(rows.length == 5)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[String]("alias") == e._1, s"alias ${r.getAs[String]("alias")} vs $e")
+      assert(r.getAs[Long]("rows") == e._2)
+      assert(relEq(r.getAs[Double]("index"), e._3), s"index for ${e._1}")
+      assert(r.getAs[Long]("longMinIndex") == e._4 && r.getAs[Long]("longMaxIndex") == e._5)
+      assert(relEq(r.getAs[Double]("doubleMinIndex"), e._6), s"doubleMin for ${e._1}")
+      assert(relEq(r.getAs[Double]("doubleMaxIndex"), e._7), s"doubleMax for ${e._1}")
+      assert(relEq(r.getAs[Double]("floatMinIndex"), e._6, 1e-5), s"floatMin for ${e._1}")
+      assert(relEq(r.getAs[Double]("floatMaxIndex"), e._7, 1e-5), s"floatMax for ${e._1}")
+    }
+  }
+
+  // --------------------------------------- subtotals × granularity × limit
+
+  private val SubtotalsQuery =
+    """{
+      "queryType": "groupBy",
+      "dataSource": "testIndex",
+      "granularity": "day",
+      "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+      "dimensions": [
+        {"type": "default", "dimension": "quality", "outputName": "alias"},
+        {"type": "default", "dimension": "market", "outputName": "market"}
+      ],
+      "aggregations": [
+        {"type": "count", "name": "rows"},
+        {"type": "longSum", "name": "idx", "fieldName": "index"}
+      ],
+      "subtotalsSpec": [["alias"], ["market"], []],
+      "limitSpec": {"type": "default", %LIMIT%
+        "columns": [{"dimension": "idx", "direction": "ascending"},
+                    {"dimension": "alias", "direction": "ascending"},
+                    {"dimension": "market", "direction": "ascending"}]}
+    }"""
+
+  test("testGroupByWithSubtotalsSpecWithOrderLimit (GroupByQueryRunnerTest" +
+      ".java:8124): DAY granularity + 3 subtotal sets + order limit 3 — the " +
+      "smallest idx rows across the unioned sets, time-major") {
+    val rows = run(SubtotalsQuery.replace("%LIMIT%", """"limit": 3,"""))
+      .collect()
+      .map(r => (day(r), r.getAs[String]("alias"), Option(r.getAs[String]("market")),
+        r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(rows.toSeq == Seq(
+      ("2011-04-01", "technology", None, 1L, 78L),
+      ("2011-04-01", "business", None, 1L, 118L),
+      ("2011-04-01", "travel", None, 1L, 119L)),
+      s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testGroupByWithSubtotalsSpecWithOrderLimitAndOffset " +
+      "(GroupByQueryRunnerTest.java:8163): same query with limit 2 offset 1") {
+    val rows = run(SubtotalsQuery.replace("%LIMIT%", """"limit": 2, "offset": 1,"""))
+      .collect()
+      .map(r => (day(r), r.getAs[String]("alias"), Option(r.getAs[String]("market")),
+        r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(rows.toSeq == Seq(
+      ("2011-04-01", "business", None, 1L, 118L),
+      ("2011-04-01", "travel", None, 1L, 119L)),
+      s"got:\n${rows.mkString("\n")}")
+  }
+
+  // ------------------------------------------------ topN over numeric dims
+
+  private def topNOverNumericDim(dimension: String): Seq[Row] = run(
+    s"""{
+      "queryType": "topN",
+      "dataSource": "testIndex",
+      "granularity": "all",
+      "dimension": $dimension,
+      "metric": "maxIndex",
+      "threshold": 4,
+      "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+      "aggregations": [
+        $CommonAggs,
+        {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+        {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+      ],
+      "postAggregations": [
+        {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+         "fields": [{"type": "constant", "value": 1},
+                    {"type": "fieldAccess", "fieldName": "rows"},
+                    {"type": "fieldAccess", "fieldName": "index"}]}
+      ]
+    }""").collect().toSeq
+
+  // the shared expected tail for the qualityLong family:
+  // (rows, index, addRowsIndexConstant, uniques, maxIndex, minIndex)
+  private val QlExpected = Seq(
+    (279L, 217725.41940800005, 218005.41940800005, TestIndexFixture.Uniques1, 1870.061029, 91.270553),
+    (279L, 210865.67977600006, 211145.67977600006, TestIndexFixture.Uniques1, 1862.737933, 99.284525),
+    (93L, 12270.807093, 12364.807093, TestIndexFixture.Uniques1, 277.273533, 71.315931),
+    (93L, 12086.472791, 12180.472791, TestIndexFixture.Uniques1, 193.787574, 84.710523))
+
+  private def assertQlRow(r: Row,
+      e: (Long, Double, Double, Double, Double, Double), label: String): Unit = {
+    assert(r.getAs[Long]("rows") == e._1, s"rows for $label")
+    assert(relEq(r.getAs[Double]("index"), e._2), s"index for $label: ${r.getAs[Double]("index")}")
+    assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._3), s"aric for $label")
+    assert(r.getAs[Double]("uniques") == e._4, s"uniques for $label: ${r.getAs[Double]("uniques")}")
+    assert(relEq(r.getAs[Double]("maxIndex"), e._5), s"maxIndex for $label")
+    assert(relEq(r.getAs[Double]("minIndex"), e._6), s"minIndex for $label")
+  }
+
+  test("testFullOnTopNLongColumn (TopNQueryRunnerTest.java:4473): topN over " +
+      "the LONG dimension qualityLong by maxIndex") {
+    val rows = topNOverNumericDim(
+      """{"type": "default", "dimension": "qualityLong", "outputName": "ql_alias", "outputType": "LONG"}""")
+    assert(rows.map(_.getAs[Long]("ql_alias")) == Seq(1400L, 1600L, 1000L, 1200L))
+    rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
+  }
+
+  test("testFullOnTopNLongColumnWithExFn (TopNQueryRunnerTest.java:4673): " +
+      "extraction-fn topN over the numeric dimension — the reference's JS " +
+      "'super-'+str concat expressed as stringFormat 'super-%s'") {
+    val rows = topNOverNumericDim(
+      """{"type": "extraction", "dimension": "qualityLong", "outputName": "ql_alias",
+         "extractionFn": {"type": "stringFormat", "format": "super-%s"}}""")
+    assert(rows.map(_.getAs[String]("ql_alias")) ==
+      Seq("super-1400", "super-1600", "super-1000", "super-1200"))
+    rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
+  }
+
+  test("testFullOnTopNNumericStringColumnAsLong (TopNQueryRunnerTest" +
+      ".java:4820): STRING column coerced by outputType LONG") {
+    val rows = topNOverNumericDim(
+      """{"type": "default", "dimension": "qualityNumericString", "outputName": "qns_alias", "outputType": "LONG"}""")
+    assert(rows.map(_.getAs[Long]("qns_alias")) == Seq(140000L, 160000L, 100000L, 120000L))
+    rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
+  }
+
+  test("testSubqueryWithHyperUniques (GroupByQueryRunnerTest.java:7027): " +
+      "HLLC collectors survive the subquery boundary — inner per-day unions, " +
+      "outer re-union = UNIQUES_1 per quality (shouldFinalize=false keeps " +
+      "bytes across the inner result, the toolchest's implicit finalize=false)") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "granularity": "all",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy",
+          "dataSource": "testIndex",
+          "granularity": "day",
+          "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+          "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+          "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "longSum", "name": "idx", "fieldName": "index"},
+            {"type": "hyperUnique", "name": "quality_uniques",
+             "fieldName": "quality_uniques", "shouldFinalize": false}
+          ]
+        }},
+        "dimensions": [{"type": "default", "dimension": "alias", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "longSum", "name": "rows", "fieldName": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "idx"},
+          {"type": "hyperUnique", "name": "uniq", "fieldName": "quality_uniques"}
+        ]
+      }""").collect()
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx"),
+        r.getAs[Double]("uniq")))
+      .sortBy(_._1)
+    val expected = Seq(
+      ("automotive", 2L, 282L), ("business", 2L, 230L), ("entertainment", 2L, 324L),
+      ("health", 2L, 233L), ("mezzanine", 6L, 5317L), ("news", 2L, 235L),
+      ("premium", 6L, 5405L), ("technology", 2L, 175L), ("travel", 2L, 245L))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == expected, s"got:\n${rows.mkString("\n")}")
+    rows.foreach(t => assert(t._4 == TestIndexFixture.Uniques1, s"uniq for ${t._1}: ${t._4}"))
+  }
+
+  test("testFullOnTopNNumericStringColumnAsFloat (TopNQueryRunnerTest" +
+      ".java:4892): STRING column coerced by outputType FLOAT") {
+    val rows = topNOverNumericDim(
+      """{"type": "default", "dimension": "qualityNumericString", "outputName": "qns_alias", "outputType": "FLOAT"}""")
+    assert(rows.map(_.getAs[Float]("qns_alias")) ==
+      Seq(140000.0f, 160000.0f, 100000.0f, 120000.0f))
+    rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
+  }
+
+  test("testFullOnTopNFloatColumn (TopNQueryRunnerTest.java:4254): topN over " +
+      "the FLOAT metric column itself as the dimension, by index sum") {
+    val rows = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": {"type": "default", "dimension": "index",
+          "outputName": "index_alias", "outputType": "FLOAT"},
+        "metric": "index",
+        "threshold": 4,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          $CommonAggs,
+          {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect().toSeq
+    val expected = Seq(
+      // (index_alias, index, rows, addRowsIndexConstant, uniques, max, min)
+      (1000.0f, 2000.0, 2L, 2003.0, TestIndexFixture.Uniques2, 1000.0, 1000.0),
+      (1870.061029f, 1870.061029, 1L, 1872.06103515625, TestIndexFixture.Uniques1, 1870.061029, 1870.061029),
+      (1862.737933f, 1862.737933, 1L, 1864.7379150390625, TestIndexFixture.Uniques1, 1862.737933, 1862.737933),
+      (1743.92175f, 1743.92175, 1L, 1745.9217529296875, TestIndexFixture.Uniques1, 1743.92175, 1743.92175))
+    assert(rows.length == 4)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[Float]("index_alias") == e._1, s"index_alias ${r.getAs[Float]("index_alias")}")
+      assert(relEq(r.getAs[Double]("index"), e._2))
+      assert(r.getAs[Long]("rows") == e._3)
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._4))
+      assert(r.getAs[Double]("uniques") == e._5)
+      assert(relEq(r.getAs[Double]("maxIndex"), e._6))
+      assert(relEq(r.getAs[Double]("minIndex"), e._7))
+    }
+  }
+}
