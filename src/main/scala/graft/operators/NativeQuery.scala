@@ -263,7 +263,8 @@ object NativeQuery {
             case JArray(sets) => sets.map(s => granDims.map(_.output) ++
               arr(s).map { case JString(d) => d; case x => str(x) })
             case _ => null
-          }
+          },
+          havingTimeBucket = if (granDims.nonEmpty) Some(granBucketName) else None
         ).run(prepared).transform(finalizeAggs)
           .withColumnRenamed(granBucketName, timeCol)
       case "scan" =>

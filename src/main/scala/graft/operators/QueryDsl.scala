@@ -471,7 +471,12 @@ final case class GroupByQuery(
     postAggregations: Seq[PostAgg] = Nil,
     having: Column = null,
     limitSpec: LimitSpec = LimitSpec(),
-    subtotalsSpec: Seq[Seq[String]] = null) {
+    subtotalsSpec: Seq[Seq[String]] = null,
+    // bucket column exposed to `having` as an epoch-millis `__time` column
+    // (DimFilterHavingSpec filters can name __time — the ResultRow carries
+    // the bucket timestamp as a long; GroupByQueryRunnerTest
+    // .testDimFilterHavingSpec selects on its millis string)
+    havingTimeBucket: Option[String] = None) {
 
   def run(ds: DataFrame): DataFrame = {
     GraftSession.configure(ds.sparkSession)
@@ -500,7 +505,12 @@ final case class GroupByQuery(
     // post-aggregated column (GroupByQueryQueryToolChest post-processing
     // order; GroupByQueryRunnerTest.testPostAggHavingSpec pins it)
     val post0 = QueryCommon.applyPostAggs(agged, postAggregations)
-    val post = if (having == null) post0 else post0.filter(having)
+    val post = if (having == null) post0 else {
+      val withTime = havingTimeBucket.fold(post0)(b =>
+        post0.withColumn("__time", unix_millis(col(b).cast("timestamp"))))
+      havingTimeBucket.fold(withTime.filter(having))(_ =>
+        withTime.filter(having).drop("__time"))
+    }
     val ordered = if (limitSpec.orderBy.nonEmpty) post.orderBy(limitSpec.orderBy: _*) else post
     val offsetted = if (limitSpec.offset > 0) ordered.offset(limitSpec.offset) else ordered
     limitSpec.limit.fold(offsetted)(offsetted.limit)

@@ -160,10 +160,15 @@ object RollupQueries {
 
     // the same distinct count BUILT from the raw table — the scale gate
     // prints both so the stored-merge win is measured, like the rollup
-    // rewrite's (SCALE.md §9)
+    // rewrite's (SCALE.md §9). The predicate on the METRIC column pins the
+    // query to the base scan (a filter on a non-dimension column
+    // disqualifies the rollup rewrite BY DESIGN — same trick as
+    // rollup_rewrite_base; o_custkey is never null or negative, so values
+    // are identical)
     "sketch_merge_rawbuild" -> ((s, dir) => {
       import graft.plans.SketchFunctions._
       s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_custkey") >= 0)
         .groupBy(col("o_orderstatus"))
         .agg(round(thetaEstimate(thetaSketch(col("o_custkey")))).cast("long").as("nd_cust"))
         .orderBy(col("o_orderstatus"))

@@ -420,6 +420,256 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
     }
   }
 
+  test("testGroupByWithOrderLimit2 (GroupByQueryRunnerTest.java:4359) and " +
+      "testGroupByWithOrderLimit3 (:4394): rows-desc/alias-desc and " +
+      "doubleSum-desc orderings, each with and without limit 5") {
+    def q(aggs: String, order: String, limit: String = ""): Seq[Row] = run(
+      s"""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [$aggs],
+        "limitSpec": {"type": "default", $limit "columns": [$order]}
+      }""").collect().toSeq
+
+    // testGroupByWithOrderLimit2: count desc, alias desc
+    val longAggs =
+      """{"type": "count", "name": "rows"},
+         {"type": "longSum", "name": "idx", "fieldName": "index"}"""
+    val order2 =
+      """{"dimension": "rows", "direction": "descending"},
+         {"dimension": "alias", "direction": "descending"}"""
+    val expected2 = Seq(
+      ("premium", 6L, 4416L), ("mezzanine", 6L, 4420L), ("travel", 2L, 243L),
+      ("technology", 2L, 177L), ("news", 2L, 221L), ("health", 2L, 216L),
+      ("entertainment", 2L, 319L), ("business", 2L, 217L), ("automotive", 2L, 269L))
+    def longRows(rows: Seq[Row]) = rows.map(r =>
+      (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(longRows(q(longAggs, order2)) == expected2)
+    assert(longRows(q(longAggs, order2, """"limit": 5,""")) == expected2.take(5))
+
+    // testGroupByWithOrderLimit3: doubleSum desc, alias desc — float-storage
+    // sums order mezzanine above premium (4423.65 > 4418.62)
+    val dblAggs =
+      """{"type": "count", "name": "rows"},
+         {"type": "doubleSum", "name": "idx", "fieldName": "index"}"""
+    val order3 =
+      """{"dimension": "idx", "direction": "descending"},
+         {"dimension": "alias", "direction": "descending"}"""
+    val expected3 = Seq(
+      ("mezzanine", 6L, 4423.6533203125), ("premium", 6L, 4418.61865234375),
+      ("entertainment", 2L, 319.94403076171875), ("automotive", 2L, 270.3977966308594),
+      ("travel", 2L, 243.65843200683594), ("news", 2L, 222.20980834960938),
+      ("business", 2L, 218.7224884033203), ("health", 2L, 216.97836303710938),
+      ("technology", 2L, 178.24917602539062))
+    val got3 = q(dblAggs, order3).map(r =>
+      (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Double]("idx")))
+    assert(got3.map(t => (t._1, t._2)) == expected3.map(t => (t._1, t._2)), s"got:\n${got3.mkString("\n")}")
+    got3.zip(expected3).foreach { case (g, e) => assert(relEq(g._3, e._3), s"idx for ${g._1}") }
+    assert(q(dblAggs, order3, """"limit": 5,""").length == 5)
+  }
+
+  test("testGroupByOrderLimitNumeric (GroupByQueryRunnerTest.java:4431): " +
+      "explicit NUMERIC dimensionOrder — unparseable strings fall back to " +
+      "string comparison, so aliases still sort alphabetically") {
+    def q(limit: String): Seq[(String, Long, Long)] = run(
+      s"""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "limitSpec": {"type": "default", $limit
+          "columns": [
+            {"dimension": "rows", "direction": "descending", "dimensionOrder": "numeric"},
+            {"dimension": "alias", "direction": "ascending", "dimensionOrder": "numeric"}
+          ]}
+      }""").collect().toSeq
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    val expected = Seq(
+      ("mezzanine", 6L, 4420L), ("premium", 6L, 4416L), ("automotive", 2L, 269L),
+      ("business", 2L, 217L), ("entertainment", 2L, 319L), ("health", 2L, 216L),
+      ("news", 2L, 221L), ("technology", 2L, 177L), ("travel", 2L, 243L))
+    assert(q("") == expected)
+    assert(q(""""limit": 5,""") == expected.take(5))
+  }
+
+  test("testDimFilterHavingSpec (GroupByQueryRunnerTest.java:5164): " +
+      "filter-type having over aggregates AND the bucket __time as millis " +
+      "(and(or(bound rows > 2 numeric, selector idx 217), selector __time))") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"},
+          {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+          {"type": "longMax", "name": "longMaxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "doubleMinIndex", "fieldName": "index"},
+          {"type": "doubleMax", "name": "doubleMaxIndex", "fieldName": "index"}
+        ],
+        "having": {"type": "filter", "filter": {"type": "and", "fields": [
+          {"type": "or", "fields": [
+            {"type": "bound", "dimension": "rows", "lower": "2",
+             "lowerStrict": true, "ordering": "numeric"},
+            {"type": "selector", "dimension": "idx", "value": "217"}
+          ]},
+          {"type": "selector", "dimension": "__time", "value": "1301616000000"}
+        ]}}
+      }""").collect()
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx"),
+        r.getAs[Long]("longMinIndex"), r.getAs[Long]("longMaxIndex"),
+        r.getAs[Double]("doubleMinIndex"), r.getAs[Double]("doubleMaxIndex")))
+      .sortBy(_._1)
+    val expected = Seq(
+      ("business", 2L, 217L, 105L, 112L, 105.735462, 112.987027),
+      ("mezzanine", 6L, 4420L, 107L, 1193L, 107.047773, 1193.556278),
+      ("premium", 6L, 4416L, 122L, 1321L, 122.141707, 1321.375057))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3, t._4, t._5)), s"got:\n${rows.mkString("\n")}")
+    rows.zip(expected).foreach { case (g, e) =>
+      assert(relEq(g._6, e._6) && relEq(g._7, e._7), s"min/max for ${g._1}")
+    }
+  }
+
+  test("testMergedPostAggHavingSpec (GroupByQueryRunnerTest.java:5323): " +
+      "having over an arithmetic post-agg, and the same via an expression " +
+      "post-agg (rows * 10.0)") {
+    def q(postAgg: String): Seq[(String, Long, Long, Double)] = run(
+      s"""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1M"},
+        "intervals": ["2011-04-02T00:00:00.000Z/2011-04-04T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "postAggregations": [$postAgg],
+        "having": {"type": "or", "havingSpecs": [
+          {"type": "greaterThan", "aggregation": "rows_times_10", "value": 20},
+          {"type": "equalTo", "aggregation": "idx", "value": 217}
+        ]}
+      }""").collect().toSeq
+      .map(r => (r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx"),
+        r.getAs[Double]("rows_times_10")))
+      .sortBy(_._1)
+    val expected = Seq(
+      ("business", 2L, 217L, 20.0), ("mezzanine", 6L, 4420L, 60.0),
+      ("premium", 6L, 4416L, 60.0))
+    val arith = q(
+      """{"type": "arithmetic", "name": "rows_times_10", "fn": "*",
+          "fields": [{"type": "fieldAccess", "fieldName": "rows"},
+                     {"type": "constant", "value": 10}]}""")
+    assert(arith == expected, s"got:\n${arith.mkString("\n")}")
+    val expr = q(
+      """{"type": "expression", "name": "rows_times_10", "expression": "rows * 10.0"}""")
+    assert(expr == expected, s"got:\n${expr.mkString("\n")}")
+  }
+
+  test("testTopNDimExtraction (TopNQueryRunnerTest.java:2355): regex '(.)' " +
+      "collapses market to its first character; ranked by rows") {
+    val rows = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": {"type": "extraction", "dimension": "market", "outputName": "market",
+          "extractionFn": {"type": "regex", "expr": "(.)"}},
+        "metric": "rows",
+        "threshold": 4,
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "aggregations": [$CommonAggs],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    val expected = Seq(
+      ("s", 18L, 2231.876812, 2250.876812, TestIndexFixture.Uniques9),
+      ("t", 4L, 5351.814783, 5356.814783, TestIndexFixture.Uniques2),
+      ("u", 4L, 4875.669692, 4880.669692, TestIndexFixture.Uniques2))
+    assert(rows.length == 3)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[String]("market") == e._1)
+      assert(r.getAs[Long]("rows") == e._2, s"rows for ${e._1}")
+      assert(relEq(r.getAs[Double]("index"), e._3), s"index for ${e._1}")
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._4), s"aric for ${e._1}")
+      assert(r.getAs[Double]("uniques") == e._5, s"uniques for ${e._1}")
+    }
+  }
+
+  test("testTopNCollapsingDimExtraction (TopNQueryRunnerTest.java:2287): " +
+      "regex '.(.)' second-char collapse, then the expression-aggregator " +
+      "variant where '-index + 100' flips the ranking") {
+    def q(aggs: String): Seq[Row] = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": {"type": "extraction", "dimension": "quality", "outputName": "quality",
+          "extractionFn": {"type": "regex", "expr": ".(.)"}},
+        "metric": "index",
+        "threshold": 2,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [$aggs],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect().toSeq
+
+    val base = q(
+      """{"type": "count", "name": "rows"},
+         {"type": "doubleSum", "name": "index", "fieldName": "index"}""")
+    val expBase = Seq(("e", 558L, 246645.1204032898, 247204.1204032898),
+      ("r", 372L, 222051.08961486816, 222424.08961486816))
+    base.zip(expBase).foreach { case (r, e) =>
+      assert(r.getAs[String]("quality") == e._1)
+      assert(r.getAs[Long]("rows") == e._2)
+      assert(relEq(r.getAs[Double]("index"), e._3), s"index for ${e._1}: ${r.getAs[Double]("index")}")
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._4))
+    }
+
+    // expression aggregator: the negated sums invert the top-2
+    val negated = q(
+      """{"type": "count", "name": "rows"},
+         {"type": "doubleSum", "name": "index", "expression": "-index + 100"}""")
+    val expNeg = Seq(("n", 93L, -2786.4727909999997, -2692.4727909999997),
+      ("u", 186L, -3949.824348000002, -3762.824348000002))
+    negated.zip(expNeg).foreach { case (r, e) =>
+      assert(r.getAs[String]("quality") == e._1, s"got ${r.getAs[String]("quality")}")
+      assert(r.getAs[Long]("rows") == e._2)
+      assert(relEq(r.getAs[Double]("index"), e._3), s"index for ${e._1}: ${r.getAs[Double]("index")}")
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._4))
+    }
+  }
+
+  test("testFullOnTopNLongColumnAsString (TopNQueryRunnerTest.java:4748): " +
+      "LONG column rendered through STRING outputType (the reference's " +
+      "DefaultDimensionSpec defaults to STRING; this engine keeps the " +
+      "column's native type unless outputType says otherwise)") {
+    val rows = topNOverNumericDim(
+      """{"type": "default", "dimension": "qualityLong", "outputName": "ql_alias", "outputType": "STRING"}""")
+    assert(rows.map(_.getAs[String]("ql_alias")) == Seq("1400", "1600", "1000", "1200"))
+    rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
+  }
+
   // --------------------------------------- subtotals × granularity × limit
 
   private val SubtotalsQuery =
