@@ -1095,7 +1095,10 @@ object NativeQuery {
           case Some("quantilesDoublesSketch" | "quantilesDoublesSketchMerge")
               if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.kllN(c)))
-          case Some("HLLSketchBuild" | "HLLSketchMerge") =>
+          // shouldFinalize=false keeps DataSketches HLL bytes for an outer
+          // HLLSketchMerge — same contract as the theta/tuple/kll families
+          case Some("HLLSketchBuild" | "HLLSketchMerge")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             val doRound = boolOpt(a \ "round").getOrElse(false)
             Seq(name -> ((c: Column) => {
               // round=false must yield the fractional DataSketches estimate

@@ -914,6 +914,30 @@ class NativeQuerySpec extends SparkSpecBase {
       }"""))
   }
 
+  test("HLLSketchBuild shouldFinalize=false keeps DataSketches HLL bytes for " +
+      "an outer HLLSketchMerge — same finalize-bypass contract as the " +
+      "theta/tuple/kll families (HllSketchAggregatorFactory)") {
+    val merged = run(
+      """{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": {"type": "query", "query": {
+          "queryType": "groupBy", "dataSource": "orders", "timeColumn": "o_orderdate",
+          "dimensions": ["o_orderstatus"],
+          "aggregations": [{"type": "HLLSketchBuild", "name": "h",
+            "fieldName": "o_custkey", "shouldFinalize": false}]
+        }},
+        "aggregations": [{"type": "HLLSketchMerge", "name": "nd", "fieldName": "h", "round": true}]
+      }""").head()
+    val direct = run(
+      """{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": "orders", "timeColumn": "o_orderdate",
+        "aggregations": [{"type": "HLLSketchBuild", "name": "nd",
+          "fieldName": "o_custkey", "round": true}]
+      }""").head()
+    assert(merged.getLong(merged.length - 1) == direct.getLong(direct.length - 1))
+  }
+
   test("sketch post-agg leaves: thetaSketchEstimate with errorBoundsStdDev, " +
       "HLLSketchEstimateWithBounds, and the *ToString family " +
       "(SketchEstimatePostAggregator.compute:88-96, " +

@@ -719,6 +719,80 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
       s"got:\n${rows.mkString("\n")}")
   }
 
+  test("testGroupByWithSubtotalsSpecOfDimensionsPrefixes (GroupByQueryRunnerTest" +
+      ".java:7268): subtotal sets over RENAMED dims incl. a string virtual " +
+      "column, day granularity — per-market rows then per-day grand totals") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "virtualColumns": [{"type": "expression", "name": "alias",
+          "expression": "quality", "outputType": "STRING"}],
+        "dimensions": [
+          {"type": "default", "dimension": "market", "outputName": "market2"},
+          {"type": "default", "dimension": "alias", "outputName": "alias2"}
+        ],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "subtotalsSpec": [["market2"], []]
+      }""").collect()
+      .map(r => (day(r), Option(r.getAs[String]("market2")),
+        r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(t => (t._2.isEmpty, t._1, t._2.getOrElse("")))
+    val expected = Seq(
+      ("2011-04-01", Some("spot"), 9L, 1102L),
+      ("2011-04-01", Some("total_market"), 2L, 2836L),
+      ("2011-04-01", Some("upfront"), 2L, 2681L),
+      ("2011-04-02", Some("spot"), 9L, 1120L),
+      ("2011-04-02", Some("total_market"), 2L, 2514L),
+      ("2011-04-02", Some("upfront"), 2L, 2193L),
+      ("2011-04-01", None, 13L, 6619L),
+      ("2011-04-02", None, 13L, 5827L))
+    assert(rows.toSeq == expected, s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testGroupByWithSubtotalsSpecWithRenamedDimensionAndFilter " +
+      "(GroupByQueryRunnerTest.java:7736): selector filter on the virtual " +
+      "column + subtotal over its renamed output (FloatSum dropped — " +
+      "documented engine deviation, double accumulation)") {
+    val rows = run(
+      """{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "virtualColumns": [{"type": "expression", "name": "alias",
+          "expression": "quality", "outputType": "STRING"}],
+        "dimensions": [
+          {"type": "default", "dimension": "quality", "outputName": "quality"},
+          {"type": "default", "dimension": "market", "outputName": "market"},
+          {"type": "default", "dimension": "alias", "outputName": "alias_renamed"}
+        ],
+        "filter": {"type": "selector", "dimension": "alias", "value": "automotive"},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"},
+          {"type": "doubleSum", "name": "idxDouble", "fieldName": "index"}
+        ],
+        "subtotalsSpec": [["alias_renamed"], []]
+      }""").collect()
+      .map(r => (day(r), Option(r.getAs[String]("alias_renamed")),
+        r.getAs[Long]("rows"), r.getAs[Long]("idx"), r.getAs[Double]("idxDouble")))
+      .sortBy(t => (t._2.isEmpty, t._1))
+    val expected = Seq(
+      ("2011-04-01", Some("automotive"), 1L, 135L, 135.88510131835938),
+      ("2011-04-02", Some("automotive"), 1L, 147L, 147.42593),
+      ("2011-04-01", None, 1L, 135L, 135.88510131835938),
+      ("2011-04-02", None, 1L, 147L, 147.42593))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3, t._4)), s"got:\n${rows.mkString("\n")}")
+    rows.zip(expected).foreach { case (g, e) => assert(relEq(g._5, e._5), s"idxDouble at $e") }
+  }
+
   // ------------------------------------------------ topN over numeric dims
 
   private def topNOverNumericDim(dimension: String): Seq[Row] = run(
