@@ -726,8 +726,15 @@ object NativeQuery {
     def isArrayCol(name: String): Boolean = schema != null &&
       schema.fields.exists(f => f.name == name &&
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    // a dimension naming a column the datasource doesn't have reads as NULL
+    // (the reference's missing-column selector; schema-evolved segments and
+    // TopNQueryRunnerTest.testTopNOnMissingColumnWithExtractionFn rely on it)
+    def missing(name: String): Boolean =
+      schema != null && !schema.fieldNames.contains(name)
     j match {
-    case JString(d) => if (isArrayCol(d)) MvDim(col(d), d) else Dim(d)
+    case JString(d) =>
+      if (missing(d)) ExprDim(lit(null).cast("string"), d)
+      else if (isArrayCol(d)) MvDim(col(d), d) else Dim(d)
     case o =>
       val dim = str(o \ "dimension")
       val out = strOpt(o \ "outputName").getOrElse(dim)
@@ -742,6 +749,7 @@ object NativeQuery {
         case _ => None
       }
       str(o \ "type") match {
+        case "default" if missing(dim) => ExprDim(lit(null).cast("string"), out)
         case "default" =>
           if (isArrayCol(dim)) MvDim(col(dim), out)
           else strOpt(o \ "outputType").flatMap(coerce) match {
@@ -751,7 +759,8 @@ object NativeQuery {
         case "extraction" if isArrayCol(dim) =>
           MvDim(transform(col(dim), x => extractionFn(o \ "extractionFn", x)), out)
         case "extraction" =>
-          ExprDim(extractionFn(o \ "extractionFn", col(dim)), out)
+          val src = if (missing(dim)) lit(null).cast("string") else col(dim)
+          ExprDim(extractionFn(o \ "extractionFn", src), out)
         case "listFiltered" =>
           ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
         case "regexFiltered" =>
@@ -1495,10 +1504,16 @@ object NativeQuery {
       }
       arr(j \ "fields").map(postAggExpr).reduce(op)
     // ArrayOfDoubles tuple-sketch post-aggs (tuple/ArrayOfDoublesSketchModule
-    // .java:64-105). TTest is a declared non-goal (needs commons-math's
-    // t-distribution CDF, not in the sandbox).
+    // .java:64-105)
     case "arrayOfDoublesSketchToString" =>
       graft.plans.SketchFunctions.tupleSummary(postAggExpr(j \ "field"))
+    // per-column two-sided Welch p-values between two sketches' retained
+    // entries (ArrayOfDoublesSketchTTestPostAggregator.java:67-89; the
+    // t-distribution CDF is self-contained — plans.StatInference)
+    case "arrayOfDoublesSketchTTest" =>
+      val fields = arr(j \ "fields").map(postAggExpr)
+      require(fields.size == 2, s"Illegal number of fields[${fields.size}], must be 2")
+      graft.plans.SketchFunctions.tupleTTest(fields(0), fields(1))
     case "arrayOfDoublesSketchToEstimate" =>
       graft.plans.SketchFunctions.tupleEstimate(postAggExpr(j \ "field"))
     case "arrayOfDoublesSketchToMetricsSumEstimate" =>

@@ -743,6 +743,127 @@ case class HllEstimateWithBounds(child: Expression, numStdDevs: Int)
   override def prettyName: String = "hll_estimate_with_bounds"
 }
 
+/** Two-sided Welch's t-test p-value — the math behind the reference's
+  * ArrayOfDoublesSketchTTestPostAggregator (it delegates to
+  * commons-math3 TTest.tTest(stats1, stats2), which is exactly this:
+  * unequal-variance t statistic, Welch–Satterthwaite df, p = the
+  * regularized incomplete beta I_x(df/2, 1/2) at x = df/(df+t²)).
+  * Self-contained standard numerics (Lanczos log-gamma + Lentz continued
+  * fraction for the incomplete beta) — no stats library in the sandbox. */
+object StatInference {
+  private val LanczosG = 7.0
+  private val LanczosCoefs = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  def logGamma(x0: Double): Double = {
+    // Lanczos approximation (reflection for x < 0.5)
+    if (x0 < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x0)) - logGamma(1.0 - x0)
+    else {
+      val x = x0 - 1.0
+      var a = LanczosCoefs(0)
+      val t = x + LanczosG + 0.5
+      var i = 1
+      while (i < LanczosCoefs.length) { a += LanczosCoefs(i) / (x + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Continued fraction for the incomplete beta (Numerical Recipes betacf,
+    * modified Lentz). */
+  private def betacf(a: Double, b: Double, x: Double): Double = {
+    val MaxIt = 300; val Eps = 3e-16; val FpMin = 1e-300
+    val qab = a + b; val qap = a + 1.0; val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    while (m <= MaxIt) {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d; h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d; if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c; if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < Eps) return h
+      m += 1
+    }
+    h
+  }
+
+  /** Regularized incomplete beta I_x(a, b). */
+  def regularizedBeta(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val bt = math.exp(logGamma(a + b) - logGamma(a) - logGamma(b) +
+        a * math.log(x) + b * math.log1p(-x))
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
+      else 1.0 - bt * betacf(b, a, 1.0 - x) / b
+    }
+  }
+
+  /** Two-sided Welch p-value from summary stats (mean, SAMPLE variance, n). */
+  def welchPValue(m1: Double, v1: Double, n1: Long,
+      m2: Double, v2: Double, n2: Long): Double = {
+    val se = v1 / n1 + v2 / n2
+    if (se == 0.0 || n1 < 2 || n2 < 2) return if (m1 == m2) 1.0 else 0.0
+    val t = (m1 - m2) / math.sqrt(se)
+    val df = se * se /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+    regularizedBeta(df / (df + t * t), df / 2.0, 0.5)
+  }
+}
+
+/** arrayOfDoublesSketchTTest: per-value-column two-sided Welch p-values
+  * between two tuple sketches' retained entries
+  * (tuple/ArrayOfDoublesSketchTTestPostAggregator.java:67-89 — the
+  * reference feeds each column's SummaryStatistics into commons-math's
+  * TTest.tTest; [[StatInference]] reproduces that math directly). */
+case class TupleTTest(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def stats(bytes: Array[Byte]): (Array[Double], Array[Double], Long) = {
+    val sk = ArrayOfDoublesSketches.wrapSketch(Memory.wrap(bytes))
+    val k = sk.getNumValues
+    val n = sk.getRetainedEntries.toLong
+    val sums = new Array[Double](k)
+    val sqs = new Array[Double](k)
+    val it = sk.iterator()
+    while (it.next()) {
+      val vs = it.getValues
+      var i = 0
+      while (i < k) { sums(i) += vs(i); sqs(i) += vs(i) * vs(i); i += 1 }
+    }
+    val means = sums.map(_ / n)
+    val vars0 = Array.tabulate(k) { i =>
+      if (n < 2) 0.0 else math.max(0.0, (sqs(i) - n * means(i) * means(i)) / (n - 1))
+    }
+    (means, vars0, n)
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (m1, v1, n1) = stats(a.asInstanceOf[Array[Byte]])
+    val (m2, v2, n2) = stats(b.asInstanceOf[Array[Byte]])
+    require(m1.length == m2.length,
+      s"Sketches have different number of values: ${m1.length} and ${m2.length}")
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.tabulate(m1.length)(i =>
+        StatInference.welchPValue(m1(i), v1(i), n1, m2(i), v2(i), n2)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TupleTTest =
+    copy(left = l, right = r)
+  override def prettyName: String = "ds_tuple_t_test"
+}
+
 /** Sketch summary (the *ToString post-agg family: thetaSketchToString,
   * HLLSketchToString, quantilesDoublesSketchToString — each returns the
   * sketch's human-readable diagnostic summary, reference
@@ -789,6 +910,7 @@ object SketchFunctions {
   def hllSummary(col: Column): Column = c(SketchSummary(e(col), "hll"))
   def quantilesSummary(col: Column): Column = c(SketchSummary(e(col), "quantiles"))
   def tupleSummary(col: Column): Column = c(SketchSummary(e(col), "tuple"))
+  def tupleTTest(a: Column, b: Column): Column = c(TupleTTest(e(a), e(b)))
   /** Union a column OF serialized theta sketches (rollup re-aggregation). */
   def thetaUnionAgg(col: Column, lgK: Int = 12): Column =
     c(ThetaUnionAgg(e(col), lgK).toAggregateExpression())

@@ -914,6 +914,35 @@ class NativeQuerySpec extends SparkSpecBase {
       }"""))
   }
 
+  test("arrayOfDoublesSketchTTest on the JSON surface: Welch p-value between " +
+      "two filtered tuple sketches (ArrayOfDoublesSketchTTestPostAggregator)") {
+    val r = run(
+      """{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": {"type": "inline",
+          "columnNames": ["side", "k", "v"],
+          "columnTypes": ["string", "long", "double"],
+          "rows": [["a",1,1.0],["a",2,2.0],["a",3,3.0],["a",4,4.0],["a",5,5.0],
+                   ["b",1,2.0],["b",2,4.0],["b",3,6.0],["b",4,8.0],["b",5,10.0]]},
+        "aggregations": [
+          {"type": "filtered", "filter": {"type": "selector", "dimension": "side", "value": "a"},
+           "aggregator": {"type": "arrayOfDoublesSketch", "name": "s1", "fieldName": "k",
+             "metricColumns": ["v"], "shouldFinalize": false}},
+          {"type": "filtered", "filter": {"type": "selector", "dimension": "side", "value": "b"},
+           "aggregator": {"type": "arrayOfDoublesSketch", "name": "s2", "fieldName": "k",
+             "metricColumns": ["v"], "shouldFinalize": false}}
+        ],
+        "postAggregations": [
+          {"type": "arrayOfDoublesSketchTTest", "name": "p",
+           "fields": [{"type": "fieldAccess", "fieldName": "s1"},
+                      {"type": "fieldAccess", "fieldName": "s2"}]}
+        ]
+      }""").head()
+    val p = r.getSeq[Double](r.fieldIndex("p"))
+    // mpmath 30-digit reference for welch([1..5], [2,4,6,8,10])
+    assert(p.length == 1 && math.abs(p.head - 0.10753119493062724) < 1e-9, s"got $p")
+  }
+
   test("HLLSketchBuild shouldFinalize=false keeps DataSketches HLL bytes for " +
       "an outer HLLSketchMerge — same finalize-bypass contract as the " +
       "theta/tuple/kll families (HllSketchAggregatorFactory)") {

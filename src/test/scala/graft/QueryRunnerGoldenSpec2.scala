@@ -911,6 +911,108 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
     rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
   }
 
+  test("testTopNLexicographicDimExtractionWithPreviousStop (TopNQueryRunnerTest" +
+      ".java:3011) and the inverted variant (:3129): dimension-ordered topN " +
+      "pagination OVER an extraction dimension") {
+    def q(metric: String): Seq[(String, Long, Double, Double, Double)] = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": {"type": "extraction", "dimension": "market", "outputName": "market",
+          "extractionFn": {"type": "regex", "expr": "(.)"}},
+        "metric": $metric,
+        "threshold": 4,
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "aggregations": [$CommonAggs],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect().toSeq.map(r => (r.getAs[String]("market"), r.getAs[Long]("rows"),
+        r.getAs[Double]("index"), r.getAs[Double]("addRowsIndexConstant"),
+        r.getAs[Double]("uniques")))
+
+    val t = ("t", 4L, 5351.814783, 5356.814783, TestIndexFixture.Uniques2)
+    val u = ("u", 4L, 4875.669692, 4880.669692, TestIndexFixture.Uniques2)
+    val s = ("s", 18L, 2231.876812, 2250.876812, TestIndexFixture.Uniques9)
+    def check(got: Seq[(String, Long, Double, Double, Double)],
+        exp: Seq[(String, Long, Double, Double, Double)]): Unit = {
+      assert(got.map(_._1) == exp.map(_._1), s"got $got")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g._2 == e._2 && relEq(g._3, e._3) && relEq(g._4, e._4) && g._5 == e._5,
+          s"row $g vs $e")
+      }
+    }
+    check(q("""{"type": "dimension", "ordering": "lexicographic", "previousStop": "s"}"""),
+      Seq(t, u))
+    check(q("""{"type": "inverted", "metric": {"type": "dimension",
+        "ordering": "lexicographic", "previousStop": "u"}}"""),
+      Seq(t, s))
+  }
+
+  test("testTopNOnMissingColumnWithExtractionFn (TopNQueryRunnerTest.java:409): " +
+      "a dimension naming a nonexistent column reads as NULL through the " +
+      "extraction fn — one 'theValue' group holding all 1209 rows") {
+    val rows = run(
+      """{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": {"type": "extraction", "dimension": "nonexistentColumn",
+          "outputName": "alias",
+          "extractionFn": {"type": "stringFormat", "format": "theValue"}},
+        "metric": "rows",
+        "threshold": 4,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [{"type": "count", "name": "rows"}]
+      }""").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("alias") == "theValue")
+    assert(rows.head.getAs[Long]("rows") == 1209L)
+  }
+
+  test("testFullOnTopNOverPostAggs (TopNQueryRunnerTest.java:440): the topN " +
+      "metric names a POST-aggregator (addRowsIndexConstant)") {
+    val rows = run(
+      s"""{
+        "queryType": "topN",
+        "dataSource": "testIndex",
+        "granularity": "all",
+        "dimension": "market",
+        "metric": "addRowsIndexConstant",
+        "threshold": 4,
+        "intervals": ["1970-01-01T00:00:00.000Z/2020-01-01T00:00:00.000Z"],
+        "aggregations": [
+          $CommonAggs,
+          {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+          {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
+           "fields": [{"type": "constant", "value": 1},
+                      {"type": "fieldAccess", "fieldName": "rows"},
+                      {"type": "fieldAccess", "fieldName": "index"}]}
+        ]
+      }""").collect()
+    val expected = Seq(
+      ("total_market", 186L, 215679.82879638672, 215866.82879638672, TestIndexFixture.Uniques2, 1743.92175, 792.3260498046875),
+      ("upfront", 186L, 192046.1060180664, 192233.1060180664, TestIndexFixture.Uniques2, 1870.061029, 545.9906005859375),
+      ("spot", 837L, 95606.57232284546, 96444.57232284546, TestIndexFixture.Uniques9, 277.273533, 59.02102279663086))
+    assert(rows.length == 3)
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[String]("market") == e._1, s"got ${r.getAs[String]("market")}")
+      assert(r.getAs[Long]("rows") == e._2)
+      assert(relEq(r.getAs[Double]("index"), e._3))
+      assert(relEq(r.getAs[Double]("addRowsIndexConstant"), e._4))
+      assert(r.getAs[Double]("uniques") == e._5)
+      assert(relEq(r.getAs[Double]("maxIndex"), e._6))
+      assert(relEq(r.getAs[Double]("minIndex"), e._7))
+    }
+  }
+
   test("testFullOnTopNFloatColumn (TopNQueryRunnerTest.java:4254): topN over " +
       "the FLOAT metric column itself as the dimension, by index sum") {
     val rows = run(

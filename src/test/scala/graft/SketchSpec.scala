@@ -33,6 +33,38 @@ class SketchSpec extends SparkSpecBase {
       assert(r.getString(i).toUpperCase.contains("SUMMARY"), s"col $i -> ${r.getString(i)}"))
   }
 
+  test("arrayOfDoublesSketchTTest: Welch p-values match 30-digit mpmath " +
+      "reference to 1e-9 (exact-retention sketches, self-contained " +
+      "t-distribution CDF — ArrayOfDoublesSketchTTestPostAggregator math)") {
+    import graft.plans.StatInference
+    // commons-math TTest.tTest semantics, pinned against mpmath betainc:
+    // welch([1..5], [2,4,6,8,10]) and the classic NIST two-sample vectors
+    assert(math.abs(StatInference.welchPValue(3.0, 2.5, 5, 6.0, 10.0, 5)
+      - 0.10753119493062724) < 1e-9)
+    val c = Seq(27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6,
+      23.1, 19.6, 19.0, 21.7, 21.4)
+    val d = Seq(27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2,
+      21.9, 22.1, 22.9, 30.6, 20.5, 24.1, 13.8)
+    def meanVar(xs: Seq[Double]): (Double, Double) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(v => (v - m) * (v - m)).sum / (xs.size - 1))
+    }
+    val (mc, vc) = meanVar(c); val (md, vd) = meanVar(d)
+    assert(math.abs(StatInference.welchPValue(mc, vc, c.size, md, vd, d.size)
+      - 0.07480625382866155) < 1e-9)
+
+    // end to end over sketches: distinct keys, one value column, below
+    // nominal → retention is exact, so the sketch path reproduces the
+    // closed-form p-value
+    val s1 = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val s2 = (1 to 5).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val p = s1.agg(tupleSketch(col("k"), Seq(col("v"))).as("sk")).crossJoin(
+        s2.agg(tupleSketch(col("k"), Seq(col("v"))).as("sk2")))
+      .select(element_at(tupleTTest(col("sk"), col("sk2")), 1).as("p"))
+      .head().getDouble(0)
+    assert(math.abs(p - 0.10753119493062724) < 1e-9, s"got $p")
+  }
+
   test("theta set ops match exact set algebra") {
     val df = Seq.tabulate(300)(i => (if (i < 200) "a" else "z", i % 150)).toDF("side", "v")
     val sk = df.agg(
