@@ -62,7 +62,7 @@ import graft.sources.LookupRegistry
 object HttpFacade {
 
   final class Facade(server: HttpServer, val requestLog: RequestLog,
-      val planCache: PlanCache) {
+      val planCache: PlanCache, val resultCache: ResultCache) {
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
   }
@@ -79,6 +79,25 @@ object HttpFacade {
     * identifiers the same way); execution-irrelevant context keys (queryId,
     * timeout, priority, lane) are stripped from the key so per-request ids
     * don't defeat the cache. */
+  /** Cache key normalization shared by the plan and result caches:
+    * execution-irrelevant context keys (queryId, timeout, priority, lane)
+    * and cache-control flags are stripped so per-request ids don't defeat
+    * the caches. */
+  private[server] def normalizeBody(body: String): String =
+    JsonMethods.parseOpt(body) match {
+      case Some(o: JObject) =>
+        val ctx = (o \ "context") match {
+          case c: JObject => JObject(c.obj.filterNot(kv =>
+            Set("queryId", "timeout", "priority", "lane",
+              "useCache", "populateCache").contains(kv._1)))
+          case _ => JObject()
+        }
+        JsonMethods.compact(JsonMethods.render(
+          JObject(o.obj.filterNot(_._1 == "context") ++
+            (if (ctx.obj.nonEmpty) List("context" -> (ctx: JValue)) else Nil))))
+      case _ => body
+    }
+
   private[server] final class PlanCache(lookups: LookupRegistry, capacity: Int = 64) {
     private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
     private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -89,22 +108,8 @@ object HttpFacade {
           size() > capacity
       }
 
-    private def normalize(body: String): String =
-      JsonMethods.parseOpt(body) match {
-        case Some(o: JObject) =>
-          val ctx = (o \ "context") match {
-            case c: JObject => JObject(c.obj.filterNot(kv =>
-              Set("queryId", "timeout", "priority", "lane").contains(kv._1)))
-            case _ => JObject()
-          }
-          JsonMethods.compact(JsonMethods.render(
-            JObject(o.obj.filterNot(_._1 == "context") ++
-              (if (ctx.obj.nonEmpty) List("context" -> (ctx: JValue)) else Nil))))
-        case _ => body
-      }
-
     def get(body: String)(build: => DataFrame): DataFrame =
-      getKeyed("native:" + normalize(body))(build)
+      getKeyed("native:" + normalizeBody(body))(build)
 
     /** SQL-route plans cache under the BOUND statement text (positional
       * parameters are already inlined, so the key carries the parameter
@@ -132,6 +137,46 @@ object HttpFacade {
       * the invalidation endpoint after out-of-band changes. */
     def invalidateAll(): Unit = map.synchronized(map.clear())
 
+    def hits: Long = hitCount.get()
+    def misses: Long = missCount.get()
+  }
+
+  /** Native-route RESULT cache (the reference's broker-level result cache,
+    * CachingClusteredClient.java:506-537 + CacheStrategy): the rendered
+    * response payload keyed on the normalized query body and the same
+    * lookup/ingest generation keys as the plan cache, so an in-process
+    * write or lookup update invalidates automatically. Per-query `context`
+    * flags `useCache` / `populateCache` opt out (CacheUtil.isUseResultCache
+    * /isPopulateResultCache — Druid's broker defaults both true when the
+    * cache is configured). Entries above `maxEntryBytes` are not stored
+    * (the reference's `cache.resultLevelCacheLimit`). Same out-of-band
+    * caveat as the plan cache: external writers require the admin
+    * invalidation endpoint (which clears BOTH caches). */
+  private[server] final class ResultCache(lookups: LookupRegistry,
+      capacity: Int = 64, maxEntryBytes: Int = 2 << 20) {
+    private val hitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val missCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val map =
+      new java.util.LinkedHashMap[(String, Long, Long), String](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+          size() > capacity
+      }
+    def get(body: String, useCache: Boolean, populateCache: Boolean)
+        (build: => String): String = {
+      val key = (normalizeBody(body), lookups.generation,
+        graft.sources.BatchIngest.dataGeneration)
+      if (useCache) map.synchronized(Option(map.get(key))) match {
+        case Some(payload) => hitCount.incrementAndGet(); return payload
+        case None => ()
+      }
+      val payload = build
+      missCount.incrementAndGet()
+      if (populateCache && payload.length <= maxEntryBytes)
+        map.synchronized(map.put(key, payload))
+      payload
+    }
+    def invalidateAll(): Unit = map.synchronized(map.clear())
     def hits: Long = hitCount.get()
     def misses: Long = missCount.get()
   }
@@ -403,6 +448,7 @@ object HttpFacade {
     val capacity = new CapacityGuard(maxConcurrentQueries, maxLowPercent)
     val requestLog = new RequestLog()
     val planCache = new PlanCache(lookups)
+    val resultCache = new ResultCache(lookups)
 
     server.createContext("/druid/v2/sql", sqlHandler(cancels, capacity, requestLog, defaultContext) { body =>
       val (sqlText, format, header, typesHeader, sqlTypesHeader, context) =
@@ -579,9 +625,17 @@ object HttpFacade {
         val timeoutMs = (q \ "context" \ "timeout") match {
           case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
         }
-        def exec(): String = envelope(q,
-          planCache.get(body)(NativeQuery.run(spark, body, resolve, lookups)),
-          maxResultRows)
+        // result cache first (broker result-level cache): a hit returns the
+        // rendered payload without planning or executing; context flags
+        // useCache/populateCache opt out per query
+        def ctxBool(name: String, default: Boolean): Boolean =
+          (q \ "context" \ name) match { case JBool(b) => b; case _ => default }
+        def exec(): String =
+          resultCache.get(body, ctxBool("useCache", true), ctxBool("populateCache", true)) {
+            envelope(q,
+              planCache.get(body)(NativeQuery.run(spark, body, resolve, lookups)),
+              maxResultRows)
+          }
         val lane = (q \ "context" \ "lane") match {
           case JString(l) => Some(l); case _ => None
         }
@@ -664,16 +718,29 @@ object HttpFacade {
     // reference's broker exposes the same per-cache admin surface).
     server.createContext("/druid/admin/planCache", restHandler(
       (method, sub, _) => method match {
-        case "DELETE" => planCache.invalidateAll(); (200, """{"invalidated":true}""")
+        // out-of-band data change: BOTH caches hold artifacts of the old
+        // data, so the documented invalidation endpoint clears both
+        case "DELETE" =>
+          planCache.invalidateAll(); resultCache.invalidateAll()
+          (200, """{"invalidated":true}""")
         case "POST" if sub.stripPrefix("/") == "invalidate" =>
-          planCache.invalidateAll(); (200, """{"invalidated":true}""")
+          planCache.invalidateAll(); resultCache.invalidateAll()
+          (200, """{"invalidated":true}""")
         case "GET" =>
           (200, s"""{"hits":${planCache.hits},"misses":${planCache.misses}}""")
         case _ => (405, "")
       }))
+    // result-cache admin sibling (stats + targeted invalidation)
+    server.createContext("/druid/admin/resultCache", restHandler(
+      (method, sub, _) => method match {
+        case "DELETE" => resultCache.invalidateAll(); (200, """{"invalidated":true}""")
+        case "GET" =>
+          (200, s"""{"hits":${resultCache.hits},"misses":${resultCache.misses}}""")
+        case _ => (405, "")
+      }))
 
     server.start()
-    new Facade(server, requestLog, planCache)
+    new Facade(server, requestLog, planCache, resultCache)
   }
 
   /** Method-and-path routing handler for the REST-ish admin resources:

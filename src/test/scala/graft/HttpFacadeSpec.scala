@@ -902,12 +902,22 @@ class HttpFacadeSpec extends SparkSpecBase {
       val (t1, (s1, r1)) = timed(body("a"))
       val missesAfterFirst = facade.planCache.misses
       // same shape, different queryId — execution-irrelevant keys are
-      // stripped from the cache key
-      val (t2, (s2, r2)) = timed(body("b"))
+      // stripped from the cache key. useCache=false bypasses the RESULT
+      // cache so this exercises the plan-cache layer underneath it.
+      val (t2, (s2, r2)) = timed(
+        s"""{"queryType": "timeBoundary", "dataSource": "orders",
+            "timeColumn": "o_orderdate",
+            "context": {"queryId": "b", "useCache": false}}""")
       assert(s1 == 200 && s2 == 200 && r1 == r2)
       assert(facade.planCache.hits >= 1, "repeat POST must hit the plan cache")
       assert(facade.planCache.misses == missesAfterFirst)
       info(s"cold POST ${t1}ms, cached POST ${t2}ms")
+      // with default cache flags the repeat is served from the RESULT cache
+      val resultHitsBefore = facade.resultCache.hits
+      val (s2b, r2b) = post(facade.port, "/druid/v2", body("b2"))
+      assert(s2b == 200 && r2b == r1)
+      assert(facade.resultCache.hits == resultHitsBefore + 1,
+        "repeat POST with default flags must hit the result cache")
       // a lookup registration bumps the registry generation → invalidation
       graft.sources.LookupRegistry.global.register("pc_inval",
         Seq(("1", "x")).toDF("k", "v"))
@@ -955,6 +965,47 @@ class HttpFacadeSpec extends SparkSpecBase {
       assert(s3 == 200 && r3 == r1)
       assert(facade.planCache.misses == missesAfterInval + 1,
         "invalidation must drop cached SQL plans")
+    } finally facade.stop()
+  }
+
+  test("native result cache (CachingClusteredClient result-level cache): " +
+      "repeat POSTs return the cached payload; populateCache=false skips " +
+      "storing; admin invalidation clears it") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val body =
+        """{"queryType": "groupBy", "dataSource": "nation",
+            "timeColumn": "n_nationkey",
+            "dimensions": ["n_regionkey"],
+            "aggregations": [{"type": "count", "name": "cnt"}],
+            "limitSpec": {"type": "default", "columns": [{"dimension": "n_regionkey", "dimensionOrder": "numeric"}]}}"""
+      val (s1, r1) = post(facade.port, "/druid/v2", body)
+      val missesAfterFirst = facade.resultCache.misses
+      val (s2, r2) = post(facade.port, "/druid/v2", body)
+      assert(s1 == 200 && s2 == 200 && r1 == r2)
+      assert(facade.resultCache.hits >= 1 &&
+        facade.resultCache.misses == missesAfterFirst)
+
+      // populateCache=false: executes and does NOT store (a fresh body so
+      // the earlier entry can't serve it)
+      val noStore =
+        """{"queryType": "timeBoundary", "dataSource": "nation",
+            "timeColumn": "n_nationkey", "context": {"populateCache": false}}"""
+      post(facade.port, "/druid/v2", noStore)
+      val missesBefore = facade.resultCache.misses
+      post(facade.port, "/druid/v2", noStore)
+      assert(facade.resultCache.misses == missesBefore + 1,
+        "populateCache=false must not have stored the first response")
+
+      // GET stats + DELETE invalidation on the admin sibling
+      val (gs, gj) = request(facade.port, "GET", "/druid/admin/resultCache")
+      assert(gs == 200 && (gj \ "hits") != JNothing)
+      assert(delete(facade.port, "/druid/admin/resultCache") == 200)
+      val missesAfterInval = facade.resultCache.misses
+      val (s3, r3) = post(facade.port, "/druid/v2", body)
+      assert(s3 == 200 && r3 == r1)
+      assert(facade.resultCache.misses == missesAfterInval + 1,
+        "invalidation must drop cached results")
     } finally facade.stop()
   }
 
