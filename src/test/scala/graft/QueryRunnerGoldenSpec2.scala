@@ -670,6 +670,104 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
     rows.zip(QlExpected).zipWithIndex.foreach { case ((r, e), i) => assertQlRow(r, e, s"row $i") }
   }
 
+  test("testGroupByLongColumn / LongColumnDescending / LongColumnWithExFn " +
+      "(GroupByQueryRunnerTest.java:9804,9884,9933): LONG-typed groupBy " +
+      "dimension with numeric ordering both directions, and through a " +
+      "string extraction (JS 'super-'+str as stringFormat)") {
+    // ascending, day granularity, quality=entertainment
+    val asc = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "qualityLong",
+          "outputName": "ql_alias", "outputType": "LONG"}],
+        "filter": {"type": "selector", "dimension": "quality", "value": "entertainment"},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}],
+        "limitSpec": {"type": "default", "columns": [
+          {"dimension": "ql_alias", "direction": "ascending", "dimensionOrder": "numeric"}]}
+      }""").collect()
+      .map(r => (day(r), r.getAs[Long]("ql_alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(asc.toSeq == Seq(
+      ("2011-04-01", 1200L, 1L, 158L), ("2011-04-02", 1200L, 1L, 166L)))
+
+    // descending over ALL granularity with an in-filter
+    val desc = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "all",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "qualityLong",
+          "outputName": "ql_alias", "outputType": "LONG"}],
+        "filter": {"type": "in", "dimension": "quality", "values": ["entertainment", "technology"]},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}],
+        "limitSpec": {"type": "default", "columns": [
+          {"dimension": "ql_alias", "direction": "descending", "dimensionOrder": "numeric"}]}
+      }""").collect()
+      .map(r => (r.getAs[Long]("ql_alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(desc.toSeq == Seq((1700L, 2L, 175L), (1200L, 2L, 324L)))
+
+    // extraction over the LONG dim (reference JS concat ≡ stringFormat)
+    val exfn = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "extraction", "dimension": "qualityLong",
+          "outputName": "ql_alias",
+          "extractionFn": {"type": "stringFormat", "format": "super-%s"}}],
+        "filter": {"type": "selector", "dimension": "quality", "value": "entertainment"},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("ql_alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(_._1)
+    assert(exfn.toSeq == Seq(
+      ("2011-04-01", "super-1200", 1L, 158L), ("2011-04-02", "super-1200", 1L, 166L)))
+  }
+
+  test("testGroupByFloatColumn / FloatColumnDescending / DoubleColumnDescending " +
+      "(GroupByQueryRunnerTest.java:10070,10121,10171): FLOAT and DOUBLE " +
+      "typed groupBy dimensions with numeric ordering") {
+    val ascFloat = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "index",
+          "outputName": "index_alias", "outputType": "FLOAT"}],
+        "filter": {"type": "selector", "dimension": "quality", "value": "entertainment"},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}],
+        "limitSpec": {"type": "default", "columns": [
+          {"dimension": "index_alias", "direction": "ascending", "dimensionOrder": "numeric"}]}
+      }""").collect()
+      .map(r => (day(r), r.getAs[Float]("index_alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(ascFloat.toSeq == Seq(
+      ("2011-04-01", 158.747224f, 1L, 158L), ("2011-04-02", 166.016049f, 1L, 166L)))
+
+    def descNumeric(dim: String, out: String, tpe: String): Seq[(Any, Long, Long)] = run(
+      s"""{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "all",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "$dim",
+          "outputName": "$out", "outputType": "$tpe"}],
+        "filter": {"type": "in", "dimension": "quality", "values": ["entertainment", "technology"]},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}],
+        "limitSpec": {"type": "default", "columns": [
+          {"dimension": "$out", "direction": "descending", "dimensionOrder": "numeric"}]}
+      }""").collect().toSeq
+      .map(r => (r.get(r.fieldIndex(out)), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+    assert(descNumeric("qualityFloat", "qf_alias", "FLOAT") ==
+      Seq((17000.0f, 2L, 175L), (12000.0f, 2L, 324L)))
+    assert(descNumeric("qualityDouble", "alias", "DOUBLE") ==
+      Seq((17000.0, 2L, 175L), (12000.0, 2L, 324L)))
+  }
+
   // --------------------------------------- subtotals × granularity × limit
 
   private val SubtotalsQuery =
