@@ -163,8 +163,20 @@ object HttpFacade {
           size() > capacity
       }
     def get(body: String, useCache: Boolean, populateCache: Boolean)
+        (build: => String): String =
+      getKeyed("native:" + normalizeBody(body), useCache, populateCache)(build)
+
+    /** SQL-route results cache under the BOUND statement + every
+      * execution-relevant knob INCLUDING the plan-check context flags and
+      * the response format — a hit skips planning AND the plan checks, so
+      * a different check/format combination must key separately. */
+    def getSql(boundSql: String, knobs: String, useCache: Boolean,
+        populateCache: Boolean)(build: => String): String =
+      getKeyed("sql:" + knobs + ":" + boundSql, useCache, populateCache)(build)
+
+    private def getKeyed(norm: String, useCache: Boolean, populateCache: Boolean)
         (build: => String): String = {
-      val key = (normalizeBody(body), lookups.generation,
+      val key = (norm, lookups.generation,
         graft.sources.BatchIngest.dataGeneration)
       if (useCache) map.synchronized(Option(map.get(key))) match {
         case Some(payload) => hitCount.incrementAndGet(); return payload
@@ -581,13 +593,27 @@ object HttpFacade {
                 !lower.contains("now()") && !lower.contains("localtimestamp")
               val knobs = s"$approxCountDistinct:$outerLimit:" +
                 sqlZone.map(_.getId).getOrElse("UTC")
-              val df = if (cacheable) planCache.getSql(sqlText, knobs)(build())
-                       else build()
-              if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
-              if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
-              maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
-              render(df, format, header, typesHeader, sqlTypesHeader, maxResultRows,
-                sqlZone.getOrElse(ZoneOffset.UTC))
+              def produce(): String = {
+                val df = if (cacheable) planCache.getSql(sqlText, knobs)(build())
+                         else build()
+                if (requireTime) graft.plans.PlannerChecks.requireTimeCondition(df)
+                if (!mvUnnesting) graft.plans.PlannerChecks.requireNoMultiValueUnnesting(df)
+                maxNumericIn.foreach(graft.plans.PlannerChecks.requireMaxNumericInFilters(df, _))
+                render(df, format, header, typesHeader, sqlTypesHeader, maxResultRows,
+                  sqlZone.getOrElse(ZoneOffset.UTC))
+              }
+              // result-level cache over the rendered payload (same
+              // cacheability rules as the plan cache; the key adds the
+              // plan-check flags and the response format, so a hit never
+              // skips a check or format the entry wasn't produced under)
+              def ctxBool(name: String, default: Boolean): Boolean =
+                (context \ name) match { case JBool(b) => b; case _ => default }
+              val resultKnobs = s"$knobs:$requireTime:$mvUnnesting:$maxNumericIn:" +
+                s"$format:$header:$typesHeader:$sqlTypesHeader"
+              if (cacheable)
+                resultCache.getSql(sqlText, resultKnobs,
+                  ctxBool("useCache", true), ctxBool("populateCache", true))(produce())
+              else produce()
           }
         }
       }

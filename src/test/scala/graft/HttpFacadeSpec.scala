@@ -940,10 +940,19 @@ class HttpFacadeSpec extends SparkSpecBase {
       val q = "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1"
       val (s1, r1) = post(facade.port, "/druid/v2/sql", sqlBody(q))
       val missesAfterFirst = facade.planCache.misses
-      val (s2, r2) = post(facade.port, "/druid/v2/sql", sqlBody(q))
+      // useCache=false bypasses the SQL RESULT cache so the repeat reaches
+      // the plan-cache layer underneath
+      val (s2, r2) = post(facade.port, "/druid/v2/sql",
+        s"""{"query": "$q", "context": {"useCache": false}}""")
       assert(s1 == 200 && s2 == 200 && r1 == r2)
       assert(facade.planCache.hits >= 1, "repeat SQL POST must hit the plan cache")
       assert(facade.planCache.misses == missesAfterFirst)
+      // with default flags the repeat serves from the SQL result cache
+      val resultHitsBefore = facade.resultCache.hits
+      val (s2b, r2b) = post(facade.port, "/druid/v2/sql", sqlBody(q))
+      assert(s2b == 200 && r2b == r1)
+      assert(facade.resultCache.hits == resultHitsBefore + 1,
+        "repeat SQL with default flags must hit the result cache")
 
       // a now()-style statement must NOT cache (the plan would freeze the clock)
       val hitsBefore = facade.planCache.hits
