@@ -935,7 +935,11 @@ object NativeQuery {
     case "and" => arr(j \ "fields").map(filter(_, schema)).reduce(_ && _)
     case "or" => arr(j \ "fields").map(filter(_, schema)).reduce(_ || _)
     case "not" => !filter(j \ "field", schema)
-    case "selector" =>
+    // "extraction" is the deprecated spelling of selector + extractionFn
+    // (ExtractionDimFilter.java — "use a selector filter with an
+    // extractionFn instead"; GroupByQueryRunnerTest's extraction-filter
+    // family still issues it)
+    case "selector" | "extraction" =>
       (j \ "value") match {
         case JNull | JNothing => mvAware(j, schema)(_.isNull)
         case v => mvAware(j, schema)(_ <=> lit(jvalueToAny(v)))

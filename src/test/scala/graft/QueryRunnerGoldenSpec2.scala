@@ -768,6 +768,116 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
       Seq((17000.0, 2L, 175L), (12000.0, 2L, 324L)))
   }
 
+  test("testGroupByWithExtractionDimFilter (GroupByQueryRunnerTest.java:8980) " +
+      "+ the null/empty-mapping (:9039) and missing-key (:9088) variants: " +
+      "lookup-extraction filters compose with OR and SQL-null semantics") {
+    // a lookup mapping 4 qualities onto one value, OR'd with selectors for
+    // the rest — the filter admits every row, reproducing testGroupBy
+    val all = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "filter": {"type": "or", "fields": [
+          {"type": "extraction", "dimension": "quality",
+           "value": "automotiveAndBusinessAndNewsAndMezzanine",
+           "extractionFn": {"type": "lookup", "lookup": {"type": "map", "map": {
+             "automotive": "automotiveAndBusinessAndNewsAndMezzanine",
+             "business": "automotiveAndBusinessAndNewsAndMezzanine",
+             "mezzanine": "automotiveAndBusinessAndNewsAndMezzanine",
+             "news": "automotiveAndBusinessAndNewsAndMezzanine"}}}},
+          {"type": "selector", "dimension": "quality", "value": "entertainment"},
+          {"type": "selector", "dimension": "quality", "value": "health"},
+          {"type": "selector", "dimension": "quality", "value": "premium"},
+          {"type": "selector", "dimension": "quality", "value": "technology"},
+          {"type": "selector", "dimension": "quality", "value": "travel"}
+        ]},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(t => (t._1, t._2))
+    assert(all.length == 18 && all.map(_._3).sum == 26L)
+    assert(all.filter(_._2 == "mezzanine").toSeq ==
+      Seq(("2011-04-01", "mezzanine", 3L, 2870L), ("2011-04-02", "mezzanine", 3L, 2447L)))
+
+    // empty-string search value with mezzanine→null, news→"" mappings:
+    // SQL-compatible null handling matches ONLY the empty string (the
+    // reference's non-replaceWithDefault branch) — news alone survives
+    val empties = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "filter": {"type": "extraction", "dimension": "quality", "value": "",
+          "extractionFn": {"type": "lookup", "lookup": {"type": "map", "map": {
+            "automotive": "automotive0", "business": "business0",
+            "entertainment": "entertainment0", "health": "health0",
+            "news": "", "premium": "premium0",
+            "technology": "technology0", "travel": "travel0"}}}},
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(_._1)
+    assert(empties.toSeq == Seq(
+      ("2011-04-01", "news", 1L, 121L), ("2011-04-02", "news", 1L, 114L)),
+      s"got:\n${empties.mkString("\n")}")
+
+    // a search value no mapping produces matches nothing
+    val none = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "filter": {"type": "extraction", "dimension": "quality", "value": "NOT_THERE",
+          "extractionFn": {"type": "lookup", "lookup": {"type": "map", "map": {}}}},
+        "aggregations": [{"type": "count", "name": "rows"}]
+      }""").collect()
+    assert(none.isEmpty)
+  }
+
+  test("testGroupByWithAggregatorFilterAndExtractionFunction " +
+      "(GroupByQueryRunnerTest.java:9159): FILTERED aggregators whose filter " +
+      "is a lookup-extraction selector (replaceMissingValueWith) — " +
+      "non-matching groups keep 0 rows and a NULL longSum (SQL mode)") {
+    val filterJson =
+      """{"type": "extraction", "dimension": "quality", "value": "mezzanineANDnews",
+          "extractionFn": {"type": "lookup", "replaceMissingValueWith": "missing",
+            "lookup": {"type": "map", "map": {
+              "automotive": "automotive0", "business": "business0",
+              "entertainment": "entertainment0", "health": "health0",
+              "mezzanine": "mezzanineANDnews", "news": "mezzanineANDnews",
+              "premium": "premium0", "technology": "technology0",
+              "travel": "travel0"}}}}"""
+    val rows = run(
+      s"""{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "filtered", "filter": $filterJson,
+           "aggregator": {"type": "count", "name": "rows"}},
+          {"type": "filtered", "filter": $filterJson,
+           "aggregator": {"type": "longSum", "name": "idx", "fieldName": "index"}}
+        ]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("rows"),
+        Option(r.get(r.fieldIndex("idx"))).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.length == 18)
+    assert(rows.filter(t => t._2 == "mezzanine" || t._2 == "news").toSeq == Seq(
+      ("2011-04-01", "mezzanine", 3L, Some(2870L)), ("2011-04-01", "news", 1L, Some(121L)),
+      ("2011-04-02", "mezzanine", 3L, Some(2447L)), ("2011-04-02", "news", 1L, Some(114L))),
+      s"got:\n${rows.mkString("\n")}")
+    // every other group: zero matching rows, NULL sum
+    rows.filterNot(t => t._2 == "mezzanine" || t._2 == "news").foreach { t =>
+      assert(t._3 == 0L && t._4.isEmpty, s"non-matching group $t")
+    }
+  }
+
   // --------------------------------------- subtotals × granularity × limit
 
   private val SubtotalsQuery =
