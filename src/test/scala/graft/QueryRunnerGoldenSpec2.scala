@@ -878,6 +878,60 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
     }
   }
 
+  test("sortByDimsFirst context: the bucket timestamp moves BEHIND the " +
+      "user ordering (DefaultLimitSpec.makeComparator's " +
+      "ordering.compound(timeOrdering) branch) — idx-global order across days") {
+    val rows = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "context": {"sortByDimsFirst": true},
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}],
+        "limitSpec": {"type": "default", "limit": 3,
+          "columns": [{"dimension": "idx", "direction": "ascending"}]}
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("alias"), r.getAs[Long]("idx")))
+    // smallest idx across BOTH days interleaved — without sortByDimsFirst
+    // the result would be time-major (all three from 2011-04-01)
+    assert(rows.toSeq == Seq(
+      ("2011-04-01", "technology", 78L),
+      ("2011-04-02", "technology", 97L),
+      ("2011-04-02", "business", 112L)), s"got:\n${rows.mkString("\n")}")
+  }
+
+  test("testGroupByWithNullProducingDimExtractionFn (GroupByQueryRunnerTest" +
+      ".java:3553): an extraction producing NULL for one value groups those " +
+      "rows under the null dimension (the reference's anonymous regex-with-" +
+      "null-override expressed as a lookup with no mapping for mezzanine)") {
+    val rows = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex", "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"type": "extraction", "dimension": "quality", "outputName": "alias",
+          "extractionFn": {"type": "lookup", "lookup": {"type": "map", "map": {
+            "automotive": "a", "business": "b", "entertainment": "e", "health": "h",
+            "news": "n", "premium": "p", "technology": "t", "travel": "t"}}}}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}]
+      }""").collect()
+      .map(r => (day(r), Option(r.getAs[String]("alias")), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(t => (t._1, t._2.getOrElse("")))
+    val expected = Seq(
+      ("2011-04-01", None, 3L, 2870L), ("2011-04-01", Some("a"), 1L, 135L),
+      ("2011-04-01", Some("b"), 1L, 118L), ("2011-04-01", Some("e"), 1L, 158L),
+      ("2011-04-01", Some("h"), 1L, 120L), ("2011-04-01", Some("n"), 1L, 121L),
+      ("2011-04-01", Some("p"), 3L, 2900L), ("2011-04-01", Some("t"), 2L, 197L),
+      ("2011-04-02", None, 3L, 2447L), ("2011-04-02", Some("a"), 1L, 147L),
+      ("2011-04-02", Some("b"), 1L, 112L), ("2011-04-02", Some("e"), 1L, 166L),
+      ("2011-04-02", Some("h"), 1L, 113L), ("2011-04-02", Some("n"), 1L, 114L),
+      ("2011-04-02", Some("p"), 3L, 2505L), ("2011-04-02", Some("t"), 2L, 223L))
+    assert(rows.toSeq == expected, s"got:\n${rows.mkString("\n")}")
+  }
+
   // --------------------------------------- subtotals × granularity × limit
 
   private val SubtotalsQuery =
