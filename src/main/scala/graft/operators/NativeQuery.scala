@@ -728,9 +728,10 @@ object NativeQuery {
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     // a dimension naming a column the datasource doesn't have reads as NULL
     // (the reference's missing-column selector; schema-evolved segments and
-    // TopNQueryRunnerTest.testTopNOnMissingColumnWithExtractionFn rely on it)
+    // TopNQueryRunnerTest.testTopNOnMissingColumnWithExtractionFn rely on
+    // it). "__time" stays a loud error under a custom timeColumn.
     def missing(name: String): Boolean =
-      schema != null && !schema.fieldNames.contains(name)
+      schema != null && name != "__time" && !schema.fieldNames.contains(name)
     j match {
     case JString(d) =>
       if (missing(d)) ExprDim(lit(null).cast("string"), d)
@@ -928,7 +929,22 @@ object NativeQuery {
     val isArray = schema != null && (j \ "extractionFn") == JNothing &&
       schema.fields.exists(f => f.name == name &&
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
-    if (isArray) exists(col(name), pred) else pred(dimWithExtraction(j))
+    // a filter naming a column the datasource doesn't have evaluates over
+    // NULL (missing-column selector: selector(bogus, null) matches every
+    // row, any concrete value matches none — the reference's
+    // nonexistent-dimension filter semantics). "__time" is exempt: under a
+    // custom timeColumn a __time reference is a query bug that must stay a
+    // loud analysis error, not silently null
+    val missing = schema != null && name != "__time" &&
+      !schema.fieldNames.contains(name)
+    if (isArray) exists(col(name), pred)
+    else if (missing) {
+      val nullCol = lit(null).cast("string")
+      pred((j \ "extractionFn") match {
+        case JNothing | JNull => nullCol
+        case f => extractionFn(f, nullCol)
+      })
+    } else pred(dimWithExtraction(j))
   }
 
   private def filter(j: JValue, schema: org.apache.spark.sql.types.StructType = null): Column = str(j \ "type") match {

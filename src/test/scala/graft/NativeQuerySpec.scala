@@ -914,6 +914,24 @@ class NativeQuerySpec extends SparkSpecBase {
       }"""))
   }
 
+  test("filters on a nonexistent column evaluate over NULL: selector(bogus, " +
+      "null) matches every row, a concrete value matches none " +
+      "(missing-column selector semantics)") {
+    def cnt(filter: String): Long = run(
+      s"""{
+        "queryType": "timeseries", "granularity": "all",
+        "dataSource": "nation", "timeColumn": "n_nationkey",
+        "filter": $filter,
+        "aggregations": [{"type": "count", "name": "cnt"}]
+      }""").head().getAs[Long]("cnt")
+    assert(cnt("""{"type": "selector", "dimension": "bogusDim", "value": null}""") == 25L)
+    assert(cnt("""{"type": "selector", "dimension": "bogusDim", "value": "spot"}""") == 0L)
+    // OR with a real leg still admits the real leg's rows
+    assert(cnt("""{"type": "or", "fields": [
+        {"type": "selector", "dimension": "bogusDim", "value": "x"},
+        {"type": "selector", "dimension": "n_name", "value": "NATION_7"}]}""") == 1L)
+  }
+
   test("arrayOfDoublesSketchTTest on the JSON surface: Welch p-value between " +
       "two filtered tuple sketches (ArrayOfDoublesSketchTTestPostAggregator)") {
     val r = run(
