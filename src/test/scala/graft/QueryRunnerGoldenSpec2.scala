@@ -902,6 +902,39 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
       ("2011-04-02", "business", 112L)), s"got:\n${rows.mkString("\n")}")
   }
 
+  test("testGroupByWithTimeZone (GroupByQueryRunnerTest.java:3667): LA-zone " +
+      "P1D buckets as the implicit leading groupBy dimension over " +
+      "offset-designated intervals") {
+    val rows = run(
+      """{
+        "queryType": "groupBy", "dataSource": "testIndex",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "intervals": ["2011-03-31T00:00:00-07:00/2011-04-02T00:00:00-07:00"],
+        "dimensions": [{"type": "default", "dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}]
+      }""").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("__time").toString,
+        r.getAs[String]("alias"), r.getAs[Long]("rows"), r.getAs[Long]("idx")))
+      .sortBy(t => (t._1, t._2))
+    // LA midnights render as 07:00Z; the two LA days cover the same rows
+    // as the UTC-day testGroupBy vector
+    val expected = Seq(
+      ("2011-03-31T07:00", "automotive", 1L, 135L), ("2011-03-31T07:00", "business", 1L, 118L),
+      ("2011-03-31T07:00", "entertainment", 1L, 158L), ("2011-03-31T07:00", "health", 1L, 120L),
+      ("2011-03-31T07:00", "mezzanine", 3L, 2870L), ("2011-03-31T07:00", "news", 1L, 121L),
+      ("2011-03-31T07:00", "premium", 3L, 2900L), ("2011-03-31T07:00", "technology", 1L, 78L),
+      ("2011-03-31T07:00", "travel", 1L, 119L),
+      ("2011-04-01T07:00", "automotive", 1L, 147L), ("2011-04-01T07:00", "business", 1L, 112L),
+      ("2011-04-01T07:00", "entertainment", 1L, 166L), ("2011-04-01T07:00", "health", 1L, 113L),
+      ("2011-04-01T07:00", "mezzanine", 3L, 2447L), ("2011-04-01T07:00", "news", 1L, 114L),
+      ("2011-04-01T07:00", "premium", 3L, 2505L), ("2011-04-01T07:00", "technology", 1L, 97L),
+      ("2011-04-01T07:00", "travel", 1L, 126L))
+    assert(rows.toSeq == expected, s"got:\n${rows.mkString("\n")}")
+  }
+
   test("testGroupByWithNullProducingDimExtractionFn (GroupByQueryRunnerTest" +
       ".java:3553): an extraction producing NULL for one value groups those " +
       "rows under the null dimension (the reference's anonymous regex-with-" +
