@@ -514,7 +514,12 @@ object ExpressionLambda {
       aggregateNullInputs: Boolean = true,
       combineNullInputs: Boolean = true,
       nullUnlessAggregated: Boolean = true): Column = {
-    require(fields.nonEmpty, "expression lambda aggregator needs at least one field")
+    // fields may be EMPTY — the fold then runs once per row against the
+    // accumulator alone (diy_count in TimeseriesQueryRunnerTest
+    // .testTimeseriesWithExpressionAggregator: fold "__acc + 1"); a combine
+    // is then required to merge partials
+    require(fields.nonEmpty || combineExpr.nonEmpty,
+      "expression lambda aggregator needs at least one field or a combine expression")
     try bounded(spark, schema, fields, accumulatorId, initialValue, foldExpr,
       combineExpr, finalizeExpr, name, maxSizeBytes,
       aggregateNullInputs, combineNullInputs, nullUnlessAggregated)

@@ -78,7 +78,12 @@ object NativeQuery {
           timeColumn = timeCol,
           granularity = granularity(q \ "granularity"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
+          // aggregator-less timeseries emits empty value maps (bucket rows
+          // only), unlike the other query types' implicit count
+          aggregations = (q \ "aggregations") match {
+            case JNothing | JNull | JArray(Nil) => Nil
+            case a => aggregations(a, timeCol, prepared)
+          },
           postAggregations = postAggs(q \ "postAggregations"),
           descending = boolOpt(q \ "descending").getOrElse(false),
           grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
@@ -86,7 +91,8 @@ object NativeQuery {
           // reference default: zero-fill unless skipEmptyBuckets set
           // (TimeseriesQueryEngine.java:131,210)
           skipEmptyBuckets = (q \ "context" \ "skipEmptyBuckets") == JBool(true),
-          fillIntervals = parseIntervals(q \ "intervals")
+          fillIntervals = parseIntervals(q \ "intervals"),
+          timestampResultField = strOpt(q \ "context" \ "timestampResultField")
         ).run(prepared).transform(finalizeAggs)
       case "topN" =>
         val dim = dimSpec(q \ "dimension", prepared.schema)
@@ -520,11 +526,34 @@ object NativeQuery {
     }
   }
 
+  /** Shift a normalized endpoint by an ISO period (date and/or time part),
+    * for Joda-style `start/P1D` and `P1D/end` interval spellings
+    * (Intervals.of("2020-04-02T00:00:00.000Z/P1D")). */
+  private def shiftEndpoint(endpoint: String, period: String, sign: Int): String = {
+    val t = endpoint.trim.replace("T", " ")
+    val padded =
+      if (t.length == 10) t + " 00:00:00"
+      else if (t.length == 16) t + ":00"
+      else t
+    val ldt = java.time.LocalDateTime.parse(padded.replace(' ', 'T'))
+    val ti = period.indexOf('T')
+    val (datePart, timePart) =
+      if (ti < 0) (period, null)
+      else (period.substring(0, ti), "PT" + period.substring(ti + 1))
+    val d1 = if (datePart == "P") ldt
+             else ldt.plus(java.time.Period.parse(datePart).multipliedBy(sign))
+    val d2 = if (timePart == null) d1
+             else d1.plus(java.time.Duration.parse(timePart).multipliedBy(sign))
+    d2.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+  }
+
   // ---- intervals / virtual columns ----
   private def parseIntervals(j: JValue): Seq[(String, String)] = j match {
     case JArray(is) => is.map { i =>
       val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-      (normEndpoint(a), normEndpoint(b))
+      if (b.startsWith("P")) { val an = normEndpoint(a); (an, shiftEndpoint(an, b, 1)) }
+      else if (a.startsWith("P")) { val bn = normEndpoint(b); (shiftEndpoint(bn, a, -1), bn) }
+      else (normEndpoint(a), normEndpoint(b))
     }
     // QuerySegmentSpec object forms: {"type": "intervals"|"LegacySegmentSpec",
     // "intervals": [...]} (MultipleIntervalSegmentSpec / LegacySegmentSpec —
@@ -1185,8 +1214,17 @@ object NativeQuery {
         // Druid's schema-on-read missing column (SketchAggregationTest's
         // non_existing_col_validation expects an empty sketch's 0.0, not an
         // analysis error)
-        if (input == null || input.columns.contains(n)) col(n)
-        else lit(null).cast("string")
+        if (input == null || input.columns.contains(n)) {
+          // the time column is a LONG of epoch millis to every aggregator
+          // (Druid has no timestamp type — TIME_LONG_SUM in
+          // TimeseriesQueryRunnerTest.testTimeseriesWithTimeColumn)
+          val isTs = input != null && (input.schema(n).dataType match {
+            case org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType => true
+            case _ => false
+          })
+          if (isTs) unix_millis(col(n).cast("timestamp")) else col(n)
+        } else lit(null).cast("string")
       case _ => MathExpr.expr(str(j \ "expression"))
     }
     str(j \ "type") match {
@@ -1262,7 +1300,19 @@ object NativeQuery {
       case "cardinality" | "hyperUnique" =>
         import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate, thetaUnion}
         val fields = (j \ "fields") match {
-          case JArray(fs) => fs.map(dimSpec(_).col)
+          case JArray(fs) => fs.map { fj =>
+            // a COMPLEX (stored sketch) column has no dimension selector —
+            // cardinality over it counts nothing and estimates 0.0
+            // (TimeseriesQueryRunnerTest.testTimeseriesCardinalityAggOnHyperUnique)
+            val dname = fj match {
+              case JString(s) => s
+              case o => strOpt(o \ "dimension").getOrElse("")
+            }
+            if (input != null && input.schema.fields.exists(x =>
+                x.name == dname && x.dataType == org.apache.spark.sql.types.BinaryType))
+              lit(null).cast("string")
+            else dimSpec(fj).col
+          }
           case _ => Seq(f)
         }
         val byRow = boolOpt(j \ "byRow").getOrElse(false)
@@ -1371,8 +1421,12 @@ object NativeQuery {
               intOpt(j \ "numberOfValues").getOrElse(1), lgK)
           else graft.plans.SketchFunctions.tupleSketch(f, metrics, lgK))
       case "filtered" =>
-        // FILTER(WHERE) via conditional input (FilteredAggregatorFactory)
-        val pred = filter(j \ "filter")
+        // FILTER(WHERE) via conditional input (FilteredAggregatorFactory);
+        // schema-aware so a filter on a NONEXISTENT dimension evaluates over
+        // NULL instead of failing analysis
+        // (testTimeSeriesWithFilteredAggDimensionNotPresent*)
+        val pred = filter(j \ "filter",
+          if (input == null) null else input.schema)
         val aggName = strOpt(j \ "name").orElse(strOpt(j \ "aggregator" \ "name")).get
         if (str(j \ "aggregator" \ "type") == "count")
           Agg(aggName, sum(when(pred, 1L).otherwise(0L)))

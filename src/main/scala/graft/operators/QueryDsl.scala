@@ -205,7 +205,11 @@ final case class TimeseriesQuery(
     grandTotal: Boolean = false,
     limit: Option[Int] = None,
     skipEmptyBuckets: Boolean = false,
-    fillIntervals: Seq[(String, String)] = Nil) {
+    fillIntervals: Seq[(String, String)] = Nil,
+    // CTX_TIMESTAMP_RESULT_FIELD (TimeseriesQuery.java:54): materialize the
+    // bucket timestamp as an extra LONG-millis result column, visible to
+    // post-aggregators (testTimeseriesWithPostAggregatorReferencingTimestampResultField)
+    timestampResultField: Option[String] = None) {
 
   /** The bucket spine for zero-fill: one row per granularity bucket. From
     * explicit intervals it is generated driver-free via the granularity's
@@ -308,6 +312,12 @@ final case class TimeseriesQuery(
 
   def run(ds: DataFrame): DataFrame = {
     GraftSession.configure(ds.sparkSession)
+    // a timeseries with NO aggregators still emits one row per bucket with
+    // an empty value map (TimeseriesQueryRunnerTest.testTimeseriesNoAggregators)
+    // — bucket on an internal count, dropped from the result
+    if (aggregations.isEmpty)
+      return copy(aggregations = Seq(Agg(TimeseriesQuery.InternalRows, count(lit(1)))))
+        .run(ds).drop(TimeseriesQuery.InternalRows)
     val filtered = if (filter == null) ds else ds.filter(filter)
     val aggCols = aggregations.map(_.aliased)
     // bucket fn + zero-fill step per granularity kind; `none` buckets every
@@ -332,14 +342,23 @@ final case class TimeseriesQuery(
         // order applied after the optional union; grand-total row sorts last
         val ordered = if (descending) withTotal.orderBy(col(timeColumn).desc_nulls_last)
                       else withTotal.orderBy(col(timeColumn).asc_nulls_last)
-        val out = QueryCommon.applyPostAggs(ordered, postAggregations)
+        // the timestamp result field materializes BEFORE post-aggs so a
+        // fieldAccess post-agg can read the bucket millis
+        val withTsField = timestampResultField.fold(ordered)(fname =>
+          ordered.withColumn(fname, unix_millis(col(timeColumn).cast("timestamp"))))
+        val out = QueryCommon.applyPostAggs(withTsField, postAggregations)
         limit.fold(out)(out.limit)
     }
 
     granularity match {
       case AllGranularity =>
-        val out = QueryCommon.applyPostAggs(
-          filtered.agg(aggCols.head, aggCols.tail: _*), postAggregations)
+        val base = filtered.agg(aggCols.head, aggCols.tail: _*)
+        // ALL-granularity bucket timestamp = the first query interval's start
+        val withTs = timestampResultField.fold(base)(fname =>
+          base.withColumn(fname,
+            fillIntervals.headOption.flatMap(iv => parseUtcMs(iv._1))
+              .map(ms => lit(ms)).getOrElse(lit(null)).cast("long")))
+        val out = QueryCommon.applyPostAggs(withTs, postAggregations)
         limit.fold(out)(out.limit)
       case g: PeriodGranularity =>
         val p = TimeFunctions.periodParts(g.period)
@@ -409,6 +428,9 @@ object TimeseriesQuery {
     * instead of a (constant-foldable) `sequence(lit, lit)` — past it the
     * folded literal array bloats the plan on the driver. */
   val SpineFoldThreshold: Long = 8192L
+
+  /** Internal grouping aggregator for aggregator-less timeseries queries. */
+  val InternalRows = "__internal_rows"
 }
 
 /** topN (reference: query/topn/TopNQuery.java:50). Exact semantics: Druid's
