@@ -146,14 +146,21 @@ object NativeQuery {
           metric = metricName,
           threshold = int(q \ "threshold"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
+          // aggregator-less topN ranks distinct dimension values — the
+          // DSL's dummy-agg path (TopNQueryRunnerTest.testSortOnDoubleAsLong)
+          aggregations = (q \ "aggregations") match {
+            case JNothing | JNull | JArray(Nil) => Nil
+            case a => aggregations(a, timeCol, prepared)
+          },
           postAggregations = postAggs(q \ "postAggregations"),
           ascending = asc,
           sortKey = sortKey,
           stopFilter = stopFilter,
           // finalize sketches before the metric sort — ordering raw sketch
           // bytes would not match the reference's estimate comparators
-          finalizeFn = finalizeAggs
+          finalizeFn = finalizeAggs,
+          granularity = granularity(q \ "granularity"),
+          timeColumn = timeCol
         ).run(prepared)
       case "groupBy" =>
         val ls = q \ "limitSpec"
@@ -179,7 +186,12 @@ object NativeQuery {
         GroupByQuery(
           dimensions = dims,
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
-          aggregations = aggregations(q \ "aggregations", timeCol, prepared),
+          // aggregator-less groupBy emits the distinct dimension rows — the
+          // DSL's dummy-agg path (GroupByQueryRunnerTest.testGroupByNoAggregators)
+          aggregations = (q \ "aggregations") match {
+            case JNothing | JNull | JArray(Nil) => Nil
+            case a => aggregations(a, timeCol, prepared)
+          },
           postAggregations = postAggs(q \ "postAggregations"),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
@@ -606,22 +618,36 @@ object NativeQuery {
             // testGroupByExpression; ExpressionVirtualColumn.java
             // capabilities stay multi-value). Casting the array to a scalar
             // string here would collapse the MV into "[a, b]" junk.
-            val isArray = d.select(raw).schema.head.dataType
-              .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-            val typed = strOpt(vc \ "outputType").fold(raw) { t =>
+            val rawType = d.select(raw).schema.head.dataType
+            val isArray = rawType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+            // under an EXPLICIT scalar outputType, a TIMESTAMP-valued
+            // expression is a LONG of epoch millis in the math-expr dialect
+            // (timestamp_floor feeding a LONG virtual column —
+            // GroupByQueryRunnerTest.testGroupByOnVirtualColumnTimeFloor),
+            // never epoch seconds. Without an outputType the timestamp stays
+            // a timestamp — a virtual column may BE the query's time column
+            // (timestamp_parse defining timeColumn).
+            val raw1 = rawType match {
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType
+                  if strOpt(vc \ "outputType").nonEmpty =>
+                unix_millis(raw.cast("timestamp"))
+              case _ => raw
+            }
+            val typed = strOpt(vc \ "outputType").fold(raw1) { t =>
               val u = t.toUpperCase(java.util.Locale.ENGLISH)
               (u, isArray) match {
-                case ("STRING", true) => raw.cast("array<string>")
-                case ("LONG", true) => raw.cast("array<bigint>")
-                case ("DOUBLE", true) => raw.cast("array<double>")
-                case ("FLOAT", true) => raw.cast("array<float>")
-                case ("STRING", _) => raw.cast("string")
-                case ("LONG", _) => raw.cast("long")
-                case ("DOUBLE", _) => raw.cast("double")
-                case ("FLOAT", _) => raw.cast("float")
-                case ("STRING_ARRAY" | "ARRAY<STRING>", _) => raw.cast("array<string>")
-                case ("LONG_ARRAY" | "ARRAY<LONG>", _) => raw.cast("array<bigint>")
-                case ("DOUBLE_ARRAY" | "ARRAY<DOUBLE>", _) => raw.cast("array<double>")
+                case ("STRING", true) => raw1.cast("array<string>")
+                case ("LONG", true) => raw1.cast("array<bigint>")
+                case ("DOUBLE", true) => raw1.cast("array<double>")
+                case ("FLOAT", true) => raw1.cast("array<float>")
+                case ("STRING", _) => raw1.cast("string")
+                case ("LONG", _) => raw1.cast("long")
+                case ("DOUBLE", _) => raw1.cast("double")
+                case ("FLOAT", _) => raw1.cast("float")
+                case ("STRING_ARRAY" | "ARRAY<STRING>", _) => raw1.cast("array<string>")
+                case ("LONG_ARRAY" | "ARRAY<LONG>", _) => raw1.cast("array<bigint>")
+                case ("DOUBLE_ARRAY" | "ARRAY<DOUBLE>", _) => raw1.cast("array<double>")
                 case (x, _) => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
               }
             }
@@ -761,10 +787,27 @@ object NativeQuery {
     // it). "__time" stays a loud error under a custom timeColumn.
     def missing(name: String): Boolean =
       schema != null && name != "__time" && !schema.fieldNames.contains(name)
+    // a COMPLEX (binary) column has no string dimension selector: grouping
+    // on it yields NULL groups (GroupByQueryRunnerTest.testGroupByComplexColumn)
+    def isBinaryCol(name: String): Boolean = schema != null &&
+      schema.fields.exists(f => f.name == name &&
+        f.dataType == org.apache.spark.sql.types.BinaryType)
+    // a TIMESTAMP column used as a dimension is a LONG of epoch millis
+    // (__time has no timestamp type in the reference —
+    // GroupByQueryRunnerTest.testGroupByLongTimeColumn)
+    def isTsCol(name: String): Boolean = schema != null &&
+      schema.fields.exists(f => f.name == name && (f.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }))
+    def tsMillis(name: String): Column = unix_millis(col(name).cast("timestamp"))
     j match {
     case JString(d) =>
-      if (missing(d)) ExprDim(lit(null).cast("string"), d)
-      else if (isArrayCol(d)) MvDim(col(d), d) else Dim(d)
+      if (missing(d) || isBinaryCol(d)) ExprDim(lit(null).cast("string"), d)
+      else if (isArrayCol(d)) MvDim(col(d), d)
+      else if (isTsCol(d)) ExprDim(tsMillis(d), d)
+      else Dim(d)
     case o =>
       val dim = str(o \ "dimension")
       val out = strOpt(o \ "outputName").getOrElse(dim)
@@ -779,17 +822,30 @@ object NativeQuery {
         case _ => None
       }
       str(o \ "type") match {
-        case "default" if missing(dim) => ExprDim(lit(null).cast("string"), out)
+        case "default" if missing(dim) || isBinaryCol(dim) =>
+          ExprDim(lit(null).cast("string"), out)
         case "default" =>
           if (isArrayCol(dim)) MvDim(col(dim), out)
-          else strOpt(o \ "outputType").flatMap(coerce) match {
-            case Some(t) => ExprDim(col(dim).cast(t), out)
-            case None => Dim(dim, out)
+          else {
+            val src = if (isTsCol(dim)) tsMillis(dim) else col(dim)
+            strOpt(o \ "outputType").flatMap(coerce) match {
+              case Some(t) => ExprDim(src.cast(t), out)
+              case None => if (isTsCol(dim)) ExprDim(src, out) else Dim(dim, out)
+            }
           }
         case "extraction" if isArrayCol(dim) =>
           MvDim(transform(col(dim), x => extractionFn(o \ "extractionFn", x)), out)
         case "extraction" =>
-          val src = if (missing(dim)) lit(null).cast("string") else col(dim)
+          // time-based extraction fns read the raw timestamp; every other fn
+          // over a TIMESTAMP column sees the epoch-millis long (the
+          // reference's __time selector is a long —
+          // GroupByQueryRunnerTest.testGroupByLongTimeColumnWithExFn)
+          val timeBased = strOpt(o \ "extractionFn" \ "type")
+            .exists(t => t == "timeFormat" || t == "time")
+          val src =
+            if (missing(dim) || isBinaryCol(dim)) lit(null).cast("string")
+            else if (isTsCol(dim) && !timeBased) tsMillis(dim)
+            else col(dim)
           ExprDim(extractionFn(o \ "extractionFn", src), out)
         case "listFiltered" =>
           ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
@@ -966,8 +1022,13 @@ object NativeQuery {
     // loud analysis error, not silently null
     val missing = schema != null && name != "__time" &&
       !schema.fieldNames.contains(name)
+    // a COMPLEX (binary, stored-sketch) column has no string dimension
+    // selector — filters over it see NULL, so selector(complexCol, null)
+    // matches every row (GroupByQueryRunnerTest.testGroupByComplexColumn)
+    val complex = schema != null && schema.fields.exists(f =>
+      f.name == name && f.dataType == org.apache.spark.sql.types.BinaryType)
     if (isArray) exists(col(name), pred)
-    else if (missing) {
+    else if (missing || complex) {
       val nullCol = lit(null).cast("string")
       pred((j \ "extractionFn") match {
         case JNothing | JNull => nullCol

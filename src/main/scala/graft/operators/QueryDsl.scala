@@ -461,19 +461,54 @@ final case class TopNQuery(
     // reference's sketch comparators order on finalized estimates
     // (SketchAggregatorFactory.getComparator), so sorting raw binary sketch
     // bytes would rank garbage. NativeQuery passes its aggFinalizers here.
-    finalizeFn: DataFrame => DataFrame = identity) {
+    finalizeFn: DataFrame => DataFrame = identity,
+    // non-ALL granularity ranks top-K PER TIME BUCKET (the reference emits
+    // one TopNResultValue per granularity bucket —
+    // TopNQueryRunnerTest.testTopNOverFirstLastAggregator's MONTH ranking);
+    // buckets with no rows are skipped, topN never zero-fills
+    granularity: Granularity = AllGranularity,
+    timeColumn: String = "__time") {
 
   def run(ds: DataFrame): DataFrame = {
     GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
-    val (prepared0, dimCols) = QueryCommon.prepareDims(filtered, Seq(dimension))
+    val bucketFn: Option[Column => Column] = granularity match {
+      case AllGranularity => None
+      case NoneGranularity => Some(t => t.cast("timestamp_ntz"))
+      case g: PeriodGranularity => Some(g.bucket)
+      case g: DurationGranularity => Some(g.bucket)
+    }
+    val bucketed = bucketFn.fold(filtered)(b =>
+      filtered.withColumn(timeColumn, b(col(timeColumn))))
+    val (prepared0, dimCols0) = QueryCommon.prepareDims(bucketed, Seq(dimension))
     val prepared = stopFilter.fold(prepared0)(prepared0.filter)
-    val aggCols = aggregations.map(_.aliased)
-    val agged = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val dimCols = if (bucketFn.isEmpty) dimCols0 else col(timeColumn) +: dimCols0
+    // an aggregator-less topN ranks the distinct dimension values under the
+    // dimension metric spec (TopNQueryRunnerTest.testSortOnDoubleAsLong) —
+    // a dummy agg keeps the groupBy shape and is dropped after
+    val (aggCols, dummyAgg) = aggregations match {
+      case Nil => (Seq(count(lit(1)).as("__graft_dummy_agg")), true)
+      case as => (as.map(_.aliased), false)
+    }
+    val agged0 = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val agged = if (dummyAgg) agged0.drop("__graft_dummy_agg") else agged0
     val post = finalizeFn(QueryCommon.applyPostAggs(agged, postAggregations))
     val key = sortKey.getOrElse(col(metric))
     val ord = if (ascending) key.asc else key.desc
-    post.orderBy(ord, col(dimension.output).asc_nulls_last).limit(threshold)
+    val dimOrd = col(dimension.output).asc_nulls_last
+    bucketFn match {
+      case None => post.orderBy(ord, dimOrd).limit(threshold)
+      case Some(_) =>
+        // per-bucket K: rank within each bucket, keep ≤ threshold — the
+        // window shuffle repartitions on the (already aggregated, small)
+        // bucket key; globally ordered by bucket then rank
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(timeColumn)).orderBy(ord, dimOrd)
+        post.withColumn("__topn_rank", row_number().over(w))
+          .where(col("__topn_rank") <= threshold)
+          .orderBy(col(timeColumn).asc, col("__topn_rank").asc)
+          .drop("__topn_rank")
+    }
   }
 }
 
