@@ -1359,7 +1359,7 @@ object NativeQuery {
             round(est).cast("long") else est)
         }
       case "cardinality" | "hyperUnique" =>
-        import graft.plans.SketchFunctions.{thetaSketch, thetaEstimate, thetaUnion}
+        import graft.plans.SketchFunctions.{hllcOfAll, hllcUnionEstimate}
         val fields = (j \ "fields") match {
           case JArray(fs) => fs.map { fj =>
             // a COMPLEX (stored sketch) column has no dimension selector —
@@ -1377,15 +1377,24 @@ object NativeQuery {
           case _ => Seq(f)
         }
         val byRow = boolOpt(j \ "byRow").getOrElse(false)
+        // HyperLogLogCollector semantics, matching the reference
+        // (CardinalityAggregator.java): byValue adds each non-null field
+        // value to one collector per row; byRow hashes the value tuple with
+        // the reference's \u0001 separator and \u0000 null sentinel,
+        // skipping all-null rows
+        // (StringCardinalityAggregatorColumnSelectorStrategy.java:34-75).
+        // Values hash as UTF-8 strings (the reference hashes strings as
+        // UTF-16 chars and numerics by raw bits - register placement
+        // differs, but the low-range estimate depends only on the
+        // occupied-register count, so the published small-n constants
+        // UNIQUES_9 / UNIQUES_2 / 13.041435202975777 reproduce exactly).
         val est =
-          if (fields.size == 1) thetaEstimate(thetaSketch(fields.head.cast("string"), 18))
-          else if (byRow)
-            //  separator +  null sentinel: concat_ws alone drops
-            // null fields, which would merge (null,"x") with ("x",null); the
-            // reference's byRow hashing distinguishes null per position
-            thetaEstimate(thetaSketch(concat_ws("",
-              fields.map(c => coalesce(c.cast("string"), lit(""))): _*), 18))
-          else thetaEstimate(fields.map(c => thetaSketch(c.cast("string"), 18)).reduce(thetaUnion))
+          if (byRow && fields.size > 1) {
+            val rowKey = when(fields.map(_.isNull).reduce(_ && _), lit(null))
+              .otherwise(concat_ws("",
+                fields.map(c => coalesce(c.cast("string"), lit(" "))): _*))
+            hllcUnionEstimate(hllcOfAll(Seq(rowKey)))
+          } else hllcUnionEstimate(hllcOfAll(fields.map(_.cast("string"))))
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
         val lgK = intOpt(j \ "size")

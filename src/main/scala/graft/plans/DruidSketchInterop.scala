@@ -224,6 +224,13 @@ object DruidHllcBuild {
       other.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).asBytes()
   }
 
+  /** The CARDINALITY aggregator's string hashing — murmur3_128 over the
+    * UTF-16 chars (CardinalityAggregator.HASH_FUNCTION.hashUnencodedChars,
+    * StringCardinalityAggregatorColumnSelectorStrategy.java:44), which is a
+    * DIFFERENT register placement than HyperLogLogHash's UTF-8 bytes; the
+    * reference's published cardinality constants depend on it. */
+  def hashChars(s: String): Array[Byte] = hashFn.hashUnencodedChars(s).asBytes()
+
   /** add(byte[] hashedValue): bucket from the trailing short, positionOf1
     * from the leading 8 bytes' first set bit. */
   def addHashed(st: State, hashed: Array[Byte]): Unit = {
@@ -426,6 +433,39 @@ case class HllcOf(child: Expression) extends UnaryExpression with CodegenFallbac
   }
   override protected def withNewChildInternal(c: Expression): HllcOf = copy(child = c)
   override def prettyName: String = "hllc_of"
+}
+
+/** Per-row HyperLogLogCollector bytes over N values — the cardinality
+  * aggregator's BY-VALUE update (CardinalityAggregator.java:56-66: every
+  * non-null field value of the row is added to one collector; SQL-compatible
+  * null handling skips nulls, StringCardinalityAggregatorColumnSelectorStrategy
+  * .java:37-46). A multi-value (array) field adds each element. Rows whose
+  * values are all null produce an EMPTY collector — union-neutral, so the
+  * final estimate counts nothing for them. */
+case class HllcOfAll(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val st = new DruidHllcBuild.State
+    def add(v: Any): Unit = v match {
+      case null => ()
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        var i = 0
+        while (i < a.numElements()) {
+          if (!a.isNullAt(i)) add(a.get(i, org.apache.spark.sql.types.StringType))
+          i += 1
+        }
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        DruidHllcBuild.addHashed(st, DruidHllcBuild.hashChars(s.toString))
+      case other =>
+        DruidHllcBuild.addHashed(st, DruidHllcBuild.hashChars(other.toString))
+    }
+    children.foreach(c => add(c.eval(input)))
+    DruidHllcBuild.toBytes(st)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HllcOfAll = copy(children = cs)
+  override def prettyName: String = "hllc_of_all"
 }
 
 /** HLLC_ESTIMATE(druid_hllc_bytes) → double: estimate one stored

@@ -480,17 +480,23 @@ object NativeQueries {
     // (CardinalityAggregatorFactory.java:110-128): byRow=false (default)
     // counts distinct over the union of the fields' values, byRow=true
     // counts distinct value tuples
+    // cardinality is HLLC (CardinalityAggregator.java — r12: byte-parity
+    // estimates, golden-gated against the reference's published constants in
+    // QueryRunnerGoldenSpec3/5); the oracle gates the byValue-vs-byRow
+    // plumbing at cardinalities where the rounded HLLC estimate is exact
+    // (8 unioned values / 15 row tuples — an approximate estimator cannot
+    // round-trip DuckDB's exact COUNT DISTINCT at hundreds of values)
     "native_cardinality_modes" -> ((s, dir) => {
       NativeQuery.run(s,
         """{
           "queryType": "groupBy",
-          "dataSource": "customer",
+          "dataSource": "orders",
           "dimensions": [],
           "aggregations": [
             {"type": "cardinality", "name": "nd_values",
-             "fields": ["c_nationkey", "c_mktsegment"], "byRow": false, "round": true},
+             "fields": ["o_orderstatus", "o_orderpriority"], "byRow": false, "round": true},
             {"type": "cardinality", "name": "nd_rows",
-             "fields": ["c_nationkey", "c_mktsegment"], "byRow": true, "round": true}
+             "fields": ["o_orderstatus", "o_orderpriority"], "byRow": true, "round": true}
           ]
         }""", res(s, dir))
     }),
@@ -728,10 +734,10 @@ object NativeQueries {
     "native_cardinality_modes" ->
       """SELECT
         |  (SELECT count(*) FROM (
-        |     SELECT DISTINCT CAST(c_nationkey AS VARCHAR) AS v FROM customer
-        |     UNION SELECT DISTINCT c_mktsegment FROM customer)) AS nd_values,
+        |     SELECT DISTINCT o_orderstatus AS v FROM orders
+        |     UNION SELECT DISTINCT o_orderpriority FROM orders)) AS nd_values,
         |  (SELECT count(*) FROM (
-        |     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)) AS nd_rows""".stripMargin,
+        |     SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)) AS nd_rows""".stripMargin,
 
     "native_lambda_fold" ->
       """SELECT l_returnflag, sum(l_quantity * l_quantity) AS sumsq, count(*) AS cnt

@@ -485,10 +485,8 @@ class QueryRunnerGoldenSpec3 extends SparkSpecBase {
 
   test("testTimeseriesCardinalityAggOnMultiStringExpression " +
       "(TimeseriesQueryRunnerTest.java:3167): cardinality over an expression " +
-      "virtual column concat(quality,market) counts the 13 distinct pairs " +
-      "(the reference's HLLC approximates to 13.041435202975777; this " +
-      "engine's cardinality is exactness-tunable and exact at this scale — " +
-      "documented divergence, COVERAGE §aggregators)") {
+      "virtual column concat(quality,market) reproduces the reference's " +
+      "HLLC estimate of the 13 distinct pairs EXACTLY (13.041435202975777)") {
     val rows = run(
       """{
         "queryType": "timeseries",
@@ -506,9 +504,8 @@ class QueryRunnerGoldenSpec3 extends SparkSpecBase {
       }""").collect()
     assert(rows.length == 1)
     assert(rows(0).getAs[Long]("rows") == 26L)
-    val est = dbl(rows(0), "numVals")
-    // reference HLLC estimate: 13.041435202975777 (±0.4%); ours is exact
-    assert(est == 13.0, s"numVals: $est")
+    assert(dbl(rows(0), "numVals") == 13.041435202975777d,
+      s"numVals: ${dbl(rows(0), "numVals")}")
   }
 
   test("testTimeseriesCardinalityAggOnHyperUnique (TimeseriesQueryRunnerTest" +

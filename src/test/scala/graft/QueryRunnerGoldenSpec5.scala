@@ -369,10 +369,8 @@ class QueryRunnerGoldenSpec5 extends SparkSpecBase {
   }
 
   test("testTopNQueryByComplexMetric (TopNQueryRunnerTest.java:3440): ranking " +
-      "by a cardinality aggregator over the quality dimension (the " +
-      "reference's HLLC estimates 9.019833517963864/2.000977198748901; this " +
-      "engine's cardinality is exactness-tunable and exact at this scale — " +
-      "documented divergence, COVERAGE §aggregators)") {
+      "by a cardinality aggregator over the quality dimension reproduces the " +
+      "reference's HLLC estimates exactly (UNIQUES_9 / UNIQUES_2)") {
     val rows = run(
       """{
         "queryType": "topN",
@@ -388,7 +386,9 @@ class QueryRunnerGoldenSpec5 extends SparkSpecBase {
                        "outputName": "quality"}], "byRow": false}]
       }""").collect()
       .map(r => (r.getAs[String]("market"), dbl(r, "numVals"))).toSeq
-    assert(rows == Seq(("spot", 9.0), ("total_market", 2.0), ("upfront", 2.0)),
-      s"got:\n${rows.mkString("\n")}")
+    assert(rows == Seq(
+      ("spot", TestIndexFixture.Uniques9),
+      ("total_market", TestIndexFixture.Uniques2),
+      ("upfront", TestIndexFixture.Uniques2)), s"got:\n${rows.mkString("\n")}")
   }
 }
