@@ -1359,7 +1359,7 @@ object NativeQuery {
             round(est).cast("long") else est)
         }
       case "cardinality" | "hyperUnique" =>
-        import graft.plans.SketchFunctions.{hllcOfAll, hllcUnionEstimate}
+        import graft.plans.SketchFunctions.hllcCardinality
         val fields = (j \ "fields") match {
           case JArray(fs) => fs.map { fj =>
             // a COMPLEX (stored sketch) column has no dimension selector —
@@ -1393,8 +1393,8 @@ object NativeQuery {
             val rowKey = when(fields.map(_.isNull).reduce(_ && _), lit(null))
               .otherwise(concat_ws("",
                 fields.map(c => coalesce(c.cast("string"), lit(" "))): _*))
-            hllcUnionEstimate(hllcOfAll(Seq(rowKey)))
-          } else hllcUnionEstimate(hllcOfAll(fields.map(_.cast("string"))))
+            hllcCardinality(Seq(rowKey))
+          } else hllcCardinality(fields.map(_.cast("string")))
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
         val lgK = intOpt(j \ "size")

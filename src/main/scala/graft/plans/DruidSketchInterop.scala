@@ -124,6 +124,24 @@ object DruidHllc {
     var i = 0
     while (i < NumBuckets) { if (other(i) > acc(i)) acc(i) = other(i); i += 1 }
   }
+
+  /** add(byte[] hashedValue) straight into a value-space register array —
+    * bucket from the trailing short masked to 11 bits, positionOf1 from the
+    * leading 8 bytes' first set bit (HyperLogLogCollector.add:303-331). */
+  def addHashed(regs: Array[Int], hashed: Array[Byte]): Unit = {
+    val bucket = (((hashed(hashed.length - 2) & 0xff) << 8) |
+      (hashed(hashed.length - 1) & 0xff)) & 0x7ff
+    var positionOf1 = 0
+    var i = 0
+    var found = false
+    while (i < 8 && !found) {
+      val b = hashed(i) & 0xff
+      if (b == 0) positionOf1 += 8
+      else { positionOf1 += Integer.numberOfLeadingZeros(b) - 24 + 1; found = true }
+      i += 1
+    }
+    if (positionOf1 > regs(bucket)) regs(bucket) = positionOf1
+  }
 }
 
 /** Uniform read facade over quantile-sketch bytes: this engine WRITES KLL
@@ -435,37 +453,70 @@ case class HllcOf(child: Expression) extends UnaryExpression with CodegenFallbac
   override def prettyName: String = "hllc_of"
 }
 
-/** Per-row HyperLogLogCollector bytes over N values — the cardinality
-  * aggregator's BY-VALUE update (CardinalityAggregator.java:56-66: every
-  * non-null field value of the row is added to one collector; SQL-compatible
-  * null handling skips nulls, StringCardinalityAggregatorColumnSelectorStrategy
-  * .java:37-46). A multi-value (array) field adds each element. Rows whose
-  * values are all null produce an EMPTY collector — union-neutral, so the
-  * final estimate counts nothing for them. */
-case class HllcOfAll(children: Seq[Expression]) extends Expression with CodegenFallback {
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val st = new DruidHllcBuild.State
-    def add(v: Any): Unit = v match {
-      case null => ()
-      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        var i = 0
-        while (i < a.numElements()) {
-          if (!a.isNullAt(i)) add(a.get(i, org.apache.spark.sql.types.StringType))
-          i += 1
-        }
-      case s: org.apache.spark.unsafe.types.UTF8String =>
-        DruidHllcBuild.addHashed(st, DruidHllcBuild.hashChars(s.toString))
-      case other =>
-        DruidHllcBuild.addHashed(st, DruidHllcBuild.hashChars(other.toString))
-    }
-    children.foreach(c => add(c.eval(input)))
-    DruidHllcBuild.toBytes(st)
+/** CARDINALITY(fields...) → double: the cardinality aggregator's HLLC
+  * estimate (CardinalityAggregator.java byValue: every non-null field value
+  * of every row is added to ONE collector per group — SQL-compatible null
+  * handling skips nulls, StringCardinalityAggregatorColumnSelectorStrategy
+  * .java:37-46; values hash with the reference's murmur3_128 over UTF-16
+  * chars, reproducing the published estimate constants exactly). A
+  * multi-value (array) field adds each element. One register array per
+  * GROUP, updated in place — no per-row allocation on the 100 TB path. */
+case class HllcCardinality(
+    children: Seq[Expression],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] {
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](DruidHllc.NumBuckets)
+
+  private def add(buf: Array[Int], v: Any): Unit = v match {
+    case null => ()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      var i = 0
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) add(buf, a.get(i, org.apache.spark.sql.types.StringType))
+        i += 1
+      }
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      DruidHllc.addHashed(buf, DruidHllcBuild.hashChars(s.toString))
+    case other =>
+      DruidHllc.addHashed(buf, DruidHllcBuild.hashChars(other.toString))
   }
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    var i = 0
+    while (i < children.length) { add(buf, children(i).eval(input)); i += 1 }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = DruidHllc.estimate(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(DruidHllc.NumBuckets)
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { bb.put(buf(i).toByte); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val buf = new Array[Int](DruidHllc.NumBuckets)
+    var i = 0
+    while (i < DruidHllc.NumBuckets) { buf(i) = bytes(i) & 0xff; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): HllcCardinality = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllcCardinality = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
-      cs: IndexedSeq[Expression]): HllcOfAll = copy(children = cs)
-  override def prettyName: String = "hllc_of_all"
+      cs: IndexedSeq[Expression]): HllcCardinality = copy(children = cs)
+  override def prettyName: String = "hllc_cardinality"
 }
 
 /** HLLC_ESTIMATE(druid_hllc_bytes) → double: estimate one stored

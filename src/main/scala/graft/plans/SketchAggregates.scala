@@ -971,8 +971,9 @@ object SketchFunctions {
   /** Per-row single-value collector bytes (ingest-time complex column). */
   def hllcOf(col: Column): Column = c(HllcOf(e(col)))
 
-  /** Per-row collector over N values (cardinality's byValue update). */
-  def hllcOfAll(cols: Seq[Column]): Column = c(HllcOfAll(cols.map(e)))
+  /** Cardinality aggregator's HLLC estimate over N field values. */
+  def hllcCardinality(cols: Seq[Column]): Column =
+    c(HllcCardinality(cols.map(e)).toAggregateExpression())
   def hllcEstimate(col: Column): Column = c(HllcEstimate(e(col)))
   def hllcUnion(col: Column): Column =
     c(HllcUnionBytes(e(col)).toAggregateExpression())

@@ -72,6 +72,26 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
+    // non-ALL granularity topN: top-K PER TIME BUCKET (r12 — the reference
+    // emits one TopNResultValue per granularity bucket; one window pass over
+    // the aggregated rows, TopNQueryRunnerTest.testTopNOverFirstLastAggregator)
+    "native_topn_bucketed" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "topN",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": {"type": "period", "period": "P1Y"},
+          "dimension": "o_orderpriority",
+          "metric": "total",
+          "threshold": 2,
+          "aggregations": [
+            {"type": "longSum", "name": "total", "fieldName": "o_totalprice"},
+            {"type": "count", "name": "cnt"}
+          ]
+        }""", res(s, dir))
+    }),
+
     "native_groupby" -> ((s, dir) => {
       NativeQuery.run(s,
         """{
@@ -606,6 +626,20 @@ object NativeQueries {
         |       CAST(sum(o_orderkey) AS BIGINT) AS total, count(*) AS cnt
         |FROM orders GROUP BY 1
         |ORDER BY total DESC, prio_prefix ASC LIMIT 3""".stripMargin,
+
+    "native_topn_bucketed" ->
+      """SELECT o_orderdate, o_orderpriority, total, cnt FROM (
+        |  SELECT o_orderdate, o_orderpriority, total, cnt,
+        |         row_number() OVER (PARTITION BY o_orderdate
+        |           ORDER BY total DESC, o_orderpriority ASC) AS rk
+        |  FROM (
+        |    SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS o_orderdate,
+        |           o_orderpriority,
+        |           CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT) AS total,
+        |           count(*) AS cnt
+        |    FROM orders GROUP BY 1, 2))
+        |WHERE rk <= 2
+        |ORDER BY o_orderdate, rk""".stripMargin,
 
     "native_groupby" ->
       """SELECT p_brand AS brand, count(*) AS cnt,
