@@ -295,7 +295,9 @@ object NativeQuery {
             case Some("descending") => Some(false)
             case _ => None
           },
-          limit = intOpt(q \ "limit"),
+          // limit 0 is UNLIMITED (ScanQuery.isLimited: 0 and Long.MAX both
+          // mean no limit — ScanQueryRunnerTest loops limits {3,1,5,7,0})
+          limit = intOpt(q \ "limit").filter(_ > 0),
           offset = intOpt(q \ "offset").getOrElse(0),
           // generalized per-column ordering (ScanQuery.OrderBy JSON:
           // [{"columnName": c, "order": "ascending"|"descending"}],
@@ -305,8 +307,45 @@ object NativeQuery {
           }
         ).run(prepared)
       case "search" =>
+        // searchDimensions accept full dimension SPECS (extraction/typed —
+        // SearchQueryRunnerTest.testSearchOnTime/testSearchOnLongColumn);
+        // ABSENT dimensions search every string dimension of the datasource
+        // (SearchQuery.getDimensions == null → all dims)
+        // a dimension MISSING from the datasource has no selector and
+        // contributes no hits at all — unlike a present column's null
+        // values, which DO hit match-all specs
+        // (testSearchWithNotExistedDimension vs testSearchWithNullValueInDimension)
+        def exists(x: JValue): Boolean = {
+          val n = x match {
+            case JString(s) => s
+            case o => strOpt(o \ "dimension").getOrElse("")
+          }
+          n == timeCol || prepared.columns.contains(n)
+        }
+        // search hit values render from the column's NATIVE type — a
+        // default spec's outputType does not re-type the hit
+        // (testSearchOnFloatColumn expects the float32 rendering)
+        def searchDim(x: JValue): DimSpec = x match {
+          case o: JObject if strOpt(o \ "type").contains("default") =>
+            dimSpec(JObject(o.obj.filterNot(_._1 == "outputType")), prepared.schema)
+          case other => dimSpec(other, prepared.schema)
+        }
+        val searchSpecs: Seq[DimSpec] = arr(q \ "searchDimensions") match {
+          case Nil => prepared.schema.fields.collect {
+            case f if f.name != timeCol &&
+                (f.dataType == org.apache.spark.sql.types.StringType ||
+                 f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+              dimSpec(JString(f.name), prepared.schema)
+          }.toSeq
+          case ds => ds.filter(exists).map(searchDim)
+        }
+        val searchCols: Map[String, Column] = searchSpecs.map {
+          case MvDim(c, out) => out -> transform(c, _.cast("string"))
+          case d => d.output -> array(d.col.cast("string"))
+        }.toMap
         SearchQuery(
-          searchDimensions = arr(q \ "searchDimensions").map { case JString(c) => c; case x => str(x) },
+          searchDimensions = searchSpecs.map(_.output),
+          dimColumns = searchCols,
           matcher = searchMatcher(q \ "query"),
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
           limit = intOpt(q \ "limit"),
@@ -981,6 +1020,15 @@ object NativeQuery {
     val caseSensitive = boolOpt(spec \ "caseSensitive").getOrElse(false)
     def one(v: String): Column => Column =
       if (caseSensitive) _.contains(v) else c => lower(c).contains(v.toLowerCase)
+    spec match {
+      // absent query / bare string: Druids.newSearchQueryBuilder().query(s)
+      // is an InsensitiveContainsSearchQuerySpec; absent matches everything
+      // (SearchQueryRunnerTest.testSearchAll's no-query variant)
+      case JNothing | JNull => return (_ => lit(true))
+      case JString(s) =>
+        val v = s; return (c => lower(c).contains(v.toLowerCase))
+      case _ => ()
+    }
     str(spec \ "type") match {
       case "contains" => one(str(spec \ "value"))
       case "insensitive_contains" =>

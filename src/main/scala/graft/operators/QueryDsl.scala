@@ -633,14 +633,32 @@ final case class ScanQuery(
       }
     }
     val filtered = if (filter == null) ds else ds.filter(filter)
-    val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(col): _*)
+    // a selected column ABSENT from the datasource reads as NULL — Druid's
+    // schema-on-read missing column (ScanQueryRunnerTest
+    // .testFullSelectNoDimensionAndMetric selects two bogus columns and
+    // still gets every row)
+    def sel(c: String): Column =
+      if (ds.columns.contains(c)) col(c) else lit(null).cast("string").as(c)
+    val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(sel): _*)
     val ordered =
       if (obs.isEmpty) projected
       else {
         val lastAsc = obs.last._2
+        // time-ordered scans break timestamp ties in SEGMENT ROW ORDER
+        // (ascending) / reverse row order (descending) — the reference's
+        // per-segment cursor order. The per-partition monotonic id is the
+        // distributed analog (nondeterministic exprs can't sit in a sort
+        // key, so it materializes as a column first); explicit
+        // `tiebreakers` still win.
+        val autoTie = tiebreakers.isEmpty && timeOrder.isDefined
+        val base =
+          if (autoTie) projected.withColumn("__scan_tie", monotonically_increasing_id())
+          else projected
+        val tieCols: Seq[Column] =
+          if (autoTie) Seq(col("__scan_tie")) else tiebreakers
         val keys = obs.map { case (c, asc) => if (asc) col(c).asc else col(c).desc } ++
-          tiebreakers.map(t => if (lastAsc) t.asc else t.desc)
-        projected.orderBy(keys: _*)
+          tieCols.map(t => if (lastAsc) t.asc else t.desc)
+        base.orderBy(keys: _*).drop("__scan_tie")
       }
     val off = if (offset > 0) ordered.offset(offset) else ordered
     limit.fold(off)(off.limit)
@@ -660,18 +678,28 @@ final case class SearchQuery(
     // SearchSortSpec (query/search/SearchSortSpec.java): hits order by VALUE
     // under a StringComparator — lexicographic (default) / alphanumeric /
     // strlen / numeric / version — with dimension as the lexicographic tiebreak
-    sort: String = "lexicographic") {
+    sort: String = "lexicographic",
+    // per-dimension value-column overrides (an ARRAY<STRING> of the row's
+    // searchable values) — how extraction/typed dimension SPECS search
+    // (SearchQueryRunnerTest.testSearchOnTime's timeFormat extraction);
+    // names absent here read the schema column directly
+    dimColumns: Map[String, Column] = Map.empty) {
 
   def run(ds: DataFrame): DataFrame = {
     GraftSession.configure(ds.sparkSession)
+    // no searchable dimensions (every requested dimension was missing from
+    // the datasource) → an empty hit set, not an analysis error
+    if (searchDimensions.isEmpty)
+      return ds.select(lit("").as("dimension"), lit("").as("value"),
+        lit(0L).as("count")).limit(0)
     val filtered = if (filter == null) ds else ds.filter(filter)
     // a multi-value dimension searches per ELEMENT (the reference's search
     // cursors iterate each row value — SURVEY §1.4); scalars cast to string
-    def values(d: String): Column = ds.schema(d).dataType match {
+    def values(d: String): Column = dimColumns.getOrElse(d, ds.schema(d).dataType match {
       case _: org.apache.spark.sql.types.ArrayType =>
         transform(col(d), _.cast("string"))
       case _ => array(col(d).cast("string"))
-    }
+    })
     val pairs = searchDimensions.flatMap(d => Seq(lit(d), values(d)))
     val unpivoted = filtered
       .select(explode(map(pairs: _*)).as(Seq("dimension", "values")))

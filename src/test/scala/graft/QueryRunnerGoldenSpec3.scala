@@ -191,7 +191,8 @@ class QueryRunnerGoldenSpec3 extends SparkSpecBase {
   test("testTimeseriesWithFirstLastAggregator (TimeseriesQueryRunnerTest" +
       ".java:1949): doubleFirst/doubleLast per MONTH pick the first/last " +
       "row in time order, ties broken by encounter order (ascending " +
-      "traversal), float32 storage widened to double") {
+      "traversal); the reference asserts float-wrapped constants at its " +
+      "1e-6 relative tolerance (TestHelper.assertExpectedResults)") {
     val rows = run(
       """{
         "queryType": "timeseries",
@@ -211,8 +212,8 @@ class QueryRunnerGoldenSpec3 extends SparkSpecBase {
     assert(rows.length == 4)
     rows.zip(expected).foreach { case (r, (d, f, l)) =>
       assert(day(r) == d)
-      assert(dbl(r, "first") == f.toDouble, s"$d first: $r")
-      assert(dbl(r, "last") == l.toDouble, s"$d last: $r")
+      assert(relEq(dbl(r, "first"), f.toDouble), s"$d first: $r")
+      assert(relEq(dbl(r, "last"), l.toDouble), s"$d last: $r")
     }
   }
 

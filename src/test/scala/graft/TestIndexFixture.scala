@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * TIME as data (never copied into the repo).
   *
   * Columns reproduce the reference segment's metric semantics:
-  *  - `index` FLOAT32 (the classic float-storage artifacts in every
-  *    expected value);
+  *  - `index` DOUBLE (DoubleSumAggregatorFactory("index", "index") —
+  *    TestIndex.java:129,139: the DOUBLE_METRICS family; float32 artifacts
+  *    in expected values come from FLOAT aggregators/outputTypes applied at
+  *    query time, never from storage);
   *  - `indexMin` — TestIndex's DoubleMin("indexMin", "index") metric: on
   *    the rollup-free sample every row is its own group, so per-row it IS
-  *    the index value (TestIndex.java:141);
+  *    the index value (TestIndex.java:141), stored DOUBLE;
   *  - `indexMaxPlusTen` — DoubleMax over the ingest-time virtual column
   *    `expr` = "index + 10" with FLOAT output (TestIndex.java:133-144):
-  *    +10 computed in double, then float-rounded;
+  *    +10 computed in double, float-rounded by the vc, stored DOUBLE;
   *  - `quality_uniques` — per-row HyperLogLogCollector bytes
   *    (HyperUniquesAggregatorFactory("quality_uniques", "quality")), so
   *    query-time unions reproduce UNIQUES_9 = 9.019833517963864 exactly;
@@ -49,9 +51,10 @@ object TestIndexFixture {
           col("qualityDouble"), col("qualityNumericString"), col("longNumericNull"),
           col("floatNumericNull"), col("doubleNumericNull"), col("placement"),
           split(col("placementish"), "").as("placementish"),
-          col("indexRaw").cast("float").as("index"),
-          col("indexRaw").cast("float").as("indexMin"),
-          (col("indexRaw").cast("double") + 10).cast("float").as("indexMaxPlusTen"),
+          col("indexRaw").cast("double").as("index"),
+          col("indexRaw").cast("double").as("indexMin"),
+          (col("indexRaw").cast("double") + 10).cast("float").cast("double")
+            .as("indexMaxPlusTen"),
           col("partial_null_column"),
           SketchFunctions.hllcOf(col("quality")).as("quality_uniques"))
         .cache()
