@@ -440,17 +440,26 @@ object MathExpr {
     * `a > 0 && b < 2` compiles exactly as before while `1 && 1` and
     * `!2.0` evaluate like the reference. */
   def expr(e: String): Column = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression, Not, Or}
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, Concat, Expression, Literal, Not, Or}
     import org.apache.spark.sql.graftbridge.CatalystBridge
     val parsed = org.apache.spark.sql.functions.expr(toSparkSql(e))
     def truthy(x: Expression): Expression = x match {
       case t: graft.functions.DruidTruthyExpr => t
       case other => graft.functions.DruidTruthyExpr(other)
     }
+    // the dialect's `+` CONCATENATES strings (BinPlusExpr string branch —
+    // "quality + 'x'", GroupByQueryRunnerTest.testGroupByWithStringVirtualColumn).
+    // A string LITERAL operand is the pre-resolution signal; string-column +
+    // string-column stays spelled concat() in this dialect port.
+    def isStringLit(x: Expression): Boolean = x match {
+      case Literal(_, org.apache.spark.sql.types.StringType) => true
+      case _ => false
+    }
     val wrapped = CatalystBridge.expression(parsed).transformUp {
       case And(l, r) => And(truthy(l), truthy(r))
       case Or(l, r) => Or(truthy(l), truthy(r))
       case Not(c) => Not(truthy(c))
+      case Add(l, r, _) if isStringLit(l) || isStringLit(r) => Concat(Seq(l, r))
     }
     CatalystBridge.column(wrapped)
   }

@@ -404,7 +404,27 @@ object NativeQuery {
             case d => dataSource(spark, d, resolve, lookups, maxSubqueryRows)
           })
         case "query" =>
-          val sub = run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
+          val sub0 = run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
+          // a groupBy's merged result is ORDERED by bucket time then
+          // dimensions (RowBasedGrouperHelper merge order) — the row order
+          // is part of the subquery contract: an outer first/last breaks
+          // timestamp ties by it (GroupByQueryRunnerTest
+          // .testSubqueryWithFirstLast expects the dim-ordered fold)
+          val sub = {
+            val iq = o \ "query"
+            val naturalOrder: Seq[String] = strOpt(iq \ "queryType") match {
+              case Some("groupBy") =>
+                val t = strOpt(iq \ "timeColumn").getOrElse("__time")
+                val dims = arr(iq \ "dimensions").map {
+                  case JString(d) => d
+                  case d => strOpt(d \ "outputName").getOrElse(str(d \ "dimension"))
+                }
+                (t +: dims).filter(sub0.columns.contains)
+              case _ => Nil
+            }
+            if (naturalOrder.isEmpty) sub0
+            else sub0.orderBy(naturalOrder.map(col): _*)
+          }
           // The broker-side inlining semantics (ClientQuerySegmentWalker):
           // materialize the subquery ONCE, bounded at maxSubqueryRows + 1,
           // and serve the outer query from the inlined rows — a probe

@@ -777,10 +777,16 @@ final case class TimeBoundaryQuery(
   def run(ds: DataFrame): DataFrame = {
     GraftSession.configure(ds.sparkSession)
     val filtered = if (filter == null) ds else ds.filter(filter)
+    // a filter matching NOTHING yields an empty result, not a null row
+    // (TimeBoundaryQueryRunnerTest.testFilteredTimeBoundaryQueryNoMatches)
     bound match {
       case Some("minTime") => filtered.agg(min(col(timeColumn)).as("minTime"))
+        .where(col("minTime").isNotNull)
       case Some("maxTime") => filtered.agg(max(col(timeColumn)).as("maxTime"))
-      case _ => filtered.agg(min(col(timeColumn)).as("minTime"), max(col(timeColumn)).as("maxTime"))
+        .where(col("maxTime").isNotNull)
+      case _ => filtered.agg(min(col(timeColumn)).as("minTime"),
+          max(col(timeColumn)).as("maxTime"))
+        .where(col("minTime").isNotNull)
     }
   }
 }
