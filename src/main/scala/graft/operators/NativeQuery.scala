@@ -888,7 +888,10 @@ object NativeQuery {
           else {
             val src = if (isTsCol(dim)) tsMillis(dim) else col(dim)
             strOpt(o \ "outputType").flatMap(coerce) match {
-              case Some(t) => ExprDim(src.cast(t), out)
+              // try_cast: DimensionHandlerUtils.convertObjectTo* returns
+              // NULL on an unparseable value (TopNQueryRunnerTest
+              // .testSortOnStringAsDouble), never an error
+              case Some(t) => ExprDim(src.try_cast(t), out)
               case None => if (isTsCol(dim)) ExprDim(src, out) else Dim(dim, out)
             }
           }
