@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed
 
 mkdir -p "$WORK"
 
@@ -75,7 +75,11 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # distinct-count path — near-flat (work ~ rollup rows), while the
           # raw build scans the 100x fact; both measured so the win is a
           # printed ratio like the rollup rewrite's
-          "sketch_merge_stored": 10, "sketch_merge_rawbuild": 40}
+          "sketch_merge_stored": 10, "sketch_merge_rawbuild": 40,
+          # round-12: per-bucket topN (one window pass over the aggregated
+          # rows) — the window input is group-count-sized, so the 100x fact
+          # must not leak into the rank stage
+          "native_topn_bucketed": 25}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():
