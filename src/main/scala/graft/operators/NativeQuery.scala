@@ -424,6 +424,18 @@ object NativeQuery {
             }
             if (naturalOrder.isEmpty) sub0
             else sub0.orderBy(naturalOrder.map(col): _*)
+          }.transform { s =>
+            // an ALL-granularity inner result has no time column, but its
+            // ResultRows are TIMESTAMPED at the inner interval's start — the
+            // outer query's interval filter applies against that
+            // (GroupByQueryRunnerTest.testGroupByNestedWithInnerQueryNumericsWithLongTime)
+            val innerTimeCol = strOpt(o \ "query" \ "timeColumn").getOrElse("__time")
+            if (s.columns.contains(innerTimeCol)) s
+            else parseIntervals(o \ "query" \ "intervals").headOption match {
+              case Some((start, _)) =>
+                s.withColumn(innerTimeCol, lit(start).cast("timestamp_ntz"))
+              case None => s
+            }
           }
           // The broker-side inlining semantics (ClientQuerySegmentWalker):
           // materialize the subquery ONCE, bounded at maxSubqueryRows + 1,
@@ -868,8 +880,10 @@ object NativeQuery {
       else if (isTsCol(d)) ExprDim(tsMillis(d), d)
       else Dim(d)
     case o =>
-      val dim = str(o \ "dimension")
-      val out = strOpt(o \ "outputName").getOrElse(dim)
+      // lazy: the filtered-decorator specs carry a DELEGATE spec instead of
+      // a direct dimension (ListFilteredDimensionSpec.java "delegate")
+      lazy val dim = str(o \ "dimension")
+      lazy val out = strOpt(o \ "outputName").getOrElse(dim)
       // DefaultDimensionSpec outputType coerces the dimension value
       // (DimensionHandlerUtils.convertObjectTo*: numeric parse of strings,
       // null on unparseable — Spark's cast has the same contract)
@@ -908,7 +922,34 @@ object NativeQuery {
             if (missing(dim) || isBinaryCol(dim)) lit(null).cast("string")
             else if (isTsCol(dim) && !timeBased) tsMillis(dim)
             else col(dim)
-          ExprDim(extractionFn(o \ "extractionFn", src), out)
+          // an extraction spec's outputType re-types the EXTRACTED value
+          // (ExtractionDimensionSpec.java outputType; strlen → LONG in
+          // GroupByQueryRunnerTest.testGroupByStringOutputAsLong)
+          val extracted = extractionFn(o \ "extractionFn", src)
+          val typedOut = strOpt(o \ "outputType").flatMap(coerce)
+            .fold(extracted)(t => extracted.try_cast(t))
+          ExprDim(typedOut, out)
+        // filtered decorators over a DELEGATE spec (ListFilteredDimensionSpec
+        // .java "delegate"): match against the delegate value's STRING form,
+        // keep the delegate's typed value — a filtered-out SCALAR groups as
+        // NULL (GroupByQueryRunnerTest.testGroupByDecorationOnNumerics)
+        case t @ ("listFiltered" | "regexFiltered" | "prefixFiltered")
+            if (o \ "delegate") != JNothing =>
+          val d = dimSpec(o \ "delegate", schema)
+          val keep: Column => Column = t match {
+            case "listFiltered" =>
+              val vs = arr(o \ "values").map { case JString(s) => s; case x => str(x) }
+              val allow = boolOpt(o \ "isWhitelist").getOrElse(true)
+              c => if (allow) c.cast("string").isin(vs: _*)
+                   else !coalesce(c.cast("string").isin(vs: _*), lit(false))
+            case "regexFiltered" => c => c.cast("string").rlike(str(o \ "pattern"))
+            case "prefixFiltered" => c => c.cast("string").startsWith(str(o \ "prefix"))
+          }
+          d match {
+            case MvDim(c, dout) =>
+              MvDim(org.apache.spark.sql.functions.filter(c, keep), dout)
+            case other => ExprDim(when(keep(other.col), other.col), other.output)
+          }
         case "listFiltered" =>
           ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
         case "regexFiltered" =>
