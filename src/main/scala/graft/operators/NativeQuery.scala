@@ -410,7 +410,7 @@ object NativeQuery {
           // is part of the subquery contract: an outer first/last breaks
           // timestamp ties by it (GroupByQueryRunnerTest
           // .testSubqueryWithFirstLast expects the dim-ordered fold)
-          val sub = {
+          val (subPre, ordered) = {
             val iq = o \ "query"
             val naturalOrder: Seq[String] = strOpt(iq \ "queryType") match {
               case Some("groupBy") =>
@@ -422,9 +422,10 @@ object NativeQuery {
                 (t +: dims).filter(sub0.columns.contains)
               case _ => Nil
             }
-            if (naturalOrder.isEmpty) sub0
-            else sub0.orderBy(naturalOrder.map(col): _*)
-          }.transform { s =>
+            if (naturalOrder.isEmpty) (sub0, false)
+            else (sub0.orderBy(naturalOrder.map(col): _*), true)
+          }
+          val sub = subPre.transform { s =>
             // an ALL-granularity inner result has no time column, but its
             // ResultRows are TIMESTAMPED at the inner interval's start — the
             // outer query's interval filter applies against that
@@ -452,8 +453,23 @@ object NativeQuery {
           else {
             val rows = sub.limit(max + 1).collect()
             if (rows.length > max) throw new SubqueryRowLimitExceededException(max)
-            spark.createDataFrame(
-              java.util.Arrays.asList(rows: _*), sub.schema)
+            if (!ordered)
+              spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), sub.schema)
+            else {
+              // the merged-result order is part of the contract (first/last
+              // breaks timestamp ties by it), but DataFrame row order does
+              // not survive partial-aggregate merges once the inlined rows
+              // re-parallelize across partitions — materialize the order as
+              // an explicit rank column; first/last fold on (time, rank)
+              val withIdx = rows.zipWithIndex.map { case (r, i) =>
+                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+              }
+              spark.createDataFrame(
+                java.util.Arrays.asList(withIdx: _*),
+                sub.schema.add(QueryCommon.RowOrderCol,
+                  org.apache.spark.sql.types.LongType, nullable = false))
+            }
           }
         case "globalTable" => broadcast(resolve(str(o \ "name")))
         // lookup datasource (reference: query/LookupDataSource.java:41 —
@@ -1400,6 +1416,15 @@ object NativeQuery {
         } else lit(null).cast("string")
       case _ => MathExpr.expr(str(j \ "expression"))
     }
+    // first/last ordering key: when the datasource is an inlined subquery
+    // carrying an explicit row-order rank (QueryCommon.RowOrderCol), fold on
+    // (time, rank) so timestamp ties break by the subquery's merged-result
+    // order DETERMINISTICALLY — encounter order does not survive
+    // partial-aggregate merges once rows re-parallelize across partitions
+    def flKey(tc: String): Column =
+      if (input != null && input.columns.contains(QueryCommon.RowOrderCol))
+        struct(col(tc), col(QueryCommon.RowOrderCol))
+      else col(tc)
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
       case "longSum" => Agg(name, sum(lenientLong(f)))
@@ -1424,7 +1449,7 @@ object NativeQuery {
           case _ => f
         }
         Agg(name, graft.functions.FirstLastAgg.earliest(
-          vFirst, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          vFirst, flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longLast" | "doubleLast" | "floatLast" =>
         val vLast = str(j \ "type") match {
           case "longLast" => lenientLong(f)
@@ -1432,7 +1457,7 @@ object NativeQuery {
           case _ => f
         }
         Agg(name, graft.functions.FirstLastAgg.latest(
-          vLast, col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          vLast, flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       // stringFirst/Last truncate the stored value to maxStringBytes
       // (StringFirstAggregatorFactory.java, default 1024; chars ≈ bytes for
       // the ASCII dimensions this targets)
@@ -1440,12 +1465,12 @@ object NativeQuery {
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
         Agg(name, graft.functions.FirstLastAgg.earliest(
           substring(f.cast("string"), 1, n),
-          col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "stringLast" =>
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
         Agg(name, graft.functions.FirstLastAgg.latest(
           substring(f.cast("string"), 1, n),
-          col(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+          flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longAny" | "doubleAny" | "floatAny" | "stringAny" =>
         Agg(name, graft.functions.FirstLastAgg.anyValue(f))
       // cardinality (CardinalityAggregatorFactory.java:110-128): byRow=false
@@ -1489,24 +1514,44 @@ object NativeQuery {
           case _ => Seq(f)
         }
         val byRow = boolOpt(j \ "byRow").getOrElse(false)
+        // an ARRAY (multi-value) field keeps its array shape so
+        // HllcCardinality adds each ELEMENT separately (the reference's
+        // StringCardinalityAggregatorColumnSelectorStrategy.hashValues loops
+        // the row's IndexedInts); elements normalize to their string form
+        def isArrayField(c: Column): Boolean = input != null &&
+          scala.util.Try(input.select(c).schema.head.dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]).getOrElse(false)
         // HyperLogLogCollector semantics, matching the reference
         // (CardinalityAggregator.java): byValue adds each non-null field
-        // value to one collector per row; byRow hashes the value tuple with
-        // the reference's \u0001 separator and \u0000 null sentinel,
-        // skipping all-null rows
-        // (StringCardinalityAggregatorColumnSelectorStrategy.java:34-75).
-        // Values hash as UTF-8 strings (the reference hashes strings as
-        // UTF-16 chars and numerics by raw bits - register placement
-        // differs, but the low-range estimate depends only on the
-        // occupied-register count, so the published small-n constants
-        // UNIQUES_9 / UNIQUES_2 / 13.041435202975777 reproduce exactly).
+        // value (each ELEMENT of a multi-value field) to one collector per
+        // group; byRow hashes the value tuple -- dims separated (the
+        // reference puts a 0-byte between dims, here a U+0001 char), a
+        // null dim contributing NOTHING (SQL-compatible hashRow,
+        // StringCardinalityAggregatorColumnSelectorStrategy.java:52-80),
+        // and the row hash added UNCONDITIONALLY, so the all-null tuple
+        // still counts as one distinct value. A multi-value field under
+        // byRow joins its SORTED elements (the reference sorts for
+        // cross-segment consistency), nulls as the U+0000 sentinel.
+        // Values hash as UTF-16 chars like the reference; register
+        // placement differs only where the reference hashes raw bytes, and
+        // the low-range estimate depends only on the occupied-register
+        // count, so the published small-n constants UNIQUES_9 / UNIQUES_2 /
+        // 13.041435202975777 reproduce exactly.
         val est =
-          if (byRow && fields.size > 1) {
-            val rowKey = when(fields.map(_.isNull).reduce(_ && _), lit(null))
-              .otherwise(concat_ws("",
-                fields.map(c => coalesce(c.cast("string"), lit(" "))): _*))
+          if (byRow) {
+            val parts = fields.map { c =>
+              val s = if (isArrayField(c))
+                array_join(array_sort(transform(c,
+                  e => coalesce(e.cast("string"), lit("\u0000")))), "\u0001")
+              else c.cast("string")
+              coalesce(s, lit(""))
+            }
+            val rowKey = concat(
+              parts.head +: parts.tail.flatMap(p => Seq(lit("\u0001"), p)): _*)
             hllcCardinality(Seq(rowKey))
-          } else hllcCardinality(fields.map(_.cast("string")))
+          } else hllcCardinality(fields.map(c =>
+            if (isArrayField(c)) transform(c, _.cast("string"))
+            else c.cast("string")))
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
         val lgK = intOpt(j \ "size")

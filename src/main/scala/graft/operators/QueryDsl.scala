@@ -146,6 +146,14 @@ final case class DurationGranularity(durationMs: Long, originMs: Long = 0L)
 }
 
 object QueryCommon {
+  /** Internal column materializing an inlined subquery's merged-result row
+    * order (NativeQuery's groupBy-subquery natural order) — first/last
+    * aggregators fold on (timestamp, thisRank) so timestamp ties break
+    * deterministically even after partial-aggregate merges re-order rows.
+    * Never part of a query's output: full-column passthrough paths (scan
+    * with no explicit columns) drop it. */
+  val RowOrderCol = "__graft_row_order"
+
   /** True when the aggregation is a plain count — Druid's zero-filled empty
     * buckets carry the aggregator's initial value: 0 for count, null for
     * sums/min/max/first in sql-compatible null mode. */
@@ -478,11 +486,17 @@ final case class TopNQuery(
       case g: PeriodGranularity => Some(g.bucket)
       case g: DurationGranularity => Some(g.bucket)
     }
+    // bucket into a DISTINCT internal column so time-extraction dimensions
+    // and aggregators reading the time column (e.g. longMax over __time)
+    // still see the RAW row timestamp under non-ALL granularity — the
+    // reference's selectors read raw __time; only grouping uses the bucket
+    // (same shape as TimeseriesQuery's __bucket column)
+    val bucketCol = "__graft_topn_bucket"
     val bucketed = bucketFn.fold(filtered)(b =>
-      filtered.withColumn(timeColumn, b(col(timeColumn))))
+      filtered.withColumn(bucketCol, b(col(timeColumn))))
     val (prepared0, dimCols0) = QueryCommon.prepareDims(bucketed, Seq(dimension))
     val prepared = stopFilter.fold(prepared0)(prepared0.filter)
-    val dimCols = if (bucketFn.isEmpty) dimCols0 else col(timeColumn) +: dimCols0
+    val dimCols = if (bucketFn.isEmpty) dimCols0 else col(bucketCol) +: dimCols0
     // an aggregator-less topN ranks the distinct dimension values under the
     // dimension metric spec (TopNQueryRunnerTest.testSortOnDoubleAsLong) —
     // a dummy agg keeps the groupBy shape and is dropped after
@@ -501,13 +515,15 @@ final case class TopNQuery(
       case Some(_) =>
         // per-bucket K: rank within each bucket, keep ≤ threshold — the
         // window shuffle repartitions on the (already aggregated, small)
-        // bucket key; globally ordered by bucket then rank
+        // bucket key; globally ordered by bucket then rank. The bucket is
+        // renamed to the time column only in the output projection.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(timeColumn)).orderBy(ord, dimOrd)
+          .partitionBy(col(bucketCol)).orderBy(ord, dimOrd)
         post.withColumn("__topn_rank", row_number().over(w))
           .where(col("__topn_rank") <= threshold)
-          .orderBy(col(timeColumn).asc, col("__topn_rank").asc)
+          .orderBy(col(bucketCol).asc, col("__topn_rank").asc)
           .drop("__topn_rank")
+          .withColumnRenamed(bucketCol, timeColumn)
     }
   }
 }
@@ -639,7 +655,9 @@ final case class ScanQuery(
     // still gets every row)
     def sel(c: String): Column =
       if (ds.columns.contains(c)) col(c) else lit(null).cast("string").as(c)
-    val projected = if (columns.isEmpty) filtered else filtered.select(columns.map(sel): _*)
+    val projected =
+      if (columns.isEmpty) filtered.drop(QueryCommon.RowOrderCol)
+      else filtered.select(columns.map(sel): _*)
     val ordered =
       if (obs.isEmpty) projected
       else {

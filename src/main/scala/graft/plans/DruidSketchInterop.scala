@@ -469,12 +469,19 @@ case class HllcCardinality(
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](DruidHllc.NumBuckets)
 
-  private def add(buf: Array[Int], v: Any): Unit = v match {
+  private def add(buf: Array[Int], v: Any, dt: DataType): Unit = v match {
     case null => ()
     case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      // multi-value dimension: each ELEMENT is added separately (the
+      // reference's hashValues loops the row's IndexedInts) — element
+      // access typed from the child's declared element type
+      val et = dt match {
+        case org.apache.spark.sql.types.ArrayType(t, _) => t
+        case _ => org.apache.spark.sql.types.StringType
+      }
       var i = 0
       while (i < a.numElements()) {
-        if (!a.isNullAt(i)) add(buf, a.get(i, org.apache.spark.sql.types.StringType))
+        if (!a.isNullAt(i)) add(buf, a.get(i, et), et)
         i += 1
       }
     case s: org.apache.spark.unsafe.types.UTF8String =>
@@ -485,7 +492,9 @@ case class HllcCardinality(
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     var i = 0
-    while (i < children.length) { add(buf, children(i).eval(input)); i += 1 }
+    while (i < children.length) {
+      add(buf, children(i).eval(input), children(i).dataType); i += 1
+    }
     buf
   }
 
