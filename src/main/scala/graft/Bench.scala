@@ -128,8 +128,15 @@ object Bench {
     }
     val countRate = rate { li.selectExpr("count(*)").collect() }
     val sumRate = rate { li.selectExpr("sum(l_extendedprice)").collect() }
+    // box_factor = this run's count-star rate ÷ the whitepaper baseline
+    // (BASELINE.md: 53.5M rows/s/core) — a per-run speed normalizer so
+    // round-over-round per-query tables can be box-normalized mechanically
+    // (divide a round's per-query seconds by its box_factor) instead of
+    // re-running both artifacts on the same box.
+    val boxFactor = countRate / 53500000.0
     emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""scan_count_rows_per_sec_core":${countRate.toLong},""" +
-      s""""scan_sum_rows_per_sec_core":${sumRate.toLong}}""")
+      s""""scan_sum_rows_per_sec_core":${sumRate.toLong},""" +
+      f""""box_factor":$boxFactor%.4f}""")
   }
 }

@@ -72,7 +72,22 @@ object NativeQuery {
     val timeCol = strOpt(q \ "timeColumn").getOrElse("__time")
     val prepared = applyVirtualColumns(applyIntervals(ds, q \ "intervals", timeCol), q \ "virtualColumns")
     val finalizeAggs = aggFinalizers(q \ "aggregations")
-    str(q \ "queryType") match {
+    // bySegment (QueryContexts.java:70 BY_SEGMENT_KEY): return PER-SEGMENT
+    // results, unmerged. Superset envelope: the source parquet FILE is the
+    // segment analog — "__segmentId" (input_file_name) joins the grouping so
+    // per-segment partials come back without the cross-segment merge; rows
+    // carry the id as a leading flat column instead of the reference's
+    // nested BySegmentResultValue {results, segment, interval}. Honored for
+    // groupBy / timeseries (which compiles through the groupBy path and so
+    // does NOT zero-fill — a segment's result never spans beyond its rows) /
+    // scan; other query types ignore the flag (COVERAGE.md).
+    val bySegment = (q \ "context" \ "bySegment") == JBool(true)
+    val segDims: Seq[DimSpec] =
+      if (bySegment) Seq(ExprDim(input_file_name(), "__segmentId")) else Nil
+    val queryType0 = str(q \ "queryType")
+    val queryType =
+      if (queryType0 == "timeseries" && bySegment) "groupBy" else queryType0
+    queryType match {
       case "timeseries" =>
         TimeseriesQuery(
           timeColumn = timeCol,
@@ -181,7 +196,8 @@ object NativeQuery {
           case g: DurationGranularity =>
             Seq(ExprDim(g.bucket(col(timeCol)), granBucketName))
         }
-        val dims = granDims ++ arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
+        val dims = segDims ++ granDims ++
+          arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
         val dimOutputs = dims.map(_.output).toSet
         GroupByQuery(
           dimensions = dims,
@@ -273,7 +289,12 @@ object NativeQuery {
                 if (sortByDimsFirst) userOrder ++ timeKey else timeKey ++ userOrder
               }
             },
-            limit = intOpt(ls \ "limit"),
+            // DefaultLimitSpec rejects a negative limit at construction
+            // (Preconditions "limit[%s] must be >= 0";
+            // GroupByQueryRunnerTest.testMergeResultsWithNegativeLimit)
+            limit = intOpt(ls \ "limit").map { n =>
+              require(n >= 0, s"limit[$n] must be >= 0"); n
+            },
             offset = intOpt(ls \ "offset").getOrElse(0)),
           subtotalsSpec = q \ "subtotalsSpec" match {
             // the bucket timestamp survives every subtotal set (the
@@ -286,8 +307,13 @@ object NativeQuery {
         ).run(prepared).transform(finalizeAggs)
           .withColumnRenamed(granBucketName, timeCol)
       case "scan" =>
+        val scanInput = if (bySegment)
+          prepared.withColumn("__segmentId", input_file_name()) else prepared
+        val explicitScanCols =
+          arr(q \ "columns").map { case JString(c) => c; case x => str(x) }
         ScanQuery(
-          columns = arr(q \ "columns").map { case JString(c) => c; case x => str(x) },
+          columns = if (bySegment && explicitScanCols.nonEmpty)
+            "__segmentId" +: explicitScanCols else explicitScanCols,
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
           timeColumn = timeCol,
           order = strOpt(q \ "order") match {
@@ -305,7 +331,7 @@ object NativeQuery {
           orderBy = arr(q \ "orderBy").map { o =>
             str(o \ "columnName") -> !strOpt(o \ "order").contains("descending")
           }
-        ).run(prepared)
+        ).run(scanInput)
       case "search" =>
         // searchDimensions accept full dimension SPECS (extraction/typed —
         // SearchQueryRunnerTest.testSearchOnTime/testSearchOnLongColumn);
@@ -378,7 +404,12 @@ object NativeQuery {
           case JString(n) => Some(n)
           case o => strOpt(o \ "name")
         }
-        SegmentMetadataQuery(exact = true, analysisTypes = analyses,
+        // "approximate" in analysisTypes (an extension flag) switches to the
+        // single-scan mode: approx_count_distinct per column, one Aggregate,
+        // one FileScan — the 100 TB shape; default stays exact per the
+        // reference's bitmap-index cardinality analysis
+        SegmentMetadataQuery(exact = !analyses("approximate"),
+          analysisTypes = analyses,
           ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(prepared)
       // surfaces as QueryUnsupportedException — "Unsupported query" at 501
       // (QueryUnsupportedException.java:39-40, QueryResourceTest

@@ -818,8 +818,11 @@ final case class DataSourceMetadataQuery(timeColumn: String = "__time") {
 }
 
 /** segmentMetadata (reference: query/metadata/metadata/SegmentMetadataQuery.java:46):
-  * per-column analysis. Cardinality uses approx_count_distinct at scale
-  * (exact available via `exact=true`).
+  * per-column analysis. `exact=true` (the default surface) reproduces the
+  * reference's exact bitmap-index cardinalities; `exact=false` (the
+  * "approximate" analysis flag on the JSON route) is the single-scan scale
+  * mode — every column's analyses in ONE Aggregate over ONE FileScan with
+  * approx_count_distinct cardinalities.
   *
   * analysisTypes (reference AnalysisType enum, SegmentMetadataQuery.java:50):
   *  - "cardinality", "nulls" — always-on base analysis (r2 behavior)
@@ -837,42 +840,78 @@ final case class SegmentMetadataQuery(exact: Boolean = false,
     // QUERYGRANULARITY, SegmentMetadataQuery.java:50) are served from the
     // ingest spec that produced the table (BatchIngest.specOf)
     ingestSpec: Option[graft.sources.BatchIngest.IngestSpec] = None) {
-  def run(ds: DataFrame): DataFrame = {
-    GraftSession.configure(ds.sparkSession)
-    // One aggregate per column, unioned — NOT one aggregate with N exact
-    // distincts: multiple count_distinct in one Aggregate makes Catalyst
-    // Expand the input N× (one replica per distinct), an N-fold row blowup
-    // at scale. Per-column branches read the same total bytes (each scan
-    // prunes to its own column) and each runs a plain two-phase distinct
-    // aggregate; the single-value numRows aggregate broadcasts onto every
-    // branch row.
-    val numRows = ds.groupBy().agg(count(lit(1)).as("numRows"))
-    val branches = ds.schema.fields.toSeq.map { f =>
-      val c = col(f.name)
-      val card = if (exact) count_distinct(c) else approx_count_distinct(c)
-      val base = Seq(
-        card.as("cardinality"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as("nullCount"))
-      val mm = if (analysisTypes("minmax"))
-        Seq(min(c).cast("string").as("minValue"), max(c).cast("string").as("maxValue")) else Nil
-      val sz = if (analysisTypes("size"))
-        Seq(sum(length(c.cast("string")).cast("long")).as("size_bytes")) else Nil
-      val aggs = base ++ mm ++ sz
-      val names = Seq("cardinality", "nullCount") ++
-        (if (analysisTypes("minmax")) Seq("minValue", "maxValue") else Nil) ++
-        (if (analysisTypes("size")) Seq("size_bytes") else Nil)
-      ds.select(c).agg(aggs.head, aggs.tail: _*)
-        .select(lit(f.name).as("column") +:
-          lit(f.dataType.simpleString).as("type") +: names.map(col): _*)
+  def run(ds0: DataFrame): DataFrame = {
+    GraftSession.configure(ds0.sparkSession)
+    val ds = ds0.drop(QueryCommon.RowOrderCol)
+    val analysisNames = Seq("cardinality", "nullCount") ++
+      (if (analysisTypes("minmax")) Seq("minValue", "maxValue") else Nil) ++
+      (if (analysisTypes("size")) Seq("size_bytes") else Nil)
+    val cols = if (exact) {
+      // EXACT mode: one aggregate per column, unioned — NOT one aggregate
+      // with N exact distincts: multiple count_distinct in one Aggregate
+      // makes Catalyst Expand the input N× (one replica per distinct), an
+      // N-fold row blowup at scale. Per-column branches read the same total
+      // bytes (each scan prunes to its own column) and each runs a plain
+      // two-phase distinct aggregate; the single-value numRows aggregate
+      // broadcasts onto every branch row.
+      val numRows = ds.groupBy().agg(count(lit(1)).as("numRows"))
+      val branches = ds.schema.fields.toSeq.map { f =>
+        val c = col(f.name)
+        val base = Seq(
+          count_distinct(c).as("cardinality"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("nullCount"))
+        val mm = if (analysisTypes("minmax"))
+          Seq(min(c).cast("string").as("minValue"), max(c).cast("string").as("maxValue")) else Nil
+        val sz = if (analysisTypes("size"))
+          Seq(sum(length(c.cast("string")).cast("long")).as("size_bytes")) else Nil
+        val aggs = base ++ mm ++ sz
+        ds.select(c).agg(aggs.head, aggs.tail: _*)
+          .select(lit(f.name).as("column") +:
+            lit(f.dataType.simpleString).as("type") +: analysisNames.map(col): _*)
+      }
+      branches.reduce(_.unionByName(_)).crossJoin(broadcast(numRows))
+    } else {
+      // APPROXIMATE mode (the 100 TB path): ONE scan, ONE Aggregate holding
+      // every column's analyses side by side — approx_count_distinct is a
+      // plain declarative aggregate (HLL++ buffer per column), so N of them
+      // plan WITHOUT the Expand replication that N exact distincts force.
+      // The single result row pivots to per-column rows with inline() over
+      // a struct array — a one-row driver-free reshape.
+      val fields = ds.schema.fields.toSeq
+      val aggCols: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+        val c = col(f.name)
+        Seq(
+          // rsd 1% (vs the 5% default): a metadata query can afford ~40 KB
+          // of HLL++ registers per column for 5× tighter cardinalities
+          approx_count_distinct(c, 0.01).as(s"__c${i}_card"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"__c${i}_nulls")) ++
+        (if (analysisTypes("minmax"))
+          Seq(min(c).cast("string").as(s"__c${i}_min"),
+            max(c).cast("string").as(s"__c${i}_max")) else Nil) ++
+        (if (analysisTypes("size"))
+          Seq(sum(length(c.cast("string")).cast("long")).as(s"__c${i}_size")) else Nil)
+      } :+ count(lit(1)).as("numRows")
+      val one = ds.agg(aggCols.head, aggCols.tail: _*)
+      val structs = array(fields.zipWithIndex.map { case (f, i) =>
+        struct(
+          lit(f.name).as("column") +:
+          lit(f.dataType.simpleString).as("type") +:
+          (Seq(col(s"__c${i}_card").as("cardinality"),
+            coalesce(col(s"__c${i}_nulls"), lit(0L)).as("nullCount")) ++
+          (if (analysisTypes("minmax"))
+            Seq(col(s"__c${i}_min").as("minValue"),
+              col(s"__c${i}_max").as("maxValue")) else Nil) ++
+          (if (analysisTypes("size"))
+            Seq(col(s"__c${i}_size").as("size_bytes")) else Nil)): _*)
+      }: _*)
+      one.select(inline(structs), col("numRows"))
     }
-    val cols = branches.reduce(_.unionByName(_))
-      .crossJoin(broadcast(numRows))
-      .orderBy("column")
+    val sorted = cols.orderBy("column")
     // table-level spec analyses repeat on every row (the reference reports
     // them once per segment alongside the per-column map)
     val withAggs =
-      if (!analysisTypes("aggregators")) cols
-      else cols.withColumn("aggregators", lit(ingestSpec.flatMap(_.rollup)
+      if (!analysisTypes("aggregators")) sorted
+      else sorted.withColumn("aggregators", lit(ingestSpec.flatMap(_.rollup)
         .map(_.aggregations.map(a => s"${a.name}=${a.column.toString}").mkString(";"))
         .orNull))
     val withRollup =

@@ -717,15 +717,17 @@ object HttpFacade {
     // rollup-catalog admin: register/list/drop rollup materializations so a
     // facade-only embedder gets the RollupRewrite redirect; streamed-rollup
     // handoffs into the global catalog surface in GET. A successful
-    // register/drop invalidates the plan cache — cached plans compiled
-    // against the previous catalog would otherwise keep serving the old
-    // scan (the reference's broker drops cached per-segment results on
-    // datasource change the same way)
+    // register/drop invalidates BOTH caches — cached plans compiled against
+    // the previous catalog would keep serving the old scan, and cached
+    // RESULTS computed from it are just as stale (the reference's broker
+    // drops cached per-segment results on datasource change the same way)
     server.createContext("/druid/coordinator/v1/rollups", restHandler(
       (method, sub, body) => {
         val r = RollupResource.handle(spark,
           graft.plans.RollupRewrite.globalCatalog, method, sub, body)
-        if (method != "GET" && r._1 == 200) planCache.invalidateAll()
+        if (method != "GET" && r._1 == 200) {
+          planCache.invalidateAll(); resultCache.invalidateAll()
+        }
         r
       }))
     // cluster reads: leader/isLeader/loadstatus/servers + overlord tasks

@@ -1098,4 +1098,64 @@ class HttpFacadeSpec extends SparkSpecBase {
       facade.stop()
     }
   }
+  test("rollup register/drop invalidates the RESULT cache too: a cached " +
+      "result is never served across a catalog change (the broker drops " +
+      "cached results on datasource change — CachingClusteredClient)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    val basePath = s"${sf()}/orders.parquet"
+    val rollupPath =
+      s"${System.getProperty("java.io.tmpdir")}/graft_rollup_rc_${System.nanoTime()}"
+    try {
+      import org.apache.spark.sql.functions._
+      val body =
+        """{"queryType": "groupBy", "dataSource": "nation",
+            "timeColumn": "n_nationkey",
+            "dimensions": ["n_regionkey"],
+            "aggregations": [{"type": "count", "name": "cnt"}],
+            "limitSpec": {"type": "default", "columns": [{"dimension": "n_regionkey", "dimensionOrder": "numeric"}]}}"""
+      val (s1, r1) = post(facade.port, "/druid/v2", body)
+      val (s2, r2) = post(facade.port, "/druid/v2", body)
+      assert(s1 == 200 && s2 == 200 && r1 == r2)
+      assert(facade.resultCache.hits >= 1, "second POST must be a result hit")
+
+      // a catalog change (register) must drop the cached result
+      spark.read.parquet(basePath)
+        .groupBy(date_trunc("day", col("o_orderdate")).cast("timestamp_ntz")
+          .as("o_orderdate"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(rollupPath)
+      val (rs, _) = post(facade.port, "/druid/coordinator/v1/rollups",
+        s"""{
+          "basePath": "$basePath",
+          "rollupPath": "$rollupPath",
+          "dimensions": ["o_orderstatus"],
+          "metricMap": {},
+          "countColumn": "cnt",
+          "timeColumn": "o_orderdate",
+          "granularity": "P1D"
+        }""")
+      assert(rs == 200)
+      val missesBefore = facade.resultCache.misses
+      val (s3, r3) = post(facade.port, "/druid/v2", body)
+      assert(s3 == 200 && r3 == r1)
+      assert(facade.resultCache.misses == missesBefore + 1,
+        "rollup REGISTER must invalidate cached results, not serve stale ones")
+
+      // ... and so must drop (the s3 re-POST re-populated the entry)
+      val (s4, _) = post(facade.port, "/druid/v2", body)
+      assert(s4 == 200 && facade.resultCache.hits >= 2)
+      val (ds, _) = request(facade.port, "DELETE",
+        s"/druid/coordinator/v1/rollups?basePath=${java.net.URLEncoder.encode(basePath, "UTF-8")}")
+      assert(ds == 200)
+      val missesBefore2 = facade.resultCache.misses
+      val (s5, r5) = post(facade.port, "/druid/v2", body)
+      assert(s5 == 200 && r5 == r1)
+      assert(facade.resultCache.misses == missesBefore2 + 1,
+        "rollup DROP must invalidate cached results")
+    } finally {
+      graft.plans.RollupRewrite.globalCatalog.unregister(basePath)
+      facade.stop()
+    }
+  }
+
 }
