@@ -977,12 +977,21 @@ object NativeQuery {
             .fold(extracted)(t => extracted.try_cast(t))
           ExprDim(typedOut, out)
         // filtered decorators over a DELEGATE spec (ListFilteredDimensionSpec
-        // .java "delegate"): match against the delegate value's STRING form,
-        // keep the delegate's typed value — a filtered-out SCALAR groups as
-        // NULL (GroupByQueryRunnerTest.testGroupByDecorationOnNumerics)
+        // .java "delegate"): match against the delegate's RAW (pre-
+        // outputType) value in its STRING form — the decoration wraps the
+        // string dimension selector BEFORE type conversion, so a STRING
+        // column "170000" typed FLOAT still matches the pattern "170000"
+        // (testGroupByNumericStringsAsNumericWithDecoration) while a LONG
+        // column 1700 matches "1700" (testGroupByDecorationOnNumerics) —
+        // and keep the delegate's TYPED value; a filtered-out SCALAR groups
+        // as NULL
         case t @ ("listFiltered" | "regexFiltered" | "prefixFiltered")
             if (o \ "delegate") != JNothing =>
           val d = dimSpec(o \ "delegate", schema)
+          val dRaw = dimSpec(o \ "delegate" match {
+            case del: JObject => JObject(del.obj.filterNot(_._1 == "outputType"))
+            case del => del
+          }, schema)
           val keep: Column => Column = t match {
             case "listFiltered" =>
               val vs = arr(o \ "values").map { case JString(s) => s; case x => str(x) }
@@ -995,7 +1004,7 @@ object NativeQuery {
           d match {
             case MvDim(c, dout) =>
               MvDim(org.apache.spark.sql.functions.filter(c, keep), dout)
-            case other => ExprDim(when(keep(other.col), other.col), other.output)
+            case other => ExprDim(when(keep(dRaw.col), other.col), other.output)
           }
         case "listFiltered" =>
           ListFilteredDim(col(dim), arr(o \ "values").map { case JString(s) => s; case x => str(x) }, out)
@@ -1580,9 +1589,18 @@ object NativeQuery {
             val rowKey = concat(
               parts.head +: parts.tail.flatMap(p => Seq(lit("\u0001"), p)): _*)
             hllcCardinality(Seq(rowKey))
-          } else hllcCardinality(fields.map(c =>
-            if (isArrayField(c)) transform(c, _.cast("string"))
-            else c.cast("string")))
+          } else hllcCardinality(fields.map { c =>
+            // numeric fields stay typed: HllcCardinality hashes them by
+            // value bits like the reference's per-type selector strategies
+            val dt = if (input == null) None
+              else scala.util.Try(input.select(c).schema.head.dataType).toOption
+            dt match {
+              case Some(_: org.apache.spark.sql.types.ArrayType) =>
+                transform(c, _.cast("string"))
+              case Some(_: org.apache.spark.sql.types.NumericType) => c
+              case _ => c.cast("string")
+            }
+          })
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
       case "thetaSketch" =>
         val lgK = intOpt(j \ "size")

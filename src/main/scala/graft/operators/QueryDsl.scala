@@ -504,12 +504,51 @@ final case class TopNQuery(
       case Nil => (Seq(count(lit(1)).as("__graft_dummy_agg")), true)
       case as => (as.map(_.aliased), false)
     }
-    val agged0 = prepared.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val dimOrd = col(dimension.output).asc_nulls_last
+    // Two-phase "aggregate the topN metric first"
+    // (AggregateTopNMetricFirstAlgorithm.java:47): with a WIDE aggregator
+    // list, aggregate ONLY the ranking metric, rank-limit to the K surviving
+    // dimension values, broadcast-semi-join the survivors back onto the
+    // scan, and compute the remaining aggregators over just those groups —
+    // heavy per-group state (sketches, first/last pairs) is never built for
+    // groups the rank would discard. Gated on aggregator count (the second
+    // scan only pays for itself when the saved aggregate state is wide) and
+    // on the rank metric being one of the aggregators (not a dimension
+    // ordering or a post-agg). Null-safe (<=>) keys keep a null dimension
+    // group rankable.
+    val twoPhaseMin = ds.sparkSession.conf
+      .get("spark.graft.topn.aggregateMetricFirstThreshold", "6").toInt
+    val rankAggOpt = aggregations.find(_.name == metric)
+    val aggInput =
+      if (sortKey.isEmpty && rankAggOpt.isDefined &&
+          aggregations.size >= twoPhaseMin) {
+        val p1 = finalizeFn(
+          prepared.groupBy(dimCols: _*).agg(rankAggOpt.get.aliased))
+        val p1ord = if (ascending) col(metric).asc else col(metric).desc
+        val survivorRows = bucketFn match {
+          case None => p1.orderBy(p1ord, dimOrd).limit(threshold)
+          case Some(_) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(bucketCol)).orderBy(p1ord, dimOrd)
+            p1.withColumn("__topn_rank", row_number().over(w))
+              .where(col("__topn_rank") <= threshold)
+        }
+        val keyNames = (if (bucketFn.isEmpty) Nil else Seq(bucketCol)) :+
+          dimension.output
+        // survivor keys renamed to avoid self-join lineage ambiguity
+        val survivors = broadcast(survivorRows.select(
+          keyNames.zipWithIndex.map { case (n, i) =>
+            col(n).as(s"__graft_surv_$i") }: _*))
+        prepared.join(survivors,
+          keyNames.zipWithIndex.map { case (n, i) =>
+            col(n) <=> col(s"__graft_surv_$i") }.reduce(_ && _),
+          "left_semi")
+      } else prepared
+    val agged0 = aggInput.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
     val agged = if (dummyAgg) agged0.drop("__graft_dummy_agg") else agged0
     val post = finalizeFn(QueryCommon.applyPostAggs(agged, postAggregations))
     val key = sortKey.getOrElse(col(metric))
     val ord = if (ascending) key.asc else key.desc
-    val dimOrd = col(dimension.output).asc_nulls_last
     bucketFn match {
       case None => post.orderBy(ord, dimOrd).limit(threshold)
       case Some(_) =>

@@ -249,6 +249,17 @@ object DruidHllcBuild {
     * reference's published cardinality constants depend on it. */
   def hashChars(s: String): Array[Byte] = hashFn.hashUnencodedChars(s).asBytes()
 
+  /** The CARDINALITY aggregator's typed numeric hashing — the reference
+    * picks a per-type strategy: DOUBLE columns hash
+    * murmur3_128.hashLong(doubleToLongBits)
+    * (DoubleCardinalityAggregatorColumnSelectorStrategy.java), LONG columns
+    * hashLong(v) (Long...Strategy), FLOAT columns hashInt(floatToIntBits)
+    * (Float...Strategy). Byte-exact register placement reproduces even the
+    * reference's own register collisions (e.g. the 9-value/8-register
+    * 8.015665809687173 in testGroupByCardinalityAggOnFloat). */
+  def hashLong(v: Long): Array[Byte] = hashFn.hashLong(v).asBytes()
+  def hashInt(v: Int): Array[Byte] = hashFn.hashInt(v).asBytes()
+
   /** add(byte[] hashedValue): bucket from the trailing short, positionOf1
     * from the leading 8 bytes' first set bit. */
   def addHashed(st: State, hashed: Array[Byte]): Unit = {
@@ -486,6 +497,18 @@ case class HllcCardinality(
       }
     case s: org.apache.spark.unsafe.types.UTF8String =>
       DruidHllc.addHashed(buf, DruidHllcBuild.hashChars(s.toString))
+    // typed numeric columns hash by VALUE BITS like the reference's
+    // per-type selector strategies (see DruidHllcBuild.hashLong/hashInt)
+    case d: java.lang.Double =>
+      DruidHllc.addHashed(buf,
+        DruidHllcBuild.hashLong(java.lang.Double.doubleToLongBits(d)))
+    case f: java.lang.Float =>
+      DruidHllc.addHashed(buf,
+        DruidHllcBuild.hashInt(java.lang.Float.floatToIntBits(f)))
+    case l: java.lang.Long =>
+      DruidHllc.addHashed(buf, DruidHllcBuild.hashLong(l))
+    case i: java.lang.Integer =>
+      DruidHllc.addHashed(buf, DruidHllcBuild.hashLong(i.longValue()))
     case other =>
       DruidHllc.addHashed(buf, DruidHllcBuild.hashChars(other.toString))
   }

@@ -62,6 +62,31 @@ object CoreQueries {
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
+    // --- topN, WIDE aggregator list: the two-phase AggregateTopNMetricFirst
+    // shape (AggregateTopNMetricFirstAlgorithm.java:47) — 10 aggregators is
+    // over the default gate (spark.graft.topn.aggregateMetricFirstThreshold
+    // = 6), so the plan aggregates ONLY the rank metric, broadcast-semi-
+    // joins the 5 survivors back onto the scan, and computes the remaining
+    // 9 aggregators over just those groups ---
+    "topn_wide_aggs" -> ((s, dir) => {
+      TopNQuery(
+        dimension = Dim("l_suppkey"),
+        metric = "revenue",
+        threshold = 5,
+        aggregations = Seq(
+          Agg("revenue", sum(col("l_extendedprice").cast(D)).cast("double")),
+          Agg("cnt", count(lit(1))),
+          Agg("qty", sum(col("l_quantity").cast("long"))),
+          Agg("min_price", min(col("l_extendedprice"))),
+          Agg("max_price", max(col("l_extendedprice"))),
+          Agg("min_qty", min(col("l_quantity").cast("long"))),
+          Agg("max_qty", max(col("l_quantity").cast("long"))),
+          Agg("disc", sum(col("l_discount").cast(D)).cast("double")),
+          Agg("tax", sum(col("l_tax").cast(D)).cast("double")),
+          Agg("nd_part", count_distinct(col("l_partkey"))))
+      ).run(Sources.table(s, dir, "lineitem"))
+    }),
+
     // --- topN: dimension-ordered page-2 via previousStop
     // (DimensionTopNMetricSpec previousStop pagination) ---
     "topn_paged" -> ((s, dir) => {
@@ -273,6 +298,21 @@ object CoreQueries {
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1
         |ORDER BY revenue DESC, l_suppkey ASC LIMIT 10""".stripMargin,
+
+    "topn_wide_aggs" ->
+      """SELECT l_suppkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price,
+        |       CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |       CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc,
+        |       CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part
+        |FROM lineitem GROUP BY 1
+        |ORDER BY revenue DESC, l_suppkey ASC LIMIT 5""".stripMargin,
 
     "topn_paged" ->
       """SELECT p_brand, count(*) AS cnt FROM part WHERE p_brand > 'Brand#22'
