@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass
 
 mkdir -p "$WORK"
 
@@ -42,6 +42,10 @@ sbt -batch "runMain graft.tools.LshCandidateVolume $SRC" | grep lsh_candidate_vo
   | sed 's/^/[scale_check] sf0.1  /'
 sbt -batch "runMain graft.tools.LshCandidateVolume $WORK/sf10" | grep lsh_candidate_volume \
   | sed 's/^/[scale_check] sf10   /'
+
+echo "[scale_check] result-cache probe (broker-analog result cache, SCALE.md section 9.6)"
+sbt -batch "runMain graft.tools.ResultCacheProbe $SRC" | grep result_cache_miss | sed 's/^/[scale_check] sf0.1  /'
+sbt -batch "runMain graft.tools.ResultCacheProbe $WORK/sf10" | grep result_cache_miss | sed 's/^/[scale_check] sf10   /'
 
 echo "[scale_check] family run at sf0.1 (baseline)"
 run_family "$SRC" "$WORK/bench_sf01.json"
@@ -79,7 +83,15 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # round-12: per-bucket topN (one window pass over the aggregated
           # rows) — the window input is group-count-sized, so the 100x fact
           # must not leak into the rank stage
-          "native_topn_bucketed": 25}
+          "native_topn_bucketed": 25,
+          # round-13: the full-partition window rank (rank-limit in its own
+          # window so WindowGroupLimit prunes BEFORE the shuffle — each
+          # mapper forwards <=3 rows per key instead of its split), the
+          # two-phase wide-aggregator topN vs its single-phase twin (the
+          # AggregateTopNMetricFirst pair), and the single-scan approximate
+          # segmentMetadata vs the per-column-union exact mode
+          "window_rank_lag": 20, "topn_wide_aggs": 30,
+          "topn_wide_aggs_onepass": 45, "segment_metadata_approx": 15}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():
@@ -98,6 +110,12 @@ if rc and rb:
 ms, mr = sf10.get("sketch_merge_stored"), sf10.get("sketch_merge_rawbuild")
 if ms and mr:
     print(f"[scale_check] stored-sketch merge win at sf10: raw build {mr:.1f}s / stored merge {ms:.1f}s = {mr/ms:.1f}x")
+t2, t1 = sf10.get("topn_wide_aggs"), sf10.get("topn_wide_aggs_onepass")
+if t2 and t1:
+    print(f"[scale_check] two-phase wide-agg topN at sf10: single-phase {t1:.1f}s / two-phase {t2:.1f}s = {t1/t2:.1f}x")
+sa, se = sf10.get("segment_metadata_approx"), sf10.get("segment_metadata_full")
+if sa and se:
+    print(f"[scale_check] single-pass segmentMetadata at sf10: exact {se:.1f}s / approx {sa:.1f}s = {se/sa:.1f}x")
 if fail:
     print("SCALE REGRESSION:\n  " + "\n  ".join(fail))
     sys.exit(1)

@@ -34,14 +34,24 @@ object SupersetQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // window functions (absent from the reference — superset)
+    // window functions (absent from the reference — superset).
+    // SCALE shape: rank-limit FIRST in its own single-function window so
+    // Catalyst's InferWindowGroupLimit inserts a partial WindowGroupLimit
+    // BEFORE the shuffle (each mapper forwards <= 3 rows per key instead of
+    // its whole split), THEN lag over the <= 3-per-key survivors — lag(1)
+    // within the contiguous top-3 equals lag(1) over the full partition for
+    // those rows. Ranking and lagging in ONE window blocks the rewrite
+    // (mixed rank+lag disables InferWindowGroupLimit) and full-sorts the
+    // fact in one task per key — the classic full-partition window blowup
+    // at 100x (5 priorities x ~30M rows each).
     "window_rank_lag" -> ((s, dir) => {
       val o = Sources.table(s, dir, "orders")
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.select(col("o_orderpriority"), col("o_orderkey"),
-          row_number().over(w).as("rn"),
-          lag(col("o_orderkey"), 1).over(w).as("prev_key"))
+      o.select(col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rn"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"))
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
