@@ -329,11 +329,14 @@ object GraftSqlFunctions {
     },
     // array_set_add / array_set_add_all: sorted-set semantics, nulls first
     // (Function.java ArraySetAddFunction — sort_array ascending puts null
-    // first like the reference's null-first comparator)
-    "array_set_add" -> { args =>
-      SortArray(ArrayDistinct(Concat(Seq(args(0), CreateArray(Seq(args(1)))))),
-        Literal(true))
-    },
+    // first like the reference's null-first comparator). An ARRAY-typed
+    // element merges its elements into the set — the multi-value identifier
+    // inside an expression-lambda fold ("array_set_add(acc, placementish)",
+    // GroupByQueryRunnerTest.testGroupByExpressionAggregatorArrayMultiValue)
+    // accumulates the FLAT element set, never nested arrays. Type-resolved
+    // lazily (RuntimeReplaceable) because the MV-ness of the second argument
+    // is only known after analysis.
+    "array_set_add" -> { args => ArraySetAdd(args(0), args(1)) },
     "array_set_add_all" -> { args =>
       SortArray(ArrayDistinct(Concat(Seq(args(0), args(1)))), Literal(true))
     },
@@ -962,6 +965,39 @@ case class DruidRound(child: Expression, scaleExpr: Expression)
   * any fractional makes it DOUBLE, else LONG (timestamps compare by epoch
   * millis). Spark's builtin instead type-coerces eagerly and propagates
   * like SQL greatest, so this is a registered override. */
+/** math-expr `array_set_add(set, element)` (Function.java
+  * ArraySetAddFunction): appends one element to a sorted distinct set. When
+  * the "element" resolves to an ARRAY (a multi-value column bound inside an
+  * expression-lambda fold), its elements merge into the set individually —
+  * the reference's set accumulator holds scalars, so an MV input contributes
+  * each value (GroupByQueryRunnerTest.testGroupByExpressionAggregatorArray-
+  * MultiValue expects the flat {"a","preferred"} set from `placementish`). */
+case class ArraySetAdd(setArg: Expression, element: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(setArg, element)
+  override lazy val replacement: Expression = {
+    val toAdd = element.dataType match {
+      case _: ArrayType => element
+      case _ => CreateArray(Seq(element))
+    }
+    // RuntimeReplaceable replacements skip the analyzer's type coercion, so
+    // align the two Concat sides explicitly (an empty-set accumulator may
+    // carry a NullType element type — widen it to the element's side)
+    val (l, r) = (setArg.dataType, toAdd.dataType) match {
+      case (a: ArrayType, b: ArrayType) if a.elementType == b.elementType =>
+        (setArg, toAdd)
+      case (ArrayType(org.apache.spark.sql.types.NullType, _), b) =>
+        (Cast(setArg, b), toAdd)
+      case (a, _) => (setArg, Cast(toAdd, a))
+    }
+    SortArray(ArrayDistinct(Concat(Seq(l, r))), Literal(true))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArraySetAdd =
+    copy(setArg = newChildren(0), element = newChildren(1))
+  override def prettyName: String = "array_set_add"
+}
+
 case class DruidGreatestLeast(children: Seq[Expression], isLeast: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Greatest, Least, UnixMillis}

@@ -196,9 +196,37 @@ object NativeQuery {
           case g: DurationGranularity =>
             Seq(ExprDim(g.bucket(col(timeCol)), granBucketName))
         }
-        val dims = segDims ++ granDims ++
-          arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
+        val userDims = arr(q \ "dimensions").map(dimSpec(_, prepared.schema))
+        // groupByEnableMultiValueUnnesting=false rejects a groupBy that
+        // would implicitly unnest a multi-value dimension
+        // (GroupByQueryConfig.CTX_KEY_ENABLE_MULTI_VALUE_UNNESTING;
+        // GroupByQueryRunnerTest.testMultiValueDimensionNotAllowed pins the
+        // message). Array-OUTPUT dims group on the whole array and stay
+        // legal.
+        if ((q \ "context" \ "groupByEnableMultiValueUnnesting") == JBool(false))
+          arr(q \ "dimensions").zip(userDims).collectFirst {
+            case (dj, _: MvDim) => dj match {
+              case JString(s) => s; case o => str(o \ "dimension")
+            }
+          }.foreach { dimName =>
+            throw new UnsupportedOperationException(
+              s"Encountered multi-value dimension [$dimName] that cannot be " +
+              "processed with 'groupByEnableMultiValueUnnesting' set to false. " +
+              "Consider setting 'groupByEnableMultiValueUnnesting' to true in " +
+              "your query context.")
+          }
+        val dims = segDims ++ granDims ++ userDims
         val dimOutputs = dims.map(_.output).toSet
+        // dim outputs that are ARRAY-typed (whole-array grouping): ordered
+        // natively — arrays compare element-wise like the reference's
+        // ComparableList/ComparableStringArray, and a string-comparator key
+        // over an array would stringify it
+        // (GroupByQueryRunnerTest.testGroupByWithLongArrays sorts raw
+        // double arrays numerically)
+        lazy val arrayDimOutputs: Set[String] = dims.collect {
+          case d: ExprDim if prepared.select(d.col).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType] => d.output
+        }.toSet
         GroupByQuery(
           dimensions = dims,
           filter = filterOpt(q \ "filter", prepared.schema).orNull,
@@ -226,7 +254,7 @@ object NativeQuery {
                   }.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
                   case _ => false
                 }
-                if (numeric) col(d.output)
+                if (numeric || arrayDimOutputs(d.output)) col(d.output)
                 else comparatorKey("lexicographic", col(d.output))
               }
               // a limit/offset WITHOUT ordering columns still truncates a
@@ -280,6 +308,7 @@ object NativeQuery {
                 case _ => None
               }
               val keyed = explicit match {
+                case _ if arrayDimOutputs(name) => base
                 case Some(n) => comparatorKey(n, base)
                 case None if dimOutputs(name) => comparatorKey("lexicographic", base)
                 case None => base
@@ -764,7 +793,17 @@ object NativeQuery {
                 case ("DOUBLE", _) => raw1.cast("double")
                 case ("FLOAT", _) => raw1.cast("float")
                 case ("STRING_ARRAY" | "ARRAY<STRING>", _) => raw1.cast("array<string>")
-                case ("LONG_ARRAY" | "ARRAY<LONG>", _) => raw1.cast("array<bigint>")
+                // a LONG_ARRAY declaration over a FLOATING-element array
+                // keeps the raw values: the reference's outputType is a
+                // capabilities hint, not a coercion — `array(index)` declared
+                // LONG_ARRAY groups on the raw doubles
+                // (GroupByQueryRunnerTest.testGroupByWithLongArrays)
+                case ("LONG_ARRAY" | "ARRAY<LONG>", _) => rawType match {
+                  case org.apache.spark.sql.types.ArrayType(
+                      org.apache.spark.sql.types.DoubleType |
+                      org.apache.spark.sql.types.FloatType, _) => raw1
+                  case _ => raw1.cast("array<bigint>")
+                }
                 case ("DOUBLE_ARRAY" | "ARRAY<DOUBLE>", _) => raw1.cast("array<double>")
                 case (x, _) => throw new IllegalArgumentException(s"virtualColumn outputType: $x")
               }
@@ -895,6 +934,18 @@ object NativeQuery {
     * element like the reference's per-value dimension selector. Call sites
     * without a schema (cardinality field specs, bloom field) keep the
     * scalar behavior. */
+  /** An ARRAY outputType over an array-valued dimension/expression: STRING
+    * declarations convert elements to their string form; NUMERIC
+    * declarations keep the expression's own element type — the reference
+    * never narrows (GroupByQueryRunnerTest.testGroupByWithLongArrays:
+    * `array(index)` declared LONG_ARRAY still groups and sorts on the raw
+    * DOUBLE values). */
+  private def arrayOutCast(src: Column, upperType: String): Column =
+    upperType match {
+      case "STRING_ARRAY" | "ARRAY<STRING>" => src.try_cast("array<string>")
+      case _ => src
+    }
+
   private def dimSpec(j: JValue, schema: org.apache.spark.sql.types.StructType = null): DimSpec = {
     def isArrayCol(name: String): Boolean = schema != null &&
       schema.fields.exists(f => f.name == name &&
@@ -945,6 +996,21 @@ object NativeQuery {
         case "default" if missing(dim) || isBinaryCol(dim) =>
           ExprDim(lit(null).cast("string"), out)
         case "default" =>
+          // an ARRAY outputType groups on the WHOLE array VALUE — no
+          // multi-value unnesting (GroupByQueryRunnerTest
+          // .testMultiValueDimensionAsArray: mv_to_array(placementish)
+          // declared STRING_ARRAY yields one group per distinct array). A
+          // SCALAR source wraps into a one-element array
+          // (testSingleValueDimensionAsStringArrayWithoutExpression:
+          // "placement" as STRING_ARRAY groups as ["preferred"]).
+          strOpt(o \ "outputType").map(_.toUpperCase(java.util.Locale.ENGLISH))
+              .filter(t => t.endsWith("_ARRAY") || t.startsWith("ARRAY<")) match {
+            case Some(t) =>
+              val src = if (isArrayCol(dim)) col(dim)
+                else if (missing(dim)) lit(null).cast("array<string>")
+                else array(col(dim))
+              ExprDim(arrayOutCast(src, t), out)
+            case None =>
           if (isArrayCol(dim)) MvDim(col(dim), out)
           else {
             val src = if (isTsCol(dim)) tsMillis(dim) else col(dim)
@@ -956,8 +1022,20 @@ object NativeQuery {
               case None => if (isTsCol(dim)) ExprDim(src, out) else Dim(dim, out)
             }
           }
+          }
         case "extraction" if isArrayCol(dim) =>
-          MvDim(transform(col(dim), x => extractionFn(o \ "extractionFn", x)), out)
+          // an ARRAY outputType keeps the transformed array whole (grouping
+          // on the extracted tuple); otherwise the extraction applies per
+          // element and the groups unnest (the reference's per-value
+          // dimension selector — testExtractionStringSpecWithMultiValue-
+          // VirtualDimAsInput pins the unnested form, and the *ArraySpec*
+          // sibling documents the whole-array form its v2 engine rejects)
+          val transformed = transform(col(dim), x => extractionFn(o \ "extractionFn", x))
+          strOpt(o \ "outputType").map(_.toUpperCase(java.util.Locale.ENGLISH))
+              .filter(t => t.endsWith("_ARRAY") || t.startsWith("ARRAY<")) match {
+            case Some(t) => ExprDim(arrayOutCast(transformed, t), out)
+            case None => MvDim(transformed, out)
+          }
         case "extraction" =>
           // time-based extraction fns read the raw timestamp; every other fn
           // over a TIMESTAMP column sees the epoch-millis long (the
@@ -1107,7 +1185,15 @@ object NativeQuery {
       val m: Map[String, String] = (j \ "lookup") match {
         case JString(name) => LookupRegistry.global.asMap(name)
         case o => (o \ "map") match {
-          case JObject(fs) => fs.map { case (k, v) => k -> str(v) }.toMap
+          // a key mapped to JSON null behaves exactly like an UNMAPPED key
+          // under every retain/replace flag combination (LookupExtractionFn
+          // .apply routes null and missing through the same
+          // isNullOrEmpty(retVal) branch; GroupByQueryRunnerTest
+          // .testGroupByWithExtractionDimFilterCaseMappingValueIsNullOrEmpty
+          // maps mezzanine→null and expects it NOT to match '')
+          case JObject(fs) => fs.collect {
+            case (k, v) if v != JNull && v != JNothing => k -> str(v)
+          }.toMap
           case x => throw new IllegalArgumentException(s"lookup extractionFn map: $x")
         }
       }

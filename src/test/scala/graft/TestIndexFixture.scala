@@ -50,7 +50,12 @@ object TestIndexFixture {
           col("market"), col("quality"), col("qualityLong"), col("qualityFloat"),
           col("qualityDouble"), col("qualityNumericString"), col("longNumericNull"),
           col("floatNumericNull"), col("doubleNumericNull"), col("placement"),
-          split(col("placementish"), "").as("placementish"),
+          // multi-value dimension values are SORTED within each row at
+          // ingest (the segment's dictionary encoding orders them — the
+          // travel rows' raw "tpreferred" reads back as
+          // ["preferred","t"] in GroupByQueryRunnerTest
+          // .testMultiValueDimensionAsArray's expected vector)
+          sort_array(split(col("placementish"), "")).as("placementish"),
           col("indexRaw").cast("double").as("index"),
           col("indexRaw").cast("double").as("indexMin"),
           (col("indexRaw").cast("double") + 10).cast("float").cast("double")
