@@ -965,6 +965,46 @@ case class DruidRound(child: Expression, scaleExpr: Expression)
   * any fractional makes it DOUBLE, else LONG (timestamps compare by epoch
   * millis). Spark's builtin instead type-coerces eagerly and propagates
   * like SQL greatest, so this is a registered override. */
+/** The math-expr `+` operator (BinPlusExpr): a STRING operand makes it
+  * CONCATENATION of the operands' string forms ("quality + 'x'" and
+  * column-on-column "market + ' ' + market" — TopNQueryRunnerTest
+  * .testTopNStringVirtualColumn); otherwise numeric addition in Druid's
+  * LONG-else-DOUBLE calculus. Type-resolved lazily (RuntimeReplaceable)
+  * because string-ness of a column operand is only known after analysis;
+  * the replacement carries explicit casts since the analyzer's coercion
+  * rules do not revisit it. */
+case class DruidPlus(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{Add, UnixMillis}
+  import org.apache.spark.sql.types._
+  override def children: Seq[Expression] = Seq(left, right)
+  private def numeric(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMillis(e)
+    case TimestampNTZType => UnixMillis(Cast(e, TimestampType))
+    case _ => e
+  }
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+  override lazy val replacement: Expression = {
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _) | (_, _: StringType) =>
+        Concat(Seq(Cast(left, StringType), Cast(right, StringType)))
+      case (a, b) if integral(a) && integral(b) =>
+        Add(Cast(numeric(left), LongType), Cast(numeric(right), LongType))
+      case (a, b) if a == b => Add(left, right)
+      case _ =>
+        Add(Cast(numeric(left), DoubleType), Cast(numeric(right), DoubleType))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DruidPlus =
+    copy(left = newChildren(0), right = newChildren(1))
+  override def prettyName: String = "plus"
+}
+
 /** math-expr `array_set_add(set, element)` (Function.java
   * ArraySetAddFunction): appends one element to a sorted distinct set. When
   * the "element" resolves to an ARRAY (a multi-value column bound inside an
@@ -996,6 +1036,32 @@ case class ArraySetAdd(setArg: Expression, element: Expression)
       newChildren: IndexedSeq[Expression]): ArraySetAdd =
     copy(setArg = newChildren(0), element = newChildren(1))
   override def prettyName: String = "array_set_add"
+}
+
+/** The timeFormat extraction fn's INPUT contract (TimeFormatExtractionFn
+  * .apply): a numeric value is epoch MILLIS (DateTime(Long) — Druid's time
+  * selector is a long), a timestamp stays a timestamp, and a string parses
+  * as millis first under asMillis (GuavaUtils.tryParseLong) falling back to
+  * ISO, else as ISO. Type-resolved lazily because the same extraction fn
+  * applies to raw __time (timestamp) and re-extracted inner dims (long). */
+case class TimeFormatExtractionInput(child: Expression, asMillis: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions.{EvalMode, MillisToTimestamp}
+  import org.apache.spark.sql.types._
+  override def children: Seq[Expression] = Seq(child)
+  private def tryCast(e: Expression, t: DataType): Expression =
+    Cast(e, t, Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone),
+      EvalMode.TRY)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType if asMillis =>
+      Coalesce(Seq(MillisToTimestamp(tryCast(child, LongType)),
+        tryCast(child, TimestampType)))
+    case _ => DruidTimeInput(child)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TimeFormatExtractionInput =
+    copy(child = newChildren(0))
+  override def prettyName: String = "time_format_extraction_input"
 }
 
 case class DruidGreatestLeast(children: Seq[Expression], isLeast: Boolean)

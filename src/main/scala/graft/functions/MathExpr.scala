@@ -448,18 +448,15 @@ object MathExpr {
       case other => graft.functions.DruidTruthyExpr(other)
     }
     // the dialect's `+` CONCATENATES strings (BinPlusExpr string branch —
-    // "quality + 'x'", GroupByQueryRunnerTest.testGroupByWithStringVirtualColumn).
-    // A string LITERAL operand is the pre-resolution signal; string-column +
-    // string-column stays spelled concat() in this dialect port.
-    def isStringLit(x: Expression): Boolean = x match {
-      case Literal(_, org.apache.spark.sql.types.StringType) => true
-      case _ => false
-    }
+    // "quality + 'x'", and column-on-column "market + ' ' + market",
+    // TopNQueryRunnerTest.testTopNStringVirtualColumn). The operand types
+    // are only known after resolution, so every `+` defers through the
+    // type-resolved DruidPlus.
     val wrapped = CatalystBridge.expression(parsed).transformUp {
       case And(l, r) => And(truthy(l), truthy(r))
       case Or(l, r) => Or(truthy(l), truthy(r))
       case Not(c) => Not(truthy(c))
-      case Add(l, r, _) if isStringLit(l) || isStringLit(r) => Concat(Seq(l, r))
+      case Add(l, r, _) => graft.functions.DruidPlus(l, r)
     }
     CatalystBridge.column(wrapped)
   }

@@ -95,6 +95,15 @@ object TimeFunctions {
         partsEarly.months, partsEarly.days, partsEarly.millis,
         if (tz == null) "UTC" else tz)))
     }
+    // P1W with NO origin floors to the ISO week start — MONDAY
+    // (PeriodGranularity.java:295-298, chronology.dayOfWeek().set(t, 1));
+    // week MULTIPLES (P2W) and origin-anchored weeks keep the 7-day grid
+    // from the (epoch-default) origin like the reference's weeks().add path,
+    // which the fixed-width arithmetic below already reproduces.
+    if (origin == null && period.trim.toUpperCase(java.util.Locale.ENGLISH)
+        .matches("^P0*1W$"))
+      return zonedRoundTrip(ts, null, tz)((t, _) =>
+        date_trunc("week", t.cast("timestamp")))
     val fastOrigin = fastMonthOrigin(origin, tz)
     val parsed = parsePeriod(period)
     // Sub-day fixed periods under an explicit zone floor on LOCAL fields

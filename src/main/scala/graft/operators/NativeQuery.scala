@@ -62,7 +62,28 @@ object NativeQuery {
     // scalars (plans.HofUnroll) — the interpreted-lambda tax is the native
     // dialect's dominant per-row cost
     graft.plans.HofUnroll.enable(spark)
-    val q = JsonMethods.parse(json)
+    val q0 = JsonMethods.parse(json)
+    // the `finalize` context key (QueryContexts.isFinalize): false skips
+    // AggregatorFactory.finalizeComputation so sketch aggregators emit their
+    // RAW state (the merged collector / sketch bytes). The broker runs every
+    // SUBQUERY with finalize=false (ClientQuerySegmentWalker inlining) so an
+    // outer aggregator can re-fold the inner state —
+    // GroupByQueryRunnerTest.testSubqueryWithHyperUniquesPostAggregator
+    // pipes the collector through a fieldAccess post-agg into an outer
+    // hyperUnique. Implemented by injecting shouldFinalize=false on the
+    // sketch-typed aggregators that have a non-identity finalization.
+    // (cardinality's collector state is not exposed this way — its
+    // finalize=false form stays an estimate, a documented divergence.)
+    val q = (q0 \ "context" \ "finalize") match {
+      case JBool(false) => q0 match {
+        case jo: JObject => JObject(jo.obj.map {
+          case ("aggregations", aggs) => ("aggregations", injectNoFinalize(aggs))
+          case kv => kv
+        })
+        case x => x
+      }
+      case _ => q0
+    }
     // maxSubqueryRows (QueryContexts.getMaxSubqueryRows): caps every inlined
     // subquery datasource of this query; unlimited when absent
     val maxSubqueryRows = (q \ "context" \ "maxSubqueryRows") match {
@@ -131,12 +152,15 @@ object NativeQuery {
                 case ("alphaNumeric", _) => "alphanumeric"
                 case (_, s) => s.getOrElse("lexicographic")
               }
-              // a plain dimension column's schema type enables the numeric
-              // comparator's no-regex fast path
+              // the dimension's resolved type enables the numeric
+              // comparator's no-regex fast path (a TYPED dim spec is an
+              // ExprDim — probe its expression's type)
               val dimType = dim match {
                 case Dim(name, _) => prepared.schema.fields.collectFirst {
                   case f if f.name == name => f.dataType
                 }
+                case e: ExprDim =>
+                  scala.util.Try(prepared.select(e.col).schema.head.dataType).toOption
                 case _ => None
               }
               val key = comparatorKey(ord, col(dim.output), dimType)
@@ -156,11 +180,24 @@ object NativeQuery {
           case (Some(k), Some(s)) => Some(if (asc) k > s else k < s)
           case _ => None
         }
+        // a FILTERED-DECORATOR dim over a scalar DROPS non-matching rows in
+        // topN (the segment algorithm's predicate-filtered dictionary never
+        // creates their bucket — TopNQueryRunnerTest
+        // .testFullOnTopNNumericStringColumnWithDecoration expects NO null
+        // row), unlike groupBy's row-based engine which groups them under
+        // null (testGroupByNumericStringsAsNumericWithDecoration)
+        val decoratorDropsNulls = strOpt(q \ "dimension" \ "type")
+          .exists(t => t == "listFiltered" || t == "regexFiltered" ||
+            t == "prefixFiltered") && !dim.isMultiValue
+        val userFilter = filterOpt(q \ "filter", prepared.schema)
+        val topnFilter =
+          if (!decoratorDropsNulls) userFilter.orNull
+          else userFilter.map(_ && dim.col.isNotNull).getOrElse(dim.col.isNotNull)
         TopNQuery(
           dimension = dim,
           metric = metricName,
           threshold = int(q \ "threshold"),
-          filter = filterOpt(q \ "filter", prepared.schema).orNull,
+          filter = topnFilter,
           // aggregator-less topN ranks distinct dimension values — the
           // DSL's dummy-agg path (TopNQueryRunnerTest.testSortOnDoubleAsLong)
           aggregations = (q \ "aggregations") match {
@@ -215,17 +252,40 @@ object NativeQuery {
               "Consider setting 'groupByEnableMultiValueUnnesting' to true in " +
               "your query context.")
           }
+        // output-name validation (GroupByQuery.verifyOutputNames): '__time'
+        // is reserved for the bucket timestamp, and dimension / aggregator /
+        // post-aggregator outputs must be unique
+        // (GroupByQueryRunnerTest.testGroupByTimeExtractionNamedUnderUnderTime,
+        // testGroupByWithOutputNameCollisions)
+        locally {
+          val aggNames = arr(q \ "aggregations").flatMap(a =>
+            strOpt(a \ "name").orElse(strOpt(a \ "aggregator" \ "name")))
+          val postNames = arr(q \ "postAggregations").flatMap(p => strOpt(p \ "name"))
+          val outNames = userDims.map(_.output) ++ aggNames ++ postNames
+          if (outNames.contains(timeCol))
+            throw new IllegalArgumentException(
+              s"'$timeCol' cannot be used as an output name for dimensions, " +
+              "aggregators, or post-aggregators.")
+          outNames.diff(outNames.distinct).headOption.foreach { d =>
+            throw new IllegalArgumentException(s"[$d] already defined")
+          }
+        }
         val dims = segDims ++ granDims ++ userDims
         val dimOutputs = dims.map(_.output).toSet
-        // dim outputs that are ARRAY-typed (whole-array grouping): ordered
-        // natively — arrays compare element-wise like the reference's
-        // ComparableList/ComparableStringArray, and a string-comparator key
-        // over an array would stringify it
-        // (GroupByQueryRunnerTest.testGroupByWithLongArrays sorts raw
-        // double arrays numerically)
-        lazy val arrayDimOutputs: Set[String] = dims.collect {
-          case d: ExprDim if prepared.select(d.col).schema.head.dataType
-              .isInstanceOf[org.apache.spark.sql.types.ArrayType] => d.output
+        // resolved types of EXPRESSION dim outputs (typed extraction specs,
+        // array-output dims): the implicit merge order and limit tie-breaks
+        // compare dims by their TYPED natural comparator
+        // (RowBasedGrouperHelper.compareDimsInRows) — a LONG strlen
+        // extraction orders 4<6<...<13, not lexicographically
+        // (testGroupByLimitPushDownWithLongDimensionNotInLimitSpec); ARRAY
+        // outputs order natively element-wise like ComparableList/
+        // ComparableStringArray (testGroupByWithLongArrays)
+        lazy val exprDimTypes: Map[String, org.apache.spark.sql.types.DataType] =
+          dims.collect {
+            case d: ExprDim => d.output -> prepared.select(d.col).schema.head.dataType
+          }.toMap
+        lazy val arrayDimOutputs: Set[String] = exprDimTypes.collect {
+          case (n, _: org.apache.spark.sql.types.ArrayType) => n
         }.toSet
         GroupByQuery(
           dimensions = dims,
@@ -252,6 +312,8 @@ object NativeQuery {
                   case Dim(name, _) => prepared.schema.fields.collectFirst {
                     case f if f.name == name => f.dataType
                   }.exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+                  case _: ExprDim => exprDimTypes.get(d.output)
+                    .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
                   case _ => false
                 }
                 if (numeric || arrayDimOutputs(d.output)) col(d.output)
@@ -464,7 +526,20 @@ object NativeQuery {
             case d => dataSource(spark, d, resolve, lookups, maxSubqueryRows)
           })
         case "query" =>
-          val sub0 = run(spark, JsonMethods.compact(JsonMethods.render(o \ "query")), resolve, lookups)
+          // subqueries run UNFINALIZED (ClientQuerySegmentWalker inlines
+          // with finalize=false): sketch aggregators keep their raw state so
+          // the outer query can re-fold it. An explicit inner context
+          // finalize flag wins.
+          val innerQ = (o \ "query") match {
+            case jo: JObject if (jo \ "context" \ "finalize") == JNothing =>
+              val ctx = (jo \ "context") match {
+                case c: JObject => c.obj; case _ => Nil
+              }
+              JObject(jo.obj.filterNot(_._1 == "context") :+
+                ("context" -> JObject(ctx :+ ("finalize" -> JBool(false)))))
+            case x => x
+          }
+          val sub0 = run(spark, JsonMethods.compact(JsonMethods.render(innerQ)), resolve, lookups)
           // a groupBy's merged result is ORDERED by bucket time then
           // dimensions (RowBasedGrouperHelper merge order) — the row order
           // is part of the subquery contract: an outer first/last breaks
@@ -867,6 +942,10 @@ object NativeQuery {
     schema.fields.collectFirst {
       case f if f.name == name => f.dataType match {
         case a: org.apache.spark.sql.types.ArrayType => a.elementType
+        // TIMESTAMP columns present as epoch-millis longs to value filters
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          org.apache.spark.sql.types.LongType
         case t => t
       }
     }
@@ -971,11 +1050,22 @@ object NativeQuery {
         case _ => false
       }))
     def tsMillis(name: String): Column = unix_millis(col(name).cast("timestamp"))
+    // DefaultDimensionSpec's outputType DEFAULTS TO STRING
+    // (DefaultDimensionSpec.getOutputType: null → ColumnType.STRING): a
+    // numeric or timestamp column named without an explicit outputType
+    // groups — and orders, and renders — as its STRING form
+    // (GroupByQueryRunnerTest.testGroupByLongAndFloatOutputAsString pins
+    // "1200"/"12000.0"). Spark's cast matches the reference's
+    // String.valueOf rendering for long/float/double.
+    def isNumericCol(name: String): Boolean = schema != null &&
+      schema.fields.exists(f => f.name == name &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     j match {
     case JString(d) =>
       if (missing(d) || isBinaryCol(d)) ExprDim(lit(null).cast("string"), d)
       else if (isArrayCol(d)) MvDim(col(d), d)
-      else if (isTsCol(d)) ExprDim(tsMillis(d), d)
+      else if (isTsCol(d)) ExprDim(tsMillis(d).cast("string"), d)
+      else if (isNumericCol(d)) ExprDim(col(d).cast("string"), d)
       else Dim(d)
     case o =>
       // lazy: the filtered-decorator specs carry a DELEGATE spec instead of
@@ -1019,7 +1109,10 @@ object NativeQuery {
               // NULL on an unparseable value (TopNQueryRunnerTest
               // .testSortOnStringAsDouble), never an error
               case Some(t) => ExprDim(src.try_cast(t), out)
-              case None => if (isTsCol(dim)) ExprDim(src, out) else Dim(dim, out)
+              // no outputType → STRING (DefaultDimensionSpec default)
+              case None if isTsCol(dim) || isNumericCol(dim) =>
+                ExprDim(src.cast("string"), out)
+              case None => Dim(dim, out)
             }
           }
           }
@@ -1128,9 +1221,14 @@ object NativeQuery {
       // renders ISO-8601 millis; asMillis reads the input as epoch millis
       val tz = strOpt(j \ "timeZone").orNull
       val localeTag = strOpt(j \ "locale").orNull
-      val t0 =
-        if (boolOpt(j \ "asMillis").getOrElse(false)) timestamp_millis(c.cast("long"))
-        else c.cast("timestamp")
+      // input typing is schema-dependent (raw __time is a timestamp, a
+      // re-extracted inner dim is an epoch-millis LONG): DruidTimeInput
+      // resolves it lazily per TimeFormatExtractionFn.apply's contract
+      val t0 = {
+        val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+        bridge.column(graft.functions.TimeFormatExtractionInput(
+          bridge.expression(c), boolOpt(j \ "asMillis").getOrElse(false)))
+      }
       val t = (j \ "granularity") match {
         case JNothing | JNull | JString("none") => t0
         case g => granularity(g) match {
@@ -1140,6 +1238,11 @@ object NativeQuery {
         }
       }
       strOpt(j \ "format") match {
+        // asMillis with NO format: the formatter is null and apply returns
+        // String.valueOf(truncated millis)
+        // (TimeFormatExtractionFn.java:62, apply(long))
+        case None if boolOpt(j \ "asMillis").getOrElse(false) =>
+          unix_millis(t).cast("string")
         // Spark's pattern dialect caps day-of-week text at E..EEE; full
         // names (Joda "EEEE", TimeFormatExtractionFn's dialect) render
         // through the java.time formatter instead
@@ -1288,7 +1391,27 @@ object NativeQuery {
         case JNothing | JNull => nullCol
         case f => extractionFn(f, nullCol)
       })
-    } else pred(dimWithExtraction(j))
+    } else {
+      // a TIMESTAMP column presents to value filters as its epoch-millis
+      // LONG — the reference's __time dimension selector is a long, so a
+      // bound/selector compares against "1301616000000"
+      // (GroupByQueryRunnerTest.testGroupByWithTimeColumn's time predicate,
+      // testGroupByWithHavingSpecOnLongAndFloat's time_alias selector)
+      val isTs = schema != null && schema.fields.exists(f =>
+        f.name == name && (f.dataType match {
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }))
+      if (!isTs) pred(dimWithExtraction(j))
+      else {
+        val base = unix_millis(col(name).cast("timestamp"))
+        pred((j \ "extractionFn") match {
+          case JNothing | JNull => base
+          case f => extractionFn(f, base)
+        })
+      }
+    }
   }
 
   private def filter(j: JValue, schema: org.apache.spark.sql.types.StructType = null): Column = str(j \ "type") match {
@@ -1441,6 +1564,33 @@ object NativeQuery {
       case JNothing | JNull => c
       case f => extractionFn(f, c)
     }
+  }
+
+  /** The aggregator types whose finalizeComputation is non-identity: under
+    * a `finalize=false` context they must emit raw state instead. */
+  private val FinalizableAggTypes = Set("hyperUnique", "thetaSketch",
+    "arrayOfDoublesSketch", "quantilesDoublesSketch",
+    "quantilesDoublesSketchMerge", "HLLSketchBuild", "HLLSketchMerge")
+
+  /** finalize=false context → default shouldFinalize to false on every
+    * finalizable aggregator (explicit per-agg flags win). Recurses into
+    * filtered wrappers. */
+  private def injectNoFinalize(aggsJ: JValue): JValue = aggsJ match {
+    case JArray(as) => JArray(as.map {
+      case o: JObject if strOpt(o \ "type").contains("filtered") =>
+        JObject(o.obj.map {
+          case ("aggregator", inner) =>
+            ("aggregator", injectNoFinalize(JArray(List(inner))) match {
+              case JArray(List(x)) => x; case x => x
+            })
+          case kv => kv
+        })
+      case o: JObject if strOpt(o \ "type").exists(FinalizableAggTypes) &&
+          (o \ "shouldFinalize") == JNothing =>
+        JObject(o.obj :+ ("shouldFinalize" -> JBool(false)))
+      case x => x
+    })
+    case x => x
   }
 
   /** Output-time finalization of sketch-typed aggregators, matching the
@@ -1729,8 +1879,8 @@ object NativeQuery {
         }
         if (isArray)
           Agg(name, hll_union_agg(
-            aggregate(f, graft.plans.SketchFunctions.hyperUnique(lgK),
-              (acc, x) => graft.plans.SketchFunctions.hyperUniqueAdd(x, acc)), lit(true)))
+            aggregate(f, graft.plans.SketchFunctions.dsHyperUnique(lgK),
+              (acc, x) => graft.plans.SketchFunctions.dsHyperUniqueAdd(x, acc)), lit(true)))
         else Agg(name, hll_sketch_agg(f, lgK))
       case "HLLSketchMerge" =>
         Agg(name, hll_union_agg(f, true))

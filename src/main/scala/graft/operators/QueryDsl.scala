@@ -176,6 +176,7 @@ object QueryCommon {
       case _: graft.plans.ThetaEstimate => true
       case _: graft.plans.HllcUnionEstimate => true
       case _: graft.plans.HllEstimateExpr => true
+      case _: graft.plans.DsHllEstimateExpr => true
       case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         uf.nameParts.last.equalsIgnoreCase("hll_sketch_estimate")
       case _ => false
@@ -504,7 +505,11 @@ final case class TopNQuery(
       case Nil => (Seq(count(lit(1)).as("__graft_dummy_agg")), true)
       case as => (as.map(_.aliased), false)
     }
-    val dimOrd = col(dimension.output).asc_nulls_last
+    // metric ties break by the dimension ascending with NULL FIRST
+    // (TopNNumericResultBuilder.DIM_VALUE_COMPARATOR: null < everything —
+    // TopNQueryRunnerTest.testTopNWithNullProducingDimExtractionFn ranks the
+    // null group before 'upfront' on a 4-4 rows tie)
+    val dimOrd = col(dimension.output).asc_nulls_first
     // Two-phase "aggregate the topN metric first"
     // (AggregateTopNMetricFirstAlgorithm.java:47): with a WIDE aggregator
     // list, aggregate ONLY the ranking metric, rank-limit to the K surviving

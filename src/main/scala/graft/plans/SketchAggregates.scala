@@ -642,16 +642,22 @@ case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[
   * expression macros (reference: processing/.../query/expression/
   * HyperUniqueExpressions.java:44-260) — per-row HLL collector manipulation
   * used inside expression virtual columns and expression-lambda aggregators.
-  * The collector rides as DataSketches HLL updatable bytes; exact for small
-  * cardinalities (coupon list phase), the same bound as the reference's
-  * HyperLogLogCollector at those sizes. */
+  * The collector IS the reference's HyperLogLogCollector (V1 bytes,
+  * value-space registers — plans.DruidSketchInterop), hashed with the SAME
+  * functions as the cardinality aggregator (hashUnencodedChars for strings,
+  * hashLong(doubleToLongBits) for doubles — HyperUniqueExpressions.java:
+  * 168-191), so a lambda-built estimate matches the cardinality
+  * aggregator's published constants byte-exactly
+  * (TopNQueryRunnerTest.testExpressionAggregatorComplex expects
+  * carExpr == car == UNIQUES_9). The lgK argument is accepted and ignored —
+  * the reference collector is fixed at 2^11 buckets. */
 case class HllCreateExpr(lgK: Int)
   extends org.apache.spark.sql.catalyst.expressions.LeafExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def foldable: Boolean = false // each call site is a fresh collector
   override def eval(input: InternalRow): Any =
-    new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray
+    DruidHllcBuild.toBytes(new DruidHllcBuild.State)
   override def prettyName: String = "hyper_unique"
 }
 
@@ -673,22 +679,25 @@ case class HllAddExpr(value: Expression, sketch: Expression)
     }
   }
   override protected def nullSafeEval(v: Any, s: Any): Any = {
-    val sk = org.apache.datasketches.hll.HllSketch.heapify(
-      Memory.wrap(s.asInstanceOf[Array[Byte]]))
+    val st = DruidHllcBuild.fromRegisters(
+      DruidHllc.registerValues(s.asInstanceOf[Array[Byte]]))
     value.dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
-        sk.update(v.asInstanceOf[Number].longValue())
-      case DoubleType | FloatType => sk.update(v.asInstanceOf[Number].doubleValue())
-      case StringType => sk.update(v.asInstanceOf[UTF8String].toString)
+        DruidHllcBuild.addHashed(st,
+          DruidHllcBuild.hashLong(v.asInstanceOf[Number].longValue()))
+      case DoubleType | FloatType =>
+        DruidHllcBuild.addHashed(st, DruidHllcBuild.hashLong(
+          java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue())))
+      case StringType =>
+        DruidHllcBuild.addHashed(st,
+          DruidHllcBuild.hashChars(v.asInstanceOf[UTF8String].toString))
       case BinaryType => // fold another collector (reference COMPLEX case)
-        val other = org.apache.datasketches.hll.HllSketch.heapify(
-          Memory.wrap(v.asInstanceOf[Array[Byte]]))
-        val u = new org.apache.datasketches.hll.Union(sk.getLgConfigK)
-        u.update(sk); u.update(other)
-        return u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4).toUpdatableByteArray
+        val other = DruidHllcBuild.fromRegisters(
+          DruidHllc.registerValues(v.asInstanceOf[Array[Byte]]))
+        DruidHllcBuild.merge(st, other)
       case dt => throw new IllegalArgumentException(s"hyper_unique_add: unsupported type $dt")
     }
-    sk.toUpdatableByteArray
+    DruidHllcBuild.toBytes(st)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HllAddExpr =
     copy(value = l, sketch = r)
@@ -698,10 +707,68 @@ case class HllAddExpr(value: Expression, sketch: Expression)
 case class HllEstimateExpr(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any =
-    org.apache.datasketches.hll.HllSketch.heapify(
-      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+    DruidHllc.estimate(v.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): HllEstimateExpr = copy(child = c)
   override def prettyName: String = "hyper_unique_estimate"
+}
+
+/** Fractional estimate of DATASKETCHES HLL bytes — the HLLSketchBuild /
+  * HLLSketchMerge finalization (HllSketchAggregatorFactory
+  * .finalizeComputation, round=false). A separate expression from
+  * [[HllEstimateExpr]]: the datasketches extension's blobs and the core
+  * hyperUnique HLLC collector are different wire formats in the reference
+  * too. */
+/** Per-row DATASKETCHES HLL construction — the HLLSketchBuild-over-MV path
+  * folds a row's array elements into one DataSketches blob that Spark's
+  * hll_union_agg then merges across rows (HllSketchBuildAggregator updates
+  * per element). Distinct from the HLLC-backed hyper_unique() macros. */
+case class DsHllCreateExpr(lgK: Int)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    new org.apache.datasketches.hll.HllSketch(lgK).toUpdatableByteArray
+  override def prettyName: String = "ds_hll_create"
+}
+
+case class DsHllAddExpr(value: Expression, sketch: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def left: Expression = value
+  override def right: Expression = sketch
+  override def dataType: DataType = BinaryType
+  override def eval(input: InternalRow): Any = {
+    val s = sketch.eval(input)
+    if (s == null) null
+    else {
+      val v = value.eval(input)
+      if (v == null) s else nullSafeEval(v, s)
+    }
+  }
+  override protected def nullSafeEval(v: Any, s: Any): Any = {
+    val sk = org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(s.asInstanceOf[Array[Byte]]))
+    value.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        sk.update(v.asInstanceOf[Number].longValue())
+      case DoubleType | FloatType => sk.update(v.asInstanceOf[Number].doubleValue())
+      case StringType => sk.update(v.asInstanceOf[UTF8String].toString)
+      case dt => throw new IllegalArgumentException(s"ds_hll_add: unsupported type $dt")
+    }
+    sk.toUpdatableByteArray
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DsHllAddExpr =
+    copy(value = l, sketch = r)
+  override def prettyName: String = "ds_hll_add"
+}
+
+case class DsHllEstimateExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.datasketches.hll.HllSketch.heapify(
+      Memory.wrap(v.asInstanceOf[Array[Byte]])).getEstimate
+  override protected def withNewChildInternal(c: Expression): DsHllEstimateExpr = copy(child = c)
+  override def prettyName: String = "ds_hll_estimate"
 }
 
 /** thetaSketchEstimate with errorBoundsStdDev set → the reference returns a
@@ -943,10 +1010,15 @@ object SketchFunctions {
     c(KllHistogram(e(col), splits, numBins))
 
   /** hyper_unique expression-macro family (per-row HLL collectors). */
+  /** DataSketches per-row build pair (HLLSketchBuild over MV cells). */
+  def dsHyperUnique(lgK: Int = 12): Column = c(DsHllCreateExpr(lgK))
+  def dsHyperUniqueAdd(value: Column, sketch: Column): Column =
+    c(DsHllAddExpr(e(value), e(sketch)))
+
   def hyperUnique(lgK: Int = 12): Column = c(HllCreateExpr(lgK))
   def hyperUniqueAdd(value: Column, sketch: Column): Column =
     c(HllAddExpr(e(value), e(sketch)))
-  def hyperUniqueEstimate(sketch: Column): Column = c(HllEstimateExpr(e(sketch)))
+  def hyperUniqueEstimate(sketch: Column): Column = c(DsHllEstimateExpr(e(sketch)))
 
   /** DS_TUPLE_DOUBLES family (ArrayOfDoublesSketchModule). */
   def tupleSketch(key: Column, values: Seq[Column], lgK: Int = 12): Column =

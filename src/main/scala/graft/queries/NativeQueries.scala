@@ -648,8 +648,11 @@ object NativeQueries {
         |GROUP BY 1 HAVING count(*) > 100
         |ORDER BY cnt DESC, brand ASC LIMIT 10""".stripMargin,
 
+    // DefaultDimensionSpec without outputType is STRING-typed in the
+    // reference (a LONG column groups/orders/renders as its string form) —
+    // the limit slice is the LEXICOGRAPHIC head
     "native_groupby_numeric_limit" ->
-      """SELECT o_custkey AS custkey, count(*) AS cnt
+      """SELECT CAST(o_custkey AS VARCHAR) AS custkey, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY custkey LIMIT 7""".stripMargin,
 
     // theta estimates are exact (integral doubles) below nominal capacity

@@ -182,10 +182,21 @@ class ExtractionFnGoldenSpec extends SparkSpecBase {
   }
 
   test("timeFormat: granularity with null pattern renders ISO (TimeFormatExtractionFnTest.java:76)") {
-    assert(extractMillis("""{"type": "timeFormat", "granularity": "day", "asMillis": true}""",
+    // asMillis=false + null pattern → ISO (a LONG input still reads as epoch
+    // millis — the selector contract, TimeFormatExtractionFn.apply)
+    assert(extractMillis("""{"type": "timeFormat", "granularity": "day"}""",
       Timestamps) ==
       Set("2015-01-01T00:00:00.000Z", "2015-01-02T00:00:00.000Z", "2015-03-03T00:00:00.000Z",
         "2015-03-04T00:00:00.000Z", "2015-05-02T00:00:00.000Z", "2015-12-21T00:00:00.000Z"))
+  }
+
+  test("timeFormat: asMillis with null pattern renders the truncated MILLIS " +
+      "string (TimeFormatExtractionFn.java:62 — the formatter is null only " +
+      "under asMillis, apply(long) returns String.valueOf)") {
+    assert(extractMillis("""{"type": "timeFormat", "granularity": "day", "asMillis": true}""",
+      Timestamps) ==
+      Set("1420070400000", "1420156800000", "1425340800000", "1425427200000",
+        "1430524800000", "1450656000000"))
   }
 
   test("timeFormat: explicit timezone and locale (TimeFormatExtractionFnTest.java:91)") {

@@ -28,7 +28,8 @@ class HavingSpecGoldenSpec extends SparkSpecBase {
         "queryType": "groupBy",
         "dataSource": {"type": "inline", "columnNames": ["id", "m"],
                        "columnTypes": ["LONG", "$typ"], "rows": [$rowsJson]},
-        "dimensions": ["id"],
+        "dimensions": [{"type": "default", "dimension": "id",
+                        "outputName": "id", "outputType": "LONG"}],
         "aggregations": [{"type": "$agg", "name": "metric", "fieldName": "m"}],
         "having": $havingJson
       }""", name => spark.read.parquet(s"${sf()}/$name.parquet"))

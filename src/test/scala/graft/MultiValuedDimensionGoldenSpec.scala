@@ -166,8 +166,15 @@ class MultiValuedDimensionGoldenSpec extends SparkSpecBase {
   }
 
   test("testGroupByExpressionArrayExpressionFilter (:787) — array_offset_of LONG virtual column") {
-    val got = counts(run(exprGroupBy("xx", "array_offset_of(tags, 't2')",
-      out = "tt", outputType = "LONG")))
+    // the reference declares BOTH the virtual column and the dimension
+    // ColumnType.LONG (a bare dim would be STRING-typed)
+    val got = counts(run(
+      """{"queryType": "groupBy", "dataSource": "xx",
+          "virtualColumns": [{"type": "expression", "name": "tt",
+            "expression": "array_offset_of(tags, 't2')", "outputType": "LONG"}],
+          "dimensions": [{"type": "default", "dimension": "tt",
+            "outputName": "tt", "outputType": "LONG"}],
+          "aggregations": [{"type": "count", "name": "count"}]}"""))
     assert(got == Map((null: Any) -> 6L, 1L -> 2L))
   }
 

@@ -451,7 +451,7 @@ class NativeQuerySpec extends SparkSpecBase {
 
   test("limitSpec default comparator sorts numeric dimensions like strings " +
       "(DefaultLimitSpecTest.testSortDimensionDescending)") {
-    def sorted(withOrder: String): Seq[Double] =
+    def sorted(withOrder: String): Seq[String] =
       run(
         s"""{
           "queryType": "groupBy",
@@ -461,11 +461,12 @@ class NativeQuerySpec extends SparkSpecBase {
           "aggregations": [{"type": "count", "name": "cnt"}],
           "limitSpec": {"type": "default", "limit": 3,
             "columns": [{"dimension": "k1", "direction": "descending"$withOrder}]}
-        }""").collect().map(_.getDouble(0)).toSeq
-    // the spec's lexicographic default: "9.0" > "2.0" > "10.0"
-    assert(sorted("") == Seq(9.0, 2.0, 10.0))
+        }""").collect().map(_.getString(0)).toSeq
+    // the dim defaults to STRING output (DefaultDimensionSpec null
+    // outputType) and the spec's lexicographic default: "9.0" > "2.0" > "10.0"
+    assert(sorted("") == Seq("9.0", "2.0", "10.0"))
     // an explicit numeric dimensionOrder restores value order
-    assert(sorted(""", "dimensionOrder": "numeric"""") == Seq(10.0, 9.0, 2.0))
+    assert(sorted(""", "dimensionOrder": "numeric"""") == Seq("10.0", "9.0", "2.0"))
   }
 
   test("sketch MERGE factories on the JSON surface: isInputThetaSketch, " +
@@ -541,28 +542,38 @@ class NativeQuerySpec extends SparkSpecBase {
     assert(math.round(tup.head().getDouble(tup.head().length - 1)) == exactNd)
   }
 
-  test("implicit limit ordering compares numeric dims by TYPED natural order " +
-      "(RowBasedGrouperHelper.compareDimsInRows: LONG/DOUBLE numeric, naturalNullsFirst)") {
-    def dims(limitSpec: String, dimType: String, rows: String): Seq[Any] =
+  test("implicit limit ordering compares dims by their OUTPUT type " +
+      "(RowBasedGrouperHelper.compareDimsInRows: a LONG-declared dim merges " +
+      "numerically; a bare dim is STRING-typed — DefaultDimensionSpec's " +
+      "null outputType — and merges lexicographically)") {
+    def dims(limitSpec: String, dimType: String, rows: String,
+        dimensions: String = """["k1"]"""): Seq[Any] =
       run(
         s"""{
           "queryType": "groupBy",
           "dataSource": {"type": "inline", "columnNames": ["k1"],
             "columnTypes": ["$dimType"], "rows": [$rows]},
-          "dimensions": ["k1"],
+          "dimensions": $dimensions,
           "aggregations": [{"type": "count", "name": "cnt"}],
           "limitSpec": $limitSpec
         }""").collect().map(_.get(0)).toSeq
-    // limit WITHOUT columns: the merge emits LONG dims numerically — the
-    // first 3 groups are 1,2,3, not the lexicographically-first 1,10,100
+    val typedLong = """[{"type": "default", "dimension": "k1",
+      "outputName": "k1", "outputType": "LONG"}]"""
+    // limit WITHOUT columns, LONG-declared dim: the merge emits dims
+    // numerically — the first 3 groups are 1,2,3, not 1,10,100
     assert(dims("""{"type": "default", "limit": 3}""", "LONG",
-      "[1],[10],[100],[2],[3],[20]") == Seq(1L, 2L, 3L))
+      "[1],[10],[100],[2],[3],[20]", typedLong) == Seq(1L, 2L, 3L))
+    // a BARE dim over the same LONG column is STRING-typed and merges
+    // lexicographically (GroupByQueryRunnerTest
+    // .testGroupByLongAndFloatOutputAsString pins the string rendering)
+    assert(dims("""{"type": "default", "limit": 3}""", "LONG",
+      "[1],[10],[100],[2],[3],[20]") == Seq("1", "10", "100"))
     // string dims keep the lexicographic merge order
     assert(dims("""{"type": "default", "limit": 3}""", "STRING",
       """["1"],["10"],["100"],["2"],["3"],["20"]""") == Seq("1", "10", "100"))
     // offset pages through the numeric order too
     assert(dims("""{"type": "default", "limit": 2, "offset": 2}""", "LONG",
-      "[1],[10],[100],[2],[3],[20]") == Seq(3L, 10L))
+      "[1],[10],[100],[2],[3],[20]", typedLong) == Seq(3L, 10L))
   }
 
   test("in filter with a null value matches null dimensions (InDimFilter containsNull)") {

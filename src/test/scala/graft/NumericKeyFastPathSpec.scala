@@ -47,7 +47,9 @@ class NumericKeyFastPathSpec extends SparkSpecBase {
     val json = """
       {"queryType": "topN", "dataSource": "lineitem",
        "timeColumn": "l_shipdate", "granularity": "all",
-       "dimension": "l_suppkey", "threshold": 5,
+       "dimension": {"type": "default", "dimension": "l_suppkey",
+                     "outputName": "l_suppkey", "outputType": "LONG"},
+       "threshold": 5,
        "metric": {"type": "dimension", "ordering": "numeric",
                   "previousStop": "3"},
        "aggregations": [{"type": "count", "name": "cnt"}]}"""

@@ -16,7 +16,14 @@ class TimeFunctionsSpec extends SparkSpecBase {
     assert(one(TimeFunctions.timeFloor(c, "PT15M")) == ts("2024-03-15 13:45:00"))
     assert(one(TimeFunctions.timeFloor(c, "PT1H")) == ts("2024-03-15 13:00:00"))
     assert(one(TimeFunctions.timeFloor(c, "P1D")) == ts("2024-03-15 00:00:00"))
-    assert(one(TimeFunctions.timeFloor(c, "P1W")) == ts("2024-03-14 00:00:00")) // epoch-anchored weeks
+    // P1W with no origin is the ISO week — MONDAY-anchored
+    // (PeriodGranularity.java:295-298 dayOfWeek().set(t, 1));
+    // 2024-03-15 is a Friday, its week starts Monday 03-11
+    assert(one(TimeFunctions.timeFloor(c, "P1W")) == ts("2024-03-11 00:00:00"))
+    // week MULTIPLES keep the 7-day grid from the epoch-default origin
+    // (1970-01-01 was a Thursday): the P2W bucket containing 2024-03-15
+    // starts Thursday 2024-03-14
+    assert(one(TimeFunctions.timeFloor(c, "P2W")) == ts("2024-03-14 00:00:00"))
   }
 
   test("timeFloor month/year periods") {
