@@ -1704,11 +1704,21 @@ object NativeQuery {
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
       case "longSum" => Agg(name, sum(lenientLong(f)))
-      case "doubleSum" | "floatSum" => Agg(name, sum(lenientDouble(f)))
+      case "doubleSum" => Agg(name, sum(lenientDouble(f)))
       case "longMin" => Agg(name, min(lenientLong(f)))
       case "longMax" => Agg(name, max(lenientLong(f)))
-      case "doubleMin" | "floatMin" => Agg(name, min(lenientDouble(f)))
-      case "doubleMax" | "floatMax" => Agg(name, max(lenientDouble(f)))
+      case "doubleMin" => Agg(name, min(lenientDouble(f)))
+      case "doubleMax" => Agg(name, max(lenientDouble(f)))
+      // the FLOAT factories read the selector as float32 and emit FLOAT
+      // (FloatMinAggregator stores selector.getFloat();
+      // TimeseriesQueryRunnerTest.testFullOnTimeseriesMinMaxAggregators
+      // pins the float32 forms 59.021023f/1870.061f) — min/max of the
+      // rounded values ARE the rounded min/max; the sum accumulates wider
+      // and rounds at output, a documented precision superset of the
+      // reference's sequential float32 accumulation
+      case "floatSum" => Agg(name, sum(lenientDouble(f).cast("float")).cast("float"))
+      case "floatMin" => Agg(name, min(lenientDouble(f).cast("float")))
+      case "floatMax" => Agg(name, max(lenientDouble(f).cast("float")))
       case "doubleMean" => Agg(name, avg(lenientDouble(f)))
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
@@ -2010,11 +2020,16 @@ object NativeQuery {
     val f = when(pred, col(str(inner \ "fieldName")))
     str(inner \ "type") match {
       case "longSum" => sum(lenientLong(f))
-      case "doubleSum" | "floatSum" => sum(lenientDouble(f))
+      case "doubleSum" => sum(lenientDouble(f))
       case "longMin" => min(lenientLong(f))
       case "longMax" => max(lenientLong(f))
-      case "doubleMin" | "floatMin" => min(lenientDouble(f))
-      case "doubleMax" | "floatMax" => max(lenientDouble(f))
+      case "doubleMin" => min(lenientDouble(f))
+      case "doubleMax" => max(lenientDouble(f))
+      // FLOAT factories emit FLOAT (float32 selector reads) — see the
+      // unfiltered cases
+      case "floatSum" => sum(lenientDouble(f).cast("float")).cast("float")
+      case "floatMin" => min(lenientDouble(f).cast("float"))
+      case "floatMax" => max(lenientDouble(f).cast("float"))
       // sketch builders take conditional input the same way: a null input
       // never updates the sketch (FilteredAggregatorFactory around any
       // AggregatorFactory in the reference)

@@ -241,7 +241,7 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       assert(r.getAs[Long]("idx") == idx, s"idx at $d: ${r.getAs[Long]("idx")}")
       assert(r.getAs[Double]("uniques") == Uniques9)
       assert(r.getAs[Long]("longMinIndex") == mn)
-      assert(relEq(r.getAs[Double]("floatMaxIndex"), mx))
+      assert(relEq(r.getAs[Float]("floatMaxIndex").toDouble, mx))
     }
   }
 
@@ -550,7 +550,7 @@ class QueryRunnerGoldenSpec extends SparkSpecBase {
       assert(relEq(r.getAs[Double]("addRowsIndexConstant"), aric))
       assert(r.getAs[Long]("longMinIndex") == mn)
       assert(relEq(r.getAs[Double]("doubleMaxIndex"), dmx))
-      assert(relEq(r.getAs[Double]("floatMinIndex"), fmn))
+      assert(relEq(r.getAs[Float]("floatMinIndex").toDouble, fmn))
     }
   }
 

@@ -415,8 +415,8 @@ class QueryRunnerGoldenSpec2 extends SparkSpecBase {
       assert(r.getAs[Long]("longMinIndex") == e._4 && r.getAs[Long]("longMaxIndex") == e._5)
       assert(relEq(r.getAs[Double]("doubleMinIndex"), e._6), s"doubleMin for ${e._1}")
       assert(relEq(r.getAs[Double]("doubleMaxIndex"), e._7), s"doubleMax for ${e._1}")
-      assert(relEq(r.getAs[Double]("floatMinIndex"), e._6, 1e-5), s"floatMin for ${e._1}")
-      assert(relEq(r.getAs[Double]("floatMaxIndex"), e._7, 1e-5), s"floatMax for ${e._1}")
+      assert(relEq(r.getAs[Float]("floatMinIndex").toDouble, e._6, 1e-5), s"floatMin for ${e._1}")
+      assert(relEq(r.getAs[Float]("floatMaxIndex").toDouble, e._7, 1e-5), s"floatMax for ${e._1}")
     }
   }
 
