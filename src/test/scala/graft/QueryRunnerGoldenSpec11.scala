@@ -157,7 +157,7 @@ class QueryRunnerGoldenSpec11 extends SparkSpecBase {
     assert(got == expected, s"got:\n${got.mkString("\n")}")
   }
 
-  test("testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsingMath" +
+  test("testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsingMathExpressions " +
       "Expressions (GroupByQueryRunnerTest.java:4117): the longSum rides a " +
       "FLOAT expression virtual column 'index * 2 + indexMin / 10'") {
     val got = run(

@@ -68,8 +68,9 @@ class QueryRunnerGoldenSpec12 extends SparkSpecBase {
     assert(ex.getMessage.contains("groupByEnableMultiValueUnnesting"), ex.getMessage)
   }
 
-  test("testMultipleDimensionsOneOfWhichIsMultiValue1 / DifferentOrder " +
-      "(GroupByQueryRunnerTest.java:2229/2468): MV dim × scalar dim unnests " +
+  test("testMultipleDimensionsOneOfWhichIsMultiValue1 / " +
+      "testMultipleDimensionsOneOfWhichIsMultiValueDifferentOrder " +
+      "(GroupByQueryRunnerTest.java:2229/2468): MV dim x scalar dim unnests " +
       "against each quality; both dim orders produce the same 18 groups") {
     val expected = Seq(
       ("a", "automotive", 2L, 282L), ("b", "business", 2L, 230L),
@@ -347,8 +348,9 @@ class QueryRunnerGoldenSpec12 extends SparkSpecBase {
     assert(rows.head.getAs[Long]("rows") == 1L)
   }
 
-  test("testGroupByWithLongArrays / Desc (GroupByQueryRunnerTest.java:2020/" +
-      "2088): array(index) declared LONG_ARRAY keeps the RAW double values " +
+  test("testGroupByWithLongArrays (:2020) / testGroupByWithLongArraysDesc " +
+      "(:2088) (GroupByQueryRunnerTest): array(index) declared LONG_ARRAY " +
+      "keeps the RAW double values " +
       "(outputType is a capabilities hint, not a coercion) and a numeric " +
       "limitSpec over the array dim sorts element-wise") {
     def q(direction: String): Seq[Double] = run(s"""{

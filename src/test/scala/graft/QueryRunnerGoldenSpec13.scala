@@ -40,9 +40,11 @@ class QueryRunnerGoldenSpec13 extends SparkSpecBase {
         "mezzanine": "mezzanine0", "news": "news0", "premium": "premium0",
         "technology": "technology0", "travel": "travel0"}"""
 
-  test("testGroupByWithRebucketRename (:3043) / SimpleRenameRetainMissing" +
-      "NonInjective (:3114) / SimpleRenameRetainMissing (:3185) / " +
-      "SimpleRenameAndMissingString (:3239) (GroupByQueryRunnerTest): every " +
+  test("testGroupByWithRebucketRename (:3043) / " +
+      "testGroupByWithSimpleRenameRetainMissingNonInjective (:3114) / " +
+      "testGroupByWithSimpleRenameRetainMissing (:3185) / " +
+      "testGroupByWithSimpleRenameAndMissingString (:3239) " +
+      "(GroupByQueryRunnerTest): every " +
       "retain/replace/injective flag combination over a total map produces " +
       "the same renamed DAY vector") {
     val expected = Seq(

@@ -37,7 +37,8 @@ class QueryRunnerGoldenSpec14 extends SparkSpecBase {
   // ---- forceLimitPushDown family ----
 
   test("testGroupByLimitPushDown (GroupByQueryRunnerTest.java:11033) / " +
-      "WithOffset (:11081): market desc under forceLimitPushDown — " +
+      "testGroupByLimitPushDownWithOffset (:11081): market desc under " +
+      "forceLimitPushDown — " +
       "limit 2 then (limit 1, offset 2) slices of upfront/total_market/spot") {
     def q(limitSpec: String): Seq[(String, Long)] = run(s"""{
         "queryType": "groupBy", "dataSource": "testIndex",

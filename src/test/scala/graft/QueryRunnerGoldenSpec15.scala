@@ -33,8 +33,9 @@ class QueryRunnerGoldenSpec15 extends SparkSpecBase {
 
   // ---- typed numeric dimensions ----
 
-  test("testGroupByLongColumnDescending (:9884) / FloatColumnDescending " +
-      "(:10121) / DoubleColumnDescending (:10171) (GroupByQueryRunnerTest): " +
+  test("testGroupByLongColumnDescending (:9884) / " +
+      "testGroupByFloatColumnDescending (:10121) / " +
+      "testGroupByDoubleColumnDescending (:10171) (GroupByQueryRunnerTest): " +
       "typed numeric dims with a numeric-desc limitSpec — 1700/17000 before " +
       "1200/12000") {
     def q(dim: String, outputType: String, alias: String): Seq[(AnyVal, Long, Long)] =
@@ -60,8 +61,9 @@ class QueryRunnerGoldenSpec15 extends SparkSpecBase {
       Seq((17000.0d, 2L, 175L), (12000.0d, 2L, 324L)))
   }
 
-  test("testGroupByLongColumnWithExFn (:9934) / FloatColumnWithExFn " +
-      "(:10221) (GroupByQueryRunnerTest): a string extraction over numeric " +
+  test("testGroupByLongColumnWithExFn (:9934) / " +
+      "testGroupByFloatColumnWithExFn (:10221) (GroupByQueryRunnerTest): " +
+      "a string extraction over numeric " +
       "columns renders the reference string forms ('super-1200', " +
       "'super-158.747224')") {
     def q(dim: String): Seq[(String, String, Long, Long)] = run(s"""{
@@ -134,8 +136,9 @@ class QueryRunnerGoldenSpec15 extends SparkSpecBase {
     assert(r.getAs[Long]("rows") == 1L)
   }
 
-  test("testGroupByOnNullableFloat (:12074) / OnNullableDoubleNoLimit" +
-      "Pushdown (:12032) (GroupByQueryRunnerTest): nullable numeric dims " +
+  test("testGroupByOnNullableFloat (:12074) / " +
+      "testGroupByOnNullableDoubleNoLimitPushdown (:12032) " +
+      "(GroupByQueryRunnerTest): nullable numeric dims " +
       "group null first under the ascending limit 5") {
     def q(dim: String, outputType: String): Seq[(Option[Double], Long)] = run(s"""{
         "queryType": "groupBy", "dataSource": "testIndex",
@@ -334,9 +337,10 @@ class QueryRunnerGoldenSpec15 extends SparkSpecBase {
     assert(ex2.getMessage.contains("[quality_uniques] already defined"), ex2.getMessage)
   }
 
-  test("testGroupByTimeExtractionNamedUnderUnderTime (:5914) / testGroupBy" +
-      "WithUnderUnderTimeAsDimensionNameWithHavingAndLimit (:5948) (GroupBy" +
-      "QueryRunnerTest): '__time' is rejected as an output name") {
+  test("testGroupByTimeExtractionNamedUnderUnderTime (:5914) / " +
+      "testGroupByWithUnderUnderTimeAsDimensionNameWithHavingAndLimit " +
+      "(:5948) (GroupByQueryRunnerTest): '__time' is rejected as an " +
+      "output name") {
     for (dims <- Seq(
         """[{"type": "default", "dimension": "market", "outputName": "market"},
             {"type": "extraction", "dimension": "__time", "outputName": "__time",

@@ -76,7 +76,8 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
       Seq(TotalMarket, Upfront, Spot))
   }
 
-  test("testTopNWithOrFilter1 (:1329) / OrFilter2 (:1377) / Filter1 (:1418) " +
+  test("testTopNWithOrFilter1 (:1329) / testTopNWithOrFilter2 (:1377) / " +
+      "testTopNWithFilter1 (:1418) " +
       "(TopNQueryRunnerTest): IN filters narrow the ranked set") {
     check(rowsOf(run(topn("market", NumericMetric, 4,
       """{"type": "in", "dimension": "market",
@@ -111,8 +112,9 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
         ("spot", 1L, 109.705815, 111.705815, Uniques1)))
   }
 
-  test("testTopNWithNonExistentFilterInOr (:1560) / NonExistentFilter " +
-      "(:1593) / NonExistentFilterMultiDim (:1614) (TopNQueryRunnerTest): " +
+  test("testTopNWithNonExistentFilterInOr (:1560) / " +
+      "testTopNWithNonExistentFilter (:1593) / " +
+      "testTopNWithNonExistentFilterMultiDim (:1614) (TopNQueryRunnerTest): " +
       "values absent from the data drop out; all-absent yields empty") {
     check(rowsOf(run(topn("market", NumericMetric, 4,
       """{"type": "in", "dimension": "market",
@@ -128,8 +130,9 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
       .collect().isEmpty)
   }
 
-  test("testTopNWithMultiValueDimFilter1 (:1655) / 2 (:1694) (TopNQueryRunner" +
-      "Test): a filter on an MV element is exactly the equivalent " +
+  test("testTopNWithMultiValueDimFilter1 (:1655) / " +
+      "testTopNWithMultiValueDimFilter2 (:1694) (TopNQueryRunnerTest): " +
+      "a filter on an MV element is exactly the equivalent " +
       "single-value quality filter") {
     val viaMv = rowsOf(run(topn("market", NumericMetric, 4,
       """{"type": "selector", "dimension": "placementish", "value": "m"}""")), "market")
@@ -144,7 +147,9 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
     assert(viaMv2 == viaQuality2, s"$viaMv2\nvs\n$viaQuality2")
   }
 
-  test("testTopNWithMultiValueDimFilter3 (:1733) / 4 (:1760) / 5 (:1800) " +
+  test("testTopNWithMultiValueDimFilter3 (:1733) / " +
+      "testTopNWithMultiValueDimFilter4 (:1760) / " +
+      "testTopNWithMultiValueDimFilter5 (:1800) " +
       "(TopNQueryRunnerTest): ranking ON the MV dimension unnests per " +
       "element while the filter matches per element") {
     check(rowsOf(run(topn("placementish", NumericMetric, 4,
@@ -167,8 +172,10 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
         ("t", 4L, 422.3440856933594, 427.3440856933594, Uniques2)))
   }
 
-  test("testTopNWithNonExistentDimension (:1856) / AndActualFilter (:1886) / " +
-      "AndNonExistentFilter (:1914) (TopNQueryRunnerTest): a nonexistent " +
+  test("testTopNWithNonExistentDimension (:1856) / " +
+      "testTopNWithNonExistentDimensionAndActualFilter (:1886) / " +
+      "testTopNWithNonExistentDimensionAndNonExistentFilter (:1914) " +
+      "(TopNQueryRunnerTest): a nonexistent " +
       "ranked dimension groups everything under null; a nonexistent-dim " +
       "NULL filter matches every row") {
     check(rowsOf(run(topn("doesn't exist", NumericMetric, 1)), "doesn't exist")
@@ -194,10 +201,12 @@ class QueryRunnerGoldenSpec16 extends SparkSpecBase {
     assert(got == Seq("spot", "total_market", "upfront"), got.mkString(","))
   }
 
-  test("testTopNLexicographicWithPreviousStop (:2037) / WithNonExisting" +
-      "PreviousStop (:2077) / Inverted... (:2117/:2157) (TopNQueryRunner" +
-      "Test): previousStop pagination, both directions, stop values " +
-      "present and absent") {
+  test("testTopNLexicographicWithPreviousStop (:2037) / " +
+      "testTopNLexicographicWithNonExistingPreviousStop (:2077) / " +
+      "testTopNInvertedLexicographicWithPreviousStop (:2117) / " +
+      "testTopNInvertedLexicographicWithNonExistingPreviousStop (:2157) " +
+      "(TopNQueryRunnerTest): previousStop pagination, both directions, " +
+      "stop values present and absent") {
     def q(metric: String): Seq[String] = run(s"""{
         "queryType": "topN", "dataSource": "testIndex",
         "granularity": "all", "intervals": $FirstToThird,

@@ -40,9 +40,11 @@ class QueryRunnerGoldenSpec17 extends SparkSpecBase {
         {"type": "fieldAccess", "name": "rows", "fieldName": "rows"},
         {"type": "fieldAccess", "name": "index", "fieldName": "index"}]}]"""
 
-  test("testTopNDimExtractionFastTopNOptimal (:2576) / UnOptimal (:2640) / " +
-      "OptimalWithReplaceMissing (:2447) / UnOptimalWithReplaceMissing " +
-      "(:2511) (TopNQueryRunnerTest): lookup-renamed markets rank by rows " +
+  test("testTopNDimExtractionFastTopNOptimal (:2576) / " +
+      "testTopNDimExtractionFastTopNUnOptimal (:2640) / " +
+      "testTopNDimExtractionFastTopNOptimalWithReplaceMissing (:2447) / " +
+      "testTopNDimExtractionFastTopNUnOptimalWithReplaceMissing (:2511) " +
+      "(TopNQueryRunnerTest): lookup-renamed markets rank by rows " +
       "under every injective/replace-missing flag combination") {
     for (flags <- Seq(
         """"retainMissingValue": false, "replaceMissingValueWith": "MISSING", "injective": true""",
@@ -70,7 +72,8 @@ class QueryRunnerGoldenSpec17 extends SparkSpecBase {
   }
 
   test("testTopNLexicographicDimExtractionOptimalNamespace (:2706) / " +
-      "UnOptimalNamespace (:2772) / OptimalNamespaceWithRunner (:2839) " +
+      "testTopNLexicographicDimExtractionUnOptimalNamespace (:2772) / " +
+      "testTopNLexicographicDimExtractionOptimalNamespaceWithRunner (:2839) " +
       "(TopNQueryRunnerTest): lexicographic rank ON the renamed values — " +
       "1total_market, 2spot, 3upfront") {
     for (injective <- Seq(true, false)) {
@@ -97,8 +100,9 @@ class QueryRunnerGoldenSpec17 extends SparkSpecBase {
     }
   }
 
-  test("testTopNLexicographicDimExtraction (:2905) / testInvertedTopN" +
-      "LexicographicDimExtraction2 (:2963) (TopNQueryRunnerTest): regex " +
+  test("testTopNLexicographicDimExtraction (:2905) / " +
+      "testInvertedTopNLexicographicDimExtraction2 (:2963) " +
+      "(TopNQueryRunnerTest): regex " +
       "first-char / third-char extraction ranked both directions") {
     def q(expr: String, metric: String): Seq[String] = run(s"""{
         "queryType": "topN", "dataSource": "testIndex",
@@ -117,9 +121,11 @@ class QueryRunnerGoldenSpec17 extends SparkSpecBase {
       == Seq("t", "o", "f"))
   }
 
-  test("testTopNLexicographicDimExtractionWithPreviousStop (:3000) / WithSorting" +
-      "PreservedAndPreviousStop (:3040) / Inverted...WithPreviousStop (:3080) / " +
-      "WithPreviousStop2 (:3120) (TopNQueryRunnerTest): previousStop " +
+  test("testTopNLexicographicDimExtractionWithPreviousStop (:3000) / " +
+      "testTopNLexicographicDimExtractionWithSortingPreservedAndPreviousStop " +
+      "(:3040) / testInvertedTopNLexicographicDimExtractionWithPreviousStop " +
+      "(:3080) / testInvertedTopNLexicographicDimExtractionWithPreviousStop2 " +
+      "(:3120) (TopNQueryRunnerTest): previousStop " +
       "pagination over extracted values, both directions") {
     def q(expr: String, metric: String): Seq[String] = run(s"""{
         "queryType": "topN", "dataSource": "testIndex",
@@ -343,8 +349,10 @@ class QueryRunnerGoldenSpec17 extends SparkSpecBase {
     assert(relEq(r.getAs[Double]("minIndex"), 59.02102279663086))
   }
 
-  test("testAggregateOnLongNumericNull (:5875) / Double (:5907) / Float " +
-      "(:5939) (TopNQueryRunnerTest): typed nullable dims rank numerically " +
+  test("testAggregateOnLongNumericNull (:5875) / " +
+      "testAggregateOnDoubleNumericNull (:5907) / " +
+      "testAggregateOnFloatNumericNull (:5939) " +
+      "(TopNQueryRunnerTest): typed nullable dims rank numerically " +
       "with the null group first") {
     for ((dim, typ) <- Seq(("longNumericNull", "LONG"),
         ("doubleNumericNull", "DOUBLE"), ("floatNumericNull", "FLOAT"))) {

@@ -233,8 +233,9 @@ class QueryRunnerGoldenSpec18 extends SparkSpecBase {
       ("upfront", 186L, Uniques2)), got.mkString(","))
   }
 
-  test("testTopNOverHyperUniqueExpression (:717) / Rounded (:771) (TopNQuery" +
-      "RunnerTest): an expression post-agg over the finalized estimate " +
+  test("testTopNOverHyperUniqueExpression (:717) / " +
+      "testTopNOverHyperUniqueExpressionRounded (:771) (TopNQueryRunnerTest): " +
+      "an expression post-agg over the finalized estimate " +
       "(uniques + 1), fractional and rounded") {
     val got = run(s"""{
         "queryType": "topN", "dataSource": "testIndex",

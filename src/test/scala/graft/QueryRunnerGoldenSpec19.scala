@@ -53,8 +53,9 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
       r.getAs[Long]("index"), r.getAs[Double]("addRowsIndexConstant"),
       r.getAs[Double]("uniques"))).sortBy(_._1).toSeq
 
-  test("testTimeseriesWithFilter1 (:1200) / Filter2 (:1250) / Filter3 " +
-      "(:1297) (TimeseriesQueryRunnerTest): per-market selector filters " +
+  test("testTimeseriesWithFilter1 (:1200) / testTimeseriesWithFilter2 " +
+      "(:1250) / testTimeseriesWithFilter3 (:1297) " +
+      "(TimeseriesQueryRunnerTest): per-market selector filters " +
       "reshape the day vector") {
     assert(tsLongSum("""{"type": "selector", "dimension": "market", "value": "spot"}""")
       == Seq(("2011-04-01", 9L, 1102L, 1112.0, Uniques9),
@@ -67,8 +68,9 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
              ("2011-04-02", 2L, 2514L, 2517.0, Uniques2)))
   }
 
-  test("testTimeseriesWithOrFilter (:1102) / WithInFilter (:1539) (Timeseries" +
-      "QueryRunnerTest): all-markets OR and IN filters keep the full days") {
+  test("testTimeseriesWithOrFilter (:1102) / testTimeseriesWithInFilter " +
+      "(:1539) (TimeseriesQueryRunnerTest): all-markets OR and IN filters " +
+      "keep the full days") {
     val expected = Seq(("2011-04-01", 13L, 6619L, 6633.0, Uniques9),
       ("2011-04-02", 13L, 5827L, 5841.0, Uniques9))
     assert(tsLongSum("""{"type": "or", "fields": [
@@ -100,8 +102,9 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
     }""").collect().map(r => (day(r), r.getAs[Long]("rows"),
       r.getAs[Double]("index"), r.getAs[Double]("uniques"))).sortBy(_._1).toSeq
 
-  test("testTimeseriesWithMultiDimFilterAndOr (:1344) / testTimeseriesWith" +
-      "NonExistentFilterAndMultiDimAndOr (:1597) (TimeseriesQueryRunnerTest): " +
+  test("testTimeseriesWithMultiDimFilterAndOr (:1344) / " +
+      "testTimeseriesWithNonExistentFilterAndMultiDimAndOr (:1597) " +
+      "(TimeseriesQueryRunnerTest): " +
       "spot AND (automotive OR business) — a bogus OR leg changes nothing") {
     val expected = Seq(("2011-04-01", 2L, 254.4554443359375, Uniques2),
       ("2011-04-02", 2L, 260.4129638671875, Uniques2))
@@ -135,8 +138,10 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
     assert(relEq(got(0)._3, 118.57034) && relEq(got(1)._3, 112.987027), got.mkString(","))
   }
 
-  test("testTimeseriesWithMultiValueDimFilter2 (:2088) / AndOr1 (:2119) / " +
-      "AndOr2 (:2159) (TimeseriesQueryRunnerTest): an MV-element filter is " +
+  test("testTimeseriesWithMultiValueDimFilter2 (:2088) / " +
+      "testTimeseriesWithMultiValueDimFilterAndOr1 (:2119) / " +
+      "testTimeseriesWithMultiValueDimFilterAndOr2 (:2159) " +
+      "(TimeseriesQueryRunnerTest): an MV-element filter is " +
       "exactly its single-value quality equivalent") {
     def pairsEqual(mvFilter: String, svFilter: String): Unit = {
       val mv = tsDoubleSum(mvFilter)
@@ -167,8 +172,9 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
             {"type": "selector", "dimension": "quality", "value": "business"}]}]}""")
   }
 
-  test("testTimeseriesWithNonExistentFilter (:1792) / WithFilterOnNonExistent" +
-      "Dimension (:1644) (TimeseriesQueryRunnerTest): no-match filters " +
+  test("testTimeseriesWithNonExistentFilter (:1792) / " +
+      "testTimeseriesWithFilterOnNonExistentDimension (:1644) " +
+      "(TimeseriesQueryRunnerTest): no-match filters " +
       "still ZERO-FILL the buckets — rows 0, null sums") {
     for (f <- Seq(
         """{"type": "selector", "dimension": "market", "value": "billy"}""",
@@ -204,9 +210,11 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
     assert(got.isEmpty, got.mkString("\n"))
   }
 
-  test("testTimeseriesWithNullFilterOnNonExistentDimension (:1704) / With" +
-      "InvertedFilterOnNonExistentDimension (:1748) / WithNonExistentFilter" +
-      "InOr context (TimeseriesQueryRunnerTest): null-selector and " +
+  test("testTimeseriesWithNullFilterOnNonExistentDimension (:1704) / " +
+      "testTimeseriesWithInvertedFilterOnNonExistentDimension (:1748) / " +
+      "testTimeseriesWithNonExistentFilterInOr and " +
+      "testTimeseriesWithNonExistentFilterAndMultiDim shapes " +
+      "(TimeseriesQueryRunnerTest): null-selector and " +
       "NOT(selector) on an absent column keep every row") {
     val expected = Seq(("2011-04-01", 13L, 6626.151596069336, Uniques9),
       ("2011-04-02", 13L, 5833.2095947265625, Uniques9))
@@ -266,7 +274,8 @@ class QueryRunnerGoldenSpec19 extends SparkSpecBase {
   }
 
   test("testTimeseriesWithTimestampResultFieldContextForMapResponse (:2748) " +
-      "/ ForArrayResponse (TimeseriesQueryRunnerTest): the " +
+      "/ testTimeseriesWithTimestampResultFieldContextForArrayResponse " +
+      "(TimeseriesQueryRunnerTest): the " +
       "timestampResultField context materializes each bucket's epoch " +
       "millis as a value column") {
     val got = run(s"""{

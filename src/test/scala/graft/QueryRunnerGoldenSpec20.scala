@@ -15,7 +15,8 @@ import graft.operators.NativeQuery
   * reference's SearchHit POJO — no analog), testSearchWithCardinality (a
   * doubly-merged segment fixture — segment-merge infrastructure, the query
   * semantics are covered by the other search cases),
-  * testScanQueryTimeout/Merge/ZeroDoesntTimeOut (query-runner timeout
+  * testScanQueryTimeout / testScanQueryTimeoutMerge /
+  * testScanQueryTimeoutZeroDoesntTimeOut (query-runner timeout
   * plumbing — the HTTP facade's timeout surface is spec'd in
   * HttpFacadeSpec), and the CompactedList RESULT FORMAT variants (a
   * wire-level rendering of the same rows — the row content is asserted
@@ -62,8 +63,9 @@ class QueryRunnerGoldenSpec20 extends SparkSpecBase {
       == Set(("quality", "automotive", 93L)))
   }
 
-  test("testSearchSameValueInMultiDims (:200) / 2 (:224) (SearchQueryRunner" +
-      "Test): 'e' matches placement 'preferred' per row and placementish " +
+  test("testSearchSameValueInMultiDims (:200) / " +
+      "testSearchSameValueInMultiDims2 (:224) (SearchQueryRunnerTest): " +
+      "'e' matches placement 'preferred' per row and placementish " +
       "per ELEMENT — dim order in the spec does not change the hit set") {
     val expected = Set(
       ("placement", "preferred", 1209L),
@@ -110,8 +112,9 @@ class QueryRunnerGoldenSpec20 extends SparkSpecBase {
 
   // ------------------------------------------------------------- scan
 
-  test("testFullOnSelect (:206) / AsCompactedList (:226) (ScanQueryRunner" +
-      "Test): a full scan with the expr virtual column (index + 10 as " +
+  test("testFullOnSelect (:206) / testFullOnSelectAsCompactedList (:226) " +
+      "(ScanQueryRunnerTest): a full scan with the expr virtual column " +
+      "(index + 10 as " +
       "FLOAT) over the first two days — 26 rows, expr tracks index") {
     val got = run(s"""{
         "queryType": "scan", "dataSource": "testIndex",
@@ -127,8 +130,9 @@ class QueryRunnerGoldenSpec20 extends SparkSpecBase {
     }
   }
 
-  test("testSelectWithDimsAndMets (:299) / AsCompactedList (:340) (ScanQuery" +
-      "RunnerTest): a two-column projection keeps exactly market + index") {
+  test("testSelectWithDimsAndMets (:299) / " +
+      "testSelectWithDimsAndMetsAsCompactedList (:340) (ScanQueryRunnerTest): " +
+      "a two-column projection keeps exactly market + index") {
     val df = run(s"""{
         "queryType": "scan", "dataSource": "testIndex",
         "intervals": $I_0112_0114,
@@ -141,8 +145,10 @@ class QueryRunnerGoldenSpec20 extends SparkSpecBase {
       Set("spot", "total_market", "upfront"))
   }
 
-  test("testFullOnSelectWithFilterLimitAndAscendingTimeOrderingCompactedList" +
-      "Format (:745) / ...Descending... (:834) (ScanQueryRunnerTest): " +
+  test("testFullOnSelectWithFilterLimitAndAscendingTimeOrderingCompactedListFormat " +
+      "(:745) / " +
+      "testFullOnSelectWithFilterLimitAndDescendingTimeOrderingCompactedListFormat " +
+      "(:834) (ScanQueryRunnerTest): " +
       "filter spot + time order asc/desc with limits 3/1/5 — slices of " +
       "the 18 spot rows") {
     for (limit <- Seq(3, 1, 5); asc <- Seq(true, false)) {
