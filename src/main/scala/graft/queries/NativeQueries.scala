@@ -142,10 +142,13 @@ object NativeQueries {
         }""", res(s, dir))
     }),
 
-    // implicit limit ordering on a NUMERIC dimension: the merge order is
-    // TYPED natural comparison (RowBasedGrouperHelper.compareDimsInRows —
-    // LONG dims numerically), so a limit with no orderBy columns returns
-    // the numerically-first custkeys, not the lexicographically-first
+    // implicit limit ordering on a numeric column named WITHOUT an
+    // outputType: DefaultDimensionSpec defaults to STRING
+    // (getOutputType null → ColumnType.STRING), so the merge order is the
+    // STRING comparison and the bare limit returns the LEXICOGRAPHICALLY
+    // first custkeys (r13 — GroupByQueryRunnerTest
+    // .testGroupByLongAndFloatOutputAsString pins the string typing; an
+    // explicit outputType LONG would restore numeric order)
     "native_groupby_numeric_limit" -> ((s, dir) => {
       NativeQuery.run(s,
         """{
@@ -481,6 +484,38 @@ object NativeQueries {
     // HLLSketchBuild aggregator (HllSketchModule.java:49) with round=true →
     // long estimates in the output; exact at ≤25 distinct nation keys
     // (coupon phase)
+    // the UNFINALIZED-subquery contract (r13: ClientQuerySegmentWalker
+    // inlines subqueries with finalize=false): the inner query builds
+    // per-priority HyperLogLogCollector STATE with the hyper_unique()
+    // lambda (raw V1 bytes — no finalize expression), and the OUTER
+    // hyperUnique aggregator re-unions the collectors across the hop.
+    // round=true → the exact order-status count (HLLC is exact at this
+    // cardinality), which the oracle pins with COUNT(DISTINCT).
+    "native_subquery_hllc_refold" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy",
+            "dataSource": "orders",
+            "timeColumn": "o_orderdate",
+            "dimensions": [{"type": "default", "dimension": "o_orderpriority",
+                            "outputName": "prio"}],
+            "aggregations": [
+              {"type": "count", "name": "cnt"},
+              {"type": "expression", "name": "status_state",
+               "fields": ["o_orderstatus"], "accumulatorIdentifier": "acc",
+               "initialValue": "hyper_unique()",
+               "fold": "hyper_unique_add(o_orderstatus, acc)",
+               "combine": "hyper_unique_add(status_state, acc)"}]
+          }},
+          "aggregations": [
+            {"type": "longSum", "name": "cnt", "fieldName": "cnt"},
+            {"type": "hyperUnique", "name": "nd_status",
+             "fieldName": "status_state", "round": true}]
+        }""", res(s, dir))
+    }),
+
     "native_hll" -> ((s, dir) => {
       NativeQuery.run(s,
         """{
@@ -767,6 +802,13 @@ object NativeQueries {
     "native_hll" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nd_nation, count(*) AS cnt
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // HLLC is exact at order-status cardinality, so the re-unioned
+    // collector's rounded estimate equals the exact distinct count
+    "native_subquery_hllc_refold" ->
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status
+        |FROM orders""".stripMargin,
 
     "native_cardinality_modes" ->
       """SELECT
