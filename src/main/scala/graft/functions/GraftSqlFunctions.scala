@@ -1005,6 +1005,63 @@ case class DruidPlus(left: Expression, right: Expression)
   override def prettyName: String = "plus"
 }
 
+/** The math-expr comparison operators (==, !=, <, <=, >, >=): when ONE
+  * side is a string and the other numeric, the string parses LENIENTLY to
+  * a number — unparseable → null → no match (Evals.binaryOp; Expression
+  * FilterTest.testOneSingleValuedStringColumn: "dim3 == 1" must not error
+  * on the row holding 'a'). Both-string and both-numeric comparisons stay
+  * Spark's own. Type-resolved lazily because string-ness of a column
+  * operand is only known after analysis; Spark's ANSI coercion would
+  * instead ERROR on the unparseable value. */
+case class DruidCompare(op: String, left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  override def children: Seq[Expression] = Seq(left, right)
+  private def mk(l: Expression, r: Expression): Expression = op match {
+    case "=" => EqualTo(l, r)
+    case "<" => LessThan(l, r)
+    case ">" => GreaterThan(l, r)
+    case "<=" => LessThanOrEqual(l, r)
+    case ">=" => GreaterThanOrEqual(l, r)
+  }
+  private def lenient(e: Expression): Expression =
+    Cast(e, DoubleType, Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone),
+      EvalMode.TRY)
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  private def millis(e: Expression): Expression = e.dataType match {
+    case TimestampType => UnixMillis(e)
+    case TimestampNTZType => UnixMillis(Cast(e, TimestampType))
+    case _ => e
+  }
+  override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (a, b) if a == b => mk(left, right)
+    case (_: StringType, r) if r.isInstanceOf[NumericType] =>
+      mk(lenient(left), Cast(right, DoubleType))
+    case (l, _: StringType) if l.isInstanceOf[NumericType] =>
+      mk(Cast(left, DoubleType), lenient(right))
+    // the replacement skips the analyzer's coercion, so mixed numeric
+    // operands align explicitly: integral pairs compare as LONGs (exact
+    // beyond 2^53), anything fractional as DOUBLEs; timestamps read as
+    // epoch millis
+    case (a, b) if integral(a) && integral(b) =>
+      mk(Cast(left, LongType), Cast(right, LongType))
+    case (a, b) if (a.isInstanceOf[NumericType] || a.isInstanceOf[TimestampType] ||
+          a == TimestampNTZType) &&
+        (b.isInstanceOf[NumericType] || b.isInstanceOf[TimestampType] ||
+          b == TimestampNTZType) =>
+      mk(Cast(millis(left), DoubleType), Cast(millis(right), DoubleType))
+    case _ => mk(Cast(left, StringType), Cast(right, StringType))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DruidCompare =
+    copy(left = newChildren(0), right = newChildren(1))
+  override def prettyName: String = s"druid_compare_$op"
+}
+
 /** math-expr `array_set_add(set, element)` (Function.java
   * ArraySetAddFunction): appends one element to a sorted distinct set. When
   * the "element" resolves to an ARRAY (a multi-value column bound inside an

@@ -452,11 +452,20 @@ object MathExpr {
     // TopNQueryRunnerTest.testTopNStringVirtualColumn). The operand types
     // are only known after resolution, so every `+` defers through the
     // type-resolved DruidPlus.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual}
     val wrapped = CatalystBridge.expression(parsed).transformUp {
       case And(l, r) => And(truthy(l), truthy(r))
       case Or(l, r) => Or(truthy(l), truthy(r))
       case Not(c) => Not(truthy(c))
       case Add(l, r, _) => graft.functions.DruidPlus(l, r)
+      // comparisons coerce string-vs-number LENIENTLY (Evals.binaryOp —
+      // unparseable strings compare as null, never error)
+      case EqualTo(l, r) => graft.functions.DruidCompare("=", l, r)
+      case LessThan(l, r) => graft.functions.DruidCompare("<", l, r)
+      case GreaterThan(l, r) => graft.functions.DruidCompare(">", l, r)
+      case LessThanOrEqual(l, r) => graft.functions.DruidCompare("<=", l, r)
+      case GreaterThanOrEqual(l, r) => graft.functions.DruidCompare(">=", l, r)
     }
     CatalystBridge.column(wrapped)
   }

@@ -86,15 +86,26 @@ object StringOrderings {
     * in the bound-filter hot path) collapses to a plain double cast. Same
     * struct shape and ordering as [[numericKey]], so the two sides of a
     * comparison may mix (a numeric column against a string literal key). */
-  def numericKeyNumericInput(c: Column): Column =
+  def numericKeyNumericInput(c: Column,
+      inputType: Option[org.apache.spark.sql.types.DataType] = None): Column = {
     // cls mirrors the slow path EXACTLY, null input included: numericKey's
     // `when(parseable, 2).otherwise(1)` routes NULL through the otherwise
     // branch to cls=1 (nulls group before unparseable strings and both
     // precede every number) — a plain lit(2) here would flip which side of
-    // an upper bound a null row lands on
+    // an upper bound a null row lands on.
+    // A FLOAT column compares through its STRING form re-parsed (the
+    // reference's selector renders Float.toString and the numeric
+    // comparator BigDecimal-parses it): 10.1f keys as 10.1, not the
+    // widened 10.100000381... — a direct double cast would exclude it from
+    // a [10.1, ...] bound (BoundFilterTest numeric families over f0)
+    val num = inputType match {
+      case Some(org.apache.spark.sql.types.FloatType) => c.cast("string").cast("double")
+      case _ => c.cast("double")
+    }
     struct(when(c.isNotNull, lit(2)).otherwise(lit(1)).as("cls"),
-      c.cast("double").as("num"),
+      num.as("num"),
       lit(null).cast("string").as("str"))
+  }
 
   /** numericKey of a driver-known string literal: parseability is decided at
     * plan-build time, no runtime regex at all. */
@@ -129,7 +140,8 @@ object StringOrderings {
     ordering match {
       case "lexicographic" => c.cast("string")
       case "numeric" => inputType match {
-        case Some(_: org.apache.spark.sql.types.NumericType) => numericKeyNumericInput(c)
+        case Some(_: org.apache.spark.sql.types.NumericType) =>
+          numericKeyNumericInput(c, inputType)
         case _ => numericKey(c)
       }
       case "alphanumeric" => alphanumericKey(c)

@@ -900,9 +900,20 @@ object NativeQuery {
               }
             }
             val values = arr(vc \ "values").map { case JString(s) => s; case x => str(x) }
+            val allow = boolOpt(vc \ "isAllowList").getOrElse(true)
+            // the delegate may be a SCALAR dimension (BaseFilterTest's
+            // allow-dim0/deny-dim0): the decoration then keeps the value
+            // when it passes the list, else NULL — the single-value
+            // dimension-selector form of the same decorator
+            val isScalarDelegate = !d.select(delegate).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType]
             val filtered =
-              if (boolOpt(vc \ "isAllowList").getOrElse(true))
-                DruidFunctions.mvFilterOnly(delegate, values)
+              if (isScalarDelegate) {
+                val keep = if (allow) delegate.isin(values: _*)
+                           else !coalesce(delegate.isin(values: _*), lit(false))
+                when(keep, delegate)
+              }
+              else if (allow) DruidFunctions.mvFilterOnly(delegate, values)
               else DruidFunctions.mvFilterNone(delegate, values)
             d.withColumn(str(vc \ "name"), filtered)
           case t => throw new IllegalArgumentException(s"virtualColumn type: $t")
@@ -1301,7 +1312,12 @@ object NativeQuery {
         }
       }
       val hit = element_at(typedLit(m), c.cast("string"))
-      if (boolOpt(j \ "retainMissingValue").getOrElse(false)) coalesce(hit, c)
+      // the extraction output contract is STRING: retaining a NUMERIC
+      // original must retain its string form, or coalesce's type coercion
+      // silently casts the map values to the column's numeric type
+      // (LongFilteringTest.testLongFilterWithExtractionFn)
+      if (boolOpt(j \ "retainMissingValue").getOrElse(false))
+        coalesce(hit, c.cast("string"))
       else strOpt(j \ "replaceMissingValueWith").fold(hit)(r => coalesce(hit, lit(r)))
     case "bucket" =>
       // BucketExtractionFn.bucket (BucketExtractionFn.java:95-99): string
@@ -1365,10 +1381,36 @@ object NativeQuery {
     * filter on an ArrayType column matches when ANY element matches, so the
     * per-value predicate is wrapped in exists() when the input schema says
     * the dimension is an array (and no extractionFn intervenes). */
+  /** A value filter's plan-time literal parsed to the dimension's COLUMN
+    * type (DimensionHandlerUtils.convertObjectTo* — a FLOAT column matches
+    * "1.1" as the float 1.1f, not the double 1.1). None = the value cannot
+    * represent in the column's type, so the filter matches nothing. */
+  private def typedFilterValue(raw: Any,
+      vt: Option[org.apache.spark.sql.types.DataType]): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def num[T](f: String => T): Option[Any] =
+      try Some(f(raw.toString)) catch {
+        case _: NumberFormatException | _: ArithmeticException => None
+      }
+    vt match {
+      case Some(FloatType) => num(_.toFloat)
+      case Some(DoubleType) => num(_.toDouble)
+      // integral columns accept EXACT decimal forms: "3.0" selects the
+      // long 3, "3.000...001" selects nothing
+      // (DimensionHandlerUtils.getExactLongFromDecimalString;
+      // LongFilteringTest.testLongColumnFiltering)
+      case Some(LongType) =>
+        num(s => new java.math.BigDecimal(s).longValueExact())
+      case Some(IntegerType) =>
+        num(s => new java.math.BigDecimal(s).intValueExact())
+      case _ => Some(raw)
+    }
+  }
+
   private def mvAware(j: JValue, schema: org.apache.spark.sql.types.StructType)(
       pred: Column => Column): Column = {
     val name = str(j \ "dimension")
-    val isArray = schema != null && (j \ "extractionFn") == JNothing &&
+    val isArray = schema != null &&
       schema.fields.exists(f => f.name == name &&
         f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
     // a filter naming a column the datasource doesn't have evaluates over
@@ -1384,7 +1426,23 @@ object NativeQuery {
     // matches every row (GroupByQueryRunnerTest.testGroupByComplexColumn)
     val complex = schema != null && schema.fields.exists(f =>
       f.name == name && f.dataType == org.apache.spark.sql.types.BinaryType)
-    if (isArray) exists(col(name), pred)
+    if (isArray) {
+      // per-ELEMENT matching, with extraction fns applied per element (the
+      // per-value dimension selector). An EMPTY multi-value cell (and a
+      // null one) presents as a NULL row value — Druid stores [] as a null
+      // selector value, so IN(null)/selector(null) match the empty-cell
+      // rows (InFilterTest.testMultiValueStringColumn: dim2=[] matches
+      // null) and an extraction over an empty cell extracts from null
+      // (SelectorFilterTest.testSelectorWithLookupExtractionFn: the
+      // replace-missing lookup turns dim2=[] into its replacement)
+      val elemPred: Column => Column = c => pred((j \ "extractionFn") match {
+        case JNothing | JNull => c
+        case f => extractionFn(f, c)
+      })
+      val arr = col(name)
+      when(arr.isNull || size(arr) === 0, elemPred(lit(null).cast("string")))
+        .otherwise(exists(arr, e => elemPred(e)))
+    }
     else if (missing || complex) {
       val nullCol = lit(null).cast("string")
       pred((j \ "extractionFn") match {
@@ -1425,14 +1483,23 @@ object NativeQuery {
     case "selector" | "extraction" =>
       (j \ "value") match {
         case JNull | JNothing => mvAware(j, schema)(_.isNull)
-        case v => mvAware(j, schema)(_ <=> lit(jvalueToAny(v)))
+        case v => typedFilterValue(jvalueToAny(v), dimValueType(j, schema)) match {
+          // an unparseable value against a NUMERIC column matches nothing
+          // (DimensionHandlerUtils parse-to-column-type; never errors)
+          case None => mvAware(j, schema)(_ => lit(false))
+          case Some(tv) => mvAware(j, schema)(_ <=> lit(tv))
+        }
       }
     case "in" =>
       // a null in the value list matches null dimension values
       // (InDimFilter's containsNull handling) — isin alone would return
-      // null for them
+      // null for them; non-null values parse to the COLUMN'S type like the
+      // selector (a FLOAT column matches "1.1" as 1.1f —
+      // SelectorFilterTest.testExpressionVirtualColumn)
+      val vt = dimValueType(j, schema)
       val vs0 = arr(j \ "values").map(jvalueToAny)
-      val (nulls, vs) = vs0.partition(_ == null)
+      val (nulls, vsRaw) = vs0.partition(_ == null)
+      val vs = vsRaw.flatMap(v => typedFilterValue(v, vt))
       mvAware(j, schema) { c =>
         val base = if (vs.isEmpty) lit(false) else c.isin(vs: _*)
         if (nulls.nonEmpty) base <=> lit(true) || c.isNull else base
@@ -1446,6 +1513,9 @@ object NativeQuery {
       val ordering = strOpt(j \ "ordering").getOrElse("lexicographic")
       def boundLit(v: JValue) = comparatorKeyLit(ordering, jvalueToAny(v).toString)
       val inputType = dimValueType(j, schema)
+      val lowerAbsent = (j \ "lower") match {
+        case JNothing | JNull => true; case _ => false
+      }
       mvAware(j, schema) { c0 =>
         val c = comparatorKey(ordering, c0, inputType)
         val lower = (j \ "lower") match {
@@ -1456,18 +1526,48 @@ object NativeQuery {
           case JNothing | JNull => None
           case v => Some(if (boolOpt(j \ "upperStrict").getOrElse(false)) c < boundLit(v) else c <= boundLit(v))
         }
-        (lower ++ upper).reduce(_ && _)
+        val cond = (lower ++ upper).reduce(_ && _)
+        // SQL-compatible null handling: a NULL value matches exactly when
+        // the bound has NO lower limit — null sorts below everything
+        // (BoundDimFilter's null predicate branch;
+        // BoundFilterTest.testLexicographicMatchMissingColumn pins
+        // lower=null/upper="" matching every null row while
+        // lower=""/upper=null matches none)
+        when(c0.isNull, lit(lowerAbsent)).otherwise(cond)
       }
     case "like" =>
       // LikeDimFilter: %/_ pattern with an optional custom escape character
-      // (LikeDimFilter.java `escape`; LikeDimFilterTest.java:38 posts "@")
+      // (LikeDimFilter.java `escape`; LikeDimFilterTest.java:38 posts "@").
+      // Druid's escape may precede ANY character (it just literalizes it —
+      // "@bar" means "bar", an escape escaping itself doubles), and % / _
+      // cross NEWLINES (the compiled matcher is DOTALL) — Spark's LIKE
+      // rejects mid-pattern escapes, so the pattern compiles to the
+      // reference's own anchored DOTALL regex at plan time
+      // (LikeDimFilter.LikeMatcher.from).
       val pattern = str(j \ "pattern")
-      strOpt(j \ "escape") match {
-        case Some(e) =>
-          require(e.length == 1, "Escape must be null or a single character")
-          mvAware(j, schema)(c => like(c, lit(pattern), lit(e)))
-        case None => mvAware(j, schema)(_.like(pattern))
+      val escapeChar: Option[Char] = strOpt(j \ "escape").map { e =>
+        require(e.length == 1, "Escape must be null or a single character")
+        e.charAt(0)
       }
+      val rx = new StringBuilder("(?s)^")
+      var i = 0
+      while (i < pattern.length) {
+        val ch = pattern.charAt(i)
+        if (escapeChar.contains(ch) && i + 1 < pattern.length) {
+          rx.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+          i += 2
+        } else {
+          ch match {
+            case '%' => rx.append(".*")
+            case '_' => rx.append(".")
+            case c => rx.append(java.util.regex.Pattern.quote(c.toString))
+          }
+          i += 1
+        }
+      }
+      rx.append("$")
+      val compiled = rx.toString
+      mvAware(j, schema)(_.rlike(compiled))
     case "regex" => mvAware(j, schema)(_.rlike(str(j \ "pattern")))
     case "search" => mvAware(j, schema)(searchMatcher(j \ "query"))
     case "interval" =>
@@ -1476,23 +1576,63 @@ object NativeQuery {
       // filters); branch on the column's schema type so a long column
       // compares against epoch-millis bounds instead of a timestamp literal
       val dimName = str(j \ "dimension")
-      val c = col(dimName)
-      val isIntegral = schema != null && schema.fields.exists(fld =>
-        fld.name == dimName && (fld.dataType match {
-          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
-          case _ => false
-        }))
+      val c0 = col(dimName)
+      // long/int columns hold epoch millis; STRING dimensions parse each
+      // value as an epoch-millis long too (IntervalDimFilter builds long
+      // range predicates via DimensionHandlerUtils —
+      // TimeFilteringTest.testIntervalFilterOnStringDimension matches the
+      // string "3" against the .003 interval); only genuine time columns
+      // compare as timestamps
+      val dimType = schema match {
+        case null => None
+        case s => s.fields.collectFirst { case f if f.name == dimName => f.dataType }
+      }
+      val (c, asMillis) = dimType match {
+        case Some(org.apache.spark.sql.types.LongType |
+                  org.apache.spark.sql.types.IntegerType) => (c0, true)
+        case Some(org.apache.spark.sql.types.StringType) =>
+          (c0.try_cast("long"), true)
+        case _ => (c0, false)
+      }
       arr(j \ "intervals").map { i =>
         val Array(a, b) = (i match { case JString(s) => s; case x => str(x) }).split("/")
-        if (isIntegral)
+        if (asMillis)
           c >= lit(isoToMillis(a)) && c < lit(isoToMillis(b))
         else
           c >= lit(a.replace("T", " ")).cast("timestamp_ntz") &&
             c < lit(b.replace("T", " ")).cast("timestamp_ntz")
       }.reduce(_ || _)
     case "columnComparison" =>
-      val ds = arr(j \ "dimensions").map { case JString(d) => col(d); case o => col(str(o \ "dimension")) }
-      ds.head === ds(1)
+      // ColumnComparisonFilter.overlap: each dimension's VALUE SET (every
+      // multi-value element, rendered as its string form; a missing column
+      // or empty MV cell contributes the null value) must share at least
+      // one value with the FIRST dimension's set — null compares equal to
+      // null (ColumnComparisonFilterTest: the two missing columns match on
+      // every row, and "8" matches the long 8 through the string form)
+      def valueSet(dj: JValue): Column = {
+        val name = dj match {
+          case JString(d) => d
+          case o => str(o \ "dimension")
+        }
+        val exFn: Column => Column = dj match {
+          case o: JObject if (o \ "extractionFn") != JNothing =>
+            c => extractionFn(o \ "extractionFn", c)
+          case _ => identity
+        }
+        val absent = schema != null && !schema.fieldNames.contains(name)
+        val isArr = schema != null && schema.fields.exists(f =>
+          f.name == name && f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        if (absent) array(exFn(lit(null).cast("string")))
+        else if (isArr) {
+          val c = col(name)
+          when(c.isNull || size(c) === 0, array(exFn(lit(null).cast("string"))))
+            .otherwise(transform(c, x => exFn(x.cast("string"))))
+        } else array(exFn(col(name).cast("string")))
+      }
+      val sets = arr(j \ "dimensions").map(valueSet)
+      val first = sets.head
+      sets.tail.map(s => exists(first, x => exists(s, y => x <=> y)))
+        .reduce(_ && _)
     // spatial filter (SpatialDimFilter.java): the dimension is an
     // "x,y"-encoded coordinate (Druid spatial dims join coords with ',');
     // bounds rectangular / radius / polygon over SpatialFunctions — the
@@ -1536,7 +1676,18 @@ object NativeQuery {
     // expressions resolve through untouched (RuntimeReplaceable)
     case "expression" =>
       val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
-      val t0 = bridge.expression(MathExpr.expr(str(j \ "expression")))
+      val t00 = bridge.expression(MathExpr.expr(str(j \ "expression")))
+      // identifiers the datasource doesn't have evaluate as NULL — the
+      // missing-column selector semantics apply inside expressions too
+      // (ExpressionFilterTest.testMissingColumn: "missing == ''" matches
+      // nothing in SQL-compatible mode rather than failing analysis)
+      val t0 = if (schema == null) t00 else t00.transformUp {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if ua.nameParts.length == 1 &&
+              !schema.fieldNames.contains(ua.nameParts.head) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            null, org.apache.spark.sql.types.StringType)
+      }
       val arrayCols: Set[String] =
         if (schema == null) Set.empty
         else schema.fields.collect {
