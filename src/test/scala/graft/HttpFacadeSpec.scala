@@ -10,7 +10,27 @@ import graft.sources.Sources
 /** Integration spec for the HTTP façade: POSTs the EXISTING gate JSON
   * (graft.queries.NativeQueries.TimeseriesGateJson) verbatim at /druid/v2,
   * and SQL at /druid/v2/sql, over the sf0.001 tables — the same request
-  * bodies a reference user sends to QueryResource/SqlResource. */
+  * bodies a reference user sends to QueryResource/SqlResource.
+  *
+  * SqlResourceTest name map for the remaining methods: testExplainCountStar
+  * is the EXPLAIN PLAN FOR cases below (PLAN + RESOURCES row; the
+  * reference's PLAN cell is its own native-JSON rendering, this engine's is
+  * the Spark plan — a documented rendering difference, same row shape).
+  * Adjudicated not-portable: testUnauthorized, testCancelForbidden,
+  * testSysTableParameterBindingRegularUser (authorization is a documented
+  * non-goal — DruidAvaticaHandlerTest's same-named user-binding case
+  * likewise), testArrayResultFormatWithErrorAfterFirstRow /
+  * testArrayLinesResultFormatWithErrorAfterFirstRow /
+  * testCsvResultFormatWithErrorAfterFirstRow /
+  * testObjectLinesResultFormatWithErrorAfterFirstRow (a mid-stream write
+  * failure AFTER the response status is committed — a chunked-transport
+  * detail of the reference's streaming writer; this facade renders the
+  * payload before committing, so errors always arrive as error envelopes,
+  * which the error-taxonomy cases below pin), and
+  * testAssertionErrorThrowsErrorWithFilterResponse /
+  * testUnsupportedQueryThrowsExceptionWithFilterResponse (the
+  * error-response FILTER hook — a server-config extension point; the
+  * unfiltered error envelopes are asserted here). */
 class HttpFacadeSpec extends SparkSpecBase {
 
   private def post(port: Int, path: String, body: String): (Int, JValue) = {
