@@ -1639,8 +1639,11 @@ object NativeQuery {
     // rectangle conjuncts stay min/max-prunable
     case "spatial" =>
       val c = col(str(j \ "dimension"))
-      val x = split(c, ",").getItem(0).cast("double")
-      val y = split(c, ",").getItem(1).cast("double")
+      // unparseable coordinates ("_mmx.unknown" in the reference's own
+      // fixture, SpatialFilterTest) read as null and never match — never
+      // an ANSI cast error
+      val x = split(c, ",").getItem(0).try_cast("double")
+      val y = split(c, ",").getItem(1).try_cast("double")
       val b = j \ "bound"
       str(b \ "type") match {
         case "rectangular" =>
