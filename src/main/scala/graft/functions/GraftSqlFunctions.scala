@@ -801,8 +801,22 @@ object GraftSqlFunctions {
       val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch_classic") else 128
       graft.plans.ClassicDoublesAgg(args(0), k).toAggregateExpression()
     },
+    // the reference's strictly-greater quantile rule (its datasketches
+    // 3.1.0 getQuantile; DoublesSketchToQuantilePostAggregator.java:86)
     "ds_get_quantile" -> { args =>
-      graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"))
+      graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"),
+        inclusive = false)
+    },
+    // APPROX_QUANTILE_DS(col, q[, k]) — build-and-read in one aggregate
+    // (DoublesSketchSqlAggregator; exact at stream lengths ≤ k like the
+    // reference's DoublesSketch, so DoublesSketchSqlAggregatorTest's small
+    // fixtures pin exact values). A BINARY input merges a stored sketch
+    // column instead of rebuilding. Returned as a bare AggregateFunction
+    // so FILTER (WHERE ...) clauses attach.
+    "approx_quantile_ds" -> { args =>
+      val k = if (args.size > 2) litInt(args(2), "approx_quantile_ds") else 128
+      graft.plans.KllQuantileAgg(args(0), litDouble(args(1), "approx_quantile_ds"),
+        k, mergeInput = inputIsBinary(args(0)))
     },
     "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) },
     // DS_CDF(sketch, split1, split2, ...) → array of cumulative mass ≤ split

@@ -2301,12 +2301,15 @@ object NativeQuery {
     case "arrayOfDoublesSketchToQuantilesSketch" =>
       graft.plans.SketchFunctions.tupleToKll(postAggExpr(j \ "field"),
         intOpt(j \ "column").getOrElse(1), intOpt(j \ "k").getOrElse(200))
-    // quantiles sketch post-aggs (DoublesSketchModule.java:51-56)
+    // quantiles sketch post-aggs (DoublesSketchModule.java:51-56);
+    // inclusive=false = the reference's datasketches-3.1.0 getQuantile rule
+    // (smallest item whose rank is STRICTLY greater than the fraction)
     case "quantilesDoublesSketchToQuantile" =>
-      graft.plans.SketchFunctions.kllQuantile(postAggExpr(j \ "field"), dbl(j \ "fraction"))
+      graft.plans.SketchFunctions.kllQuantile(postAggExpr(j \ "field"), dbl(j \ "fraction"),
+        inclusive = false)
     case "quantilesDoublesSketchToQuantiles" =>
       graft.plans.SketchFunctions.kllQuantiles(postAggExpr(j \ "field"),
-        arr(j \ "fractions").map(dbl))
+        arr(j \ "fractions").map(dbl), inclusive = false)
     case "quantilesDoublesSketchToRank" =>
       graft.plans.SketchFunctions.kllRank(postAggExpr(j \ "field"), dbl(j \ "value"))
     case "quantilesDoublesSketchToCDF" =>

@@ -162,7 +162,11 @@ object QuantileSketchBytes {
   trait Q {
     def isEmpty: Boolean
     def getN: Long
-    def quantile(q: Double): Double
+    /** inclusive=false is the reference's rule: its datasketches 3.1.0
+      * getQuantile returns the smallest item whose natural rank is
+      * STRICTLY greater than the fraction (the modern library's EXCLUSIVE
+      * criterion); inclusive=true is the modern default (percentile_disc). */
+    def quantile(q: Double, inclusive: Boolean = true): Double
     def rank(v: Double): Double
     def cdf(sp: Array[Double]): Array[Double]
     def pmf(sp: Array[Double]): Array[Double]
@@ -170,12 +174,18 @@ object QuantileSketchBytes {
     def maxItem: Double
   }
 
+  def criterion(inclusive: Boolean)
+      : org.apache.datasketches.quantilescommon.QuantileSearchCriteria =
+    if (inclusive) org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE
+    else org.apache.datasketches.quantilescommon.QuantileSearchCriteria.EXCLUSIVE
+
   def wrap(bytes: Array[Byte]): Q = (bytes(2) & 0xff) match {
     case KllFamilyId =>
       val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
       new Q {
         def isEmpty = sk.isEmpty; def getN = sk.getN
-        def quantile(q: Double) = sk.getQuantile(q)
+        def quantile(q: Double, inclusive: Boolean) =
+          sk.getQuantile(q, criterion(inclusive))
         def rank(v: Double) = sk.getRank(v)
         def cdf(sp: Array[Double]) = sk.getCDF(sp)
         def pmf(sp: Array[Double]) = sk.getPMF(sp)
@@ -185,7 +195,8 @@ object QuantileSketchBytes {
       val sk = DoublesSketch.heapify(Memory.wrap(bytes))
       new Q {
         def isEmpty = sk.isEmpty; def getN = sk.getN
-        def quantile(q: Double) = sk.getQuantile(q)
+        def quantile(q: Double, inclusive: Boolean) =
+          sk.getQuantile(q, criterion(inclusive))
         def rank(v: Double) = sk.getRank(v)
         def cdf(sp: Array[Double]) = sk.getCDF(sp)
         def pmf(sp: Array[Double]) = sk.getPMF(sp)

@@ -552,16 +552,63 @@ case class ClassicDoublesAgg(
   override def prettyName: String = "classic_doubles_sketch"
 }
 
-/** KLL post-ops: DS_GET_QUANTILE / DS_RANK / DS_CDF equivalents. */
-case class KllQuantile(child: Expression, q: Double)
+/** KLL post-ops: DS_GET_QUANTILE / DS_RANK / DS_CDF equivalents.
+  * inclusive=false reproduces the reference's getQuantile rule (its
+  * datasketches 3.1.0 uses the strictly-greater search the modern library
+  * calls EXCLUSIVE — DoublesSketchToQuantilePostAggregator.java:86). */
+case class KllQuantile(child: Expression, q: Double, inclusive: Boolean = true)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null else sk.quantile(q)
+    if (sk.isEmpty) null else sk.quantile(q, inclusive)
   }
   override protected def withNewChildInternal(c: Expression): KllQuantile = copy(child = c)
   override def prettyName: String = "kll_quantile"
+}
+
+/** Build-or-merge KLL + finalize to one quantile in a single aggregate —
+  * the SQL APPROX_QUANTILE_DS surface (DoublesSketchSqlAggregator). A
+  * plain AggregateFunction (not a post-op wrapper) so Spark's FILTER
+  * clause attaches; an empty sketch finalizes to NaN exactly like the
+  * reference's post-aggregator over an empty DoublesSketch. Uses the
+  * reference's strictly-greater quantile rule. */
+case class KllQuantileAgg(
+    child: Expression,
+    q: Double,
+    k: Int = 128,
+    mergeInput: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (mergeInput)
+        buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      else buf.update(v.asInstanceOf[Number].doubleValue())
+    }
+    buf
+  }
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+  override def eval(buf: KllDoublesSketch): Any =
+    if (buf.isEmpty) Double.NaN
+    else buf.getQuantile(q, QuantileSketchBytes.criterion(inclusive = false))
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(b: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(b))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantileAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllQuantileAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllQuantileAgg = copy(child = c)
+  override def prettyName: String = "approx_quantile_ds"
 }
 
 case class KllRank(child: Expression, value: Double)
@@ -600,14 +647,15 @@ case class KllN(child: Expression) extends UnaryExpression with CodegenFallback 
 
 /** Multi-fraction quantile lookup (quantilesDoublesSketchToQuantiles post-agg,
   * DoublesSketchToQuantilesPostAggregator.java). */
-case class KllQuantiles(child: Expression, fractions: Seq[Double])
+case class KllQuantiles(child: Expression, fractions: Seq[Double],
+    inclusive: Boolean = true)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
     if (sk.isEmpty) null
     else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-      fractions.map(sk.quantile).toArray)
+      fractions.map(f => sk.quantile(f, inclusive)).toArray)
   }
   override protected def withNewChildInternal(c: Expression): KllQuantiles = copy(child = c)
   override def prettyName: String = "kll_quantiles"
@@ -1000,12 +1048,14 @@ object SketchFunctions {
     * family-dispatching DS_* post-aggs. */
   def classicQuantilesSketch(col: Column, k: Int = 128): Column =
     c(ClassicDoublesAgg(e(col), k).toAggregateExpression())
-  def kllQuantile(col: Column, q: Double): Column = c(KllQuantile(e(col), q))
+  def kllQuantile(col: Column, q: Double, inclusive: Boolean = true): Column =
+    c(KllQuantile(e(col), q, inclusive))
   def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
   def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))
   def kllN(col: Column): Column = c(KllN(e(col)))
-  def kllQuantiles(col: Column, fractions: Seq[Double]): Column =
-    c(KllQuantiles(e(col), fractions))
+  def kllQuantiles(col: Column, fractions: Seq[Double],
+      inclusive: Boolean = true): Column =
+    c(KllQuantiles(e(col), fractions, inclusive))
   def kllHistogram(col: Column, splits: Seq[Double], numBins: Option[Int] = None): Column =
     c(KllHistogram(e(col), splits, numBins))
 
