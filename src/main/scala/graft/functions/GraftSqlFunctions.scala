@@ -807,6 +807,13 @@ object GraftSqlFunctions {
       graft.plans.KllQuantile(args(0), litDouble(args(1), "ds_get_quantile"),
         inclusive = false)
     },
+    // DS_GET_QUANTILES(sketch, f0, f1, ...) — the multi-fraction form
+    // (DoublesSketchQuantilesOperatorConversion → ToQuantiles post-agg);
+    // same strictly-greater rule per fraction
+    "ds_get_quantiles" -> { args =>
+      graft.plans.KllQuantiles(args(0),
+        args.tail.map(a => litDouble(a, "ds_get_quantiles")))
+    },
     // APPROX_QUANTILE_DS(col, q[, k]) — build-and-read in one aggregate
     // (DoublesSketchSqlAggregator; exact at stream lengths ≤ k like the
     // reference's DoublesSketch, so DoublesSketchSqlAggregatorTest's small
@@ -818,8 +825,12 @@ object GraftSqlFunctions {
       graft.plans.KllQuantileAgg(args(0), litDouble(args(1), "approx_quantile_ds"),
         k, mergeInput = inputIsBinary(args(0)))
     },
+    // DS_RANK/DS_CDF/DS_HISTOGRAM follow the reference's datasketches-3.1.0
+    // search rule: mass STRICTLY LESS THAN the value/splitPoint
+    // (DoublesSketchToRankPostAggregator.java:86 / ToCDF:66 / ToHistogram:80
+    // delegate straight to the 3.1.0 library, whose default was the rule
+    // 4.0.0 renamed EXCLUSIVE) — the KllRank/KllCdf defaults.
     "ds_rank" -> { args => graft.plans.KllRank(args(0), litDouble(args(1), "ds_rank")) },
-    // DS_CDF(sketch, split1, split2, ...) → array of cumulative mass ≤ split
     "ds_cdf" -> { args =>
       graft.plans.KllCdf(args(0), args.tail.map(a => litDouble(a, "ds_cdf")))
     },

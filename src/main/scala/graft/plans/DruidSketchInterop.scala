@@ -165,11 +165,16 @@ object QuantileSketchBytes {
     /** inclusive=false is the reference's rule: its datasketches 3.1.0
       * getQuantile returns the smallest item whose natural rank is
       * STRICTLY greater than the fraction (the modern library's EXCLUSIVE
-      * criterion); inclusive=true is the modern default (percentile_disc). */
+      * criterion); inclusive=true is the modern default (percentile_disc).
+      * The same 3.1.0-vs-4.0+ flip applies to the search direction of
+      * rank/CDF/PMF: 3.1.0's getRank/getCDF/getPMF count items STRICTLY
+      * LESS THAN the value/splitPoint (datasketches-java 4.0.0 release
+      * notes: "the default criterion changed from EXCLUSIVE to
+      * INCLUSIVE"), so reference-parity callers pass inclusive=false. */
     def quantile(q: Double, inclusive: Boolean = true): Double
-    def rank(v: Double): Double
-    def cdf(sp: Array[Double]): Array[Double]
-    def pmf(sp: Array[Double]): Array[Double]
+    def rank(v: Double, inclusive: Boolean = true): Double
+    def cdf(sp: Array[Double], inclusive: Boolean = true): Array[Double]
+    def pmf(sp: Array[Double], inclusive: Boolean = true): Array[Double]
     def minItem: Double
     def maxItem: Double
   }
@@ -186,9 +191,9 @@ object QuantileSketchBytes {
         def isEmpty = sk.isEmpty; def getN = sk.getN
         def quantile(q: Double, inclusive: Boolean) =
           sk.getQuantile(q, criterion(inclusive))
-        def rank(v: Double) = sk.getRank(v)
-        def cdf(sp: Array[Double]) = sk.getCDF(sp)
-        def pmf(sp: Array[Double]) = sk.getPMF(sp)
+        def rank(v: Double, inclusive: Boolean) = sk.getRank(v, criterion(inclusive))
+        def cdf(sp: Array[Double], inclusive: Boolean) = sk.getCDF(sp, criterion(inclusive))
+        def pmf(sp: Array[Double], inclusive: Boolean) = sk.getPMF(sp, criterion(inclusive))
         def minItem = sk.getMinItem; def maxItem = sk.getMaxItem
       }
     case ClassicFamilyId =>
@@ -197,9 +202,9 @@ object QuantileSketchBytes {
         def isEmpty = sk.isEmpty; def getN = sk.getN
         def quantile(q: Double, inclusive: Boolean) =
           sk.getQuantile(q, criterion(inclusive))
-        def rank(v: Double) = sk.getRank(v)
-        def cdf(sp: Array[Double]) = sk.getCDF(sp)
-        def pmf(sp: Array[Double]) = sk.getPMF(sp)
+        def rank(v: Double, inclusive: Boolean) = sk.getRank(v, criterion(inclusive))
+        def cdf(sp: Array[Double], inclusive: Boolean) = sk.getCDF(sp, criterion(inclusive))
+        def pmf(sp: Array[Double], inclusive: Boolean) = sk.getPMF(sp, criterion(inclusive))
         def minItem = sk.getMinItem; def maxItem = sk.getMaxItem
       }
     case other => throw new IllegalArgumentException(

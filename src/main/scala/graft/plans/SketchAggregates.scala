@@ -556,12 +556,14 @@ case class ClassicDoublesAgg(
   * inclusive=false reproduces the reference's getQuantile rule (its
   * datasketches 3.1.0 uses the strictly-greater search the modern library
   * calls EXCLUSIVE — DoublesSketchToQuantilePostAggregator.java:86). */
-case class KllQuantile(child: Expression, q: Double, inclusive: Boolean = true)
+case class KllQuantile(child: Expression, q: Double, inclusive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null else sk.quantile(q, inclusive)
+    // empty sketch → NaN, never null (the reference's 3.1.0 getQuantile on
+    // an empty sketch; DoublesSketchToQuantilePostAggregator passes it up)
+    if (sk.isEmpty) Double.NaN else sk.quantile(q, inclusive)
   }
   override protected def withNewChildInternal(c: Expression): KllQuantile = copy(child = c)
   override def prettyName: String = "kll_quantile"
@@ -611,24 +613,36 @@ case class KllQuantileAgg(
   override def prettyName: String = "approx_quantile_ds"
 }
 
-case class KllRank(child: Expression, value: Double)
+/** Normalized rank of a value. inclusive=false (default) is the reference's
+  * datasketches-3.1.0 getRank: the fraction of the stream STRICTLY LESS
+  * THAN the value (DoublesSketchToRankPostAggregator.java:86 delegates to
+  * the library; 4.0.0 flipped the library default to INCLUSIVE). */
+case class KllRank(child: Expression, value: Double, inclusive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null else sk.rank(value)
+    // empty → NaN (DoublesSketchToRankPostAggregatorTest.emptySketch)
+    if (sk.isEmpty) Double.NaN else sk.rank(value, inclusive)
   }
   override protected def withNewChildInternal(c: Expression): KllRank = copy(child = c)
   override def prettyName: String = "kll_rank"
 }
 
-case class KllCdf(child: Expression, splits: Seq[Double])
+/** CDF at splitPoints. inclusive=false (default) is the reference's
+  * datasketches-3.1.0 getCDF: mass STRICTLY LESS THAN each splitPoint
+  * (DoublesSketchToCDFPostAggregator.java:66). */
+case class KllCdf(child: Expression, splits: Seq[Double], inclusive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null
-    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sk.cdf(splits.toArray))
+    // empty → NaN per point incl. the trailing total-mass cell
+    // (DoublesSketchToCDFPostAggregatorTest.emptySketch: 1 split → [NaN, NaN])
+    if (sk.isEmpty) org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.fill(splits.size + 1)(Double.NaN))
+    else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      sk.cdf(splits.toArray, inclusive))
   }
   override protected def withNewChildInternal(c: Expression): KllCdf = copy(child = c)
   override def prettyName: String = "kll_cdf"
@@ -648,12 +662,15 @@ case class KllN(child: Expression) extends UnaryExpression with CodegenFallback 
 /** Multi-fraction quantile lookup (quantilesDoublesSketchToQuantiles post-agg,
   * DoublesSketchToQuantilesPostAggregator.java). */
 case class KllQuantiles(child: Expression, fractions: Seq[Double],
-    inclusive: Boolean = true)
+    inclusive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) null
+    // empty → NaN per fraction (DoublesSketchToQuantilesPostAggregatorTest
+    // .emptySketch: a 3-fraction query returns [NaN, NaN, NaN])
+    if (sk.isEmpty) org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.fill(fractions.size)(Double.NaN))
     else org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       fractions.map(f => sk.quantile(f, inclusive)).toArray)
   }
@@ -664,13 +681,20 @@ case class KllQuantiles(child: Expression, fractions: Seq[Double],
 /** Histogram of estimated item counts per bin (quantilesDoublesSketchToHistogram
   * post-agg, DoublesSketchToHistogramPostAggregator.java:52-55): either
   * explicit splitPoints or numBins equal-width bins over [min, max]; each
-  * bin's value is the PMF mass times the stream length n. */
-case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[Int])
+  * bin's value is the PMF mass times the stream length n. inclusive=false
+  * (default) is the reference's datasketches-3.1.0 getPMF: bin boundaries
+  * split on STRICTLY-LESS-THAN (an item equal to a splitPoint lands in
+  * the bin ABOVE it). */
+case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[Int],
+    inclusive: Boolean = false)
   extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any = {
     val sk = QuantileSketchBytes.wrap(v.asInstanceOf[Array[Byte]])
-    if (sk.isEmpty) return null
+    // empty → NaN per bin (DoublesSketchToHistogramPostAggregatorTest
+    // .emptySketch: 1 split → [NaN, NaN])
+    if (sk.isEmpty) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array.fill(numBins.getOrElse(splits.size + 1))(Double.NaN))
     val sp: Array[Double] = numBins match {
       case Some(m) if m > 1 =>
         val lo = sk.minItem; val hi = sk.maxItem
@@ -678,7 +702,7 @@ case class KllHistogram(child: Expression, splits: Seq[Double], numBins: Option[
         (1 until m).map(i => lo + w * i).toArray
       case _ => splits.toArray
     }
-    val pmf = sk.pmf(sp)
+    val pmf = sk.pmf(sp, inclusive)
     val n = sk.getN.toDouble
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(pmf.map(_ * n))
   }
@@ -1048,13 +1072,20 @@ object SketchFunctions {
     * family-dispatching DS_* post-aggs. */
   def classicQuantilesSketch(col: Column, k: Int = 128): Column =
     c(ClassicDoublesAgg(e(col), k).toAggregateExpression())
-  def kllQuantile(col: Column, q: Double, inclusive: Boolean = true): Column =
+  /** Quantile/rank/CDF lookups default to inclusive=false — the
+    * reference's datasketches-3.1.0 search rules (strictly-greater
+    * getQuantile, strictly-less getRank/getCDF/getPMF; 4.0.0 flipped the
+    * library defaults to INCLUSIVE). Pass inclusive=true for the modern
+    * percentile_disc-style behavior. */
+  def kllQuantile(col: Column, q: Double, inclusive: Boolean = false): Column =
     c(KllQuantile(e(col), q, inclusive))
-  def kllRank(col: Column, v: Double): Column = c(KllRank(e(col), v))
-  def kllCdf(col: Column, splits: Seq[Double]): Column = c(KllCdf(e(col), splits))
+  def kllRank(col: Column, v: Double, inclusive: Boolean = false): Column =
+    c(KllRank(e(col), v, inclusive))
+  def kllCdf(col: Column, splits: Seq[Double], inclusive: Boolean = false): Column =
+    c(KllCdf(e(col), splits, inclusive))
   def kllN(col: Column): Column = c(KllN(e(col)))
   def kllQuantiles(col: Column, fractions: Seq[Double],
-      inclusive: Boolean = true): Column =
+      inclusive: Boolean = false): Column =
     c(KllQuantiles(e(col), fractions, inclusive))
   def kllHistogram(col: Column, splits: Seq[Double], numBins: Option[Int] = None): Column =
     c(KllHistogram(e(col), splits, numBins))

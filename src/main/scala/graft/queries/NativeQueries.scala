@@ -765,13 +765,22 @@ object NativeQueries {
         |WHERE contains(lower(p_name), 'widget')
         |ORDER BY p_partkey LIMIT 40""".stripMargin,
 
-    // sk = the aggregator's finalized value = stream length n
+    // sk = the aggregator's finalized value = stream length n.
+    // Quantiles pin the reference's datasketches-3.1.0 getQuantile rule
+    // (strictly-greater / modern EXCLUSIVE,
+    // DoublesSketchToQuantilePostAggregator.java:86): the smallest value
+    // whose cumulative 1-indexed row rank is STRICTLY greater than f*n —
+    // NOT percentile_disc (the inclusive rule).
     "native_sketch_quantiles" ->
-      """SELECT CAST(count(*) AS BIGINT) AS sk,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75
-        |FROM supplier""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT s_acctbal AS v,
+        |         row_number() OVER (ORDER BY s_acctbal) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM supplier)
+        |SELECT CAST((SELECT count(*) FROM supplier) AS BIGINT) AS sk,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.25 * n) AS q25,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.5 * n) AS q50,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.75 * n) AS q75""".stripMargin,
 
     "native_sketch_theta_ops" ->
       """WITH a AS (SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
@@ -783,7 +792,10 @@ object NativeQueries {
 
     // per-key metric = sum of l_quantity per suppkey (tuple update sums
     // values on duplicate keys); means/variances/median are over those
-    // per-key sums. KLL quantile == percentile_disc (inclusive rule).
+    // per-key sums. The median pins the reference's strictly-greater
+    // (EXCLUSIVE) getQuantile rule: smallest value whose cumulative
+    // 1-indexed row rank > 0.5*n (DoublesSketchToQuantilePostAggregator
+    // .java:86) — NOT percentile_disc (inclusive).
     "native_tuple_postaggs" ->
       """WITH a AS (SELECT l_suppkey, sum(l_quantity) AS qty FROM lineitem
         |           WHERE l_returnflag = 'A' GROUP BY 1),
@@ -797,7 +809,10 @@ object NativeQueries {
         |  round((SELECT avg(qty) FROM a), 4) AS mean_qty_a,
         |  round((SELECT var_samp(qty) FROM a), 4) AS var_qty_a,
         |  CAST((SELECT count(*) FROM a) AS BIGINT) AS lb_a,
-        |  (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY qty) FROM a) AS med_qty_a""".stripMargin,
+        |  (SELECT min(qty) FROM (
+        |     SELECT qty, row_number() OVER (ORDER BY qty) AS rk,
+        |            count(*) OVER () AS n FROM a)
+        |   WHERE rk > 0.5 * n) AS med_qty_a""".stripMargin,
 
     "native_hll" ->
       """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS nd_nation, count(*) AS cnt

@@ -211,14 +211,27 @@ object RollupQueries {
         |JOIN first_rows f ON g.m = f.m AND g.o_orderstatus = f.o_orderstatus
         |ORDER BY 1, 2""".stripMargin,
 
+    // q50/rank pin the reference's datasketches-3.1.0 rules: strictly-
+    // greater getQuantile (smallest value whose per-group cumulative row
+    // rank > 0.5*n), strictly-less getRank
     "rollup_rewrite_sketch" ->
-      """SELECT o_orderstatus,
-        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_theta,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS q50_price,
-        |  floor(CAST(sum(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice) AS rk,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderstatus, min(o_totalprice) AS q50_price
+        |  FROM ranked WHERE rk > 0.5 * n GROUP BY 1)
+        |SELECT o.o_orderstatus,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS nd_theta,
+        |  any_value(q.q50_price) AS q50_price,
+        |  floor(CAST(sum(CASE WHEN o.o_totalprice < 150000.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*) * 10000.0 + 0.5) / 10000.0 AS rank_150k,
-        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_tuple
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS nd_tuple
+        |FROM orders o JOIN q ON o.o_orderstatus = q.o_orderstatus
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rollup_rewrite_filtered" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt FROM orders

@@ -173,23 +173,37 @@ object SketchQueries {
         |       CAST(round(sum(l_quantity)) AS BIGINT) AS qty_sum, count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // quantiles pin the reference's datasketches-3.1.0 rules exactly:
+    // getQuantile = smallest value whose cumulative 1-indexed row rank is
+    // STRICTLY greater than f*n; getRank/getCDF = mass STRICTLY LESS THAN
+    // the query value (both flipped to INCLUSIVE in datasketches 4.0.0 —
+    // the reference predates that).
     "sketch_quantiles_classic" ->
-      """SELECT count(*) AS n,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75
-        |FROM supplier""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT s_acctbal AS v,
+        |         row_number() OVER (ORDER BY s_acctbal) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM supplier)
+        |SELECT (SELECT count(*) FROM supplier) AS n,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.25 * n) AS q25,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.5 * n) AS q50,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.75 * n) AS q75""".stripMargin,
 
     "sketch_quantiles_kll" ->
-      """SELECT count(*) AS n,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY s_acctbal) AS q25,
-        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS q50,
-        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY s_acctbal) AS q75,
-        |  floor(CAST(sum(CASE WHEN s_acctbal <= 5000.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      """WITH ranked AS (
+        |  SELECT s_acctbal AS v,
+        |         row_number() OVER (ORDER BY s_acctbal) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM supplier)
+        |SELECT (SELECT count(*) FROM supplier) AS n,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.25 * n) AS q25,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.5 * n) AS q50,
+        |  (SELECT min(v) FROM ranked WHERE rk > 0.75 * n) AS q75,
+        |  floor(CAST(sum(CASE WHEN s_acctbal < 5000.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*) * 10000.0 + 0.5) / 10000.0 AS rank_5000,
-        |  floor(CAST(sum(CASE WHEN s_acctbal <= 2500.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  floor(CAST(sum(CASE WHEN s_acctbal < 2500.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*) * 10000.0 + 0.5) / 10000.0 AS cdf_2500,
-        |  floor(CAST(sum(CASE WHEN s_acctbal <= 7500.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  floor(CAST(sum(CASE WHEN s_acctbal < 7500.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*) * 10000.0 + 0.5) / 10000.0 AS cdf_7500
         |FROM supplier""".stripMargin
   )

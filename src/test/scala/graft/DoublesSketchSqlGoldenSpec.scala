@@ -69,18 +69,26 @@ class DoublesSketchSqlGoldenSpec extends SparkSpecBase {
   test("testQuantileOnCastedString (DoublesSketchSqlAggregatorTest.java): " +
       "CAST(dim1 AS DOUBLE) feeds the sketch — unparseable strings and the " +
       "empty string become nulls (skipped), an all-null filtered sketch is " +
-      "empty (NaN)") {
+      "empty (NaN). The reference's CAST is lenient (unparseable -> null); " +
+      "under this engine's ANSI session that is spelled TRY_CAST, the repo's " +
+      "established mapping for Druid casts over dirty strings.") {
     val r = sql("""
       SELECT
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.01),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.5, 64),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.98, 256),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.99),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE) * 2, 0.97),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.99) FILTER(WHERE dim2 = 'abc'),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.999) FILTER(WHERE dim2 <> 'abc'),
-        APPROX_QUANTILE_DS(CAST(dim1 AS DOUBLE), 0.999) FILTER(WHERE dim2 = 'abc')
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.01),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.5, 64),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.98, 256),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.99),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE) * 2, 0.97),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.99) FILTER(WHERE dim2 = 'abc'),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.999)
+          FILTER(WHERE dim2 IS DISTINCT FROM 'abc'),
+        APPROX_QUANTILE_DS(TRY_CAST(dim1 AS DOUBLE), 0.999) FILTER(WHERE dim2 = 'abc')
       FROM dsfoo""").head
+    // the reference plans dim2 <> 'abc' as NotDimFilter(SelectorDimFilter)
+    // (the test's own native expectation, line 345), which MATCHES null
+    // dim2 rows — so the dim1='10.1' (dim2 null) row is in the a6 stream
+    // and q(0.999) = 10.1. ANSI three-valued <> would drop it; the faithful
+    // spelling is IS DISTINCT FROM.
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0)
     assert(r.getDouble(2) == 10.1 && r.getDouble(3) == 10.1)
     assert(r.getDouble(4) == 20.2)

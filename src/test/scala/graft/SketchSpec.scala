@@ -86,9 +86,12 @@ class SketchSpec extends SparkSpecBase {
     val row = df.agg(kllSketch($"v", 256).as("sk"))
       .select(kllQuantile($"sk", 0.5).as("med"), kllRank($"sk", 25.0).as("r"),
         kllCdf($"sk", Seq(50.0)).as("cdf")).head()
-    assert(row.getDouble(0) == 50.0) // inclusive median of 1..100
-    assert(row.getDouble(1) == 0.25)
-    assert(row.getSeq[Double](2).head == 0.5)
+    // reference (datasketches-3.1.0) rules: median = smallest value whose
+    // rank > 0.5*100 = position 51; rank/cdf = mass STRICTLY LESS THAN the
+    // query point: #(v < 25) = 24, #(v < 50) = 49
+    assert(row.getDouble(0) == 51.0)
+    assert(row.getDouble(1) == 0.24)
+    assert(row.getSeq[Double](2).head == 0.49)
   }
 
   test("tuple sketch: distinct keys + per-key metric sums survive merge") {
@@ -137,7 +140,10 @@ class SketchSpec extends SparkSpecBase {
     assert(r.getDouble(4) == 20.0)      // mean of 10,20,30
     assert(r.getDouble(5) == 100.0)     // sample variance of 10,20,30
     assert(r.getDouble(6) == 3.0)       // exact estimate
-    assert(r.getDouble(7) == 20.0)      // inclusive median
+    assert(r.getDouble(7) == 20.0)      // median of {10,20,30}: position
+                                        // floor(1.5)+1 = 2 under the
+                                        // strictly-greater rule (same as
+                                        // inclusive here)
   }
 
   test("hyper_unique_add passes the collector through on null input (skip-null)") {

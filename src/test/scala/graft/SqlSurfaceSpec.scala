@@ -92,8 +92,12 @@ class SqlSurfaceSpec extends SparkSpecBase {
     val med = spark.sql(
       "SELECT DS_GET_QUANTILE(DS_QUANTILES_SKETCH(CAST(v AS DOUBLE), 256), 0.5) AS m FROM sk_in")
       .head().getDouble(0)
-    // values 1..20 appear 3x, 0 and 21..39 appear 2x → inclusive median = 16
-    assert(med == 16.0)
+    // values 1..20 appear 3x, 0 and 21..39 appear 2x (n=100). The engine
+    // pins the reference's strictly-greater (EXCLUSIVE) getQuantile rule
+    // (DoublesSketchToQuantilePostAggregator.java:86): smallest value whose
+    // cumulative rank > 0.5*100 = 50. Cumulative through 16 is 2+3*16 = 50
+    // (not > 50), so the median is 17 — the inclusive rule would give 16.
+    assert(med == 17.0)
   }
 
   test("math-expr dialect names, intervals and MV filters via SQL") {
