@@ -1093,7 +1093,11 @@ object NativeQuery {
         case "DOUBLE" => Some("double")
         case _ => None
       }
-      str(o \ "type") match {
+      // a typeless {"dimension": ..., "outputName": ...} object is a
+      // DefaultDimensionSpec: DimensionSpec's @JsonTypeInfo declares
+      // defaultImpl = LegacyDimensionSpec (DimensionSpec.java), which the
+      // IT corpora rely on (nestedquerypushdown_queries.json's inner dims)
+      strOpt(o \ "type").getOrElse("default") match {
         case "default" if missing(dim) || isBinaryCol(dim) =>
           ExprDim(lit(null).cast("string"), out)
         case "default" =>

@@ -239,6 +239,13 @@ object SystemSchema {
     * the shared-storage fan-out (every data server can serve it, like
     * sys.server_segments); dimensions/metrics come from the schema split
     * (non-numeric vs numeric non-time columns, the ingest rollup model). */
+  // sys.segments spans ALL datasources (SystemSchema.java serves the whole
+  // coordinator inventory), so registrations accumulate per session —
+  // re-registering a datasource replaces only its own rows. Keyed by
+  // session UUID so parallel test sessions don't see each other's segments.
+  private val segmentRegistry =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[Seq[String]]]
+
   def registerSegments(spark: SparkSession, dataSource: String, path: String,
       timeColumn: String): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS sys")
@@ -248,20 +255,26 @@ object SystemSchema {
       .filterNot(_.name == "__chunk")
       .partition(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val nServers = math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length)
+    val rows = inv.zipWithIndex.map { case (r, i) =>
+      Seq(r.getString(0), dataSource,
+        String.valueOf(r.get(2)), String.valueOf(r.get(3)), r.getLong(4).toString,
+        "v1", i.toString, nServers.toString, r.getLong(1).toString,
+        "1", "1", "0", "0",
+        s"""{"type":"numbered","partitionNum":$i}""",
+        dims.map(_.name).mkString(","), metrics.map(_.name).mkString(","),
+        null)
+    }
+    val sessionKey = System.identityHashCode(spark).toString
+    segmentRegistry.put((sessionKey, dataSource), rows)
+    val allRows = segmentRegistry.toSeq.collect {
+      case ((s, ds), r) if s == sessionKey => (ds, r)
+    }.sortBy(_._1).flatMap(_._2)
     inlineView(spark, "sys.segments",
       Seq("segment_id", "datasource", "start", "`end`", "size", "version",
         "partition_num", "num_replicas", "num_rows", "is_published",
         "is_available", "is_realtime", "is_overshadowed", "shard_spec",
         "dimensions", "metrics", "last_compaction_state"),
-      inv.zipWithIndex.map { case (r, i) =>
-        Seq(r.getString(0), dataSource,
-          String.valueOf(r.get(2)), String.valueOf(r.get(3)), r.getLong(4).toString,
-          "v1", i.toString, nServers.toString, r.getLong(1).toString,
-          "1", "1", "0", "0",
-          s"""{"type":"numbered","partitionNum":$i}""",
-          dims.map(_.name).mkString(","), metrics.map(_.name).mkString(","),
-          null)
-      },
+      allRows,
       numericCols = Set("size", "partition_num", "num_replicas", "num_rows",
         "is_published", "is_available", "is_realtime", "is_overshadowed"))
   }

@@ -2,6 +2,7 @@ package graft
 
 import graft.server.SystemSchema
 import graft.sources.Sources
+import org.apache.spark.sql.functions.col
 
 /** INFORMATION_SCHEMA + sys.segments parity (CalciteQueryTest.java:183-396
   * queries INFORMATION_SCHEMA.SCHEMATA/TABLES/COLUMNS; SystemSchema.java:115
@@ -166,10 +167,13 @@ class SystemSchemaSpec extends SparkSpecBase {
     val out = java.nio.file.Files.createTempDirectory("syssegments").toString
     Sources.table(spark, sf(), "orders").write.mode("overwrite").parquet(out)
     SystemSchema.registerSegments(spark, "orders_ds", out, "o_orderdate")
+    // registrations ACCUMULATE across datasources (the reference's
+    // sys.segments is the whole coordinator inventory), so scope to this
+    // datasource's rows
     val rows = spark.sql(
-      "SELECT datasource, num_rows, size FROM sys.segments").collect()
+      "SELECT datasource, num_rows, size FROM sys.segments WHERE datasource = 'orders_ds'")
+      .collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getString(0) == "orders_ds"))
     assert(rows.map(_.getLong(1)).sum == Sources.table(spark, sf(), "orders").count())
     assert(rows.forall(_.getLong(2) > 0))
   }
@@ -183,8 +187,9 @@ class SystemSchemaSpec extends SparkSpecBase {
       "size", "version", "partition_num", "num_replicas", "num_rows",
       "is_published", "is_available", "is_realtime", "is_overshadowed",
       "shard_spec", "dimensions", "metrics", "last_compaction_state"))
-    val rows = df.collect()
-    // partition_num is dense from 0; published+available, never realtime
+    // the inventory accumulates across datasources; partition_num is dense
+    // from 0 WITHIN a datasource
+    val rows = df.filter(col("datasource") === "orders_ds").collect()
     assert(rows.map(_.getAs[Long]("partition_num")).sorted.toSeq ==
       (0L until rows.length).toSeq)
     assert(rows.forall(r => r.getAs[Long]("is_published") == 1L &&
