@@ -105,6 +105,34 @@ object GraftSqlFunctions {
     case Literal(v: Number, _) => v.intValue()
     case _ => throw new IllegalArgumentException(s"$fn: argument must be an integer literal")
   }
+  /** Druid's theta SIZE (nominal entries) → this engine's lgK. */
+  private def log2Ceil(size: Int): Int =
+    math.ceil(math.log(math.max(size, 2).toDouble) / math.log(2.0)).toInt
+  private def intLitOpt(e: Expression): Option[Int] = e match {
+    case Literal(v: Number, t)
+        if t == org.apache.spark.sql.types.IntegerType ||
+           t == org.apache.spark.sql.types.LongType => Some(v.intValue())
+    case _ => None
+  }
+  /** DS_HLL / APPROX_COUNT_DISTINCT_DS_HLL aggregate: build (or merge, for
+    * binary input) a DataSketches HLL sketch. Optional args: lgK, then
+    * tgtHllType (string; packing density — ignored, identical estimates). */
+  private def dsHllAgg(args: Seq[Expression], fn: String,
+      finalizeEstimate: Boolean): Expression = {
+    val lgK = if (args.size > 1) litInt(args(1), fn) else 12
+    graft.plans.HllAcdAgg(args.head, lgK,
+      mergeInput = inputIsBinary(args.head), finalizeEstimate = finalizeEstimate)
+  }
+  /** Variadic theta set op with an optional leading integer size literal
+    * (ThetaSketchSetBaseOperatorConversion: (size?, sketch, sketch, ...)). */
+  private def thetaSetOp(op: String): Seq[Expression] => Expression = { args =>
+    val sketches = intLitOpt(args.head) match {
+      case Some(_) => args.tail // size accepted + ignored (set-op buffer cap)
+      case None => args
+    }
+    require(sketches.size >= 2, s"theta_sketch_$op needs at least 2 sketches")
+    sketches.reduce((a, b) => graft.plans.ThetaSetOp(a, b, op))
+  }
   private def humanReadableArity(name: String, args: Seq[Expression]): Unit =
     if (args.size < 1 || args.size > 2)
       throw new IllegalArgumentException(
@@ -739,9 +767,11 @@ object GraftSqlFunctions {
     // Druid BloomKFilter BINARY interop (read+write;
     // extensions-core/druid-bloom-filter): test values against / build
     // filters in the reference's own serialized format
+    // bare AggregateFunction so FILTER (WHERE ...) attaches, like the
+    // reference's filtered BloomFilterAggregatorFactory
     "druid_bloom_filter" -> { args =>
       val n = if (args.size > 1) litInt(args(1), "druid_bloom_filter").toLong else 1500L
-      graft.plans.DruidBloomAgg(args(0), n).toAggregateExpression()
+      graft.plans.DruidBloomAgg(args(0), n)
     },
     "druid_bloom_test" -> { args => graft.plans.DruidBloomTest(args(1), args(0)) },
 
@@ -785,9 +815,61 @@ object GraftSqlFunctions {
     "hllc_build" -> { args =>
       graft.plans.HllcBuild(args(0)).toAggregateExpression()
     },
-    "theta_sketch_union" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "union") },
-    "theta_sketch_intersect" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "intersect") },
-    "theta_sketch_not" -> { args => graft.plans.ThetaSetOp(args(0), args(1), "not") },
+    // DS_THETA(col[, size]) — Druid's SQL name; its second arg is the
+    // sketch SIZE in nominal entries (2^lgK), unlike this engine's
+    // theta_sketch(col, lgK) (ThetaSketchObjectSqlAggregator →
+    // SketchMergeAggregatorFactory(size)). Binary input merges.
+    // bare AggregateFunction (no .toAggregateExpression) so FILTER attaches
+    "ds_theta" -> { args =>
+      val lgK = if (args.size > 1) log2Ceil(litInt(args(1), "ds_theta")) else 12
+      if (inputIsBinary(args(0))) graft.plans.ThetaUnionAgg(args(0), lgK)
+      else graft.plans.ThetaSketchAgg(args(0), lgK)
+    },
+    // APPROX_COUNT_DISTINCT_DS_THETA(col[, size]) — finalized long estimate
+    // (ThetaSketchApproxCountDistinctSqlAggregator). A bare
+    // AggregateFunction so FILTER (WHERE ...) attaches.
+    "approx_count_distinct_ds_theta" -> { args =>
+      val lgK = if (args.size > 1) log2Ceil(litInt(args(1), "approx_count_distinct_ds_theta")) else 12
+      graft.plans.ThetaAcdAgg(args(0), lgK, mergeInput = inputIsBinary(args(0)))
+    },
+    // set ops are VARIADIC with an optional leading integer size
+    // (ThetaSketchSetBaseOperatorConversion: (size?, sketch...)); size is
+    // the set-op buffer's nominal entries — identical results while inputs
+    // are below it, so it's accepted and ignored here
+    "theta_sketch_union" -> thetaSetOp("union"),
+    "theta_sketch_intersect" -> thetaSetOp("intersect"),
+    "theta_sketch_not" -> thetaSetOp("not"),
+    // DS_HLL(col[, lgK[, tgtHllType]]) — HllSketchObjectSqlAggregator.
+    // tgtHllType (HLL_4/6/8) is the register-packing density, a memory
+    // knob with identical estimates — accepted and ignored (Spark's
+    // DataSketches HLL build packs HLL_8). Binary input merges.
+    "ds_hll" -> { args => dsHllAgg(args, "ds_hll", finalizeEstimate = false) },
+    // APPROX_COUNT_DISTINCT_DS_HLL — finalized LONG estimate
+    // (HllSketchApproxCountDistinctSqlAggregator)
+    // APPROX_COUNT_DISTINCT_DS_HLL(col[, lgK[, tgtHllType]]) — finalized
+    // long estimate; bare AggregateFunction so FILTER attaches; empty → 0
+    "approx_count_distinct_ds_hll" -> { args =>
+      dsHllAgg(args, "approx_count_distinct_ds_hll", finalizeEstimate = true)
+    },
+    // HLL_SKETCH_ESTIMATE(sk[, round]) — DOUBLE estimate, fractional by
+    // default like HllSketchToEstimatePostAggregator; round=true rounds
+    "hll_sketch_estimate" -> { args =>
+      val est = graft.plans.DsHllEstimateExpr(args(0))
+      val rounded = args.size > 1 && (args(1) match {
+        case Literal(b: Boolean, _) => b; case _ => false
+      })
+      if (rounded) ex(round(CatalystBridge.column(est))) else est
+    },
+    // HLL_SKETCH_UNION([lgK, tgtHllType,] sk, sk, ...) —
+    // HllSketchSetUnionOperatorConversion's optional leading literals
+    "hll_sketch_union" -> { args =>
+      val sketches = args.dropWhile(a => intLitOpt(a).isDefined ||
+        (a match { case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+                   case _ => false }))
+      require(sketches.size >= 2, "hll_sketch_union needs at least 2 sketches")
+      sketches.reduce((a, b) => ex(org.apache.spark.sql.functions.hll_union(
+        CatalystBridge.column(a), CatalystBridge.column(b), true)))
+    },
     "ds_quantiles_sketch" -> { args =>
       val k = if (args.size > 1) litInt(args(1), "ds_quantiles_sketch") else 200
       // BINARY input = stored sketch column → MERGE (DoublesSketchSql

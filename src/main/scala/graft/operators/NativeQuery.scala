@@ -1783,10 +1783,14 @@ object NativeQuery {
             val doRound = boolOpt(a \ "round").getOrElse(false)
             Seq(name -> ((c: Column) => {
               // round=false must yield the fractional DataSketches estimate
-              // (HllSketchAggregatorFactory.finalizeComputation); Spark's
-              // hll_sketch_estimate is BIGINT (already rounded), so casting
-              // it to double would stay integral beyond the coupon range
-              if (doRound) hll_sketch_estimate(c)
+              // (HllSketchAggregatorFactory.finalizeComputation); round=true
+              // the rounded long. Computed from the graft expression, NOT
+              // the "hll_sketch_estimate" name: Spark 4's functions API
+              // resolves by name through the session registry, where the
+              // Druid-parity HLL_SKETCH_ESTIMATE override (fractional
+              // DOUBLE) would hijack this engine-internal call
+              if (doRound)
+                round(SketchFunctions.hyperUniqueEstimate(c)).cast("long")
               else SketchFunctions.hyperUniqueEstimate(c)
             }))
           case _ => Nil
@@ -2324,10 +2328,12 @@ object NativeQuery {
         arr(j \ "splitPoints").map(dbl), intOpt(j \ "numBins"))
     // HLL post-aggs (HllSketchModule.java:52-54)
     case "HLLSketchEstimate" =>
-      // round=true → Spark's long-valued estimate; round=false → fractional
-      // double via DataSketches (HllSketchToEstimatePostAggregator semantics)
+      // round=true → rounded long; round=false → fractional double
+      // (HllSketchToEstimatePostAggregator semantics). Built from the graft
+      // expression, not the overridable "hll_sketch_estimate" name
       if (boolOpt(j \ "round").getOrElse(false))
-        hll_sketch_estimate(postAggExpr(j \ "field"))
+        round(graft.plans.SketchFunctions.hyperUniqueEstimate(postAggExpr(j \ "field")))
+          .cast("long")
       else graft.plans.SketchFunctions.hyperUniqueEstimate(postAggExpr(j \ "field"))
     case "HLLSketchUnion" =>
       arr(j \ "fields").map(postAggExpr).reduce((a, b) => hll_union(a, b, true))

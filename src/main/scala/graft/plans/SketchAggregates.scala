@@ -125,6 +125,51 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
   * re-aggregating a rollup segment's COMPLEX theta column,
   * SketchAggregatorFactory.getCombiningFactory). Distinct from
   * [[ThetaSketchAgg]], whose BinaryType update hashes the bytes as an ITEM. */
+/** APPROX_COUNT_DISTINCT_DS_THETA — build (or, for binary input, merge) and
+  * finalize to the ROUNDED LONG estimate in one aggregate
+  * (ThetaSketchApproxCountDistinctSqlAggregator). A bare AggregateFunction
+  * so SQL FILTER (WHERE ...) clauses attach; an empty sketch finalizes to 0
+  * like the reference (ThetaSketchSqlAggregatorTest.testEmptyTimeseries
+  * Results). Update semantics are ThetaSketchAgg's, including the
+  * library's skip-empty-string contract. */
+case class ThetaAcdAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mergeInput: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  private val build = ThetaSketchAgg(child, lgK)
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+  override def update(buf: Union, input: InternalRow): Union = {
+    if (mergeInput) {
+      val v = child.eval(input)
+      if (v != null)
+        buf.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      buf
+    } else build.update(buf, input)
+  }
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+  override def eval(buf: Union): Any = math.round(buf.getResult.getEstimate)
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = createAggregationBuffer()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): ThetaAcdAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaAcdAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): ThetaAcdAgg = copy(child = c)
+  override def prettyName: String = "approx_count_distinct_ds_theta"
+}
+
 case class ThetaUnionAgg(
     child: Expression,
     lgK: Int = 12,
@@ -550,6 +595,70 @@ case class ClassicDoublesAgg(
   override def withNewInputAggBufferOffset(o: Int): ClassicDoublesAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): ClassicDoublesAgg = copy(child = c)
   override def prettyName: String = "classic_doubles_sketch"
+}
+
+/** DS_HLL / APPROX_COUNT_DISTINCT_DS_HLL — build (or, for binary input,
+  * merge) a DataSketches HLL sketch (HllSketchObjectSqlAggregator /
+  * HllSketchApproxCountDistinctSqlAggregator). finalizeEstimate=true
+  * finalizes to the ROUNDED LONG estimate (empty → 0, like the reference's
+  * testEmptyTimeseriesResults); false emits HLL_8 sketch bytes readable by
+  * Spark's hll_* functions and this engine's estimate/summary expressions.
+  * A bare AggregateFunction so SQL FILTER clauses attach (Spark's own
+  * hll_sketch_agg refuses FILTER). Strings update via the library's
+  * update(String) (skips empty, like the reference's build aggregator);
+  * doubles via update(double) — the reference's exact hash input
+  * (HllSketchBuildAggregator). Binary inputs accept BOTH this engine's
+  * Spark-built sketches and reference-written ones (same wire format). */
+case class HllAcdAgg(
+    child: Expression,
+    lgK: Int = 12,
+    mergeInput: Boolean = false,
+    finalizeEstimate: Boolean = true,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.hll.Union] with UnaryLike[Expression] {
+
+  private type HUnion = org.apache.datasketches.hll.Union
+
+  override def createAggregationBuffer(): HUnion =
+    new org.apache.datasketches.hll.Union(lgK)
+  override def update(buf: HUnion, input: InternalRow): HUnion = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (mergeInput)
+        buf.update(org.apache.datasketches.hll.HllSketch.heapify(
+          Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      else child.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          buf.update(v.asInstanceOf[Number].longValue())
+        case DoubleType | FloatType => buf.update(v.asInstanceOf[Number].doubleValue())
+        case StringType => buf.update(v.asInstanceOf[UTF8String].toString)
+        case BinaryType => buf.update(v.asInstanceOf[Array[Byte]])
+        case dt => throw new IllegalArgumentException(
+          s"approx_count_distinct_ds_hll: unsupported type $dt")
+      }
+    }
+    buf
+  }
+  override def merge(buf: HUnion, other: HUnion): HUnion = {
+    buf.update(other.getResult); buf
+  }
+  override def eval(buf: HUnion): Any =
+    if (finalizeEstimate) math.round(buf.getEstimate)
+    else buf.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8).toUpdatableByteArray
+  override def serialize(buf: HUnion): Array[Byte] =
+    buf.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8).toUpdatableByteArray
+  override def deserialize(bytes: Array[Byte]): HUnion = {
+    val u = createAggregationBuffer()
+    u.update(org.apache.datasketches.hll.HllSketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+  override def dataType: DataType = if (finalizeEstimate) LongType else BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): HllAcdAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAcdAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllAcdAgg = copy(child = c)
+  override def prettyName: String = "approx_count_distinct_ds_hll"
 }
 
 /** KLL post-ops: DS_GET_QUANTILE / DS_RANK / DS_CDF equivalents.
@@ -1133,11 +1242,15 @@ object SketchFunctions {
   def hllcUnionEstimate(col: Column): Column =
     c(HllcUnionEstimate(e(col)).toAggregateExpression())
 
-  /** DS_HLL family — Spark ships DataSketches-backed HLL functions. */
+  /** DS_HLL family — Spark ships DataSketches-backed HLL functions.
+    * hllEstimate rounds via the graft expression instead of Spark's
+    * "hll_sketch_estimate", whose name the Druid-parity SQL surface
+    * overrides with the fractional-DOUBLE semantic (Spark 4's functions
+    * API resolves by name through the session registry). */
   def hllSketch(col: Column, lgK: Int = 12): Column =
     org.apache.spark.sql.functions.hll_sketch_agg(col, lgK)
   def hllEstimate(col: Column): Column =
-    org.apache.spark.sql.functions.hll_sketch_estimate(col)
+    org.apache.spark.sql.functions.round(hyperUniqueEstimate(col)).cast("long")
   def hllUnionAgg(col: Column): Column =
     org.apache.spark.sql.functions.hll_union_agg(col)
 }

@@ -81,8 +81,13 @@ object SketchQueries {
       val li = Sources.table(s, dir, "lineitem")
       val perFlag = li.groupBy(col("l_returnflag"))
         .agg(hllSketch(col("l_suppkey"), 16).as("hll"))
+      // estimate via the graft expression, not the "hll_sketch_estimate"
+      // name — the Druid-parity SQL override (fractional DOUBLE) resolves
+      // by name in Spark 4's functions API; value-identical either way,
+      // but the gate's output type must not depend on registration order
       perFlag.agg(
-        round(hll_sketch_estimate(hll_union_agg(col("hll"), true))).cast("long").as("nd_global"),
+        round(graft.plans.SketchFunctions.hyperUniqueEstimate(
+          hll_union_agg(col("hll"), true))).cast("long").as("nd_global"),
         count(lit(1)).as("n_groups"))
     }),
 
