@@ -1672,12 +1672,19 @@ object NativeQuery {
     // Spark-built filters keep working.
     case "bloom" =>
       // MIME decoder: accepts both a Druid client's unchunked base64 and
-      // Spark's line-wrapped base64() output fed back from the bloom agg
+      // Spark's line-wrapped base64() output fed back from the bloom agg.
+      // Routed through mvAware like selector/in, so multi-value columns
+      // test per element (empty cell → null), missing columns test null,
+      // and extraction fns apply per element — BloomDimFilterTest's
+      // testMultiValueStringColumn / testMissingColumn* /
+      // testSelectorWithLookupExtractionFn semantics
       val bytes = java.util.Base64.getMimeDecoder.decode(str(j \ "bloomKFilter"))
-      if (bytes.nonEmpty && bytes(0) != 0)
-        graft.plans.BloomFunctions.druidBloomTest(lit(bytes), dimWithExtraction(j))
-      else
-        graft.plans.BloomFunctions.mightContain(lit(bytes), dimWithExtraction(j))
+      mvAware(j, schema) { c =>
+        if (bytes.nonEmpty && bytes(0) != 0)
+          graft.plans.BloomFunctions.druidBloomTest(lit(bytes), c)
+        else
+          graft.plans.BloomFunctions.mightContain(lit(bytes), c)
+      }
     // predicate-position truthiness: a numeric/string-valued expression is
     // true when > 0 / parses "true" (Evals.java:60-73) — boolean
     // expressions resolve through untouched (RuntimeReplaceable)
