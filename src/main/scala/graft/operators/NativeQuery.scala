@@ -1870,14 +1870,47 @@ object NativeQuery {
       if (input != null && input.columns.contains(QueryCommon.RowOrderCol))
         struct(col(tc), col(QueryCommon.RowOrderCol))
       else col(tc)
+    // a numeric aggregator over a MULTI-VALUE string dimension folds EVERY
+    // element (the per-value dimension selector feeds the aggregator once
+    // per element, nulls skipped — StringColumnAggregationTest: doubleSum
+    // over ["v", null, "v"] contributes 2v per row). Per-row element fold
+    // composes with the outer aggregate; a row with no parseable elements
+    // contributes null (skipped), like an unparseable scalar.
+    def fieldIsArray: Boolean = (j \ "fieldName") match {
+      case JString(n) => input != null && input.schema.fields.exists(fld =>
+        fld.name == n && fld.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      case _ => false
+    }
+    def mvElems(cast: Column => Column): Column =
+      org.apache.spark.sql.functions.filter(
+        org.apache.spark.sql.functions.transform(f, e => cast(e.cast("string"))),
+        x => x.isNotNull)
+    def mvSum(cast: Column => Column): Column = {
+      val es = mvElems(cast)
+      when(size(es) === 0, lit(null).cast("double")).otherwise(
+        org.apache.spark.sql.functions.aggregate(
+          es, lit(0.0), (acc, x) => acc + x.cast("double")))
+    }
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
-      case "longSum" => Agg(name, sum(lenientLong(f)))
-      case "doubleSum" => Agg(name, sum(lenientDouble(f)))
-      case "longMin" => Agg(name, min(lenientLong(f)))
-      case "longMax" => Agg(name, max(lenientLong(f)))
-      case "doubleMin" => Agg(name, min(lenientDouble(f)))
-      case "doubleMax" => Agg(name, max(lenientDouble(f)))
+      case "longSum" =>
+        if (fieldIsArray) Agg(name, sum(mvSum(lenientLong)).cast("long"))
+        else Agg(name, sum(lenientLong(f)))
+      case "doubleSum" =>
+        if (fieldIsArray) Agg(name, sum(mvSum(lenientDouble)))
+        else Agg(name, sum(lenientDouble(f)))
+      case "longMin" =>
+        if (fieldIsArray) Agg(name, min(array_min(mvElems(lenientLong))))
+        else Agg(name, min(lenientLong(f)))
+      case "longMax" =>
+        if (fieldIsArray) Agg(name, max(array_max(mvElems(lenientLong))))
+        else Agg(name, max(lenientLong(f)))
+      case "doubleMin" =>
+        if (fieldIsArray) Agg(name, min(array_min(mvElems(lenientDouble))))
+        else Agg(name, min(lenientDouble(f)))
+      case "doubleMax" =>
+        if (fieldIsArray) Agg(name, max(array_max(mvElems(lenientDouble))))
+        else Agg(name, max(lenientDouble(f)))
       // the FLOAT factories read the selector as float32 and emit FLOAT
       // (FloatMinAggregator stores selector.getFloat();
       // TimeseriesQueryRunnerTest.testFullOnTimeseriesMinMaxAggregators
@@ -1885,10 +1918,25 @@ object NativeQuery {
       // rounded values ARE the rounded min/max; the sum accumulates wider
       // and rounds at output, a documented precision superset of the
       // reference's sequential float32 accumulation
-      case "floatSum" => Agg(name, sum(lenientDouble(f).cast("float")).cast("float"))
-      case "floatMin" => Agg(name, min(lenientDouble(f).cast("float")))
-      case "floatMax" => Agg(name, max(lenientDouble(f).cast("float")))
-      case "doubleMean" => Agg(name, avg(lenientDouble(f)))
+      case "floatSum" =>
+        if (fieldIsArray)
+          Agg(name, sum(mvSum(c => lenientDouble(c).cast("float"))).cast("float"))
+        else Agg(name, sum(lenientDouble(f).cast("float")).cast("float"))
+      case "floatMin" =>
+        if (fieldIsArray)
+          Agg(name, min(array_min(mvElems(c => lenientDouble(c).cast("float")))))
+        else Agg(name, min(lenientDouble(f).cast("float")))
+      case "floatMax" =>
+        if (fieldIsArray)
+          Agg(name, max(array_max(mvElems(c => lenientDouble(c).cast("float")))))
+        else Agg(name, max(lenientDouble(f).cast("float")))
+      case "doubleMean" =>
+        // element-weighted over MV (each element is one update to the
+        // mean aggregator)
+        if (fieldIsArray)
+          Agg(name, sum(mvSum(lenientDouble)) /
+            sum(size(mvElems(lenientDouble)).cast("double")))
+        else Agg(name, avg(lenientDouble(f)))
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
       // time column so standard Druid JSON first/last aggregators work.
@@ -2262,6 +2310,11 @@ object NativeQuery {
     }
     case "thetaSketchToString" =>
       graft.plans.SketchFunctions.thetaSummary(postAggExpr(j \ "field"))
+    // a base64 compact theta sketch carried IN the query
+    // (theta/SketchConstantPostAggregator.java — SketchAggregationWith
+    // SimpleDataTest's topn_query_sketch_const.json)
+    case "thetaSketchConstant" =>
+      lit(java.util.Base64.getMimeDecoder.decode(str(j \ "value")))
     // theta set-op post-agg (theta/SketchSetPostAggregator.java:48-56:
     // func UNION | INTERSECT | NOT over ≥2 sketch fields)
     case "thetaSketchSetOp" =>
