@@ -120,7 +120,8 @@ object NativeQuery {
             case JNothing | JNull | JArray(Nil) => Nil
             case a => aggregations(a, timeCol, prepared)
           },
-          postAggregations = postAggs(q \ "postAggregations"),
+          postAggregations = postAggs(q \ "postAggregations",
+            aggFinalizerPairs(q \ "aggregations").toMap),
           descending = boolOpt(q \ "descending").getOrElse(false),
           grandTotal = (q \ "context" \ "grandTotal") == JBool(true),
           limit = intOpt(q \ "limit"),
@@ -204,7 +205,8 @@ object NativeQuery {
             case JNothing | JNull | JArray(Nil) => Nil
             case a => aggregations(a, timeCol, prepared)
           },
-          postAggregations = postAggs(q \ "postAggregations"),
+          postAggregations = postAggs(q \ "postAggregations",
+            aggFinalizerPairs(q \ "aggregations").toMap),
           ascending = asc,
           sortKey = sortKey,
           stopFilter = stopFilter,
@@ -296,7 +298,8 @@ object NativeQuery {
             case JNothing | JNull | JArray(Nil) => Nil
             case a => aggregations(a, timeCol, prepared)
           },
-          postAggregations = postAggs(q \ "postAggregations"),
+          postAggregations = postAggs(q \ "postAggregations",
+            aggFinalizerPairs(q \ "aggregations").toMap),
           having = havingOpt(q \ "having").orNull,
           limitSpec = LimitSpec(
             orderBy = {
@@ -1767,8 +1770,19 @@ object NativeQuery {
     * optional round (HllSketchAggregatorFactory.java:180-190), tuple sketch
     * → distinct-key estimate. */
   private def aggFinalizers(j: JValue): DataFrame => DataFrame = {
+    val fs = aggFinalizerPairs(j)
+    df => fs.foldLeft(df) { case (d, (n, f)) =>
+      if (d.columns.contains(n)) d.withColumn(n, f(col(n))) else d
+    }
+  }
+
+  /** name → finalizer for every aggregator whose finalizeComputation is
+    * non-identity AND whose engine column holds raw state (sketch bytes).
+    * hyperUnique/cardinality finalize at eval time, so they are absent —
+    * a plain column reference already reads their finalized value. */
+  private def aggFinalizerPairs(j: JValue): Seq[(String, Column => Column)] = {
     import graft.plans.SketchFunctions
-    val fs: Seq[(String, Column => Column)] = arr(j).flatMap { a0 =>
+    arr(j).flatMap { a0 =>
       // a filtered wrapper finalizes like its inner aggregator
       val a = if (strOpt(a0 \ "type").contains("filtered")) a0 \ "aggregator" else a0
       (strOpt(a0 \ "name") orElse strOpt(a \ "name")).toSeq.flatMap { name =>
@@ -1803,9 +1817,6 @@ object NativeQuery {
           case _ => Nil
         }
       }
-    }
-    df => fs.foldLeft(df) { case (d, (n, f)) =>
-      if (d.columns.contains(n)) d.withColumn(n, f(col(n))) else d
     }
   }
 
@@ -2276,12 +2287,21 @@ object NativeQuery {
   }
 
   // ---- post-aggregations (§2.9) ----
-  private def postAggs(j: JValue): Seq[PostAgg] = j match {
-    case JArray(ps) => ps.map(p => PostAgg(str(p \ "name"), postAggExpr(p)))
+  private def postAggs(j: JValue,
+      fin: Map[String, Column => Column] = Map.empty): Seq[PostAgg] = j match {
+    case JArray(ps) => ps.map(p => PostAgg(str(p \ "name"), postAggExpr(p, fin)))
     case _ => Nil
   }
 
-  private def postAggExpr(j: JValue): Column = str(j \ "type") match {
+  private def postAggExpr(j: JValue,
+      fin: Map[String, Column => Column] = Map.empty): Column = {
+    // recursive positions inherit the finalizer scope
+    def postAggExprRec(jj: JValue): Column = postAggExpr(jj, fin)
+    postAggExpr0(j, fin, postAggExprRec)
+  }
+
+  private def postAggExpr0(j: JValue, fin: Map[String, Column => Column],
+      postAggExpr: JValue => Column): Column = str(j \ "type") match {
     case "arithmetic" =>
       // ArithmeticPostAggregator computes in DOUBLE regardless of the
       // operand types (compute() folds over doubles) — long+long stays
@@ -2295,7 +2315,18 @@ object NativeQuery {
         case "quotient" => fields.reduce(_ / _)
         case f => throw new IllegalArgumentException(s"arithmetic fn: $f")
       }
-    case "fieldAccess" | "finalizingFieldAccess" => col(str(j \ "fieldName"))
+    // fieldAccess reads the aggregate's RAW value (sketch bytes for the
+    // sketch families); finalizingFieldAccess applies the aggregator's
+    // finalizer (FinalizingFieldAccessPostAggregator — estimate/getN), so
+    // arithmetic over finalized sketch aggregates computes on numbers
+    // (FinalizingFieldAccessPostAggregatorTest
+    // .testIngestAndQueryWithArithmeticPostAggregator). Aggregators that
+    // finalize at eval time (hyperUnique/cardinality) have no entry and
+    // read the (already finalized) column either way.
+    case "fieldAccess" => col(str(j \ "fieldName"))
+    case "finalizingFieldAccess" =>
+      val n = str(j \ "fieldName")
+      fin.get(n).map(f => f(col(n))).getOrElse(col(n))
     case "constant" => lit(jvalueToAny(j \ "value"))
     case "expression" => MathExpr.expr(str(j \ "expression"))
     case "doubleGreatest" | "longGreatest" => greatest(arr(j \ "fields").map(postAggExpr): _*)
