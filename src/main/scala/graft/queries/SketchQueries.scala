@@ -91,6 +91,23 @@ object SketchQueries {
         count(lit(1)).as("n_groups"))
     }),
 
+    // the Druid SQL sketch names end-to-end (r14):
+    // APPROX_COUNT_DISTINCT_DS_THETA / _DS_HLL finalize to rounded longs
+    // (exact at nation cardinality — theta below nominal entries, HLL in
+    // its coupon phase), DS_GET_QUANTILE(DS_QUANTILES_SKETCH) per group
+    // pins the strictly-greater rule over per-segment balances
+    "sql_sketch_acd" -> ((s, dir) => {
+      graft.functions.GraftSqlFunctions.register(s)
+      Sources.table(s, dir, "customer").createOrReplaceTempView("graft_customer_acd")
+      s.sql("""
+        SELECT c_mktsegment,
+               APPROX_COUNT_DISTINCT_DS_THETA(c_nationkey) AS nd_theta,
+               APPROX_COUNT_DISTINCT_DS_HLL(c_nationkey) AS nd_hll,
+               DS_GET_QUANTILE(DS_QUANTILES_SKETCH(c_acctbal, 8192), 0.5) AS q50_bal
+        FROM graft_customer_acd
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
     // Druid HyperLogLogCollector WRITE interop: build reference-format V1
     // collector bytes (what a Druid cluster reads as a stored hyperUnique
     // column) per group, union-estimate the shuffled partials, and gate the
@@ -167,6 +184,26 @@ object SketchQueries {
       """SELECT count(DISTINCT l_suppkey) AS nd_global,
         |       count(DISTINCT l_returnflag) AS n_groups
         |FROM lineitem""".stripMargin,
+
+    // per-group exclusive median: smallest balance whose cumulative
+    // within-segment row rank > 0.5*n (the reference's strictly-greater
+    // getQuantile rule)
+    "sql_sketch_acd" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal) AS rk,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |q AS (
+        |  SELECT c_mktsegment, min(c_acctbal) AS q50_bal
+        |  FROM ranked WHERE rk > 0.5 * n GROUP BY 1)
+        |SELECT c.c_mktsegment,
+        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS nd_theta,
+        |  CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS nd_hll,
+        |  any_value(q.q50_bal) AS q50_bal
+        |FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sketch_hllc_build" ->
       """SELECT count(DISTINCT l_suppkey) AS nd_exact,
