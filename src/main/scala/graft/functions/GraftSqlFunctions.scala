@@ -752,21 +752,74 @@ object GraftSqlFunctions {
     },
     // APPROX_QUANTILE(col, p[, k]) (extensions-core/histogram SQL fn) →
     // percentile_approx with accuracy from k
+    // APPROX_QUANTILE(col, p[, resolution]) — the reference's
+    // ApproximateHistogram surface (QuantileSqlAggregator), reproduced
+    // value-exactly in the within-resolution regime incl. its float32
+    // positions and Algorithm-4 interpolation (5.880000114440918-style
+    // outputs); formerly mapped to percentile_approx, which computed
+    // different approximations. Bare aggregate so FILTER attaches.
     "approx_quantile" -> { args =>
-      val acc = if (args.size > 2) litInt(args(2), "approx_quantile") else 10000
-      ex(percentile_approx(col(args(0)), lit(litDouble(args(1), "approx_quantile")), lit(acc)))
+      val res = if (args.size > 2) litInt(args(2), "approx_quantile") else 50
+      graft.plans.ApproxHistQuantileAgg(args(0),
+        litDouble(args(1), "approx_quantile"), res)
     },
     // BLOOM_FILTER(col[, expectedItems]) / BLOOM_FILTER_TEST(col, filterCol)
     "bloom_filter" -> { args =>
       val n = if (args.size > 1) litInt(args(1), "bloom_filter").toLong else 100000L
       ex(graft.plans.BloomFunctions.bloomFilterAgg(col(args(0)), n))
     },
+    // BLOOM_FILTER_TEST(expr, filter): the filter side is Druid SQL's
+    // base64 STRING (BloomDimFilterSqlTest — also how dynamic ? parameters
+    // arrive after binding), or a binary filter column. Byte-layout
+    // dispatch like the JSON `bloom` filter: reference BloomKFilter bytes
+    // test natively, Spark-built filters keep working.
     "bloom_filter_test" -> { args =>
-      ex(graft.plans.BloomFunctions.mightContain(col(args(1)), col(args(0))))
+      args(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, t)
+            if t == org.apache.spark.sql.types.StringType =>
+          val bytes = java.util.Base64.getMimeDecoder.decode(s.toString)
+          if (bytes.nonEmpty && bytes(0) != 0)
+            ex(graft.plans.BloomFunctions.druidBloomTest(lit(bytes), col(args(0))))
+          else ex(graft.plans.BloomFunctions.mightContain(lit(bytes), col(args(0))))
+        case _ =>
+          ex(graft.plans.BloomFunctions.mightContain(col(args(1)), col(args(0))))
+      }
     },
     // Druid BloomKFilter BINARY interop (read+write;
     // extensions-core/druid-bloom-filter): test values against / build
     // filters in the reference's own serialized format
+    // variance family (extensions-core/stats VarianceSqlAggregator):
+    // collector-exact arithmetic, count==1 → 0 / count==0 → null (unlike
+    // ANSI VAR_SAMP's null at n ≤ 1), output width follows the input type
+    // (float → FLOAT, long → LONG). These REPLACE Spark's builtins of the
+    // same names in the registered session — identical values for n ≥ 2,
+    // the reference's semantics at the edges. Bare aggregates so FILTER
+    // attaches; STDDEV* finalize to sqrt inside the aggregate
+    // (StandardDeviationPostAggregator).
+    "var_pop" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = true,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)))
+    },
+    "var_samp" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = false,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)))
+    },
+    "variance" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = false,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)))
+    },
+    "stddev_pop" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = true,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)), sqrtOut = true)
+    },
+    "stddev_samp" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = false,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)), sqrtOut = true)
+    },
+    "stddev" -> { args =>
+      graft.plans.DruidVarianceAgg(args(0), population = false,
+        graft.plans.DruidVarianceAgg.inferInputType(args(0)), sqrtOut = true)
+    },
     // bare AggregateFunction so FILTER (WHERE ...) attaches, like the
     // reference's filtered BloomFilterAggregatorFactory
     "druid_bloom_filter" -> { args =>

@@ -2123,10 +2123,32 @@ object NativeQuery {
       case "HLLSketchMerge" =>
         Agg(name, hll_union_agg(f, true))
       // variance (extensions-core/stats VarianceAggregatorFactory.java:77-89:
-      // estimator "population" → population variance, else sample)
+      // estimator "population" → population variance, else sample) —
+      // collector-exact fold, count==1 → 0 / count==0 → null, with the
+      // inputType-driven value coercion and output width
       case "variance" | "varianceFold" =>
         val pop = strOpt(j \ "estimator").exists(_.equalsIgnoreCase("population"))
-        Agg(name, if (pop) var_pop(f) else var_samp(f))
+        // inputType from the JSON, else the datasource column's type
+        // (f is unresolved here, so probe the schema by fieldName)
+        val it = strOpt(j \ "inputType").map(_.toLowerCase).getOrElse {
+          (j \ "fieldName") match {
+            case JString(n) if input != null &&
+                input.schema.fieldNames.contains(n) =>
+              input.schema(n).dataType match {
+                case org.apache.spark.sql.types.FloatType => "float"
+                case org.apache.spark.sql.types.LongType |
+                     org.apache.spark.sql.types.IntegerType |
+                     org.apache.spark.sql.types.ShortType |
+                     org.apache.spark.sql.types.ByteType => "long"
+                case _ => "double"
+              }
+            case _ => "double"
+          }
+        }
+        Agg(name, org.apache.spark.sql.graftbridge.CatalystBridge.column(
+          graft.plans.DruidVarianceAgg(
+            org.apache.spark.sql.graftbridge.CatalystBridge.expression(f), pop, it)
+            .toAggregateExpression()))
       // approxHistogram (ApproximateHistogramAggregatorFactory.java:69-75 —
       // Ben-Haim/Tom-Tov centroids ≡ histogram_numeric); rendered as
       // "x:y,..." centroid pairs (rounded), a documented string rendering of
