@@ -768,6 +768,20 @@ object GraftSqlFunctions {
       val n = if (args.size > 1) litInt(args(1), "bloom_filter").toLong else 100000L
       ex(graft.plans.BloomFunctions.bloomFilterAgg(col(args(0)), n))
     },
+    // APPROX_QUANTILE_FIXED_BUCKETS(col, p, numBuckets, lower, upper
+    // [, outlierHandlingMode]) — FixedBucketsHistogramQuantileSqlAggregator
+    "approx_quantile_fixed_buckets" -> { args =>
+      val mode = if (args.size > 5) args(5) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case _ => "ignore"
+      } else "ignore"
+      graft.plans.FixedBucketsQuantileAgg(args(0),
+        litDouble(args(1), "approx_quantile_fixed_buckets"),
+        litInt(args(2), "approx_quantile_fixed_buckets"),
+        litDouble(args(3), "approx_quantile_fixed_buckets"),
+        litDouble(args(4), "approx_quantile_fixed_buckets"),
+        mode)
+    },
     // BLOOM_FILTER_TEST(expr, filter): the filter side is Druid SQL's
     // base64 STRING (BloomDimFilterSqlTest — also how dynamic ? parameters
     // arrive after binding), or a binary filter column. Byte-layout

@@ -121,9 +121,11 @@ object ApproxHistQuantileAgg {
       bins = removeL(bins, best + 1)
     }
 
-    /** ApproximateHistogram.getQuantiles' per-probability body (:1557-1594). */
+    /** ApproximateHistogram.getQuantiles' per-probability body (:1557-1594).
+      * probabilities are float[] in the reference, so p carries float32
+      * rounding into s. */
     def quantile(p: Double): Float = {
-      val s = p * count
+      val s = p.toFloat.toDouble * count
       var i = 0; var sum = 0L; var k = 1; var found = false
       while (k <= bins.length && !found) {
         val c = bins(k - 1)
