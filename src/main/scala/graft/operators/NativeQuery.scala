@@ -2128,26 +2128,16 @@ object NativeQuery {
       // inputType-driven value coercion and output width
       case "variance" | "varianceFold" =>
         val pop = strOpt(j \ "estimator").exists(_.equalsIgnoreCase("population"))
-        // inputType from the JSON, else the datasource column's type
-        // (f is unresolved here, so probe the schema by fieldName)
-        val it = strOpt(j \ "inputType").map(_.toLowerCase).getOrElse {
-          (j \ "fieldName") match {
-            case JString(n) if input != null &&
-                input.schema.fieldNames.contains(n) =>
-              input.schema(n).dataType match {
-                case org.apache.spark.sql.types.FloatType => "float"
-                case org.apache.spark.sql.types.LongType |
-                     org.apache.spark.sql.types.IntegerType |
-                     org.apache.spark.sql.types.ShortType |
-                     org.apache.spark.sql.types.ByteType => "long"
-                case _ => "double"
-              }
-            case _ => "double"
-          }
-        }
+        // the native factory defaults the input to FLOAT when unspecified
+        // (VarianceAggregatorFactory.getInputType:315 — even over a double
+        // column, values accumulate at float32, which is what
+        // VarianceGroupByQueryTest's 543195.4271253889-style pins encode);
+        // the finalized variance is always DOUBLE (typedOutput=false)
+        val it = strOpt(j \ "inputType").map(_.toLowerCase).getOrElse("float")
         Agg(name, org.apache.spark.sql.graftbridge.CatalystBridge.column(
           graft.plans.DruidVarianceAgg(
-            org.apache.spark.sql.graftbridge.CatalystBridge.expression(f), pop, it)
+            org.apache.spark.sql.graftbridge.CatalystBridge.expression(f), pop, it,
+            typedOutput = false)
             .toAggregateExpression()))
       // approxHistogram (ApproximateHistogramAggregatorFactory.java:69-75 —
       // Ben-Haim/Tom-Tov centroids ≡ histogram_numeric); rendered as
@@ -2345,6 +2335,14 @@ object NativeQuery {
     // .testIngestAndQueryWithArithmeticPostAggregator). Aggregators that
     // finalize at eval time (hyperUnique/cardinality) have no entry and
     // read the (already finalized) column either way.
+    // StandardDeviationPostAggregator (extensions-core/stats, JSON type
+    // "stddev"): sqrt of a variance aggregator's value. The reference
+    // re-reads the raw collector with the post-agg's own estimator; here
+    // the variance aggregator finalizes at eval, so the post-agg sqrts the
+    // finalized value — identical whenever the estimators agree (the only
+    // combination the reference's own tests exercise; a mismatched
+    // estimator would need the collector state, an adjudicated non-goal)
+    case "stddev" => sqrt(col(str(j \ "fieldName")))
     case "fieldAccess" => col(str(j \ "fieldName"))
     case "finalizingFieldAccess" =>
       val n = str(j \ "fieldName")

@@ -31,6 +31,11 @@ case class DruidVarianceAgg(
     population: Boolean,
     inputType: String = "double",     // double | float | long
     sqrtOut: Boolean = false,
+    // SQL (BaseVarianceSqlAggregator) types the OUTPUT by the input width;
+    // the native factory always finalizes DOUBLE
+    // (VarianceAggregatorFactory.finalizeComputation) — typedOutput=false
+    // keeps the float/long input coercion but emits DOUBLE
+    typedOutput: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
@@ -83,7 +88,8 @@ case class DruidVarianceAgg(
     if (variance == null) null
     else {
       val out = if (sqrtOut) math.sqrt(variance) else variance.doubleValue()
-      inputType match {
+      if (!typedOutput) out
+      else inputType match {
         case "float" => out.toFloat
         case "long" => out.toLong
         case _ => out
@@ -101,11 +107,13 @@ case class DruidVarianceAgg(
     Array(bb.getDouble, bb.getDouble, bb.getDouble)
   }
 
-  override def dataType: DataType = inputType match {
-    case "float" => FloatType
-    case "long" => LongType
-    case _ => DoubleType
-  }
+  override def dataType: DataType =
+    if (!typedOutput) DoubleType
+    else inputType match {
+      case "float" => FloatType
+      case "long" => LongType
+      case _ => DoubleType
+    }
   override def nullable: Boolean = true
   override def withNewMutableAggBufferOffset(o: Int): DruidVarianceAgg =
     copy(mutableAggBufferOffset = o)
