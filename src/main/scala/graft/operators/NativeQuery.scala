@@ -2343,6 +2343,21 @@ object NativeQuery {
     // combination the reference's own tests exercise; a mismatched
     // estimator would need the collector state, an adjudicated non-goal)
     case "stddev" => sqrt(col(str(j \ "fieldName")))
+    // teststats (extensions-core/stats): two-sample z-score over conversion
+    // rates (ZtestPostAggregator.zScoreTwoSamples:157-177) and the
+    // two-tailed p-value from a z-score (PvaluefromZscorePostAggregator)
+    case "zscore2sample" =>
+      val s1 = postAggExpr(j \ "successCount1").cast("double")
+      val p1 = postAggExpr(j \ "sample1Size").cast("double")
+      val s2 = postAggExpr(j \ "successCount2").cast("double")
+      val p2 = postAggExpr(j \ "sample2Size").cast("double")
+      val r1 = s1 / p1
+      val r2 = s2 / p2
+      (r1 - r2) / sqrt(r1 * (lit(1.0) - r1) / p1 + r2 * (lit(1.0) - r2) / p2)
+    case "pvalue2tailedZtest" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.PvalueFromZscore(
+        bridge.expression(postAggExpr(j \ "zScore").cast("double"))))
     case "fieldAccess" => col(str(j \ "fieldName"))
     case "finalizingFieldAccess" =>
       val n = str(j \ "fieldName")

@@ -998,6 +998,20 @@ case class HllEstimateWithBounds(child: Expression, numStdDevs: Int)
   * regularized incomplete beta I_x(df/2, 1/2) at x = df/(df+t²)).
   * Self-contained standard numerics (Lanczos log-gamma + Lentz continued
   * fraction for the incomplete beta) — no stats library in the sandbox. */
+/** PvaluefromZscorePostAggregator (extensions-core/stats teststats,
+  * JSON type "pvalue2tailedZtest"): 2·(1 − Φ(|z|)). */
+case class PvalueFromZscore(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case n: Number => 2.0 * (1.0 - StatInference.normalCdf(math.abs(n.doubleValue())))
+    case _ => null
+  }
+  override protected def withNewChildInternal(c: Expression): PvalueFromZscore =
+    copy(child = c)
+  override def prettyName: String = "pvalue_2tailed_ztest"
+}
+
 object StatInference {
   private val LanczosG = 7.0
   private val LanczosCoefs = Array(
@@ -1058,6 +1072,47 @@ object StatInference {
       if (x < (a + 1.0) / (a + b + 2.0)) bt * betacf(a, b, x) / a
       else 1.0 - bt * betacf(b, a, 1.0 - x) / b
     }
+  }
+
+  /** Regularized upper incomplete gamma Q(a, x) — series for x < a+1,
+    * Lentz continued fraction otherwise (the same machinery commons-math's
+    * Erf rides, matching it to ~1e-14). */
+  def regularizedGammaQ(a: Double, x: Double): Double = {
+    if (x <= 0.0) 1.0
+    else if (x < a + 1.0) {
+      // P(a,x) by series, Q = 1 - P
+      var ap = a; var sum = 1.0 / a; var del = sum
+      var n = 0
+      while (n < 500 && math.abs(del) > math.abs(sum) * 1e-16) {
+        ap += 1.0; del *= x / ap; sum += del; n += 1
+      }
+      1.0 - sum * math.exp(-x + a * math.log(x) - logGamma(a))
+    } else {
+      var b = x + 1.0 - a; var c = 1.0 / 1e-300; var d = 1.0 / b; var h = d
+      var i = 1
+      var done = false
+      while (i <= 500 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b; if (math.abs(d) < 1e-300) d = 1e-300
+        c = b + an / c; if (math.abs(c) < 1e-300) c = 1e-300
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-16) done = true
+        i += 1
+      }
+      math.exp(-x + a * math.log(x) - logGamma(a)) * h
+    }
+  }
+
+  /** Standard normal CDF via erfc — NormalDistribution.cumulativeProbability
+    * (the PvaluefromZscorePostAggregator's distribution). */
+  def normalCdf(x: Double): Double = {
+    val z = x / math.sqrt(2.0)
+    val erfc = if (z >= 0) regularizedGammaQ(0.5, z * z)
+               else 2.0 - regularizedGammaQ(0.5, z * z)
+    1.0 - 0.5 * erfc
   }
 
   /** Two-sided Welch p-value from summary stats (mean, SAMPLE variance, n). */

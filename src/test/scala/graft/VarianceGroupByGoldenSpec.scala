@@ -121,4 +121,65 @@ class VarianceGroupByGoldenSpec extends SparkSpecBase {
     assert(close(limited(0)._2, 17.29164485827847))
     assert(close(limited(1)._2, 502.27403082275106))
   }
+
+  test("testGroupByZtestPostAgg (:242): zscore2sample over the idx/stddev " +
+      "conversion rates, limit desc by it — premium's z = 36.54266309285626") {
+    val rows = run("""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "variance", "name": "index_var", "fieldName": "index"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "stddev", "name": "index_stddev", "fieldName": "index_var"},
+          {"type": "zscore2sample", "name": "ztest",
+           "successCount1": {"type": "fieldAccess", "fieldName": "idx"},
+           "sample1Size": {"type": "constant", "value": 100000},
+           "successCount2": {"type": "fieldAccess", "fieldName": "index_stddev"},
+           "sample2Size": {"type": "constant", "value": 100000}}
+        ],
+        "limitSpec": {"type": "default", "limit": 1, "columns": [
+          {"dimension": "ztest", "direction": "descending"}]}
+      }""").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("alias") == "premium")
+    assert(r.getAs[Long]("rows") == 3L && r.getAs[Long]("idx") == 2900L)
+    assert(close(r.getAs[Double]("index_stddev"), 726.632270328514))
+    assert(close(r.getAs[Double]("ztest"), 36.54266309285626))
+  }
+
+  test("testGroupByTestPvalueZscorePostAgg (:283): pvalue2tailedZtest — a " +
+      "zero 'z-score' gives p = 1.0, sorted first under DESC") {
+    val rows = run("""{
+        "queryType": "groupBy",
+        "dataSource": "testIndex",
+        "granularity": "day",
+        "intervals": ["2011-04-01T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+        "dimensions": [{"dimension": "quality", "outputName": "alias"}],
+        "aggregations": [
+          {"type": "count", "name": "rows"},
+          {"type": "variance", "name": "index_var", "fieldName": "index"},
+          {"type": "longSum", "name": "idx", "fieldName": "index"}
+        ],
+        "postAggregations": [
+          {"type": "stddev", "name": "index_stddev", "fieldName": "index_var"},
+          {"type": "pvalue2tailedZtest", "name": "pvalueZscore",
+           "zScore": {"type": "fieldAccess", "fieldName": "index_stddev"}}
+        ],
+        "limitSpec": {"type": "default", "limit": 1, "columns": [
+          {"dimension": "pvalueZscore", "direction": "descending"}]}
+      }""").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("alias") == "automotive")
+    assert(r.getAs[Long]("rows") == 1L && r.getAs[Long]("idx") == 135L)
+    assert(r.getAs[Double]("index_var") == 0.0)
+    assert(r.getAs[Double]("pvalueZscore") == 1.0)
+  }
 }
