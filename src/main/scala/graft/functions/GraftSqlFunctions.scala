@@ -763,11 +763,21 @@ object GraftSqlFunctions {
       graft.plans.ApproxHistQuantileAgg(args(0),
         litDouble(args(1), "approx_quantile"), res)
     },
-    // BLOOM_FILTER(col[, expectedItems]) / BLOOM_FILTER_TEST(col, filterCol)
+    // BLOOM_FILTER(col[, expectedItems]) / BLOOM_FILTER_TEST(col, filterCol).
+    // The 1-arg integer-literal form is the EXPRESSION MACRO
+    // bloom_filter(maxEntries) — a fresh reference-format filter per call
+    // site (BloomFilterExpressions.CreateExprMacro), used with
+    // bloom_filter_add inside expression virtual columns / lambda folds
     "bloom_filter" -> { args =>
-      val n = if (args.size > 1) litInt(args(1), "bloom_filter").toLong else 100000L
-      ex(graft.plans.BloomFunctions.bloomFilterAgg(col(args(0)), n))
+      if (args.size == 1 && intLitOpt(args(0)).isDefined)
+        graft.plans.BloomCreateExpr(litInt(args(0), "bloom_filter"))
+      else {
+        val n = if (args.size > 1) litInt(args(1), "bloom_filter").toLong else 100000L
+        ex(graft.plans.BloomFunctions.bloomFilterAgg(col(args(0)), n))
+      }
     },
+    // bloom_filter_add(value, filter) — BloomFilterExpressions.AddExprMacro
+    "bloom_filter_add" -> { args => graft.plans.BloomAddExpr(args(0), args(1)) },
     // APPROX_QUANTILE_FIXED_BUCKETS(col, p, numBuckets, lower, upper
     // [, outlierHandlingMode]) — FixedBucketsHistogramQuantileSqlAggregator
     "approx_quantile_fixed_buckets" -> { args =>
@@ -796,7 +806,10 @@ object GraftSqlFunctions {
             ex(graft.plans.BloomFunctions.druidBloomTest(lit(bytes), col(args(0))))
           else ex(graft.plans.BloomFunctions.mightContain(lit(bytes), col(args(0))))
         case _ =>
-          ex(graft.plans.BloomFunctions.mightContain(col(args(1)), col(args(0))))
+          // non-literal filter (a binary column or a bloom_filter_add
+          // macro chain): DruidBloomTest dispatches per row on the byte
+          // layout, so BOTH reference-format and Spark-built filters test
+          graft.plans.DruidBloomTest(args(1), args(0))
       }
     },
     // Druid BloomKFilter BINARY interop (read+write;

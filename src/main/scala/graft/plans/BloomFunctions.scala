@@ -134,6 +134,7 @@ case class DruidBloomTest(left: Expression, right: Expression)
 
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedFilter: org.apache.hive.common.util.BloomKFilter = _
+  @transient private var cachedSpark: org.apache.spark.util.sketch.BloomFilter = _
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val b = left.eval(input)
@@ -143,18 +144,79 @@ case class DruidBloomTest(left: Expression, right: Expression)
     // same array every row); content equality as the fallback so a bloom
     // BYTES COLUMN (one filter per row, e.g. joined from a filter table)
     // still caches across equal-valued rows instead of re-deserializing
-    if (cachedFilter == null ||
+    if ((cachedFilter == null && cachedSpark == null) ||
         ((cachedBytes ne bytes) && !java.util.Arrays.equals(cachedBytes, bytes))) {
       cachedBytes = bytes
-      cachedFilter = DruidBloomBytes.deserialize(bytes)
+      // byte-layout dispatch (same rule as the JSON `bloom` filter): the
+      // reference's BloomKFilter leads with numHashFunctions ≥ 1, Spark's
+      // sketch with a big-endian version int whose first byte is 0 — so a
+      // Spark-built filter COLUMN keeps testing through Spark's sketch
+      if (bytes.nonEmpty && bytes(0) != 0) {
+        cachedFilter = DruidBloomBytes.deserialize(bytes); cachedSpark = null
+      } else {
+        cachedSpark = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        cachedFilter = null
+      }
     }
     // a null VALUE still tests (Druid's filter matches nulls that were
     // added to the filter: NULL_HASHCODE membership)
-    DruidBloomBytes.test(cachedFilter, right.eval(input))
+    if (cachedFilter != null) DruidBloomBytes.test(cachedFilter, right.eval(input))
+    else right.eval(input) match {
+      case null => false
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        cachedSpark.mightContainBinary(s.getBytes)
+      case l: java.lang.Long => cachedSpark.mightContainLong(l)
+      case i: java.lang.Integer => cachedSpark.mightContainLong(i.toLong)
+      case other => cachedSpark.mightContain(other)
+    }
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DruidBloomTest =
     copy(left = l, right = r)
   override def prettyName: String = "druid_bloom_test"
+}
+
+/** The bloom expression-macro family (extensions-core/druid-bloom-filter
+  * BloomFilterExpressions.java): per-row filter manipulation inside
+  * expression virtual columns and expression-lambda aggregators —
+  * `bloom_filter(maxEntries)` creates empty reference-format bytes,
+  * `bloom_filter_add(value, filter)` adds typed values (a null VALUE adds
+  * the NULL_HASHCODE like AddExprMacro; a null FILTER is null; a BINARY
+  * value merges another filter), `bloom_filter_test` is [[DruidBloomTest]].
+  * Mirrors the hyper_unique() macro family's lifecycle. */
+case class BloomCreateExpr(maxEntries: Int)
+  extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false // each call site is a fresh filter
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DruidBloomBytes.serialize(new org.apache.hive.common.util.BloomKFilter(maxEntries.toLong))
+  override def prettyName: String = "bloom_filter"
+}
+
+case class BloomAddExpr(value: Expression, filter: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = value
+  override def right: Expression = filter
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val fb = filter.eval(input)
+    if (fb == null) return null
+    val f = DruidBloomBytes.deserialize(fb.asInstanceOf[Array[Byte]])
+    value.eval(input) match {
+      case b: Array[Byte] => // merge another filter (AddExprMacro's bloom case)
+        f.merge(DruidBloomBytes.deserialize(b))
+      case v => DruidBloomBytes.add(f, v) // typed add; null adds NULL_HASHCODE
+    }
+    DruidBloomBytes.serialize(f)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomAddExpr =
+    copy(value = l, filter = r)
+  override def prettyName: String = "bloom_filter_add"
 }
 
 /** DRUID_BLOOM_FILTER(col, maxNumEntries) → binary: the reference's bloom
