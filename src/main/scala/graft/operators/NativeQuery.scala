@@ -1787,7 +1787,9 @@ object NativeQuery {
       val a = if (strOpt(a0 \ "type").contains("filtered")) a0 \ "aggregator" else a0
       (strOpt(a0 \ "name") orElse strOpt(a \ "name")).toSeq.flatMap { name =>
         strOpt(a \ "type") match {
-          case Some("thetaSketch") if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
+          // incl. the OLD API names (OldApiSketchModule sketchBuild/Merge)
+          case Some("thetaSketch" | "sketchBuild" | "sketchMerge")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.thetaEstimate(c)))
           // shouldFinalize=false keeps the serialized bytes — the shape a
           // re-aggregating outer query (or a rollup sink) consumes
@@ -2076,7 +2078,11 @@ object NativeQuery {
             }
           })
         Agg(name, if (boolOpt(j \ "round").getOrElse(false)) round(est).cast("long") else est)
-      case "thetaSketch" =>
+      // "sketchBuild"/"sketchMerge" are the OLD theta API's names for the
+      // same factories (OldApiSketchModule.java:41-42;
+      // OldApiSketchAggregationTest runs the oldapi query resources) — the
+      // build/merge choice still follows isInputThetaSketch/binariness
+      case "thetaSketch" | "sketchBuild" | "sketchMerge" =>
         val lgK = intOpt(j \ "size")
           .map(n => math.max(4, (math.log(n.toDouble) / math.log(2.0)).round.toInt)).getOrElse(12)
         // SketchMergeAggregatorFactory: pre-built sketch inputs UNION
@@ -2376,6 +2382,22 @@ object NativeQuery {
     }
     case "thetaSketchToString" =>
       graft.plans.SketchFunctions.thetaSummary(postAggExpr(j \ "field"))
+    // OLD theta API post-agg names (OldApiSketchModule.java:63-64):
+    // "sketchEstimate" ≡ thetaSketchEstimate, "sketchSetOper" ≡
+    // thetaSketchSetOp — identical compute, different Jackson names
+    case "sketchEstimate" => intOpt(j \ "errorBoundsStdDev") match {
+      case Some(n) => graft.plans.SketchFunctions.thetaEstimateBounds(postAggExpr(j \ "field"), n)
+      case None => graft.plans.SketchFunctions.thetaEstimate(postAggExpr(j \ "field"))
+    }
+    case "sketchSetOper" =>
+      import graft.plans.SketchFunctions.{thetaUnion, thetaIntersect, thetaNot}
+      val op: (Column, Column) => Column = str(j \ "func").toUpperCase match {
+        case "UNION" => thetaUnion
+        case "INTERSECT" => thetaIntersect
+        case "NOT" => thetaNot
+        case o => throw new IllegalArgumentException(s"sketchSetOper func: $o")
+      }
+      arr(j \ "fields").map(postAggExpr).reduce(op)
     // a base64 compact theta sketch carried IN the query
     // (theta/SketchConstantPostAggregator.java — SketchAggregationWith
     // SimpleDataTest's topn_query_sketch_const.json)

@@ -106,6 +106,21 @@ class SketchSimpleDataGoldenSpec extends SparkSpecBase {
     assert(row.getAs[Double]("non_existing_col_validation") == 0.0)
   }
 
+  test("OldApiSketchAggregationTest.testSimpleDataIngestAndQuery (:99): the " +
+      "OLD theta API names (sketchMerge aggregator, sketchEstimate + " +
+      "sketchSetOper post-aggs) run the oldapi query resource verbatim — " +
+      "50 distinct countries, self set-ops identity, empty sketch 0.0") {
+    val r = query("oldapi/old_simple_test_data_group_by_query.json").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("sketch_count") == 50.0)
+    assert(row.getAs[Double]("sketchEstimatePostAgg") == 50.0)
+    assert(row.getAs[Double]("sketchUnionPostAggEstimate") == 50.0)
+    assert(row.getAs[Double]("sketchIntersectionPostAggEstimate") == 50.0)
+    assert(row.getAs[Double]("sketchAnotBPostAggEstimate") == 0.0)
+    assert(row.getAs[Double]("non_existing_col_validation") == 0.0)
+  }
+
   test("testTopNQueryWithSketchConstant (:286): a base64 thetaSketchConstant " +
       "(2 entries, 1 shared with product_3 / 2 with the others) inside " +
       "estimate and set-op post-aggs; inverted topN ties break dim-ascending") {
