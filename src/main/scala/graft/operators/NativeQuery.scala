@@ -759,6 +759,11 @@ object NativeQuery {
         // no offset designator: bare dates / local datetimes are UTC already
         if (t.matches("""\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?"""))
           t.replace("T", " ")
+        // Joda (the reference's Intervals.of) also accepts reduced-precision
+        // ISO endpoints: bare years ("1970/2050" in
+        // ApproximateHistogramAggregationTest's query) and year-months
+        else if (t.matches("""\d{4}""")) s"$t-01-01"
+        else if (t.matches("""\d{4}-\d{2}""")) s"$t-01"
         else throw new IllegalArgumentException(s"Unparseable interval endpoint: $s")
     }
   }
@@ -1787,6 +1792,14 @@ object NativeQuery {
       val a = if (strOpt(a0 \ "type").contains("filtered")) a0 \ "aggregator" else a0
       (strOpt(a0 \ "name") orElse strOpt(a \ "name")).toSeq.flatMap { name =>
         strOpt(a \ "type") match {
+          // approxHistogram renders to the centroid summary unless a
+          // post-agg reads the raw state column (shouldFinalize contract)
+          case Some("approxHistogram" | "approxHistogramFold")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
+            Seq(name -> ((c: Column) => {
+              val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+              bridge.column(graft.plans.ApproxHistPostAgg(bridge.expression(c), "summary"))
+            }))
           // incl. the OLD API names (OldApiSketchModule sketchBuild/Merge)
           case Some("thetaSketch" | "sketchBuild" | "sketchMerge")
               if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
@@ -2145,16 +2158,17 @@ object NativeQuery {
             org.apache.spark.sql.graftbridge.CatalystBridge.expression(f), pop, it,
             typedOutput = false)
             .toAggregateExpression()))
-      // approxHistogram (ApproximateHistogramAggregatorFactory.java:69-75 —
-      // Ben-Haim/Tom-Tov centroids ≡ histogram_numeric); rendered as
-      // "x:y,..." centroid pairs (rounded), a documented string rendering of
-      // the finalized histogram
-      case "approxHistogram" =>
+      // approxHistogram / approxHistogramFold (ApproximateHistogram
+      // AggregatorFactory.java:69-75 + the folding factory): the aggregate
+      // carries the RAW histogram state so the module's post-aggs
+      // (quantile/quantiles/min/max/buckets/...) can read it; a bare
+      // aggregate finalizes to the engine's "x:y,..." centroid render
+      // (aggFinalizerPairs). A BINARY input folds stored state.
+      case "approxHistogram" | "approxHistogramFold" =>
         val res = intOpt(j \ "resolution").getOrElse(50)
-        Agg(name, array_join(transform(
-          DruidFunctions.approxHistogram(f, res),
-          b => concat(round(b.getField("x")).cast("long").cast("string"), lit(":"),
-                      round(b.getField("y")).cast("long").cast("string"))), ","))
+        val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+        Agg(name, bridge.column(graft.plans.ApproxHistAgg(bridge.expression(f), res,
+          foldInput = fieldIsBinary(j, input)).toAggregateExpression()))
       // fixedBucketsHistogram (FixedBucketsHistogramAggregatorFactory.java:
       // 66-72); outlierHandlingMode clip/ignore (overflow unsupported);
       // rendered as comma-joined bucket counts
@@ -2341,6 +2355,40 @@ object NativeQuery {
     // .testIngestAndQueryWithArithmeticPostAggregator). Aggregators that
     // finalize at eval time (hyperUnique/cardinality) have no entry and
     // read the (already finalized) column either way.
+    // histogram module post-aggs (extensions-core/histogram): quantile /
+    // quantiles / min / max / buckets / customBuckets / equalBuckets over
+    // an approxHistogram aggregate's raw state
+    case "quantile" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), "quantile",
+        Seq(dbl(j \ "probability"))))
+    case "quantiles" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), "quantiles",
+        arr(j \ "probabilities").map(dbl)))
+    case "min" | "max" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), str(j \ "type")))
+    case "customBuckets" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), "customBuckets",
+        arr(j \ "breaks").map(dbl)))
+    case "equalBuckets" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), "equalBuckets",
+        Seq(intOpt(j \ "numBuckets").getOrElse(
+          throw new IllegalArgumentException("equalBuckets requires numBuckets")).toDouble)))
+    case "buckets" =>
+      val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+      bridge.column(graft.plans.ApproxHistPostAgg(
+        bridge.expression(col(str(j \ "fieldName"))), "buckets",
+        Seq(dbl(j \ "bucketSize"),
+          (j \ "offset") match { case JNothing | JNull => 0.0; case o => dbl(o) })))
     // StandardDeviationPostAggregator (extensions-core/stats, JSON type
     // "stddev"): sqrt of a variance aggregator's value. The reference
     // re-reads the raw collector with the post-agg's own estimator; here
