@@ -59,6 +59,19 @@ object Bench {
       spark.catalog.clearCache()
       t
     }
+    // UNTIMED setup pass (r14 judge ask #2): one full pass through the suite
+    // before pass 1 so one-time work — rollup/lookup materialization
+    // (RollupQueries.ensureRollup builds + writes the sketch-bearing P1D
+    // rollup on first touch), first-touch codegen, parquet footer reads —
+    // lands OUTSIDE the timed region. r14 booked a 4.7x phantom regression
+    // on rollup_rewrite_base because that materialization fell inside the
+    // first timed sample and min-of-k never saw a warm one.
+    locally {
+      val t0 = System.nanoTime()
+      selected.foreach { case (name, fn) => runOnce(name, fn) }
+      System.err.println(
+        f"[bench] setup: untimed warmup pass done (${(System.nanoTime() - t0) / 1e9}%.1f s; one-time materialization + codegen excluded from timing)")
+    }
     val passes = (1 to reps).map { p =>
       val times = selected.map { case (name, fn) => name -> runOnce(name, fn) }
       System.err.println(s"[bench] pass $p/$reps done (${times.map(_._2).sum.formatted("%.1f")} s)")
