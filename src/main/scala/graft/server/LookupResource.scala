@@ -41,6 +41,108 @@ object LookupResource {
 
   val DefaultTier = "__default"
 
+  /** lookups-cached-single factories (r15): `loadingLookup` /
+    * `pollingLookup` containers POSTed to the config surface build
+    * [[graft.sources.SingleLookup]] policies instead of a map snapshot
+    * (LookupExtractionModule.java registers exactly these two type names;
+    * factory JSON per LoadingLookupFactory.java:40-56 /
+    * PollingLookupFactory.java:41-60, dataFetcher per JdbcDataFetcher
+    * .java:73-77). Instances are held per (registry, name) so GET returns
+    * the original container and DELETE closes the policy. Both factories
+    * return a null introspect handler in the reference
+    * (LoadingLookupFactory.java:108-112, PollingLookupFactory.java:125-129),
+    * so introspection on them is 404 here too. */
+  private final case class SingleEntry(
+      container: JValue,
+      loading: Option[graft.sources.SingleLookup.LoadingLookup],
+      polling: Option[graft.sources.SingleLookup.PollingLookup])
+  private val singles =
+    scala.collection.concurrent.TrieMap.empty[(LookupRegistry, String), SingleEntry]
+
+  /** Scalar application of a registered single lookup (the extraction-fn
+    * path a reference node serves from its local LoadingLookup/
+    * PollingLookup). */
+  def applySingle(lookups: LookupRegistry, name: String, key: String): Option[String] =
+    singles.get((lookups, name)).flatMap { e =>
+      e.loading.map(_.apply(key)).getOrElse(e.polling.get.apply(key))
+    }
+
+  def isSingle(lookups: LookupRegistry, name: String): Boolean =
+    singles.contains((lookups, name))
+
+  /** ISO-8601 period → millis (the reference's Joda Period pollPeriod;
+    * time-only and day-granularity forms both accepted). */
+  private def periodMillis(s: String): Long =
+    try java.time.Duration.parse(s).toMillis
+    catch {
+      case _: Exception =>
+        java.time.Period.parse(s).getDays * 86400000L +
+          java.time.Period.parse(s).getMonths * 2592000000L +
+          java.time.Period.parse(s).getYears * 31536000000L
+    }
+
+  private def str(v: JValue): Option[String] =
+    v match { case JString(s) => Some(s); case _ => None }
+  private def lng(v: JValue): Option[Long] = v match {
+    case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+    case JDouble(d) => Some(d.toLong); case _ => None
+  }
+
+  private def parseFetcher(spark: SparkSession,
+      v: JValue): Either[String, graft.sources.SingleLookup.DataFetcher] =
+    (v \ "type") match {
+      case JString("jdbcDataFetcher") =>
+        val uri = str(v \ "connectorConfig" \ "connectURI")
+        val table = str(v \ "table")
+        val key = str(v \ "keyColumn")
+        val value = str(v \ "valueColumn")
+        if (uri.isEmpty || table.isEmpty || key.isEmpty || value.isEmpty)
+          Left("jdbcDataFetcher needs connectorConfig.connectURI, table, keyColumn, valueColumn")
+        else {
+          val props =
+            str(v \ "connectorConfig" \ "user").map("user" -> _).toMap ++
+              str(v \ "connectorConfig" \ "password").map("password" -> _).toMap
+          Right(new graft.sources.SingleLookup.JdbcDataFetcher(
+            spark, uri.get, table.get, key.get, value.get, props))
+        }
+      case JString(other) => Left(s"unsupported dataFetcher type [$other]")
+      case _ => Left("missing dataFetcher type")
+    }
+
+  private def parsePolicy(v: JValue): graft.sources.SingleLookup.CachePolicy =
+    graft.sources.SingleLookup.CachePolicy(
+      maximumSize = lng(v \ "maximumSize"),
+      expireAfterAccessMs = lng(v \ "expireAfterAccess"),
+      expireAfterWriteMs = lng(v \ "expireAfterWrite"))
+
+  private def registerSingle(spark: SparkSession, lookups: LookupRegistry,
+      name: String, kind: String, container: JValue, factory: JValue,
+      version: String): (Int, String) = {
+    parseFetcher(spark, factory \ "dataFetcher") match {
+      case Left(msg) => (400, error(msg))
+      case Right(fetcher) =>
+        // replacing an existing polling lookup closes the old instance
+        singles.remove((lookups, name)).foreach(_.polling.foreach(_.close()))
+        val entry = kind match {
+          case "loadingLookup" =>
+            SingleEntry(container,
+              Some(new graft.sources.SingleLookup.LoadingLookup(
+                fetcher, parsePolicy(factory \ "loadingCacheSpec"))), None)
+          case "pollingLookup" =>
+            val period = str(factory \ "pollPeriod").map(periodMillis).getOrElse(0L)
+            SingleEntry(container, None,
+              Some(new graft.sources.SingleLookup.PollingLookup(
+                spark, name, fetcher, period, lookups)))
+        }
+        // pin the container version on the registry entry (polling registered
+        // a snapshot; loading has no registry row, the container carries it)
+        if (entry.polling.isDefined && version != null)
+          lookups.register(name, lookups.get(name), version)
+        singles.put((lookups, name), entry)
+        (202, "")
+    }
+  }
+
   /** Handle a coordinator `/druid/coordinator/v1/lookups` request.
     * `subPath` is the path after the resource root. Returns (status, body). */
   def config(spark: SparkSession, lookups: LookupRegistry, method: String,
@@ -52,12 +154,13 @@ object LookupResource {
         ok(JArray(List(JString(DefaultTier))))
       case ("GET", List("config", "all")) =>
         ok(JObject(DefaultTier -> JObject(
-          lookups.names.toList.map(n => n -> container(lookups, n)))))
+          allNames(lookups).map(n => n -> container(lookups, n)))))
       case ("GET", List("config", DefaultTier)) =>
-        ok(JArray(lookups.names.toList.map(JString(_))))
+        ok(JArray(allNames(lookups).map(JString(_))))
       case ("GET", List("config", tier)) => notFound(s"tier [$tier] not found")
       case ("GET", List("config", DefaultTier, name)) =>
-        if (lookups.contains(name)) ok(container(lookups, name))
+        if (lookups.contains(name) || singles.contains((lookups, name)))
+          ok(container(lookups, name))
         else notFound(s"lookup [$name] not found")
       case ("POST", List("config", DefaultTier, name)) =>
         val spec = JsonMethods.parseOpt(body).getOrElse(
@@ -66,8 +169,13 @@ object LookupResource {
           case JNothing => spec // pre-0.10 bare-factory spelling
           case f => f
         }
+        val version0 = (spec \ "version") match {
+          case JString(v) => v; case _ => null
+        }
         (factory \ "type") match {
           case JString("map") => ()
+          case JString(t @ ("loadingLookup" | "pollingLookup")) =>
+            return registerSingle(spark, lookups, name, t, spec, factory, version0)
           case JString(other) =>
             return (400, error(s"unsupported lookupExtractorFactory type [$other]"))
           case _ => return (400, error("missing lookupExtractorFactory type"))
@@ -87,7 +195,10 @@ object LookupResource {
         lookups.register(name, entries.toDF("k", "v"), version)
         (202, "")
       case ("DELETE", List("config", DefaultTier, name)) =>
-        if (lookups.remove(name)) (202, "") else notFound(s"lookup [$name] not found")
+        val single = singles.remove((lookups, name))
+        single.foreach(_.polling.foreach(_.close())) // also drops the registry row
+        if (lookups.remove(name) || single.isDefined) (202, "")
+        else notFound(s"lookup [$name] not found")
       case ("POST" | "DELETE", List("config", tier, _)) =>
         notFound(s"tier [$tier] not found")
       case _ => (405, error(s"unsupported: $method $subPath"))
@@ -100,6 +211,10 @@ object LookupResource {
     if (method != "GET") return (405, error("GET only"))
     val parts = rawSubPath.takeWhile(_ != '?').split("/").filter(_.nonEmpty).toList
     parts match {
+      // loadingLookup/pollingLookup factories have no introspect handler in
+      // the reference (getIntrospectHandler → null → 404)
+      case name :: _ if singles.contains((lookups, name)) =>
+        notFound(s"lookup [$name] does not support introspection")
       case name :: rest if lookups.contains(name) =>
         val m = lookups.asMap(name)
         rest match {
@@ -118,7 +233,13 @@ object LookupResource {
     }
   }
 
+  private def allNames(lookups: LookupRegistry): List[String] =
+    (lookups.names ++ singles.keys.collect { case (r, n) if r eq lookups => n })
+      .distinct.sorted.toList
+
   private def container(lookups: LookupRegistry, name: String): JValue = {
+    // single-lookup containers round-trip the POSTed spec verbatim
+    singles.get((lookups, name)).foreach(e => return e.container)
     val m = lookups.asMap(name)
     JObject(
       "version" -> lookups.version(name).fold(JNull: JValue)(JString(_)),
