@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass,native_subquery_hllc_refold
 
 mkdir -p "$WORK"
 
@@ -91,7 +91,12 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # AggregateTopNMetricFirst pair), and the single-scan approximate
           # segmentMetadata vs the per-column-union exact mode
           "window_rank_lag": 20, "topn_wide_aggs": 30,
-          "topn_wide_aggs_onepass": 45, "segment_metadata_approx": 15}
+          "topn_wide_aggs_onepass": 45, "segment_metadata_approx": 15,
+          # round-15: the fused expression-lambda HLLC fold — pre-fusion the
+          # interpreted per-row deserialize/add/reserialize cost ~20 us/row
+          # (3.4 s at sf0.1), which would be ~300 s over the 100x orders;
+          # the native collector aggregate must stay scan-bound
+          "native_subquery_hllc_refold": 20}
 fail = []
 print(f"{'query':26s} {'sf0.1':>8s} {'sf10':>8s} {'x@100x':>8s} {'budget':>8s}")
 for q, b in budget.items():
