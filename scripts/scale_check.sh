@@ -54,8 +54,13 @@ run_family "$WORK/sf10" "$WORK/bench_sf10.json"
 
 python3 - "$WORK/bench_sf01.json" "$WORK/bench_sf10.json" <<'EOF'
 import json, sys
-base = json.load(open(sys.argv[1]))["queries"]
-sf10 = json.load(open(sys.argv[2]))["queries"]
+# control twins (e.g. topn_wide_aggs_onepass) report under "controls"
+# since the bench split them out of the headline total — merge for budgets
+def load(path):
+    d = json.load(open(path))
+    return {**d["queries"], **d.get("controls", {})}
+base = load(sys.argv[1])
+sf10 = load(sys.argv[2])
 # sf10 budgets: ~2x the round-6 quiet-box measurements (SCALE.md section 9)
 # - loose enough for box noise, tight enough that the two fixed defects
 # (single-file layout; fixed LSH plane count, 342 s) blow through them.
