@@ -1038,9 +1038,31 @@ object HttpFacade {
       case other => other
     }
 
+  /** serializeDateTimeAsLong (docs/querying/query-context.md:55 — "DateTime
+    * is serialized as long in the result returned by Broker"): render a
+    * timestamp cell as epoch millis instead of ISO-8601. Parsing mirrors
+    * [[isoMillis]]; unparseable cells pass through unchanged. */
+  private[server] def epochMillis(v: JValue): JValue = v match {
+    case JString(s) =>
+      isoMillis(JString(s)) match {
+        case JString(iso) if iso.endsWith("Z") =>
+          try JLong(Instant.parse(iso).toEpochMilli)
+          catch { case _: Exception => v }
+        case _ => v
+      }
+    case other => other
+  }
+
   /** Wrap native rows in the reference's per-query-type result envelope. */
   private[server] def envelope(q: JValue, df: DataFrame, maxRows: Int): String = {
     val timeCol = (q \ "timeColumn") match { case JString(t) => t; case _ => "__time" }
+    // serializeDateTimeAsLong: timestamps render as epoch-millis longs
+    // (query-context.md:55; the ...Inner variant governs broker<->data
+    // transport in the reference — no such hop here, accepted as a no-op)
+    val dtAsLong = (q \ "context" \ "serializeDateTimeAsLong") match {
+      case JBool(b) => b; case JString("true") => true; case _ => false
+    }
+    def renderTs(v: JValue): JValue = if (dtAsLong) epochMillis(v) else isoMillis(v)
     // granularity-all buckets stamp with the first interval start, the
     // reference's bucket time for a single all-granularity bucket
     val intervalStart: JValue = ((q \ "intervals") match {
@@ -1050,9 +1072,9 @@ object HttpFacade {
         case _ => JNull
       }
       case _ => JNull
-    }) match { case s: JString => isoMillis(s); case other => other }
+    }) match { case s: JString => renderTs(s); case other => other }
     def rowTs(fields: List[JField]): JValue =
-      fields.collectFirst { case (`timeCol`, v) => isoMillis(v) }.getOrElse(JNull)
+      fields.collectFirst { case (`timeCol`, v) => renderTs(v) }.getOrElse(JNull)
     def event(fields: List[JField]): JObject = JObject(fields.filterNot(_._1 == timeCol))
 
     val rows = materialize(df, maxRows)
@@ -1088,7 +1110,7 @@ object HttpFacade {
         // timeboundaryquery.md: [{timestamp: minTime, result: {min/max}}] —
         // boundary values render Druid-style ISO millis like the timestamp
         JArray(rows.toList.map { o =>
-          val result = JObject(o.obj.map { case (k, v) => k -> isoMillis(v) })
+          val result = JObject(o.obj.map { case (k, v) => k -> renderTs(v) })
           val fields = result.obj.toMap
           val ts = fields.get("minTime").orElse(fields.get("maxTime")).getOrElse(JNull)
           JObject("timestamp" -> ts, "result" -> result)
@@ -1096,7 +1118,7 @@ object HttpFacade {
       case "dataSourceMetadata" =>
         // datasourcemetadataquery.md: timestamp = maxIngestedEventTime
         JArray(rows.toList.map { o =>
-          val result = JObject(o.obj.map { case (k, v) => k -> isoMillis(v) })
+          val result = JObject(o.obj.map { case (k, v) => k -> renderTs(v) })
           val ts = result.obj.toMap.get("maxIngestedEventTime").getOrElse(JNull)
           JObject("timestamp" -> ts, "result" -> result)
         })

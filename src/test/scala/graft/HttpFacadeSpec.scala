@@ -78,6 +78,37 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("serializeDateTimeAsLong renders native timestamps as epoch millis " +
+      "(docs/querying/query-context.md:55)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val body = graft.queries.NativeQueries.TimeseriesGateJson.trim.dropRight(1) +
+        ""","context": {"serializeDateTimeAsLong": true}}"""
+      val (status, json) = post(facade.port, "/druid/v2", body)
+      assert(status == 200)
+      val rows = json.asInstanceOf[JArray].arr
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val ts = r \ "timestamp"
+        val millis = ts match {
+          case JLong(n) => n; case JInt(n) => n.toLong
+          case other => fail(s"expected epoch-millis long, got $other")
+        }
+        // quarter buckets inside the queried 1996-1999 window
+        assert(millis >= 820454400000L && millis < 915148800000L)
+        assert(millis % 1000 == 0)
+      }
+      // timeBoundary's min/max cells honor the flag too
+      val (s2, tb) = post(facade.port, "/druid/v2",
+        """{"queryType": "timeBoundary", "dataSource": "orders",
+            "timeColumn": "o_orderdate",
+            "context": {"serializeDateTimeAsLong": true}}""")
+      assert(s2 == 200)
+      val res = (tb.asInstanceOf[JArray].arr.head \ "result")
+      assert((res \ "minTime").isInstanceOf[JLong] || (res \ "minTime").isInstanceOf[JInt])
+    } finally facade.stop()
+  }
+
   test("POST /druid/v2 topN and groupBy envelopes (topnquery.md, groupbyquery.md)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
