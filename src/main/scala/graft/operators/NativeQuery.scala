@@ -505,6 +505,12 @@ object NativeQuery {
         SegmentMetadataQuery(exact = !analyses("approximate"),
           analysisTypes = analyses,
           ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(prepared)
+      // movingAverage (extensions-contrib/moving-average-query): window
+      // averagers over the buckets of the inner groupBy — the inner query
+      // re-enters this dispatch so every datasource/filter/agg feature
+      // composes (MovingAverageQueryRunner.java runs the same inner query)
+      case "movingAverage" =>
+        MovingAverageQuery.run(spark, q, innerJson => run(spark, innerJson, resolve))
       // surfaces as QueryUnsupportedException — "Unsupported query" at 501
       // (QueryUnsupportedException.java:39-40, QueryResourceTest
       // testUnsupportedQueryThrowsException)
@@ -1919,6 +1925,29 @@ object NativeQuery {
     }
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
+      // contrib time-min-max (TimestampMinMaxModule.java:39-40 registers
+      // timeMax/timeMin): fold epoch millis of the field (fieldName
+      // defaults to the time column), finalize to the DateTime
+      // (TimestampAggregatorFactory.finalizeComputation:162-165). An
+      // explicit timeFormat parses string inputs; "auto"/absent casts.
+      case "timeMin" | "timeMax" =>
+        val raw = (j \ "fieldName") match {
+          case JString(n) => col(n); case _ => col(timeCol)
+        }
+        val ts = strOpt(j \ "timeFormat").filterNot(_ == "auto") match {
+          case Some(fmt) => to_timestamp(raw, fmt)
+          case None => raw.cast("timestamp")
+        }
+        val millis = unix_millis(ts)
+        Agg(name, timestamp_millis(
+          if (str(j \ "type") == "timeMin") min(millis) else max(millis))
+          .cast("timestamp_ntz"))
+      // contrib distinctcount (DistinctCountDruidModule.java:33
+      // "distinctCount"): exact distinct values per group. The reference is
+      // exact only when a value's rows share a segment (per-segment bitmap
+      // union of longSum partials); this engine computes the GLOBALLY exact
+      // distinct count — a strict superset of the same query surface.
+      case "distinctCount" => Agg(name, countDistinct(f))
       case "longSum" =>
         if (fieldIsArray) Agg(name, sum(mvSum(lenientLong)).cast("long"))
         else Agg(name, sum(lenientLong(f)))

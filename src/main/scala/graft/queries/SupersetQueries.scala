@@ -55,6 +55,51 @@ object SupersetQueries {
         .orderBy(col("o_orderpriority"), col("rn"))
     }),
 
+    // movingAverage query type (extensions-contrib/moving-average-query —
+    // r15): trailing 3-month window averagers over monthly per-status
+    // order counts. The 1995 interval crosses TPC-H's order-status
+    // transition (F -> P -> O), so statuses have genuinely MISSING months
+    // and the empty-bucket policies differ observably: longMean counts the
+    // gap as 0 in a constant denominator, longMax skips it. The lookback
+    // window extends the scan back to 1994-11 (buckets-1 periods) while
+    // output rows trim to 1995 — both pinned by the oracle.
+    "moving_average" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "movingAverage",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": {"type": "period", "period": "P1M"},
+          "intervals": ["1995-01-01T00:00:00/1996-01-01T00:00:00"],
+          "dimensions": [{"type": "default", "dimension": "o_orderstatus"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "averagers": [
+            {"type": "longMean", "name": "avg3_cnt", "fieldName": "cnt", "buckets": 3},
+            {"type": "longMax", "name": "max3_cnt", "fieldName": "cnt", "buckets": 3}
+          ]
+        }""", name => Sources.table(s, dir, name))
+    }),
+
+    // contrib aggregators (r15): timeMin/timeMax (time-min-max extension —
+    // epoch-millis fold finalized to the timestamp, fieldName defaulting to
+    // the time column) and distinctCount (exact distinct; globally exact
+    // here vs the reference's same-segment requirement)
+    "agg_time_minmax_distinct" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "groupBy",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "dimensions": [{"type": "default", "dimension": "o_orderstatus"}],
+          "aggregations": [
+            {"type": "timeMin", "name": "first_order"},
+            {"type": "timeMax", "name": "last_order"},
+            {"type": "distinctCount", "name": "nd_cust", "fieldName": "o_custkey"}
+          ],
+          "limitSpec": {"type": "default", "columns": [{"dimension": "o_orderstatus"}]}
+        }""", name => Sources.table(s, dir, name))
+    }),
+
     // regexFiltered dimension spec (DimensionSpec.java `regexFiltered`):
     // MV values filtered by regex before explode-grouping
     "mv_regex_filtered" -> ((s, dir) => {
@@ -119,6 +164,42 @@ object SupersetQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
         |QUALIFY rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "moving_average" ->
+      """WITH buckets AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate) AS m,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1994-11-01' AND o_orderdate < DATE '1996-01-01'
+        |  GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT s.o_orderstatus, sp.m
+        |  FROM (SELECT DISTINCT o_orderstatus FROM buckets) s
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    TIMESTAMP '1994-11-01', TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)) AS m) sp
+        |), filled AS (
+        |  SELECT sp.o_orderstatus, sp.m, b.cnt
+        |  FROM spine sp LEFT JOIN buckets b
+        |    ON b.o_orderstatus = sp.o_orderstatus AND b.m = sp.m
+        |), win AS (
+        |  SELECT o_orderstatus, m, cnt,
+        |    sum(coalesce(cnt, 0)) OVER w / 3.0 AS avg3_cnt,
+        |    CAST(max(cnt) OVER w AS BIGINT) AS max3_cnt
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY m
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT CAST(m AS TIMESTAMP) AS o_orderdate, o_orderstatus, cnt,
+        |       avg3_cnt, max3_cnt
+        |FROM win WHERE m >= TIMESTAMP '1995-01-01'
+        |ORDER BY 1, 2""".stripMargin,
+
+    "agg_time_minmax_distinct" ->
+      """SELECT o_orderstatus,
+        |       CAST(min(o_orderdate) AS TIMESTAMP) AS first_order,
+        |       CAST(max(o_orderdate) AS TIMESTAMP) AS last_order,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mv_regex_filtered" ->
       """SELECT token, count(*) AS cnt FROM (
