@@ -1094,8 +1094,10 @@ object HttpFacade {
             case JNull => intervalStart; case ts => ts
           }),
           "result" -> JArray(rows.toList.map(o => event(o.obj))))))
-      case "groupBy" =>
-        // GroupByQueryQueryToolChest: {version: "v1", timestamp, event}
+      case "groupBy" | "movingAverage" =>
+        // GroupByQueryQueryToolChest: {version: "v1", timestamp, event} —
+        // movingAverage rows are groupBy-shaped Rows in the reference too
+        // (MovingAverageQueryToolChest decorates the groupBy runner)
         JArray(rows.toList.map { o =>
           val ts = rowTs(o.obj) match { case JNull => intervalStart; case t => t }
           JObject("version" -> JString("v1"), "timestamp" -> ts, "event" -> event(o.obj))

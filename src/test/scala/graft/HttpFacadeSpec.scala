@@ -109,6 +109,39 @@ class HttpFacadeSpec extends SparkSpecBase {
     } finally facade.stop()
   }
 
+  test("POST /druid/v2 movingAverage renders groupBy-shaped rows " +
+      "({version, timestamp, event} — MovingAverageQueryToolChest decorates " +
+      "the groupBy runner)") {
+    val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
+    try {
+      val (status, json) = post(facade.port, "/druid/v2",
+        """{
+          "queryType": "movingAverage",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": {"type": "period", "period": "P1M"},
+          "intervals": ["1995-01-01T00:00:00/1995-04-01T00:00:00"],
+          "dimensions": [{"type": "default", "dimension": "o_orderstatus"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "averagers": [
+            {"type": "longMean", "name": "avg3", "fieldName": "cnt", "buckets": 3}]
+        }""")
+      assert(status == 200)
+      val rows = json.asInstanceOf[JArray].arr
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert((r \ "version") == JString("v1"))
+        assert((r \ "timestamp").isInstanceOf[JString])
+        val event = (r \ "event").asInstanceOf[JObject].obj.toMap
+        // a gap bucket's cnt is null and the writer omits null cells (the
+        // facade's documented rendering), so only the always-present keys
+        // are required
+        assert(Set("o_orderstatus", "avg3").subsetOf(event.keySet))
+        assert(!event.contains("o_orderdate"), "time column must not leak into event")
+      }
+    } finally facade.stop()
+  }
+
   test("POST /druid/v2 topN and groupBy envelopes (topnquery.md, groupbyquery.md)") {
     val facade = HttpFacade.start(spark, name => Sources.table(spark, sf(), name))
     try {
