@@ -174,8 +174,18 @@ object MovingAverageQuery {
         case t: java.time.LocalDateTime => t
         case other => java.time.LocalDateTime.parse(other.toString.replace(' ', 'T'))
       }
+    // guard the driver-side spine: interval/period buckets. A mis-sized
+    // query (years of PT1S buckets) must fail loudly, not OOM the driver —
+    // the same class of guard as maxSubqueryRows (the window input is one
+    // row per bucket per dim combo either way, so a spine this large means
+    // the QUERY is wrong, not the engine)
+    val MaxSpineBuckets = 1000000
     val spineTimes = Iterator.iterate(floored)(t => addPeriod(t, period, 1))
-      .takeWhile(_.isBefore(end)).toSeq
+      .takeWhile(_.isBefore(end)).take(MaxSpineBuckets + 1).toSeq
+    if (spineTimes.size > MaxSpineBuckets)
+      throw new IllegalStateException(
+        s"movingAverage spine exceeds $MaxSpineBuckets buckets " +
+          s"(interval $extendedStart/$end at period $period); coarsen the granularity")
     import spark.implicits._
     val spine = spineTimes.zipWithIndex
       .map { case (t, i) => (java.sql.Timestamp.valueOf(t), i.toLong) }

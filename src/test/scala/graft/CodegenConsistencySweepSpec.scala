@@ -42,7 +42,10 @@ class CodegenConsistencySweepSpec extends SparkSpecBase {
     "native_math_expr", "native_apply_fns", "native_extraction_fns",
     "post_aggregators",
     // text/curation Catalyst expressions (pure-expression surface)
-    "text_analysis", "text_fingerprint")
+    "text_analysis", "text_fingerprint",
+    // r15 additions: window averagers over spine-filled buckets, and the
+    // contrib timeMin/timeMax/distinctCount aggregators
+    "moving_average", "agg_time_minmax_distinct")
 
   /** Stable rendering: binary → hex, arrays/rows recursed, floats exact. */
   private def canon(v: Any): String = v match {
