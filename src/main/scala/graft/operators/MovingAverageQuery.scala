@@ -261,7 +261,10 @@ object MovingAverageQuery {
       case JString(c) => col(c).asc
       case o =>
         val c = col(str(o \ "dimension"))
-        if (strOpt(o \ "direction").exists(_.equalsIgnoreCase("descending"))) c.desc
+        // Direction.fromString accepts abbreviations ("DESC" in the
+        // reference's own movingAverage yaml corpus)
+        if (strOpt(o \ "direction").exists(d =>
+            "descending".startsWith(d.toLowerCase(java.util.Locale.ENGLISH)))) c.desc
         else c.asc
     }
     val ordered = withPost.orderBy(
