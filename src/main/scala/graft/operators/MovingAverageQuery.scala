@@ -254,6 +254,14 @@ object MovingAverageQuery {
       df.withColumn(str(pa \ "name"), postAverager(pa, df))
     }
 
+    // having filters the final rows AFTER averagers/postAveragers, before
+    // sorting and limit (MovingAverageQuery.java:152-156 wraps the sequence
+    // in a havingSpec filter; the runner applies post phases in that order)
+    val withHaving = (q \ "having") match {
+      case JNothing | JNull => withPost
+      case h => withPost.where(havingPredicate(h))
+    }
+
     // default result order: time-major, then dimensions ascending (the
     // groupBy merge order); explicit limitSpec columns override
     val ls = q \ "limitSpec"
@@ -267,10 +275,39 @@ object MovingAverageQuery {
             "descending".startsWith(d.toLowerCase(java.util.Locale.ENGLISH)))) c.desc
         else c.asc
     }
-    val ordered = withPost.orderBy(
+    val ordered = withHaving.orderBy(
       (if (explicit.nonEmpty) explicit
        else col(timeCol).asc +: dimNames.map(col(_).asc)): _*)
     intOpt(ls \ "limit").map(ordered.limit).getOrElse(ordered)
+  }
+
+  /** HavingSpec over the final rows (the groupBy having vocabulary —
+    * processing/.../groupby/having: greaterThan/lessThan/equalTo compare
+    * the named metric numerically, dimSelector matches a dimension value,
+    * and/or/not compose, always/never are constants). */
+  private def havingPredicate(j: JValue): Column = str(j \ "type") match {
+    case "greaterThan" =>
+      col(str(j \ "aggregation")).cast("double") > havingValue(j)
+    case "lessThan" =>
+      col(str(j \ "aggregation")).cast("double") < havingValue(j)
+    case "equalTo" =>
+      col(str(j \ "aggregation")).cast("double") === havingValue(j)
+    case "dimSelector" =>
+      col(str(j \ "dimension")) <=> ((j \ "value") match {
+        case JString(s) => lit(s); case JNull | JNothing => lit(null)
+        case v => lit(v.values.toString)
+      })
+    case "and" => arr(j \ "havingSpecs").map(havingPredicate).reduce(_ && _)
+    case "or" => arr(j \ "havingSpecs").map(havingPredicate).reduce(_ || _)
+    case "not" => !havingPredicate(j \ "havingSpec")
+    case "always" => lit(true)
+    case "never" => lit(false)
+    case t => throw new UnsupportedOperationException(s"having type [$t]")
+  }
+  private def havingValue(j: JValue): Column = (j \ "value") match {
+    case JInt(n) => lit(n.toDouble); case JLong(n) => lit(n.toDouble)
+    case JDouble(d) => lit(d)
+    case x => throw new IllegalArgumentException(s"having value: $x")
   }
 
   /** postAverager subset: arithmetic / fieldAccess / finalizingFieldAccess /

@@ -129,6 +129,22 @@ class MovingAverageQuerySpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("a", 1.5f, 20.0), ("a", 1.5f, 10.0)))
   }
 
+  test("having filters final rows AFTER averagers, before sort/limit " +
+      "(MovingAverageQuery.java:152-156)") {
+    val out = run(
+      s"""{
+        "queryType": "movingAverage", $base,
+        "averagers": [
+          {"type": "doubleMean", "name": "avg3", "fieldName": "total", "buckets": 3}],
+        "having": {"type": "and", "havingSpecs": [
+          {"type": "greaterThan", "aggregation": "avg3", "value": 2},
+          {"type": "not", "havingSpec":
+            {"type": "dimSelector", "dimension": "g", "value": "b"}}]}
+      }""").collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("avg3")))
+    // only g=a rows clear avg3 > 2 AND g != b; both a-rows survive (10, 20)
+    assert(out.toSeq == Seq(("a", 10.0), ("a", 20.0)))
+  }
+
   test("only period granularities (MovingAverageQueryRunner.java:96-104); " +
       "non-UTC zones unsupported (documented port restriction)") {
     intercept[IllegalArgumentException] { run(
