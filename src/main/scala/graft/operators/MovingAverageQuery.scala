@@ -144,6 +144,10 @@ object MovingAverageQuery {
 
     val intervals = arr(q \ "intervals").map(str)
     require(intervals.nonEmpty, "movingAverage requires intervals")
+    // a second interval would need its own lookback spine; fail loudly
+    // instead of silently averaging across the gap
+    require(intervals.size == 1,
+      "movingAverage supports a single interval (got " + intervals.size + ")")
     val Array(startStr, endStr) = intervals.head.split('/')
     val origStart = parseInstant(startStr)
     val end = parseInstant(endStr)
