@@ -142,18 +142,26 @@ object MovingAverageQuery {
     // (MovingAverageQueryRunner.java:91-101)
     val maxBuckets = averagers.map(_.buckets).max
 
+    // Every interval gets the lookback extension (MovingAverageQueryRunner
+    // .java:96-104: intervals.stream().map(start - (buckets-1) periods));
+    // the inner groupBy runs ONCE over ALL extended intervals and the bucket
+    // sequence concatenates across intervals (RowBucketIterable.java:105-110
+    // jumps expectedBucket to the next interval's start WITHOUT resetting
+    // the averagers — window state carries over the seam, reproduced here
+    // by the single global bucket index). Documented deviation: when an
+    // interval's lookback overlaps an earlier interval, the reference's
+    // consume-once row iterator leaves those lookback buckets empty; this
+    // port joins rows into every spine bucket by timestamp, so overlapped
+    // lookback buckets see the real data.
     val intervals = arr(q \ "intervals").map(str)
     require(intervals.nonEmpty, "movingAverage requires intervals")
-    // a second interval would need its own lookback spine; fail loudly
-    // instead of silently averaging across the gap
-    require(intervals.size == 1,
-      "movingAverage supports a single interval (got " + intervals.size + ")")
-    val Array(startStr, endStr) = intervals.head.split('/')
-    val origStart = parseInstant(startStr)
-    val end = parseInstant(endStr)
-    val extendedStart = addPeriod(origStart, period, 1 - maxBuckets)
+    val bounds = intervals.map { ivl =>
+      val Array(startStr, endStr) = ivl.split('/')
+      (parseInstant(startStr), parseInstant(endStr))
+    }
+    val extended = bounds.map { case (s, e) => (addPeriod(s, period, 1 - maxBuckets), e) }
 
-    // inner groupBy over the extended interval: averager/limit/having
+    // inner groupBy over the extended intervals: averager/limit/having
     // machinery stripped, everything else (dims/filter/aggs/postAggs/
     // virtualColumns/context) passes through verbatim
     val innerFields = q.asInstanceOf[JObject].obj.filterNot { case (k, _) =>
@@ -162,18 +170,21 @@ object MovingAverageQuery {
     }
     val inner = JObject(innerFields ++ List(
       "queryType" -> JString("groupBy"),
-      "intervals" -> JArray(List(JString(s"$extendedStart/$end")))))
+      "intervals" -> JArray(extended.map { case (s, e) => JString(s"$s/$e") })))
     val innerDf = runInner(org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(inner)))
 
-    // the bucket spine: floor the extended start to the period boundary with
-    // the ENGINE's own bucketing (one-row evaluation), then step on the
-    // driver — interval/period entries, output-sized
+    // the bucket spine: floor each extended start to the period boundary
+    // with the ENGINE's own bucketing (one driver-side evaluation for all
+    // intervals), then step on the driver — Σ interval/period entries,
+    // output-sized, indices running ACROSS intervals
     val tsType = innerDf.schema(timeCol).dataType
-    val floored = spark.range(1)
-      .select(PeriodGranularity(period)
-        .bucket(lit(java.sql.Timestamp.valueOf(extendedStart)).cast("timestamp_ntz")))
-      .head().get(0) match {
+    val flooredStarts = spark.range(1)
+      .select(extended.map { case (s, _) =>
+        PeriodGranularity(period)
+          .bucket(lit(java.sql.Timestamp.valueOf(s)).cast("timestamp_ntz"))
+      }: _*)
+      .head().toSeq.map {
         case t: java.sql.Timestamp => t.toLocalDateTime
         case t: java.time.LocalDateTime => t
         case other => java.time.LocalDateTime.parse(other.toString.replace(' ', 'T'))
@@ -182,19 +193,24 @@ object MovingAverageQuery {
     // query (years of PT1S buckets) must fail loudly, not OOM the driver —
     // the same class of guard as maxSubqueryRows (the window input is one
     // row per bucket per dim combo either way, so a spine this large means
-    // the QUERY is wrong, not the engine)
+    // the QUERY is wrong, not the engine). IllegalArgumentException so the
+    // facade maps it to a 400-class bad-query error like the other
+    // validation guards.
     val MaxSpineBuckets = 1000000
-    val spineTimes = Iterator.iterate(floored)(t => addPeriod(t, period, 1))
-      .takeWhile(_.isBefore(end)).take(MaxSpineBuckets + 1).toSeq
+    val spineTimes: Seq[java.time.LocalDateTime] =
+      flooredStarts.zip(extended).iterator.flatMap { case (floored, (_, end)) =>
+        Iterator.iterate(floored)(t => addPeriod(t, period, 1))
+          .takeWhile(_.isBefore(end))
+      }.take(MaxSpineBuckets + 1).toSeq
     if (spineTimes.size > MaxSpineBuckets)
-      throw new IllegalStateException(
+      throw new IllegalArgumentException(
         s"movingAverage spine exceeds $MaxSpineBuckets buckets " +
-          s"(interval $extendedStart/$end at period $period); coarsen the granularity")
+          s"(${intervals.size} interval(s) at period $period); coarsen the granularity")
     import spark.implicits._
     val spine = spineTimes.zipWithIndex
       .map { case (t, i) => (java.sql.Timestamp.valueOf(t), i.toLong) }
       .toDF("__spine_ts", "__bucket_idx")
-      .select(col("__spine_ts").cast(tsType).as(timeCol), col("__bucket_idx"))
+      .select(col("__spine_ts").cast(tsType).as("__k_ts"), col("__bucket_idx"))
 
     val dimNames = arr(q \ "dimensions").map {
       case JString(d) => d
@@ -202,11 +218,29 @@ object MovingAverageQuery {
     }
     // distinct dim combinations over the ALREADY-AGGREGATED rows
     // (output-sized, the reference enumerates the same combinations on the
-    // broker — MovingAverageIterable.java:52-90)
+    // broker — MovingAverageIterable.java:52-90). Key columns renamed so
+    // the spine-to-result join below can be an explicit NULL-SAFE condition
+    // (<=> per dim): a null dimension value is a normal groupBy output and
+    // must re-match its aggregated rows.
     val full =
       if (dimNames.isEmpty) spine
-      else innerDf.select(dimNames.map(col): _*).distinct().crossJoin(spine)
-    val spined = full.join(innerDf, dimNames :+ timeCol, "left")
+      else innerDf
+        .select(dimNames.map(d => col(d).as(s"__k_$d")): _*).distinct()
+        .crossJoin(spine)
+    // the right side aliases to a fresh relation name: `full` derives from
+    // innerDf, so this is a self-join — qualified references keep the
+    // resolution unambiguous
+    val rhs = innerDf.alias("__ma_r")
+    val joinCond = dimNames
+      .map(d => col(s"__k_$d") <=> col(s"__ma_r.`$d`"))
+      .foldLeft(col("__k_ts") === col(s"__ma_r.`$timeCol`"))(_ && _)
+    val joined = dimNames.foldLeft(
+      full.join(rhs, joinCond, "left").drop(col(s"__ma_r.`$timeCol`"))) {
+      (df, d) => df.drop(col(s"__ma_r.`$d`"))
+    }
+    val spined = dimNames.foldLeft(joined.withColumnRenamed("__k_ts", timeCol)) {
+      (df, d) => df.withColumnRenamed(s"__k_$d", d)
+    }
 
     val averagerCols: Seq[Column] = averagers.map { a =>
       val k = (a.buckets + a.cycleSize - 1) / a.cycleSize // cycle positions
@@ -246,11 +280,13 @@ object MovingAverageQuery {
     val withAveragers = spined.select(
       ((timeCol +: dimNames) ++ restCols).map(col) ++ averagerCols: _*)
 
-    // trim the lookback rows back out (the reference yields only rows
-    // inside the ORIGINAL interval)
-    val origStartLit = lit(java.sql.Timestamp.valueOf(origStart)).cast(tsType)
-    val trimmed = withAveragers
-      .where(col(timeCol) >= origStartLit)
+    // trim the lookback rows back out: keep rows whose timestamp falls in
+    // ANY reporting interval (MovingAverageQueryRunner.java:211-218 —
+    // reportingIntervals.stream().anyMatch(contains))
+    val trimmed = withAveragers.where(bounds.map { case (s, e) =>
+      col(timeCol) >= lit(java.sql.Timestamp.valueOf(s)).cast(tsType) &&
+        col(timeCol) < lit(java.sql.Timestamp.valueOf(e)).cast(tsType)
+    }.reduce(_ || _))
 
     // postAveragers: postAggregation syntax over aggs + averagers
     // (PostAveragerAggregatorCalculator.java) — the arithmetic subset

@@ -55,9 +55,26 @@ object LookupResource {
   private final case class SingleEntry(
       container: JValue,
       loading: Option[graft.sources.SingleLookup.LoadingLookup],
-      polling: Option[graft.sources.SingleLookup.PollingLookup])
+      polling: Option[graft.sources.SingleLookup.PollingLookup],
+      pollTask: Option[java.util.concurrent.ScheduledFuture[_]] = None)
   private val singles =
     scala.collection.concurrent.TrieMap.empty[(LookupRegistry, String), SingleEntry]
+
+  /** Fixed-delay poll scheduler for registered pollingLookups (the
+    * reference's PollingLookup runs pollAndSwap on a ScheduledExecutor —
+    * PollingLookup.java:88-103); one shared daemon thread drives every
+    * registered lookup's cadence. */
+  private lazy val pollScheduler: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-lookup-poll")
+      t.setDaemon(true)
+      t
+    }
+
+  private def cancelEntry(e: SingleEntry): Unit = {
+    e.pollTask.foreach(_.cancel(false))
+    e.polling.foreach(_.close()) // also drops the registry row
+  }
 
   /** Scalar application of a registered single lookup (the extraction-fn
     * path a reference node serves from its local LoadingLookup/
@@ -121,21 +138,34 @@ object LookupResource {
     parseFetcher(spark, factory \ "dataFetcher") match {
       case Left(msg) => (400, error(msg))
       case Right(fetcher) =>
-        // replacing an existing polling lookup closes the old instance
-        singles.remove((lookups, name)).foreach(_.polling.foreach(_.close()))
+        // replacing an existing single lookup cancels its poll task and
+        // closes the old instance
+        singles.remove((lookups, name)).foreach(cancelEntry)
         val entry = kind match {
           case "loadingLookup" =>
+            // the query path (LOOKUP() / registeredLookup / lookup
+            // datasource) resolves through the registry, so the loading
+            // lookup ALSO registers its backing source as a live relation —
+            // load-on-use from queries, eviction-cached scalar reads on the
+            // HTTP/applySingle path
+            lookups.register(name, fetcher.relation(spark), version)
             SingleEntry(container,
               Some(new graft.sources.SingleLookup.LoadingLookup(
                 fetcher, parsePolicy(factory \ "loadingCacheSpec"))), None)
           case "pollingLookup" =>
             val period = str(factory \ "pollPeriod").map(periodMillis).getOrElse(0L)
-            SingleEntry(container, None,
-              Some(new graft.sources.SingleLookup.PollingLookup(
-                spark, name, fetcher, period, lookups)))
+            val polling = new graft.sources.SingleLookup.PollingLookup(
+              spark, name, fetcher, period, lookups)
+            // fixed-delay refresh (pollPeriod == 0 → load-once, no task —
+            // PollingLookup.java:88-93 skips the executor entirely)
+            val task =
+              if (period <= 0) None
+              else Some(pollScheduler.scheduleWithFixedDelay(
+                () => try polling.pollIfDue() catch { case _: Exception => () },
+                period, period, java.util.concurrent.TimeUnit.MILLISECONDS))
+            SingleEntry(container, None, Some(polling), task)
         }
-        // pin the container version on the registry entry (polling registered
-        // a snapshot; loading has no registry row, the container carries it)
+        // pin the container version on the registry entry
         if (entry.polling.isDefined && version != null)
           lookups.register(name, lookups.get(name), version)
         singles.put((lookups, name), entry)
@@ -196,7 +226,7 @@ object LookupResource {
         (202, "")
       case ("DELETE", List("config", DefaultTier, name)) =>
         val single = singles.remove((lookups, name))
-        single.foreach(_.polling.foreach(_.close())) // also drops the registry row
+        single.foreach(cancelEntry)
         if (lookups.remove(name) || single.isDefined) (202, "")
         else notFound(s"lookup [$name] not found")
       case ("POST" | "DELETE", List("config", tier, _)) =>

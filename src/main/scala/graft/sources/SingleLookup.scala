@@ -40,6 +40,17 @@ object SingleLookup {
     def fetch(key: String): Option[String]
     def reverseFetchKeys(value: String): Seq[String] =
       fetchAll().collect { case (k, v) if v == value => k }.toSeq
+    /** The source as a (key, value) relation for the QUERY path: a
+      * loadingLookup registered on the config surface must be reachable
+      * from LOOKUP()/registeredLookup/lookup-datasource queries (the
+      * reference applies its LoadingLookup per row on the historical; a
+      * distributed engine instead reads the backing source as a relation —
+      * load-on-use, always-fresh, and broadcast-joinable). Default:
+      * a local relation over fetchAll(). */
+    def relation(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      fetchAll().toSeq.toDF("k", "v")
+    }
   }
 
   /** A fetcher over an in-memory (mutable) map — the spec's stand-in for
@@ -81,6 +92,11 @@ object SingleLookup {
         .selectExpr(s"cast($keyColumn as string)")
         .collect().map(_.getString(0)).toSeq
     }
+    /** The live JDBC relation — lookup reads push the key predicate down
+      * to the source; no snapshot staleness. */
+    override def relation(spark: SparkSession): org.apache.spark.sql.DataFrame =
+      rel.selectExpr(s"cast($keyColumn as string) as k",
+        s"cast($valueColumn as string) as v")
   }
 
   /** The OnHeapLoadingCache eviction knobs (OnHeapLoadingCache.java:45-77).

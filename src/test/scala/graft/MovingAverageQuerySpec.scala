@@ -145,6 +145,79 @@ class MovingAverageQuerySpec extends SparkSpecBase {
     assert(out.toSeq == Seq(("a", 10.0), ("a", 20.0)))
   }
 
+  test("multi-interval: every interval gets the lookback extension " +
+      "(MovingAverageQueryRunner.java:96-104 maps start-(buckets-1) periods " +
+      "over EACH interval), buckets index sequentially ACROSS intervals " +
+      "(RowBucketIterable.java:105-110 — no averager reset at the seam), " +
+      "and output trims to the union of reporting intervals") {
+    Seq(
+      (ts("2020-01-01 00:00:00"), "a", 10L),
+      (ts("2020-01-02 00:00:00"), "a", 20L),
+      (ts("2020-01-04 00:00:00"), "a", 40L)
+    ).toDF("__time", "g", "v").createOrReplaceTempView("ma_multi")
+    val out = run(
+      """{
+        "queryType": "movingAverage",
+        "dataSource": "ma_multi",
+        "granularity": {"type": "period", "period": "P1D"},
+        "intervals": ["2020-01-02T00:00:00/2020-01-03T00:00:00",
+                      "2020-01-04T00:00:00/2020-01-05T00:00:00"],
+        "dimensions": [{"type": "default", "dimension": "g"}],
+        "aggregations": [{"type": "longSum", "name": "total", "fieldName": "v"}],
+        "averagers": [
+          {"type": "longSum", "name": "sum2", "fieldName": "total", "buckets": 2},
+          {"type": "doubleMean", "name": "avg2", "fieldName": "total", "buckets": 2}]
+      }""").collect()
+      .map(r => (day(r), r.getAs[String]("g"), r.getAs[Long]("sum2"), r.getAs[Double]("avg2")))
+    // global bucket sequence: 01-01(ivl1 lookback), 01-02(ivl1), 01-03(ivl2
+    // lookback — the GAP day, an empty bucket), 01-04(ivl2).
+    // 01-02: window [10, 20] → sum 30, mean 15; trimmed rows 01-01/01-03 out.
+    // 01-04: window [gap→0, 40] → sum 40, mean 20 — the lookback is ivl2's
+    // OWN extension, not ivl1's last reported bucket.
+    assert(out.toSeq == Seq(
+      ("2020-01-02", "a", 30L, 15.0),
+      ("2020-01-04", "a", 40L, 20.0)))
+  }
+
+  test("a NULL dimension value re-matches its aggregated rows (the spine " +
+      "join is null-safe; a null dim is a normal groupBy output)") {
+    Seq(
+      (ts("2020-01-01 00:00:00"), Option.empty[String], 10L),
+      (ts("2020-01-02 00:00:00"), Option.empty[String], 20L),
+      (ts("2020-01-02 00:00:00"), Option("x"), 7L)
+    ).toDF("__time", "g", "v").createOrReplaceTempView("ma_nulldim")
+    val out = run(
+      """{
+        "queryType": "movingAverage",
+        "dataSource": "ma_nulldim",
+        "granularity": {"type": "period", "period": "P1D"},
+        "intervals": ["2020-01-02T00:00:00/2020-01-03T00:00:00"],
+        "dimensions": [{"type": "default", "dimension": "g"}],
+        "aggregations": [{"type": "longSum", "name": "total", "fieldName": "v"}],
+        "averagers": [
+          {"type": "longSum", "name": "sum2", "fieldName": "total", "buckets": 2}]
+      }""").collect()
+      .map(r => (day(r), Option(r.getAs[String]("g")), r.getAs[Long]("sum2")))
+    // null combo window [10, 20] → 30 (a non-null-safe join would read the
+    // null combo's buckets as all-empty and return 0); "x" window [gap, 7]
+    assert(out.toSet == Set(
+      ("2020-01-02", None, 30L),
+      ("2020-01-02", Some("x"), 7L)))
+  }
+
+  test("a mis-sized spine rejects with IllegalArgumentException (the " +
+      "facade's 400-class validation error), not a 500") {
+    val e = intercept[IllegalArgumentException] { run(
+      """{
+        "queryType": "movingAverage", "dataSource": "ma_src",
+        "granularity": {"type": "period", "period": "PT1S"},
+        "intervals": ["1970-01-01T00:00:00/2020-01-01T00:00:00"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "averagers": [{"type": "longMean", "name": "m", "fieldName": "cnt", "buckets": 2}]
+      }""") }
+    assert(e.getMessage.contains("spine exceeds"))
+  }
+
   test("only period granularities (MovingAverageQueryRunner.java:96-104); " +
       "non-UTC zones unsupported (documented port restriction)") {
     intercept[IllegalArgumentException] { run(

@@ -215,8 +215,12 @@ class SingleLookupConfigSpec extends SparkSpecBase {
              "reverseLoadingCacheSpec": {"type": "guava"}}}"""
       assert(LookupResource.config(spark, registry, "POST",
         "config/__default/on_demand", body)._1 == 202)
-      // NOT a registry snapshot — per-key on-demand is the point
-      assert(!registry.contains("on_demand"))
+      // the QUERY path sees the lookup: registration publishes the live
+      // JDBC relation into the registry (LOOKUP()/registeredLookup/lookup
+      // datasource resolve there), while applySingle keeps the per-key
+      // eviction cache
+      assert(registry.contains("on_demand"))
+      assert(registry.asMap("on_demand") == Map("a" -> "1", "b" -> "2"))
       // but the config listing shows it
       val (_, names) = LookupResource.config(spark, registry, "GET",
         "config/__default", "")
@@ -241,6 +245,85 @@ class SingleLookupConfigSpec extends SparkSpecBase {
         "config/__default/on_demand", "")._1 == 202)
       assert(LookupResource.config(spark, registry, "GET",
         "config/__default/on_demand", "")._1 == 404)
+    }
+  }
+
+  test("a POSTed loadingLookup is reachable from QUERIES: the " +
+      "registeredLookup extraction fn and LOOKUP() resolve it live from " +
+      "the backing source (a registered lookup is queryable in the " +
+      "reference — LookupReferencesManager wiring)") {
+    withDerby("graft_single_query", Seq("s1" -> "Solo", "s2" -> "Duo")) { url =>
+      val registry = graft.sources.LookupRegistry.global
+      val body =
+        s"""{"lookupExtractorFactory": {
+             "type": "loadingLookup",
+             "dataFetcher": ${jdbcFetcherJson(url)},
+             "loadingCacheSpec": {"type": "guava"}}}"""
+      assert(LookupResource.config(spark, registry, "POST",
+        "config/__default/band_size", body)._1 == 202)
+      try {
+        import spark.implicits._
+        Seq(
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x", "s1"),
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "y", "s2"),
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "z", "s3"))
+          .toDF("__time", "id", "code").createOrReplaceTempView("single_lkp_src")
+        // registeredLookup extraction fn through the native route
+        val native = graft.operators.NativeQuery.run(spark,
+          """{
+            "queryType": "groupBy", "dataSource": "single_lkp_src",
+            "granularity": "all",
+            "intervals": ["2024-01-01T00:00:00.000Z/2025-01-01T00:00:00.000Z"],
+            "dimensions": [{"type": "extraction", "dimension": "code",
+              "outputName": "band",
+              "extractionFn": {"type": "registeredLookup",
+                "lookup": "band_size", "replaceMissingValueWith": "unknown"}}],
+            "aggregations": [{"type": "count", "name": "cnt"}]
+          }""", name => spark.table(name))
+        val got = native.collect().map(r =>
+          (r.getAs[String]("band"), r.getAs[Long]("cnt"))).toSet
+        assert(got == Set(("Solo", 1L), ("Duo", 1L), ("unknown", 1L)))
+        // LOOKUP() SQL resolves the same registration, live from the source
+        graft.functions.GraftSqlFunctions.register(spark)
+        val sql = spark.sql(
+          "SELECT LOOKUP(code, 'band_size') AS band FROM single_lkp_src ORDER BY id")
+          .collect().map(_.getString(0)).toSeq
+        assert(sql == Seq("Solo", "Duo", null))
+      } finally
+        LookupResource.config(spark, registry, "DELETE",
+          "config/__default/band_size", "")
+    }
+  }
+
+  test("a pollingLookup with pollPeriod > 0 REFRESHES server-side: the " +
+      "fixed-delay scheduler re-polls and swaps the snapshot " +
+      "(PollingLookup.java:88-103 pollAndSwap on a scheduled executor)") {
+    withDerby("graft_single_sched", Seq("k" -> "old")) { url =>
+      val registry = new graft.sources.LookupRegistry
+      val body =
+        s"""{"lookupExtractorFactory": {
+             "type": "pollingLookup", "pollPeriod": "PT0.2S",
+             "dataFetcher": ${jdbcFetcherJson(url)},
+             "cacheFactory": {"type": "onHeapPolling"}}}"""
+      assert(LookupResource.config(spark, registry, "POST",
+        "config/__default/sched", body)._1 == 202)
+      try {
+        assert(LookupResource.applySingle(registry, "sched", "k") == Some("old"))
+        val conn = java.sql.DriverManager.getConnection(url)
+        try conn.createStatement().execute("UPDATE kv SET v = 'new' WHERE k = 'k'")
+        finally conn.close()
+        // the scheduler must pick the change up without any caller-driven
+        // pollIfDue; allow generous wall-clock for the fixed-delay tick
+        val deadline = System.currentTimeMillis() + 30000
+        var v: Option[String] = None
+        while (v != Some("new") && System.currentTimeMillis() < deadline) {
+          v = LookupResource.applySingle(registry, "sched", "k")
+          if (v != Some("new")) Thread.sleep(100)
+        }
+        assert(v == Some("new"), "scheduled poll never refreshed the snapshot")
+      } finally
+        LookupResource.config(spark, registry, "DELETE",
+          "config/__default/sched", "")
     }
   }
 
