@@ -498,13 +498,25 @@ object NativeQuery {
           case JString(n) => Some(n)
           case o => strOpt(o \ "name")
         }
+        // toInclude (ColumnIncluderator — SegmentMetadataQuery.java:64):
+        // "all" (default) analyzes every column, "list" only the named
+        // ones, "none" returns no per-column analyses
+        val metaInput = (q \ "toInclude") match {
+          case o if strOpt(o \ "type").contains("list") =>
+            val names = arr(o \ "columns").map(str).toSet
+            prepared.select(prepared.columns.filter(names).map(col): _*)
+          case o if strOpt(o \ "type").contains("none") => prepared
+          case _ => prepared
+        }
         // "approximate" in analysisTypes (an extension flag) switches to the
         // single-scan mode: approx_count_distinct per column, one Aggregate,
         // one FileScan — the 100 TB shape; default stays exact per the
         // reference's bitmap-index cardinality analysis
-        SegmentMetadataQuery(exact = !analyses("approximate"),
+        val metaOut = SegmentMetadataQuery(exact = !analyses("approximate"),
           analysisTypes = analyses,
-          ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(prepared)
+          ingestSpec = dsName.flatMap(graft.sources.BatchIngest.specOf)).run(metaInput)
+        if (strOpt(q \ "toInclude" \ "type").contains("none")) metaOut.limit(0)
+        else metaOut
       // movingAverage (extensions-contrib/moving-average-query): window
       // averagers over the buckets of the inner groupBy — the inner query
       // re-enters this dispatch so every datasource/filter/agg feature
