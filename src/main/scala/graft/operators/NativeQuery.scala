@@ -1935,6 +1935,32 @@ object NativeQuery {
         org.apache.spark.sql.functions.aggregate(
           es, lit(0.0), (acc, x) => acc + x.cast("double")))
     }
+    // first/last FOLD detection (StringFirstLastUtils.selectorNeedsFoldCheck
+    // / StringFirstTimeseriesQueryTest's "folding" vector): a fieldName that
+    // resolves to a stored (t, v) pair struct — this engine's first/last
+    // rollup state — re-folds at query time instead of aggregating the
+    // rendered struct
+    def fieldIsPairStruct: Boolean = (j \ "fieldName") match {
+      case JString(nm) => input != null && input.schema.fields.exists(fld =>
+        fld.name == nm && (fld.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.length == 2 &&
+              st.fieldNames(0) == "t" && st.fieldNames(1) == "v"
+          case _ => false
+        }))
+      case _ => false
+    }
+    // stringFirst/Last over a stored NUMERIC column yields the nil pair —
+    // finalized null (StringFirstTimeseriesQueryTest pins "numeric" →
+    // SerializablePairLongString(MAX, null)); numeric values reach string
+    // first/last only through expression virtual columns, like the SQL
+    // planner's casts
+    def fieldIsStoredNumeric: Boolean = (j \ "fieldName") match {
+      case JString(nm) => input != null && input.schema.fields.exists(fld =>
+        fld.name == nm &&
+          fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      case _ => false
+    }
     str(j \ "type") match {
       case "count" => Agg(name, count(lit(1)))
       // contrib time-min-max (TimestampMinMaxModule.java:39-40 registers
@@ -1998,11 +2024,17 @@ object NativeQuery {
           Agg(name, max(array_max(mvElems(c => lenientDouble(c).cast("float")))))
         else Agg(name, max(lenientDouble(f).cast("float")))
       case "doubleMean" =>
-        // element-weighted over MV (each element is one update to the
-        // mean aggregator)
+        // element-weighted over MV: DoubleMeanAggregator.aggregate adds
+        // EVERY element — a null/unparseable element contributes 0 to the
+        // numerator but still counts in the denominator
+        // (Numbers.tryParseDouble(e, 0d); DoubleMeanAggregationTest pins
+        // meanOnMultiValue = 4.1333 over [v, null, v] rows, not 6.2)
         if (fieldIsArray)
-          Agg(name, sum(mvSum(lenientDouble)) /
-            sum(size(mvElems(lenientDouble)).cast("double")))
+          Agg(name, sum(org.apache.spark.sql.functions.aggregate(
+              org.apache.spark.sql.functions.transform(f,
+                e => coalesce(lenientDouble(e.cast("string")), lit(0.0))),
+              lit(0.0), (acc, x) => acc + x)) /
+            sum(size(f).cast("double")))
         else Agg(name, avg(lenientDouble(f)))
       // timeColumn is optional in the reference and defaults to __time
       // (LongFirstAggregatorFactory.java:94); fall back to the query-level
@@ -2011,34 +2043,48 @@ object NativeQuery {
       // (graft.functions.FirstLastFoldAgg/AnyFoldAgg — the reference's
       // incremental first/last lifecycle, ObjectHashAggregate-eligible)
       case "longFirst" | "doubleFirst" | "floatFirst" =>
-        // the typed factories COERCE the stored value (LongFirstAggregator
-        // stores selector.getLong() — truncating; float stores float32)
-        val vFirst = str(j \ "type") match {
-          case "longFirst" => lenientLong(f)
-          case "floatFirst" => lenientDouble(f).cast("float")
-          case _ => f
+        val cast: Column => Column = str(j \ "type") match {
+          // the typed factories COERCE the stored value (LongFirstAggregator
+          // stores selector.getLong() — truncating; float stores float32)
+          case "longFirst" => lenientLong
+          case "floatFirst" => c => lenientDouble(c).cast("float")
+          case _ => identity
         }
-        Agg(name, graft.functions.FirstLastAgg.earliest(
-          vFirst, flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+        if (fieldIsPairStruct)
+          Agg(name, cast(FirstLast.refoldFirst(f).getField("v")))
+        else Agg(name, graft.functions.FirstLastAgg.earliest(
+          cast(f), flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longLast" | "doubleLast" | "floatLast" =>
-        val vLast = str(j \ "type") match {
-          case "longLast" => lenientLong(f)
-          case "floatLast" => lenientDouble(f).cast("float")
-          case _ => f
+        val cast: Column => Column = str(j \ "type") match {
+          case "longLast" => lenientLong
+          case "floatLast" => c => lenientDouble(c).cast("float")
+          case _ => identity
         }
-        Agg(name, graft.functions.FirstLastAgg.latest(
-          vLast, flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
+        if (fieldIsPairStruct)
+          Agg(name, cast(FirstLast.refoldLast(f).getField("v")))
+        else Agg(name, graft.functions.FirstLastAgg.latest(
+          cast(f), flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       // stringFirst/Last truncate the stored value to maxStringBytes
       // (StringFirstAggregatorFactory.java, default 1024; chars ≈ bytes for
       // the ASCII dimensions this targets)
       case "stringFirst" =>
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
-        Agg(name, graft.functions.FirstLastAgg.earliest(
+        if (fieldIsPairStruct)
+          Agg(name, substring(
+            FirstLast.refoldFirst(f).getField("v").cast("string"), 1, n))
+        else if (fieldIsStoredNumeric)
+          Agg(name, max(lit(null).cast("string")))
+        else Agg(name, graft.functions.FirstLastAgg.earliest(
           substring(f.cast("string"), 1, n),
           flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "stringLast" =>
         val n = intOpt(j \ "maxStringBytes").getOrElse(1024)
-        Agg(name, graft.functions.FirstLastAgg.latest(
+        if (fieldIsPairStruct)
+          Agg(name, substring(
+            FirstLast.refoldLast(f).getField("v").cast("string"), 1, n))
+        else if (fieldIsStoredNumeric)
+          Agg(name, max(lit(null).cast("string")))
+        else Agg(name, graft.functions.FirstLastAgg.latest(
           substring(f.cast("string"), 1, n),
           flKey(strOpt(j \ "timeColumn").getOrElse(timeCol))))
       case "longAny" | "doubleAny" | "floatAny" | "stringAny" =>

@@ -80,6 +80,32 @@ object SupersetQueries {
         }""", name => Sources.table(s, dir, name))
     }),
 
+    // movingAverage MULTI-INTERVAL (r16): the reference maps the lookback
+    // extension over EVERY interval (MovingAverageQueryRunner.java:96-104)
+    // and the bucket sequence runs ACROSS intervals without resetting
+    // averager state (RowBucketIterable). Two disjoint 1995 quarters, each
+    // with its own 2-month lookback; output trims to the two reporting
+    // windows. The oracle reproduces the concatenated spine with a single
+    // ROWS window over the month sequence (months are unique and ordered,
+    // so ROWS BETWEEN over the unioned spine IS the global bucket index).
+    "moving_average_multi" -> ((s, dir) => {
+      NativeQuery.run(s,
+        """{
+          "queryType": "movingAverage",
+          "dataSource": "orders",
+          "timeColumn": "o_orderdate",
+          "granularity": {"type": "period", "period": "P1M"},
+          "intervals": ["1995-01-01T00:00:00/1995-04-01T00:00:00",
+                        "1995-07-01T00:00:00/1995-10-01T00:00:00"],
+          "dimensions": [{"type": "default", "dimension": "o_orderstatus"}],
+          "aggregations": [{"type": "count", "name": "cnt"}],
+          "averagers": [
+            {"type": "longMean", "name": "avg3_cnt", "fieldName": "cnt", "buckets": 3},
+            {"type": "longMax", "name": "max3_cnt", "fieldName": "cnt", "buckets": 3}
+          ]
+        }""", name => Sources.table(s, dir, name))
+    }),
+
     // contrib aggregators (r15): timeMin/timeMax (time-min-max extension —
     // epoch-millis fold finalized to the timestamp, fieldName defaulting to
     // the time column) and distinctCount (exact distinct; globally exact
@@ -192,6 +218,43 @@ object SupersetQueries {
         |SELECT CAST(m AS TIMESTAMP) AS o_orderdate, o_orderstatus, cnt,
         |       avg3_cnt, max3_cnt
         |FROM win WHERE m >= TIMESTAMP '1995-01-01'
+        |ORDER BY 1, 2""".stripMargin,
+
+    "moving_average_multi" ->
+      """WITH buckets AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate) AS m,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE (o_orderdate >= DATE '1994-11-01' AND o_orderdate < DATE '1995-04-01')
+        |     OR (o_orderdate >= DATE '1995-05-01' AND o_orderdate < DATE '1995-10-01')
+        |  GROUP BY 1, 2
+        |), months AS (
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '1994-11-01', TIMESTAMP '1995-03-01', INTERVAL 1 MONTH)) AS m
+        |  UNION ALL
+        |  SELECT unnest(generate_series(
+        |    TIMESTAMP '1995-05-01', TIMESTAMP '1995-09-01', INTERVAL 1 MONTH)) AS m
+        |), spine AS (
+        |  SELECT s.o_orderstatus, sp.m
+        |  FROM (SELECT DISTINCT o_orderstatus FROM buckets) s
+        |  CROSS JOIN months sp
+        |), filled AS (
+        |  SELECT sp.o_orderstatus, sp.m, b.cnt
+        |  FROM spine sp LEFT JOIN buckets b
+        |    ON b.o_orderstatus = sp.o_orderstatus AND b.m = sp.m
+        |), win AS (
+        |  SELECT o_orderstatus, m, cnt,
+        |    sum(coalesce(cnt, 0)) OVER w / 3.0 AS avg3_cnt,
+        |    CAST(max(cnt) OVER w AS BIGINT) AS max3_cnt
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY m
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT CAST(m AS TIMESTAMP) AS o_orderdate, o_orderstatus, cnt,
+        |       avg3_cnt, max3_cnt
+        |FROM win
+        |WHERE (m >= TIMESTAMP '1995-01-01' AND m < TIMESTAMP '1995-04-01')
+        |   OR (m >= TIMESTAMP '1995-07-01' AND m < TIMESTAMP '1995-10-01')
         |ORDER BY 1, 2""".stripMargin,
 
     "agg_time_minmax_distinct" ->
