@@ -84,6 +84,16 @@ object NativeQuery {
       }
       case _ => q0
     }
+    // aggregator/post-aggregator OUTPUT names must be unique across both
+    // lists (Queries.prepareAggregations' verifyAggregations — "[%s]
+    // already defined"; FixedBucketsHistogramGroupByQueryTest
+    // .testGroupByWithSameNameComplexPostAgg expects the IAE)
+    locally {
+      val outNames = arr(q \ "aggregations").flatMap(a => strOpt(a \ "name")) ++
+        arr(q \ "postAggregations").flatMap(p => strOpt(p \ "name"))
+      outNames.groupBy(identity).collectFirst { case (n, xs) if xs.size > 1 => n }
+        .foreach(n => throw new IllegalArgumentException(s"[$n] already defined"))
+    }
     // maxSubqueryRows (QueryContexts.getMaxSubqueryRows): caps every inlined
     // subquery datasource of this query; unlimited when absent
     val maxSubqueryRows = (q \ "context" \ "maxSubqueryRows") match {
@@ -1761,7 +1771,10 @@ object NativeQuery {
     * a `finalize=false` context they must emit raw state instead. */
   private val FinalizableAggTypes = Set("hyperUnique", "thetaSketch",
     "arrayOfDoublesSketch", "quantilesDoublesSketch",
-    "quantilesDoublesSketchMerge", "HLLSketchBuild", "HLLSketchMerge")
+    "quantilesDoublesSketchMerge", "HLLSketchBuild", "HLLSketchMerge",
+    // bloom finalizes bytes → base64; unfinalized (subquery) it stays
+    // BINARY so an outer bloom aggregate can MERGE it
+    "bloom")
 
   /** finalize=false context → default shouldFinalize to false on every
     * finalizable aggregator (explicit per-agg flags win). Recurses into
@@ -1822,6 +1835,12 @@ object NativeQuery {
           case Some("thetaSketch" | "sketchBuild" | "sketchMerge")
               if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
             Seq(name -> ((c: Column) => SketchFunctions.thetaEstimate(c)))
+          // bloom renders base64 of the BloomKFilter bytes
+          // (BloomFilterSerializersModule); unfinalized (a subquery) it
+          // stays BINARY so an outer bloom aggregate can MERGE it
+          case Some("bloom")
+              if boolOpt(a \ "shouldFinalize").getOrElse(true) =>
+            Seq(name -> ((c: Column) => base64(c)))
           // shouldFinalize=false keeps the serialized bytes — the shape a
           // re-aggregating outer query (or a rollup sink) consumes
           case Some("arrayOfDoublesSketch")
@@ -2267,14 +2286,37 @@ object NativeQuery {
             intOpt(j \ "numBuckets").getOrElse(10), mode),
           x => x.cast("string")), ","))
       // bloom (druid-bloom-filter BloomFilterAggregatorFactory.java:81-83:
-      // field is a DimensionSpec); output base64 of the serialized filter
-      // in the REFERENCE'S BloomKFilter format (BloomFilterAggregatorFactory
-      // + BloomFilterSerializersModule base64) — feedable back into the JSON
-      // bloom filter here or into a real Druid cluster's.
+      // field is a DimensionSpec); the aggregate carries the serialized
+      // filter BYTES in the REFERENCE'S BloomKFilter format — feedable back
+      // into the JSON bloom filter here or into a real Druid cluster's —
+      // and finalizes to base64 at the top level (aggFinalizerPairs), so an
+      // unfinalized inner query hands bytes to an outer bloom-MERGE
+      // (BloomFilterMergeAggregator: selected when the field column is the
+      // bloom COMPLEX type — here, BinaryType). A field naming a MISSING
+      // column is the reference's NoopBloomFilterAggregator: a totally
+      // EMPTY filter, not per-row null adds
+      // (BloomFilterGroupByQueryTest.testQueryFakeDimension).
       case "bloom" =>
-        val fieldCol = dimSpec(j \ "field").col
         val maxN = intOpt(j \ "maxNumEntries").getOrElse(1500)
-        Agg(name, base64(graft.plans.BloomFunctions.druidBloomAgg(fieldCol, maxN.toLong)))
+        def fieldName: Option[String] = (j \ "field") match {
+          case JString(nm) => Some(nm)
+          case o => strOpt(o \ "dimension")
+        }
+        def fieldType: Option[org.apache.spark.sql.types.DataType] =
+          fieldName.flatMap(nm =>
+            if (input == null) None
+            else input.schema.fields.find(_.name == nm).map(_.dataType))
+        val missing = input != null && fieldName.isDefined && fieldType.isEmpty &&
+          !fieldName.contains(timeCol)
+        if (missing) {
+          val empty = graft.plans.DruidBloomBytes.serialize(
+            new org.apache.hive.common.util.BloomKFilter(maxN.toLong))
+          Agg(name, max(lit(empty)))
+        } else {
+          val fold = fieldType.contains(org.apache.spark.sql.types.BinaryType)
+          Agg(name, graft.plans.BloomFunctions.druidBloomAgg(
+            dimSpec(j \ "field").col, maxN.toLong, foldInput = fold))
+        }
       // ArrayOfDoublesSketchAggregatorFactory: fieldName is the key,
       // metricColumns the carried double metrics, nominalEntries the size.
       // With NO metricColumns the input is pre-built sketches and the

@@ -33,8 +33,10 @@ object BloomFunctions {
     c(BloomFilterMightContain(e(bloom), e(key.cast("long"))))
 
   /** Aggregate a column into a DRUID-format BloomKFilter (binary). */
-  def druidBloomAgg(col: Column, maxNumEntries: Long = 1500L): Column =
-    c(DruidBloomAgg(e(col), maxNumEntries).toAggregateExpression())
+  def druidBloomAgg(col: Column, maxNumEntries: Long = 1500L,
+      foldInput: Boolean = false): Column =
+    c(DruidBloomAgg(e(col), maxNumEntries, foldInput = foldInput)
+      .toAggregateExpression())
 
   /** Test a value against stored Druid BloomKFilter bytes. */
   def druidBloomTest(bloom: Column, value: Column): Column =
@@ -227,6 +229,12 @@ case class BloomAddExpr(value: Expression, filter: Expression)
 case class DruidBloomAgg(
     child: Expression,
     maxNumEntries: Long,
+    // foldInput: the input column holds SERIALIZED BloomKFilter bytes (an
+    // inner query's unfinalized bloom aggregate) — MERGE them instead of
+    // hashing the bytes as a value (the reference's
+    // BloomFilterMergeAggregator, selected when the field's column type is
+    // the bloom COMPLEX type)
+    foldInput: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[
@@ -237,7 +245,12 @@ case class DruidBloomAgg(
   override def createAggregationBuffer(): BloomKFilter = new BloomKFilter(maxNumEntries)
 
   override def update(buf: BloomKFilter, input: org.apache.spark.sql.catalyst.InternalRow): BloomKFilter = {
-    DruidBloomBytes.add(buf, child.eval(input))
+    child.eval(input) match {
+      case b: Array[Byte] if foldInput =>
+        buf.merge(DruidBloomBytes.deserialize(b))
+      case null if foldInput => () // no partial filter from that row
+      case v => DruidBloomBytes.add(buf, v)
+    }
     buf
   }
   override def merge(buf: BloomKFilter, other: BloomKFilter): BloomKFilter = {
