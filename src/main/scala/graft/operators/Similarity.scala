@@ -350,6 +350,62 @@ object Similarity {
       .select("query_id", "cand_id", "cosine", "rank")
   }
 
+  /** IVF-list assignment: nearest coarse centroid by dot product, ties to
+    * the smallest centroid index (the deterministic argmin over
+    * (-dot, index) structs — no UDF, pure codegen-able array ops; the K
+    * centroid vectors inline as literals, hoisted once per plan like the
+    * LSH plane literals). */
+  private def ivfListId(vec: Column, centroids: Seq[Seq[Float]]): Column = {
+    val keyed = centroids.zipWithIndex.map { case (cv, i) =>
+      struct((-SF.dotProduct(vec, typedLit(cv))).as("nd"), lit(i).as("c"))
+    }
+    element_at(sort_array(array(keyed: _*)), 1).getField("c")
+  }
+
+  /** IVF coarse-quantizer assignment of the whole corpus: one projection
+    * over one scan (at production scale the list id is materialized at
+    * ingest and the per-list layout becomes the partitioning key). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Float]]): DataFrame =
+    corpus.withColumn("list_id", ivfListId(col(vecCol), centroids))
+
+  /** IVF-style approximate nearest neighbors — the inverted-file scale path
+    * next to [[cosineKnn]]'s exact baseline and the hyperplane-LSH variant:
+    * a fixed coarse quantizer (K centroid vectors, driver-tiny, broadcast
+    * as literals) splits the corpus into K lists; a query probes only its
+    * `nprobe` nearest lists and brute-forces cosine within the probed
+    * candidates. The corpus never shuffles: assignment is a projection on
+    * the scan, queries broadcast with their probe arrays, and the
+    * candidate join prunes to probed lists before any pair math —
+    * candidates drop by ~nprobe/K versus the brute-force cross join.
+    * Centroids here are fixed seeds (k-means training is an offline
+    * pipeline concern); recall depends on the quantizer like any IVF. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Seq[Float]], nprobe: Int, k: Int): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      SF.l2Norm(col(vecCol)).as("cnorm"),
+      ivfListId(col(vecCol), centroids).as("list_id"))
+    // per-query probe set: the nprobe nearest centroid indices, same
+    // (-dot, index) ordering as assignment
+    val probeKeyed = centroids.zipWithIndex.map { case (cv, i) =>
+      struct((-SF.dotProduct(col(vecCol), typedLit(cv))).as("nd"), lit(i).as("c"))
+    }
+    val probes = transform(
+      slice(sort_array(array(probeKeyed: _*)), 1, nprobe), s => s.getField("c"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      SF.l2Norm(col(vecCol)).as("qnorm"), probes.as("probes")))
+    val scored = assigned
+      .join(q, array_contains(col("probes"), col("list_id")) &&
+        col("cand_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(SF.dotProduct(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cosine", "rank")
+  }
+
   /** Same-bucket cosine pairs with HOT-BUCKET SALTING — the scale guard for
     * skewed LSH buckets (SCALE.md watch item: sf10 max bucket 694 vs mean
     * ~150; the within-bucket term is quadratic in the HOTTEST bucket, so

@@ -15,7 +15,34 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")
 
+  /** The IVF coarse quantizer's fixed seed centroids: the embeddings of
+    * vec_id 0..7, collected once on the driver (8 tiny rows, like the LSH
+    * plane literals) — deterministic across engines, no RNG/training. */
+  private def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Float]] =
+    emb(s, dir).filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF assignment histogram: every vector → nearest of the 8 seed
+    // centroids, one projection over one scan (the ingest-time shape)
+    "embed_ivf_lists" -> ((s, dir) => {
+      Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", ivfCentroids(s, dir))
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("list_id"))
+    }),
+
+    // IVF top-5 for the 3 fixed queries, probing the 2 nearest lists —
+    // the inverted-file ANN scale path (corpus never shuffles; candidates
+    // prune to probed lists before any pair math)
+    "embed_ivf_knn" -> ((s, dir) => {
+      Similarity.ivfKnn(emb(s, dir), emb(s, dir).filter(col("vec_id").isin(0L, 1L, 2L)),
+          "vec_id", "embedding", ivfCentroids(s, dir), nprobe = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // exact brute-force top-5 neighbors for 3 fixed query vectors
     "embed_knn_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -171,7 +198,50 @@ object EmbeddingQueries {
   def oracle: Map[String, String] = {
     val dot = "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
     val norm = (t: String) => s"sqrt(list_dot_product($t.embedding::DOUBLE[], $t.embedding::DOUBLE[]))"
+    // the IVF assignment CTEs: centroids = vec_id 0..7's embeddings;
+    // nearest-by-dot with ties to the smaller centroid id — identical
+    // double math to the Spark side (floats cast to double, index-order
+    // accumulation)
+    val ivfAssign =
+      """cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                    c.cid ASC) AS arn
+        |  FROM embeddings e CROSS JOIN cents c),
+        |lists AS (SELECT vec_id, embedding, CAST(cid AS INT) AS list_id
+        |          FROM assign WHERE arn = 1)""".stripMargin
     Map(
+      "embed_ivf_lists" ->
+        s"""WITH $ivfAssign
+           |SELECT list_id, CAST(count(*) AS BIGINT) AS n
+           |FROM lists GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "embed_ivf_knn" ->
+        s"""WITH $ivfAssign,
+           |qprobe AS (
+           |  SELECT q.vec_id AS query_id, q.embedding AS qvec, CAST(c.cid AS INT) AS list_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY list_dot_product(q.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+           |                    c.cid ASC) AS prn
+           |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id IN (0, 1, 2)),
+           |probes AS (SELECT query_id, qvec, list_id FROM qprobe WHERE prn <= 2),
+           |scored AS (
+           |  SELECT p.query_id, l.vec_id AS cand_id,
+           |         round(list_dot_product(p.qvec::DOUBLE[], l.embedding::DOUBLE[]) /
+           |               (sqrt(list_dot_product(p.qvec::DOUBLE[], p.qvec::DOUBLE[])) *
+           |                sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))), 6) AS cosine
+           |  FROM probes p JOIN lists l ON l.list_id = p.list_id
+           |  WHERE l.vec_id <> p.query_id),
+           |ranked AS (
+           |  SELECT query_id, cand_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |              ORDER BY cosine DESC, cand_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, cand_id, cosine, rank FROM ranked
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
       "embed_knn_bruteforce" ->
         s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
            |scored AS (

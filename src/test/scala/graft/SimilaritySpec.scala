@@ -121,6 +121,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recalls.sum / recalls.size >= 0.5, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("IVF: assignment covers every vector over <= K lists; probed-list " +
+      "candidates only; recall vs exact top-5 under nprobe=2/8") {
+    import graft.queries.EmbeddingQueries
+    val lists = EmbeddingQueries.queries("embed_ivf_lists")(spark, sf()).collect()
+    val total = spark.read.parquet(s"${sf()}/embeddings.parquet").count()
+    assert(lists.map(_.getLong(1)).sum == total, "every vector assigned")
+    assert(lists.length <= 8 && lists.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    val ivf = EmbeddingQueries.queries("embed_ivf_knn")(spark, sf()).collect()
+    // 5 ranked rows per query, ranks 1..5, cosine in range
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rs.forall(r => r.getDouble(2) <= 1.000001 && r.getDouble(2) >= -1.000001))
+    }
+    // IVF recall vs the exact baseline: probing 2 of 8 lists on
+    // near-random vectors still recovers a reasonable share of the true
+    // top-5 (recall is quantizer-dependent — the structural contract is
+    // "subset of probed lists", the quality bar is a sanity floor)
+    val exact = EmbeddingQueries.queries("embed_knn_bruteforce")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val e = exact(q).map(_._2).toSet
+      val g = byQ(q).map(_.getLong(1)).toSet
+      (e intersect g).size.toDouble / e.size
+    }
+    assert(recalls.sum / recalls.size >= 0.2, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("minhash signature determinism + hexLong32 range") {
     val sig1 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
     val sig2 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
