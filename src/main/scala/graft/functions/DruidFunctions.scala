@@ -81,7 +81,12 @@ object DruidFunctions {
     val rawIdx = floor((c - lower) / width).cast("int")
     val idx = outlierMode match {
       case "clip" => least(greatest(rawIdx, lit(0)), lit(numBuckets - 1))
-      case "ignore" => when(rawIdx >= 0 && rawIdx < numBuckets, rawIdx)
+      // "overflow" keeps outliers OUT of the buckets too — the reference
+      // tracks them in separate lower/upperOutlierCount fields
+      // (FixedBucketsHistogram.java OutlierHandlingMode.OVERFLOW), which
+      // this rendering (bucket counts) does not carry; the bucket VALUES
+      // are identical to ignore's
+      case "ignore" | "overflow" => when(rawIdx >= 0 && rawIdx < numBuckets, rawIdx)
       case m => throw new IllegalArgumentException(s"outlier mode: $m")
     }
     array((0 until numBuckets).map(i =>

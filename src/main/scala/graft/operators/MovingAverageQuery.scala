@@ -171,8 +171,18 @@ object MovingAverageQuery {
     val inner = JObject(innerFields ++ List(
       "queryType" -> JString("groupBy"),
       "intervals" -> JArray(extended.map { case (s, e) => JString(s"$s/$e") })))
-    val innerDf = runInner(org.json4s.jackson.JsonMethods.compact(
+    val innerDf0 = runInner(org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(inner)))
+    val dimNames = arr(q \ "dimensions").map {
+      case JString(d) => d
+      case o => strOpt(o \ "outputName").getOrElse(str(o \ "dimension"))
+    }
+    // with dimensions the inner result feeds TWO consumers (the dim-combo
+    // distinct and the spine join) — materialize the output-sized
+    // aggregate ONCE so the fact scan + partial aggregation don't run per
+    // consumer (at 100 TB that is the dominant stage, twice)
+    val innerDf =
+      if (dimNames.isEmpty) innerDf0 else innerDf0.localCheckpoint(true)
 
     // the bucket spine: floor each extended start to the period boundary
     // with the ENGINE's own bucketing (one driver-side evaluation for all
@@ -212,10 +222,6 @@ object MovingAverageQuery {
       .toDF("__spine_ts", "__bucket_idx")
       .select(col("__spine_ts").cast(tsType).as("__k_ts"), col("__bucket_idx"))
 
-    val dimNames = arr(q \ "dimensions").map {
-      case JString(d) => d
-      case o => strOpt(o \ "outputName").getOrElse(str(o \ "dimension"))
-    }
     // distinct dim combinations over the ALREADY-AGGREGATED rows
     // (output-sized, the reference enumerates the same combinations on the
     // broker — MovingAverageIterable.java:52-90). Key columns renamed so

@@ -2276,8 +2276,9 @@ object NativeQuery {
         Agg(name, bridge.column(graft.plans.ApproxHistAgg(bridge.expression(f), res,
           foldInput = fieldIsBinary(j, input)).toAggregateExpression()))
       // fixedBucketsHistogram (FixedBucketsHistogramAggregatorFactory.java:
-      // 66-72); outlierHandlingMode clip/ignore (overflow unsupported);
-      // rendered as comma-joined bucket counts
+      // 66-72); outlierHandlingMode clip/ignore/overflow (overflow's
+      // separate outlier counters are not part of this rendering — bucket
+      // values match); rendered as comma-joined bucket counts
       case "fixedBucketsHistogram" =>
         val mode = strOpt(j \ "outlierHandlingMode").getOrElse("ignore").toLowerCase
         Agg(name, array_join(transform(

@@ -10,10 +10,9 @@ import graft.operators.NativeQuery
   *    QueryTest (extensions-core/histogram): the exact-bucket histogram
   *    through groupBy/topN shapes — bucket counts are EXACT longs, the
   *    median via APPROX_QUANTILE_FIXED_BUCKETS. The reference's OVERFLOW
-  *    outlier mode differs from clip/ignore only for out-of-range values;
-  *    [0, 2000) covers every index value here, so the ported `ignore`
-  *    mode is value-identical for these vectors (the mode taxonomy itself
-  *    is spec'd in S:FixedBucketsQuantileSqlGoldenSpec).
+  *    outlier mode runs verbatim (outliers stay out of the buckets; the
+  *    reference's separate outlier counters are not part of the count
+  *    rendering — no outliers exist in [0, 2000) here anyway).
   *  - VarianceTimeseriesQueryTest / VarianceTopNQueryTest
   *    (extensions-core/stats): variance + stddev through timeseries (with
   *    the null-filter-on-nonexistent-dimension match-all) and topN-over-
@@ -52,7 +51,7 @@ class ExtensionQueryBatteriesGoldenSpec extends SparkSpecBase {
           {"type": "fixedBucketsHistogram", "name": "histo",
            "fieldName": "index", "numBuckets": 10,
            "lowerLimit": 0, "upperLimit": 2000,
-           "outlierHandlingMode": "ignore"}]
+           "outlierHandlingMode": "overflow"}]
       }""").head()
     assert(r.getAs[String]("marketalias") == "upfront")
     assert(r.getAs[Long]("rows") == 186L)
@@ -79,7 +78,7 @@ class ExtensionQueryBatteriesGoldenSpec extends SparkSpecBase {
           {"type": "fixedBucketsHistogram", "name": "histo",
            "fieldName": "index", "numBuckets": 10,
            "lowerLimit": 0, "upperLimit": 2000,
-           "outlierHandlingMode": "ignore"}],
+           "outlierHandlingMode": "overflow"}],
         "postAggregations": [
           {"type": "arithmetic", "name": "histo", "fn": "+",
            "fields": [{"type": "fieldAccess", "fieldName": "rows"},
@@ -106,7 +105,7 @@ class ExtensionQueryBatteriesGoldenSpec extends SparkSpecBase {
           {"type": "fixedBucketsHistogram", "name": "histo",
            "fieldName": "index", "numBuckets": 10,
            "lowerLimit": 0, "upperLimit": 2000,
-           "outlierHandlingMode": "ignore"}],
+           "outlierHandlingMode": "overflow"}],
         "postAggregations": [
           {"type": "arithmetic", "name": "addRowsIndexConstant", "fn": "+",
            "fields": [{"type": "constant", "value": 1},
