@@ -108,9 +108,12 @@ object Bench {
     // AGAIN as the process's final bytes so any tail capture holds one
     // complete line.
     def emit(json: String): Unit = {
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => }
+      // a SPARK_GRAFT_ONLY-filtered run (the scale gate's family sweeps,
+      // dev iteration) must not clobber the full-suite artifact
+      if (only.isEmpty)
+        try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => }
       println(json)
       System.out.flush()
       spark.stop()
