@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,embed_lsh_neardup,embed_knn_int8,embed_ivf_knn,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass,native_subquery_hllc_refold
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,dedup_semantic,embed_kmeans,embed_lsh_neardup,embed_knn_int8,embed_ivf_knn,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass,native_subquery_hllc_refold
 
 mkdir -p "$WORK"
 
@@ -71,6 +71,14 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # r16: the IVF probe path — candidates prune to nprobe/K lists, so
           # the sf10 run must stay well under the brute-force shape
           "embed_ivf_knn": 25,
+          # r16: SemDeDup — k-means at adaptive k (~n/256) then within-
+          # cluster cosine pruning. Budget ~2x the post-optimization
+          # measurement (25.6 s: NearestCentroid primitive argmin +
+          # localCheckpointed assignment); the pre-fix shapes this pins were
+          # 148 s (k boxed VectorDot evals/row) and 54 s (assignment
+          # re-derived per saltedBucketPairs read). embed_kmeans is the
+          # fixed-k clustering primitive — near-flat, scan-bound
+          "dedup_semantic": 60, "embed_kmeans": 10,
           # OLAP shapes at 100x lineitem/orders/part (~60M-row fact): ~2x
           # quiet-box measurements, same headroom policy as above
           "native_groupby": 30, "timeseries_month": 20,

@@ -131,6 +131,14 @@ object SimilarityFunctions {
     bridge.column(VectorDot(bridge.expression(a), bridge.expression(b)))
   }
 
+  /** Index of the nearest centroid (squared-L2 when useL2, max dot product
+    * otherwise; ties to the smaller index) — see [[NearestCentroid]]. */
+  def nearestCentroid(vec: Column, cents: Seq[Seq[Double]], useL2: Boolean): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    bridge.column(NearestCentroid(bridge.expression(vec),
+      cents.map(_.toArray).toArray, useL2))
+  }
+
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Symmetric int8 quantization scale: max|x| / 127 (floored at 1e-12 so a
@@ -238,6 +246,81 @@ case class VectorDot(
       r: org.apache.spark.sql.catalyst.expressions.Expression): VectorDot =
     copy(left = l, right = r)
   override def prettyName: String = "vector_dot"
+}
+
+/** Argmin over a fixed centroid matrix as ONE primitive loop per row — the
+  * k-means / IVF assignment hot path. Semantically identical to the
+  * array_min-over-(score, index)-structs spelling (score = ||c||^2 - 2 x.c
+  * for L2, -x.c for max-dot; ties to the smaller index; the same index-order
+  * double fold as [[VectorDot]], so oracle parity carries over) but without
+  * k boxed VectorDot evals and a k-element struct array per row: under
+  * SemDeDup's adaptive cluster count k reaches ~n/256, where the per-row
+  * constant is the whole assignment cost (measured 148 s -> single-digit
+  * seconds at sf10, k=200). The centroid matrix is a constructor parameter,
+  * not a child — k x d doubles serialized once with the plan, ||c||^2
+  * precomputed once per task. A row whose vector length differs from the
+  * centroids' is a loud error (the struct spelling silently ranked such
+  * centroids first via a null score — unreachable for same-table seeds). */
+case class NearestCentroid(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    centroids: Array[Array[Double]],
+    useL2: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val csq: Array[Double] = centroids.map { cv =>
+    var a = 0.0; var i = 0
+    while (i < cv.length) { a += cv(i) * cv(i); i += 1 }
+    a
+  }
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case other => throw new IllegalArgumentException(s"nearest_centroid element type: $other")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = centroids(0).length
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector length ${x.numElements()} != centroid dim $dim")
+    // one primitive copy per ROW, amortized over all k centroid loops —
+    // per-element ArrayData getters inside the k x d loop would be a
+    // virtual call per multiply (measured ~4x slower at k=782)
+    val xs: Array[Double] =
+      if (isFloat) {
+        val f = x.toFloatArray()
+        val d = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { d(i) = f(i).toDouble; i += 1 }
+        d
+      } else x.toDoubleArray()
+    var best = Double.PositiveInfinity
+    var bi = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) { dot += xs(i) * cv(i); i += 1 }
+      val score = if (useL2) csq(c) - 2.0 * dot else -dot
+      if (score < best) { best = score; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid"
 }
 
 /** Position-wise equality count over two arrays as one primitive loop —

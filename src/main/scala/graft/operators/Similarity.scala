@@ -354,19 +354,16 @@ object Similarity {
     * the smallest centroid index (the deterministic argmin over
     * (-dot, index) structs — no UDF, pure codegen-able array ops; the K
     * centroid vectors inline as literals, hoisted once per plan like the
-    * LSH plane literals). */
-  private def ivfListId(vec: Column, centroids: Seq[Seq[Float]]): Column = {
-    val keyed = centroids.zipWithIndex.map { case (cv, i) =>
-      struct((-SF.dotProduct(vec, typedLit(cv))).as("nd"), lit(i).as("c"))
-    }
-    element_at(sort_array(array(keyed: _*)), 1).getField("c")
-  }
+    * LSH plane literals). One NearestCentroid eval per row, not K boxed
+    * dot-product evals — same (-dot, index) argmin, primitive inner loop. */
+  private def ivfListId(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    SF.nearestCentroid(vec, centroids, useL2 = false)
 
   /** IVF coarse-quantizer assignment of the whole corpus: one projection
     * over one scan (at production scale the list id is materialized at
     * ingest and the per-list layout becomes the partitioning key). */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Float]]): DataFrame =
+      centroids: Seq[Seq[Double]]): DataFrame =
     corpus.withColumn("list_id", ivfListId(col(vecCol), centroids))
 
   /** IVF-style approximate nearest neighbors — the inverted-file scale path
@@ -381,7 +378,7 @@ object Similarity {
     * Centroids here are fixed seeds (k-means training is an offline
     * pipeline concern); recall depends on the quantizer like any IVF. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, centroids: Seq[Seq[Float]], nprobe: Int, k: Int): DataFrame = {
+      vecCol: String, centroids: Seq[Seq[Double]], nprobe: Int, k: Int): DataFrame = {
     val assigned = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
       SF.l2Norm(col(vecCol)).as("cnorm"),
       ivfListId(col(vecCol), centroids).as("list_id"))
@@ -404,6 +401,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cosine", "rank")
+  }
+
+  /** Nearest centroid by squared L2 distance, ties to the smallest centroid
+    * index. ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 and ||x||^2 is constant per
+    * row, so the argmin ranks by (||c||^2 - 2 x.c, index) — exactly what
+    * [[graft.functions.NearestCentroid]] evaluates in one primitive loop per
+    * row (||c||^2 folded in index order, the same sequential double fold
+    * VectorDot runs, so an oracle recomputing it from the centroid list
+    * lands on the identical double). */
+  private def nearestL2(vec: Column, cents: Seq[Seq[Double]]): Column =
+    SF.nearestCentroid(vec, cents, useL2 = true)
+
+  /** Lloyd's k-means assignment — the clustering primitive behind
+    * SemDeDup-style semantic dedup (Abbas et al. 2023: cluster embeddings
+    * coarsely, then prune cosine near-duplicates WITHIN each cluster so the
+    * pair volume is cluster-bounded instead of corpus-quadratic).
+    *
+    * Deterministic across engines by construction: caller-fixed seed
+    * centroids (no RNG), a fixed iteration count, and element-wise means
+    * rounded to 6 decimals between iterations (Spark-side `round`, the same
+    * half-up the DuckDB oracle applies) so cross-partition double-summation
+    * order cannot leak into the next assignment.
+    *
+    * Scale shape (100 TB): centroids are k×d driver literals broadcast in
+    * the plan; each iteration is ONE corpus scan feeding a partial-agg
+    * groupBy with d `avg` columns — no explode (which would shuffle n×d
+    * rows), no shuffle of vectors, map-side combine throughout. Driver
+    * traffic is k×d rounded doubles per iteration, like dedup_clusters'
+    * 3-number convergence probe. The loop re-reads the corpus `iters` times;
+    * at scale persist the projected (id, vector) columns once up front
+    * (MLlib's KMeans iterates against a cached RDD the same way). Returns
+    * the input plus an int `cluster` column. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      init: Seq[Seq[Double]], iters: Int): DataFrame =
+    corpus.withColumn("cluster",
+      nearestL2(col(vecCol), kmeansCentroids(corpus, vecCol, init, iters)))
+
+  /** The centroids [[kmeansAssign]] would assign against: `iters - 1`
+    * Lloyd's update rounds from the fixed seeds (iters = 1 returns the
+    * seeds unchanged). Public so the trained matrix can feed [[ivfKnn]] as
+    * its coarse quantizer — training tightens the Voronoi cells around the
+    * data, which is what sets IVF recall at a given nprobe (the seeds-only
+    * quantizer is the zero-training baseline). Same determinism and scale
+    * contract as [[kmeansAssign]]. */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String,
+      init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    require(init.nonEmpty && iters >= 1, "kmeans needs >= 1 centroid and iteration")
+    val dim = init.head.length
+    var cents = init
+    for (_ <- 1 until iters) {
+      val assigned = corpus.withColumn("__c", nearestL2(col(vecCol), cents))
+      val aggs = (0 until dim).map(i =>
+        round(avg(element_at(col(vecCol), i + 1)), 6).as(s"m$i"))
+      val rows = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*).collect()
+      val byC = rows.map { r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toSeq
+      }.toMap
+      // a cluster that captured no points keeps its previous centroid
+      cents = cents.indices.map(c => byC.getOrElse(c, cents(c)))
+    }
+    cents
   }
 
   /** Same-bucket cosine pairs with HOT-BUCKET SALTING — the scale guard for

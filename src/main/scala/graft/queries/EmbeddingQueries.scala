@@ -15,21 +15,22 @@ object EmbeddingQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")
 
-  /** The IVF coarse quantizer's fixed seed centroids: the embeddings of
-    * vec_id 0..7, collected once on the driver (8 tiny rows, like the LSH
-    * plane literals) — deterministic across engines, no RNG/training. */
-  private def ivfCentroids(s: SparkSession, dir: String): Seq[Seq[Float]] =
-    emb(s, dir).filter(col("vec_id") < 8)
+  /** Seed centroids for k-means AND the IVF coarse quantizer: the
+    * embeddings of vec_id 0..k-1 as doubles, collected once on the driver
+    * (k tiny rows, like the LSH plane literals) — deterministic across
+    * engines, no RNG. */
+  private def kmeansSeeds(s: SparkSession, dir: String, k: Int): Seq[Seq[Double]] =
+    emb(s, dir).filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
       .select(col("embedding"))
       .collect()
-      .map(_.getSeq[Float](0).toSeq).toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF assignment histogram: every vector → nearest of the 8 seed
     // centroids, one projection over one scan (the ingest-time shape)
     "embed_ivf_lists" -> ((s, dir) => {
-      Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", ivfCentroids(s, dir))
+      Similarity.ivfAssign(emb(s, dir), "vec_id", "embedding", kmeansSeeds(s, dir, 8))
         .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("list_id"))
     }),
@@ -39,8 +40,61 @@ object EmbeddingQueries {
     // prune to probed lists before any pair math)
     "embed_ivf_knn" -> ((s, dir) => {
       Similarity.ivfKnn(emb(s, dir), emb(s, dir).filter(col("vec_id").isin(0L, 1L, 2L)),
-          "vec_id", "embedding", ivfCentroids(s, dir), nprobe = 2, k = 5)
+          "vec_id", "embedding", kmeansSeeds(s, dir, 8), nprobe = 2, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Lloyd's k-means over the embeddings: 8 fixed seed centroids
+    // (vec_id 0..7), 2 iterations (assign -> element-wise mean update ->
+    // re-assign). The oracle unrolls the identical iteration in SQL, so
+    // every assignment — including the rebalancing the update causes — is
+    // verified end-to-end. Each iteration is one scan + one 64-column
+    // partial-agg groupBy; the driver moves only 8x64 rounded doubles.
+    "embed_kmeans" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.kmeansAssign(base, "vec_id", "v", kmeansSeeds(s, dir, 8), iters = 2)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster the
+    // embeddings, then prune cosine near-duplicates WITHIN each cluster —
+    // pair volume is cluster-bounded (~targetClusterSize x n), never corpus-
+    // quadratic. k adapts as max(8, n/256) so clusters stay ~256 vectors
+    // (the salt cap) at any scale — at the gate SFs it resolves to the
+    // oracle's 8. Planted
+    // near-dups (20 copies, one coordinate +0.01, cosine ~0.9997) make the
+    // drop set deterministic: natural cosines top out ~0.5 << the 0.8
+    // threshold. Output: dropped id, its keeper (min lower same-cluster id
+    // over the threshold), dup count, max cosine.
+    "dedup_semantic" -> ((s, dir) => {
+      val n = emb(s, dir).count() // parquet footer count: no data scan
+      val k = math.max(8, math.ceil(n / 256.0).toInt)
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val base = emb(s, dir).select(col("vec_id"), vd.as("v"))
+      val copies = emb(s, dir).filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(vd, 1) + lit(0.01)), slice(vd, 2, 63)).as("v"))
+      val all = base.unionByName(copies)
+      // materialize the assignment ONCE: saltedBucketPairs reads its input
+      // three times (bucket counts + both join sides), and re-deriving the
+      // k-way argmin per read is the dominant cost at adaptive k — same
+      // localCheckpoint precedent as dedup_clusters. SemDeDup at 100 TB
+      // does the same thing: persist the clustered corpus, then prune.
+      val clustered = Similarity.kmeansAssign(all, "vec_id", "v",
+          kmeansSeeds(s, dir, k), iters = 2)
+        .withColumn("nrm", SF.l2Norm(col("v")))
+        .localCheckpoint()
+      Similarity.saltedBucketPairs(clustered, "vec_id", "v", "nrm", "cluster",
+          minCosine = 0.8, saltCap = 256)
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("keep_id"),
+          count(lit(1)).as("n_dups"),
+          max(col("cosine")).as("max_cosine"))
+        .select(col("id_b").as("dropped_id"), col("keep_id"),
+          col("n_dups"), col("max_cosine"))
+        .orderBy(col("dropped_id"))
     }),
 
     // exact brute-force top-5 neighbors for 3 fixed query vectors
@@ -195,6 +249,39 @@ object EmbeddingQueries {
     }.mkString("(", " + ", ")")
   }
 
+  /** The 2-iteration k-means unrolled as DuckDB CTEs. Expects a prior CTE
+    * `corpus(vec_id, v DOUBLE[])`; seeds are the base table's first kExpr
+    * embeddings; distances rank by (||c||^2 - 2 x.c, cid) exactly like
+    * [[Similarity.kmeansAssign]]'s argmin struct; element-wise means round
+    * to 6 like the Spark side, so iteration-2 centroids are the identical
+    * doubles. Ends with `clustered(vec_id, v, cluster)`. */
+  private def kmeansCtes(kExpr: String, dim: Int): String =
+    s"""cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+       |           FROM embeddings WHERE vec_id < $kExpr),
+       |assign1 AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) ASC,
+       |           c.cid ASC) AS rn
+       |  FROM corpus e CROSS JOIN cents0 c),
+       |a1 AS (SELECT vec_id, v, cid FROM assign1 WHERE rn = 1),
+       |means AS (
+       |  SELECT a.cid, t.i, round(avg(a.v[t.i]), 6) AS m
+       |  FROM a1 a CROSS JOIN generate_series(1, $dim) AS t(i)
+       |  GROUP BY a.cid, t.i),
+       |cents1 AS (
+       |  SELECT c0.cid, COALESCE(mm.cv1, c0.cv) AS cv
+       |  FROM cents0 c0 LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY i) AS cv1 FROM means GROUP BY cid) mm USING (cid)),
+       |assign2 AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv) ASC,
+       |           c.cid ASC) AS rn
+       |  FROM corpus e CROSS JOIN cents1 c),
+       |clustered AS (SELECT vec_id, v, CAST(cid AS INT) AS cluster
+       |              FROM assign2 WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = {
     val dot = "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
     val norm = (t: String) => s"sqrt(list_dot_product($t.embedding::DOUBLE[], $t.embedding::DOUBLE[]))"
@@ -241,6 +328,32 @@ object EmbeddingQueries {
            |  FROM scored)
            |SELECT query_id, cand_id, cosine, rank FROM ranked
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "embed_kmeans" ->
+        s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |${kmeansCtes("8", 64)}
+           |SELECT vec_id, cluster FROM clustered ORDER BY vec_id""".stripMargin,
+
+      "dedup_semantic" -> {
+        val kExpr = "(SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)"
+        s"""WITH vd AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cp AS (SELECT vec_id + 1000000 AS vec_id,
+           |              list_concat([v[1] + 0.01], v[2:64]) AS v
+           |       FROM vd WHERE vec_id < 20),
+           |corpus AS (SELECT * FROM vd UNION ALL SELECT * FROM cp),
+           |${kmeansCtes(kExpr, 64)},
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         round(list_dot_product(a.v, b.v) /
+           |               (sqrt(list_dot_product(a.v, a.v)) *
+           |                sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           |  FROM clustered a JOIN clustered b
+           |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT id_b AS dropped_id, min(id_a) AS keep_id,
+           |       CAST(count(*) AS BIGINT) AS n_dups, max(cosine) AS max_cosine
+           |FROM pairs WHERE cosine >= 0.8
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       "embed_knn_bruteforce" ->
         s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),

@@ -150,6 +150,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recalls.sum / recalls.size >= 0.2, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("IVF with a kmeans-TRAINED quantizer: training moves the centroids, " +
+      "every vector still assigned, recall floor holds") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val base = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seeds = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val trained = Similarity.kmeansCentroids(base, "v", seeds, iters = 3)
+    assert(trained != seeds, "two Lloyd's rounds must move the centroids")
+    assert(trained.length == 8 && trained.forall(_.length == 64))
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+    val ivf = Similarity.ivfKnn(e, queries, "vec_id", "embedding",
+      trained, nprobe = 2, k = 5).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    val assigned = Similarity.ivfAssign(base, "vec_id", "v", trained)
+    assert(assigned.count() == e.count(), "every vector assigned post-training")
+    val exact = Similarity.cosineKnn(e, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.keys.toSeq.map { q =>
+      val ex = exact(q).map(_._2).toSet
+      val got = byQ(q).map(_.getLong(1)).toSet
+      (ex intersect got).size.toDouble / ex.size
+    }
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"trained-quantizer mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("minhash signature determinism + hexLong32 range") {
     val sig1 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
     val sig2 = docs.select(SF.minhashSignature(TF.wordShingles(col("text"), 5), 16).as("s")).collect()
