@@ -334,20 +334,39 @@ final case class TimeseriesQuery(
     def bucketedRun(bucketFn: Column => Column,
         spine: Option[((Column, Column) => Column, Option[Long])]): DataFrame = {
         val bucketed = filtered.withColumn("__bucket", bucketFn(col(timeColumn)))
-        val grouped0 = bucketed.groupBy(col("__bucket").as(timeColumn))
-          .agg(aggCols.head, aggCols.tail: _*)
-        val grouped = spine match {
+        def fill(g: DataFrame): DataFrame = spine match {
           case Some((seqFn, fixedStepMs)) if !skipEmptyBuckets =>
-            zeroFill(grouped0, ds, bucketFn, seqFn, fixedStepMs)
-          case _ => grouped0
+            zeroFill(g, ds, bucketFn, seqFn, fixedStepMs)
+          case _ => g
         }
         val withTotal = if (grandTotal) {
-          // Druid emits one extra grand-total row (TimeseriesQuery.java:54 ctx key).
-          val total = filtered.agg(aggCols.head, aggCols.tail: _*)
-            .withColumn(timeColumn, lit(null).cast(grouped.schema(timeColumn).dataType))
-            .select(grouped.columns.map(col): _*)
-          grouped.unionByName(total)
-        } else grouped
+          // Druid emits one extra grand-total row (TimeseriesQuery.java:54
+          // ctx key). r16: per-bucket rows and the total come from ONE
+          // GROUPING SETS aggregate — ((__bucket), ()) — instead of a second
+          // full aggregate over the scan (guide §2.4: two operations keyed
+          // the same way share one exchange; here the two result branches
+          // share the scan + partial aggregation via exchange reuse, so the
+          // input is read once). grouping_id() distinguishes the total row
+          // from a genuine null bucket, exactly like the old union did.
+          // localCheckpoint: without it Catalyst pushes each branch's __gid
+          // filter through the Expand, splitting the shared aggregate back
+          // into per-branch scans (3 scans observed) — the barrier pins the
+          // aggregate to ONE evaluation; its result is tiny (one row per
+          // bucket plus the total), so the materialization is output-scale
+          val sets = bucketed
+            .groupingSets(Seq(Seq(col("__bucket")), Seq()), col("__bucket"))
+            .agg(aggCols.head, (aggCols.tail :+ grouping_id().as("__gid")): _*)
+            .localCheckpoint(true)
+          val names = aggregations.map(_.name)
+          val perBucket = fill(sets.filter(col("__gid") === 0)
+            .select(col("__bucket").as(timeColumn) +: names.map(col): _*))
+          val total = sets.filter(col("__gid") === 1)
+            .select(col("__bucket").cast(perBucket.schema(timeColumn).dataType)
+              .as(timeColumn) +: names.map(col): _*)
+            .select(perBucket.columns.map(col): _*)
+          perBucket.unionByName(total)
+        } else fill(bucketed.groupBy(col("__bucket").as(timeColumn))
+          .agg(aggCols.head, aggCols.tail: _*))
         // order applied after the optional union; grand-total row sorts last
         val ordered = if (descending) withTotal.orderBy(col(timeColumn).desc_nulls_last)
                       else withTotal.orderBy(col(timeColumn).asc_nulls_last)

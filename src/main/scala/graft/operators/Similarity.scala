@@ -103,8 +103,8 @@ object Similarity {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, minJaccard: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    // cached: read by the DF histogram, the self-join twice, and the sizes
-    // branch; tokens hoisted ahead of the shingle lambda (see minhashPairs)
+    // cached: read by the DF histogram and the hot-key anti-join; tokens
+    // hoisted ahead of the shingle lambda (see minhashPairs)
     val sh0 = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
@@ -114,13 +114,20 @@ object Similarity {
     val sh =
       if (maxDf == Int.MaxValue) sh0
       else {
-        // one extra groupBy on the already-cached hashes: DF per shingle,
-        // broadcast-free semi-join discipline (the hot-key histogram is
-        // tiny — only keys above the cap are dropped)
-        val keep = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("sh")
-        sh0.join(keep, "sh")
+        // r16: cap by ANTI-joining the HOT keys (df > maxDf), not by inner-
+        // joining the keep set — the hot set is tiny by construction (only
+        // keys above the cap), so its broadcast is scale-safe, where the
+        // keep set is ~every distinct shingle and broadcasting it grows
+        // with the corpus (guide §3.1: broadcast the side that fits).
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("sh")
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
       }
+      // r16: materialize the capped shingle set ONCE — the sizes branch and
+      // both self-join sides consumed it independently before, re-running
+      // the DF histogram + cap join per consumer (4 extra aggregate/
+      // broadcast subtrees in the r16-baseline plan; guide §2.4)
+      .localCheckpoint(true)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
