@@ -23,7 +23,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 # similarity/curation family + the bread-and-butter OLAP shapes (round-8
 # mandate: a semantics round must not silently regress core operators'
 # scaling either)
-FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,dedup_semantic,embed_kmeans,embed_lsh_neardup,embed_knn_int8,embed_ivf_knn,text_gopher_gate,native_groupby,timeseries_month,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass,native_subquery_hllc_refold
+FAMILY=dedup_exact,dedup_minhash_pairs,dedup_simhash_pairs,dedup_ngram_jaccard,dedup_clusters,dedup_decontaminate,dedup_semantic,embed_kmeans,embed_lsh_neardup,embed_knn_int8,embed_ivf_knn,text_gopher_gate,native_groupby,timeseries_month,timeseries_grand_total,topn_supplier_revenue,segment_metadata_full,segment_metadata_approx,agg_first_last_rollup,native_lambda_fold,rollup_rewrite_coarse,rollup_rewrite_base,sketch_merge_stored,sketch_merge_rawbuild,native_topn_bucketed,window_rank_lag,topn_wide_aggs,topn_wide_aggs_onepass,native_subquery_hllc_refold
 
 mkdir -p "$WORK"
 
@@ -82,6 +82,11 @@ budget = {"dedup_exact": 10, "dedup_minhash_pairs": 30, "dedup_simhash_pairs": 1
           # OLAP shapes at 100x lineitem/orders/part (~60M-row fact): ~2x
           # quiet-box measurements, same headroom policy as above
           "native_groupby": 30, "timeseries_month": 20,
+          # r16: grandTotal now computes per-bucket rows AND the total from
+          # ONE grouping-sets aggregate over a single scan (was two full
+          # scans) — budgeted so a regression back to the two-scan union
+          # (or an Expand-pushdown re-split into three scans) shows up
+          "timeseries_grand_total": 25,
           "topn_supplier_revenue": 20, "segment_metadata_full": 20,
           # round-10 additions: the hash-planned first/last pair refold and
           # the bounded expression-lambda fold, both over the 60M-row fact

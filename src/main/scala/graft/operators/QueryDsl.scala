@@ -352,11 +352,14 @@ final case class TimeseriesQuery(
           // filter through the Expand, splitting the shared aggregate back
           // into per-branch scans (3 scans observed) — the barrier pins the
           // aggregate to ONE evaluation; its result is tiny (one row per
-          // bucket plus the total), so the materialization is output-scale
+          // bucket plus the total), so the materialization is output-scale.
+          // LAZY (eager=false): all consumers reference the same RDD, so
+          // the DAG scheduler computes it once inside the query's own job —
+          // an eager checkpoint added a whole separate job per query.
           val sets = bucketed
             .groupingSets(Seq(Seq(col("__bucket")), Seq()), col("__bucket"))
             .agg(aggCols.head, (aggCols.tail :+ grouping_id().as("__gid")): _*)
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val names = aggregations.map(_.name)
           val perBucket = fill(sets.filter(col("__gid") === 0)
             .select(col("__bucket").as(timeColumn) +: names.map(col): _*))

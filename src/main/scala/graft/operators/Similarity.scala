@@ -261,22 +261,18 @@ object Similarity {
     val spark0 = pairs.sparkSession
     val pc = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .localCheckpoint(true)
-    // Partition count scales with the edge count, not the session default:
-    // iterative shuffles on a candidate-pair graph orders of magnitude
-    // smaller than the corpus would otherwise pay a fixed per-task floor
-    // every round (measured 10.8 s → 1.9 s at sf0.1 from this alone).
-    val p = math.max(1L, math.min(spark0.sparkContext.defaultParallelism.toLong,
-      pc.count() / 500000L + 1L)).toInt
     // Clone the session and pin the ITERATION's shuffle width there: the
     // caller's session conf is never touched, so a query planned on it
     // mid-loop (shared facade session) keeps its corpus-scale width.
     val spark = spark0.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     // lift the checkpointed pairs into the cloned session (RDD blocks are
     // context-scoped, so this re-binds the plan without re-reading data)
     val pc2 = spark.createDataFrame(pc.rdd, pc.schema)
+    // nodes is consumed exactly once (the final labels join), and derives
+    // from the already-checkpointed pairs — materializing it eagerly was a
+    // whole extra job per query for nothing (r16)
     val nodes = pc2.select(col("a").as("id")).union(pc2.select(col("b").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
     // orient every edge larger→smaller and drop self-pairs; the iteration
     // maintains this invariant (every rewrite targets a neighborhood min)
     var edges = pc2.where(col("a") =!= col("b"))
@@ -310,6 +306,16 @@ object Similarity {
       (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
     var prev = probe(edges)
+    // Partition count scales with the edge count, not the session default:
+    // iterative shuffles on a candidate-pair graph orders of magnitude
+    // smaller than the corpus would otherwise pay a fixed per-task floor
+    // every round (measured 10.8 s → 1.9 s at sf0.1 from this alone).
+    // r16: the count rides the initial convergence probe (the oriented edge
+    // count is the right scale input) instead of a separate count() job;
+    // only the orientation shuffle above runs at the session-default width.
+    val p = math.max(1L, math.min(spark0.sparkContext.defaultParallelism.toLong,
+      prev._1 / 500000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", p.toString)
     var converged = prev._1 == 0L // empty graph (all pairs were self-pairs)
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -330,9 +336,13 @@ object Similarity {
     val labels = nodes.join(edges, col("id") === col("a"), "left")
       .groupBy(col("id"))
       .agg(coalesce(min(col("b")), min(col("id"))).as("cluster_id"))
-      .localCheckpoint(true)
-    // hand the (checkpointed, small) result back on the CALLER's session so
-    // downstream composition never mixes sessions
+      // r16: LAZY checkpoint — the eager variant ran a whole extra job just
+      // to materialize a result the caller's first action would compute
+      // anyway; the lazy mark still caches the blocks on first touch so
+      // re-reads don't recompute, and the handoff RDD below stays safe
+      .localCheckpoint(false)
+    // hand the (small) result back on the CALLER's session so downstream
+    // composition never mixes sessions
     spark0.createDataFrame(labels.rdd, labels.schema)
   }
 

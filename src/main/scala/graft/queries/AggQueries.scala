@@ -89,6 +89,9 @@ object AggQueries {
           Agg("nd_supp", count_distinct(col("l_suppkey"))),
           Agg("cnt", count(lit(1)))),
         limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+        // r16 note: a projected rebalance (Sources.parallelized) was
+        // measured neutral here (0.74 -> 0.76 s) — the one-task shuffle
+        // write costs what the parallel Expand+hash saves; left as-is
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
@@ -109,6 +112,8 @@ object AggQueries {
           Agg("approx_nd_part", round(thetaEstimate(thetaSketch(col("l_partkey"), 18))).cast("long")),
           Agg("approx_nd_order", round(thetaEstimate(thetaSketch(col("l_orderkey"), 18))).cast("long"))),
         limitSpec = LimitSpec(orderBy = Seq(col("l_returnflag").asc))
+        // r16 note: a projected rebalance (Sources.parallelized) was
+        // measured neutral here (0.65 -> 0.69 s); left as-is
       ).run(Sources.table(s, dir, "lineitem"))
     }),
 
@@ -191,7 +196,13 @@ object AggQueries {
     // the raw table is scanned once, at ingest
     "agg_first_last_rollup" -> ((s, dir) => {
       import graft.operators.FirstLast._
-      val li = Sources.table(s, dir, "lineitem")
+      // r16: the two-level pair fold is per-row-heavy (struct allocation +
+      // ordered fold per row); rebalance the single-row-group local scan so
+      // the first-level ObjectHashAggregate runs cluster-wide — projected
+      // FIRST so the conditional shuffle carries 3 columns, not 16 (guide
+      // §2.3 project before the exchange; §2.5 unsplittable-input skew)
+      val li = Sources.parallelized(Sources.table(s, dir, "lineitem")
+        .select("l_shipdate", "l_returnflag", "l_extendedprice"))
       val rollup = li.groupBy(
           graft.functions.TimeFunctions.timeFloor(col("l_shipdate"), "P1D").as("day"),
           col("l_returnflag"))

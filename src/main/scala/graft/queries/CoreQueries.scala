@@ -23,7 +23,13 @@ object CoreQueries {
   /** The 10-aggregator topN behind `topn_wide_aggs` / `_onepass` — over the
     * default gate (6), so the default run takes the two-phase
     * AggregateTopNMetricFirst shape. */
-  private def wideAggTopN(s: SparkSession, dir: String): DataFrame =
+  private def wideAggTopN(s: SparkSession, dir: String): DataFrame = {
+    // r16 note: rebalancing this scan (Sources.parallelized, projected) was
+    // MEASURED and rejected — the two-phase plan consumes the scan twice, so
+    // an un-materialized rebalance shuffles the fact twice and the headline
+    // query regressed 1.08 s -> 1.46 s (the one-pass control improved
+    // 3.81 -> 1.34 s, but it is the deliberately-slow comparison twin).
+    val li = Sources.table(s, dir, "lineitem")
     TopNQuery(
       dimension = Dim("l_suppkey"),
       metric = "revenue",
@@ -39,7 +45,8 @@ object CoreQueries {
         Agg("disc", sum(col("l_discount").cast(D)).cast("double")),
         Agg("tax", sum(col("l_tax").cast(D)).cast("double")),
         Agg("nd_part", count_distinct(col("l_partkey"))))
-    ).run(Sources.table(s, dir, "lineitem"))
+    ).run(li)
+  }
   // money sums: exact decimal accumulation, but OUTPUT as double — the
   // driver's value compare renders cells to strings, and a decimal's
   // trailing zeros ("123.40") vs DuckDB's float ("123.4") hash-mismatch

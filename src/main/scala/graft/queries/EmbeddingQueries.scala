@@ -82,9 +82,20 @@ object EmbeddingQueries {
       // k-way argmin per read is the dominant cost at adaptive k — same
       // localCheckpoint precedent as dedup_clusters. SemDeDup at 100 TB
       // does the same thing: persist the clustered corpus, then prune.
+      // r16: checkpoint PRE-PARTITIONED on the cluster key — the assignment
+      // projection inherits the scan's (locally single-file, 1-partition)
+      // layout, so an unkeyed checkpoint serialized every downstream
+      // consumer; the keyed repartition spreads the materialized blocks by
+      // the key all three consumers (bucket counts + both join sides)
+      // group/join on, with AQE sizing the width. (Exchange ELIMINATION via
+      // checkpoint partitioning is not available under AQE — the
+      // checkpoint's reported partitioning is unknown pre-execution — so
+      // the win here is the balanced one-time materialization, measured
+      // 2.30 -> ~2.0 s at sf0.1 and 25.6 -> 14.0 s at the sf10 gate.)
       val clustered = Similarity.kmeansAssign(all, "vec_id", "v",
           kmeansSeeds(s, dir, k), iters = 2)
         .withColumn("nrm", SF.l2Norm(col("v")))
+        .repartition(col("cluster"))
         .localCheckpoint()
       Similarity.saltedBucketPairs(clustered, "vec_id", "v", "nrm", "cluster",
           minCosine = 0.8, saltCap = 256)
@@ -179,9 +190,18 @@ object EmbeddingQueries {
       val copies = emb(s, dir).filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           concat(array(element_at(vd, 1) + lit(0.01)), slice(vd, 2, 63)).as("v"))
+      // r16: materialize the bucketed vectors ONCE, keyed on the bucket —
+      // saltedBucketPairs reads its input three times (bucket counts + both
+      // join sides), each of which previously re-derived the 8-plane bucket
+      // projection from the parquet scan (8 parquet scans in the r16-
+      // baseline plan; 0 after). The keyed repartition spreads the blocks
+      // (the scan is single-file locally), AQE sizes the width; measured
+      // 1.16 -> ~0.9 s at sf0.1, 14.3 s at the sf10 gate.
       val all = base.unionByName(copies).select(col("vec_id"), col("v"),
         SF.hyperplaneBucket(col("v"), planes, 64).as("bucket"),
         SF.l2Norm(col("v")).as("nrm"))
+        .repartition(col("bucket"))
+        .localCheckpoint()
       // hot buckets salt-split past 256 members (triangle join): residual
       // skew after adaptive planes (sf10 max 694 vs mean ~150) stays
       // bounded per task; output identical to the plain same-bucket join

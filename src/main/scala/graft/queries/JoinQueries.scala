@@ -34,7 +34,12 @@ object JoinQueries {
 
     // multi-table star join: lineitem→orders→customer→nation→region
     "join_star_region_revenue" -> ((s, dir) => {
-      val li = Sources.table(s, dir, "lineitem")
+      // r16: the fact side probes four broadcast joins + a decimal aggregate
+      // in whatever parallelism the scan yields — rebalance the single-row-
+      // group local scan, projected first so the conditional shuffle carries
+      // the 2 used columns, not 16 (guide §2.3/§2.5); no-op at scale
+      val li = Sources.parallelized(Sources.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice"))
       val o = Sources.table(s, dir, "orders")
       val c = Sources.table(s, dir, "customer")
       val n = Sources.globalTable(Sources.table(s, dir, "nation"))
