@@ -285,6 +285,91 @@ case class NearestCentroid(
       case other => throw new IllegalArgumentException(s"nearest_centroid element type: $other")
     }
 
+  /** r17: two-level EXACT assignment for large k — the flat k x d loop is
+    * n·k·d with SemDeDup's k ∝ n (quadratic at corpus scale; SCALE.md
+    * §9.11). The k centroids are grouped into ceil(sqrt(k)) super-clusters
+    * (deterministic task-side Lloyd over the k x d matrix — O(k·sqrt(k)·d),
+    * negligible next to one input partition); per row the super-centroid
+    * distances order the groups and the triangle inequality
+    * d(x,c) >= d(x,s) - r_s (resp. dot(x,c) <= dot(x,s) + |x|·r_s) prunes
+    * whole groups that provably cannot beat the best score found so far.
+    * EXACT by construction: a group is skipped only when its bound strictly
+    * exceeds the current best plus a margin that dominates double rounding,
+    * scanned centroids use the identical index-order fold as the flat loop,
+    * and the (score, index) argmin update is scan-order-independent — so
+    * the result is bit-identical to the flat loop at every scale (asserted
+    * against it in NearestCentroidSpec). Below the threshold the flat loop
+    * runs unchanged (the gate-SF oracle path: adaptive k resolves to 8). */
+  private val TwoLevelMinK = 64
+
+  private final class Grouping(
+    val supers: Array[Array[Double]], // g x d super-centroids
+    val ssq: Array[Double],           // ||s||^2 per super
+    val radius: Array[Double],        // max L2 distance super -> member
+    val members: Array[Array[Int]])   // centroid indices per super
+
+  @transient private lazy val grouping: Grouping = {
+    val k = centroids.length
+    val dim = centroids(0).length
+    val g = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // seeds spread across the index range; any grouping is CORRECT (it only
+    // steers pruning), determinism just keeps performance reproducible
+    var supers = Array.tabulate(g)(j => centroids((j.toLong * k / g).toInt).clone())
+    val assign = new Array[Int](k)
+    var iter = 0
+    while (iter < 4) {
+      var c = 0
+      while (c < k) {
+        val cv = centroids(c)
+        var bs = Double.PositiveInfinity; var bj = 0; var j = 0
+        while (j < g) {
+          val sv = supers(j)
+          var d2 = 0.0; var i = 0
+          while (i < dim) { val t = cv(i) - sv(i); d2 += t * t; i += 1 }
+          if (d2 < bs) { bs = d2; bj = j }
+          j += 1
+        }
+        assign(c) = bj
+        c += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val cnt = new Array[Int](g)
+      c = 0
+      while (c < k) {
+        val s = sums(assign(c)); val cv = centroids(c)
+        var i = 0
+        while (i < dim) { s(i) += cv(i); i += 1 }
+        cnt(assign(c)) += 1
+        c += 1
+      }
+      supers = Array.tabulate(g) { j =>
+        if (cnt(j) == 0) supers(j)
+        else { val s = sums(j); val m = new Array[Double](dim)
+          var i = 0; while (i < dim) { m(i) = s(i) / cnt(j); i += 1 }; m }
+      }
+      iter += 1
+    }
+    val members = Array.tabulate(g)(j => (0 until k).filter(assign(_) == j).toArray)
+    val ssq = supers.map { sv =>
+      var a = 0.0; var i = 0
+      while (i < sv.length) { a += sv(i) * sv(i); i += 1 }
+      a
+    }
+    val radius = Array.tabulate(g) { j =>
+      val sv = supers(j)
+      var r = 0.0
+      for (c <- members(j)) {
+        val cv = centroids(c)
+        var d2 = 0.0; var i = 0
+        while (i < dim) { val t = cv(i) - sv(i); d2 += t * t; i += 1 }
+        val d = math.sqrt(d2)
+        if (d > r) r = d
+      }
+      r
+    }
+    new Grouping(supers, ssq, radius, members)
+  }
+
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val dim = centroids(0).length
@@ -302,6 +387,11 @@ case class NearestCentroid(
         while (i < dim) { d(i) = f(i).toDouble; i += 1 }
         d
       } else x.toDoubleArray()
+    if (centroids.length < TwoLevelMinK) flatScan(xs, dim)
+    else prunedScan(xs, dim)
+  }
+
+  private def flatScan(xs: Array[Double], dim: Int): Int = {
     var best = Double.PositiveInfinity
     var bi = 0
     var c = 0
@@ -313,6 +403,75 @@ case class NearestCentroid(
       val score = if (useL2) csq(c) - 2.0 * dot else -dot
       if (score < best) { best = score; bi = c }
       c += 1
+    }
+    bi
+  }
+
+  private def prunedScan(xs: Array[Double], dim: Int): Int = {
+    val gr = grouping
+    val g = gr.supers.length
+    var xsq = 0.0
+    var i0 = 0
+    while (i0 < dim) { xsq += xs(i0) * xs(i0); i0 += 1 }
+    val xnorm = math.sqrt(xsq)
+    // group lower bounds on the (flat-loop) score of any member:
+    //   L2:  score = d^2 - xsq >= max(0, d(x,s) - r)^2 - xsq
+    //   dot: score = -dot(x,c) >= -dot(x,s) - |x|·r
+    val lbs = new Array[Double](g)
+    val ord = new Array[Int](g)
+    var j = 0
+    while (j < g) {
+      val sv = gr.supers(j)
+      var dotg = 0.0
+      var i = 0
+      while (i < dim) { dotg += xs(i) * sv(i); i += 1 }
+      lbs(j) =
+        if (useL2) {
+          val d2 = math.max(0.0, gr.ssq(j) - 2.0 * dotg + xsq)
+          val t = math.max(0.0, math.sqrt(d2) - gr.radius(j))
+          t * t - xsq
+        } else -dotg - xnorm * gr.radius(j)
+      ord(j) = j
+      j += 1
+    }
+    // insertion sort of the g group ids by lower bound (g = sqrt(k), tiny)
+    var a = 1
+    while (a < g) {
+      val oj = ord(a); val key = lbs(oj)
+      var b = a - 1
+      while (b >= 0 && lbs(ord(b)) > key) { ord(b + 1) = ord(b); b -= 1 }
+      ord(b + 1) = oj
+      a += 1
+    }
+    // best-first scan; a group whose bound strictly exceeds best (plus a
+    // margin dominating double rounding, so exactness survives fp error)
+    // cannot improve the argmin — nor can any later group (bounds sorted)
+    var best = Double.PositiveInfinity
+    var bi = 0
+    var hasBest = false
+    var oi = 0
+    while (oi < g) {
+      val grp = ord(oi)
+      if (hasBest && lbs(grp) > best + 1e-9 * (math.abs(best) + 1.0)) oi = g
+      else {
+        val mem = gr.members(grp)
+        var m = 0
+        while (m < mem.length) {
+          val c = mem(m)
+          val cv = centroids(c)
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += xs(i) * cv(i); i += 1 }
+          val score = if (useL2) csq(c) - 2.0 * dot else -dot
+          // smallest index among equal minima, independent of scan order —
+          // identical to the flat loop's first-strict-min-wins
+          if (score < best || (score == best && c < bi)) {
+            best = score; bi = c; hasBest = true
+          }
+          m += 1
+        }
+        oi += 1
+      }
     }
     bi
   }

@@ -343,31 +343,93 @@ final case class TimeseriesQuery(
           // Druid emits one extra grand-total row (TimeseriesQuery.java:54
           // ctx key). r16: per-bucket rows and the total come from ONE
           // GROUPING SETS aggregate — ((__bucket), ()) — instead of a second
-          // full aggregate over the scan (guide §2.4: two operations keyed
-          // the same way share one exchange; here the two result branches
-          // share the scan + partial aggregation via exchange reuse, so the
-          // input is read once). grouping_id() distinguishes the total row
-          // from a genuine null bucket, exactly like the old union did.
-          // localCheckpoint: without it Catalyst pushes each branch's __gid
-          // filter through the Expand, splitting the shared aggregate back
-          // into per-branch scans (3 scans observed) — the barrier pins the
-          // aggregate to ONE evaluation; its result is tiny (one row per
-          // bucket plus the total), so the materialization is output-scale.
-          // LAZY (eager=false): all consumers reference the same RDD, so
-          // the DAG scheduler computes it once inside the query's own job —
-          // an eager checkpoint added a whole separate job per query.
+          // full aggregate over the scan, so the fact is read once.
+          // r17: the r16 shape split that aggregate into three __gid-
+          // filtered consumers (per-bucket branch, total branch, zero-fill
+          // spine probe) and needed a lazy localCheckpoint barrier to stop
+          // Catalyst pushing the filters through the Expand (the plan
+          // otherwise re-split into 3 scans); the barrier's ExistingRDD
+          // boundary cost ~+0.6 s locally (driver-measured r16 regression).
+          // The aggregate now feeds exactly ONE consumer — zero-fill became
+          // a per-gap window+explode over the (output-sized) aggregate
+          // instead of a spine self-join — so no barrier, no checkpoint,
+          // and no __gid filter ever pushes anywhere.
+          val names = aggregations.map(_.name)
           val sets = bucketed
             .groupingSets(Seq(Seq(col("__bucket")), Seq()), col("__bucket"))
             .agg(aggCols.head, (aggCols.tail :+ grouping_id().as("__gid")): _*)
-            .localCheckpoint(false)
-          val names = aggregations.map(_.name)
-          val perBucket = fill(sets.filter(col("__gid") === 0)
-            .select(col("__bucket").as(timeColumn) +: names.map(col): _*))
-          val total = sets.filter(col("__gid") === 1)
-            .select(col("__bucket").cast(perBucket.schema(timeColumn).dataType)
-              .as(timeColumn) +: names.map(col): _*)
-            .select(perBucket.columns.map(col): _*)
-          perBucket.unionByName(total)
+          val needFill = spine.isDefined && !skipEmptyBuckets
+          val body = if (needFill && fillIntervals.isEmpty) {
+            // gap-fill: between consecutive per-bucket rows, emit the
+            // missing buckets of (prev, cur] via the granularity's own
+            // bucket-sequence fn — the identical bucket set the old
+            // seqFn(min, max) spine enumerated, with the identical fills
+            // (count → 0, sketch estimate → empty-sketch 0, rest null).
+            // Null buckets drop exactly as the spine join dropped them (a
+            // null bucket never appeared in the spine). The window runs
+            // over one row per bucket — output-scale, like the spine.
+            val seqFn = spine.get._1
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__gid")).orderBy(col("__bucket"))
+            val withPrev = sets
+              .where(!(col("__gid") === 0 && col("__bucket").isNull))
+              .withColumn("__prev", lag(col("__bucket"), 1).over(w))
+            val gapSeq = when(col("__prev").isNull, array(col("__bucket")))
+              .otherwise(seqFn(col("__prev"), col("__bucket")))
+            val exploded = withPrev.select(
+              explode(gapSeq).as("__b") +: col("__bucket") +: col("__prev") +:
+                names.map(col): _*)
+              .where(col("__prev").isNull || col("__b") > col("__prev"))
+            val isReal = col("__b") <=> col("__bucket")
+            val outAggs = aggregations.map { a =>
+              if (QueryCommon.isCountAgg(a.column))
+                when(isReal, col(a.name)).otherwise(lit(0L)).as(a.name)
+              else if (QueryCommon.isSketchEstimateAgg(a.column))
+                when(isReal, col(a.name))
+                  .otherwise(lit(0).cast(sets.schema(a.name).dataType)).as(a.name)
+              else when(isReal, col(a.name)).as(a.name)
+            }
+            exploded.select(col("__b").as(timeColumn) +: outAggs: _*)
+          } else if (needFill) {
+            // explicit fill intervals: the interval spine clips to the
+            // UNFILTERED source's time bounds, which takes its own probe —
+            // the r16 barrier shape stays for this (rarer) case.
+            val ck = sets.localCheckpoint(false)
+            val perBucket = fill(ck.filter(col("__gid") === 0)
+              .select(col("__bucket").as(timeColumn) +: names.map(col): _*))
+            val total = ck.filter(col("__gid") === 1)
+              .select(col("__bucket").cast(perBucket.schema(timeColumn).dataType)
+                .as(timeColumn) +: names.map(col): _*)
+              .select(perBucket.columns.map(col): _*)
+            perBucket.unionByName(total)
+          } else {
+            // no fill: every aggregate row IS a result row (per-bucket rows
+            // plus the ()-set total, whose __bucket is already null)
+            sets.select(col("__bucket").as(timeColumn) +: names.map(col): _*)
+          }
+          // The reference appends the grand-total row UNCONDITIONALLY — an
+          // empty sequence still yields one totals row of aggregator nils
+          // (TimeseriesQueryQueryToolChest.mergeResults) — while a
+          // grouping-sets aggregate over zero input rows emits zero rows,
+          // () set included. Restore the contract with a LITERAL nil row
+          // (the same classification zeroFill applies to empty buckets:
+          // count → 0, sketch estimate → empty-sketch 0, rest null — i.e.
+          // the reference's aggregator nils), anti-joined against a limit-1
+          // existence probe of the filtered input so it survives only when
+          // the input is empty. Literals on a range(1), not an aggregate
+          // over an empty relation, keep the fallback to two trivial plan
+          // stages (probe + build) — no shuffle, no scan.
+          val nilRow = aggregations.map { a =>
+            val dt = sets.schema(a.name).dataType
+            if (QueryCommon.isCountAgg(a.column)) lit(0L).cast(dt).as(a.name)
+            else if (QueryCommon.isSketchEstimateAgg(a.column)) lit(0).cast(dt).as(a.name)
+            else lit(null).cast(dt).as(a.name)
+          }
+          val emptyTotal = filtered.sparkSession.range(1)
+            .select(lit(null).cast(body.schema(timeColumn).dataType)
+              .as(timeColumn) +: nilRow: _*)
+          val present = filtered.select(lit(1).as("__present")).limit(1)
+          body.unionByName(emptyTotal.join(present, lit(true), "left_anti"))
         } else fill(bucketed.groupBy(col("__bucket").as(timeColumn))
           .agg(aggCols.head, aggCols.tail: _*))
         // order applied after the optional union; grand-total row sorts last

@@ -103,31 +103,38 @@ object Similarity {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, minJaccard: Double = 0.5,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    // cached: read by the DF histogram and the hot-key anti-join; tokens
-    // hoisted ahead of the shingle lambda (see minhashPairs)
+    // tokens hoisted ahead of the shingle lambda (see minhashPairs)
     val sh0 = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
       .withColumn("sh", TF.hexLong60(col("shingle"))).drop("shingle")
-      .cache()
+    // r16: cap by ANTI-joining the HOT keys (df > maxDf), not by inner-
+    // joining the keep set (~every distinct shingle, corpus-sized). r17:
+    // no forced broadcast() hint — the hot-key COUNT is Zipf-tail-unbounded
+    // at corpus scale (only each key's excess df is bounded), so the hint
+    // could force a multi-GB broadcast; AQE broadcasts the built side at
+    // runtime whenever it actually fits (guide §3.1) and degrades to a
+    // shuffle join when it does not.
+    // r17: the capped path caches sh0 only until the eager checkpoint
+    // below materializes (it is read by the histogram AND the anti-join
+    // probe inside that one job); the uncapped path skips the cache —
+    // its only consumer is the checkpoint itself (§5: unpersist when done).
+    val cached = if (maxDf == Int.MaxValue) None else Some(sh0.cache())
     val sh =
-      if (maxDf == Int.MaxValue) sh0
-      else {
-        // r16: cap by ANTI-joining the HOT keys (df > maxDf), not by inner-
-        // joining the keep set — the hot set is tiny by construction (only
-        // keys above the cap), so its broadcast is scale-safe, where the
-        // keep set is ~every distinct shingle and broadcasting it grows
-        // with the corpus (guide §3.1: broadcast the side that fits).
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("sh")
-        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-      }
+      (cached match {
+        case None => sh0
+        case Some(c) =>
+          val hot = c.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxDf).select("sh")
+          c.join(hot, Seq("sh"), "left_anti")
+      })
       // r16: materialize the capped shingle set ONCE — the sizes branch and
       // both self-join sides consumed it independently before, re-running
       // the DF histogram + cap join per consumer (4 extra aggregate/
       // broadcast subtrees in the r16-baseline plan; guide §2.4)
       .localCheckpoint(true)
+    cached.foreach(_.unpersist())
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -249,8 +256,10 @@ object Similarity {
     * SparkContext, isolated SQLConf) with the shuffle width pinned to the
     * graph size, so a concurrent query planned on the caller's session —
     * e.g. a facade request arriving mid-loop — never observes the pinned
-    * width. Input edges and the final labels cross the session boundary as
-    * materialized RDDs (both ends are checkpointed anyway).
+    * width. Input edges cross the session boundary as eagerly-materialized
+    * RDDs; the final labels carry a LAZY checkpoint mark, so the caller's
+    * first action computes them (on the caller's session) and the blocks
+    * are cached for any re-read.
     *
     * Returns (id, cluster_id) for every node that appears in a pair;
     * cluster_id = min id in the component. */

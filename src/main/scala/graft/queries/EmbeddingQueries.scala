@@ -92,10 +92,15 @@ object EmbeddingQueries {
       // checkpoint's reported partitioning is unknown pre-execution — so
       // the win here is the balanced one-time materialization, measured
       // 2.30 -> ~2.0 s at sf0.1 and 25.6 -> 14.0 s at the sf10 gate.)
+      // r17 skew guard: the repartition key carries an 8-way id-hash salt —
+      // a single hot cluster otherwise lands ONE fat checkpoint partition
+      // (AQE cannot split a checkpoint write; guide §2.5). Consumers
+      // group/join on the cluster key through their own exchanges, so only
+      // the materialization layout changes.
       val clustered = Similarity.kmeansAssign(all, "vec_id", "v",
           kmeansSeeds(s, dir, k), iters = 2)
         .withColumn("nrm", SF.l2Norm(col("v")))
-        .repartition(col("cluster"))
+        .repartition(col("cluster"), pmod(xxhash64(col("vec_id")), lit(8)))
         .localCheckpoint()
       Similarity.saltedBucketPairs(clustered, "vec_id", "v", "nrm", "cluster",
           minCosine = 0.8, saltCap = 256)
@@ -197,10 +202,13 @@ object EmbeddingQueries {
       // baseline plan; 0 after). The keyed repartition spreads the blocks
       // (the scan is single-file locally), AQE sizes the width; measured
       // 1.16 -> ~0.9 s at sf0.1, 14.3 s at the sf10 gate.
+      // r17 skew guard: 8-way id-hash salt on the repartition key so a hot
+      // bucket spreads across checkpoint partitions (consumers re-key on
+      // the bucket anyway; see dedup_semantic above).
       val all = base.unionByName(copies).select(col("vec_id"), col("v"),
         SF.hyperplaneBucket(col("v"), planes, 64).as("bucket"),
         SF.l2Norm(col("v")).as("nrm"))
-        .repartition(col("bucket"))
+        .repartition(col("bucket"), pmod(xxhash64(col("vec_id")), lit(8)))
         .localCheckpoint()
       // hot buckets salt-split past 256 members (triangle join): residual
       // skew after adaptive planes (sf10 max 694 vs mean ~150) stays

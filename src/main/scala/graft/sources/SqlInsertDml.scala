@@ -350,7 +350,13 @@ object SqlInsertDml {
       else Some(date_format(graft.operators
           .PeriodGranularity(stmt.segmentGranularity).bucket(col("__time")),
         "yyyy-MM-dd'T'HH").asc)
-    val rangeCols = chunkKey.toSeq ++ clusterCols
+    // r17: the chunk prefix applies only when there ARE cluster keys. With
+    // CLUSTERED BY absent, rangeCols would be the chunk alone and the range
+    // exchange would collapse each time chunk onto ONE task (equal range
+    // keys share a partition) — a single-chunk INSERT was shuffled and then
+    // written serially where the reference uses dynamic partitioning with
+    // no shuffle at all. No CLUSTERED BY → no rearrangement.
+    val rangeCols = if (clusterCols.isEmpty) Nil else chunkKey.toSeq ++ clusterCols
     val arranged =
       if (rangeCols.isEmpty) selected
       else selected.repartitionByRange(rangeCols: _*)

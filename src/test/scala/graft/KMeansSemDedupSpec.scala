@@ -53,6 +53,45 @@ class KMeansSemDedupSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("two-level pruned assignment (k >= 64) is bit-identical to the flat argmin") {
+    // k = 100 engages the r17 pruned scan (threshold 64); the reference
+    // below re-implements the FLAT loop's exact arithmetic (csq - 2*dot,
+    // index-order folds, first-strict-min-wins), so any pruning error —
+    // including a wrongly skipped group on an exact tie — fails the spec.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val k = 100
+    val cents0 = Array.fill(k)(Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+    cents0(57) = cents0(13).clone() // exact duplicate centroid: index tiebreak
+    val cents = cents0.map(_.toSeq).toSeq
+    val vecs = Array.fill(400)(Array.fill(dim)(rnd.nextDouble() * 4 - 2)) ++
+      Array(cents0(13).clone(), cents0(99).clone()) // exact-tie probes
+    val csq = cents0.map(c => { var a = 0.0; var i = 0
+      while (i < dim) { a += c(i) * c(i); i += 1 }; a })
+    def flatRef(xs: Array[Double], useL2: Boolean): Int = {
+      var best = Double.PositiveInfinity; var bi = 0; var c = 0
+      while (c < k) {
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += xs(i) * cents0(c)(i); i += 1 }
+        val score = if (useL2) csq(c) - 2.0 * dot else -dot
+        if (score < best) { best = score; bi = c }
+        c += 1
+      }
+      bi
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("id", "v")
+    for (useL2 <- Seq(true, false)) {
+      val got = df.select(col("id"),
+          graft.functions.SimilarityFunctions.nearestCentroid(col("v"), cents, useL2).as("c"))
+        .as[(Long, Int)].collect().toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) == flatRef(v, useL2),
+          s"row $i useL2=$useL2: pruned ${got(i.toLong)} != flat ${flatRef(v, useL2)}")
+      }
+    }
+  }
+
   test("dedup_semantic drops exactly the planted near-dup copies (sf0.001)") {
     val out = SparkEntry.queries("dedup_semantic")(spark, sf()).collect()
     assert(out.length == 20)

@@ -37,6 +37,45 @@ class QueryDslSpec extends SparkSpecBase {
     assert(rows.last.isNullAt(0)) // grand total sorts last
   }
 
+  test("timeseries grandTotal emits the totals row even for EMPTY input (r17)") {
+    // the reference appends the grand-total row unconditionally
+    // (TimeseriesQueryQueryToolChest.mergeResults): aggregator nils —
+    // count 0, sum null — under a null timestamp
+    val q = TimeseriesQuery(
+      timeColumn = "l_shipdate",
+      granularity = PeriodGranularity("P1Y"),
+      filter = col("l_quantity") < -1, // matches nothing
+      aggregations = Seq(Agg("cnt", count(lit(1))),
+        Agg("sq", sum(col("l_quantity")))),
+      grandTotal = true)
+    val rows = q.run(Sources.table(spark, sf(), "lineitem")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.isNullAt(0))      // null bucket timestamp
+    assert(rows.head.getLong(1) == 0L) // count nil = 0
+    assert(rows.head.isNullAt(2))      // sum nil = null
+  }
+
+  test("timeseries grandTotal gap-fill matches the spine zero-fill (r17)") {
+    // sparse input with a 3-year hole: the per-gap window fill must emit
+    // the identical bucket spine (count 0 for missing years) the spine
+    // join produced, plus the total row
+    val df = Seq("1994-02-01", "1994-07-15", "1998-03-03")
+      .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00")).toDF("t")
+    val q = TimeseriesQuery(
+      timeColumn = "t",
+      granularity = PeriodGranularity("P1Y"),
+      aggregations = Seq(Agg("cnt", count(lit(1)))),
+      grandTotal = true)
+    val rows = q.run(df).collect()
+    val buckets = rows.filter(!_.isNullAt(0)).map(r =>
+      (r.get(0).toString.take(4), r.getLong(1)))
+    assert(buckets.toSeq == Seq(("1994", 2L), ("1995", 0L), ("1996", 0L),
+      ("1997", 0L), ("1998", 1L)))
+    val totals = rows.filter(_.isNullAt(0))
+    assert(totals.length == 1 && totals.head.getLong(1) == 3L)
+    assert(rows.last.isNullAt(0))
+  }
+
   test("topN exact matches groupBy+orderBy+limit") {
     val df = Sources.table(spark, sf(), "lineitem")
     val topn = TopNQuery(Dim("l_suppkey"), "s", 3,
