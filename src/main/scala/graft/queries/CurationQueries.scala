@@ -25,8 +25,8 @@ object CurationQueries {
     // near-dup pairs → duplicate clusters (hash-min connected components);
     // cluster_id = min doc_id in the component
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Similarity.simhashPairs(Sources.parallelized(Sources.table(s, dir, "documents")),
-        "doc_id", "text", maxHamming = 3)
+      val pairs = Similarity.simhashPairs(Sources.parallelizedBy(Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id")), "doc_id", "text", maxHamming = 3)
       Similarity.connectedComponents(pairs).orderBy(col("id"))
     }),
 

@@ -93,7 +93,11 @@ object PipelineQueries {
     // corpus-level text stats per source
     "text_stats_by_source" -> ((s, dir) => {
       // corpus-wide regex scoring: rebalance an under-partitioned scan
-      Sources.parallelized(Sources.table(s, dir, "documents"))
+      // r17: project to the used columns and spread by doc_id BEFORE the
+      // rebalance exchange (guide §2.3) — the all-columns variant shuffled
+      // and murmur-hashed the whole row (text included) per row
+      Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"), col("lang")), col("doc_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
@@ -171,7 +175,8 @@ object PipelineQueries {
     // (dup lines < 30%, bullets < 90%, ellipses < 30%, mean word length in
     // [3,10] — the published cutoffs)
     "text_gopher_gate" -> ((s, dir) => {
-      Sources.parallelized(Sources.table(s, dir, "documents"))
+      Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
         .select(col("source"),
           (TF.dupLineBp(col("text")) < 3000 &&
            TF.bulletLineBp(col("text")) < 9000 &&
@@ -185,7 +190,8 @@ object PipelineQueries {
 
     // exact dedup via content hash, per source
     "dedup_exact" -> ((s, dir) => {
-      val d = Sources.parallelized(Sources.table(s, dir, "documents"))
+      val d = Sources.parallelizedBy(Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")), col("doc_id"))
       d.withColumn("fp", TF.contentFingerprint(col("text")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -199,7 +205,8 @@ object PipelineQueries {
       // row-based signature: explode shingles, hash once in the codegen'd
       // pipeline, 8 min-aggregates in one HashAggregate (see Similarity
       // .minhashPairs for why array-lambda signatures are slow)
-      val exploded = Sources.parallelized(Sources.table(s, dir, "documents"))
+      val exploded = Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .filter(TF.tokenCount(col("text")) >= 5)
         .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
         .select(col("doc_id"), explode(TF.wordShinglesOfTokens(col("__toks"), 5)).as("shingle"))
@@ -215,15 +222,16 @@ object PipelineQueries {
     // full MinHash-LSH near-dup pipeline: sig → bands → candidates →
     // signature-estimated jaccard (oracle reproduces the banding exactly)
     "dedup_minhash_pairs" -> ((s, dir) => {
-      Similarity.minhashPairs(Sources.parallelized(Sources.table(s, dir, "documents")),
-          "doc_id", "text", shingleSize = 5, sigLen = 16, bands = 4, minJaccard = 0.5)
+      Similarity.minhashPairs(Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id")), "doc_id", "text", shingleSize = 5, sigLen = 16, bands = 4, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // 64-bit simhash per document (row-based: explode → hash once → 64
     // conditional sums in one HashAggregate; see Similarity.simhashTable)
     "dedup_simhash" -> ((s, dir) => {
-      Similarity.simhashTable(Sources.parallelized(Sources.table(s, dir, "documents")), "doc_id", "text")
+      Similarity.simhashTable(Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id")), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id")).limit(200)
     }),
@@ -233,8 +241,8 @@ object PipelineQueries {
     // from both the intersection and the set sizes — mirrored exactly by
     // the oracle)
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Similarity.ngramJaccardPairs(Sources.parallelized(Sources.table(s, dir, "documents")),
-          "doc_id", "text", shingleSize = 5, minJaccard = 0.4, maxDf = 50)
+      Similarity.ngramJaccardPairs(Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id")), "doc_id", "text", shingleSize = 5, minJaccard = 0.4, maxDf = 50)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -243,7 +251,8 @@ object PipelineQueries {
     // 64-bit simhash bit-exactly and self-joins on bit_count(xor)<=3 —
     // banding completeness makes the two result sets identical
     "dedup_simhash_pairs" -> ((s, dir) => {
-      Similarity.simhashPairs(Sources.parallelized(Sources.table(s, dir, "documents")), "doc_id", "text",
+      Similarity.simhashPairs(Sources.parallelizedBy(Sources.table(s, dir, "documents")
+          .select(col("doc_id"), col("text")), col("doc_id")), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -254,7 +263,8 @@ object PipelineQueries {
     // shingles broadcast; the corpus streams one scan — only matching
     // shingles ever shuffle
     "dedup_decontaminate" -> ((s, dir) => {
-      val docs = Sources.parallelized(Sources.table(s, dir, "documents"))
+      val docs = Sources.parallelizedBy(Sources.table(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("doc_id"))
       Similarity.decontaminate(
         docs.filter(col("doc_id") % 37 =!= 0),
         docs.filter(col("doc_id") % 37 === 0),

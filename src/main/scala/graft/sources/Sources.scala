@@ -39,6 +39,21 @@ object Sources {
     else df
   }
 
+  /** [[parallelized]] with an explicit spread key. Preferred when a cheap
+    * high-cardinality key exists (doc_id, vec_id): the all-columns variant
+    * murmur-hashes the FULL row — including multi-KB text payloads — once
+    * per row just to pick a partition, and marks every column as "used" so
+    * Catalyst cannot prune unused ones below the exchange (guide §2.3:
+    * project before the exchange; observed: the documents rebalance carried
+    * and hashed all 5 columns where the consumer needed 2). Hashing the
+    * unique id spreads identically and costs 8 bytes per row. Same no-op
+    * contract at scale as [[parallelized]]. */
+  def parallelizedBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*)
+    else df
+  }
+
   /** events table with its TIMESTAMP(NANOS) `ts` column normalized to
     * microsecond timestamp_ntz (Spark's reader has no nanos type; the session
     * sets spark.sql.legacy.parquet.nanosAsLong=true and we truncate ns→µs,
