@@ -325,7 +325,16 @@ object SqlInsertDml {
           r.multipartIdentifier.last.toLowerCase
       }.contains(stmt.target.toLowerCase)
     val selectedRaw = spark.sql(selectSql)
-    val selected = if (readsTarget) selectedRaw.localCheckpoint() else selectedRaw
+    // r17: with CLUSTERED BY, the range exchange's boundary sampling
+    // executes the full SELECT once and the shuffle map stage executes it
+    // AGAIN — a lazy checkpoint bounds the INSERT to ONE execution of the
+    // SELECT (the sample job materializes the blocks, the write reads
+    // them), the reference's staged-shuffle shape. Self-inserts stay
+    // eager: the append must not list the directory it is writing into.
+    val selected =
+      if (readsTarget) selectedRaw.localCheckpoint()
+      else if (stmt.clusteredBy.nonEmpty) selectedRaw.localCheckpoint(false)
+      else selectedRaw
     if (stmt.segmentGranularity != "ALL" && !selected.columns.contains("__time"))
       throw new IllegalArgumentException(
         "INSERT queries with a time-based PARTITIONED BY must provide a __time column")
@@ -373,8 +382,14 @@ object SqlInsertDml {
     BatchIngest.write(arranged, spec, outPath, SaveMode.Append)
     BatchIngest.registerSpec(outPath, spec)
     BatchIngest.registerSpec(stmt.target, spec)
-    // __chunk is the segment-directory key, not part of the table's schema
-    val published = spark.read.parquet(outPath).drop("__chunk")
+    // __chunk is the segment-directory key, not part of the table's schema.
+    // r17: the read-back declares the schema it just wrote (SELECT output +
+    // the __chunk partition string) instead of paying a footer-inference
+    // job per INSERT; partition discovery is driver-side listing only.
+    val publishedSchema = org.apache.spark.sql.types.StructType(
+      selected.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__chunk", org.apache.spark.sql.types.StringType, true))
+    val published = spark.read.schema(publishedSchema).parquet(outPath).drop("__chunk")
     published.createOrReplaceTempView(stmt.target)
     published
   }
