@@ -14,16 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  private def bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+
   /** Collapse runs of whitespace and trim — normalization used by the
-    * tokenizer and the whitespace-robust fingerprint. */
-  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+    * tokenizer and the whitespace-robust fingerprint. r17: one byte-level
+    * pass ([[graft.functions.NormalizeWsExpr]]) instead of a Java-regex
+    * replaceAll over the multi-KB payload + trim — identical output
+    * (asserted against `trim(regexp_replace(c, "\s+", " "))` in
+    * WhitespaceTextSpec), evaluated once per document in every corpus-wide
+    * text/dedup query. */
+  def normalizeWs(c: Column): Column =
+    bridge.column(graft.functions.NormalizeWsExpr(bridge.expression(c.cast("string"))))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normalizeWs(c), " ")
+  /** Whitespace tokens of the normalized text — `split(normalizeWs(c), " ")`
+    * fused into the same single pass (no intermediate normalized string, no
+    * regex split; empty/all-whitespace input yields [""] exactly as split
+    * does). */
+  def tokens(c: Column): Column =
+    bridge.column(graft.functions.WhitespaceTokensExpr(bridge.expression(c.cast("string"))))
 
-  /** Token count (whitespace tokenization; empty string → 0). */
+  /** Token count (whitespace tokenization; empty string → 0) — the fused
+    * pass counts runs without materializing tokens or the normalized
+    * string. */
   def tokenCount(c: Column): Column =
-    when(length(normalizeWs(c)) === 0, 0).otherwise(size(tokens(c)))
+    bridge.column(graft.functions.WhitespaceTokenCountExpr(bridge.expression(c.cast("string"))))
 
   /** BPE-ish subword proxy: count of letter-runs, digit-runs and
     * single punctuation marks — a cheap deterministic stand-in for a real
@@ -31,20 +45,32 @@ object TextFunctions {
   def bpeishTokenCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** The first 8 md5 digest bytes as one big-endian long — every pinned hash
+    * below is a shift of this ([[graft.functions.Md5First8Long]]; r17: the
+    * old `conv(substring(md5(c), …), 16, 10).cast("long")` spelling paid 4
+    * string passes per hash on top of the digest, once per shingle/token
+    * corpus-wide; values are bit-identical, asserted in Md5HashingSpec). */
+  private[graft] def md5First8(c: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    // cast("string") = the implicit cast md5() carried; a no-op cast is
+    // erased by the optimizer, so string inputs (every current site) are
+    // untouched
+    bridge.column(graft.functions.Md5First8Long(bridge.expression(c.cast("string"))))
+  }
+
   /** First 15 hex chars of md5 as a 60-bit long — the cross-engine-stable
     * content hash used throughout dedup/fingerprinting. */
-  def hexLong60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hexLong60(c: Column): Column = shiftrightunsigned(md5First8(c), 4)
 
   /** First 8 hex chars of md5 as a 32-bit long (for modular minhash
     * permutations that must not overflow 64-bit multiplication). */
-  def hexLong32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hexLong32(c: Column): Column = shiftrightunsigned(md5First8(c), 32)
 
   /** Second independent 32-bit hash from the SAME md5 (hex chars 9-16) —
-    * the high half of a 64-bit hash without a second digest pass. */
+    * the high half of a 64-bit hash without a second digest pass (the shared
+    * md5First8 subtree is evaluated once under subexpression elimination). */
   def hexLong32Hi(c: Column): Column =
-    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+    md5First8(c).bitwiseAND(lit(0xFFFFFFFFL))
 
   /** Exact-dup fingerprint robust to case + whitespace differences. */
   def contentFingerprint(c: Column): Column =

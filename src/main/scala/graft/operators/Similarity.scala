@@ -185,10 +185,17 @@ object Similarity {
     * token array) evaluates interpreted per element — measured 4× slower at
     * sf0.1. Same lesson as minhashPairs' row-based signatures. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one digest per token, materialized as the raw 64-bit value; both
+    // 32-bit halves are shifts of it (r17: relying on codegen subexpression
+    // elimination to share the digest between the two halves measured ~6%
+    // slower than this explicit single-eval projection — CollapseProject
+    // never inlines a non-cheap expression into two consumers, so the
+    // digest provably evaluates once)
     val ex = df
       .select(col(idCol).as("id"), explode(TF.tokens(col(textCol))).as("__tok"))
-      .select(col("id"), TF.hexLong32(col("__tok")).as("hlo"),
-        TF.hexLong32Hi(col("__tok")).as("hhi"))
+      .select(col("id"), TF.md5First8(col("__tok")).as("__h64"))
+      .select(col("id"), shiftrightunsigned(col("__h64"), 32).as("hlo"),
+        col("__h64").bitwiseAND(lit(0xFFFFFFFFL)).as("hhi"))
     // vote for bit b = sum over tokens of (bit set ? +1 : -1)
     val voteCols =
       (0 until 32).map(b =>
