@@ -212,19 +212,33 @@ case class VectorDot(
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  private def reader(t: DataType): (ArrayData, Int) => Double = t match {
-    case DoubleType => (a, i) => a.getDouble(i)
-    case FloatType => (a, i) => a.getFloat(i).toDouble
-    case LongType => (a, i) => a.getLong(i).toDouble
-    case IntegerType => (a, i) => a.getInt(i).toDouble
-    case ShortType => (a, i) => a.getShort(i).toDouble
-    case ByteType => (a, i) => a.getByte(i).toDouble
+  // r17: the per-element reads were `(ArrayData, Int) => Double` closures —
+  // Scala generates no specialized Function2 for an Object first argument,
+  // so EVERY element read boxed its Double (one allocation per multiply,
+  // tens of millions per candidate join). Monomorphic typed loops below;
+  // identical fold order and null semantics.
+  private def tcode(t: DataType): Int = t match {
+    case DoubleType => 0
+    case FloatType => 1
+    case LongType => 2
+    case IntegerType => 3
+    case ShortType => 4
+    case ByteType => 5
     case other => throw new IllegalArgumentException(s"vector_dot element type: $other")
   }
-  @transient private lazy val readL =
-    reader(left.dataType.asInstanceOf[ArrayType].elementType)
-  @transient private lazy val readR =
-    reader(right.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val codeL =
+    tcode(left.dataType.asInstanceOf[ArrayType].elementType)
+  @transient private lazy val codeR =
+    tcode(right.dataType.asInstanceOf[ArrayType].elementType)
+
+  @inline private def rd(a: ArrayData, i: Int, code: Int): Double = (code: @annotation.switch) match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -233,10 +247,27 @@ case class VectorDot(
     if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += readL(x, i) * readR(y, i)
-      i += 1
+    if (codeL == 0 && codeR == 0) {
+      // the dominant shape (embedding vectors cast to double)
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    } else if (codeL == 1 && codeR == 1) {
+      // raw float embeddings
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+    } else {
+      val cl = codeL; val cr = codeR
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += rd(x, i, cl) * rd(y, i, cr)
+        i += 1
+      }
     }
     acc
   }

@@ -49,6 +49,24 @@ object TextStatsProfile {
     time("gopher gate") {
       graft.queries.PipelineQueries.queries("text_gopher_gate")(spark, dir)
     }
+    // ---- shingle-stage isolation (the dedup_minhash/ngram front end) ----
+    val d2 = docs.select(col("doc_id"), col("text"))
+    time("tokens only") {
+      d2.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).as("n"))
+    }
+    time("shingles size") {
+      d2.select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), size(TF.wordShinglesOfTokens(col("__toks"), 5)).as("n"))
+    }
+    time("shingles explode+hash60") {
+      d2.select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(TF.wordShinglesOfTokens(col("__toks"), 5)).as("s"))
+        .select(col("doc_id"), TF.hexLong60(col("s")).as("sh"))
+    }
+    time("ngram full") {
+      graft.queries.PipelineQueries.queries("dedup_ngram_jaccard")(spark, dir)
+    }
     spark.stop()
   }
 }
