@@ -277,6 +277,75 @@ object Similarity {
     val spark0 = pairs.sparkSession
     val pc = pairs.select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .localCheckpoint(true)
+    // r17 small-graph fast path: a candidate-pair graph that fits on the
+    // driver is solved there with union-find — identical labels (component
+    // minimum), ONE bounded job instead of the loop's 2 jobs/round + the
+    // orientation job + the final labels join. At sf0.1 the whole edge set
+    // is 297 rows, yet the distributed alternation paid 4 rounds of fixed
+    // scheduling floor (~1 s of the query's 2.8 s); the reference's broker
+    // merges small per-segment results centrally the same way. The probe is
+    // a limit(T+1) collect — bounded whatever the graph size — and any
+    // larger graph falls through to the alternating loop unchanged (the
+    // checkpoint is already materialized either way). T defaults to 1M pair
+    // rows (~16 MB of longs — trivial for any driver; override with
+    // spark.graft.cc.localThreshold).
+    val localT = spark0.conf.getOption("spark.graft.cc.localThreshold")
+      .map(_.toInt).getOrElse(1 << 20)
+    val head = pc.limit(localT + 1).collect()
+    if (head.length <= localT) {
+      // DSU with path halving; label = min id per component (the exact
+      // semantics of the star-forest fixpoint below, asserted equal in
+      // SimilaritySpec's forced-threshold test)
+      val parent = new java.util.HashMap[Long, Long](head.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) {
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+      head.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // component minimum per root (roots are already minima under the
+      // min-directed unions above, but a second pass keeps that invariant
+      // independent of union order)
+      val minOf = new java.util.HashMap[Long, Long]()
+      val it0 = parent.keySet().iterator()
+      while (it0.hasNext) {
+        val n = it0.next()
+        val r = find(n)
+        val cur = minOf.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOf.put(r, n)
+      }
+      val out = new Array[org.apache.spark.sql.Row](parent.size())
+      val it1 = parent.keySet().iterator()
+      var i = 0
+      while (it1.hasNext) {
+        val n = it1.next()
+        out(i) = org.apache.spark.sql.Row(n, minOf.get(find(n)))
+        i += 1
+      }
+      // nullability mirrors the distributed path's schema (id from a
+      // distinct over nullable inputs; cluster_id from a coalesce) so the
+      // dumped parquet schema is identical either way
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      return spark0.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(out: _*)),
+        schema)
+    }
     // Clone the session and pin the ITERATION's shuffle width there: the
     // caller's session conf is never touched, so a query planned on it
     // mid-loop (shared facade session) keeps its corpus-scale width.

@@ -34,14 +34,35 @@ class CurationSpec extends SparkSpecBase {
     assert(got == Map(5L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("connectedComponents: small-graph driver path ≡ the distributed loop") {
+    // r17: graphs under spark.graft.cc.localThreshold are solved with
+    // driver-side union-find; labels must be IDENTICAL to the alternating
+    // star loop's fixpoint on the same input — chains, cycles, self-pairs,
+    // duplicate and reversed edges all present
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)) ++
+      Seq((500L, 500L), (600L, 601L), (601L, 600L), (700L, 701L), (701L, 702L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Similarity.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
+    val dist =
+      try Similarity.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
+    assert(local == dist)
+  }
+
   test("connectedComponents: caller session's shuffle width is never mutated mid-loop") {
     // the iteration pins its own width on a CLONED session; a query planned
     // on the caller's session while the loop runs must keep the session
-    // width (the facade-concurrency hazard from the round-11 audit)
+    // width (the facade-concurrency hazard from the round-11 audit).
+    // threshold 0 forces the DISTRIBUTED loop — the hazard under test
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.graft.cc.localThreshold", "0")
     val pairs = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val fut = Future(Similarity.connectedComponents(pairs).collect())
     var samples = 0
@@ -52,7 +73,9 @@ class CurationSpec extends SparkSpecBase {
       assert(spark.range(30).groupBy((col("id") % 3).as("k")).count().count() == 3L)
       samples += 1
     }
-    val got = Await.result(fut, 180.seconds)
+    val got =
+      try Await.result(fut, 180.seconds)
+      finally spark.conf.unset("spark.graft.cc.localThreshold")
     assert(got.length == 2000 && got.forall(_.getLong(1) == 1L))
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
     assert(samples > 0, "CC finished before any concurrent observation — lengthen the chain")
