@@ -49,6 +49,20 @@ object SimilarityFunctions {
       array_min(transform(hs, h => (a * h + b) % MinHashP))
     })
 
+  /** r17 row-side signatures (see [[graft.functions.TokenHashExprs]]): one
+    * primitive loop per document instead of explode + wide groupBy
+    * aggregate; null/empty arrays → null (callers filter the cheap source
+    * precondition to reproduce explode's row drop). */
+  def minhashSigRow(shingles: Column, n: Int): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    bridge.column(graft.functions.MinhashSigExpr(bridge.expression(shingles), n))
+  }
+
+  def simhash64Row(toks: Column): Column = {
+    val bridge = org.apache.spark.sql.graftbridge.CatalystBridge
+    bridge.column(graft.functions.Simhash64Expr(bridge.expression(toks)))
+  }
+
   /** LSH band keys: hash each of `bands` contiguous slices of the signature
     * to a single long; docs sharing any band key are candidate pairs.
     * rowsPerBand = sigLen / bands.

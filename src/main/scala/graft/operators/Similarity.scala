@@ -38,27 +38,23 @@ object Similarity {
       shingleSize: Int = 5, sigLen: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = sigLen / bands
-    // Signature computation is row-based, not array-lambda-based: explode
-    // shingles to rows, hash each once inside the codegen'd scan pipeline,
-    // and compute the n permutation minima as n plain `min` aggregates in a
-    // single HashAggregate (map-side combined). Higher-order array functions
-    // are interpreted per element and (via CollapseProject inlining)
-    // re-evaluate the hashing once per permutation — measured >10x slower.
-    // tokens materialized BEFORE the shingle lambda — a lambda re-evaluates
-    // non-attribute subtrees per element (O(tokens²) tokenization otherwise;
-    // 6.5× measured at sf0.1)
-    val exploded = df
+    // r17: signatures are computed PER ROW in one primitive loop
+    // (MinhashSigExpr — each shingle digested once, n permutation minima
+    // folded in place), entirely scan-side: the previous shape exploded the
+    // shingle array to rows and reassembled per-document minima through an
+    // n-min-column groupBy(id) exchange — materializing ~shingles-per-doc
+    // rows and a full shuffle for values that never needed to leave the
+    // row. (The r2-era array-lambda spelling stays rejected: interpreted
+    // HOFs re-evaluate the hash per permutation.) The tokenCount gate
+    // reproduces explode's row-drop for docs with < shingleSize tokens
+    // (empty shingle array), checked cheaply BEFORE shingling; tokens stay
+    // materialized ahead of the shingle lambda (a lambda re-evaluates
+    // non-attribute subtrees per element — O(tokens²) otherwise).
+    val sigs = df
+      .filter(TF.tokenCount(col(textCol)) >= shingleSize)
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(TF.wordShinglesOfTokens(col("__toks"), shingleSize)).as("shingle"))
-      .withColumn("h", TF.hexLong32(col("shingle")))
-    val minCols = (0 until sigLen).map { i =>
-      val (a, b) = SF.minhashCoef(i)
-      min((lit(a) * col("h") + lit(b)) % SF.MinHashP).as(s"s$i")
-    }
-    val sigs = exploded.groupBy(col("id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until sigLen).map(i => col(s"s$i")): _*).as("sig"))
+      .select(col("id"), TF.wordShinglesOfTokens(col("__toks"), shingleSize).as("__sh"))
+      .select(col("id"), SF.minhashSigRow(col("__sh"), sigLen).as("sig"))
     // The banded signatures feed BOTH sides of the candidate self-join;
     // eagerly materialized (lineage truncated) so the corpus is scanned and
     // hashed exactly once — localCheckpoint stores the partitions in the
@@ -184,32 +180,20 @@ object Similarity {
     * combined). The array-lambda formulation (aggregate/zip_with over the
     * token array) evaluates interpreted per element — measured 4× slower at
     * sf0.1. Same lesson as minhashPairs' row-based signatures. */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // one digest per token, materialized as the raw 64-bit value; both
-    // 32-bit halves are shifts of it (r17: relying on codegen subexpression
-    // elimination to share the digest between the two halves measured ~6%
-    // slower than this explicit single-eval projection — CollapseProject
-    // never inlines a non-cheap expression into two consumers, so the
-    // digest provably evaluates once)
-    val ex = df
-      .select(col(idCol).as("id"), explode(TF.tokens(col(textCol))).as("__tok"))
-      .select(col("id"), TF.md5First8(col("__tok")).as("__h64"))
-      .select(col("id"), shiftrightunsigned(col("__h64"), 32).as("hlo"),
-        col("__h64").bitwiseAND(lit(0xFFFFFFFFL)).as("hhi"))
-    // vote for bit b = sum over tokens of (bit set ? +1 : -1)
-    val voteCols =
-      (0 until 32).map(b =>
-        sum(shiftright(col("hlo"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")) ++
-      (0 until 32).map(b =>
-        sum(shiftright(col("hhi"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"w$b"))
-    val votes = ex.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
-    val lo = (0 until 32).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val hi62 = (0 until 31).map(b =>
-      when(col(s"w$b") > 0, lit(1L << (b + 32))).otherwise(lit(0L))).reduce(_ + _)
-    val sign = when(col("w31") > 0, lit(Long.MinValue)).otherwise(lit(0L))
-    votes.select(col("id"), (lo + hi62 + sign).as("simhash"))
-  }
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // r17: the whole simhash folds PER ROW in one primitive loop
+    // (Simhash64Expr — one digest per token, 64 vote counters in place),
+    // entirely scan-side. The previous shape exploded tokens to rows and
+    // reassembled the votes through a 64-sum-column groupBy(id) exchange —
+    // ~tokens-per-doc materialized rows plus a full shuffle for a value
+    // that never needed to leave the row. The text-null filter reproduces
+    // explode's row-drop for null texts (explode(null) emitted nothing);
+    // it guards the SOURCE column, not the computed one, so predicate
+    // pushdown cannot duplicate the simhash evaluation into a pushed
+    // filter (guide §4.4's duplication trap, same hazard for expressions).
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), SF.simhash64Row(col("__toks")).as("simhash"))
 
   /** SimHash near-dup: 64-bit simhash per doc; pairs within `maxHamming`
     * found by a banded multi-probe equi-join — 4 disjoint 16-bit bands, so

@@ -202,20 +202,17 @@ object PipelineQueries {
 
     // minhash signatures (first 8 of the 16 hash family)
     "dedup_minhash_sig" -> ((s, dir) => {
-      // row-based signature: explode shingles, hash once in the codegen'd
-      // pipeline, 8 min-aggregates in one HashAggregate (see Similarity
-      // .minhashPairs for why array-lambda signatures are slow)
-      val exploded = Sources.parallelizedBy(Sources.table(s, dir, "documents")
+      // r17 row-side signature (MinhashSigExpr): one primitive loop per doc
+      // on the scan — no shingle explode, no 8-min-column groupBy exchange
+      // (see Similarity.minhashPairs; values identical, oracle-pinned)
+      Sources.parallelizedBy(Sources.table(s, dir, "documents")
           .select(col("doc_id"), col("text")), col("doc_id"))
         .filter(TF.tokenCount(col("text")) >= 5)
         .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), explode(TF.wordShinglesOfTokens(col("__toks"), 5)).as("shingle"))
-        .withColumn("h", TF.hexLong32(col("shingle")))
-      val minCols = (0 until 8).map { i =>
-        val (a, b) = SF.minhashCoef(i)
-        min((lit(a) * col("h") + lit(b)) % SF.MinHashP).as(s"s$i")
-      }
-      exploded.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"), TF.wordShinglesOfTokens(col("__toks"), 5).as("__sh"))
+        .select(col("doc_id"), SF.minhashSigRow(col("__sh"), 8).as("__sig"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("__sig"), i + 1).as(s"s$i")): _*)
         .orderBy(col("doc_id")).limit(200)
     }),
 
