@@ -64,8 +64,33 @@ case class FirstLastFoldAgg(
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TypeUtils.checkForOrderingExpr(key.dataType, prettyName)
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(key.dataType)
+  /** r17: codegen'd comparator instead of TypeUtils.getInterpretedOrdering —
+    * the interpreted ordering recurses per struct field with boxed
+    * comparisons ONCE PER INPUT ROW (update() calls replaces() for every
+    * row after the first). GenerateOrdering is the same comparator SortExec
+    * runs (LazilyGeneratedOrdering's primary path; semantically
+    * interchangeable with the interpreted form by contract — nulls first,
+    * field-lexicographic structs), evaluated through two reusable one-field
+    * row wrappers. Falls back to the interpreted ordering if codegen
+    * rejects the type. */
+  @transient private lazy val ordering: Ordering[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+    try {
+      val gen = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .generate(Seq(SortOrder(BoundReference(0, key.dataType, nullable = true), Ascending)))
+      val ra = new GenericInternalRow(1)
+      val rb = new GenericInternalRow(1)
+      new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int = {
+          ra.update(0, a); rb.update(0, b)
+          gen.compare(ra, rb)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        TypeUtils.getInterpretedOrdering(key.dataType)
+    }
+  }
 
   override def createAggregationBuffer(): FirstLastAcc = new FirstLastAcc(null, null, false)
 
